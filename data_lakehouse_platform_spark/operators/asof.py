@@ -1,0 +1,78 @@
+"""Distributed as-of (merge-asof) join.
+
+Spark has no native ASOF JOIN, and the naive formulation (range join +
+row_number, or a correlated subquery) degenerates into an O(n*m)
+nested-loop or a giant range-join blowup. The scalable formulation is
+the *union-sort* trick:
+
+    1. tag right rows 0, left rows 1, union them with aligned schemas
+    2. one shuffle: repartition by key, sort by (time, tag)
+    3. ``last(right_value, ignorenulls=True)`` over a running window
+       carries the most recent right-hand value forward onto each
+       left row
+
+Cost: exactly one shuffle + sort over (|L|+|R|) — the same cost as a
+sort-merge join — regardless of time-range density, so it holds at
+100 TB where a range join would explode. This mirrors the reference's
+realtime "latest state for this key" correlation done in Redis
+(scripts/real-time/orders_consumer.py:38-56), re-expressed as a
+declarative distributed plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.on <= left.on`` within the same ``by`` group (backward
+    inclusive, like ``pandas.merge_asof``).
+
+    ``value_cols``: right columns to carry (default: all non-key,
+    non-time columns). Ties on the time column prefer the right row
+    (inclusive match).
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in {*by_cols, on}]
+
+    carried = [f"{c}{suffix}" for c in value_cols]
+
+    left_cols = [c for c in left.columns]
+    # Align schemas: left rows carry nulls for the right's values;
+    # right rows carry nulls for the left's payload.
+    l_tagged = left.select(
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(a) for c, a in zip(value_cols, carried)],
+        F.lit(1).alias("__side"),
+    )
+    r_tagged = right.select(
+        *[
+            F.col(c) if c in {*by_cols, on} else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+        ],
+        *[F.col(c).alias(a) for c, a in zip(value_cols, carried)],
+        F.lit(0).alias("__side"),
+    )
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *left_cols,
+        *[F.last(a, ignorenulls=True).over(w).alias(a) for a in carried],
+        "__side",
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

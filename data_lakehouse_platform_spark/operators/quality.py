@@ -1,0 +1,72 @@
+"""Data-quality rule engine.
+
+Declarative checks compiled into ONE aggregate pass per table (a
+single job), then unioned into a metrics DataFrame — instead of the
+reference's one-action-per-rule pattern
+(bronze_validation.py:66-82 runs a count() per column, which at
+100 TB means N full scans; here it is one scan per table regardless of
+rule count).
+
+Supported rules mirror the reference's posture:
+  null_count (rate threshold), unique, min, completeness
+(bronze_validation.py + PyDeequ checks in silver_validation.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class DQCheck:
+    table: str
+    check: str  # null_count | unique | min | completeness
+    column: str
+    max_null_rate: float = 0.05
+    min_value: float = 0.0
+
+
+def _metric_and_passed(c: DQCheck):
+    col = F.col(c.column)
+    total = F.count(F.lit(1))
+    if c.check == "null_count":
+        nulls = F.count(F.when(col.isNull(), 1))
+        return nulls.cast("double"), nulls <= F.lit(c.max_null_rate) * total
+    if c.check == "unique":
+        dupes = total - F.countDistinct(col)
+        return dupes.cast("double"), total == F.countDistinct(col)
+    if c.check == "min":
+        return F.min(col).cast("double"), F.min(col) >= F.lit(c.min_value)
+    if c.check == "completeness":
+        return (F.count(col).cast("double") / total), F.count(col) == total
+    raise ValueError(f"unknown check {c.check!r}")
+
+
+def run_checks(tables: dict[str, DataFrame], checks: list[DQCheck]) -> DataFrame:
+    """Compile checks into one agg per table; union the metric rows."""
+    per_table: list[DataFrame] = []
+    for table_name in sorted({c.table for c in checks}):
+        df = tables[table_name]
+        table_checks = [c for c in checks if c.table == table_name]
+        aggs = []
+        for i, c in enumerate(table_checks):
+            metric, passed = _metric_and_passed(c)
+            aggs.append(metric.alias(f"m{i}"))
+            aggs.append(passed.alias(f"p{i}"))
+        wide = df.agg(*aggs)  # single pass over the table
+        rows = [
+            wide.select(
+                F.lit(c.table).alias("table_name"),
+                F.lit(c.check).alias("check_name"),
+                F.lit(c.column).alias("column_name"),
+                F.col(f"m{i}").alias("metric_value"),
+                F.col(f"p{i}").alias("passed"),
+            )
+            for i, c in enumerate(table_checks)
+        ]
+        per_table.append(reduce(lambda a, b: a.unionByName(b), rows))
+    return reduce(lambda a, b: a.unionByName(b), per_table)

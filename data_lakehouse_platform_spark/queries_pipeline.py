@@ -1,0 +1,444 @@
+"""Medallion-pipeline queries: the reference's bronze→silver→gold
+capabilities re-expressed as declarative, scale-first Spark plans.
+
+Write-side counterparts (partitioned append, compaction, merge-upsert)
+live in sources/writers.py and are exercised by pytest (they mutate
+storage, so they are not oracle queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.catalog import load_table
+from data_lakehouse_platform_spark.functions.money import dec_sum, money
+from data_lakehouse_platform_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------------------
+# Bronze: incremental watermark load
+# ----------------------------------------------------------------------------
+
+_BRONZE_INC_ORACLE = """
+SELECT
+  o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+  YEAR(o_orderdate)  AS year,
+  MONTH(o_orderdate) AS month,
+  DAYOFMONTH(o_orderdate)   AS day
+FROM orders
+WHERE o_orderdate > (SELECT MAX(o_orderdate) - INTERVAL 180 DAY FROM orders)
+"""
+
+
+@register(
+    "bronze_incremental_orders",
+    _BRONZE_INC_ORACLE,
+    "Incremental watermark load: only rows newer than the high-water mark, "
+    "enriched with y/m/d partition columns. The watermark is a 1-row "
+    "aggregate broadcast into the filter — the filter itself is pushed to "
+    "the scan, so at 100 TB only new partitions are read. Reference: "
+    "bronze_dimension_fact_load.py:71-92.",
+)
+def bronze_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    watermark = orders.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 180 DAYS")).alias("hw")
+    )
+    return (
+        orders.join(F.broadcast(watermark))
+        .filter(F.col("o_orderdate") > F.col("hw"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+            F.dayofmonth("o_orderdate").alias("day"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# Silver: cleaning / conforming
+# ----------------------------------------------------------------------------
+
+_SILVER_CLEAN_ORACLE = """
+SELECT
+  doc_id,
+  regexp_replace(trim(text), '\\s+', ' ', 'g') AS text_clean,
+  length(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS n_chars_clean,
+  upper(lang) AS lang,
+  CASE WHEN source IN ('src0', 'srcNULL') THEN NULL ELSE source END AS source
+FROM documents
+"""
+
+
+@register(
+    "silver_clean_documents",
+    _SILVER_CLEAN_ORACLE,
+    "Silver-layer cleaning: whitespace normalization (regexp_replace), "
+    "case conforming, sentinel-to-NULL normalization. Reference: "
+    "silver_dimensions.py:52-66 (strip \\r) and :96-108 (null 'null').",
+)
+def silver_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    clean = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        clean.alias("text_clean"),
+        F.length(clean).alias("n_chars_clean"),
+        F.upper("lang").alias("lang"),
+        F.when(F.col("source").isin("src0", "srcNULL"), F.lit(None))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Gold: SCD Type 2 dimension from a change stream
+# ----------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+SELECT
+  md5(CAST(user_id AS VARCHAR) || '|' || CAST(epoch_us(ts) AS VARCHAR)) AS state_key,
+  user_id,
+  event_type AS state,
+  ts AS start_ts,
+  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS end_ts,
+  CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       THEN TRUE ELSE FALSE END AS is_current
+FROM events
+"""
+
+
+@register(
+    "scd2_user_state",
+    _SCD2_ORACLE,
+    "SCD Type 2 effective-dated dimension built from a change log in one "
+    "window pass: each change opens a version (start_ts), LEAD() closes "
+    "the previous one (end_ts), last version per key is current. The "
+    "surrogate key is a deterministic content hash — unlike the "
+    "reference's monotonically_increasing_id + max-key offset "
+    "(gold_dim_products.py:99-110) it needs no driver round-trip and is "
+    "reproducible across retries at 1000-executor scale. Reference: "
+    "gold_dim_products.py:66-131 (xxhash64 diff + Delta merge).",
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lead_ts = F.lead("ts").over(w)
+    return ev.select(
+        F.md5(
+            F.concat_ws("|", F.col("user_id").cast("string"), F.unix_micros("ts").cast("string"))
+        ).alias("state_key"),
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("start_ts"),
+        lead_ts.alias("end_ts"),
+        lead_ts.isNull().alias("is_current"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Gold: star-schema fact build
+# ----------------------------------------------------------------------------
+
+_FACT_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  YEAR(o_orderdate)  AS year,
+  MONTH(o_orderdate) AS month,
+  o_custkey          AS customer_key,
+  n_name             AS customer_nation,
+  r_name             AS customer_region,
+  p_brand,
+  s_name             AS supplier_name,
+  l_quantity         AS quantity,
+  CAST(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000) AS DECIMAL(28,0)) AS DOUBLE) / 1000000 AS net_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+@register(
+    "gold_fact_star",
+    _FACT_ORACLE,
+    "Star-schema fact build: one fact-fact shuffle join "
+    "(lineitem ⋈ orders on the natural key), then broadcast joins for "
+    "every dimension — identical strategy to the reference "
+    "(gold_fact_orders.py:116-121) but with partition columns derived "
+    "in-plan. At 100 TB: lineitem and orders co-partition on orderkey; "
+    "dims stay broadcast-sized.",
+)
+def gold_fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+            F.col("o_custkey").alias("customer_key"),
+            F.col("n_name").alias("customer_nation"),
+            F.col("r_name").alias("customer_region"),
+            "p_brand",
+            F.col("s_name").alias("supplier_name"),
+            F.col("l_quantity").alias("quantity"),
+            money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_revenue"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# Data quality: rule engine emitting a metrics table
+# ----------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT 'orders' AS table_name, 'null_count' AS check_name, 'o_custkey' AS column_name,
+       CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS DOUBLE) AS metric_value,
+       COUNT(*) FILTER (WHERE o_custkey IS NULL) <= 0.05 * COUNT(*) AS passed
+FROM orders
+UNION ALL
+SELECT 'orders', 'unique', 'o_orderkey',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE),
+       COUNT(*) = COUNT(DISTINCT o_orderkey)
+FROM orders
+UNION ALL
+SELECT 'lineitem', 'min', 'l_quantity',
+       CAST(MIN(l_quantity) AS DOUBLE),
+       MIN(l_quantity) >= 0
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'completeness', 'l_shipdate',
+       CAST(COUNT(l_shipdate) AS DOUBLE) / COUNT(*),
+       COUNT(l_shipdate) = COUNT(*)
+FROM lineitem
+UNION ALL
+SELECT 'customer', 'unique', 'c_custkey',
+       CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS DOUBLE),
+       COUNT(*) = COUNT(DISTINCT c_custkey)
+FROM customer
+UNION ALL
+SELECT 'customer', 'completeness', 'c_name',
+       CAST(COUNT(c_name) AS DOUBLE) / COUNT(*),
+       COUNT(c_name) = COUNT(*)
+FROM customer
+"""
+
+
+@register(
+    "dq_metrics",
+    _DQ_ORACLE,
+    "Data-quality rule engine: null-rate (<=5%), uniqueness, min and "
+    "completeness constraints emitted as a metrics table — one aggregate "
+    "pass per table, not one job per rule. Reference: "
+    "bronze_validation.py:66-82 (null/unique) and "
+    "silver_validation.py:86-135 (hasCompleteness/hasMin).",
+)
+def dq_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.quality import DQCheck, run_checks
+
+    checks = [
+        DQCheck("orders", "null_count", "o_custkey", max_null_rate=0.05),
+        DQCheck("orders", "unique", "o_orderkey"),
+        DQCheck("lineitem", "min", "l_quantity", min_value=0.0),
+        DQCheck("lineitem", "completeness", "l_shipdate"),
+        DQCheck("customer", "unique", "c_custkey"),
+        DQCheck("customer", "completeness", "c_name"),
+    ]
+    tables = {name: _t(spark, sf_dir, name) for name in {"orders", "lineitem", "customer"}}
+    return run_checks(tables, checks)
+
+
+# ----------------------------------------------------------------------------
+# Sessionization + windowed counts (batch analogs of the streaming path)
+# ----------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT
+    user_id, event_id, ts, value,
+    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > 1800000000
+           OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT *,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT
+  user_id, session_idx,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(FLOOR((value) * 1000000) AS DECIMAL(28,0))) AS DOUBLE) / 1000000 AS total_value
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+@register(
+    "sessionize_events",
+    _SESSION_ORACLE,
+    "Gap-based sessionization (30-min inactivity): lag → gap flag → "
+    "running sum = session id, in ONE shuffle by user. Reference analog: "
+    "Redis per-order session accumulation with TTL "
+    "(order_details_consumer.py:33-71). Streaming twin: "
+    "streaming/order_tracker.py (applyInPandasWithState).",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev, user_col="user_id", ts_col="ts", order_col="event_id", gap_minutes=30
+    )
+
+
+_WINDOWED_ORACLE = """
+SELECT
+  date_trunc('hour', ts) AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(FLOOR((value) * 1000000) AS DECIMAL(28,0))) AS DOUBLE) / 1000000 AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "windowed_event_counts",
+    _WINDOWED_ORACLE,
+    "Tumbling 1-hour windowed aggregate — the batch twin of the "
+    "structured-streaming watermark aggregation in streaming/pipelines.py. "
+    "Reference analog: realtime counters over Kafka topics.",
+)
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", "total_value"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Recommendation: eligibility + exclusion + deterministic pick
+# ----------------------------------------------------------------------------
+
+_RECOMMEND_ORACLE = """
+WITH eligible AS (
+  SELECT c_custkey FROM customer
+  WHERE c_acctbal >= 9000 AND c_mktsegment = 'BUILDING'
+),
+ordered_parts AS (
+  SELECT DISTINCT o_custkey AS c_custkey, l_partkey
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey IN (SELECT c_custkey FROM eligible)
+),
+candidates AS (
+  SELECT e.c_custkey, p.p_partkey, p.p_retailprice
+  FROM eligible e CROSS JOIN part p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ordered_parts op
+    WHERE op.c_custkey = e.c_custkey AND op.l_partkey = p.p_partkey
+  )
+)
+SELECT
+  c_custkey,
+  p_partkey AS recommended_part,
+  p_retailprice,
+  CAST(20 + c_custkey % 31 AS INT) AS discount_percent,
+  CAST(CAST(FLOOR((p_retailprice * (100 - (20 + c_custkey % 31)) / 100) * 1000000) AS DECIMAL(28,0)) AS DOUBLE) / 1000000
+    AS discounted_price
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY c_custkey ORDER BY p_retailprice DESC, p_partkey
+  ) AS rn
+  FROM candidates
+) t
+WHERE rn = 1
+"""
+
+
+@register(
+    "recommend_eligible",
+    _RECOMMEND_ORACLE,
+    "Recommendation flow: eligibility gate (tier + segment ~ the "
+    "reference's diamond-tier + ACB-payment membership check), exclusion "
+    "of already-purchased items (anti join), deterministic best-candidate "
+    "pick and discount pricing. Re-expresses "
+    "check_and_recommend_consumer.py:32-135 as one declarative plan; the "
+    "candidate space is eligible_customers × broadcast(part) — bounded "
+    "because part is a dim.",
+)
+def recommend_eligible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+
+    eligible = cust.filter(
+        (F.col("c_acctbal") >= 9000) & (F.col("c_mktsegment") == "BUILDING")
+    ).select("c_custkey")
+
+    ordered_parts = (
+        orders.join(F.broadcast(eligible), orders.o_custkey == eligible.c_custkey, "left_semi")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey"))
+        .distinct()
+    )
+
+    candidates = (
+        eligible.crossJoin(F.broadcast(part.select("p_partkey", "p_retailprice")))
+        .join(
+            ordered_parts.withColumnRenamed("l_partkey", "p_partkey"),
+            ["c_custkey", "p_partkey"],
+            "left_anti",
+        )
+    )
+
+    w = Window.partitionBy("c_custkey").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    dp = (F.lit(20) + F.col("c_custkey") % 31).cast("int")
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("p_partkey").alias("recommended_part"),
+            "p_retailprice",
+            dp.alias("discount_percent"),
+            money(F.col("p_retailprice") * (100 - dp) / 100).alias("discounted_price"),
+        )
+    )

@@ -1,0 +1,51 @@
+"""Tuned SparkSession factory.
+
+Scale posture: AQE on (runtime coalesce + skew-join), Arrow on for the
+few Pandas-UDF operators, shuffle partitions sized for the local test
+harness but overridable for cluster deploys (set
+``spark.sql.shuffle.partitions`` ~2-3x total cores on a real cluster,
+or leave AQE coalescing to shrink it).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data-lakehouse-platform-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with scale-sane defaults.
+
+    Local test harness: ``local[$SPARK_GRAFT_CPUS]`` (default 32).
+    On a real cluster the same conf applies minus the master override.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Runtime re-planning: partition coalescing, skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches for the Pandas-UDF operators (asof fallback,
+        # multimodal); irrelevant to the pure-JVM hot paths.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Dims under this size auto-broadcast; explicit broadcast()
+        # hints are still used where we *know* the side is a dim.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
