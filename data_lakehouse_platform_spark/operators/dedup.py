@@ -1,0 +1,152 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Scale design (the whole point — these run over ~100 TB of documents):
+
+* exact: one hash-keyed groupBy; the hash (md5) is computed map-side
+  so the shuffle carries 16-byte keys, not document bodies.
+* n-gram Jaccard: NEVER a cross join. Candidates come from an
+  equi-join on shared shingles (shuffle keyed by shingle), with a
+  document-frequency cap on join-key width so a stop-shingle can't
+  produce an O(n²) bucket — the classic prefix-filter trick. Exact
+  Jaccard is then computed only for candidate pairs.
+* MinHash/LSH: fixed-width signatures (n_hashes × 16-byte md5 mins)
+  replace the document; candidate generation joins on (band, band
+  key) — bounded buckets, tunable recall via bands×rows.
+* SimHash: one aggregation to a 16-bit fingerprint, near-dup groups
+  are exact-match buckets (hamming-0); wider hamming search would
+  union rotations of the key, same join shape.
+
+All hashing is md5-based so the DuckDB oracle can reproduce results
+bit-for-bit (xxhash64 exists in both engines but with different
+output). Reference analog: the reference dedups via SCD2 change
+detection with xxhash64 (gold_dim_products.py:85-87); the corpus
+near-dup family generalizes that to content similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content-hash groups: (content_hash, keep_id, n_copies)."""
+    return df.groupBy(
+        F.md5(F.col(text_col).cast("binary")).alias("content_hash")
+    ).agg(
+        F.min(id_col).alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Near-dup pairs with exact Jaccard >= threshold.
+
+    ``shingles``: (id, shingle) DISTINCT rows. Candidate pairs share
+    at least one shingle whose document frequency is <= max_df (both
+    engines apply the same cap, so results stay comparable); Jaccard
+    itself uses the FULL shingle sets of both documents.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    filtered = shingles.join(
+        dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    )
+
+    a = filtered.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = filtered.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 16
+) -> DataFrame:
+    """One row per doc with columns h0..h{n-1}: min over shingles of
+    md5(seed || '|' || shingle). Deterministic, oracle-reproducible."""
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")).cast("binary"))
+        ).alias(f"h{k}")
+        for k in range(n_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature, bucket-join: pairs sharing >=1 band key.
+    Output: (doc_a, doc_b, n_shared_bands)."""
+    rows_per_band = n_hashes // bands
+    stack_args = []
+    for b in range(bands):
+        cols = ",".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        stack_args.append(f"{b}, md5(cast(concat_ws(',', {cols}) as binary))")
+    banded = signatures.select(
+        id_col,
+        F.expr(f"stack({bands}, {', '.join(stack_args)}) as (band, bkey)"),
+    ).select(id_col, "band", "bkey")
+
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bkey")
+    b2 = banded.select(F.col(id_col).alias("doc_b"), "band", "bkey")
+    return (
+        a.join(b2, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def simhash(shingles: DataFrame, id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """bits-bit SimHash over a document's distinct shingles (unit
+    weights): bit i of md5(shingle) is the parity of hex digit i;
+    fingerprint bit i is set iff the sum of (+1/-1) contributions is
+    positive. Output: (id, simhash, bucket_size)."""
+    h = F.md5(F.col("shingle").cast("binary"))
+    sums = [
+        F.sum(
+            F.when(F.substring(h, i + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    per_doc = shingles.groupBy(id_col).agg(*sums)
+    fingerprint = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    out = per_doc.select(id_col, fingerprint.cast("long").alias("simhash"))
+    return out.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
+    )

@@ -349,20 +349,25 @@ def semi_join_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANTI_ORACLE = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
 """
 
 
 @register(
     "anti_join_inactive_customers",
     _ANTI_ORACLE,
-    "LEFT ANTI join (NOT EXISTS): customers with no orders. Reference "
-    "analog: new-record detection in incremental loads.",
+    "LEFT ANTI join (NOT EXISTS): customers with no urgent orders — the "
+    "predicate keeps the result non-empty at every SF so the check is "
+    "meaningful. Reference analog: new-record detection in incremental "
+    "loads.",
 )
 def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
 

@@ -1,6 +1,416 @@
 """LLM-scale data-pipeline queries: dedup, similarity search, text
-analysis over the documents/embeddings tables. Populated module by
-module; see SURVEY.md §2 rows 25-35.
+analysis over the documents/embeddings tables (SURVEY.md §2 #25-35).
+
+Oracle strategy: every hash is md5 (identical hex output in Spark and
+DuckDB), every float either passes through bit-identical JVM/DuckDB
+arithmetic (verified: dot products agree exactly) or is an integer
+ratio — so all queries here are hash-exact against the oracle.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.catalog import load_table
+from data_lakehouse_platform_spark.operators import dedup as D
+from data_lakehouse_platform_spark.operators import similarity as S
+from data_lakehouse_platform_spark.operators import text as T
+from data_lakehouse_platform_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------------------
+# Dedup family
+# ----------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@register(
+    "dedup_exact",
+    _EXACT_ORACLE,
+    "Exact dedup via content-hash groupBy: map-side md5 so the shuffle "
+    "carries 16-byte keys, not bodies. keep = min id per group.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_JACCARD_THRESHOLD = 0.2
+_JACCARD_MAX_DF = 100
+
+_JACCARD_ORACLE = f"""
+WITH {T.sql_shingles_cte(3)},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
+filtered AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN dfreq USING (shingle) WHERE df <= {_JACCARD_MAX_DF}
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM filtered a JOIN filtered b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {_JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _JACCARD_ORACLE,
+    "Near-dup pairs by exact word-3-shingle Jaccard >= 0.2. Candidates "
+    "from a shingle equi-join with a document-frequency cap (<=100) on "
+    "the join key so hot shingles can't make O(n²) buckets; Jaccard uses "
+    "full shingle sets. No cross join anywhere.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = T.explode_shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    return D.jaccard_pairs(
+        sh, threshold=_JACCARD_THRESHOLD, max_df=_JACCARD_MAX_DF
+    )
+
+
+_N_HASHES = 16
+_BANDS = 4
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n    ".join(
+        f"MIN(md5('{k}|' || shingle)) AS h{k}" for k in range(_N_HASHES)
+    )
+    rows_per_band = _N_HASHES // _BANDS
+    band_selects = []
+    for b in range(_BANDS):
+        cols = " || ',' || ".join(
+            f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bkey FROM sigs"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {T.sql_shingles_cte(3)},
+sigs AS (
+  SELECT doc_id,
+    {mins}
+  FROM shingles GROUP BY doc_id
+),
+banded AS (
+  {bands_sql}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    "MinHash (16 md5-derived permutations) + LSH banding (4 bands x 4 "
+    "rows): docs sharing any band key become candidate pairs. Signatures "
+    "are fixed-width, so the candidate join shuffles 16-byte band keys — "
+    "corpus size only enters linearly. Tune bands/rows for the "
+    "recall/precision point; verify candidates with dedup_ngram_jaccard.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = T.explode_shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
+    return D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    odd = "('1','3','5','7','9','b','d','f')"
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN substr(md5(shingle), {i + 1}, 1) IN {odd} THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END" for i in range(bits))
+    return f"""
+WITH {T.sql_shingles_cte(3)},
+per_doc AS (
+  SELECT doc_id,
+    {sums}
+  FROM shingles GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM per_doc)
+SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS bucket_size
+FROM fp
+"""
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    "16-bit SimHash fingerprint per doc (md5 hex-digit parity bits, unit "
+    "weights over distinct shingles); near-dup groups are hamming-0 "
+    "buckets. One aggregation pass — the cheapest near-dup signal.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = T.explode_shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    return D.simhash(sh, bits=16)
+
+
+# ----------------------------------------------------------------------------
+# Embedding similarity
+# ----------------------------------------------------------------------------
+
+_NEARDUP_THRESHOLD = 0.4
+
+_NEARDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)
+SELECT
+  a.vec_id AS vec_a,
+  b.vec_id AS vec_b,
+  list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine,
+  a.label AS label_a,
+  b.label AS label_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+    >= {_NEARDUP_THRESHOLD}
+"""
+
+
+@register(
+    "embed_neardup_cosine",
+    _NEARDUP_ORACLE,
+    "Embedding near-dup pairs: cosine >= 0.4 over array<float> columns "
+    "via JVM zip_with/aggregate (bit-identical to the oracle's "
+    "list_dot_product — no tolerance needed). Brute-force audit path; "
+    "the LSH-bucketed ann path is the scale route.",
+)
+def embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_pairs(emb, threshold=_NEARDUP_THRESHOLD, extra_cols=["label"])
+
+
+_ANN_K = 10
+
+_ANN_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id,
+    list_dot_product(qv, v)
+      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+  FROM e JOIN q ON e.vec_id != q.query_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id
+  ) AS rank
+  FROM scored
+) t
+WHERE rank <= {_ANN_K}
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    _ANN_ORACLE,
+    "Brute-force cosine top-k (k=10) for a broadcast query set "
+    "(vec_id < 5): one corpus pass + per-query top-k window. The exact "
+    "baseline that LSH/IVF variants are measured against.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ann_topk_bruteforce(emb, queries, k=_ANN_K).select(
+        "query_id", "cand_id", "cosine", "rank"
+    )
+
+
+# ----------------------------------------------------------------------------
+# Text analysis
+# ----------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": r"\b(the|a|of|and|to)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|y|es)\b",
+}
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+    len(regexp_extract_all({T.sql_normalize_ws('text')}, '{_LANG_MARKERS["en"]}')) AS score_en,
+    len(regexp_extract_all({T.sql_normalize_ws('text')}, '{_LANG_MARKERS["de"]}')) AS score_de,
+    len(regexp_extract_all({T.sql_normalize_ws('text')}, '{_LANG_MARKERS["fr"]}')) AS score_fr,
+    len(regexp_extract_all({T.sql_normalize_ws('text')}, '{_LANG_MARKERS["es"]}')) AS score_es
+  FROM documents
+)
+SELECT doc_id, score_en, score_de, score_fr, score_es,
+  CASE
+    WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es AND score_en > 0 THEN 'en'
+    WHEN score_de >= score_fr AND score_de >= score_es AND score_de > 0 THEN 'de'
+    WHEN score_fr >= score_es AND score_fr > 0 THEN 'fr'
+    WHEN score_es > 0 THEN 'es'
+    ELSE 'und'
+  END AS predicted_lang
+FROM scored
+"""
+
+
+@register(
+    "text_langid",
+    _LANGID_ORACLE,
+    "Heuristic language ID: stopword-marker hit counts per language, "
+    "deterministic priority argmax. Pure regexp_count — codegen'd, no "
+    "UDF; at scale this is a single map pass.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = T.normalize_ws("text")
+    scored = docs.select(
+        "doc_id",
+        *[
+            F.regexp_count(norm, F.lit(pat)).alias(f"score_{lang}")
+            for lang, pat in _LANG_MARKERS.items()
+        ],
+    )
+    en, de, fr, es = (F.col(f"score_{x}") for x in ("en", "de", "fr", "es"))
+    predicted = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("und")
+    )
+    return scored.select(
+        "doc_id", "score_en", "score_de", "score_fr", "score_es",
+        predicted.alias("predicted_lang"),
+    )
+
+
+_STOPWORDS = r"\b(the|a|of|and|to)\b"
+_PUNCT = "[^A-Za-z0-9 ]"
+
+_QUALITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+    {T.sql_normalize_ws('text')} AS norm,
+    len(string_split({T.sql_normalize_ws('text')}, ' ')) AS n_tokens
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_tokens,
+    length(norm) AS n_chars,
+    len(regexp_extract_all(norm, '{_PUNCT}')) AS n_punct,
+    len(regexp_extract_all(norm, '{_STOPWORDS}')) AS n_stop
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+  CAST(n_punct AS DOUBLE) / n_chars  AS punct_ratio,
+  CAST(n_stop AS DOUBLE) / n_tokens  AS stopword_ratio,
+  CAST(FLOOR((0.5 * (CAST(n_stop AS DOUBLE) / n_tokens)
+      + 0.3 * (1 - CAST(n_punct AS DOUBLE) / n_chars)
+      + 0.2 * (LEAST(n_tokens, 200) / 200.0)) * 1000000) AS DOUBLE) / 1000000 AS quality_score
+FROM m
+"""
+
+
+@register(
+    "text_quality",
+    _QUALITY_ORACLE,
+    "Quality scoring: length, punctuation ratio, stopword ratio, "
+    "capped-length bonus, combined into a 6-dp deterministic score. "
+    "Single map pass, no shuffle.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = T.normalize_ws("text")
+    base = docs.select(
+        "doc_id",
+        F.length(norm).alias("n_chars"),
+        F.size(T.ws_tokens("text")).alias("n_tokens"),
+        F.regexp_count(norm, F.lit(_PUNCT)).alias("n_punct"),
+        F.regexp_count(norm, F.lit(_STOPWORDS)).alias("n_stop"),
+    )
+    punct_ratio = base.n_punct.cast("double") / base.n_chars
+    stop_ratio = base.n_stop.cast("double") / base.n_tokens
+    score = (
+        F.lit(0.5) * stop_ratio
+        + F.lit(0.3) * (F.lit(1) - punct_ratio)
+        + F.lit(0.2) * (F.least(base.n_tokens, F.lit(200)) / F.lit(200.0))
+    )
+    return base.select(
+        "doc_id", "n_chars", "n_tokens", "n_punct", "n_stop",
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.floor(score * 1000000).cast("double") / 1000000).alias("quality_score"),
+    )
+
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_TOKENS_ORACLE = f"""
+SELECT doc_id,
+  len(string_split({T.sql_normalize_ws('text')}, ' ')) AS ws_tokens,
+  len(regexp_extract_all({T.sql_normalize_ws('text')}, '{_BPE_ISH}')) AS bpe_ish_tokens,
+  length({T.sql_normalize_ws('text')}) AS n_chars
+FROM documents
+"""
+
+
+@register(
+    "text_tokens",
+    _TOKENS_ORACLE,
+    "Token counting: whitespace tokens + BPE-ish regex tokens "
+    "(letter-runs | digit-runs | single punctuation) + chars. The cheap "
+    "pre-tokenization size estimate for corpus budgeting.",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = T.normalize_ws("text")
+    return docs.select(
+        "doc_id",
+        F.size(T.ws_tokens("text")).alias("ws_tokens"),
+        F.regexp_count(norm, F.lit(_BPE_ISH)).alias("bpe_ish_tokens"),
+        F.length(norm).alias("n_chars"),
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+SELECT doc_id,
+  md5(lower({T.sql_normalize_ws('text')})) AS fingerprint,
+  substr(md5(lower({T.sql_normalize_ws('text')})), 1, 8) AS fp_prefix,
+  length({T.sql_normalize_ws('text')}) AS n_chars
+FROM documents
+"""
+
+
+@register(
+    "text_fingerprint",
+    _FINGERPRINT_ORACLE,
+    "Document fingerprint: md5 of the case/whitespace-normalized text "
+    "(+ 8-hex prefix for cheap sharding/bucketing). The key used by "
+    "dedup_exact, exposed as a first-class column.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = T.normalize_ws("text")
+    fp = F.md5(F.lower(norm).cast("binary"))
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fp_prefix"),
+        F.length(norm).alias("n_chars"),
+    )
