@@ -1,0 +1,98 @@
+"""Multimodal column handling: image/audio/video as opaque binary
+columns with typed metadata, processed through Arrow-batched
+``mapInPandas``.
+
+The decode step is STUBBED (Pillow/ffmpeg/torchaudio are not in this
+container): ``decode_image_features`` computes deterministic
+byte-level pseudo-features so the Spark-side plumbing — schema
+evolution, batch iteration, partition sizing — is real and tested.
+Swap ``_fake_decode`` for a real decoder and nothing else changes.
+
+Scale notes:
+* binary payloads ride in parquet pages; NEVER collect them — every
+  transform is mapInPandas with bounded Arrow batches
+  (spark.sql.execution.arrow.maxRecordsPerBatch caps batch memory;
+  set it low (e.g. 64) for multi-MB payload columns).
+* metadata (mime, width, height, duration) lives in a sibling struct
+  column so filters/pruning run without touching bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, payload binary, "
+    "meta struct<mime:string, width:int, height:int, n_bytes:long>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, checksum long, "
+    "width int, height int, brightness double"
+)
+
+
+def attach_metadata(df: DataFrame, id_col: str, payload_col: str, mime: str) -> DataFrame:
+    """Wrap raw binary into the typed media layout. Width/height are
+    unknown until decode; n_bytes comes free from the payload."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(payload_col).alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(payload_col).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real image decoder. Replace with
+    PIL.Image.open(...) in a container that has it; the mapInPandas
+    plumbing around it is identical."""
+    n = len(payload)
+    checksum = sum(payload) % (2**31)
+    return {
+        "n_bytes": n,
+        "checksum": checksum,
+        "width": (n % 64) + 1,  # fake dimensions derived from content
+        "height": (n % 48) + 1,
+        "brightness": (checksum % 255) / 255.0,
+    }
+
+
+def decode_image_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    media = media.repartition(max(media.sparkSession.sparkContext.defaultParallelism, 1))
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(decode, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """'Frame sampling' stub: emits one row per every_n_bytes offset of
+    each payload (stands in for video frame extraction — the explode
+    shape, offsets, and per-frame metadata are the real plumbing)."""
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.n_bytes") - 1, F.lit(0)),
+                F.lit(every_n_bytes),
+            )
+        ).alias("frame_offset"),
+    )

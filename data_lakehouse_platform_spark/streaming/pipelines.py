@@ -1,0 +1,77 @@
+"""Structured Streaming pipelines.
+
+File-source streams stand in for the reference's Kafka topics (no
+brokers in this container); the transformations are source-agnostic —
+swap ``readStream.format("json")`` for ``format("kafka")`` +
+``from_json(value)`` and everything downstream is identical, which is
+exactly how the reference parses its topics
+(bronze_dimension_fact_load.py:118-131).
+
+Watermarks bound state: a 10-minute watermark on event time means
+late rows beyond it are dropped and window state is evicted — the
+declarative version of the reference's Redis TTLs
+(orders_consumer.py:77 expire 120s).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """JSON-lines file stream with an explicit schema (streams may
+    never infer schemas — that would re-list the source every batch)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(source_dir)
+    )
+
+
+def windowed_event_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window counts per event type with bounded state.
+    Batch twin (oracle-checked): queries_pipeline.windowed_event_counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Parquet sink with checkpointing. ``available_now=True`` drains
+    everything currently in the source then stops — the test/backfill
+    trigger; production uses processingTime triggers instead."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

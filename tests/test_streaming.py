@@ -1,0 +1,92 @@
+"""Structured Streaming: file-source windowed aggregation and the
+stateful order-completion tracker (availableNow trigger drains the
+source then stops — deterministic for tests)."""
+
+from __future__ import annotations
+
+import json
+
+from data_lakehouse_platform_spark.streaming.order_tracker import track_order_completion
+from data_lakehouse_platform_spark.streaming.pipelines import (
+    read_event_stream,
+    windowed_event_counts_stream,
+    write_stream_parquet,
+)
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T0{h}:1{i % 6}:00", "user_id": i % 3,
+         "event_type": "click" if i % 2 else "view", "value": float(i), "props": "{}"}
+        for i, h in [(1, 0), (2, 0), (3, 1), (4, 1), (5, 2), (6, 2)]
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    # watermark sentinel in a SEPARATE file: the watermark advances
+    # between micro-batches, and append mode only emits windows the
+    # watermark has passed — so a later batch must push event time
+    # beyond the data's last window (maxFilesPerTrigger=1 puts each
+    # file in its own batch).
+    sentinel = {"event_id": 99, "ts": "2024-01-01T09:00:00", "user_id": 0,
+                "event_type": "flush", "value": 0.0, "props": "{}"}
+    (src / "b.json").write_text(json.dumps(sentinel))
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    agg = windowed_event_counts_stream(stream)
+    out = str(tmp_path / "out")
+    q = write_stream_parquet(agg, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # batch twin over the same rows (excluding the open sentinel window)
+    batch = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).json(str(src))
+    expected = batch.filter("event_type != 'flush'").groupBy("event_type").count().collect()
+    per_type = {r.event_type: r["count"] for r in expected}
+    got_per_type = {
+        r.event_type: r.total
+        for r in got.groupBy("event_type").agg({"n_events": "sum"}).withColumnRenamed(
+            "sum(n_events)", "total"
+        ).collect()
+    }
+    assert got_per_type == per_type
+    assert {"window_start", "window_end"} <= set(got.columns)
+
+
+def test_order_tracker_completes_orders(spark, tmp_path):
+    src = tmp_path / "items"
+    src.mkdir()
+    items = [
+        # order A: expects 2 products -> complete
+        {"order_id": "A", "product_id": "p1", "num_products": 2, "customer_id": 7},
+        {"order_id": "A", "product_id": "p2", "num_products": 2, "customer_id": 7},
+        # order B: expects 3, only 2 arrive -> stays in state (no emit)
+        {"order_id": "B", "product_id": "p1", "num_products": 3, "customer_id": 8},
+        {"order_id": "B", "product_id": "p3", "num_products": 3, "customer_id": 8},
+        # order C: duplicate item deliveries still count once
+        {"order_id": "C", "product_id": "p9", "num_products": 1, "customer_id": 9},
+        {"order_id": "C", "product_id": "p9", "num_products": 1, "customer_id": 9},
+    ]
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in items))
+
+    stream = spark.readStream.schema(
+        "order_id string, product_id string, num_products int, customer_id long"
+    ).json(str(src))
+    completed = track_order_completion(stream)
+    q = (
+        completed.writeStream.format("memory")
+        .queryName("completed_orders")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {r.order_id: r for r in spark.sql("SELECT * FROM completed_orders").collect()}
+    assert set(rows) == {"A", "C"}  # B incomplete -> no emit yet
+    assert rows["A"].status == "complete"
+    assert sorted(rows["A"].product_ids) == ["p1", "p2"]
+    assert rows["C"].n_products == 1
