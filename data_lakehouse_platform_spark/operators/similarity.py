@@ -15,10 +15,10 @@ so oracle comparison needs no tolerance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_lakehouse_platform_spark.functions.vectors import cosine_similarity
+from data_lakehouse_platform_spark.functions.vectors import cosine_similarity, dot
 
 
 def cosine_pairs(
@@ -52,6 +52,64 @@ def cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def lsh_bucket(vec_col: Column | str, pivot_pairs: list[tuple[list[float], list[float]]]) -> Column:
+    """Deterministic hyperplane-sign bucket id for a vector column.
+
+    Each bit j is ``dot(v, A_j) >= dot(v, B_j)`` for a fixed pivot pair
+    (A, B) — equivalent to the sign of ``dot(v, A_j - B_j)``, i.e. a
+    random-hyperplane LSH bit, but with data-derived pivots so both
+    engines can recompute it exactly. Pivots enter as literal arrays,
+    so the whole bucket expression is a single codegen'd map pass —
+    no join, no shuffle.
+    """
+    bits = []
+    for pa, pb in pivot_pairs:
+        da = dot(vec_col, F.array(*[F.lit(float(x)) for x in pa]))
+        db = dot(vec_col, F.array(*[F.lit(float(x)) for x in pb]))
+        bits.append(F.when(da >= db, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    pivot_pairs: list[tuple[list[float], list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The scale path vs :func:`ann_topk_bruteforce` — the broadcast join
+    keys on (bucket, id!=) so each corpus row is scored against only
+    the queries sharing its bucket, turning O(|Q| * n) scoring into
+    O(n / 2^bits * |Q|) expected. Corpus side never shuffles until the
+    final per-query top-k window (width-k per query).
+    """
+    bucket = lsh_bucket(vec_col, pivot_pairs)
+    c = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("__cv"),
+        bucket.alias("__cb"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        bucket.alias("__qb"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("__cb") == F.col("__qb")) & (F.col("cand_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "cand_id",
+        F.col("__cb").alias("bucket"),
+        cosine_similarity("__qv", "__cv").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def ann_topk_bruteforce(

@@ -237,6 +237,78 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH-bucketed ANN: deterministic hyperplane bits from fixed pivot pairs
+# (vec_id 100..115 -> 8 bits); candidates restricted to same-bucket rows.
+_LSH_PIVOT_BASE = 100
+_LSH_BITS = 8
+
+_LSH_BIT_SQL = ",\n    ".join(
+    "CASE WHEN list_dot_product(e.v, (SELECT v FROM piv WHERE vec_id = {a}))"
+    " >= list_dot_product(e.v, (SELECT v FROM piv WHERE vec_id = {b}))"
+    " THEN '1' ELSE '0' END".format(a=_LSH_PIVOT_BASE + 2 * j, b=_LSH_PIVOT_BASE + 2 * j + 1)
+    for j in range(_LSH_BITS)
+)
+
+_ANN_LSH_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+piv AS (
+  SELECT vec_id, v FROM e
+  WHERE vec_id BETWEEN {_LSH_PIVOT_BASE} AND {_LSH_PIVOT_BASE + 2 * _LSH_BITS - 1}
+),
+b AS (
+  SELECT e.vec_id, e.v, concat(
+    {_LSH_BIT_SQL}
+  ) AS bucket
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, b.vec_id AS cand_id, b.bucket,
+    list_dot_product(qv, b.v)
+      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.query_id
+)
+SELECT query_id, cand_id, bucket, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id
+  ) AS rank
+  FROM scored
+) t
+WHERE rank <= {_ANN_K}
+"""
+
+
+@register(
+    "ann_lsh_topk",
+    _ANN_LSH_ORACLE,
+    "LSH-bucketed approximate top-k: 8 deterministic hyperplane bits "
+    "(dot(v, A_j) >= dot(v, B_j) over fixed pivot pairs) computed as a "
+    "literal-array map pass, candidates restricted to the query's "
+    "bucket — expected candidate set n/2^bits instead of n. The scale "
+    "route for ann_cosine_topk (SURVEY §2 #31).",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # Bounded metadata fetch (16 rows) — same posture as the watermark
+    # 1-row agg: pivots become literal arrays in the bucket expression.
+    piv_rows = (
+        emb.filter(
+            F.col("vec_id").between(_LSH_PIVOT_BASE, _LSH_PIVOT_BASE + 2 * _LSH_BITS - 1)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    pivs = {int(r.vec_id): [float(x) for x in r.embedding] for r in piv_rows}
+    pairs = [
+        (pivs[_LSH_PIVOT_BASE + 2 * j], pivs[_LSH_PIVOT_BASE + 2 * j + 1])
+        for j in range(_LSH_BITS)
+    ]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ann_topk_lsh(emb, queries, pairs, k=_ANN_K).select(
+        "query_id", "cand_id", "bucket", "cosine", "rank"
+    )
+
+
 # ----------------------------------------------------------------------------
 # Text analysis
 # ----------------------------------------------------------------------------
