@@ -28,6 +28,30 @@ TABLES: tuple[str, ...] = (
 BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+# Tables whose queries are map-CPU-bound (per-row md5/regex/vector
+# math), where an under-partitioned scan serializes the whole job.
+# Relational tables are NOT fanned out: their queries are shuffle-
+# bound, so a pre-shuffle for map parallelism costs more than it buys.
+_CPU_HEAVY: frozenset[str] = frozenset({"documents", "embeddings"})
+
+
+def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Give under-partitioned scans map-side parallelism.
+
+    The test parquet is one single-row-group file per table, so the
+    scan yields ONE task and every map-heavy expression (shingle md5,
+    text regexes, vector math) runs on one core of local[32]. On a
+    real cluster a 100 TB table has thousands of splits and this
+    no-ops (scan partitions >= parallelism — the repartition never
+    fires, so no gratuitous full-table shuffle at scale). Catalyst
+    still pushes filters/pruning through Repartition to the scan.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -42,7 +66,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _CPU_HEAVY:
+        return _fan_out(spark, df)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -39,19 +39,20 @@ WHERE o_orderdate > (SELECT MAX(o_orderdate) - INTERVAL 180 DAY FROM orders)
     "bronze_incremental_orders",
     _BRONZE_INC_ORACLE,
     "Incremental watermark load: only rows newer than the high-water mark, "
-    "enriched with y/m/d partition columns. The watermark is a 1-row "
-    "aggregate broadcast into the filter — the filter itself is pushed to "
-    "the scan, so at 100 TB only new partitions are read. Reference: "
-    "bronze_dimension_fact_load.py:71-92.",
+    "enriched with y/m/d partition columns. The watermark is a bounded "
+    "1-row action first (a cheap max over the sink's stats), then applied "
+    "as a LITERAL filter so it reaches the parquet scan as PushedFilters "
+    "and prunes date partitions — at 100 TB only new partitions are read. "
+    "Reference: bronze_dimension_fact_load.py:71-92 (same two-step: read "
+    "existing max ts, filter source > it).",
 )
 def bronze_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    watermark = orders.agg(
+    hw = orders.agg(
         (F.max("o_orderdate") - F.expr("INTERVAL 180 DAYS")).alias("hw")
-    )
+    ).first()["hw"]
     return (
-        orders.join(F.broadcast(watermark))
-        .filter(F.col("o_orderdate") > F.col("hw"))
+        orders.filter(F.col("o_orderdate") > F.lit(hw))
         .select(
             "o_orderkey",
             "o_custkey",
