@@ -46,6 +46,41 @@ def _metric_and_passed(c: DQCheck):
     raise ValueError(f"unknown check {c.check!r}")
 
 
+def schema_drift(
+    df: DataFrame, expected: dict[str, str], table: str = ""
+) -> list[dict[str, str]]:
+    """Schema-drift report vs a stored expected schema (column → Spark
+    type name). Mirrors the reference's schema-store check
+    (bronze_validation.py: stored JSON schema vs live frame) but is a
+    pure metadata comparison — no scan, so it is free at any scale.
+
+    Returns one record per drift: kind in {missing, added, type_changed}.
+    """
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    drifts: list[dict[str, str]] = []
+    for col, typ in expected.items():
+        if col not in actual:
+            drifts.append(
+                {"table": table, "column": col, "kind": "missing", "expected": typ, "actual": ""}
+            )
+        elif actual[col] != typ:
+            drifts.append(
+                {
+                    "table": table,
+                    "column": col,
+                    "kind": "type_changed",
+                    "expected": typ,
+                    "actual": actual[col],
+                }
+            )
+    for col, typ in actual.items():
+        if col not in expected:
+            drifts.append(
+                {"table": table, "column": col, "kind": "added", "expected": "", "actual": typ}
+            )
+    return drifts
+
+
 def run_checks(tables: dict[str, DataFrame], checks: list[DQCheck]) -> DataFrame:
     """Compile checks into one agg per table; union the metric rows."""
     per_table: list[DataFrame] = []

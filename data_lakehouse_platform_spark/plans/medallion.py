@@ -1,0 +1,104 @@
+"""Medallion (bronze → silver → gold) pipeline assembly.
+
+The reference runs its layers as per-table Airflow-scheduled scripts
+(scripts/batch/bronze_dimension_fact_load.py → silver_*.py →
+gold_*.py). Here the same flow is a library object over a base
+directory, so a pipeline is declared once and each layer stays an
+independent, idempotent, incrementally-loaded step:
+
+    bronze: watermark-incremental ingest, y/m/d partitioned parquet
+    silver: declarative cleaning transform, full or incremental
+    gold:   SCD2 dims (scd2_merge) + star fact + DQ metrics
+
+Every step is restart-safe (incremental steps no-op when there is
+nothing new) and all heavy lifting stays in the writers/operators
+modules — this file is orchestration shape only, so swapping the
+storage layer (plain parquet here; Delta/Iceberg in production) does
+not touch pipeline definitions.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_lakehouse_platform_spark.operators.quality import DQCheck, run_checks
+from data_lakehouse_platform_spark.sources import writers
+
+
+class MedallionPipeline:
+    """Bronze/silver/gold layout under ``base_dir``."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+
+    def path(self, layer: str, table: str) -> str:
+        return os.path.join(self.base_dir, layer, table)
+
+    def read(self, layer: str, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(layer, table))
+
+    # -- bronze --------------------------------------------------------------
+
+    def bronze_ingest(self, source: DataFrame, table: str, ts_col: str) -> int:
+        """Watermark-incremental append of new source rows; returns the
+        row count written (0 = nothing new; the step is a cheap no-op:
+        one footer-stats max + one pushed-down filter scan)."""
+        return writers.incremental_append(
+            self.spark, self.path("bronze", table), source, ts_col
+        )
+
+    def bronze_ingest_partitioned(
+        self, source: DataFrame, table: str, date_col: str
+    ) -> None:
+        """Full partitioned (y/m/d) bronze write — first-load path of
+        the reference's bronze job (bronze_dimension_fact_load.py:95-99)."""
+        writers.write_partitioned_by_date(source, self.path("bronze", table), date_col)
+
+    # -- silver --------------------------------------------------------------
+
+    def silver_transform(
+        self, table: str, transform: Callable[[DataFrame], DataFrame]
+    ) -> None:
+        """Cleaning/conforming layer: a declarative DataFrame→DataFrame
+        function over bronze, overwritten as the silver truth."""
+        out = transform(self.read("bronze", table))
+        out.write.mode("overwrite").parquet(self.path("silver", table))
+
+    # -- gold ----------------------------------------------------------------
+
+    def gold_scd2(
+        self,
+        table: str,
+        key_col: str,
+        tracked_cols: list[str],
+        ts_col: str,
+        source_table: str | None = None,
+    ) -> None:
+        """Effective-dated dimension (SCD Type 2) over the silver
+        source table (defaults to the same name as the gold dim)."""
+        writers.scd2_merge(
+            self.spark,
+            self.path("gold", table),
+            self.read("silver", source_table or table),
+            key_col=key_col,
+            tracked_cols=tracked_cols,
+            ts_col=ts_col,
+        )
+
+    def gold_fact(
+        self, table: str, build: Callable[[SparkSession, "MedallionPipeline"], DataFrame]
+    ) -> None:
+        """Star-schema fact build: caller composes silver facts with
+        gold dims (broadcast the dims — they are bounded)."""
+        build(self.spark, self).write.mode("overwrite").parquet(self.path("gold", table))
+
+    # -- data quality --------------------------------------------------------
+
+    def validate(self, layer: str, checks: list[DQCheck]) -> DataFrame:
+        """One-scan-per-table DQ metrics for the given layer's tables."""
+        tables = {c.table: self.read(layer, c.table) for c in checks}
+        return run_checks(tables, checks)

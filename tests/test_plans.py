@@ -1,0 +1,115 @@
+"""Medallion pipeline assembly + physical-plan audit + schema drift."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.catalog import load_table
+from data_lakehouse_platform_spark.operators.quality import DQCheck, schema_drift
+from data_lakehouse_platform_spark.plans import MedallionPipeline, audit_plan
+from data_lakehouse_platform_spark.queries import all_queries
+from tests.conftest import SF_DIR
+
+
+def test_medallion_end_to_end(spark, tmp_path):
+    pipe = MedallionPipeline(spark, str(tmp_path))
+    orders = load_table(spark, SF_DIR, "orders")
+
+    # Bronze: first load is full, second is a no-op (nothing new).
+    n1 = pipe.bronze_ingest(orders, "orders", "o_orderdate")
+    n2 = pipe.bronze_ingest(orders, "orders", "o_orderdate")
+    assert n1 == orders.count() and n2 == 0
+
+    # Silver: conform column + status normalization.
+    pipe.silver_transform(
+        "orders",
+        lambda df: df.withColumn(
+            "o_orderstatus", F.when(F.col("o_orderstatus") == "P", "O").otherwise(F.col("o_orderstatus"))
+        ),
+    )
+    silver = pipe.read("silver", "orders")
+    assert silver.filter(F.col("o_orderstatus") == "P").count() == 0
+    assert silver.count() == n1
+
+    # Gold: SCD2 dim over silver; every key gets one current row.
+    pipe.gold_scd2(
+        "dim_orders",
+        "o_orderkey",
+        ["o_orderstatus", "o_totalprice"],
+        "o_orderdate",
+        source_table="orders",
+    )
+    dim = pipe.read("gold", "dim_orders")
+    assert dim.filter("is_current").count() == silver.select("o_orderkey").distinct().count()
+
+    # Gold fact: silver orders x gold dim surrogate keys.
+    pipe.gold_fact(
+        "fact_orders",
+        lambda s, p: p.read("silver", "orders")
+        .join(
+            F.broadcast(p.read("gold", "dim_orders").filter("is_current").select("o_orderkey", "row_key")),
+            "o_orderkey",
+        )
+        .select("row_key", "o_orderkey", "o_totalprice", "o_orderdate"),
+    )
+    fact = pipe.read("gold", "fact_orders")
+    assert fact.count() == silver.count()
+
+    # DQ over the gold layer: one metrics row per check.
+    metrics = pipe.validate(
+        "gold",
+        [
+            DQCheck("fact_orders", "null_count", "row_key"),
+            DQCheck("fact_orders", "unique", "row_key"),
+            DQCheck("fact_orders", "min", "o_totalprice", min_value=0.0),
+        ],
+    ).collect()
+    assert len(metrics) == 3 and all(m["passed"] for m in metrics)
+
+
+def test_schema_drift(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    expected = {f.name: f.dataType.simpleString() for f in orders.schema.fields}
+    assert schema_drift(orders, expected, "orders") == []
+
+    mutated = dict(expected)
+    mutated["o_totalprice"] = "string"          # type change
+    mutated["o_ghost"] = "int"                  # expected-but-missing
+    drifted = orders.withColumn("o_extra", F.lit(1))  # added column
+    kinds = {(d["column"], d["kind"]) for d in schema_drift(drifted, mutated, "orders")}
+    assert kinds == {
+        ("o_totalprice", "type_changed"),
+        ("o_ghost", "missing"),
+        ("o_extra", "added"),
+    }
+
+
+def test_plan_audit_contract(spark):
+    """The scale contracts the engine promises, asserted on real plans."""
+    registry = all_queries()
+
+    # Pushdown showcase: the tight filter must reach the parquet scan.
+    q6 = registry["q6_forecast_revenue"].build(spark, SF_DIR)
+    a6 = audit_plan(q6)
+    assert a6.pushed_filters, "q6 filter must appear in PushedFilters"
+    assert a6.python_free_hot_path
+
+    # Star fact: dims broadcast, no sort-merge joins, no cartesians.
+    star = registry["gold_fact_star"].build(spark, SF_DIR)
+    astar = audit_plan(star)
+    assert astar.broadcast_hash_joins >= 3
+    assert astar.sort_merge_joins == 0 and astar.cartesian_products == 0
+
+    # Watermark incremental: literal filter pushed to scan, no join.
+    binc = registry["bronze_incremental_orders"].build(spark, SF_DIR)
+    ab = audit_plan(binc)
+    assert ab.pushed_filters and ab.join_strategies == {
+        "broadcast_hash": 0,
+        "sort_merge": 0,
+        "broadcast_nested_loop": 0,
+        "cartesian": 0,
+    }
+
+    # No query in the registry uses a row-at-a-time Python UDF.
+    for name, q in registry.items():
+        assert audit_plan(q.build(spark, SF_DIR)).python_free_hot_path, name
