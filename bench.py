@@ -29,6 +29,8 @@ HEADLINE = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q7_volume_shipping",
+    "q18_large_orders",
     "window_topn_per_customer",
     "rollup_sales",
     "asof_join_events",
@@ -38,6 +40,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality",
+    "curate_corpus",
 ]
 
 

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, Query]:
     # Import side-effect modules that register additional queries.
     from data_lakehouse_platform_spark import queries_llm  # noqa: F401
     from data_lakehouse_platform_spark import queries_pipeline  # noqa: F401
+    from data_lakehouse_platform_spark import queries_relational_ext  # noqa: F401
 
     return dict(_REGISTRY)
 
