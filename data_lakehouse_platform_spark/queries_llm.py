@@ -9,7 +9,7 @@ ratio — so all queries here are hash-exact against the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_lakehouse_platform_spark.catalog import load_table
@@ -485,4 +485,171 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 8).alias("fp_prefix"),
         F.length(norm).alias("n_chars"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Corpus curation extras: sampling, scrubbing, frequency stats
+# ----------------------------------------------------------------------------
+
+# Deterministic hash sampling: the first two hex digits of
+# md5(doc_id) are uniform over 256 values, so a string-compare
+# threshold gives an exact, engine-identical sampling decision with
+# no RNG state. Production twin: xxhash64(key) % N on the JVM.
+_SAMPLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, lang, source,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hk
+  FROM documents
+)
+SELECT doc_id, lang, source, hk
+FROM keyed
+WHERE (lang = 'en' AND hk < '40') OR (lang != 'en' AND hk < 'c0')
+"""
+
+
+@register(
+    "sample_stratified",
+    _SAMPLE_ORACLE,
+    "Deterministic stratified sampling for corpus mix balancing: "
+    "downsample the dominant language (en -> 25%) while keeping 75% of "
+    "the rest, keyed on md5(doc_id) hex prefix so the decision is "
+    "reproducible row-local map work — no RNG, no shuffle, restart-safe. "
+    "The standard pretraining-mix rebalancing primitive.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hk = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    keyed = docs.select("doc_id", "lang", "source", hk.alias("hk"))
+    return keyed.filter(
+        ((F.col("lang") == "en") & (F.col("hk") < "40"))
+        | ((F.col("lang") != "en") & (F.col("hk") < "c0"))
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_LONGNUM = r"\b\d{9,}\b"
+
+_PII_ORACLE = f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_PII_EMAIL}'))
+    + len(regexp_extract_all(text, '{_PII_LONGNUM}')) AS n_redactions,
+  regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_LONGNUM}', '<NUM>', 'g') AS text_scrubbed
+FROM documents
+"""
+
+
+@register(
+    "pii_scrub",
+    _PII_ORACLE,
+    "PII scrubbing pass: redact email addresses and long digit runs "
+    "(IDs/phones/cards) with typed placeholder tokens, and count the "
+    "redactions per document for audit metrics. Pure regexp map pass — "
+    "codegen'd, zero shuffle, linear at any corpus size.",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_red = F.regexp_count("text", F.lit(_PII_EMAIL)) + F.regexp_count(
+        "text", F.lit(_PII_LONGNUM)
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_LONGNUM, "<NUM>"
+    )
+    return docs.select(
+        "doc_id", n_red.alias("n_redactions"), scrubbed.alias("text_scrubbed")
+    )
+
+
+_NGRAM_TOPK = 20
+
+# Term-frequency bigrams (NOT distinct-per-doc — this is the corpus
+# frequency table, the other consumer of the shingle machinery).
+_NGRAM_ORACLE = f"""
+WITH norm_docs AS (
+  SELECT doc_id, string_split({T.sql_normalize_ws('text')}, ' ') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+         ELSE [] END) AS ngram
+  FROM norm_docs
+)
+SELECT ngram, term_freq, doc_freq FROM (
+  SELECT ngram,
+    COUNT(*) AS term_freq,
+    COUNT(DISTINCT doc_id) AS doc_freq,
+    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, ngram) AS rn
+  FROM grams GROUP BY ngram
+) t
+WHERE rn <= {_NGRAM_TOPK}
+"""
+
+
+@register(
+    "ngram_topk",
+    _NGRAM_ORACLE,
+    "Corpus bigram frequency table (top-20 by term frequency, with "
+    "document frequency): the n-gram statistics pass used for stop-list "
+    "construction and contamination checks. Shuffle is keyed on the "
+    "ngram string with map-side partial aggregation, so width is bounded "
+    "by vocabulary, not corpus size.",
+)
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", T.ws_tokens("text").alias("__toks"))
+        .select("doc_id", F.explode(T.shingle_expr("__toks", 2)).alias("ngram"))
+    )
+    ranked = (
+        grams.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("term_freq").desc(), F.col("ngram"))
+            ),
+        )
+        .filter(F.col("rn") <= _NGRAM_TOPK)
+        .select("ngram", "term_freq", "doc_freq")
+    )
+    return ranked
+
+
+_LEN_BUCKET = 50
+
+_LENHIST_ORACLE = f"""
+SELECT
+  CAST(FLOOR(len(string_split({T.sql_normalize_ws('text')}, ' ')) / {_LEN_BUCKET})
+    AS BIGINT) * {_LEN_BUCKET} AS token_bucket,
+  COUNT(*) AS n_docs,
+  SUM(len(string_split({T.sql_normalize_ws('text')}, ' '))) AS total_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+@register(
+    "length_histogram",
+    _LENHIST_ORACLE,
+    "Token-length histogram ({_LEN_BUCKET}-token buckets) with per-bucket "
+    "token totals — the length-distribution audit every pretraining mix "
+    "needs before choosing packing/truncation lengths. One map pass plus "
+    "a tiny grouped agg (bucket count is bounded).",
+)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(T.ws_tokens("text"))
+    bucket = (F.floor(n_tokens / _LEN_BUCKET).cast("bigint") * _LEN_BUCKET).alias(
+        "token_bucket"
+    )
+    return (
+        docs.select(bucket, n_tokens.alias("__nt"))
+        .groupBy("token_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("__nt").alias("total_tokens"))
     )
