@@ -98,6 +98,45 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_inline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """Zero-shuffle MinHash signatures via array higher-order functions.
+
+    Equivalent to explode→distinct→groupBy-min (``minhash_signatures``)
+    because MIN is insensitive to duplicate shingles — signatures become
+    a pure map pass: no explode blow-up, no distinct/agg shuffle.
+
+    Measured trade-off (sf0.1, local[32]): the exploded form is ~3.5x
+    FASTER here despite its two shuffles, because Spark evaluates
+    higher-order-function lambdas per element outside whole-stage
+    codegen while the exploded md5+groupBy pipeline stays vectorized.
+    Use this variant only when shuffle capacity — not CPU — is the
+    binding constraint (e.g. a congested 1000-executor shuffle tier);
+    the registry query uses the exploded form. Docs with fewer than k
+    tokens have no shingles and are dropped (same as the exploded form).
+    """
+    from data_lakehouse_platform_spark.operators.text import shingle_expr, ws_tokens
+
+    def _hasher(seed: str):
+        return lambda s: F.md5(F.concat(F.lit(seed), s).cast("binary"))
+
+    mins = [
+        F.array_min(F.transform(F.col("__sh"), _hasher(f"{j}|"))).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return (
+        docs.select(id_col, ws_tokens(text_col).alias("__toks"))
+        .select(id_col, shingle_expr("__toks", k).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .select(id_col, *mins)
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
