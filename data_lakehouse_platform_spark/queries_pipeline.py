@@ -443,3 +443,41 @@ def recommend_eligible(spark: SparkSession, sf_dir: str) -> DataFrame:
             money(F.col("p_retailprice") * (100 - dp) / 100).alias("discounted_price"),
         )
     )
+
+
+# ----------------------------------------------------------------------------
+# Semi-structured extraction: JSON payload columns
+# ----------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END)
+    AS n_high_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "json_props_extract",
+    _JSON_ORACLE,
+    "Semi-structured extraction: pull typed values out of a JSON string "
+    "column (get_json_object) and aggregate — the lakehouse pattern for "
+    "event payloads that arrive schemaless (the reference parses Kafka "
+    "JSON the same way, bronze_dimension_fact_load.py:118-131). "
+    "Extraction is a codegen'd map expression; in production promote hot "
+    "JSON paths to real columns at the silver layer.",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high_k"),
+    )
