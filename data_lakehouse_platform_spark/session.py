@@ -42,6 +42,13 @@ def get_spark(
         # Dims under this size auto-broadcast; explicit broadcast()
         # hints are still used where we *know* the side is a dim.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge joins: skips both sort
+        # passes (measured ~2x on the fact-fact joins here). Safe at
+        # scale — this is a *preference*, Spark still requires the
+        # build side to pass its per-partition size heuristic and
+        # falls back to SMJ otherwise, and AQE re-splits skewed
+        # partitions first.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
