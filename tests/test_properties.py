@@ -1,0 +1,91 @@
+"""Property tests (hypothesis): the engine's deterministic primitives
+must agree with independent reference models — fixed-point money math
+vs exact Python integers, shingling vs a plain Python implementation,
+the distributed as-of join vs pandas.merge_asof."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.functions.money import SCALE, dec_sum
+from data_lakehouse_platform_spark.operators.asof import asof_join
+from data_lakehouse_platform_spark.operators.text import shingle_expr, ws_tokens
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_floats = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False)
+
+
+@given(st.lists(_floats, min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_dec_sum_matches_exact_integer_model(spark, xs):
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    got = df.agg(dec_sum("x", "s")).collect()[0]["s"]
+    expected = sum(math.floor(x * SCALE) for x in xs) / SCALE
+    assert got == expected
+
+
+_words = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=0, max_size=12
+)
+
+
+@given(_words, st.integers(min_value=2, max_value=4))
+@settings(**_SETTINGS)
+def test_shingles_match_python_model(spark, words, k):
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = (
+        df.select(ws_tokens("text").alias("__toks"))
+        .select(shingle_expr("__toks", k).alias("sh"))
+        .collect()[0]["sh"]
+    )
+    # ws_tokens yields [""] for empty text (split of ""), else the words.
+    toks = words if words else [""]
+    expected = (
+        [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if len(toks) >= k
+        else []
+    )
+    assert got == expected
+
+
+_ts = st.integers(min_value=0, max_value=1000)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2), _ts), min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 2), _ts, st.integers(-100, 100)), min_size=1, max_size=20),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    # Deduplicate right on (key, ts): equal-timestamp updates have no
+    # defined winner in either engine, so the property holds on the
+    # well-defined input class.
+    right_rows = list({(k, t): v for k, t, v in right_rows}.items())
+    right_rows = [(k, t, v) for (k, t), v in right_rows]
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k int, ts int, row_id int"
+    )
+    right = spark.createDataFrame(right_rows, "k int, ts int, v int")
+    got = {
+        (r["k"], r["ts"], r["row_id"]): r["v_right"]
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+
+    lp = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(left_rows)], columns=["k", "ts", "row_id"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    for row in merged.itertuples(index=False):
+        want = None if pd.isna(row.v) else int(row.v)
+        assert got[(row.k, row.ts, row.row_id)] == want
