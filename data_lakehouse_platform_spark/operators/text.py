@@ -35,13 +35,21 @@ def shingle_expr(toks_col: str, k: int) -> Column:
     )
 
 
-def explode_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) pairs, DISTINCT per document."""
-    return (
-        df.select(id_col, ws_tokens(text_col).alias("__toks"))
-        .select(id_col, F.explode(shingle_expr("__toks", k)).alias("shingle"))
-        .distinct()
+def explode_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) pairs, DISTINCT per document by default.
+
+    Pass ``distinct=False`` when the consumer is duplicate-insensitive
+    (MinHash takes a MIN per hash) — the distinct is a full shuffle of
+    the exploded rows, the single most expensive step of the shingle
+    pipeline, and skipping it changes nothing for such consumers.
+    Set-semantics consumers (Jaccard counts intersections) need it.
+    """
+    exploded = df.select(id_col, ws_tokens(text_col).alias("__toks")).select(
+        id_col, F.explode(shingle_expr("__toks", k)).alias("shingle")
     )
+    return exploded.distinct() if distinct else exploded
 
 
 # DuckDB oracle twins — keep in lockstep with the Column versions.

@@ -90,7 +90,8 @@ _BANDS = 4
 
 def _minhash_oracle() -> str:
     mins = ",\n    ".join(
-        f"MIN(md5('{k}|' || shingle)) AS h{k}" for k in range(_N_HASHES)
+        f"MIN(substr(md5('{k // 4}|' || shingle), {1 + 8 * (k % 4)}, 8)) AS h{k}"
+        for k in range(_N_HASHES)
     )
     rows_per_band = _N_HASHES // _BANDS
     band_selects = []
@@ -129,7 +130,11 @@ GROUP BY 1, 2
     "recall/precision point; verify candidates with dedup_ngram_jaccard.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = T.explode_shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    # distinct=False: MIN per hash is duplicate-insensitive, so the
+    # distinct's full shuffle of exploded shingles is pure waste here.
+    sh = T.explode_shingles(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, distinct=False
+    )
     sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
     return D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
 
