@@ -1,0 +1,43 @@
+"""Skew mitigation for shuffle joins: key salting.
+
+AQE's skew-join splitting (on in session.py) handles most skew at
+runtime by splitting oversized post-shuffle partitions. Salting is the
+explicit fallback for the cases AQE can't fix — a single join key so
+hot that even a split partition is one reducer's worth of one key, or
+engines/paths where AQE is off (e.g. some streaming joins).
+
+Mechanics: every row of the big (skewed) side gets a deterministic
+salt in [0, salt); the small side is replicated once per salt value;
+the join key becomes (key, salt), spreading each hot key over `salt`
+reducers. Cost: |small| * salt extra rows — use only when the small
+side is modest but too big to broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed big side to a non-broadcastable small side with
+    the hot keys spread over ``salt`` partitions.
+
+    The salt is a deterministic hash of the whole big-side row (not a
+    RNG), so retries and speculative tasks agree — the same
+    reproducibility posture as the rest of the engine.
+    """
+    salt_col = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)
+    ).cast("int")
+    b = big.withColumn("__salt", salt_col)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return b.join(s, on + ["__salt"], how).drop("__salt")

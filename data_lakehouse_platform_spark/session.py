@@ -50,6 +50,12 @@ def get_spark(
         # partitions first.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Managed-table root for bucketed tables (writers.write_bucketed);
+        # point at real table storage on a cluster deploy.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/dlp-warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -192,6 +192,31 @@ def scd2_merge(
     _swap_write(merged, target_path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed parquet table.
+
+    Bucketing pre-shuffles a table ONCE at write time: two tables
+    bucketed on the same key with the same bucket count join with NO
+    exchange (and, with sort_cols, no sort) — the co-located-join
+    strategy for fact⋈fact at 100 TB, where re-shuffling both sides
+    per query is the dominant cost. See tests/test_scale_helpers.py
+    for the zero-Exchange plan assertion. The reference re-shuffles
+    orders⋈order_details on every run (gold_fact_orders.py:57-75);
+    bucketing amortizes that shuffle across every downstream query.
+    """
+    writer = df.write.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.mode(mode).format("parquet").saveAsTable(table_name)
+
+
 # -- internals ---------------------------------------------------------------
 
 

@@ -1,0 +1,76 @@
+"""Scale helpers: bucketed co-located joins (zero-Exchange plans) and
+salted skew joins (same results as the plain join)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_lakehouse_platform_spark.catalog import load_table
+from data_lakehouse_platform_spark.operators.skew import salted_join
+from data_lakehouse_platform_spark.plans import audit_plan
+from data_lakehouse_platform_spark.sources.writers import write_bucketed
+from tests.conftest import SF_DIR
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(
+        orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"]
+    )
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "b_lineitem",
+        ["l_orderkey"],
+        8,
+        sort_cols=["l_orderkey"],
+    )
+    bo = spark.table("b_orders")
+    bl = spark.table("b_lineitem")
+    # Force a non-broadcast join so the bucketing is what saves the
+    # shuffle, then assert the plan has no Exchange at all.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).select(
+            "o_orderkey", "l_quantity"
+        )
+        audit = audit_plan(joined)
+        assert audit.shuffles == 0, "bucketed co-located join must not shuffle"
+        # Same join on the raw (unbucketed) parquet DOES shuffle.
+        raw = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).select("o_orderkey", "l_quantity")
+        assert audit_plan(raw).shuffles > 0
+        assert joined.count() == raw.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # Skewed big side: 90% of rows share one key.
+    big = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    plain = {(r["k"], r["payload"], r["v"]) for r in big.join(small, ["k"]).collect()}
+    salted = {
+        (r["k"], r["payload"], r["v"])
+        for r in salted_join(big, small, ["k"], salt=8).collect()
+    }
+    assert salted == plain and len(salted) == 5000
+
+
+def test_salted_join_left_outer(spark):
+    big = spark.range(0, 200).select((F.col("id") % 5).alias("k"), F.col("id").alias("p"))
+    small = spark.range(0, 3).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    out = salted_join(big, small, ["k"], salt=4, how="left")
+    rows = out.collect()
+    assert len(rows) == 200
+    assert {r["v"] for r in rows if r["k"] >= 3} == {None}
+    assert {r["v"] for r in rows if r["k"] < 3} == {"x"}
