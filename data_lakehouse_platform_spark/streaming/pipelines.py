@@ -56,6 +56,26 @@ def windowed_event_counts_stream(
     )
 
 
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a (bounded) dimension.
+
+    Spark re-evaluates the static side per micro-batch and broadcasts
+    it when it is small — exactly the reference's pattern of checking
+    each event against cached eligibility sets
+    (check_and_recommend_consumer.py:32-60, Redis lookups per message),
+    but declarative: no per-message round-trips, state refresh is a
+    dim-table rewrite. The batch twin with full semantics (exclusion +
+    ranking) is the oracle-checked `recommend_eligible` query.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream.join(F.broadcast(dim), keys, how)
+
+
 def write_stream_parquet(
     df: DataFrame,
     out_path: str,

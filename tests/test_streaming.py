@@ -90,3 +90,32 @@ def test_order_tracker_completes_orders(spark, tmp_path):
     assert rows["A"].status == "complete"
     assert sorted(rows["A"].product_ids) == ["p1", "p2"]
     assert rows["C"].n_products == 1
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    from data_lakehouse_platform_spark.streaming.pipelines import (
+        enrich_stream_with_dim,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": "2024-01-01T00:00:00", "user_id": i % 4,
+         "event_type": "click", "value": 1.0, "props": "{}"}
+        for i in range(8)
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    dim = spark.createDataFrame(
+        [(0, "gold"), (1, "silver")], "user_id long, tier string"
+    )
+    stream = read_event_stream(spark, str(src))
+    enriched = enrich_stream_with_dim(stream, dim, "user_id")
+    out = str(tmp_path / "enriched")
+    q = write_stream_parquet(enriched, out, str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # inner join keeps only users 0/1 (two events each), tier attached
+    assert got.count() == 4
+    assert {(r.user_id, r.tier) for r in got.collect()} == {(0, "gold"), (1, "silver")}
