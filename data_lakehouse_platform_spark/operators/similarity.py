@@ -112,6 +112,79 @@ def ann_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(vec_col: Column | str, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cell id for a vector column (IVF coarse quantizer).
+
+    Centroids enter as literal arrays, so assignment is a single
+    codegen'd map pass over the corpus — no join, no shuffle, exactly
+    like :func:`lsh_bucket`. Ties on cosine go to the lowest centroid
+    id (struct max over (cosine, -id) is lexicographic), so both
+    engines pick identical cells. At scale the centroid list is the
+    output of an offline k-means (bounded, e.g. 4-65k entries); here it
+    is a deterministic sample so the oracle can recompute it.
+    """
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    cosine_similarity(vec_col, F.array(*[F.lit(float(x)) for x in vec])).alias(
+                        "cos"
+                    ),
+                    F.lit(-int(cid)).alias("negid"),
+                )
+                for cid, vec in centroids
+            ]
+        )
+    )
+    return (-best["negid"]).cast("int")
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their nearest-centroid
+    cell; each query probes its ``nprobe`` closest cells.
+
+    The corpus side is one map pass (cell assignment) and never
+    shuffles until the final per-query top-k window; the probe list is
+    |Q| x nprobe rows and broadcasts. Expected candidates per query:
+    nprobe/n_cells of the corpus — the recall/cost dial is (n_cells,
+    nprobe), the classic IVF trade-off.
+    """
+    cdf = queries.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cid int, cvec array<double>",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__qcos").desc(), F.col("cid")
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn("__qcos", cosine_similarity("__qv", "cvec"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", "cid")
+    )
+    c = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("__cv"),
+        ivf_assign(vec_col, centroids).alias("cid"),
+    )
+    scored = c.join(
+        F.broadcast(probe),
+        (c.cid == probe.cid) & (F.col("cand_id") != F.col("query_id")),
+    ).select("query_id", "cand_id", cosine_similarity("__qv", "__cv").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_topk_bruteforce(
     emb: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,342 @@
+"""Analytics extensions: IVF ANN (the second approximate-search scale
+route next to LSH), the TPC-H Q20 nested-qualification shape, portable
+exact percentiles, CUBE grouping sets, and INTERSECT/EXCEPT set-op
+cohort queries.
+
+Same contract as queries.py: every builder has a DuckDB oracle twin,
+money through fixed-point helpers, deterministic tie-breaking on every
+ranked or argmax decision so both engines branch identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.catalog import load_table
+from data_lakehouse_platform_spark.functions.money import dec_sum, sql_sum
+from data_lakehouse_platform_spark.operators import similarity as S
+from data_lakehouse_platform_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------------------
+# IVF ANN: nearest-centroid cells + multi-probe search
+# ----------------------------------------------------------------------------
+
+_IVF_CENTROID_BASE = 200
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+_IVF_K = 10
+
+_IVF_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_ANN_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+piv AS (
+  SELECT CAST(vec_id - {_IVF_CENTROID_BASE} AS INT) AS cid, v AS cv
+  FROM e WHERE vec_id BETWEEN {_IVF_CENTROID_BASE} AND {_IVF_CENTROID_BASE + _IVF_CELLS - 1}
+),
+assign AS (
+  SELECT vec_id, v, cid,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+      {_IVF_COS.format(a="v", b="cv")} DESC, cid) AS rn
+  FROM e CROSS JOIN piv
+),
+cell AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+qassign AS (
+  SELECT query_id, qv, cid,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+      {_IVF_COS.format(a="qv", b="cv")} DESC, cid) AS rn
+  FROM q CROSS JOIN piv
+),
+probe AS (SELECT query_id, qv, cid FROM qassign WHERE rn <= {_IVF_NPROBE}),
+scored AS (
+  SELECT query_id, c.vec_id AS cand_id,
+    {_IVF_COS.format(a="qv", b="c.v")} AS cosine
+  FROM cell c JOIN probe p ON c.cid = p.cid AND c.vec_id != p.query_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, cand_id
+  ) AS rank
+  FROM scored
+) t
+WHERE rank <= {_IVF_K}
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    _ANN_IVF_ORACLE,
+    "IVF approximate top-k: 16 deterministic coarse centroids (fixed "
+    "corpus rows standing in for offline k-means output), cell "
+    "assignment as a literal-array codegen map pass (argmax cosine, "
+    "ties to lowest cell id), queries probe their 4 nearest cells. "
+    "Candidates per query ~ nprobe/cells of the corpus; the corpus "
+    "never shuffles before the final width-k window. The second scale "
+    "route next to ann_lsh_topk (SURVEY §2 #31).",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # Bounded metadata fetch (16 rows) — centroids become literal arrays.
+    rows = (
+        emb.filter(
+            F.col("vec_id").between(_IVF_CENTROID_BASE, _IVF_CENTROID_BASE + _IVF_CELLS - 1)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [
+        (int(r.vec_id) - _IVF_CENTROID_BASE, [float(x) for x in r.embedding]) for r in rows
+    ]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ann_topk_ivf(
+        emb, queries, centroids, k=_IVF_K, nprobe=_IVF_NPROBE
+    ).select("query_id", "cand_id", "cosine", "rank")
+
+
+# ----------------------------------------------------------------------------
+# Q20 shape: nested qualification (suppliers with excess class shipments)
+# ----------------------------------------------------------------------------
+
+_Q20_QTY = 50
+
+_Q20_ORACLE = f"""
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING {sql_sum('l_quantity')} > {_Q20_QTY}
+)
+"""
+
+
+@register(
+    "q20_promotion_suppliers",
+    _Q20_ORACLE,
+    "Promotion-capable suppliers (TPC-H Q20 shape; shipped volume "
+    "replaces the missing partsupp availability): the nested IN becomes "
+    "a grouped HAVING per (supplier, part) — partial agg shrinks the "
+    "shuffle to one row per pair — then a LEFT SEMI join into supplier "
+    "(never widening rows) and a broadcast nation attach. Part-name and "
+    "year filters prune before the shuffle; quantity threshold is an "
+    "exact fixed-point sum.",
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_suppkey", "l_partkey", "l_quantity")
+    qualified = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dec_sum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > _Q20_QTY)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(qualified, supp.s_suppkey == qualified.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Exact portable percentiles (ordered-set aggregate without engine quirks)
+# ----------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH j AS (
+  SELECT c_mktsegment AS segment, o_totalprice, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+r AS (
+  SELECT segment, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY segment ORDER BY o_totalprice, o_orderkey) AS rn,
+    COUNT(*) OVER (PARTITION BY segment) AS n
+  FROM j
+)
+SELECT segment,
+  MAX(CASE WHEN rn = CAST(CEIL(0.5  * n) AS BIGINT) THEN o_totalprice END) AS p50,
+  MAX(CASE WHEN rn = CAST(CEIL(0.9  * n) AS BIGINT) THEN o_totalprice END) AS p90,
+  MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99,
+  MAX(CASE WHEN rn = n THEN o_totalprice END) AS p100,
+  MAX(n) AS n_orders
+FROM r GROUP BY segment
+"""
+
+
+@register(
+    "quantile_order_values",
+    _QUANT_ORACLE,
+    "Exact discrete percentiles per segment, implemented portably: "
+    "rank + count windows pick the ceil(p*n)-th actual value (unique "
+    "orderkey tiebreaker), so no engine-specific interpolation rule is "
+    "involved — percentile_cont/percentile disagree across engines at "
+    "the ulp, discrete selection cannot. One shuffle on segment; at "
+    "scale swap in approx_percentile per partition then merge, same "
+    "output columns (documented trade: exact -> sketch).",
+)
+def quantile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "o_totalprice", "o_orderkey"
+    )
+    w = Window.partitionBy("segment")
+    r = j.select(
+        "segment",
+        "o_totalprice",
+        F.row_number()
+        .over(w.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+
+    def pick(p: float, alias: str) -> F.Column:
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("o_totalprice"),
+            )
+        ).alias(alias)
+
+    return r.groupBy("segment").agg(
+        pick(0.5, "p50"),
+        pick(0.9, "p90"),
+        pick(0.99, "p99"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("o_totalprice"))).alias("p100"),
+        F.max("n").alias("n_orders"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# CUBE grouping sets
+# ----------------------------------------------------------------------------
+
+_CUBE_ORACLE = f"""
+SELECT
+  COALESCE(segment, 'ALL') AS segment,
+  COALESCE(o_year, -1) AS o_year,
+  {sql_sum('o_totalprice')} AS revenue,
+  COUNT(*) AS n_orders
+FROM (
+  SELECT c_mktsegment AS segment, YEAR(o_orderdate) AS o_year, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) j
+GROUP BY CUBE (segment, o_year)
+"""
+
+
+@register(
+    "cube_sales",
+    _CUBE_ORACLE,
+    "Full CUBE over (segment, year): all four grouping sets in ONE "
+    "shuffle (Spark expands the sets map-side and aggregates once), vs "
+    "four separate scans if written naively. Complements rollup_sales "
+    "(hierarchical) with the cross-product lattice; sentinel values "
+    "stand in for grouping nulls so the hash compare is unambiguous.",
+)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.year("o_orderdate").alias("o_year"),
+        "o_totalprice",
+    )
+    return (
+        j.cube("segment", "o_year")
+        .agg(dec_sum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("segment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# Set-op cohorts: EXCEPT (churn) / INTERSECT (retention)
+# ----------------------------------------------------------------------------
+
+_CHURN_ORACLE = """
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996),
+     y00 AS (SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate) = 2000)
+SELECT c_mktsegment, COUNT(*) AS churned_customers
+FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y00) ch
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "except_churned_buyers",
+    _CHURN_ORACLE,
+    "Churn cohort via EXCEPT: distinct 1996 buyers minus distinct 2000 "
+    "buyers. Each side's year filter pushes to the scan and the "
+    "distinct shrinks to one row per customer before the set op — "
+    "Spark plans EXCEPT DISTINCT as a left-anti over pre-deduped "
+    "sides, shuffled on the single key column. Segment rollup attaches "
+    "by broadcast.",
+)
+def except_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    y00 = orders.filter(F.year("o_orderdate") == 2000).select("o_custkey").distinct()
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        y96.subtract(y00)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("churned_customers"))
+    )
+
+
+_RETAIN_ORACLE = """
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1996),
+     y00 AS (SELECT DISTINCT o_custkey FROM orders WHERE YEAR(o_orderdate) = 2000)
+SELECT c_mktsegment, COUNT(*) AS retained_customers
+FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y00) rt
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "intersect_retained_buyers",
+    _RETAIN_ORACLE,
+    "Retention cohort via INTERSECT: customers active in both 1996 and "
+    "2000. Same pre-deduped narrow-key posture as the EXCEPT twin — "
+    "Spark plans INTERSECT DISTINCT as a left-semi over distinct "
+    "sides; both shuffles carry only the 8-byte key.",
+)
+def intersect_retained_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    y00 = orders.filter(F.year("o_orderdate") == 2000).select("o_custkey").distinct()
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        y96.intersect(y00)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("retained_customers"))
+    )
