@@ -56,6 +56,52 @@ def windowed_event_counts_stream(
     )
 
 
+def session_window_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Gap-based session aggregation with native session windows.
+
+    ``F.session_window`` keeps per-key state only until the gap expires
+    past the watermark — state is bounded by active sessions, not by
+    history, so it scales to unbounded streams. The batch twin (same
+    gap semantics via lag/cumsum windows, oracle-checked) is
+    `sessionize_events`; the reference's analog is the Redis
+    order-session accumulation with TTL (orders_consumer.py:60-98).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Exactly-once-per-key stream deduplication with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so state size is bounded by the watermark
+    horizon — the streaming twin of the batch `dedup_exact` keeper and
+    the idempotence guard the reference gets implicitly from Redis
+    SET-once per order (order_details_consumer.py:52-71). Use for
+    at-least-once sources (Kafka redeliveries, file re-drops).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def enrich_stream_with_dim(
     stream: DataFrame,
     dim: DataFrame,

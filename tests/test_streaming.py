@@ -119,3 +119,77 @@ def test_stream_static_enrichment(spark, tmp_path):
     # inner join keeps only users 0/1 (two events each), tier attached
     assert got.count() == 4
     assert {(r.user_id, r.tier) for r in got.collect()} == {(0, "gold"), (1, "silver")}
+
+
+def test_session_window_stream(spark, tmp_path):
+    from data_lakehouse_platform_spark.streaming.pipelines import (
+        session_window_stream,
+    )
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    # user 1: two bursts separated by > gap; user 2: one burst
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1,
+         "event_type": "click", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T02:00:00", "user_id": 1,
+         "event_type": "click", "value": 3.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T00:05:00", "user_id": 2,
+         "event_type": "view", "value": 4.0, "props": "{}"},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    # sentinel in its own micro-batch pushes the watermark past all
+    # sessions so append mode emits them
+    sentinel = {"event_id": 9, "ts": "2024-01-01T09:00:00", "user_id": 9,
+                "event_type": "flush", "value": 0.0, "props": "{}"}
+    (src / "b.json").write_text(json.dumps(sentinel))
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    sessions = session_window_stream(stream, gap="30 minutes")
+    out = str(tmp_path / "sess_out")
+    q = write_stream_parquet(sessions, out, str(tmp_path / "sess_ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.n_events): r.total_value
+        for r in spark.read.parquet(out).collect()
+        if r.user_id != 9
+    }
+    # user 1 splits into a 2-event session (1+2) and a 1-event session (3)
+    assert got == {(1, 2): 3.0, (1, 1): 3.0, (2, 1): 4.0}
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    from data_lakehouse_platform_spark.streaming.pipelines import dedup_stream
+
+    src = tmp_path / "dup"
+    src.mkdir()
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "user_id": 2,
+         "event_type": "view", "value": 2.0, "props": "{}"},
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},  # same-batch dup
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    # redelivery of event 1 in a later micro-batch, within the watermark
+    batch2 = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:02:00", "user_id": 3,
+         "event_type": "click", "value": 3.0, "props": "{}"},
+    ]
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in batch2))
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    deduped = dedup_stream(stream, keys=["event_id"])
+    out = str(tmp_path / "dedup_out")
+    q = write_stream_parquet(deduped, out, str(tmp_path / "dedup_ckpt"))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert sorted(r.event_id for r in got.collect()) == [1, 2, 3]
