@@ -82,6 +82,54 @@ def decode_image_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
     return media.mapInPandas(decode, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, "
+    "meta struct<mime:string, width:int, height:int, n_bytes:long>"
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, batch_size: int = 64
+) -> DataFrame:
+    """Arrow-batched 'resize' preserving the media layout (payload +
+    typed metadata), so resize stages compose with decode/sample in one
+    pipeline.
+
+    The pixel kernel is STUBBED deterministically (no Pillow in this
+    container): output payload is the input truncated/cycled to
+    width*height bytes — a real resampler drops in without touching
+    the mapInPandas plumbing, output schema, or metadata handling.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                resized = (b * (target // max(len(b), 1) + 1))[:target] if b else b"\x00" * target
+                payloads.append(resized)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": m["mime"] if isinstance(m, dict) else m[0],
+                            "width": width,
+                            "height": height,
+                            "n_bytes": target,
+                        }
+                        for m in pdf["meta"]
+                    ],
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """'Frame sampling' stub: emits one row per every_n_bytes offset of
     each payload (stands in for video frame extraction — the explode

@@ -122,6 +122,37 @@ def enrich_stream_with_dim(
     return stream.join(F.broadcast(dim), keys, how)
 
 
+def join_event_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time band.
+
+    The declarative twin of the reference's two-consumer correlation
+    (orders_consumer.py + order_details_consumer.py share state via
+    Redis keyed on order id): both streams watermark their event time
+    and the join condition bounds how far apart matching rows may be,
+    so each side's state store holds only rows inside
+    watermark + band — bounded state, no external store, keyspace
+    sharded across executors. Late rows beyond the watermark are
+    dropped exactly like the reference's TTL-expired Redis keys.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    lcol, rcol = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return lw.alias("l").join(
+        rw.alias("r"),
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rcol >= lcol)
+        & (rcol <= lcol + F.expr(f"INTERVAL {within}")),
+    )
+
+
 def write_stream_parquet(
     df: DataFrame,
     out_path: str,

@@ -54,3 +54,23 @@ def test_sample_frames_offsets(spark):
     for r in got:
         expected = (max(sizes[r.media_id] - 1, 0)) // 50 + 1
         assert r["count"] == expected
+
+
+def test_resize_images_preserves_layout(spark):
+    from data_lakehouse_platform_spark.operators.multimodal import resize_images
+
+    media = _media(spark)
+    resized = resize_images(media, width=8, height=4, batch_size=8)
+    rows = {r.media_id: r for r in resized.collect()}
+    assert set(rows) == {r.media_id for r in media.select("media_id").collect()}
+    for r in rows.values():
+        assert len(bytes(r.payload)) == 32
+        assert r.meta.width == 8 and r.meta.height == 4
+        assert r.meta.n_bytes == 32
+    # composes: resized output feeds the decode stage unchanged
+    from data_lakehouse_platform_spark.operators.multimodal import (
+        decode_image_features,
+    )
+
+    feats = decode_image_features(resized, batch_size=8).collect()
+    assert all(f.n_bytes == 32 for f in feats)

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from data_lakehouse_platform_spark.streaming.order_tracker import track_order_completion
 from data_lakehouse_platform_spark.streaming.pipelines import (
     read_event_stream,
@@ -193,3 +195,46 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3
     assert sorted(r.event_id for r in got.collect()) == [1, 2, 3]
+
+
+def test_stream_stream_band_join(spark, tmp_path):
+    from data_lakehouse_platform_spark.streaming.pipelines import (
+        join_event_streams,
+    )
+
+    lsrc = tmp_path / "orders_ev"
+    rsrc = tmp_path / "items_ev"
+    lsrc.mkdir()
+    rsrc.mkdir()
+    orders = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 10,
+         "event_type": "order", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T03:00:00", "user_id": 20,
+         "event_type": "order", "value": 0.0, "props": "{}"},
+    ]
+    items = [
+        # within 1h of order 1 -> joins
+        {"event_id": 1, "ts": "2024-01-01T00:30:00", "user_id": 10,
+         "event_type": "item", "value": 5.0, "props": "{}"},
+        # 2h after order 1 -> outside the band, dropped
+        {"event_id": 1, "ts": "2024-01-01T02:00:00", "user_id": 10,
+         "event_type": "item", "value": 7.0, "props": "{}"},
+        # exactly at order 2's ts -> joins
+        {"event_id": 2, "ts": "2024-01-01T03:00:00", "user_id": 20,
+         "event_type": "item", "value": 9.0, "props": "{}"},
+    ]
+    (lsrc / "a.json").write_text("\n".join(json.dumps(r) for r in orders))
+    (rsrc / "a.json").write_text("\n".join(json.dumps(r) for r in items))
+
+    lstream = read_event_stream(spark, str(lsrc))
+    rstream = read_event_stream(spark, str(rsrc))
+    joined = join_event_streams(lstream, rstream, key="event_id").select(
+        F.col("l.event_id").alias("order_key"),
+        F.col("r.value").alias("item_value"),
+    )
+    out = str(tmp_path / "joined")
+    q = write_stream_parquet(joined, out, str(tmp_path / "jckpt"))
+    q.awaitTermination(180)
+
+    got = {(r.order_key, r.item_value) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 5.0), (2, 9.0)}
