@@ -1,0 +1,151 @@
+"""A minimal snapshot table format on plain parquet: versioned
+writes, time travel, copy-free rollback, history, vacuum.
+
+The reference leans on Delta Lake for exactly these (gold tables are
+Delta so SCD2 merges are transactional and old versions readable);
+Delta isn't in this container, so this module provides the same
+*operations* with the same log-structured design Delta/Iceberg use:
+
+* data files are IMMUTABLE — every write creates a new data directory
+  ``<path>/data/v=N`` and commits a tiny JSON manifest
+  ``<path>/_log/N.json`` pointing at it;
+* readers resolve the manifest first (O(1), no listing of data dirs)
+  and read only the referenced directory — a reader never sees a
+  half-written version because the manifest is written last, via
+  rename (the commit point);
+* rollback commits a NEW manifest referencing an OLD data directory —
+  O(1), no data copied, full history preserved (Delta's RESTORE);
+* vacuum deletes data directories no live manifest references
+  (Delta's VACUUM).
+
+Scale posture: the log is one small JSON per version (never scanned
+as data); data dirs hold arbitrarily many parquet files written by
+executors; nothing here is driver-sized except the manifest. On a
+real deployment swap this for Delta/Iceberg — call sites keep the
+same shape (write/read/time-travel/rollback/history).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    version: int
+    data_dir: str
+    operation: str
+    committed_at: float
+    row_count: int
+
+
+class SnapshotTable:
+    """Versioned parquet table with a JSON commit log."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, "_log")
+        self.data_root = os.path.join(path, "data")
+
+    # -- log ------------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(
+            int(f[: -len(".json")])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json")
+        )
+
+    def _manifest(self, version: int) -> Snapshot:
+        with open(os.path.join(self.log_dir, f"{version}.json")) as fh:
+            m = json.load(fh)
+        return Snapshot(
+            version=m["version"],
+            data_dir=m["data_dir"],
+            operation=m["operation"],
+            committed_at=m["committed_at"],
+            row_count=m["row_count"],
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def _commit(self, version: int, data_dir: str, operation: str, row_count: int) -> None:
+        os.makedirs(self.log_dir, exist_ok=True)
+        manifest = {
+            "version": version,
+            "data_dir": data_dir,
+            "operation": operation,
+            "committed_at": time.time(),
+            "row_count": row_count,
+        }
+        # Write-then-rename: the rename IS the commit point; a crashed
+        # writer leaves only an invisible tmp file and an orphan data
+        # dir for vacuum.
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(self.log_dir, f"{version}.json"))
+
+    # -- operations -----------------------------------------------------
+
+    def write_snapshot(self, df: DataFrame, operation: str = "write") -> int:
+        """Commit `df` as the next version. Returns the new version."""
+        next_v = (self.latest_version() or 0) + 1 if self._versions() else 1
+        rel_dir = f"v={next_v}"
+        out = os.path.join(self.data_root, rel_dir)
+        df.write.mode("errorifexists").parquet(out)
+        n = df.sparkSession.read.parquet(out).count()
+        self._commit(next_v, rel_dir, operation, n)
+        return next_v
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Latest snapshot, or time-travel to `version`."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        snap = self._manifest(v)
+        return spark.read.parquet(os.path.join(self.data_root, snap.data_dir))
+
+    def rollback(self, to_version: int) -> int:
+        """RESTORE: commit a new version whose data is an old version's
+        directory. O(1) — no data moves; history stays intact."""
+        old = self._manifest(to_version)
+        next_v = self.latest_version() + 1
+        self._commit(next_v, old.data_dir, f"rollback(to={to_version})", old.row_count)
+        return next_v
+
+    def history(self) -> list[Snapshot]:
+        return [self._manifest(v) for v in self._versions()]
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Delete data directories referenced by NO retained manifest.
+
+        Keeps the last `keep_last` versions' manifests as the live set
+        (older manifests remain readable history but their exclusive
+        data may be reclaimed). Returns removed directory names.
+        """
+        vs = self._versions()
+        live = {self._manifest(v).data_dir for v in vs[-keep_last:]}
+        removed = []
+        if not os.path.isdir(self.data_root):
+            return removed
+        for d in sorted(os.listdir(self.data_root)):
+            if d not in live:
+                shutil.rmtree(os.path.join(self.data_root, d), ignore_errors=True)
+                removed.append(d)
+        # Drop manifests whose data is gone so history() stays truthful.
+        for v in vs:
+            if self._manifest(v).data_dir not in live:
+                os.remove(os.path.join(self.log_dir, f"{v}.json"))
+        return removed

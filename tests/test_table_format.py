@@ -1,0 +1,57 @@
+"""Snapshot table format: versioned writes, time travel, copy-free
+rollback, history, vacuum (the Delta/Iceberg operation set on plain
+parquet)."""
+
+from __future__ import annotations
+
+import os
+
+from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
+
+
+def _df(spark, values):
+    return spark.createDataFrame([(i, v) for i, v in enumerate(values)], "id int, val string")
+
+
+def test_versioned_write_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    v1 = t.write_snapshot(_df(spark, ["a", "b"]), operation="initial")
+    v2 = t.write_snapshot(_df(spark, ["a", "b", "c"]), operation="append-rewrite")
+    assert (v1, v2) == (1, 2)
+
+    assert t.read(spark).count() == 3  # latest
+    assert t.read(spark, version=1).count() == 2  # time travel
+    ops = [s.operation for s in t.history()]
+    assert ops == ["initial", "append-rewrite"]
+    assert [s.row_count for s in t.history()] == [2, 3]
+
+
+def test_rollback_is_copy_free(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write_snapshot(_df(spark, ["a", "b"]))
+    t.write_snapshot(_df(spark, ["x"]))
+    v3 = t.rollback(to_version=1)
+
+    assert v3 == 3
+    assert sorted(r.val for r in t.read(spark).collect()) == ["a", "b"]
+    # copy-free: v3 references v1's data directory
+    snaps = {s.version: s for s in t.history()}
+    assert snaps[3].data_dir == snaps[1].data_dir
+    # only two physical data dirs exist
+    assert len(os.listdir(tmp_path / "tbl" / "data")) == 2
+
+
+def test_vacuum_keeps_referenced_data(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write_snapshot(_df(spark, ["a"]))
+    t.write_snapshot(_df(spark, ["b"]))
+    t.rollback(to_version=1)  # v3 -> v1's dir
+
+    removed = t.vacuum(keep_last=1)
+    # v3 (latest) references v=1's dir, so only v=2's dir is reclaimable
+    assert removed == ["v=2"]
+    assert sorted(r.val for r in t.read(spark).collect()) == ["a"]
+    # v2's manifest is gone (its data was reclaimed); v1 stays readable
+    # because the rollback version still references its directory
+    assert [s.version for s in t.history()] == [1, 3]
+    assert t.read(spark, version=1).count() == 1
