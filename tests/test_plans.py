@@ -113,3 +113,36 @@ def test_plan_audit_contract(spark):
     # No query in the registry uses a row-at-a-time Python UDF.
     for name, q in registry.items():
         assert audit_plan(q.build(spark, SF_DIR)).python_free_hot_path, name
+
+
+def test_new_shape_plan_contracts(spark):
+    """Scale contracts for the deep-relational and analytics shapes."""
+    registry = all_queries()
+
+    # Q8: the 8-table star keeps every dim chain broadcast — the fact
+    # is never sort-merge joined, and nothing degenerates to cartesian.
+    a8 = audit_plan(registry["q8_market_share"].build(spark, SF_DIR))
+    assert a8.broadcast_hash_joins >= 6
+    assert a8.sort_merge_joins == 0 and a8.cartesian_products == 0
+
+    # Q16: NOT-IN exclusion must plan as a broadcast anti join, never
+    # a shuffled one (the excluded set is tiny by construction).
+    a16 = audit_plan(registry["q16_supplier_part_counts"].build(spark, SF_DIR))
+    assert a16.broadcast_hash_joins >= 2  # part attach + anti exclusion
+    assert a16.sort_merge_joins == 0
+
+    # Q21: window qualification instead of fact self-joins — the fact
+    # contributes at most its grouped shuffle plus the window shuffle.
+    a21 = audit_plan(registry["q21_waiting_supplier"].build(spark, SF_DIR))
+    assert a21.sort_merge_joins == 0 and a21.cartesian_products == 0
+
+    # Scalar-subquery shapes: the 1-row threshold attaches as a
+    # broadcast nested loop (fine: 1 row), never a shuffled join.
+    a11 = audit_plan(registry["q11_important_values"].build(spark, SF_DIR))
+    assert a11.sort_merge_joins == 0
+
+    # IVF: centroid assignment is a map pass — the corpus side carries
+    # no join before the probe broadcast; no cartesian anywhere.
+    aivf = audit_plan(registry["ann_ivf_topk"].build(spark, SF_DIR))
+    assert aivf.cartesian_products == 0
+    assert aivf.sort_merge_joins == 0

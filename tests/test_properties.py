@@ -89,3 +89,47 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
     for row in merged.itertuples(index=False):
         want = None if pd.isna(row.v) else int(row.v)
         assert got[(row.k, row.ts, row.row_id)] == want
+
+
+@given(
+    st.lists(
+        st.tuples(_floats, st.sampled_from(["A", "B"])), min_size=1, max_size=40
+    )
+)
+@settings(**_SETTINGS)
+def test_portable_percentile_matches_order_statistic(spark, rows):
+    """quantile_order_values' selection rule — the ceil(p*n)-th value in
+    (value, unique-key) order — must equal direct list indexing."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(float(v), seg, i) for i, (v, seg) in enumerate(rows)],
+        "val double, seg string, k long",
+    )
+    w = Window.partitionBy("seg")
+    r = df.select(
+        "seg",
+        "val",
+        F.row_number().over(w.orderBy("val", "k")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    got = {
+        row.seg: row.p
+        for row in r.groupBy("seg")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")).cast("bigint"),
+                    F.col("val"),
+                )
+            ).alias("p")
+        )
+        .collect()
+    }
+    by_seg: dict[str, list[float]] = {}
+    for i, (v, seg) in enumerate(rows):
+        by_seg.setdefault(seg, []).append((float(v), i))
+    for seg, vals in by_seg.items():
+        ordered = [v for v, _ in sorted(vals)]
+        expected = ordered[math.ceil(0.9 * len(ordered)) - 1]
+        assert got[seg] == expected, seg
