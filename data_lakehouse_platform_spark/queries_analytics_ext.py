@@ -340,3 +340,108 @@ def intersect_retained_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("retained_customers"))
     )
+
+
+# ----------------------------------------------------------------------------
+# FULL OUTER reconciliation (presence-matrix of two grouped sides)
+# ----------------------------------------------------------------------------
+
+_RECON_ORACLE = """
+WITH y96 AS (
+  SELECT o_custkey, COUNT(*) AS n_1996 FROM orders
+  WHERE YEAR(o_orderdate) = 1996 GROUP BY o_custkey
+),
+y00 AS (
+  SELECT o_custkey, COUNT(*) AS n_2000 FROM orders
+  WHERE YEAR(o_orderdate) = 2000 GROUP BY o_custkey
+)
+SELECT
+  COALESCE(y96.o_custkey, y00.o_custkey) AS custkey,
+  COALESCE(n_1996, 0) AS n_1996,
+  COALESCE(n_2000, 0) AS n_2000,
+  CASE
+    WHEN y96.o_custkey IS NULL THEN 'only_2000'
+    WHEN y00.o_custkey IS NULL THEN 'only_1996'
+    ELSE 'both'
+  END AS presence
+FROM y96 FULL OUTER JOIN y00 ON y96.o_custkey = y00.o_custkey
+"""
+
+
+@register(
+    "full_outer_reconcile",
+    _RECON_ORACLE,
+    "FULL OUTER reconciliation of two grouped periods — the audit "
+    "shape for comparing two pipeline runs / two snapshots (which keys "
+    "appear in one side only, which drifted). Both sides pre-aggregate "
+    "to one row per key before the join, so the full-outer shuffles "
+    "only (key, count) pairs; presence classification is pure codegen.",
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    y96 = (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .groupBy(F.col("o_custkey").alias("k96"))
+        .agg(F.count(F.lit(1)).alias("n_1996"))
+    )
+    y00 = (
+        orders.filter(F.year("o_orderdate") == 2000)
+        .groupBy(F.col("o_custkey").alias("k00"))
+        .agg(F.count(F.lit(1)).alias("n_2000"))
+    )
+    j = y96.join(y00, y96.k96 == y00.k00, "full_outer")
+    return j.select(
+        F.coalesce("k96", "k00").alias("custkey"),
+        F.coalesce("n_1996", F.lit(0)).alias("n_1996"),
+        F.coalesce("n_2000", F.lit(0)).alias("n_2000"),
+        F.when(F.col("k96").isNull(), "only_2000")
+        .when(F.col("k00").isNull(), "only_1996")
+        .otherwise("both")
+        .alias("presence"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# first_value / last_value full-frame windows
+# ----------------------------------------------------------------------------
+
+_FIRST_LAST_ORACLE = """
+SELECT DISTINCT o_custkey,
+  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+  LAST_VALUE(o_totalprice) OVER w AS last_price,
+  FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+  LAST_VALUE(o_orderkey) OVER w AS last_orderkey
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
+@register(
+    "window_first_last",
+    _FIRST_LAST_ORACLE,
+    "First/last order per customer via full-frame first_value/"
+    "last_value windows (unique orderkey tiebreaker makes the frame "
+    "edges deterministic) — the SCD2 'earliest/current version' "
+    "selection shape (gold_dim_products.py picks current rows per "
+    "key). One shuffle on the customer key; DISTINCT collapses the "
+    "per-row window output to one row per customer map-side first.",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w).alias("last_orderkey"),
+    ).distinct()
