@@ -53,7 +53,14 @@ def main() -> None:
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
 
-    # Warm up the JVM + file metadata cache with the flagship query.
+    # Warm up the JVM, codegen, and file-metadata caches: touch every
+    # table once (footer-only count), then run the flagship query. The
+    # timed section then measures plan execution, not first-touch file
+    # listing.
+    from data_lakehouse_platform_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
     registry["q1_pricing_summary"].build(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
