@@ -1,0 +1,55 @@
+"""Source readers: CSV/JSON round-trips with explicit schemas; the
+JDBC/Kafka edges raise their gated errors cleanly in this container."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_lakehouse_platform_spark.sources.readers import (
+    read_csv,
+    read_jdbc,
+    read_json,
+    read_kafka_batch,
+)
+
+SCHEMA = "id int, name string, amount double"
+
+
+def test_csv_round_trip_explicit_schema(spark, tmp_path):
+    p = tmp_path / "c.csv"
+    p.write_text("id,name,amount\n1,a,1.5\n2,b,2.5\n")
+    df = read_csv(spark, str(p), schema=SCHEMA)
+    assert df.schema.simpleString() == "struct<id:int,name:string,amount:double>"
+    assert {(r.id, r.name, r.amount) for r in df.collect()} == {(1, "a", 1.5), (2, "b", 2.5)}
+
+
+def test_json_round_trip_explicit_schema(spark, tmp_path):
+    p = tmp_path / "j.json"
+    p.write_text('{"id": 1, "name": "a", "amount": 1.5}\n{"id": 2, "name": "b", "amount": 2.5}\n')
+    df = read_json(spark, str(p), schema=SCHEMA)
+    assert df.count() == 2
+    assert df.filter("amount > 2").collect()[0].name == "b"
+
+
+def test_jdbc_gated_error(spark):
+    with pytest.raises((RuntimeError, ValueError)):
+        read_jdbc(
+            spark,
+            url="jdbc:mysql://nowhere:3306/db",
+            table="t",
+            driver="com.mysql.cj.jdbc.Driver",
+        )
+    # bounds validation fires before any connection attempt
+    with pytest.raises(ValueError):
+        read_jdbc(
+            spark,
+            url="jdbc:mysql://nowhere:3306/db",
+            table="t",
+            driver="com.mysql.cj.jdbc.Driver",
+            partition_column="id",
+        )
+
+
+def test_kafka_gated_error(spark):
+    with pytest.raises(RuntimeError):
+        read_kafka_batch(spark, "nowhere:9092", "topic")
