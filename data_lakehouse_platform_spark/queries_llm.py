@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from data_lakehouse_platform_spark.catalog import load_table
 from data_lakehouse_platform_spark.operators import dedup as D
+from data_lakehouse_platform_spark.operators.components import connected_components
 from data_lakehouse_platform_spark.operators import similarity as S
 from data_lakehouse_platform_spark.operators import text as T
 from data_lakehouse_platform_spark.queries import register
@@ -88,7 +89,10 @@ _N_HASHES = 16
 _BANDS = 4
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE chain `shingles -> sigs -> banded` (DuckDB side of
+    the MinHash+LSH pipeline), composed by the pair and cluster
+    oracles."""
     mins = ",\n    ".join(
         f"MIN(substr(md5('{k // 4}|' || shingle), {1 + 8 * (k % 4)}, 8)) AS h{k}"
         for k in range(_N_HASHES)
@@ -103,8 +107,7 @@ def _minhash_oracle() -> str:
             f"SELECT doc_id, {b} AS band, md5({cols}) AS bkey FROM sigs"
         )
     bands_sql = "\n  UNION ALL\n  ".join(band_selects)
-    return f"""
-WITH {T.sql_shingles_cte(3)},
+    return f"""{T.sql_shingles_cte(3)},
 sigs AS (
   SELECT doc_id,
     {mins}
@@ -112,7 +115,12 @@ sigs AS (
 ),
 banded AS (
   {bands_sql}
-)
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_ctes()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
 FROM banded a
 JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -137,6 +145,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
     return D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
+
+
+def _cluster_oracle() -> str:
+    """Transitive closure of the LSH candidate pairs via recursive CTE:
+    each node's cluster id is the min node id reachable through
+    near-dup edges (exactly what min-label propagation converges to)."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION
+  SELECT doc_b AS node, doc_a AS nbr FROM pairs
+),
+reach(node, label) AS (
+  SELECT node, node FROM (SELECT DISTINCT node FROM edges) v
+  UNION
+  SELECT e.nbr, r.label FROM reach r JOIN edges e ON e.node = r.node
+),
+assign AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(doc_id = cluster_id AS INT) AS is_keeper
+FROM assign
+"""
+
+
+@register(
+    "dedup_cluster",
+    _cluster_oracle(),
+    "Fuzzy-dedup endgame: MinHash+LSH candidate pairs -> connected "
+    "components (iterative min-label propagation, operators/components.py) "
+    "-> one keeper per cluster (min doc_id). Pairs alone over-remove "
+    "(A~B, B~C should keep ONE of {A,B,C}, not zero or two) — clustering "
+    "is what production LLM dedup pipelines actually ship. Edge list is "
+    "tiny vs the corpus; rounds = graph diameter (1-3 for near-dup "
+    "clumps).",
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = T.explode_shingles(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, distinct=False
+    )
+    sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
+    pairs = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+    )
 
 
 def _simhash_oracle(bits: int = 16) -> str:

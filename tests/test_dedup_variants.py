@@ -18,3 +18,61 @@ def test_minhash_inline_matches_exploded(spark):
         tuple(r) for r in D.minhash_signatures_inline(docs, n_hashes=8).collect()
     }
     assert exploded == inline and exploded
+
+
+def _union_find_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize: min node id per component
+    comp = {}
+    for x in parent:
+        comp[x] = find(x)
+    return comp
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation vs a driver-side union-find model, on a
+    graph with a 6-node chain (diameter 5 — forces multiple rounds),
+    a triangle, an isolated pair, and redundant/reversed edges."""
+    from data_lakehouse_platform_spark.operators.components import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # chain
+        (10, 11), (11, 12), (12, 10),             # triangle
+        (20, 21), (21, 20), (20, 21),             # pair w/ dupes+reverse
+        (30, 31),
+    ]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    want = _union_find_components(edges)
+    assert got == want
+    assert got[6] == 1 and got[12] == 10 and got[21] == 20
+
+
+def test_dedup_cluster_keeper_invariants(spark):
+    """Every cluster has exactly one keeper = its min doc_id, and
+    cluster_size counts its members."""
+    from collections import Counter
+
+    from data_lakehouse_platform_spark.queries import all_queries
+
+    rows = all_queries()["dedup_cluster"].build(spark, SF_DIR).collect()
+    assert rows
+    by_cluster = Counter(r["cluster_id"] for r in rows)
+    for r in rows:
+        assert r["cluster_size"] == by_cluster[r["cluster_id"]]
+        assert r["is_keeper"] == int(r["doc_id"] == r["cluster_id"])
+        assert r["cluster_id"] <= r["doc_id"]
+    keepers = Counter(r["cluster_id"] for r in rows if r["is_keeper"])
+    assert set(keepers) == set(by_cluster) and all(v == 1 for v in keepers.values())
