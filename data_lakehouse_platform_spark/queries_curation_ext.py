@@ -1,0 +1,231 @@
+"""Curation-extension queries: the pretraining-pipeline steps that sit
+AFTER dedup/quality scoring — benchmark decontamination, repetition
+auditing (Gopher-style), and deterministic sequence packing.
+
+All three are oracle-exact: hashes are md5 (identical hex in Spark and
+DuckDB) and every float is a ratio of integers (bit-identical IEEE
+division in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.catalog import load_table
+from data_lakehouse_platform_spark.operators.packing import exclusive_prefix_sum
+from data_lakehouse_platform_spark.operators import text as T
+from data_lakehouse_platform_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------------------
+# Benchmark decontamination: flag training docs sharing any word
+# k-shingle with a held-out benchmark set (here: doc_id % 50 == 0
+# stands in for the eval suite).
+# ----------------------------------------------------------------------------
+
+_DECON_K = 5
+_BENCH_MOD = 50
+
+_DECON_ORACLE = f"""
+WITH {T.sql_shingles_cte(_DECON_K)},
+bench AS (
+  SELECT DISTINCT shingle FROM shingles WHERE doc_id % {_BENCH_MOD} = 0
+),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM shingles s JOIN bench USING (shingle)
+  WHERE s.doc_id % {_BENCH_MOD} <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(COALESCE(h.n_shared, 0) > 0 AS INT) AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {_BENCH_MOD} <> 0
+"""
+
+
+@register(
+    "decontaminate_ngram",
+    _DECON_ORACLE,
+    f"Benchmark decontamination: per training doc, the count of distinct "
+    f"word {_DECON_K}-shingles shared with the benchmark set, plus a "
+    f"contamination flag. Benchmark shingles are DISTINCT then "
+    f"broadcast — eval suites are MBs against a 100 TB corpus, so the "
+    f"corpus-side scan never shuffles (bloom-filter pushdown is the "
+    f"fallback if the benchmark outgrows broadcast). GPT-3/PaLM-style "
+    f"n-gram overlap decontamination.",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = T.explode_shingles(docs, "doc_id", "text", k=_DECON_K, distinct=True)
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    hits = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce(F.col("__n"), F.lit(0)) > 0).cast("int").alias("is_contaminated"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# Repetition audit (Gopher-style): within-doc repetition signals that
+# catch boilerplate/spam which plain length/quality gates miss.
+# ----------------------------------------------------------------------------
+
+_TOP_WORD_MAX = 0.2
+_TOP_BIGRAM_MAX = 0.18
+
+_REP_ORACLE = f"""
+WITH norm_docs AS (
+  SELECT doc_id, string_split({T.sql_normalize_ws('text')}, ' ') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM norm_docs),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+ts AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct, MAX(c) AS top_c
+  FROM tc GROUP BY 1
+),
+big AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+         ELSE [] END) AS bg
+  FROM norm_docs
+),
+bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
+bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb, MAX(c) AS top_b FROM bc GROUP BY 1)
+SELECT ts.doc_id, ts.n_tokens,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_frac,
+       CAST(top_c AS DOUBLE) / n_tokens AS top_word_frac,
+       COALESCE(CAST(top_b AS DOUBLE) / nb, 0.0) AS top_bigram_frac,
+       CAST(CAST(top_c AS DOUBLE) / n_tokens > {_TOP_WORD_MAX}
+            OR COALESCE(CAST(top_b AS DOUBLE) / nb, 0.0) > {_TOP_BIGRAM_MAX}
+            AS INT) AS is_repetitive
+FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+"""
+
+
+@register(
+    "repetition_stats",
+    _REP_ORACLE,
+    "Per-doc repetition signals (Gopher filters): distinct-token ratio, "
+    "most-frequent-word fraction, most-frequent-bigram fraction, and a "
+    "repetitive flag (top word > 0.2 or top bigram > 0.18). Shuffles key "
+    "on (doc_id, term) with map-side partial aggregation, then collapse "
+    "to one row per doc — fully data-parallel, no hot keys possible "
+    "beyond a single document's own term counts.",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.ws_tokens("text").alias("__toks")
+    )
+    tc = (
+        toks.select("doc_id", F.explode("__toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ts = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    bc = (
+        toks.select("doc_id", F.explode(T.shingle_expr("__toks", 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bs = bc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("nb"), F.max("c").alias("top_b")
+    )
+    top_word = F.col("top_c").cast("double") / F.col("n_tokens")
+    top_bigram = F.coalesce(F.col("top_b").cast("double") / F.col("nb"), F.lit(0.0))
+    return (
+        ts.join(bs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+                "distinct_frac"
+            ),
+            top_word.alias("top_word_frac"),
+            top_bigram.alias("top_bigram_frac"),
+            ((top_word > _TOP_WORD_MAX) | (top_bigram > _TOP_BIGRAM_MAX))
+            .cast("int")
+            .alias("is_repetitive"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# Deterministic sequence packing: concatenate docs in md5-shuffled
+# order, split the token stream into fixed-size context windows.
+# ----------------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split({T.sql_normalize_ws('text')}, ' ')) AS BIGINT)
+           AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS okey
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY okey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(FLOOR(CAST(start_offset AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+FROM c
+"""
+
+
+@register(
+    "pack_sequences",
+    _PACK_ORACLE,
+    f"Deterministic sequence packing: md5(doc_id) gives a reproducible "
+    f"global shuffle order; an EXACT distributed prefix sum of token "
+    f"counts (two-pass, operators/packing.py — no single-partition "
+    f"global window) assigns each doc its start offset in the "
+    f"concatenated token stream; bin_id = offset // {_PACK_BUDGET} maps "
+    f"it to a training context window. The standard concat-and-chunk "
+    f"packing used to build fixed-length pretraining batches.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(T.ws_tokens("text")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("okey"),
+    )
+    packed = exclusive_prefix_sum(
+        docs, order_col="okey", weight_col="n_tokens", out_col="start_offset"
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / _PACK_BUDGET).cast("bigint").alias("bin_id"),
+    )
