@@ -445,3 +445,80 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_orderkey"),
         F.last("o_orderkey").over(w).alias("last_orderkey"),
     ).distinct()
+
+
+# ----------------------------------------------------------------------------
+# k-means trainer (IVF centroid training; operators/kmeans.py)
+# ----------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_DIM = 64
+_KM_ROUNDS = 2
+
+
+def _km_oracle(k: int = _KM_K, rounds: int = _KM_ROUNDS, dim: int = _KM_DIM) -> str:
+    """Unroll ``rounds`` Lloyd iterations (assign + fixed-point mean
+    update each) plus the final assignment — the SQL twin of
+    operators/kmeans.lloyd_kmeans's loop structure."""
+    cos = _IVF_COS.format(a="v", b="cv")
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < {k})",
+        f"dims AS (SELECT CAST(unnest(range(1, {dim + 1})) AS INT) AS d)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes += [
+            f"""a{r} AS (
+  SELECT vec_id, v, cid,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {cos} DESC, cid) AS rn
+  FROM e CROSS JOIN c{r - 1}
+)""",
+            f"m{r} AS (SELECT vec_id, v, cid FROM a{r} WHERE rn = 1)",
+            f"""upd{r} AS (
+  SELECT cid, d,
+    CAST(SUM(CAST(FLOOR(v[d] * 1000000) AS BIGINT)) AS DOUBLE)
+      / (1000000.0 * COUNT(*)) AS x
+  FROM m{r} CROSS JOIN dims
+  GROUP BY cid, d
+)""",
+            f"c{r} AS (SELECT cid, list(x ORDER BY d) AS cv FROM upd{r} GROUP BY cid)",
+        ]
+    ctes.append(
+        f"""fin AS (
+  SELECT vec_id, cid, {cos} AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {cos} DESC, cid) AS rn
+  FROM e CROSS JOIN c{rounds}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT vec_id, CAST(cid AS INT) AS cell_id, cosine,
+       COUNT(*) OVER (PARTITION BY cid) AS cell_size
+FROM fin WHERE rn = 1
+"""
+    )
+
+
+_KM_ORACLE = _km_oracle()
+
+
+@register(
+    "kmeans_cells",
+    _KM_ORACLE,
+    "Distributed spherical k-means trainer (Lloyd, 2 rounds, 8 cells) "
+    "producing the IVF coarse quantizer ann_ivf_topk consumes. Each "
+    "round: literal-centroid argmax map pass (no corpus shuffle) + a "
+    "k x d-group mean update in FIXED POINT (sum(floor(x*1e6)) over "
+    "exact int64) so centroids are bit-identical regardless of "
+    "partitioning or aggregation order — the property that makes an "
+    "iterative float algorithm oracle-exact. Only k x d mean rows ever "
+    "reach the driver.",
+)
+def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.kmeans import lloyd_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assignments, _ = lloyd_kmeans(emb, k=_KM_K, rounds=_KM_ROUNDS)
+    return assignments

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_lakehouse_platform_spark.operators.packing import exclusive_prefix_sum
@@ -49,3 +50,50 @@ def test_decontaminate_excludes_benchmark_docs(spark):
     assert rows
     assert all(r["doc_id"] % 50 != 0 for r in rows)
     assert all((r["n_shared"] > 0) == bool(r["is_contaminated"]) for r in rows)
+
+
+def test_lloyd_kmeans_matches_numpy_model(spark):
+    """2-round distributed Lloyd vs an independent numpy model with the
+    same fixed-point mean and tie rules — centroids AND assignments
+    must agree exactly."""
+    import math
+
+    import numpy as np
+
+    from data_lakehouse_platform_spark.catalog import load_table
+    from data_lakehouse_platform_spark.operators.kmeans import lloyd_kmeans
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got_df, got_cents = lloyd_kmeans(emb, k=4, rounds=2)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([[float(x) for x in r["embedding"]] for r in rows])
+
+    def assign(cents):
+        out = {}
+        for i, v in zip(ids, X):
+            best = max(
+                cents,
+                key=lambda c: (
+                    float(np.dot(v, c[1]) / (math.sqrt(np.dot(v, v)) * math.sqrt(np.dot(c[1], c[1])))),
+                    -c[0],
+                ),
+            )
+            out[int(i)] = best[0]
+        return out
+
+    cents = [(int(i), X[j].tolist()) for j, i in enumerate(ids) if i < 4]
+    for _ in range(2):
+        a = assign(cents)
+        new = []
+        for cid in sorted({c for c in a.values()}):
+            members = X[[int(i) in a and a[int(i)] == cid for i in ids]]
+            fp = np.floor(members * 1e6).sum(axis=0)
+            new.append((cid, (fp / (1e6 * len(members))).tolist()))
+        cents = new
+    assert [c for c, _ in got_cents] == [c for c, _ in cents]
+    for (_, gv), (_, wv) in zip(got_cents, cents):
+        assert gv == pytest.approx(wv, abs=0.0)  # bit-exact
+    final = assign(cents)
+    got_assign = {r["vec_id"]: r["cell_id"] for r in got_df.collect()}
+    assert got_assign == final
