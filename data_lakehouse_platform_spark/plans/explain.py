@@ -30,6 +30,7 @@ class PlanAudit:
     whole_stage_codegen_spans: int
     pushed_filters: tuple[str, ...] = field(default=())
     scans: int = 0
+    single_partition_exchanges: int = 0
 
     @property
     def python_free_hot_path(self) -> bool:
@@ -71,4 +72,5 @@ def audit_plan(df: DataFrame) -> PlanAudit:
         whole_stage_codegen_spans=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
         pushed_filters=pushed,
         scans=plan.count("FileScan"),
+        single_partition_exchanges=plan.count("Exchange SinglePartition"),
     )

@@ -229,3 +229,60 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_offset",
         F.floor(F.col("start_offset") / _PACK_BUDGET).cast("bigint").alias("bin_id"),
     )
+
+
+# ----------------------------------------------------------------------------
+# Inverted index: term -> document frequency + bounded postings list.
+# ----------------------------------------------------------------------------
+
+_POSTINGS_CAP = 16
+
+_INVIDX_ORACLE = f"""
+WITH norm_docs AS (
+  SELECT doc_id, string_split({T.sql_normalize_ws('text')}, ' ') AS toks
+  FROM documents
+),
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM norm_docs),
+dfc AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+small AS (
+  SELECT t.term, array_to_string(list(t.doc_id ORDER BY t.doc_id), ',') AS postings
+  FROM tok t JOIN dfc USING (term)
+  WHERE dfc.df <= {_POSTINGS_CAP}
+  GROUP BY t.term
+)
+SELECT dfc.term, dfc.df, small.postings
+FROM dfc LEFT JOIN small USING (term)
+"""
+
+
+@register(
+    "inverted_index",
+    _INVIDX_ORACLE,
+    f"Inverted-index build: per term, document frequency plus a sorted "
+    f"postings list materialized ONLY for terms with df <= "
+    f"{_POSTINGS_CAP} (two-phase: df first, then postings collection "
+    f"restricted to qualifying terms) — hot/stopword terms never "
+    f"accumulate unbounded arrays in any aggregation buffer, the "
+    f"failure mode of a naive collect_list at corpus scale. Postings "
+    f"emit as a CSV string for engine-portable comparison.",
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(T.ws_tokens("text")).alias("term"))
+        .distinct()
+    )
+    dfc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    small = (
+        tok.join(dfc.filter(F.col("df") <= _POSTINGS_CAP).select("term"), "term")
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return dfc.join(small, "term", "left").select("term", "df", "postings")

@@ -97,3 +97,25 @@ def test_lloyd_kmeans_matches_numpy_model(spark):
     final = assign(cents)
     got_assign = {r["vec_id"]: r["cell_id"] for r in got_df.collect()}
     assert got_assign == final
+
+
+def test_new_ops_plan_contracts(spark):
+    """Scale contracts: packing never funnels through a single-partition
+    exchange (the whole point of the two-pass prefix sum); the
+    decontamination corpus side joins the benchmark only by broadcast;
+    nothing runs row-at-a-time Python."""
+    from data_lakehouse_platform_spark.plans import audit_plan
+
+    qs = all_queries()
+    pack = audit_plan(qs["pack_sequences"].build(spark, SF_DIR))
+    assert pack.single_partition_exchanges == 0
+    assert pack.python_free_hot_path
+
+    dec = audit_plan(qs["decontaminate_ngram"].build(spark, SF_DIR))
+    assert dec.broadcast_hash_joins >= 1
+    assert dec.sort_merge_joins == 0 and dec.cartesian_products == 0
+    assert dec.python_free_hot_path
+
+    km = audit_plan(qs["kmeans_cells"].build(spark, SF_DIR))
+    assert km.python_free_hot_path
+    assert km.cartesian_products == 0
