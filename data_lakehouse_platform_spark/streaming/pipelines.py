@@ -172,3 +172,61 @@ def write_stream_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def upsert_stream_to_snapshot(
+    df: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    ts_col: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """CDC sink: merge each micro-batch into a versioned SnapshotTable
+    (sources/table_format.py) — the reference's Kafka-consumer →
+    Delta-merge flow (orders_consumer.py + gold_dim_products.py merge)
+    as one declarative pipeline.
+
+    Merge rule is last-writer-wins BY EVENT TIMESTAMP, not by arrival:
+    target ∪ batch → row_number over (key ORDER BY ts DESC) → keep 1.
+    Batch/file ordering therefore cannot change the converged table —
+    replays and out-of-order backfills are safe (at-least-once delivery
+    + idempotent-by-ts merge; a production Delta sink would add txn-id
+    batch dedup for exactly-once versions, same merge shape).
+
+    Scale: one shuffle per batch keyed on `key_cols`; at 100 TB the
+    target read prunes to partitions containing batch keys (the
+    SnapshotTable stores plain parquet — partition the table by a key
+    prefix and push `key IN (batch keys)` down before the union).
+    """
+    from pyspark.sql import Window
+
+    from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
+
+    table = SnapshotTable(table_path)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if table.latest_version() is None:
+            combined = batch_df
+        else:
+            target = table.read(spark)
+            combined = target.unionByName(batch_df.select(*target.columns))
+        w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
+        merged = (
+            combined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        table.write_snapshot(merged, operation=f"stream-upsert(batch={batch_id})")
+
+    writer = (
+        df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

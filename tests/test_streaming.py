@@ -238,3 +238,48 @@ def test_stream_stream_band_join(spark, tmp_path):
 
     got = {(r.order_key, r.item_value) for r in spark.read.parquet(out).collect()}
     assert got == {(1, 5.0), (2, 9.0)}
+
+
+def test_upsert_stream_to_snapshot(spark, tmp_path):
+    """CDC micro-batches merge into the versioned snapshot table with
+    ts last-writer-wins; history records one version per batch and
+    time travel still sees the pre-merge state."""
+    from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
+    from data_lakehouse_platform_spark.streaming.pipelines import (
+        read_event_stream,
+        upsert_stream_to_snapshot,
+    )
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+
+    def rows(ids_ts):
+        return "\n".join(
+            json.dumps(
+                {"event_id": i, "ts": ts, "user_id": i, "event_type": "upd",
+                 "value": float(v), "props": "{}"}
+            )
+            for i, ts, v in ids_ts
+        )
+
+    # batch 1: keys 1-4 at t01; batch 2: keys 3-6 at t02 (3,4 updated)
+    # batch 3: key 3 with an OLDER ts — must NOT win over batch 2's row
+    (src / "f1.json").write_text(rows([(i, "2024-01-01T01:00:00", 10 + i) for i in (1, 2, 3, 4)]))
+    (src / "f2.json").write_text(rows([(i, "2024-01-01T02:00:00", 20 + i) for i in (3, 4, 5, 6)]))
+    (src / "f3.json").write_text(rows([(3, "2024-01-01T00:30:00", 99)]))
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    table_path = str(tmp_path / "table")
+    q = upsert_stream_to_snapshot(
+        stream, table_path, ["event_id"], "ts", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    table = SnapshotTable(table_path)
+    final = {r["event_id"]: r["value"] for r in table.read(spark).collect()}
+    assert final == {1: 11.0, 2: 12.0, 3: 23.0, 4: 24.0, 5: 25.0, 6: 26.0}
+    hist = table.history()
+    assert len(hist) == 3 and all("stream-upsert" in s.operation for s in hist)
+    # time travel: version 1 predates the updates
+    v1 = {r["event_id"]: r["value"] for r in table.read(spark, version=1).collect()}
+    assert v1 == {1: 11.0, 2: 12.0, 3: 13.0, 4: 14.0}
