@@ -522,3 +522,47 @@ def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     assignments, _ = lloyd_kmeans(emb, k=_KM_K, rounds=_KM_ROUNDS)
     return assignments
+
+
+# ----------------------------------------------------------------------------
+# RANGE-frame window: trailing 7-day spend (value-based frame, peers
+# aggregate together — no tiebreaker needed or wanted)
+# ----------------------------------------------------------------------------
+
+_TRAIL_SECS = 6 * 86400  # trailing week: today + 6 prior days
+
+_TRAIL_ORACLE = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) OVER (
+    PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+    RANGE BETWEEN {_TRAIL_SECS} PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) / 1000000 AS trailing_7d_spend
+FROM orders
+"""
+
+
+@register(
+    "window_trailing_7d",
+    _TRAIL_ORACLE,
+    "Trailing-7-day spend per customer via a RANGE (value-based) window "
+    "frame over epoch seconds — the time-decayed-metric shape rows "
+    "frames cannot express (frame width follows the TIMESTAMPS, not row "
+    "counts; same-instant peers aggregate together so no tiebreaker "
+    "exists to get wrong). One shuffle on the customer key; "
+    "decimal-exact money.",
+)
+def window_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.money import dec, undec
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-_TRAIL_SECS, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        undec(F.sum(dec("o_totalprice")).over(w)).alias("trailing_7d_spend"),
+    )

@@ -36,6 +36,25 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan — columnar like parquet, with the same predicate
+    pushdown and column pruning through the vectorized reader; the
+    interchange format when upstream Hive/Hadoop estates hand us ORC
+    instead of parquet."""
+    return spark.read.options(**options).orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False, **options
+) -> DataFrame:
+    """Raw text ingestion for corpus bootstrapping: one row per line
+    (default) or per file (``whole_file`` — e.g. one document per
+    file). Returns a single `value` string column; splitting into
+    (doc_id, text) is a downstream select, so the scan itself stays a
+    straight streaming read that parallelizes by file split."""
+    return spark.read.options(**options).text(path, wholetext=whole_file)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

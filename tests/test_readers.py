@@ -53,3 +53,39 @@ def test_jdbc_gated_error(spark):
 def test_kafka_gated_error(spark):
     with pytest.raises(RuntimeError):
         read_kafka_batch(spark, "nowhere:9092", "topic")
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC round-trips losslessly and, like parquet, serves filters
+    through the columnar reader (search-argument pushdown)."""
+    from data_lakehouse_platform_spark.catalog import load_table
+    from data_lakehouse_platform_spark.sources.readers import read_orc
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    orders.write.orc(path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert sorted(back.columns) == sorted(orders.columns)
+    want = orders.filter("o_orderstatus = 'F'").count()
+    assert read_orc(spark, path).filter("o_orderstatus = 'F'").count() == want
+
+
+def test_text_reader_line_and_wholefile(spark, tmp_path):
+    from data_lakehouse_platform_spark.sources.readers import read_text
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("single doc body\nacross two lines\n")
+
+    lines = read_text(spark, str(d))
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "across two lines", "line one", "line two", "single doc body",
+    ]
+    docs = read_text(spark, str(d), whole_file=True)
+    assert docs.count() == 2
+    assert any("across two lines" in r["value"] for r in docs.collect())
