@@ -106,3 +106,37 @@ def test_scd2_merge(spark, tmp_path):
     # surrogate keys unique and deterministic
     keys = [r.row_key for r in dim.collect()]
     assert len(set(keys)) == 4
+
+
+def test_clustered_write_skips_files(spark, tmp_path):
+    """Range-clustered layout: per-file min/max slices are disjoint
+    (each file owns a contiguous range), footer-only pruning touches a
+    strict subset of files, and the pruned read returns exactly the
+    full-scan filter result."""
+    from data_lakehouse_platform_spark.catalog import load_table
+    from data_lakehouse_platform_spark.sources.clustering import (
+        file_stats,
+        read_pruned,
+        write_clustered,
+    )
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_clustered")
+    write_clustered(orders, path, "o_totalprice", n_files=8)
+
+    stats = sorted(file_stats(path, "o_totalprice"), key=lambda s: s.min)
+    assert len(stats) == 8 and all(s.min is not None for s in stats)
+    for a, b in zip(stats, stats[1:]):
+        assert a.max <= b.min  # contiguous, non-overlapping slices
+
+    lo, hi = stats[2].min, stats[2].max  # a band inside one file
+    pruned = read_pruned(spark, path, "o_totalprice", lo, hi)
+    # prunes to <=2 files (band may touch a boundary), not all 8
+    assert len(set(r[0] for r in pruned.select(F.input_file_name()).collect())) <= 2
+    want = sorted(
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_totalprice").between(lo, hi)).collect()
+    )
+    got = sorted(r["o_orderkey"] for r in pruned.collect())
+    assert got == want and got
