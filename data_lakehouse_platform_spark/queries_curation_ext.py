@@ -286,3 +286,95 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dfc.join(small, "term", "left").select("term", "df", "postings")
+
+
+# ----------------------------------------------------------------------------
+# Corpus boilerplate removal (C4-style): drop text segments that repeat
+# across documents, reconstruct the cleaned text.
+# ----------------------------------------------------------------------------
+
+_BOIL_K = 4
+_BOIL_MIN_DF = 2
+
+_BOIL_ORACLE = f"""
+WITH norm_docs AS (
+  SELECT doc_id, string_split({T.sql_normalize_ws('text')}, ' ') AS toks
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, unnest(range(1, CAST(CEIL(len(toks)/{_BOIL_K}.0) AS INT) + 1)) AS i, toks
+  FROM norm_docs
+),
+cc AS (
+  SELECT doc_id, CAST(i AS INT) AS idx,
+         array_to_string(list_slice(toks, (i-1)*{_BOIL_K}+1, i*{_BOIL_K}), ' ') AS chunk
+  FROM ch
+),
+hot AS (
+  SELECT chunk FROM (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM cc GROUP BY chunk)
+  WHERE nd >= {_BOIL_MIN_DF}
+),
+kept AS (SELECT * FROM cc WHERE chunk NOT IN (SELECT chunk FROM hot)),
+cl AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         array_to_string(list(chunk ORDER BY idx), ' ') AS cleaned_text
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM cc GROUP BY doc_id)
+SELECT t.doc_id, t.n_chunks,
+       t.n_chunks - COALESCE(cl.n_kept, 0) AS n_removed,
+       COALESCE(cl.cleaned_text, '') AS cleaned_text
+FROM tot t LEFT JOIN cl USING (doc_id)
+"""
+
+
+@register(
+    "boilerplate_removal",
+    _BOIL_ORACLE,
+    f"C4-style cross-document boilerplate removal: split each doc into "
+    f"{_BOIL_K}-token segments, drop every segment whose exact text "
+    f"appears in >= {_BOIL_MIN_DF} distinct docs (headers, nav bars, "
+    f"cookie banners at web scale), reconstruct cleaned text in segment "
+    f"order. Two shuffles keyed on segment text (at 100 TB: on its "
+    f"16-byte md5) — frequency count then anti-join; per-doc rebuild is "
+    f"a grouped sort-collect bounded by document length.",
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    chunks = (
+        docs.select("doc_id", T.ws_tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, int(ceil(size(toks)/{_BOIL_K}.0))), "
+                    f"i -> concat_ws(' ', slice(toks, (i-1)*{_BOIL_K}+1, {_BOIL_K})))"
+                )
+            ).alias("pos", "chunk"),
+        )
+        .select("doc_id", (F.col("pos") + 1).alias("idx"), "chunk")
+    )
+    hot = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BOIL_MIN_DF)
+        .select("chunk")
+    )
+    kept = chunks.join(hot, "chunk", "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(idx, chunk))), "
+            "s -> s.chunk), ' ')"
+        ).alias("cleaned_text"),
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        totals.join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )
