@@ -41,3 +41,42 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return b.join(s, on + ["__salt"], how).drop("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: list[tuple[str, str, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for hot grouping keys: stage 1 groups by
+    (key, salt) — a deterministic row hash spreads each hot key over
+    ``salt`` reducers — stage 2 merges the partials per key.
+
+    ``aggs``: (col, fn, out_name) with fn in {sum, count, min, max} —
+    the decomposable aggregates whose partials merge losslessly
+    (count merges by SUM). Spark's own partial aggregation usually
+    makes this unnecessary; it wins when a downstream windowing or
+    distinct forces full rows of one key through one reducer. Same
+    trick as salted_join, applied to groupBy.
+    """
+    merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    salt_col = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)
+    ).alias("__salt")
+    stage1 = (
+        df.select("*", salt_col)
+        .groupBy(*key_cols, "__salt")
+        .agg(
+            *[
+                getattr(F, fn)(col).alias(out)
+                for col, fn, out in aggs
+            ]
+        )
+    )
+    return stage1.groupBy(*key_cols).agg(
+        *[
+            getattr(F, merge_fn[fn])(out).alias(out)
+            for _, fn, out in aggs
+        ]
+    )

@@ -544,3 +544,53 @@ def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         undec(F.col("__spend_dec")).alias("total_spend"),
         "last_order",
     )
+
+
+# ----------------------------------------------------------------------------
+# Skew-resistant aggregation (salted two-stage groupBy)
+# ----------------------------------------------------------------------------
+
+_SALTED_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       {{qty}} AS sum_qty,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag
+""".format(qty="CAST(SUM(CAST(FLOOR(l_quantity * 1000000) AS DECIMAL(28,0))) AS DOUBLE) / 1000000")
+
+
+@register(
+    "skew_salted_agg",
+    _SALTED_ORACLE,
+    "Hot-key aggregation through operators/skew.salted_agg: stage 1 "
+    "groups by (key, rowhash%16) so each hot key spreads over 16 "
+    "reducers, stage 2 merges partials (counts/sums add, maxes max). "
+    "lineitem has only 3 return flags — the degenerate skew case where "
+    "every row funnels to 3 reducers without salting. The oracle is the "
+    "plain GROUP BY, proving the two-stage decomposition lossless; "
+    "decimal fixed-point keeps the salted partial sums order-proof.",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.money import dec, undec
+    from data_lakehouse_platform_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate", dec("l_quantity").alias("__qty_dec")
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        [
+            ("l_shipdate", "count", "n_items"),
+            ("__qty_dec", "sum", "__sum_qty_dec"),
+            ("l_shipdate", "max", "last_ship"),
+        ],
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_items",
+        undec(F.col("__sum_qty_dec")).alias("sum_qty"),
+        "last_ship",
+    )

@@ -44,6 +44,7 @@ class Snapshot:
     operation: str
     committed_at: float
     row_count: int
+    txn_id: str | None = None
 
 
 class SnapshotTable:
@@ -74,13 +75,21 @@ class SnapshotTable:
             operation=m["operation"],
             committed_at=m["committed_at"],
             row_count=m["row_count"],
+            txn_id=m.get("txn_id"),
         )
 
     def latest_version(self) -> int | None:
         vs = self._versions()
         return vs[-1] if vs else None
 
-    def _commit(self, version: int, data_dir: str, operation: str, row_count: int) -> None:
+    def _commit(
+        self,
+        version: int,
+        data_dir: str,
+        operation: str,
+        row_count: int,
+        txn_id: str | None = None,
+    ) -> None:
         os.makedirs(self.log_dir, exist_ok=True)
         manifest = {
             "version": version,
@@ -88,6 +97,7 @@ class SnapshotTable:
             "operation": operation,
             "committed_at": time.time(),
             "row_count": row_count,
+            "txn_id": txn_id,
         }
         # Write-then-rename: the rename IS the commit point; a crashed
         # writer leaves only an invisible tmp file and an orphan data
@@ -99,14 +109,31 @@ class SnapshotTable:
 
     # -- operations -----------------------------------------------------
 
-    def write_snapshot(self, df: DataFrame, operation: str = "write") -> int:
-        """Commit `df` as the next version. Returns the new version."""
+    def txn_committed(self, txn_id: str) -> bool:
+        """True when a commit carrying ``txn_id`` is already in the log
+        — the Delta-style idempotent-writer check (txn appId+version)
+        that turns at-least-once stream delivery into exactly-once
+        table versions."""
+        return any(s.txn_id == txn_id for s in self.history())
+
+    def write_snapshot(
+        self, df: DataFrame, operation: str = "write", txn_id: str | None = None
+    ) -> int:
+        """Commit `df` as the next version. Returns the new version.
+
+        With ``txn_id``: if that transaction already committed, the
+        write is skipped and the existing version returned (replay /
+        retry safe)."""
+        if txn_id is not None:
+            for s in self.history():
+                if s.txn_id == txn_id:
+                    return s.version
         next_v = (self.latest_version() or 0) + 1 if self._versions() else 1
         rel_dir = f"v={next_v}"
         out = os.path.join(self.data_root, rel_dir)
         df.write.mode("errorifexists").parquet(out)
         n = df.sparkSession.read.parquet(out).count()
-        self._commit(next_v, rel_dir, operation, n)
+        self._commit(next_v, rel_dir, operation, n, txn_id=txn_id)
         return next_v
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

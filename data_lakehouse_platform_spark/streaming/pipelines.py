@@ -190,9 +190,11 @@ def upsert_stream_to_snapshot(
     Merge rule is last-writer-wins BY EVENT TIMESTAMP, not by arrival:
     target ∪ batch → row_number over (key ORDER BY ts DESC) → keep 1.
     Batch/file ordering therefore cannot change the converged table —
-    replays and out-of-order backfills are safe (at-least-once delivery
-    + idempotent-by-ts merge; a production Delta sink would add txn-id
-    batch dedup for exactly-once versions, same merge shape).
+    replays and out-of-order backfills are safe. Exactly-once table
+    versions: each batch commits with txn_id=(checkpoint, batch_id),
+    and SnapshotTable skips already-committed txns, so a replayed
+    micro-batch (post-crash re-delivery) cannot double-commit — the
+    same appId+txnVersion scheme Delta's streaming sink uses.
 
     Scale: one shuffle per batch keyed on `key_cols`; at 100 TB the
     target read prunes to partitions containing batch keys (the
@@ -220,7 +222,11 @@ def upsert_stream_to_snapshot(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        table.write_snapshot(merged, operation=f"stream-upsert(batch={batch_id})")
+        table.write_snapshot(
+            merged,
+            operation=f"stream-upsert(batch={batch_id})",
+            txn_id=f"stream:{checkpoint_path}:{batch_id}",
+        )
 
     writer = (
         df.writeStream.foreachBatch(_merge)

@@ -55,3 +55,18 @@ def test_vacuum_keeps_referenced_data(spark, tmp_path):
     # because the rollback version still references its directory
     assert [s.version for s in t.history()] == [1, 3]
     assert t.read(spark, version=1).count() == 1
+
+
+def test_txn_id_commits_are_idempotent(spark, tmp_path):
+    """Replaying a committed transaction returns the existing version
+    and writes nothing new — exactly-once under retry."""
+    from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(5).withColumnRenamed("id", "k")
+    v1 = t.write_snapshot(df, operation="load", txn_id="batch-0")
+    v_replay = t.write_snapshot(df, operation="load", txn_id="batch-0")
+    assert v1 == v_replay == 1
+    assert t.txn_committed("batch-0") and not t.txn_committed("batch-1")
+    v2 = t.write_snapshot(df, operation="load", txn_id="batch-1")
+    assert v2 == 2 and len(t.history()) == 2
