@@ -456,10 +456,12 @@ _KM_DIM = 64
 _KM_ROUNDS = 2
 
 
-def _km_oracle(k: int = _KM_K, rounds: int = _KM_ROUNDS, dim: int = _KM_DIM) -> str:
-    """Unroll ``rounds`` Lloyd iterations (assign + fixed-point mean
-    update each) plus the final assignment — the SQL twin of
-    operators/kmeans.lloyd_kmeans's loop structure."""
+def _km_ctes(k: int = _KM_K, rounds: int = _KM_ROUNDS, dim: int = _KM_DIM) -> list[str]:
+    """CTE chain unrolling ``rounds`` Lloyd iterations (assign +
+    fixed-point mean update each), ending in ``fin`` (per-vector final
+    assignment candidates with v, cid, cosine, rn; rn=1 is the chosen
+    cell) — the SQL twin of operators/kmeans.lloyd_kmeans's loop,
+    shared by the trainer oracle and the semantic-dedup oracle."""
     cos = _IVF_COS.format(a="v", b="cv")
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
@@ -485,23 +487,23 @@ def _km_oracle(k: int = _KM_K, rounds: int = _KM_ROUNDS, dim: int = _KM_DIM) -> 
         ]
     ctes.append(
         f"""fin AS (
-  SELECT vec_id, cid, {cos} AS cosine,
+  SELECT vec_id, v, cid, {cos} AS cosine,
     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY {cos} DESC, cid) AS rn
   FROM e CROSS JOIN c{rounds}
 )"""
     )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + """
+    return ctes
+
+
+_KM_ORACLE = (
+    "WITH "
+    + ",\n".join(_km_ctes())
+    + """
 SELECT vec_id, CAST(cid AS INT) AS cell_id, cosine,
        COUNT(*) OVER (PARTITION BY cid) AS cell_size
 FROM fin WHERE rn = 1
 """
-    )
-
-
-_KM_ORACLE = _km_oracle()
+)
 
 
 @register(
@@ -565,4 +567,65 @@ def window_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate",
         undec(F.sum(dec("o_totalprice")).over(w)).alias("trailing_7d_spend"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Semantic dedup: near-dup embedding pairs restricted to trained cells
+# ----------------------------------------------------------------------------
+
+_SEM_TAU = 0.4
+
+_SEM_ORACLE = (
+    "WITH "
+    + ",\n".join(_km_ctes())
+    + f""",
+cells AS (SELECT vec_id, v, cid FROM fin WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, CAST(a.cid AS INT) AS cell_id,
+    {_IVF_COS.format(a="a.v", b="b.v")} AS cosine
+  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, cell_id, cosine FROM pairs WHERE cosine >= {_SEM_TAU}
+"""
+)
+
+
+@register(
+    "dedup_semantic",
+    _SEM_ORACLE,
+    f"Embedding near-dup pairs (cosine >= {_SEM_TAU}) restricted to "
+    "k-means cells: the scale path for semantic dedup. Brute force "
+    "(embed_neardup_cosine) is O(n^2) over the corpus; here candidates "
+    "are generated ONLY within a vector's trained cell, so the shuffle "
+    "keys on cell_id and per-cell work is (n/k)^2 — the standard "
+    "cluster-then-compare recipe (SemDeDup). Recall trades against k; "
+    "the twin brute-force query measures that trade on the same data. "
+    "Cells come from the bit-deterministic Lloyd trainer, so both "
+    "engines search identical candidate sets.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.vectors import cosine_similarity
+    from data_lakehouse_platform_spark.operators.kmeans import lloyd_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assignments, _ = lloyd_kmeans(emb, k=_KM_K, rounds=_KM_ROUNDS)
+    pts = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).join(assignments.select("vec_id", "cell_id"), "vec_id")
+    a = pts.alias("a")
+    b = pts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            F.col("a.cell_id").alias("cell_id"),
+            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _SEM_TAU)
     )
