@@ -50,6 +50,11 @@ class PlanAudit:
 def audit_plan(df: DataFrame) -> PlanAudit:
     """Audit the executed (post-AQE-planning) physical plan of ``df``."""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # Post-execution AQE plans render "== Final Plan ==" followed by
+    # "== Initial Plan ==" — audit only the final section, or every
+    # node double-counts.
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
     # Spark abbreviates long plan fields with "...", so the filter list
     # may not have a closing bracket — capture up to it or the next field.
     pushed = tuple(
@@ -69,7 +74,10 @@ def audit_plan(df: DataFrame) -> PlanAudit:
         arrow_python_nodes=plan.count("ArrowEvalPython")
         + plan.count("FlatMapGroupsInPandas")
         + plan.count("MapInPandas"),
-        whole_stage_codegen_spans=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        whole_stage_codegen_spans=max(
+            len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+            len(set(re.findall(r"\*\((\d+)\)", plan))),  # executed-plan marker
+        ),
         pushed_filters=pushed,
         scans=plan.count("FileScan"),
         single_partition_exchanges=plan.count("Exchange SinglePartition"),
