@@ -146,3 +146,23 @@ def test_new_shape_plan_contracts(spark):
     aivf = audit_plan(registry["ann_ivf_topk"].build(spark, SF_DIR))
     assert aivf.cartesian_products == 0
     assert aivf.sort_merge_joins == 0
+
+
+def test_sql_surface_over_registered_views(spark):
+    """The engine is reachable as plain SQL: register_views + spark.sql
+    give the same answer as the DataFrame registry path."""
+    from data_lakehouse_platform_spark.catalog import register_views
+
+    register_views(spark, SF_DIR)
+    got = spark.sql(
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment"
+    ).collect()
+    want = (
+        load_table(spark, SF_DIR, "customer")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert {(r["c_mktsegment"], r["n"]) for r in got} == {
+        (r["c_mktsegment"], r["count"]) for r in want
+    }

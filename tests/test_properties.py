@@ -133,3 +133,34 @@ def test_portable_percentile_matches_order_statistic(spark, rows):
         ordered = [v for v, _ in sorted(vals)]
         expected = ordered[math.ceil(0.9 * len(ordered)) - 1]
         assert got[seg] == expected, seg
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_exclusive_prefix_sum_property(spark, weights):
+    """Distributed two-pass prefix sum == sequential model for any
+    weights, under md5 ordering (adversarial bucket distribution)."""
+    import hashlib
+
+    from data_lakehouse_platform_spark.operators.packing import exclusive_prefix_sum
+
+    rows = [
+        (i, hashlib.md5(f"w{i}".encode()).hexdigest(), w[0])
+        for i, w in enumerate(weights)
+    ]
+    df = spark.createDataFrame(rows, "id: long, okey: string, w: long")
+    got = {
+        r["id"]: r["off"]
+        for r in exclusive_prefix_sum(df, "okey", "w", out_col="off").collect()
+    }
+    run, want = 0, {}
+    for rid, _, w in sorted(rows, key=lambda r: r[1]):
+        want[rid] = run
+        run += w
+    assert got == want

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
 
 
@@ -70,3 +72,18 @@ def test_txn_id_commits_are_idempotent(spark, tmp_path):
     assert t.txn_committed("batch-0") and not t.txn_committed("batch-1")
     v2 = t.write_snapshot(df, operation="load", txn_id="batch-1")
     assert v2 == 2 and len(t.history()) == 2
+
+
+def test_snapshot_schema_evolution(spark, tmp_path):
+    """Each version carries its own schema: adding a column is just a
+    new commit, old versions still read with their original schema."""
+    from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    v1_df = spark.range(3).withColumnRenamed("id", "k")
+    t.write_snapshot(v1_df, operation="load")
+    v2_df = v1_df.withColumn("flag", F.lit("new"))
+    t.write_snapshot(v2_df, operation="evolve")
+    assert t.read(spark, version=1).columns == ["k"]
+    assert sorted(t.read(spark).columns) == ["flag", "k"]
+    assert t.read(spark).filter("flag = 'new'").count() == 3
