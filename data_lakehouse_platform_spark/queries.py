@@ -62,6 +62,7 @@ def all_queries() -> dict[str, Query]:
     from data_lakehouse_platform_spark import queries_tpch_deep  # noqa: F401
     from data_lakehouse_platform_spark import queries_analytics_ext  # noqa: F401
     from data_lakehouse_platform_spark import queries_curation_ext  # noqa: F401
+    from data_lakehouse_platform_spark import queries_events_ext  # noqa: F401
 
     return dict(_REGISTRY)
 
