@@ -233,3 +233,64 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_max", ignorenulls=True).over(w).alias("filled"),
         F.col("day_max").isNull().cast("int").alias("is_gap"),
     )
+
+
+# ----------------------------------------------------------------------------
+# Time-weighted average (irregular-series aggregate, exact fixed-point)
+# ----------------------------------------------------------------------------
+
+_TWA_ORACLE = """
+WITH seg AS (
+  SELECT user_id, value, ts,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events
+),
+w AS (
+  SELECT user_id,
+    CAST(FLOOR(value * 1000000) AS BIGINT)
+      * CAST(date_diff('second', ts, next_ts) AS BIGINT) AS wv,
+    CAST(date_diff('second', ts, next_ts) AS BIGINT) AS dt
+  FROM seg WHERE next_ts IS NOT NULL
+)
+SELECT user_id,
+  CAST(SUM(wv) AS DOUBLE) / (1000000.0 * SUM(dt)) AS time_weighted_avg,
+  SUM(dt) AS observed_seconds,
+  COUNT(*) AS n_segments
+FROM w
+GROUP BY user_id
+HAVING SUM(dt) > 0
+"""
+
+
+@register(
+    "time_weighted_avg",
+    _TWA_ORACLE,
+    "Time-weighted average for irregular series (the TimescaleDB "
+    "hypertable aggregate): each observation holds until the next one "
+    "(LEAD segmenting, unique event_id tiebreak), weight = fixed-point "
+    "value x whole-second duration in exact int64, one double division "
+    "at the end — so the float-summation order problem never exists. "
+    "One shuffle on user_id for the LEAD window, then a grouped sum.",
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.withColumn("next_ts", F.lead("ts").over(w)).filter(
+        F.col("next_ts").isNotNull()
+    )
+    dt = (
+        F.unix_timestamp("next_ts") - F.unix_timestamp("ts")
+    ).cast("bigint")
+    wv = F.floor(F.col("value") * 1_000_000).cast("bigint") * dt
+    return (
+        seg.select("user_id", wv.alias("wv"), dt.alias("dt"))
+        .groupBy("user_id")
+        .agg(
+            (F.sum("wv").cast("double") / (F.lit(1e6) * F.sum("dt"))).alias(
+                "time_weighted_avg"
+            ),
+            F.sum("dt").alias("observed_seconds"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .filter(F.col("observed_seconds") > 0)
+    )
