@@ -378,3 +378,63 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+# ----------------------------------------------------------------------------
+# Flagship v2: curation + packing end-to-end (one declarative plan)
+# ----------------------------------------------------------------------------
+
+
+def _curate_and_pack_oracle() -> str:
+    from data_lakehouse_platform_spark.queries_relational_ext import _CURATE_ORACLE
+
+    return f"""
+WITH curated AS (SELECT * FROM ({_CURATE_ORACLE}) q),
+t AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS okey
+  FROM curated
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY okey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(FLOOR(CAST(start_offset AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+FROM c
+"""
+
+
+@register(
+    "curate_and_pack",
+    _curate_and_pack_oracle(),
+    "The pretraining pipeline end-to-end in ONE declarative plan: "
+    "curation gates (exact-dedup keeper, language, quality, length — "
+    "curate_corpus's predicate) feed straight into deterministic "
+    "sequence packing (md5 order, exact distributed prefix sum, "
+    f"{_PACK_BUDGET}-token bins). Catalyst fuses the gates into the "
+    "scan, so the only materialized rows between 'raw corpus' and "
+    "'training batches' are the survivors — the composition property "
+    "that makes a declarative engine beat stitched-together scripts at "
+    "100 TB.",
+)
+def curate_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.queries_relational_ext import curate_corpus
+
+    curated = curate_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("okey"),
+    )
+    packed = exclusive_prefix_sum(
+        curated, order_col="okey", weight_col="n_tokens", out_col="start_offset"
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / _PACK_BUDGET).cast("bigint").alias("bin_id"),
+    )
