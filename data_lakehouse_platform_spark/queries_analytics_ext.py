@@ -629,3 +629,45 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= _SEM_TAU)
     )
+
+
+# ----------------------------------------------------------------------------
+# NTILE decile segmentation (BI bucketing)
+# ----------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS DOUBLE)
+      / 1000000 AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, n_orders, total_spend,
+  NTILE(10) OVER (ORDER BY total_spend DESC, o_custkey) AS spend_decile
+FROM spend
+"""
+
+
+@register(
+    "ntile_customer_deciles",
+    _NTILE_ORACLE,
+    "Customer spend deciles: grouped decimal-exact spend, then "
+    "NTILE(10) with a unique key tiebreaker so both engines cut "
+    "identical bucket boundaries. The segmentation primitive behind "
+    "'top-10%% customers' BI slices; the global NTILE is the one "
+    "deliberate single-partition window (output is one row per "
+    "customer aggregate, already reduced).",
+)
+def ntile_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.money import dec, undec
+
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            undec(F.sum(dec("o_totalprice"))).alias("total_spend"),
+        )
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
+    return spend.withColumn("spend_decile", F.ntile(10).over(w))

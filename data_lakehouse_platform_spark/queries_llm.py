@@ -726,3 +726,64 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token_bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("__nt").alias("total_tokens"))
     )
+
+
+_EDIT_RATIO_MAX = 0.4
+
+
+def _levenshtein_oracle() -> str:
+    return f"""
+WITH {_minhash_ctes()},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+  levenshtein(da.text, db.text) AS edit_distance,
+  CAST(levenshtein(da.text, db.text) AS DOUBLE)
+    / GREATEST(length(da.text), length(db.text)) AS edit_ratio,
+  CAST(CAST(levenshtein(da.text, db.text) AS DOUBLE)
+    / GREATEST(length(da.text), length(db.text)) <= {_EDIT_RATIO_MAX} AS INT)
+    AS is_verified_dup
+FROM pairs p
+JOIN documents da ON p.doc_a = da.doc_id
+JOIN documents db ON p.doc_b = db.doc_id
+"""
+
+
+@register(
+    "dedup_verify_editdist",
+    _levenshtein_oracle(),
+    "The verify stage of the two-phase dedup pipeline: LSH candidate "
+    "pairs (cheap, approximate) re-checked with exact Levenshtein edit "
+    "distance, flagged dup when distance/max-length <= "
+    f"{_EDIT_RATIO_MAX}. Candidate generation bounds the O(len^2) "
+    "edit-distance work to near-dup pairs only — the standard "
+    "generate-then-verify recipe; the integer metric keeps both "
+    "engines bit-agreed. Text bodies join onto the narrow pair list "
+    "(pairs << corpus), never the reverse.",
+)
+def dedup_verify_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = T.explode_shingles(docs, "doc_id", "text", k=3, distinct=False)
+    sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
+    pairs = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS).select(
+        "doc_a", "doc_b"
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
+    dist = F.levenshtein("__ta", "__tb")
+    ratio = dist.cast("double") / F.greatest(F.length("__ta"), F.length("__tb"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_distance"),
+            ratio.alias("edit_ratio"),
+            (ratio <= _EDIT_RATIO_MAX).cast("int").alias("is_verified_dup"),
+        )
+    )
