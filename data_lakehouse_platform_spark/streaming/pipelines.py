@@ -56,6 +56,29 @@ def windowed_event_counts_stream(
     )
 
 
+def sliding_event_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding (hopping) window counts: each event lands in
+    window/slide overlapping windows — the smoothed-rate view tumbling
+    windows can't give. State stays bounded by the watermark exactly
+    as in the tumbling case; cost scales with the overlap factor."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def session_window_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -283,3 +283,47 @@ def test_upsert_stream_to_snapshot(spark, tmp_path):
     # time travel: version 1 predates the updates
     v1 = {r["event_id"]: r["value"] for r in table.read(spark, version=1).collect()}
     assert v1 == {1: 11.0, 2: 12.0, 3: 13.0, 4: 14.0}
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    """Sliding windows drained via availableNow equal the batch-mode
+    sliding-window aggregation on the same rows (overlap factor 2)."""
+    from data_lakehouse_platform_spark.streaming.pipelines import (
+        read_event_stream,
+        sliding_event_counts_stream,
+        write_stream_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T00:{m:02d}:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"}
+        for i, m in enumerate([5, 20, 35, 50])
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    sentinel = {"event_id": 99, "ts": "2024-01-01T09:00:00", "user_id": 1,
+                "event_type": "flush", "value": 0.0, "props": "{}"}
+    (src / "b.json").write_text(json.dumps(sentinel))
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    agg = sliding_event_counts_stream(stream, window="30 minutes", slide="15 minutes")
+    out = str(tmp_path / "out")
+    q = write_stream_parquet(agg, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"].isoformat(), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+        if r["event_type"] == "click"
+    }
+    batch = (
+        spark.createDataFrame([(r["event_id"], r["ts"], r["event_type"]) for r in rows],
+                              "event_id: long, ts: string, event_type: string")
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        .groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type")
+        .count()
+        .collect()
+    )
+    want = {(r["w"]["start"].isoformat(), r["event_type"]): r["count"] for r in batch}
+    assert got == want and got
