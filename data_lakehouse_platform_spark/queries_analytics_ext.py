@@ -671,3 +671,52 @@ def ntile_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
     return spend.withColumn("spend_decile", F.ntile(10).over(w))
+
+
+# ----------------------------------------------------------------------------
+# Arbitrary GROUPING SETS (beyond ROLLUP/CUBE's fixed lattices)
+# ----------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS DOUBLE)
+    / 1000000 AS total_spend,
+  GROUPING(o_orderstatus) AS g_status,
+  GROUPING(o_orderpriority) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register(
+    "grouping_sets_orders",
+    _GSETS_ORACLE,
+    "Arbitrary GROUPING SETS — the hand-picked lattice ((status, "
+    "priority), (status), ()) that ROLLUP/CUBE cannot express when the "
+    "wanted slices aren't a prefix chain or full powerset. Spark 4's "
+    "native DataFrame.groupingSets API; GROUPING() flags disambiguate "
+    "real NULLs from subtotal rows. Still one shuffle — Spark expands "
+    "sets map-side exactly like rollup_sales/cube_sales.",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.money import dec, undec
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [
+                [F.col("o_orderstatus"), F.col("o_orderpriority")],
+                [F.col("o_orderstatus")],
+                [],
+            ],
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            undec(F.sum(dec("o_totalprice"))).alias("total_spend"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        )
+    )
