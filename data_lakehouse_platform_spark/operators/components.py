@@ -81,3 +81,53 @@ def connected_components(
             break
         prev = cur
     return labels.select("node", F.col("label").alias("component"))
+
+
+_PR_SCALE = 1_000_000_000_000  # 1e12: rank unit in exact int64
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank on an undirected graph in EXACT fixed-point arithmetic:
+    ranks are int64 multiples of 1e-12, contributions divide by degree
+    with integer division, damping is (x * pct) // 100 — so every
+    round is bit-deterministic under any partitioning (same property
+    as kmeans's fixed-point means), and the result is oracle-checkable.
+
+    Per round: one join of the rank vector against the edge list
+    (shuffle keyed on node id) + one grouped sum — the standard
+    scalable PageRank shape; the symmetric edge list has no dangling
+    nodes, so no global mass-correction term is needed. Returns
+    (node, rank_scaled, rank).
+    """
+    sym = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    base = int(_PR_SCALE * (100 - damping_pct) // 100)
+    ranks = deg.select("node", F.lit(_PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(rounds):
+        contrib = (
+            ranks.join(deg, "node")
+            .join(sym, "node")
+            .select(F.col("nbr").alias("node"), F.expr("r div deg").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.expr(f"(sum(c) * {damping_pct}) div 100").alias("__s"))
+            .select("node", (F.lit(base) + F.col("__s")).cast("bigint").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / _PR_SCALE).alias("rank"),
+    )

@@ -787,3 +787,74 @@ def dedup_verify_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio <= _EDIT_RATIO_MAX).cast("int").alias("is_verified_dup"),
         )
     )
+
+
+_PR_SCALE = 1_000_000_000_000
+_PR_DAMP = 85
+_PR_BASE = _PR_SCALE * (100 - _PR_DAMP) // 100
+
+
+def _pagerank_oracle(rounds: int = 2) -> str:
+    ctes = [
+        _minhash_ctes().lstrip(),
+        """pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)""",
+        """sym AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION
+  SELECT doc_b AS node, doc_a AS nbr FROM pairs
+)""",
+        "deg AS (SELECT node, COUNT(*) AS deg FROM sym GROUP BY node)",
+        f"r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes += [
+            f"""c{i} AS (
+  SELECT s.nbr AS node, r.r // d.deg AS c
+  FROM r{i - 1} r JOIN deg d ON r.node = d.node JOIN sym s ON r.node = s.node
+)""",
+            f"""r{i} AS (
+  SELECT node, CAST({_PR_BASE} + (SUM(c) * {_PR_DAMP}) // 100 AS BIGINT) AS r
+  FROM c{i} GROUP BY node
+)""",
+        ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS doc_id, r AS rank_scaled,
+       CAST(r AS DOUBLE) / {_PR_SCALE} AS rank
+FROM r{rounds}
+"""
+    )
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(2),
+    "PageRank (2 rounds, damping 0.85) over the near-dup similarity "
+    "graph in EXACT int64 fixed point (rank units of 1e-12, integer "
+    "division everywhere) — the canonical-document signal: the highest "
+    "rank in a dup cluster is its best exemplar. Iterative float "
+    "algorithms become oracle-checkable under this discipline (same as "
+    "the k-means trainer); each round is one edge-list join + grouped "
+    "sum keyed on node id, the textbook scalable PageRank shape.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.components import pagerank_fixed
+
+    sh = T.explode_shingles(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, distinct=False
+    )
+    sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
+    pairs = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
+    pr = pagerank_fixed(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        rounds=2,
+        damping_pct=_PR_DAMP,
+    )
+    return pr.select(F.col("node").alias("doc_id"), "rank_scaled", "rank")
