@@ -76,3 +76,31 @@ def test_dedup_cluster_keeper_invariants(spark):
         assert r["cluster_id"] <= r["doc_id"]
     keepers = Counter(r["cluster_id"] for r in rows if r["is_keeper"])
     assert set(keepers) == set(by_cluster) and all(v == 1 for v in keepers.values())
+
+
+def test_pagerank_fixed_matches_python_model(spark):
+    """Fixed-point PageRank vs an integer-arithmetic python model on a
+    small graph (star + chain): bit-equality after 3 rounds."""
+    from data_lakehouse_platform_spark.operators.components import pagerank_fixed
+
+    edges = [(1, 2), (1, 3), (1, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank_fixed(df, rounds=3).collect()}
+
+    SCALE, DAMP = 10**12, 85
+    base = SCALE * (100 - DAMP) // 100
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    r = {n: SCALE for n in sym}
+    for _ in range(3):
+        contrib = {n: 0 for n in sym}
+        for n, nbrs in sym.items():
+            c = r[n] // len(nbrs)
+            for m in nbrs:
+                contrib[m] += c
+        r = {n: base + (contrib[n] * DAMP) // 100 for n in sym}
+    assert got == r
+    # hub out-ranks leaves
+    assert got[1] == max(got.values())
