@@ -1,0 +1,101 @@
+"""Minimal dependency-ordered pipeline runner — the engine-side analog
+of the reference's Airflow DAGs (reference: `airflow/dags/*` chain
+bronze -> silver -> gold -> validation as task dependencies; the
+engine keeps orchestration thin because the heavy lifting is one
+declarative Spark plan per task).
+
+Semantics:
+* topological execution of a task DAG (deterministic order: ready
+  tasks run in name order — reruns produce identical logs);
+* **idempotent skip**: a task with a `done_marker` that already exists
+  is skipped (the reference gets this from Airflow task state; here it
+  is a filesystem marker so reruns after a crash resume, not redo);
+* fail-fast with downstream cancellation: a failed task marks every
+  transitive dependent SKIPPED_UPSTREAM, everything independent still
+  runs — the partial-progress behavior you want for a nightly load;
+* a status table (task, state, seconds) comes back as a DataFrame so
+  run history can land in the lakehouse like any other table.
+
+This is NOT a scheduler: no cron, no retries-with-backoff, no
+executors. At deploy scale those belong to Airflow/dbt — the point
+here is that pipeline structure (deps, idempotence, partial progress)
+lives with the engine and stays testable without one.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Task:
+    name: str
+    fn: Callable[[], None]
+    deps: list[str] = field(default_factory=list)
+    done_marker: str | None = None
+
+
+class PipelineRunner:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tasks: dict[str, Task] = {}
+
+    def add(
+        self,
+        name: str,
+        fn: Callable[[], None],
+        deps: list[str] | None = None,
+        done_marker: str | None = None,
+    ) -> "PipelineRunner":
+        if name in self.tasks:
+            raise ValueError(f"duplicate task {name}")
+        self.tasks[name] = Task(name, fn, list(deps or []), done_marker)
+        return self
+
+    def run(self) -> DataFrame:
+        """Execute the DAG; returns the status table (task, state,
+        seconds). States: OK, SKIPPED_DONE, FAILED, SKIPPED_UPSTREAM."""
+        for t in self.tasks.values():
+            for d in t.deps:
+                if d not in self.tasks:
+                    raise ValueError(f"{t.name} depends on unknown task {d}")
+        state: dict[str, str] = {}
+        seconds: dict[str, float] = {}
+        remaining = dict(self.tasks)
+        while remaining:
+            ready = sorted(
+                n
+                for n, t in remaining.items()
+                if all(d not in remaining for d in t.deps)
+            )
+            if not ready:
+                raise ValueError(f"dependency cycle among {sorted(remaining)}")
+            for name in ready:
+                t = remaining.pop(name)
+                bad = [d for d in t.deps if state[d] not in ("OK", "SKIPPED_DONE")]
+                if bad:
+                    state[name], seconds[name] = "SKIPPED_UPSTREAM", 0.0
+                    continue
+                if t.done_marker and os.path.exists(t.done_marker):
+                    state[name], seconds[name] = "SKIPPED_DONE", 0.0
+                    continue
+                t0 = time.perf_counter()
+                try:
+                    t.fn()
+                    if t.done_marker:
+                        os.makedirs(os.path.dirname(t.done_marker), exist_ok=True)
+                        with open(t.done_marker, "w") as fh:
+                            fh.write("done")
+                    state[name] = "OK"
+                except Exception:
+                    state[name] = "FAILED"
+                seconds[name] = round(time.perf_counter() - t0, 3)
+        return self.spark.createDataFrame(
+            [(n, state[n], seconds[n]) for n in sorted(self.tasks)],
+            "task: string, state: string, seconds: double",
+        )

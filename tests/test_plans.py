@@ -166,3 +166,50 @@ def test_sql_surface_over_registered_views(spark):
     assert {(r["c_mktsegment"], r["n"]) for r in got} == {
         (r["c_mktsegment"], r["count"]) for r in want
     }
+
+
+def test_pipeline_runner_dag_semantics(spark, tmp_path):
+    """Topological order, idempotent done-markers, fail-fast with
+    downstream cancellation, independent branches unaffected."""
+    from data_lakehouse_platform_spark.plans.runner import PipelineRunner
+
+    ran = []
+    marker = str(tmp_path / "markers" / "bronze.done")
+
+    def mk(name, fail=False):
+        def fn():
+            ran.append(name)
+            if fail:
+                raise RuntimeError(name)
+        return fn
+
+    r = (
+        PipelineRunner(spark)
+        .add("bronze", mk("bronze"), done_marker=marker)
+        .add("silver", mk("silver", fail=True), deps=["bronze"])
+        .add("gold", mk("gold"), deps=["silver"])
+        .add("validate", mk("validate"), deps=["gold"])
+        .add("independent", mk("independent"))
+    )
+    st = {row["task"]: row["state"] for row in r.run().collect()}
+    assert st == {
+        "bronze": "OK", "silver": "FAILED", "gold": "SKIPPED_UPSTREAM",
+        "validate": "SKIPPED_UPSTREAM", "independent": "OK",
+    }
+    assert ran.index("bronze") < ran.index("silver") and "gold" not in ran
+
+    # rerun: bronze skips via its marker, silver retries (and fails again)
+    ran.clear()
+    r2 = (
+        PipelineRunner(spark)
+        .add("bronze", mk("bronze"), done_marker=marker)
+        .add("silver", mk("silver", fail=True), deps=["bronze"])
+    )
+    st2 = {row["task"]: row["state"] for row in r2.run().collect()}
+    assert st2["bronze"] == "SKIPPED_DONE" and ran == ["silver"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cycle"):
+        PipelineRunner(spark).add("a", mk("a"), deps=["b"]).add(
+            "b", mk("b"), deps=["a"]
+        ).run()
