@@ -648,3 +648,78 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_nulls, n_distinct, min_value, max_value)"
         ),
     ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+# ----------------------------------------------------------------------------
+# DQ anomaly detection: daily volume z-scores from exact integer moments
+# ----------------------------------------------------------------------------
+
+_ANOM_Z = 2.0
+
+_ANOM_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+mo AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(cnt) AS s1, SUM(cnt * cnt) AS s2
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.cnt,
+  CAST(s1 AS DOUBLE) / n AS mean_cnt,
+  CASE WHEN n * s2 > s1 * s1 THEN
+    (d.cnt - CAST(s1 AS DOUBLE) / n)
+      / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) / (CAST(n AS DOUBLE) * n))
+  END AS z_score,
+  CAST(CASE WHEN n * s2 > s1 * s1 THEN
+    ABS((d.cnt - CAST(s1 AS DOUBLE) / n)
+      / sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) / (CAST(n AS DOUBLE) * n)))
+      > {_ANOM_Z}
+  ELSE FALSE END AS INT) AS is_anomaly
+FROM daily d JOIN mo USING (event_type)
+"""
+
+
+@register(
+    "dq_volume_anomaly",
+    _ANOM_ORACLE,
+    "DQ anomaly detection: per event type, each day's volume z-scored "
+    "against the series (population stddev). The moments are EXACT "
+    "integer sums (counts and squared counts in int64) — variance and "
+    "z come from two double divisions and one sqrt at the end, so the "
+    "float-summation order problem never exists and both engines agree "
+    "bit-for-bit. Two tiny shuffles (day grid, then per-type moments "
+    "broadcast back). The volume-drop alarm every ingest pipeline "
+    "needs (reference: bronze_validation row-count checks generalized).",
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    mo = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var_ok = F.col("n") * F.col("s2") > F.col("s1") * F.col("s1")
+    std = F.sqrt(
+        (F.col("n").cast("double") * F.col("s2") - F.col("s1").cast("double") * F.col("s1"))
+        / (F.col("n").cast("double") * F.col("n"))
+    )
+    z = (F.col("cnt") - mean) / std
+    return (
+        daily.join(F.broadcast(mo), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            mean.alias("mean_cnt"),
+            F.when(var_ok, z).alias("z_score"),
+            F.when(var_ok, (F.abs(z) > _ANOM_Z)).otherwise(F.lit(False))
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+    )
