@@ -294,3 +294,83 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("observed_seconds") > 0)
     )
+
+
+# ----------------------------------------------------------------------------
+# Market-basket co-occurrence (association mining, exact counts)
+# ----------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 3
+
+_BASKET_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+part_n AS (SELECT l_partkey, COUNT(*) AS n_orders FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_together
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+)
+SELECT part_a, part_b, n_together,
+  pa.n_orders AS n_orders_a, pb.n_orders AS n_orders_b,
+  CAST(n_together AS DOUBLE) / pa.n_orders AS confidence_a_to_b
+FROM pairs
+JOIN part_n pa ON part_a = pa.l_partkey
+JOIN part_n pb ON part_b = pb.l_partkey
+"""
+
+
+@register(
+    "market_basket_pairs",
+    _BASKET_ORACLE,
+    f"Market-basket association pairs: parts co-occurring in >= "
+    f"{_BASKET_MIN_SUPPORT} orders, with per-part order counts and "
+    "confidence(A->B) as an exact count ratio. The self-join is keyed "
+    "on the ORDER (baskets are small — pair fan-out is bounded by "
+    "items-per-basket squared, never corpus-squared), then pair counts "
+    "shuffle with map-side combine. The recommendation-mining query "
+    "behind the reference's product-suggestion flow "
+    "(check_and_recommend_consumer.py picks co-orderable products).",
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    part_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .filter(F.col("n_together") >= _BASKET_MIN_SUPPORT)
+    )
+    pa = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_orders_a")
+    )
+    pb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_orders_b")
+    )
+    return (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            "n_orders_a",
+            "n_orders_b",
+            (F.col("n_together").cast("double") / F.col("n_orders_a")).alias(
+                "confidence_a_to_b"
+            ),
+        )
+    )
