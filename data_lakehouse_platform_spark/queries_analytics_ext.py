@@ -720,3 +720,86 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
         )
     )
+
+
+# ----------------------------------------------------------------------------
+# Robust stats: exact median absolute deviation per segment
+# ----------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH j AS (
+  SELECT c_mktsegment AS segment, o_totalprice, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+r1 AS (
+  SELECT segment, o_totalprice, o_orderkey,
+    ROW_NUMBER() OVER (PARTITION BY segment ORDER BY o_totalprice, o_orderkey) AS rn,
+    COUNT(*) OVER (PARTITION BY segment) AS n
+  FROM j
+),
+med AS (
+  SELECT segment,
+    MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN o_totalprice END) AS median_price,
+    MAX(n) AS n_orders
+  FROM r1 GROUP BY segment
+),
+dev AS (
+  SELECT r1.segment, ABS(r1.o_totalprice - med.median_price) AS d, r1.o_orderkey
+  FROM r1 JOIN med ON r1.segment = med.segment
+),
+r2 AS (
+  SELECT segment, d,
+    ROW_NUMBER() OVER (PARTITION BY segment ORDER BY d, o_orderkey) AS rn,
+    COUNT(*) OVER (PARTITION BY segment) AS n
+  FROM dev
+)
+SELECT m.segment, m.median_price, m.n_orders,
+  MAX(CASE WHEN r2.rn = CAST(CEIL(0.5 * r2.n) AS BIGINT) THEN r2.d END) AS mad
+FROM r2 JOIN med m ON r2.segment = m.segment
+GROUP BY m.segment, m.median_price, m.n_orders
+"""
+
+
+@register(
+    "mad_order_values",
+    _MAD_ORACLE,
+    "Robust dispersion per segment: exact discrete median, then exact "
+    "median of absolute deviations — two rank-window layers, both with "
+    "unique tiebreakers and no interpolation, so the outlier-resistant "
+    "alternative to stddev stays engine-portable (same discipline as "
+    "quantile_order_values). Two shuffles on the segment key; the "
+    "robust-threshold input for price/latency outlier gates.",
+)
+def mad_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(F.col("c_mktsegment").alias("segment"), "o_totalprice", "o_orderkey")
+
+    def discrete_median(df, val_col, out_name):
+        w = Window.partitionBy("segment").orderBy(val_col, "o_orderkey")
+        wc = Window.partitionBy("segment")
+        r = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__n", F.count(F.lit(1)).over(wc)
+        )
+        return r.groupBy("segment").agg(
+            F.max(
+                F.when(
+                    F.col("__rn") == F.ceil(0.5 * F.col("__n")).cast("bigint"),
+                    F.col(val_col),
+                )
+            ).alias(out_name),
+            F.max("__n").alias(f"__n_{out_name}"),
+        )
+
+    med = discrete_median(j, "o_totalprice", "median_price").withColumnRenamed(
+        "__n_median_price", "n_orders"
+    )
+    dev = j.join(med.select("segment", "median_price"), "segment").select(
+        "segment",
+        F.abs(F.col("o_totalprice") - F.col("median_price")).alias("d"),
+        "o_orderkey",
+    )
+    mad = discrete_median(dev, "d", "mad").select("segment", "mad")
+    return med.join(mad, "segment").select("segment", "median_price", "n_orders", "mad")
