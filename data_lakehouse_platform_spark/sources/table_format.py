@@ -152,6 +152,55 @@ class SnapshotTable:
         self._commit(next_v, old.data_dir, f"rollback(to={to_version})", old.row_count)
         return next_v
 
+    def write_snapshot_clustered(
+        self,
+        df: DataFrame,
+        cluster_col: str,
+        n_files: int = 8,
+        operation: str = "write-clustered",
+        txn_id: str | None = None,
+    ) -> int:
+        """Commit a version laid out range-clustered on ``cluster_col``
+        (each file owns a contiguous value slice) so `read_pruned` can
+        skip files from footer stats alone — Delta's OPTIMIZE-then-
+        data-skipping flow as one commit."""
+        if txn_id is not None:
+            for s in self.history():
+                if s.txn_id == txn_id:
+                    return s.version
+        from data_lakehouse_platform_spark.sources.clustering import write_clustered
+
+        next_v = (self.latest_version() or 0) + 1 if self._versions() else 1
+        rel_dir = f"v={next_v}"
+        out = os.path.join(self.data_root, rel_dir)
+        write_clustered(df, out, cluster_col, n_files=n_files)
+        n = df.sparkSession.read.parquet(out).count()
+        self._commit(next_v, rel_dir, operation, n, txn_id=txn_id)
+        return next_v
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        column: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Filtered read of a snapshot that consults per-file footer
+        stats first (sources/clustering.py) — on a clustered commit a
+        selective predicate opens a handful of files instead of the
+        whole version directory. Conservative: files without stats are
+        scanned. Composes with time travel via ``version``."""
+        from data_lakehouse_platform_spark.sources.clustering import read_pruned
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        snap = self._manifest(v)
+        return read_pruned(
+            spark, os.path.join(self.data_root, snap.data_dir), column, lo, hi
+        )
+
     def history(self) -> list[Snapshot]:
         return [self._manifest(v) for v in self._versions()]
 

@@ -87,3 +87,39 @@ def test_snapshot_schema_evolution(spark, tmp_path):
     assert t.read(spark, version=1).columns == ["k"]
     assert sorted(t.read(spark).columns) == ["flag", "k"]
     assert t.read(spark).filter("flag = 'new'").count() == 3
+
+
+def test_clustered_snapshot_pruned_read(spark, tmp_path):
+    """Clustered commit + footer-stats pruned read: exact filter
+    results from a strict subset of the version's files; time travel
+    still sees the earlier unclustered commit."""
+    from data_lakehouse_platform_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    orders = load_table(spark, SF_DIR, "orders")
+    t.write_snapshot(orders.limit(10), operation="seed")
+    v2 = t.write_snapshot_clustered(orders, "o_totalprice", n_files=8)
+    assert v2 == 2
+
+    lo, hi = 1000.0, 5000.0
+    pruned = t.read_pruned(spark, "o_totalprice", lo, hi)
+    want = sorted(
+        r["o_orderkey"]
+        for r in orders.filter(F.col("o_totalprice").between(lo, hi)).collect()
+    )
+    assert sorted(r["o_orderkey"] for r in pruned.collect()) == want
+    files_touched = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert 0 < len(files_touched) < 8
+    # time travel unaffected
+    assert t.read(spark, version=1).count() == 10
+    # idempotent clustered commit via txn id
+    v_replay = t.write_snapshot_clustered(
+        orders, "o_totalprice", n_files=8, txn_id="c1"
+    )
+    v_replay2 = t.write_snapshot_clustered(
+        orders, "o_totalprice", n_files=8, txn_id="c1"
+    )
+    assert v_replay == 3 and v_replay2 == 3
