@@ -1,0 +1,73 @@
+"""User-facing facade — the one import a user of the reference
+platform needs to switch over:
+
+    from data_lakehouse_platform_spark.engine import Lakehouse
+
+    lh = Lakehouse(sf_dir="/root/testdata/sf0.01")
+    lh.table("orders")                      # DataFrame
+    lh.sql("SELECT COUNT(*) FROM lineitem") # SQL over registered views
+    lh.query("q1_pricing_summary")          # any registry operator
+    lh.medallion("/data/lake")              # bronze->silver->gold builder
+    lh.snapshot("/data/gold/dim_products")  # versioned table handle
+    lh.runner()                             # dependency-ordered job DAG
+
+Everything underneath is plain Spark — the facade only wires the
+session factory, catalog, registry, and lakehouse primitives
+together; no state beyond the SparkSession.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_lakehouse_platform_spark.catalog import load_table, register_views
+from data_lakehouse_platform_spark.queries import all_queries
+from data_lakehouse_platform_spark.session import get_spark
+
+
+class Lakehouse:
+    def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
+        self.spark = spark or get_spark()
+        self.sf_dir = sf_dir
+        self._views_registered = False
+
+    # -- data access ----------------------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self._dir(), name)
+
+    def sql(self, query: str) -> DataFrame:
+        if not self._views_registered:
+            register_views(self.spark, self._dir())
+            self._views_registered = True
+        return self.spark.sql(query)
+
+    # -- operator registry ----------------------------------------------
+
+    def query(self, name: str) -> DataFrame:
+        return all_queries()[name].build(self.spark, self._dir())
+
+    def query_names(self) -> list[str]:
+        return sorted(all_queries())
+
+    # -- lakehouse primitives -------------------------------------------
+
+    def medallion(self, base_dir: str):
+        from data_lakehouse_platform_spark.plans import MedallionPipeline
+
+        return MedallionPipeline(self.spark, base_dir)
+
+    def snapshot(self, path: str):
+        from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
+
+        return SnapshotTable(path)
+
+    def runner(self):
+        from data_lakehouse_platform_spark.plans.runner import PipelineRunner
+
+        return PipelineRunner(self.spark)
+
+    def _dir(self) -> str:
+        if self.sf_dir is None:
+            raise ValueError("Lakehouse(sf_dir=...) required for table access")
+        return self.sf_dir

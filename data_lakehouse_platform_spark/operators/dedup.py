@@ -154,9 +154,19 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join: pairs sharing >=1 band key.
-    Output: (doc_a, doc_b, n_shared_bands)."""
+    Output: (doc_a, doc_b, n_shared_bands).
+
+    ``max_bucket`` is the hot-bucket safety valve for corpus scale: a
+    bucket holding B docs emits B^2/2 pairs, so 10k byte-identical
+    boilerplate docs in one bucket mean 5*10^7 pairs from a single
+    reducer. Buckets larger than the cap are dropped from PAIR
+    generation — their members are, by construction, near-identical
+    crowds that exact dedup (dedup_exact) already collapses more
+    cheaply; SURVEY §4 documents the contract. None (default)
+    preserves exact pair semantics for the oracle-checked queries."""
     rows_per_band = n_hashes // bands
     stack_args = []
     for b in range(bands):
@@ -166,6 +176,14 @@ def lsh_candidate_pairs(
         id_col,
         F.expr(f"stack({bands}, {', '.join(stack_args)}) as (band, bkey)"),
     ).select(id_col, "band", "bkey")
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("band", "bkey")
+        )
+        banded = banded.join(small, ["band", "bkey"])
 
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "bkey")
     b2 = banded.select(F.col(id_col).alias("doc_b"), "band", "bkey")

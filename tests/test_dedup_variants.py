@@ -104,3 +104,22 @@ def test_pagerank_fixed_matches_python_model(spark):
     assert got == r
     # hub out-ranks leaves
     assert got[1] == max(got.values())
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket drops pair generation from oversized buckets (the
+    identical-boilerplate blowup) while leaving small buckets intact."""
+    from data_lakehouse_platform_spark.operators import dedup as D
+    from data_lakehouse_platform_spark.operators import text as T
+
+    rows = [(i, "same same same same text body here") for i in range(20)]
+    rows += [(100, "unique words apple banana cherry date"),
+             (101, "unique words apple banana cherry date")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sh = T.explode_shingles(docs, "doc_id", "text", k=3, distinct=False)
+    sigs = D.minhash_signatures(sh, n_hashes=8)
+    uncapped = D.lsh_candidate_pairs(sigs, n_hashes=8, bands=2).collect()
+    capped = D.lsh_candidate_pairs(sigs, n_hashes=8, bands=2, max_bucket=5).collect()
+    assert len(uncapped) >= 20 * 19 // 2  # identical crowd blows up
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert capped_pairs == {(100, 101)}  # crowd suppressed, real pair kept

@@ -213,3 +213,16 @@ def test_pipeline_runner_dag_semantics(spark, tmp_path):
         PipelineRunner(spark).add("a", mk("a"), deps=["b"]).add(
             "b", mk("b"), deps=["a"]
         ).run()
+
+
+def test_lakehouse_facade(spark, tmp_path):
+    from data_lakehouse_platform_spark.engine import Lakehouse
+
+    lh = Lakehouse(spark=spark, sf_dir=SF_DIR)
+    assert lh.table("orders").count() > 0
+    assert lh.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"] > 0
+    assert "revenue" in lh.query("q6_forecast_revenue").columns
+    assert "dedup_minhash_lsh" in lh.query_names()
+    t = lh.snapshot(str(tmp_path / "t"))
+    t.write_snapshot(lh.table("region"))
+    assert t.read(spark).count() == lh.table("region").count()
