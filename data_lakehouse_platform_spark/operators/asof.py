@@ -32,15 +32,30 @@ def asof_join(
     by: str | list[str],
     value_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.on <= left.on`` within the same ``by`` group (backward
-    inclusive, like ``pandas.merge_asof``).
+    """For each left row, attach the nearest right row within the same
+    ``by`` group (like ``pandas.merge_asof``):
+
+    * ``direction="backward"`` (default): latest right row with
+      ``right.on <= left.on`` (inclusive);
+    * ``direction="forward"``: earliest right row with
+      ``right.on >= left.on`` (inclusive).
+
+    ``tolerance``: maximum allowed |left.on - right.on| for a match —
+    in MICROSECONDS when ``on`` is a timestamp column, else in the
+    column's own numeric units. Out-of-tolerance matches are nulled
+    (the left row survives, pandas-style). When set, the matched right
+    time is also exposed as ``{on}{suffix}``.
 
     ``value_cols``: right columns to carry (default: all non-key,
     non-time columns). Ties on the time column prefer the right row
-    (inclusive match).
+    (inclusive match). Either direction costs the same single
+    union-shuffle-sort; tolerance adds only a per-row comparison.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by_cols = [by] if isinstance(by, str) else list(by)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in {*by_cols, on}]
@@ -50,9 +65,13 @@ def asof_join(
     left_cols = [c for c in left.columns]
     # Align schemas: left rows carry nulls for the right's values;
     # right rows carry nulls for the left's payload.
+    on_type = right.schema[on].dataType
+    r_on = f"{on}{suffix}"
+
     l_tagged = left.select(
         *[F.col(c) for c in left_cols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(a) for c, a in zip(value_cols, carried)],
+        F.lit(None).cast(on_type).alias(r_on),
         F.lit(1).alias("__side"),
     )
     r_tagged = right.select(
@@ -61,18 +80,39 @@ def asof_join(
             for c in left_cols
         ],
         *[F.col(c).alias(a) for c, a in zip(value_cols, carried)],
+        F.col(on).alias(r_on),
         F.lit(0).alias("__side"),
     )
 
     unioned = l_tagged.unionByName(r_tagged)
+    on_ordered = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(*by_cols)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .orderBy(on_ordered, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         *left_cols,
         *[F.last(a, ignorenulls=True).over(w).alias(a) for a in carried],
+        F.last(r_on, ignorenulls=True).over(w).alias(r_on),
         "__side",
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+
+    if tolerance is not None:
+        # Exact integer time axis: micros for timestamps, else the
+        # column's own units — no float rounding in the gate.
+        def _axis(c: str) -> F.Column:
+            col = F.col(c)
+            return F.unix_micros(col) if on_type.typeName().startswith("timestamp") else col.cast("long")
+
+        diff = (_axis(on) - _axis(r_on)) if direction == "backward" else (_axis(r_on) - _axis(on))
+        ok = F.col(r_on).isNotNull() & (diff <= F.lit(tolerance))
+        out = out.select(
+            *left_cols,
+            *[F.when(ok, F.col(a)).alias(a) for a in carried],
+            F.when(ok, F.col(r_on)).alias(r_on),
+        )
+    else:
+        out = out.drop(r_on)
+    return out

@@ -84,6 +84,52 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_df: int = 100,
+) -> DataFrame:
+    """Near-dup pairs by shingle CONTAINMENT >= threshold:
+    ``|A ∩ B| / min(|A|, |B|)``.
+
+    Same candidate generation as :func:`jaccard_pairs` (shared-shingle
+    equi-join with a df cap), different score: containment catches
+    subset duplication — a short doc embedded verbatim inside a longer
+    one scores near 1.0 here but low on Jaccard because the union is
+    dominated by the long doc. The standard second gate in corpus
+    dedup (RefinedWeb-style) for quote/excerpt removal.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    filtered = shingles.join(
+        dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    )
+    a = filtered.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = filtered.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            (F.col("n_inter").cast("double") / F.least("n_a", "n_b")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def _minhash_agg_exprs(n_hashes: int) -> list[F.Column]:
     """n_hashes min-hash aggregates from ceil(n/4) md5 calls: each
     128-bit md5 splits into four independent 8-hex (32-bit) hash

@@ -1,0 +1,785 @@
+"""Statistical / time-series / graph analytics extensions: exact-moment
+correlation and regression, Markov transition mining, equi-width
+histograms, calendar gap detection, sweep-line concurrency, rational
+TF-IDF salience, and near-dup-graph degree/triangle analytics.
+
+Determinism strategy (see functions/money.py and the oracle recipes):
+
+* every sum is over exact integers (fixed-point scaled) accumulated as
+  DECIMAL(38,0), so results are partition-order independent;
+* every *float* formula (correlation, slope, shares) is one shared
+  expression string evaluated by BOTH engines over identical double
+  operands — IEEE ops on identical inputs are bit-identical;
+* every ranked selection carries a unique tiebreaker.
+
+Reference analog: the reference's dashboards/DQ layer computes trend
+and distribution stats over gold tables (show_gold_tables.py,
+data_quality/*_validation.py); these queries generalize that surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.catalog import load_table
+from data_lakehouse_platform_spark.functions.money import sql_sum, dec_sum
+from data_lakehouse_platform_spark.operators import dedup as D
+from data_lakehouse_platform_spark.operators import text as T
+from data_lakehouse_platform_spark.queries import register
+from data_lakehouse_platform_spark.queries_llm import (
+    _JACCARD_MAX_DF,
+    _JACCARD_ORACLE,
+    _JACCARD_THRESHOLD,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------------------
+# Pearson correlation + OLS slope from exact integer moments
+# ----------------------------------------------------------------------------
+# The five moment sums are exact (integer inputs, DECIMAL(38,0)
+# accumulation), cast once to DOUBLE; the closed-form formulas below are
+# the SAME text in Spark and DuckDB, so every IEEE op matches bitwise.
+
+_CORR_EXPR = (
+    "(n * sxy - sx * sy) / "
+    "(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))"
+)
+_SLOPE_EXPR = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+_INTERCEPT_EXPR = f"(sy - ({_SLOPE_EXPR}) * sx) / n"
+
+_MOMENTS = {
+    "n": "CAST(COUNT(*) AS DOUBLE)",
+    "sx": "CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE)",
+    "sy": "CAST(SUM(CAST(yi AS DECIMAL(38,0))) AS DOUBLE)",
+    "sxx": "CAST(SUM(CAST(xi * xi AS DECIMAL(38,0))) AS DOUBLE)",
+    "syy": "CAST(SUM(CAST(yi * yi AS DECIMAL(38,0))) AS DOUBLE)",
+    "sxy": "CAST(SUM(CAST(xi * yi AS DECIMAL(38,0))) AS DOUBLE)",
+}
+
+_CORR_ORACLE = f"""
+WITH pts AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity) AS BIGINT)            AS xi,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS yi
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         {", ".join(f"{expr} AS {name}" for name, expr in _MOMENTS.items())}
+  FROM pts GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT)  AS n_rows,
+       {_CORR_EXPR}       AS corr_qty_price,
+       {_SLOPE_EXPR}      AS slope_cents_per_unit
+FROM m
+"""
+
+
+@register(
+    "corr_qty_price",
+    _CORR_ORACLE,
+    "Pearson correlation + OLS slope of price-cents on quantity per "
+    "return flag, from five exact integer moment sums (DECIMAL "
+    "accumulation -> one DOUBLE cast -> shared closed-form expression). "
+    "One shuffle, map-side partial aggregation, bit-identical across "
+    "any partitioning — the scalable way to do corr/regression on "
+    "100 TB without a float-sum order dependence.",
+)
+def corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _t(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag",
+        "CAST(FLOOR(l_quantity) AS BIGINT) AS xi",
+        "CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS yi",
+    )
+    m = pts.groupBy("l_returnflag").agg(
+        *[F.expr(expr).alias(name) for name, expr in _MOMENTS.items()]
+    )
+    return m.selectExpr(
+        "l_returnflag",
+        "CAST(n AS BIGINT) AS n_rows",
+        f"{_CORR_EXPR} AS corr_qty_price",
+        f"{_SLOPE_EXPR} AS slope_cents_per_unit",
+    )
+
+
+# ----------------------------------------------------------------------------
+# OLS daily trend per event type (two-level aggregation)
+# ----------------------------------------------------------------------------
+
+_TREND_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT event_type,
+         CAST(date_diff('day', TIMESTAMP '2024-01-01', day) AS BIGINT) AS xi,
+         CAST(y AS BIGINT) AS yi
+  FROM daily
+),
+m AS (
+  SELECT event_type,
+         {", ".join(f"{expr} AS {name}" for name, expr in _MOMENTS.items())}
+  FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT)  AS n_days,
+       {_SLOPE_EXPR}      AS slope_per_day,
+       {_INTERCEPT_EXPR}  AS intercept_count
+FROM m
+"""
+
+
+@register(
+    "ols_daily_trend",
+    _TREND_ORACLE,
+    "Per-event-type linear trend of daily volume: first aggregate to "
+    "(type, day, count) — tiny — then exact integer moments and the "
+    "shared closed-form slope/intercept. Trend detection over row "
+    "counts is the reference's volume-DQ check generalized to a "
+    "regression (data_quality/*_validation.py); two cheap shuffles.",
+)
+def ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("y"))
+    )
+    pts = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("2024-01-01")).cast("bigint").alias("xi"),
+        F.col("y").cast("bigint").alias("yi"),
+    )
+    m = pts.groupBy("event_type").agg(
+        *[F.expr(expr).alias(name) for name, expr in _MOMENTS.items()]
+    )
+    return m.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_days",
+        f"{_SLOPE_EXPR} AS slope_per_day",
+        f"{_INTERCEPT_EXPR} AS intercept_count",
+    )
+
+
+# ----------------------------------------------------------------------------
+# Markov transition mining (event -> next event per user)
+# ----------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS src_event,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS dst_event
+  FROM events
+)
+SELECT src_event, dst_event, COUNT(*) AS n_transitions
+FROM seq WHERE dst_event IS NOT NULL
+GROUP BY 1, 2
+ORDER BY n_transitions DESC, src_event, dst_event
+LIMIT 20
+"""
+
+
+@register(
+    "event_transitions",
+    _TRANSITIONS_ORACLE,
+    "First-order Markov transition counts: LEAD over (user, ts, "
+    "event_id-tiebroken) order, then a grouped count and top-20. One "
+    "shuffle on user_id for the window (per-user sequences, never a "
+    "global sort), one tiny agg — the path-analysis primitive of "
+    "product analytics; realtime analog: the reference's consumer "
+    "state machine (orders_consumer.py) tracks exactly these steps.",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("src_event"),
+            F.lead("event_type").over(w).alias("dst_event"),
+        )
+        .filter(F.col("dst_event").isNotNull())
+    )
+    return (
+        seq.groupBy("src_event", "dst_event")
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), "src_event", "dst_event")
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------------------------------
+# Equi-width histogram (distribution profiling)
+# ----------------------------------------------------------------------------
+
+_HIST_WIDTH = 25_000
+_HIST_MAX_BUCKET = 19
+_HIST_BUCKET_EXPR = (
+    f"LEAST({_HIST_MAX_BUCKET}, "
+    f"CAST(FLOOR(o_totalprice / {_HIST_WIDTH}.0) AS INT))"
+)
+_HIST_SHARE_EXPR = (
+    "CAST(n_orders AS DOUBLE) / CAST(SUM(n_orders) OVER () AS DOUBLE)"
+)
+
+_HIST_ORACLE = f"""
+WITH b AS (
+  SELECT {_HIST_BUCKET_EXPR} AS bucket,
+         COUNT(*) AS n_orders,
+         {sql_sum('o_totalprice')} AS sum_totalprice
+  FROM orders GROUP BY 1
+)
+SELECT bucket,
+       bucket * {_HIST_WIDTH} AS bucket_lo,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       sum_totalprice,
+       {_HIST_SHARE_EXPR} AS share
+FROM b
+"""
+
+
+@register(
+    "histogram_totalprice",
+    _HIST_ORACLE,
+    "Equi-width value histogram of order totals (fixed 25k buckets, "
+    "top-clamped): one grouped pass with exact decimal sums, then a "
+    "share ratio via a window over the ~20 bucket rows. The "
+    "distribution profile a DQ/monitoring layer renders; bucketing is "
+    "a per-row expression so the scan stays one pass at any scale.",
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.expr(_HIST_BUCKET_EXPR).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum("o_totalprice", "sum_totalprice"),
+        )
+    )
+    return b.selectExpr(
+        "bucket",
+        f"bucket * {_HIST_WIDTH} AS bucket_lo",
+        "CAST(n_orders AS BIGINT) AS n_orders",
+        "sum_totalprice",
+        f"{_HIST_SHARE_EXPR} AS share",
+    )
+
+
+# ----------------------------------------------------------------------------
+# Calendar gap detection per user (grid anti-join)
+# ----------------------------------------------------------------------------
+
+_GAPS_ORACLE = """
+WITH present AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1, COUNT(*) AS active_days
+  FROM present GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM bounds
+),
+missing AS (
+  SELECT g.user_id, g.day
+  FROM grid g LEFT JOIN present p ON g.user_id = p.user_id AND g.day = p.day
+  WHERE p.day IS NULL
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS missing_days,
+         MIN(day) AS first_missing, MAX(day) AS last_missing
+  FROM missing GROUP BY user_id
+)
+SELECT b.user_id,
+       CAST(date_diff('day', b.d0, b.d1) + 1 AS BIGINT) AS span_days,
+       CAST(b.active_days AS BIGINT) AS active_days,
+       CAST(COALESCE(a.missing_days, 0) AS BIGINT) AS missing_days,
+       a.first_missing, a.last_missing
+FROM bounds b LEFT JOIN agg a USING (user_id)
+ORDER BY missing_days DESC, user_id
+LIMIT 20
+"""
+
+
+@register(
+    "user_activity_gaps",
+    _GAPS_ORACLE,
+    "Per-user calendar gap detection: daily grid over each user's "
+    "observed span (sequence+explode, rows ~ span never stored), "
+    "anti-joined against active days -> count + first/last missing "
+    "day, top-20 gappiest users. Grid and present co-partition on "
+    "user_id so the join is local after one shuffle; the silence-"
+    "detection check monitoring pipelines run on feed liveness.",
+)
+def user_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    present = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    bounds = present.groupBy("user_id").agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        F.count("*").alias("active_days"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    missing = grid.join(present, ["user_id", "day"], "left_anti")
+    agg = missing.groupBy("user_id").agg(
+        F.count("*").alias("missing_days"),
+        F.min("day").alias("first_missing"),
+        F.max("day").alias("last_missing"),
+    )
+    return (
+        bounds.join(agg, "user_id", "left")
+        .select(
+            "user_id",
+            (F.datediff(F.col("d1"), F.col("d0")) + 1).cast("bigint").alias("span_days"),
+            F.col("active_days").cast("bigint").alias("active_days"),
+            F.coalesce(F.col("missing_days"), F.lit(0)).cast("bigint").alias("missing_days"),
+            "first_missing",
+            "last_missing",
+        )
+        .orderBy(F.desc("missing_days"), "user_id")
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------------------------------
+# Sweep-line peak concurrency per day
+# ----------------------------------------------------------------------------
+
+_CONCURRENCY_ORACLE = """
+WITH sess AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         MIN(ts) AS t0, MAX(ts) AS t1
+  FROM events GROUP BY 1, 2
+),
+deltas AS (
+  SELECT day, t0 AS t, 1 AS delta, user_id FROM sess
+  UNION ALL
+  SELECT day, t1 AS t, -1 AS delta, user_id FROM sess
+),
+swept AS (
+  SELECT day,
+         SUM(delta) OVER (
+           PARTITION BY day
+           ORDER BY t, delta DESC, user_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS live,
+         delta
+  FROM deltas
+)
+SELECT day,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(MAX(live) AS BIGINT) AS peak_live
+FROM swept GROUP BY day
+"""
+
+
+@register(
+    "peak_concurrency",
+    _CONCURRENCY_ORACLE,
+    "Sweep-line peak concurrency: per user-day sessions become "
+    "(+1 at start, -1 at end) deltas; a running sum PARTITIONED BY "
+    "day (sessions never cross days, so no global sort — the window "
+    "shuffles on day only) gives live counts; MAX per day is the "
+    "peak. Ties fully ordered by (t, delta DESC, user) so starts "
+    "count before ends at the same instant. The Gantt/occupancy "
+    "aggregate (max concurrent users, rooms, connections) done "
+    "without an O(n^2) interval self-join.",
+)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    deltas = sess.select(
+        "day", F.col("t0").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        sess.select(
+            "day", F.col("t1").alias("t"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("delta").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = deltas.select("day", "delta", F.sum("delta").over(w).alias("live"))
+    return swept.groupBy("day").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sessions"),
+        F.max("live").cast("bigint").alias("peak_live"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# TF-IDF term salience (rational idf — no transcendental log)
+# ----------------------------------------------------------------------------
+# idf is the exact rational N/df scaled by 1e6 and floored, so ranking
+# needs no ln() (libm results are not guaranteed identical across
+# engines); tf * 1e6 * N stays under 2^53 so the double math is exact
+# until the single floor.
+
+_SALIENCE_EXPR = "CAST(FLOOR(CAST(tf AS DOUBLE) * 1000000 * n_docs / df) AS BIGINT)"
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(
+    string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ')
+  ) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE length(term) >= 3 GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df, {_SALIENCE_EXPR} AS salience
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY salience DESC, term
+  ) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       salience, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    _TFIDF_ORACLE,
+    "Top-3 salient terms per document by TF-IDF with a rational idf "
+    "(tf * 1e6 * N / df, floored): same ranking signal, no ln() so "
+    "both engines agree bitwise. Tokenize/count is map-local; df is "
+    "one term-keyed shuffle; N joins in as a broadcast scalar. The "
+    "keyword-extraction pass of a corpus pipeline — all JVM "
+    "expressions, no Python in the hot path.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")),
+                " ",
+            )
+        ).alias("term"),
+    )
+    tf = (
+        toks.filter(F.length("term") >= 3)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .selectExpr("doc_id", "term", "tf", "df", f"{_SALIENCE_EXPR} AS salience")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("salience"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "salience",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# Near-dup graph analytics: degree distribution + triangle census
+# ----------------------------------------------------------------------------
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph edges (doc_a < doc_b) = exact-Jaccard pairs, the
+    same operator behind dedup_ngram_jaccard."""
+    sh = T.explode_shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    return D.jaccard_pairs(
+        sh, threshold=_JACCARD_THRESHOLD, max_df=_JACCARD_MAX_DF
+    ).select("doc_a", "doc_b")
+
+
+_DEGREE_ORACLE = f"""
+WITH pairs AS ({_JACCARD_ORACLE}),
+nodes AS (
+  SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b FROM pairs
+),
+deg AS (SELECT node, COUNT(*) AS degree FROM nodes GROUP BY node)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
+@register(
+    "graph_degree_hist",
+    _DEGREE_ORACLE,
+    "Degree distribution of the near-dup similarity graph: edges from "
+    "the Jaccard pair operator, two tiny grouped counts on top. The "
+    "shape diagnostic for dedup health — a fat high-degree tail means "
+    "boilerplate crowds the graph (and predicts LSH hot buckets). "
+    "Edge generation dominates; the histogram adds no extra scan of "
+    "the corpus.",
+)
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    nodes = e.select(F.col("doc_a").alias("node")).unionAll(
+        e.select(F.col("doc_b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("n_nodes"))
+
+
+_TRIANGLES_ORACLE = f"""
+WITH pairs AS ({_JACCARD_ORACLE}),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles,
+  (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) FROM (
+     SELECT a AS x FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  )) AS n_tri_nodes
+"""
+
+
+@register(
+    "graph_triangles",
+    _TRIANGLES_ORACLE,
+    "Triangle census of the near-dup graph (a<b<c canonical order, so "
+    "each triangle counts once): two hash joins over the edge list — "
+    "never the corpus — plus a distinct over triangle corners. High "
+    "triangle density inside components justifies cluster-level "
+    "dedup (dedup_cluster) over pairwise. At scale, persist the edge "
+    "list first; the joins key on node ids so they co-partition.",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    n_tri = tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    corners = (
+        tri.select(F.col("a").alias("x"))
+        .unionAll(tri.select(F.col("b").alias("x")))
+        .unionAll(tri.select(F.col("c").alias("x")))
+    )
+    n_nodes = corners.agg(F.countDistinct("x").cast("bigint").alias("n_tri_nodes"))
+    return n_tri.crossJoin(n_nodes)
+
+
+# ----------------------------------------------------------------------------
+# Containment dedup (subset-duplication gate)
+# ----------------------------------------------------------------------------
+
+_CONTAINMENT_THRESHOLD = 0.6
+
+_CONTAINMENT_ORACLE = f"""
+WITH {T.sql_shingles_cte(3)},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
+filtered AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN dfreq USING (shingle) WHERE df <= {_JACCARD_MAX_DF}
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM filtered a JOIN filtered b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_containment",
+    _CONTAINMENT_ORACLE,
+    "Subset-duplication pairs by shingle containment (|A∩B| / "
+    "min(|A|,|B|) >= 0.6): same capped shared-shingle candidate join "
+    "as Jaccard, different score — catches a short doc quoted whole "
+    "inside a longer one, which Jaccard misses because the union is "
+    "dominated by the long doc. The excerpt/quote gate of corpus "
+    "dedup pipelines.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = T.explode_shingles(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+    return D.containment_pairs(
+        sh, threshold=_CONTAINMENT_THRESHOLD, max_df=_JACCARD_MAX_DF
+    )
+
+
+# ----------------------------------------------------------------------------
+# Distribution-position windows: PERCENT_RANK + CUME_DIST
+# ----------------------------------------------------------------------------
+
+_PCTRANK_ORACLE = f"""
+WITH spend AS (
+  SELECT c_custkey, c_nationkey,
+         {sql_sum('o_totalprice')} AS total_spend,
+         COUNT(*) AS n_orders
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_nationkey
+)
+SELECT c_custkey, c_nationkey, total_spend,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       PERCENT_RANK() OVER (
+         PARTITION BY c_nationkey ORDER BY total_spend DESC, c_custkey
+       ) AS spend_pct_rank,
+       CUME_DIST() OVER (
+         PARTITION BY c_nationkey ORDER BY total_spend DESC, c_custkey
+       ) AS spend_cume_dist
+FROM spend
+"""
+
+
+@register(
+    "percent_rank_spend",
+    _PCTRANK_ORACLE,
+    "Relative distribution position per nation: exact decimal spend "
+    "per customer, then PERCENT_RANK + CUME_DIST windows (unique "
+    "custkey tiebreak makes both rational counts — deterministic). "
+    "One join shuffle + one window shuffle; the percentile-position "
+    "signal behind tiering (the reference's diamond-tier eligibility "
+    "check, check_and_recommend_consumer.py:47).",
+)
+def percent_rank_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            dec_sum("o_totalprice", "total_spend"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("total_spend"), F.col("c_custkey")
+    )
+    return spend.select(
+        "c_custkey",
+        "c_nationkey",
+        "total_spend",
+        "n_orders",
+        F.percent_rank().over(w).alias("spend_pct_rank"),
+        F.cume_dist().over(w).alias("spend_cume_dist"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Forward as-of join with tolerance (view -> next purchase within 1h)
+# ----------------------------------------------------------------------------
+
+_ASOF_FWD_TOL_US = 3_600_000_000  # 1 hour in microseconds
+
+_ASOF_FWD_ORACLE = f"""
+WITH purch AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+),
+views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT v.event_id, v.user_id, v.ts,
+  CASE WHEN p.ts IS NOT NULL
+            AND epoch_us(p.ts) - epoch_us(v.ts) <= {_ASOF_FWD_TOL_US}
+       THEN p.purchase_value END AS next_purchase_value,
+  CASE WHEN p.ts IS NOT NULL
+            AND epoch_us(p.ts) - epoch_us(v.ts) <= {_ASOF_FWD_TOL_US}
+       THEN p.ts END AS next_purchase_ts
+FROM views v
+ASOF LEFT JOIN purch p
+  ON v.user_id = p.user_id AND v.ts <= p.ts
+"""
+
+
+@register(
+    "asof_forward_tolerance",
+    _ASOF_FWD_ORACLE,
+    "Forward as-of join with a 1-hour tolerance: each view gets the "
+    "EARLIEST following purchase per user, nulled when it lands more "
+    "than an hour later (pandas merge_asof forward semantics). Same "
+    "union-sort operator as the backward as-of — one shuffle, no "
+    "range blowup — with a reversed sort and an exact integer-micros "
+    "tolerance gate (operators/asof.py). Attribution-window joins in "
+    "one pass.",
+)
+def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join(
+        views,
+        purch,
+        on="ts",
+        by="user_id",
+        value_cols=["purchase_value"],
+        direction="forward",
+        tolerance=_ASOF_FWD_TOL_US,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("purchase_value_right").alias("next_purchase_value"),
+        F.col("ts_right").alias("next_purchase_ts"),
+    )
