@@ -147,6 +147,70 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
 
 
+def _minhash_est_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END)" for k in range(_N_HASHES)
+    )
+    return f"""
+WITH {_minhash_ctes()},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_shared_bands AS BIGINT) AS n_shared_bands,
+       CAST({agree} AS BIGINT) AS n_agree,
+       CAST({agree} AS DOUBLE) / {_N_HASHES} AS jaccard_est
+FROM cand
+JOIN sigs sa ON doc_a = sa.doc_id
+JOIN sigs sb ON doc_b = sb.doc_id
+"""
+
+
+@register(
+    "minhash_jaccard_est",
+    _minhash_est_oracle(),
+    "Jaccard ESTIMATION from MinHash signatures: for each LSH "
+    "candidate pair, the fraction of the 16 permutation minima that "
+    "agree is an unbiased Jaccard estimator — no shingle-set "
+    "intersection ever computed, so the verify stage costs "
+    "O(pairs x 16) instead of O(pairs x doc length). The md5-derived "
+    "permutations make the estimate itself deterministic and "
+    "oracle-checkable. Rank/threshold on the estimate, then reserve "
+    "exact verification (dedup_verify_editdist) for the survivors.",
+)
+def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = T.explode_shingles(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, distinct=False
+    )
+    sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
+    cand = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"__a{k}") for k in range(_N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"__b{k}") for k in range(_N_HASHES)],
+    )
+    n_agree = None
+    for k in range(_N_HASHES):
+        term = F.when(F.col(f"__a{k}") == F.col(f"__b{k}"), 1).otherwise(0)
+        n_agree = term if n_agree is None else n_agree + term
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared_bands").cast("bigint").alias("n_shared_bands"),
+            n_agree.cast("bigint").alias("n_agree"),
+            (n_agree.cast("double") / _N_HASHES).alias("jaccard_est"),
+        )
+    )
+
+
 def _cluster_oracle() -> str:
     """Transitive closure of the LSH candidate pairs via recursive CTE:
     each node's cluster id is the min node id reachable through

@@ -783,3 +783,382 @@ def asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_value_right").alias("next_purchase_value"),
         F.col("ts_right").alias("next_purchase_ts"),
     )
+
+
+# ----------------------------------------------------------------------------
+# Embedding int8 quantization (vector compression audit)
+# ----------------------------------------------------------------------------
+# Per-row only — no cross-row float sums — so every value is a chain of
+# identical IEEE ops in both engines; the reconstruction error uses the
+# same fold as the verified-bit-identical dot product.
+
+_QUANT_ORACLE = """
+WITH q AS (
+  SELECT vec_id, label,
+    CAST(list_aggregate(
+      list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max'
+    ) AS DOUBLE) AS q_scale,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id, label, q_scale,
+    list_transform(
+      v, x -> x - CAST(FLOOR(x * 127 / q_scale) AS BIGINT) * q_scale / 127
+    ) AS errv
+  FROM q WHERE q_scale > 0
+)
+SELECT vec_id, label, q_scale,
+       list_dot_product(errv, errv) AS sq_err
+FROM d
+"""
+
+
+@register(
+    "embed_quantize_int8",
+    _QUANT_ORACLE,
+    "Symmetric int8 vector quantization audit: per-vector max-abs "
+    "scale, floor-quantize each component to [-127,127], and report "
+    "the exact reconstruction squared error (same fold as the "
+    "bit-identical dot product). Entirely per-row map work — scales "
+    "embarrassingly — and the 4x-compression/quality trade-off check "
+    "run before shipping quantized vectors to an ANN index.",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.vectors import dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q_scale = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    ).cast("double")
+    q = emb.select("vec_id", "label", q_scale.alias("q_scale"), v.alias("v"))
+    errv = F.transform(
+        F.col("v"),
+        lambda x: x
+        - F.floor(x * 127 / F.col("q_scale")).cast("bigint")
+        * F.col("q_scale")
+        / 127,
+    )
+    d = q.filter(F.col("q_scale") > 0).select(
+        "vec_id", "label", "q_scale", errv.alias("errv")
+    )
+    return d.select(
+        "vec_id", "label", "q_scale", dot("errv", "errv").alias("sq_err")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Exact embedding covariance matrix (feature-statistics at scale)
+# ----------------------------------------------------------------------------
+
+_EMB_DIM = 64
+_COV_EXPR = "(sxy - sx * sy / n) / n / 1000000000000.0"
+
+_COV_ORACLE = f"""
+WITH pts AS (
+  SELECT i.range AS i, j.range AS j,
+         CAST(FLOOR(CAST(embedding[i.range + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xi,
+         CAST(FLOOR(CAST(embedding[j.range + 1] AS DOUBLE) * 1000000) AS BIGINT) AS yi
+  FROM embeddings, range({_EMB_DIM}) i, range({_EMB_DIM}) j
+),
+m AS (
+  SELECT i, j,
+         {_MOMENTS['n']} AS n, {_MOMENTS['sx']} AS sx,
+         {_MOMENTS['sy']} AS sy, {_MOMENTS['sxy']} AS sxy
+  FROM pts GROUP BY i, j
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       CAST(n AS BIGINT) AS n_vecs,
+       {_COV_EXPR} AS cov
+FROM m
+"""
+
+
+@register(
+    "embedding_covariance",
+    _COV_ORACLE,
+    "Exact 64x64 feature covariance of the embedding table: each "
+    "vector contributes its outer product via a double posexplode "
+    "(d^2 narrow rows per vector, the standard cost of covariance), "
+    "fixed-point moment sums make the result partition-order "
+    "independent, and one shared closed-form expression rescales. "
+    "Map-side partial aggregation collapses to d^2=4096 groups before "
+    "the only shuffle — the input to PCA/whitening/feature-pruning "
+    "decisions over any corpus size.",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e1 = emb.select(
+        "vec_id", "embedding", F.posexplode("embedding").alias("i", "xi")
+    )
+    e2 = e1.select("vec_id", "i", "xi", F.posexplode("embedding").alias("j", "xj"))
+    pts = e2.selectExpr(
+        "i",
+        "j",
+        "CAST(FLOOR(CAST(xi AS DOUBLE) * 1000000) AS BIGINT) AS xi",
+        "CAST(FLOOR(CAST(xj AS DOUBLE) * 1000000) AS BIGINT) AS yi",
+    )
+    m = pts.groupBy("i", "j").agg(
+        F.expr(_MOMENTS["n"]).alias("n"),
+        F.expr(_MOMENTS["sx"]).alias("sx"),
+        F.expr(_MOMENTS["sy"]).alias("sy"),
+        F.expr(_MOMENTS["sxy"]).alias("sxy"),
+    )
+    return m.selectExpr(
+        "CAST(i AS INT) AS i",
+        "CAST(j AS INT) AS j",
+        "CAST(n AS BIGINT) AS n_vecs",
+        f"{_COV_EXPR} AS cov",
+    )
+
+
+# ----------------------------------------------------------------------------
+# PCA top component by fixed-point power iteration
+# ----------------------------------------------------------------------------
+# All-integer power iteration on the (unnormalized) covariance
+# numerator matrix N = n*Sxy - Sx*Sy: two matvecs with an exact signed
+# floor-division downscale between them, final max-abs normalization as
+# one double divide. Every intermediate is an exact integer (Spark
+# DECIMAL(38,0) / DuckDB HUGEINT), so the result is bit-identical
+# across engines AND across any partitioning — the same discipline as
+# graph_pagerank / kmeans_cells. The signed floor-div
+# (a - ((a % B) + B) % B) / B  is exact in both engines (verified on
+# ±1e21 operands); magnitudes stay under 1e31 << the 38-digit ceiling.
+
+_PR_DOWNSCALE = 10**12
+# Final downscale before the double divide: beyond-int64 exact integers
+# cast to DOUBLE with engine-specific rounding (DuckDB's HUGEINT→DOUBLE
+# double-rounds through 64-bit halves; Spark's BigDecimal cast rounds
+# once) — so bring values into int64 range FIRST, where both casts are
+# single correctly-rounded ops.
+_PR_FINAL = 10**13
+
+_NIJ_EXPR_SPARK = (
+    "CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(CAST(xi * yi AS DECIMAL(38,0))) "
+    "- SUM(CAST(xi AS DECIMAL(38,0))) * SUM(CAST(yi AS DECIMAL(38,0)))"
+)
+_NIJ_EXPR_DUCK = (
+    "CAST(COUNT(*) AS HUGEINT) * SUM(CAST(xi * yi AS HUGEINT)) "
+    "- SUM(CAST(xi AS HUGEINT)) * SUM(CAST(yi AS HUGEINT))"
+)
+
+_PCA_ORACLE = f"""
+WITH pts AS (
+  SELECT vec_id, i.range AS i, j.range AS j,
+         CAST(FLOOR(CAST(embedding[i.range + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xi,
+         CAST(FLOOR(CAST(embedding[j.range + 1] AS DOUBLE) * 1000000) AS BIGINT) AS yi
+  FROM embeddings, range({_EMB_DIM}) i, range({_EMB_DIM}) j
+),
+mom AS (
+  SELECT i, j, {_NIJ_EXPR_DUCK} AS nij
+  FROM pts GROUP BY i, j
+),
+v1 AS (SELECT i, SUM(nij) AS v FROM mom GROUP BY i),
+w1 AS (
+  SELECT i AS j,
+         (v - (((v % {_PR_DOWNSCALE}) + {_PR_DOWNSCALE}) % {_PR_DOWNSCALE}))
+           // {_PR_DOWNSCALE} AS w
+  FROM v1
+),
+v2 AS (
+  SELECT m.i, SUM(m.nij * w1.w) AS v2
+  FROM mom m JOIN w1 ON m.j = w1.j
+  GROUP BY m.i
+),
+v2s AS (
+  SELECT i,
+         CAST((v2 - (((v2 % {_PR_FINAL}) + {_PR_FINAL}) % {_PR_FINAL}))
+           // {_PR_FINAL} AS BIGINT) AS vs
+  FROM v2
+),
+mx AS (SELECT MAX(ABS(vs)) AS mx FROM v2s)
+SELECT CAST(i AS INT) AS i,
+       CAST(vs AS DOUBLE) / CAST(mx AS DOUBLE) AS loading
+FROM v2s, mx
+"""
+
+
+@register(
+    "pca_power_iteration",
+    _PCA_ORACLE,
+    "Top principal direction of the embedding covariance by two "
+    "power-iteration matvecs, entirely in exact integer arithmetic: "
+    "covariance numerator matrix from fixed-point moments, signed "
+    "floor-div downscale between rounds, one final double divide by "
+    "the max-abs component (order-free MAX). d x d matrix rows — "
+    "never the corpus — feed the matvec joins; the corpus is touched "
+    "once by the moment pass. Deterministic at any partitioning, so "
+    "the 'dominant variance direction' a curation pipeline uses for "
+    "whitening/outlier gating is reproducible run to run.",
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e1 = emb.select(
+        "vec_id", "embedding", F.posexplode("embedding").alias("i", "xi")
+    )
+    e2 = e1.select("vec_id", "i", "xi", F.posexplode("embedding").alias("j", "xj"))
+    pts = e2.selectExpr(
+        "i",
+        "j",
+        "CAST(FLOOR(CAST(xi AS DOUBLE) * 1000000) AS BIGINT) AS xi",
+        "CAST(FLOOR(CAST(xj AS DOUBLE) * 1000000) AS BIGINT) AS yi",
+    )
+    mom = pts.groupBy("i", "j").agg(F.expr(_NIJ_EXPR_SPARK).alias("nij"))
+    v1 = mom.groupBy("i").agg(F.sum("nij").alias("v"))
+    B = _PR_DOWNSCALE
+    w1 = v1.selectExpr(
+        "i AS j",
+        f"CAST((v - (((v % {B}) + {B}) % {B})) / {B} AS DECIMAL(38,0)) AS w",
+    )
+    v2 = (
+        mom.join(F.broadcast(w1), "j")
+        .groupBy("i")
+        .agg(F.sum(F.expr("nij * w")).alias("v2"))
+    )
+    C = _PR_FINAL
+    v2s = v2.selectExpr(
+        "i",
+        f"CAST(CAST((v2 - (((v2 % {C}) + {C}) % {C})) / {C} AS DECIMAL(38,0)) AS BIGINT) AS vs",
+    )
+    mx = v2s.agg(F.max(F.abs(F.col("vs"))).alias("mx"))
+    return v2s.crossJoin(F.broadcast(mx)).selectExpr(
+        "CAST(i AS INT) AS i",
+        "CAST(vs AS DOUBLE) / CAST(mx AS DOUBLE) AS loading",
+    )
+
+
+# ----------------------------------------------------------------------------
+# Day-of-week seasonality profile
+# ----------------------------------------------------------------------------
+
+_SEASONALITY_EXPR = (
+    "CAST(sum_events AS DOUBLE) * CAST(n_all AS DOUBLE) "
+    "/ (CAST(n_days AS DOUBLE) * CAST(sum_all AS DOUBLE))"
+)
+
+_SEASONALITY_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+by_dow AS (
+  SELECT event_type, isodow(day) AS dow,
+         COUNT(*) AS n_days, SUM(y) AS sum_events
+  FROM daily GROUP BY 1, 2
+),
+tot AS (
+  SELECT *,
+         SUM(n_days) OVER (PARTITION BY event_type) AS n_all,
+         SUM(sum_events) OVER (PARTITION BY event_type) AS sum_all
+  FROM by_dow
+)
+SELECT event_type, CAST(dow AS INT) AS dow,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(sum_events AS BIGINT) AS sum_events,
+       {_SEASONALITY_EXPR} AS seasonality
+FROM tot
+"""
+
+
+@register(
+    "weekday_seasonality",
+    _SEASONALITY_ORACLE,
+    "Day-of-week seasonality index per event type: mean daily volume "
+    "on each ISO weekday divided by the type's overall daily mean, "
+    "computed as one exact integer ratio (counts only — no float "
+    "sums). Two tiny aggregations over the pre-collapsed daily "
+    "table; the seasonal-baseline input for anomaly thresholds "
+    "(ratio > 1 = structurally busy weekday, not an incident).",
+)
+def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("y"))
+    )
+    by_dow = daily.groupBy(
+        "event_type", (F.weekday("day") + 1).alias("dow")
+    ).agg(F.count("*").alias("n_days"), F.sum("y").alias("sum_events"))
+    w = Window.partitionBy("event_type")
+    tot = by_dow.select(
+        "*",
+        F.sum("n_days").over(w).alias("n_all"),
+        F.sum("sum_events").over(w).alias("sum_all"),
+    )
+    return tot.selectExpr(
+        "event_type",
+        "CAST(dow AS INT) AS dow",
+        "CAST(n_days AS BIGINT) AS n_days",
+        "CAST(sum_events AS BIGINT) AS sum_events",
+        f"{_SEASONALITY_EXPR} AS seasonality",
+    )
+
+
+# ----------------------------------------------------------------------------
+# Referential-integrity DQ sweep (orphan foreign keys)
+# ----------------------------------------------------------------------------
+
+_REFINT_ORACLE = """
+SELECT 'lineitem->orders' AS fk,
+       (SELECT COUNT(*) FROM lineitem) AS n_rows,
+       (SELECT COUNT(*) FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL) AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL)
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_partkey IS NULL)
+"""
+
+
+@register(
+    "dq_referential",
+    _REFINT_ORACLE,
+    "Referential-integrity sweep: orphan-count per declared foreign "
+    "key (fact -> dim anti joins; dims broadcast so each check is one "
+    "scan of the fact, no shuffle). The FK half of the reference's DQ "
+    "validation layer (bronze_validation.py checks nulls/uniqueness; "
+    "orphans are the missing third check before a star-schema build "
+    "silently drops rows on its inner joins).",
+)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def check(
+        fk: str,
+        fact: DataFrame,
+        key_col: str,
+        parent: DataFrame,
+        parent_key: str,
+        broadcast_parent: bool,
+    ) -> DataFrame:
+        # True dims broadcast; a fact-sized parent (orders) must
+        # shuffle-anti-join — broadcasting it would OOM at scale.
+        keys = parent.select(parent_key)
+        if broadcast_parent:
+            keys = F.broadcast(keys)
+        n_rows = fact.agg(F.count("*").alias("n_rows"))
+        n_orph = fact.join(
+            keys, fact[key_col] == F.col(parent_key), "left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+        return n_rows.crossJoin(n_orph).select(
+            F.lit(fk).alias("fk"), "n_rows", "n_orphans"
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    pa = _t(spark, sf_dir, "part")
+    return (
+        check("lineitem->orders", li, "l_orderkey", od, "o_orderkey", False)
+        .unionAll(check("orders->customer", od, "o_custkey", cu, "c_custkey", True))
+        .unionAll(check("lineitem->part", li, "l_partkey", pa, "p_partkey", True))
+    )

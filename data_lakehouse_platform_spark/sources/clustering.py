@@ -77,6 +77,97 @@ def file_stats(path: str, column: str) -> list[FileStat]:
     return out
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
+    """Attach ``__zkey``: the Morton (Z-order) interleave of the
+    columns' bit patterns after min/max scaling to ``bits`` bits each.
+
+    Sorting by the interleaved key places rows close in EVERY listed
+    dimension near each other, so per-file min/max ranges become
+    narrow on ALL the columns at once — multi-column data skipping,
+    where range-clustering can only serve its single sort column.
+    This is the Delta `OPTIMIZE ZORDER BY` layout re-done on plain
+    parquet. Scaling uses a broadcast 1-row min/max agg; the
+    interleave itself is a pure shift/or expression chain (JVM
+    codegen, no UDF). Layout-only: correctness never depends on the
+    key, so float scaling imprecision is harmless.
+    """
+    stats = df.agg(
+        *[F.min(c).alias(f"__min_{c}") for c in cols],
+        *[F.max(c).alias(f"__max_{c}") for c in cols],
+    )
+    j = df.crossJoin(F.broadcast(stats))
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo = F.col(f"__min_{c}").cast("double")
+        rng = F.col(f"__max_{c}").cast("double") - lo
+        pos = F.when(rng > 0, (F.col(c).cast("double") - lo) / rng).otherwise(
+            F.lit(0.0)
+        )
+        scaled.append(
+            F.least(
+                F.lit(top).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"), F.floor(pos * top).cast("long")
+                ),
+            )
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):  # MSB first
+        for s in scaled:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(s, i).bitwiseAND(F.lit(1))
+            )
+    return j.withColumn("__zkey", z).drop(
+        *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]
+    )
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8, bits: int = 16
+) -> None:
+    """Write ``df`` as parquet Z-order-clustered on ``cols``: range
+    partition + sort on the Morton key, so every output file covers a
+    compact hyper-rectangle of the value space and footer stats prune
+    on any of the clustered columns."""
+    (
+        zorder_key(df, cols, bits)
+        .repartitionByRange(n_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_pruned_multi(
+    spark: SparkSession, path: str, ranges: dict[str, tuple]
+) -> DataFrame:
+    """Scan only files whose footer [min, max] overlaps the requested
+    range on EVERY column in ``ranges`` (conjunctive box predicate);
+    unknown stats keep the file (conservative). Residual predicates
+    still apply row-level, so results equal a full-scan filter."""
+    per_col = {c: file_stats(path, c) for c in ranges}
+    files = sorted({s.file for stats in per_col.values() for s in stats})
+    candidates = []
+    for f in files:
+        keep = True
+        for c, (lo, hi) in ranges.items():
+            st = next(s for s in per_col[c] if s.file == f)
+            if st.min is not None and (st.max < lo or st.min > hi):
+                keep = False
+                break
+        if keep:
+            candidates.append(f)
+    cond = None
+    for c, (lo, hi) in ranges.items():
+        term = F.col(c).between(lo, hi)
+        cond = term if cond is None else cond & term
+    if not candidates:
+        return spark.read.parquet(path).filter(cond).limit(0)
+    return spark.read.parquet(*candidates).filter(cond)
+
+
 def read_pruned(
     spark: SparkSession, path: str, column: str, lo, hi
 ) -> DataFrame:

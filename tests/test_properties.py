@@ -92,6 +92,48 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
 
 
 @given(
+    st.lists(st.tuples(st.integers(0, 2), _ts), min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 2), _ts, st.integers(-100, 100)), min_size=1, max_size=20),
+    st.integers(min_value=0, max_value=500),
+)
+@settings(**_SETTINGS)
+def test_asof_forward_tolerance_matches_pandas(spark, left_rows, right_rows, tol):
+    """direction='forward' + tolerance must agree with
+    pandas.merge_asof(direction='forward', tolerance=tol) — including
+    the nulling of out-of-tolerance matches."""
+    right_rows = list({(k, t): v for k, t, v in right_rows}.items())
+    right_rows = [(k, t, v) for (k, t), v in right_rows]
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k int, ts int, row_id int"
+    )
+    right = spark.createDataFrame(right_rows, "k int, ts int, v int")
+    got = {
+        (r["k"], r["ts"], r["row_id"]): (r["v_right"], r["ts_right"])
+        for r in asof_join(
+            left, right, on="ts", by="k", direction="forward", tolerance=tol
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        columns=["k", "ts", "row_id"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values(
+        "ts", kind="stable"
+    )
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="forward", tolerance=tol
+    )
+    for row in merged.itertuples(index=False):
+        want = None if pd.isna(row.v) else int(row.v)
+        got_v, got_ts = got[(row.k, row.ts, row.row_id)]
+        assert got_v == want
+        if want is None:
+            assert got_ts is None
+
+
+@given(
     st.lists(
         st.tuples(_floats, st.sampled_from(["A", "B"])), min_size=1, max_size=40
     )

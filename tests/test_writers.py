@@ -140,3 +140,64 @@ def test_clustered_write_skips_files(spark, tmp_path):
     )
     got = sorted(r["o_orderkey"] for r in pruned.collect())
     assert got == want and got
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout: a box predicate on BOTH clustered columns
+    prunes files via footer stats alone, each single column also
+    prunes (the Morton curve keeps every dimension partially
+    clustered — range clustering can't do that for its non-sort
+    column), and the pruned read equals the full-scan filter."""
+    from data_lakehouse_platform_spark.catalog import load_table
+    from data_lakehouse_platform_spark.sources.clustering import (
+        file_stats,
+        read_pruned_multi,
+        write_zordered,
+    )
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_zorder")
+    n_files = 16
+    write_zordered(orders, path, ["o_custkey", "o_totalprice"], n_files=n_files)
+
+    stats_ck = file_stats(path, "o_custkey")
+    assert len(stats_ck) == n_files
+
+    # A ~12.5% box in each dimension.
+    ck_lo, ck_hi = 100, 280
+    tp_lo, tp_hi = 50_000.0, 110_000.0
+    box = {"o_custkey": (ck_lo, ck_hi), "o_totalprice": (tp_lo, tp_hi)}
+
+    def files_kept(ranges):
+        df = read_pruned_multi(spark, path, ranges)
+        return set(r[0] for r in df.select(F.input_file_name()).collect())
+
+    # Footer-level candidate sets (metadata only, independent of rows):
+    def candidates(ranges):
+        per_col = {c: file_stats(path, c) for c in ranges}
+        kept = []
+        for s in per_col[next(iter(per_col))]:
+            ok = True
+            for c, (lo, hi) in ranges.items():
+                st = next(x for x in per_col[c] if x.file == s.file)
+                if st.min is not None and (st.max < lo or st.min > hi):
+                    ok = False
+            if ok:
+                kept.append(s.file)
+        return kept
+
+    assert len(candidates(box)) < n_files  # the box skips files
+    assert len(candidates({"o_custkey": (ck_lo, ck_hi)})) < n_files
+    assert len(candidates({"o_totalprice": (tp_lo, tp_hi)})) < n_files
+
+    pruned = read_pruned_multi(spark, path, box)
+    want = sorted(
+        r["o_orderkey"]
+        for r in orders.filter(
+            F.col("o_custkey").between(ck_lo, ck_hi)
+            & F.col("o_totalprice").between(tp_lo, tp_hi)
+        ).collect()
+    )
+    got = sorted(r["o_orderkey"] for r in pruned.collect())
+    assert got == want and got
