@@ -1162,3 +1162,136 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(check("orders->customer", od, "o_custkey", cu, "c_custkey", True))
         .unionAll(check("lineitem->part", li, "l_partkey", pa, "p_partkey", True))
     )
+
+
+# ----------------------------------------------------------------------------
+# Period-over-period growth (LAG ratio on exact revenue)
+# ----------------------------------------------------------------------------
+
+_GROWTH_EXPR = "CAST(rev6 AS DOUBLE) / CAST(prev6 AS DOUBLE) - 1"
+
+_POP_ORACLE = f"""
+WITH m AS (
+  SELECT o_orderpriority AS segment,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS BIGINT) AS rev6,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+),
+l AS (
+  SELECT *, LAG(rev6) OVER (PARTITION BY segment ORDER BY month) AS prev6
+  FROM m
+)
+SELECT segment, month,
+       CAST(rev6 AS DOUBLE) / 1000000 AS revenue,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       {_GROWTH_EXPR} AS growth
+FROM l
+"""
+
+
+@register(
+    "period_over_period_growth",
+    _POP_ORACLE,
+    "Month-over-month revenue growth per order-priority segment: "
+    "exact fixed-point monthly sums (kept as scaled BIGINT through "
+    "the LAG so the ratio divides two exactly-representable "
+    "integers), one grouped shuffle + one segment-partitioned "
+    "window. First month per segment is NULL growth, pandas-style. "
+    "The trend KPI every reporting layer ships.",
+)
+def period_over_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.money import dec
+
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("segment"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.sum(dec("o_totalprice")).cast("bigint").alias("rev6"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("month")
+    return m.withColumn("prev6", F.lag("rev6").over(w)).selectExpr(
+        "segment",
+        "month",
+        "CAST(rev6 AS DOUBLE) / 1000000 AS revenue",
+        "CAST(n_orders AS BIGINT) AS n_orders",
+        f"{_GROWTH_EXPR} AS growth",
+    )
+
+
+# ----------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles)
+# ----------------------------------------------------------------------------
+
+_RFM_ANCHOR = "2001-08-01"
+
+_RFM_ORACLE = f"""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(o_orderdate), TIMESTAMP '{_RFM_ANCHOR}') AS BIGINT)
+           AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS DOUBLE)
+           / 1000000 AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, recency_days,
+         CAST(frequency AS BIGINT) AS frequency, monetary,
+         NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, o_custkey)  AS f_score,
+         NTILE(5) OVER (ORDER BY monetary DESC, o_custkey)   AS m_score
+  FROM cust
+)
+SELECT *, r_score * 100 + f_score * 10 + m_score AS rfm_cell
+FROM scored
+"""
+
+
+@register(
+    "rfm_segments",
+    _RFM_ORACLE,
+    "RFM customer segmentation: exact per-customer recency (days to a "
+    "fixed anchor), frequency, decimal-exact monetary, then NTILE(5) "
+    "quintiles on each axis (custkey tiebreaks -> identical cuts in "
+    "both engines) composed into a 111..555 cell id. Input is one row "
+    "per customer — already reduced — so the three global NTILEs run "
+    "on the small aggregate, the same deliberate trade as "
+    "ntile_customer_deciles. The lifecycle-marketing segmentation "
+    "behind the reference's tier-based eligibility rules.",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.money import dec, undec
+
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.lit(_RFM_ANCHOR), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            undec(F.sum(dec("o_totalprice"))).alias("monetary"),
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = cust.select(
+        "o_custkey",
+        "recency_days",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_cell",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )

@@ -35,6 +35,7 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass(frozen=True)
@@ -143,6 +144,69 @@ class SnapshotTable:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         snap = self._manifest(v)
         return spark.read.parquet(os.path.join(self.data_root, snap.data_dir))
+
+    def changes(
+        self,
+        spark: SparkSession,
+        key_cols: list[str],
+        from_version: int,
+        to_version: int,
+    ) -> DataFrame:
+        """Change data feed between two committed versions (Delta
+        `table_changes` semantics): one row per inserted/deleted key,
+        TWO rows per updated key (`update_preimage` with the old
+        values, `update_postimage` with the new), each original column
+        preserved plus `_change_type` and `_commit_version`.
+
+        Computed as a single key-keyed full-outer join of the two
+        snapshots with a row fingerprint for change detection — the
+        reads co-partition on the key, so the diff costs one shuffle
+        of each side regardless of how many commits lie between the
+        versions. Reference analog: this is the batch twin of the
+        Debezium CDC stream the reference consumes
+        (scripts/real-time/orders_consumer.py) — same
+        insert/update/delete row images, derived from snapshots
+        instead of binlogs.
+        """
+        old = self.read(spark, from_version)
+        new = self.read(spark, to_version)
+        cols = new.columns
+        val_cols = [c for c in cols if c not in key_cols]
+        # Fingerprint only the non-key payload; same-engine compare, so
+        # xxhash64 (fastest JVM hash) is fine here.
+        o = old.select(
+            *[F.col(c).alias(f"__o_{c}") for c in cols],
+            F.xxhash64(*val_cols).alias("__oh"),
+        )
+        n = new.select(
+            *[F.col(c).alias(f"__n_{c}") for c in cols],
+            F.xxhash64(*val_cols).alias("__nh"),
+        )
+        cond = None
+        for k in key_cols:
+            t = F.col(f"__o_{k}") == F.col(f"__n_{k}")
+            cond = t if cond is None else cond & t
+        j = o.join(n, cond, "full_outer")
+
+        k0_o, k0_n = f"__o_{key_cols[0]}", f"__n_{key_cols[0]}"
+
+        def _emit(side: str, change: str, flt) -> DataFrame:
+            return j.filter(flt).select(
+                *[F.col(f"__{side}_{c}").alias(c) for c in cols],
+                F.lit(change).alias("_change_type"),
+                F.lit(to_version).alias("_commit_version"),
+            )
+
+        inserts = _emit("n", "insert", F.col(k0_o).isNull())
+        deletes = _emit("o", "delete", F.col(k0_n).isNull())
+        upd = (
+            F.col(k0_o).isNotNull()
+            & F.col(k0_n).isNotNull()
+            & (F.col("__oh") != F.col("__nh"))
+        )
+        pre = _emit("o", "update_preimage", upd)
+        post = _emit("n", "update_postimage", upd)
+        return inserts.unionAll(deletes).unionAll(pre).unionAll(post)
 
     def rollback(self, to_version: int) -> int:
         """RESTORE: commit a new version whose data is an old version's

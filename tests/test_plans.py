@@ -226,3 +226,33 @@ def test_lakehouse_facade(spark, tmp_path):
     t = lh.snapshot(str(tmp_path / "t"))
     t.write_snapshot(lh.table("region"))
     assert t.read(spark).count() == lh.table("region").count()
+
+
+def test_stats_ext_plan_contracts(spark):
+    """Scale contracts for the statistics/graph batch."""
+    registry = all_queries()
+
+    # Sweep-line concurrency: the running sum partitions by day —
+    # never a global single-partition sort.
+    ac = audit_plan(registry["peak_concurrency"].build(spark, SF_DIR))
+    assert ac.single_partition_exchanges == 0
+
+    # Exact-moment correlation: one grouped shuffle over the fact,
+    # closed-form math afterwards — no joins at all.
+    am = audit_plan(registry["corr_qty_price"].build(spark, SF_DIR))
+    assert am.shuffles <= 2 and am.cartesian_products == 0
+
+    # PCA power iteration: matvec joins stay on the d^2-row moment
+    # matrix (vector side broadcast); nothing cartesian.
+    ap = audit_plan(registry["pca_power_iteration"].build(spark, SF_DIR))
+    assert ap.cartesian_products == 0 and ap.broadcast_hash_joins >= 1
+
+    # FK sweep: true dims broadcast; the fact-sized parent (orders)
+    # must NOT be broadcast — its anti join shuffles.
+    ad = audit_plan(registry["dq_referential"].build(spark, SF_DIR))
+    assert ad.cartesian_products == 0 and ad.broadcast_hash_joins >= 2
+
+    # Distribution-position windows: spend agg + per-nation window,
+    # customer side broadcast into the join.
+    ar = audit_plan(registry["percent_rank_spend"].build(spark, SF_DIR))
+    assert ar.broadcast_hash_joins >= 1 and ar.single_partition_exchanges == 0

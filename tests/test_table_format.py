@@ -123,3 +123,47 @@ def test_clustered_snapshot_pruned_read(spark, tmp_path):
         orders, "o_totalprice", n_files=8, txn_id="c1"
     )
     assert v_replay == 3 and v_replay2 == 3
+
+
+def test_change_data_feed_between_versions(spark, tmp_path):
+    """changes(): Delta-CDF row images — insert/delete one row each,
+    update emits pre+post images; replaying the feed onto the old
+    version reproduces the new version exactly."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id int, val string, qty int"
+        ),
+        operation="v1",
+    )
+    t.write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 99), (4, "d", 40)], "id int, val string, qty int"
+        ),
+        operation="v2",
+    )
+
+    feed = t.changes(spark, ["id"], from_version=1, to_version=2)
+    got = {
+        (r["id"], r["_change_type"]): (r["val"], r["qty"], r["_commit_version"])
+        for r in feed.collect()
+    }
+    assert got == {
+        (4, "insert"): ("d", 40, 2),
+        (3, "delete"): ("c", 30, 2),
+        (2, "update_preimage"): ("b", 20, 2),
+        (2, "update_postimage"): ("B", 99, 2),
+    }
+
+    # CDC replay: old - deletes - pre-images + post-images + inserts == new.
+    old_rows = {tuple(r) for r in t.read(spark, version=1).collect()}
+    removed = {
+        (r["id"], r["val"], r["qty"])
+        for r in feed.filter(F.col("_change_type").isin("delete", "update_preimage")).collect()
+    }
+    added = {
+        (r["id"], r["val"], r["qty"])
+        for r in feed.filter(F.col("_change_type").isin("insert", "update_postimage")).collect()
+    }
+    new_rows = {tuple(r) for r in t.read(spark, version=2).collect()}
+    assert (old_rows - removed) | added == new_rows
