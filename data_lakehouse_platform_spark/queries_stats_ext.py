@@ -1295,3 +1295,182 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rfm_cell",
         F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
     )
+
+
+# ----------------------------------------------------------------------------
+# Rolling z-score anomaly on daily revenue (trailing-window moments)
+# ----------------------------------------------------------------------------
+
+_RZ_MIN_PRIOR = 3
+_RZ_THRESHOLD = 2.0
+# Shared closed-form: mean/std from trailing integer moments. All
+# operands are exact int64-as-double, so both engines agree bitwise.
+_RZ_Z_EXPR = (
+    "(CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / n) / "
+    "SQRT(CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+)
+_RZ_VAR_EXPR = (
+    "CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)"
+)
+
+_ROLLING_Z_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0)))
+           AS BIGINT) // 1000000 AS x
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT day, CAST(x AS BIGINT) AS x,
+         COUNT(*) OVER tw AS n,
+         SUM(CAST(x AS BIGINT)) OVER tw AS s,
+         SUM(CAST(x AS BIGINT) * CAST(x AS BIGINT)) OVER tw AS ss
+  FROM daily
+  WINDOW tw AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, x AS revenue_units,
+       CAST(n AS BIGINT) AS n_prior,
+       CASE WHEN n >= {_RZ_MIN_PRIOR} AND {_RZ_VAR_EXPR} > 0
+            THEN {_RZ_Z_EXPR} END AS zscore,
+       CAST(CASE WHEN n >= {_RZ_MIN_PRIOR} AND {_RZ_VAR_EXPR} > 0
+                 AND ABS({_RZ_Z_EXPR}) > {_RZ_THRESHOLD}
+            THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM w
+"""
+
+
+@register(
+    "rolling_zscore_revenue",
+    _ROLLING_Z_ORACLE,
+    "Self-referential anomaly detection: each day's revenue scored "
+    "against the mean/std of the trailing 6 days (window excludes the "
+    "current row, so anomalies don't mask themselves). Revenue is "
+    "floor-divided to whole units so x and x^2 window sums stay exact "
+    "int64 — the z closed-form then divides identical doubles in both "
+    "engines. One date-ordered window over the already-tiny daily "
+    "aggregate; the dq_volume_anomaly pattern turned rolling.",
+)
+def rolling_zscore_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.money import dec
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) "
+            "AS BIGINT) DIV 1000000"
+        ).alias("x"))
+    )
+    tw = Window.orderBy("day").rowsBetween(-6, -1)
+    w = daily.select(
+        "day",
+        "x",
+        F.count("*").over(tw).alias("n"),
+        F.sum("x").over(tw).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(tw).alias("ss"),
+    )
+    return w.selectExpr(
+        "day",
+        "x AS revenue_units",
+        "CAST(n AS BIGINT) AS n_prior",
+        f"CASE WHEN n >= {_RZ_MIN_PRIOR} AND {_RZ_VAR_EXPR} > 0 "
+        f"THEN {_RZ_Z_EXPR} END AS zscore",
+        f"CAST(CASE WHEN n >= {_RZ_MIN_PRIOR} AND {_RZ_VAR_EXPR} > 0 "
+        f"AND ABS({_RZ_Z_EXPR}) > {_RZ_THRESHOLD} THEN 1 ELSE 0 END AS INT) "
+        "AS is_anomaly",
+    )
+
+
+# ----------------------------------------------------------------------------
+# Portable PERCENTILE_CONT (interpolated percentiles from order stats)
+# ----------------------------------------------------------------------------
+
+_PCONT_PS = (0.25, 0.5, 0.75, 0.9)
+_PCONT_VALUE_EXPR = "v_lo + (pos - FLOOR(pos)) * (v_hi - v_lo)"
+
+_PCONT_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderpriority AS priority, o_totalprice AS v,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+ps AS (SELECT * FROM (VALUES {", ".join(f"({p})" for p in _PCONT_PS)}) t(p)),
+grid AS (
+  SELECT DISTINCT priority, n, p,
+         CAST(p AS DOUBLE) * (n - 1) AS pos
+  FROM ranked, ps
+),
+lohi AS (
+  SELECT g.priority, g.n, g.p, g.pos,
+         lo.v AS v_lo, hi.v AS v_hi
+  FROM grid g
+  JOIN ranked lo ON lo.priority = g.priority
+                AND lo.rn = CAST(FLOOR(g.pos) AS BIGINT) + 1
+  JOIN ranked hi ON hi.priority = g.priority
+                AND hi.rn = CAST(CEIL(g.pos) AS BIGINT) + 1
+)
+SELECT priority, CAST(p AS DOUBLE) AS p, CAST(n AS BIGINT) AS n,
+       {_PCONT_VALUE_EXPR} AS value
+FROM lohi
+"""
+
+
+@register(
+    "percentile_cont_portable",
+    _PCONT_ORACLE,
+    "Interpolated PERCENTILE_CONT built from order statistics: "
+    "row_number ranks (unique orderkey tiebreak), the two bracketing "
+    "ranks join back by position, and one shared linear-interpolation "
+    "expression — identical doubles in, identical percentile out, on "
+    "any engine. Complements quantile_order_values (discrete): this "
+    "is the SQL-standard continuous definition, still portable and "
+    "exact. Cost: one partitioned sort + two sparse position joins — "
+    "no native percentile function, so no engine-specific "
+    "interpolation quirks at 100 TB either.",
+)
+def percentile_cont_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = od.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(p)) for p in _PCONT_PS])).alias("p")
+    )
+    grid = (
+        ranked.select("priority", "n")
+        .distinct()
+        .crossJoin(F.broadcast(ps))
+        .selectExpr("priority", "n", "p", "CAST(p AS DOUBLE) * (n - 1) AS pos")
+    )
+    lo = ranked.select(
+        F.col("priority").alias("lp"), F.col("rn").alias("rn_lo"), F.col("v").alias("v_lo")
+    )
+    hi = ranked.select(
+        F.col("priority").alias("hp"), F.col("rn").alias("rn_hi"), F.col("v").alias("v_hi")
+    )
+    lohi = (
+        grid.join(
+            lo,
+            (F.col("priority") == F.col("lp"))
+            & (F.col("rn_lo") == F.floor(F.col("pos")).cast("bigint") + 1),
+        )
+        .join(
+            hi,
+            (F.col("priority") == F.col("hp"))
+            & (F.col("rn_hi") == F.ceil(F.col("pos")).cast("bigint") + 1),
+        )
+    )
+    return lohi.selectExpr(
+        "priority",
+        "CAST(p AS DOUBLE) AS p",
+        "CAST(n AS BIGINT) AS n",
+        f"{_PCONT_VALUE_EXPR} AS value",
+    )

@@ -327,3 +327,56 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path):
     )
     want = {(r["w"]["start"].isoformat(), r["event_type"]): r["count"] for r in batch}
     assert got == want and got
+
+
+def test_stream_commits_produce_change_feed(spark, tmp_path):
+    """The CDC upsert sink's per-batch snapshot commits compose with
+    changes(): the version-to-version feed shows exactly what each
+    micro-batch inserted/updated, and a stale row never surfaces as a
+    change."""
+    from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
+    from data_lakehouse_platform_spark.streaming.pipelines import (
+        read_event_stream,
+        upsert_stream_to_snapshot,
+    )
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+
+    def rows(ids_ts):
+        return "\n".join(
+            json.dumps(
+                {"event_id": i, "ts": ts, "user_id": i, "event_type": "upd",
+                 "value": float(v), "props": "{}"}
+            )
+            for i, ts, v in ids_ts
+        )
+
+    (src / "f1.json").write_text(rows([(1, "2024-01-01T01:00:00", 11), (2, "2024-01-01T01:00:00", 12)]))
+    (src / "f2.json").write_text(rows([(2, "2024-01-01T02:00:00", 99), (3, "2024-01-01T02:00:00", 13)]))
+    (src / "f3.json").write_text(rows([(2, "2024-01-01T00:30:00", 7)]))  # stale: loses LWW
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    table_path = str(tmp_path / "table")
+    q = upsert_stream_to_snapshot(
+        stream, table_path, ["event_id"], "ts", str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    t = SnapshotTable(table_path)
+    assert t.latest_version() == 3
+
+    # Batch 2 vs batch 1: key 2 updated (12 -> 99), key 3 inserted.
+    feed12 = {
+        (r["event_id"], r["_change_type"]): r["value"]
+        for r in t.changes(spark, ["event_id"], 1, 2).collect()
+    }
+    assert feed12 == {
+        (2, "update_preimage"): 12.0,
+        (2, "update_postimage"): 99.0,
+        (3, "insert"): 13.0,
+    }
+
+    # Batch 3 carried only a stale row: the LWW merge keeps v2's data,
+    # so the change feed between v2 and v3 is EMPTY.
+    assert t.changes(spark, ["event_id"], 2, 3).count() == 0
