@@ -68,10 +68,15 @@ def asof_join(
     on_type = right.schema[on].dataType
     r_on = f"{on}{suffix}"
 
+    # The matched right-hand time is only materialized when a
+    # tolerance gate needs it — the default path carries no extra
+    # window aggregate.
+    with_r_on = tolerance is not None
+
     l_tagged = left.select(
         *[F.col(c) for c in left_cols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(a) for c, a in zip(value_cols, carried)],
-        F.lit(None).cast(on_type).alias(r_on),
+        *([F.lit(None).cast(on_type).alias(r_on)] if with_r_on else []),
         F.lit(1).alias("__side"),
     )
     r_tagged = right.select(
@@ -80,7 +85,7 @@ def asof_join(
             for c in left_cols
         ],
         *[F.col(c).alias(a) for c, a in zip(value_cols, carried)],
-        F.col(on).alias(r_on),
+        *([F.col(on).alias(r_on)] if with_r_on else []),
         F.lit(0).alias("__side"),
     )
 
@@ -94,7 +99,7 @@ def asof_join(
     filled = unioned.select(
         *left_cols,
         *[F.last(a, ignorenulls=True).over(w).alias(a) for a in carried],
-        F.last(r_on, ignorenulls=True).over(w).alias(r_on),
+        *([F.last(r_on, ignorenulls=True).over(w).alias(r_on)] if with_r_on else []),
         "__side",
     )
     out = filled.filter(F.col("__side") == 1).drop("__side")
@@ -113,6 +118,4 @@ def asof_join(
             *[F.when(ok, F.col(a)).alias(a) for a in carried],
             F.when(ok, F.col(r_on)).alias(r_on),
         )
-    else:
-        out = out.drop(r_on)
     return out

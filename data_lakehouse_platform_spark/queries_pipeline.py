@@ -148,6 +148,76 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------------
+# SCD2 point-in-time (temporal containment) join
+# ----------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH dim AS (
+  SELECT user_id, event_type AS state, ts AS start_ts,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS end_ts
+  FROM events WHERE event_type <> 'purchase'
+),
+purch AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       d.state AS state_at_purchase, d.start_ts AS state_since
+FROM purch p
+LEFT JOIN dim d
+  ON p.user_id = d.user_id
+ AND d.start_ts <= p.ts
+ AND (d.end_ts IS NULL OR p.ts < d.end_ts)
+"""
+
+
+@register(
+    "scd2_point_in_time",
+    _PIT_ORACLE,
+    "Temporal (point-in-time) join: each purchase picks up the SCD2 "
+    "state version whose [start_ts, end_ts) interval contains it — "
+    "the query every effective-dated dimension exists to answer. "
+    "Versions come from the scd2_user_state construction (LEAD-closed "
+    "intervals over non-purchase events); the join is an equi-join on "
+    "user_id with the containment predicate as a residual, so the "
+    "row-multiplication is bounded by versions-per-user, never a "
+    "range-join blowup. Zero-width versions (same-timestamp changes) "
+    "are excluded by the half-open interval, so every purchase "
+    "matches at most one version. Reference analog: gold fact rows "
+    "joining is_current dim versions (gold_fact_orders.py:117-124) — "
+    "this is the historical generalization the reference can't do.",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # LEAD ordering must match the oracle's (ts, event_id) tiebreak.
+    dim = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select("user_id", "event_id", F.col("event_type").alias("state"), F.col("ts").alias("start_ts"))
+        .withColumn("end_ts", F.lead("start_ts").over(Window.partitionBy("user_id").orderBy("start_ts", "event_id")))
+        .select(
+            F.col("user_id").alias("d_user_id"), "state", "start_ts", "end_ts"
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = purch.join(
+        dim,
+        (F.col("user_id") == F.col("d_user_id"))
+        & (F.col("start_ts") <= F.col("ts"))
+        & (F.col("end_ts").isNull() | (F.col("ts") < F.col("end_ts"))),
+        "left",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("state").alias("state_at_purchase"),
+        F.col("start_ts").alias("state_since"),
+    )
+
+
+# ----------------------------------------------------------------------------
 # Gold: star-schema fact build
 # ----------------------------------------------------------------------------
 

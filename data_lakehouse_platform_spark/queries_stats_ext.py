@@ -1474,3 +1474,363 @@ def percentile_cont_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n AS BIGINT) AS n",
         f"{_PCONT_VALUE_EXPR} AS value",
     )
+
+
+# ----------------------------------------------------------------------------
+# Journey pattern mining (ordered event sequences per user-day)
+# ----------------------------------------------------------------------------
+
+_JOURNEY_MAX_STEPS = 20
+
+_JOURNEY_ORACLE = f"""
+WITH j AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         array_to_string(
+           (list(event_type ORDER BY ts, event_id))[1:{_JOURNEY_MAX_STEPS}], '>'
+         ) AS journey,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+)
+SELECT journey,
+       CAST(COUNT(*) AS BIGINT) AS n_user_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(converted) AS BIGINT) AS n_converted
+FROM j GROUP BY journey
+ORDER BY n_user_days DESC, journey
+LIMIT 20
+"""
+
+
+@register(
+    "journey_patterns",
+    _JOURNEY_ORACLE,
+    "Canonical user-journey mining: each user-day's events collapse "
+    "into an ordered event-type path (ts+event_id total order, capped "
+    "at 20 steps so pathological days can't make unbounded keys), "
+    "then the top-20 most common paths with user reach and purchase "
+    "conversion. The sequence collapse is one user-day shuffle; "
+    "pattern counting shuffles strings bounded by the step cap — the "
+    "trajectory/path-analysis query behind 'most common ways users "
+    "reach checkout'.",
+)
+def journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    j = (
+        ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        ),
+                        lambda s: s["event_type"],
+                    ),
+                    1,
+                    _JOURNEY_MAX_STEPS,
+                ),
+                ">",
+            ).alias("journey"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    return (
+        j.groupBy("journey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_user_days"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+        .orderBy(F.desc("n_user_days"), "journey")
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------------------------------
+# Portable MODE aggregate (argmax with full tiebreak)
+# ----------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY n DESC, event_type
+  ) AS rnk
+  FROM counts
+)
+SELECT user_id, event_type AS modal_event, CAST(n AS BIGINT) AS n_occurrences
+FROM ranked WHERE rnk = 1
+"""
+
+
+@register(
+    "mode_event_type",
+    _MODE_ORACLE,
+    "Portable MODE(): each user's most frequent event type, ties "
+    "broken lexicographically so both engines pick the same winner "
+    "(native MODE() functions leave ties undefined — ungradable and "
+    "irreproducible). Grouped count + per-user rank; both shuffles "
+    "key on user_id so AQE coalesces them onto one layout.",
+)
+def mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_event"),
+            F.col("n").cast("bigint").alias("n_occurrences"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# Contingency lift matrix (independence diagnostics without a chi sum)
+# ----------------------------------------------------------------------------
+# Per-cell only — no aggregation over float contributions, so every
+# value is one shared expression over exact integer counts.
+
+_LIFT_EXPR = (
+    "CAST(n_cell AS DOUBLE) * CAST(n_total AS DOUBLE) "
+    "/ (CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE))"
+)
+_EXPECTED_EXPR = (
+    "CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE) / CAST(n_total AS DOUBLE)"
+)
+
+_CONTINGENCY_ORACLE = f"""
+WITH cells AS (
+  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+         COUNT(*) AS n_cell
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT *,
+         SUM(n_cell) OVER (PARTITION BY segment)  AS n_row,
+         SUM(n_cell) OVER (PARTITION BY priority) AS n_col,
+         SUM(n_cell) OVER ()                      AS n_total
+  FROM cells
+)
+SELECT segment, priority,
+       CAST(n_cell AS BIGINT) AS n_cell,
+       {_EXPECTED_EXPR} AS expected,
+       {_LIFT_EXPR} AS lift
+FROM tot
+"""
+
+
+@register(
+    "contingency_lift",
+    _CONTINGENCY_ORACLE,
+    "Contingency table with per-cell expected counts and lift "
+    "(observed x total / (row x col)): the independence diagnostic "
+    "behind segment-affinity dashboards, kept per-cell so no float "
+    "summation order exists anywhere — every number is one shared "
+    "expression over exact integers. One broadcast join + one "
+    "grouped shuffle; the margin windows run over the tiny cell "
+    "table.",
+)
+def contingency_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("n_cell"))
+    )
+    tot = cells.select(
+        "*",
+        F.sum("n_cell").over(Window.partitionBy("segment")).alias("n_row"),
+        F.sum("n_cell").over(Window.partitionBy("priority")).alias("n_col"),
+        F.sum("n_cell").over(Window.partitionBy()).alias("n_total"),
+    )
+    return tot.selectExpr(
+        "segment",
+        "priority",
+        "CAST(n_cell AS BIGINT) AS n_cell",
+        f"{_EXPECTED_EXPR} AS expected",
+        f"{_LIFT_EXPR} AS lift",
+    )
+
+
+# ----------------------------------------------------------------------------
+# 2-D skyline (Pareto front) in one sorted window pass
+# ----------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(o_orderdate), TIMESTAMP '2001-08-01') AS BIGINT)
+           AS recency_days,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS BIGINT)
+           AS monetary6
+  FROM orders GROUP BY o_custkey
+),
+swept AS (
+  SELECT *, MAX(monetary6) OVER (
+    ORDER BY recency_days ASC, monetary6 DESC, o_custkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ) AS best_before
+  FROM cust
+)
+SELECT o_custkey, recency_days,
+       CAST(monetary6 AS DOUBLE) / 1000000 AS monetary
+FROM swept
+WHERE best_before IS NULL OR monetary6 > best_before
+"""
+
+
+@register(
+    "skyline_customers",
+    _SKYLINE_ORACLE,
+    "2-D skyline (Pareto front): customers not dominated on "
+    "(fresher recency, higher spend). The classic sort-based "
+    "algorithm as one window: order by recency, keep rows whose "
+    "exact scaled spend strictly beats the running max of everyone "
+    "fresher — O(n log n) total and a single shuffle, vs the naive "
+    "O(n^2) dominance self-join. Spend stays an exact BIGINT through "
+    "every comparison so the front is engine- and partition-stable.",
+)
+def skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.money import dec
+
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.lit(_RFM_ANCHOR), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.sum(dec("o_totalprice")).cast("bigint").alias("monetary6"),
+        )
+    )
+    w = (
+        Window.orderBy(
+            F.col("recency_days").asc(), F.col("monetary6").desc(), F.col("o_custkey")
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = cust.withColumn("best_before", F.max("monetary6").over(w))
+    return swept.filter(
+        F.col("best_before").isNull() | (F.col("monetary6") > F.col("best_before"))
+    ).selectExpr(
+        "o_custkey",
+        "recency_days",
+        "CAST(monetary6 AS DOUBLE) / 1000000 AS monetary",
+    )
+
+
+# ----------------------------------------------------------------------------
+# Inequality / concentration measures: Gini + Herfindahl (HHI)
+# ----------------------------------------------------------------------------
+# Gini = (2 * Σ i·x_(i)) / (n * Σ x) - (n + 1) / n over rank-sorted
+# exact spends; HHI = Σ x² / (Σ x)². Every Σ is an exact integer; the
+# rank-weighted sum exceeds int64, so it floor-div downscales into
+# int64 range before its single double cast (the HUGEINT→DOUBLE
+# double-rounding recipe).
+
+_GINI_DS = 10**6
+_GINI_EXPR = (
+    f"2.0 * (CAST(sw AS DOUBLE) * {_GINI_DS}) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) "
+    "- (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE)"
+)
+_HHI_EXPR = (
+    f"(CAST(ssq AS DOUBLE) * {_GINI_DS}) / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+)
+
+_GINI_ORACLE = f"""
+WITH cust AS (
+  SELECT c_mktsegment AS segment, o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS BIGINT)
+           AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY segment ORDER BY x, o_custkey
+  ) AS i
+  FROM cust
+),
+m AS (
+  SELECT segment,
+         COUNT(*) AS n,
+         SUM(x) AS s,
+         (SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT))
+            - (((SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) % {_GINI_DS})
+                + {_GINI_DS}) % {_GINI_DS})) // {_GINI_DS} AS sw,
+         (SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+            - (((SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) % {_GINI_DS})
+                + {_GINI_DS}) % {_GINI_DS})) // {_GINI_DS} AS ssq
+  FROM ranked GROUP BY segment
+)
+SELECT segment, CAST(n AS BIGINT) AS n_customers,
+       CAST(s AS DOUBLE) / 1000000 AS total_spend,
+       {_GINI_EXPR} AS gini,
+       {_HHI_EXPR} AS hhi
+FROM m
+"""
+
+
+@register(
+    "gini_hhi_concentration",
+    _GINI_ORACLE,
+    "Spend inequality per market segment: exact Gini coefficient "
+    "(rank-weighted sum formulation over the sorted exact spends) and "
+    "Herfindahl concentration index, both from integer moments with a "
+    "floor-div downscale so no beyond-int64 value ever meets a DOUBLE "
+    "cast. One join + one grouped shuffle + one segment-partitioned "
+    "rank window; the whale-dependence metric ('do 1% of customers "
+    "carry the revenue?') that informs curation and sampling choices "
+    "as much as sales dashboards.",
+)
+def gini_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.money import dec
+
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("o_custkey"))
+        .agg(F.sum(dec("o_totalprice")).cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy("segment").orderBy("x", "o_custkey")
+    ranked = cust.withColumn("i", F.row_number().over(w))
+    D = _GINI_DS
+    fdiv = (
+        lambda e: f"CAST((({e}) - ((({e}) % {D}) + {D}) % {D}) / {D} AS DECIMAL(38,0))"
+    )
+    sw_sum = "SUM(CAST(i AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))"
+    sq_sum = "SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))"
+    m = ranked.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.expr(fdiv(sw_sum)).alias("sw"),
+        F.expr(fdiv(sq_sum)).alias("ssq"),
+    )
+    return m.selectExpr(
+        "segment",
+        "CAST(n AS BIGINT) AS n_customers",
+        "CAST(s AS DOUBLE) / 1000000 AS total_spend",
+        f"{_GINI_EXPR} AS gini",
+        f"{_HHI_EXPR} AS hhi",
+    )
