@@ -144,3 +144,126 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             )
         ).alias("frame_offset"),
     )
+
+
+# ----------------------------------------------------------------------------
+# RGRAY: a real (library-free) raw grayscale image path
+# ----------------------------------------------------------------------------
+# The stubs above stand in for Pillow/ffmpeg formats. RGRAY is a
+# complete, genuinely-decoded format this container CAN process:
+# b"RGRAY" + width(uint32 BE) + height(uint32 BE) + width*height uint8
+# pixels. encode/decode/resize below do real numpy pixel math inside
+# the same Arrow-batched mapInPandas plumbing — proving the multimodal
+# path end-to-end, not just its schemas.
+
+_RGRAY_MAGIC = b"RGRAY"
+
+GRAY_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, "
+    "mean_brightness double, std_brightness double, edge_energy double"
+)
+
+
+def encode_rgray(pixels) -> bytes:
+    """numpy uint8 (h, w) array -> RGRAY payload bytes."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w = a.shape
+    return (
+        _RGRAY_MAGIC
+        + int(w).to_bytes(4, "big")
+        + int(h).to_bytes(4, "big")
+        + a.tobytes()
+    )
+
+
+def decode_rgray(payload: bytes):
+    """RGRAY payload -> numpy uint8 (h, w) array. Raises on bad magic
+    or truncated pixels — corrupt media must fail loudly, not decode
+    to garbage."""
+    import numpy as np
+
+    if payload[:5] != _RGRAY_MAGIC:
+        raise ValueError("not an RGRAY payload")
+    w = int.from_bytes(payload[5:9], "big")
+    h = int.from_bytes(payload[9:13], "big")
+    pix = payload[13:]
+    if len(pix) != w * h:
+        raise ValueError(f"truncated RGRAY: expected {w * h} pixels, got {len(pix)}")
+    return np.frombuffer(pix, dtype=np.uint8).reshape(h, w)
+
+
+def gray_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
+    """REAL feature extraction over RGRAY payloads: mean/std
+    brightness and horizontal edge energy (mean |dI/dx|), computed
+    with numpy per Arrow batch. Same plumbing as the stubbed decoder
+    — swapping the kernel changed nothing upstream or downstream."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_rgray(bytes(p)).astype(np.float64)
+                h, w = img.shape
+                edge = float(np.abs(np.diff(img, axis=1)).mean()) if w > 1 else 0.0
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": w,
+                        "height": h,
+                        "mean_brightness": float(img.mean()),
+                        "std_brightness": float(img.std()),
+                        "edge_energy": edge,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(run, schema=GRAY_FEATURE_SCHEMA)
+
+
+def resize_rgray(media: DataFrame, factor: int, batch_size: int = 64) -> DataFrame:
+    """REAL block-mean downsample by an integer factor (dimensions
+    must divide evenly — enforced, not silently cropped). Payloads
+    stay RGRAY, metadata updates, and the stage composes with
+    gray_features exactly like the stubbed pipeline."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                img = decode_rgray(bytes(p))
+                h, w = img.shape
+                if h % factor or w % factor:
+                    raise ValueError(f"{h}x{w} not divisible by {factor}")
+                small = (
+                    img.reshape(h // factor, factor, w // factor, factor)
+                    .mean(axis=(1, 3))
+                    .round()
+                    .astype(np.uint8)
+                )
+                payloads.append(encode_rgray(small))
+                mime = m["mime"] if isinstance(m, dict) else m[0]
+                metas.append(
+                    {
+                        "mime": mime,
+                        "width": w // factor,
+                        "height": h // factor,
+                        "n_bytes": len(payloads[-1]),
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)

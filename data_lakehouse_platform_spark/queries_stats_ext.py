@@ -1834,3 +1834,433 @@ def gini_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_GINI_EXPR} AS gini",
         f"{_HHI_EXPR} AS hhi",
     )
+
+
+# ----------------------------------------------------------------------------
+# Readability scoring (Flesch-style, vowel-group syllable proxy)
+# ----------------------------------------------------------------------------
+
+_FLESCH_EXPR = (
+    "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) "
+    "- 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)"
+)
+
+_READABILITY_ORACLE = f"""
+WITH counts AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '[a-z]+'))      AS n_words,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))   AS n_syllables
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       {_FLESCH_EXPR} AS flesch
+FROM counts WHERE n_words > 0
+"""
+
+
+@register(
+    "text_readability",
+    _READABILITY_ORACLE,
+    "Flesch-style readability per document from three regexp counts "
+    "(words, sentence terminators, vowel-group syllable proxy) — the "
+    "standard library-free approximation. Pure single-pass map work "
+    "(regexp_count in codegen, no shuffle at all before the driver "
+    "collects), and the score is one shared expression over exact "
+    "integers. A corpus-quality gate alongside text_quality: filter "
+    "training data to a readability band without a tokenizer.",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z]+")).alias("n_words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+        ).alias("n_sentences"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).alias(
+            "n_syllables"
+        ),
+    )
+    return counts.filter(F.col("n_words") > 0).selectExpr(
+        "doc_id",
+        "lang",
+        "CAST(n_words AS BIGINT) AS n_words",
+        "CAST(n_sentences AS BIGINT) AS n_sentences",
+        "CAST(n_syllables AS BIGINT) AS n_syllables",
+        f"{_FLESCH_EXPR} AS flesch",
+    )
+
+
+# ----------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law, first-occurrence running sums)
+# ----------------------------------------------------------------------------
+
+_TTR_EXPR = "CAST(cum_distinct AS DOUBLE) / CAST(cum_tokens AS DOUBLE)"
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id),
+firsts AS (
+  SELECT MIN(doc_id) AS doc_id, term FROM toks GROUP BY term
+),
+new_terms AS (
+  SELECT doc_id, COUNT(*) AS n_new FROM firsts GROUP BY doc_id
+),
+curve AS (
+  SELECT p.doc_id, p.n_tokens, COALESCE(n.n_new, 0) AS n_new,
+         SUM(p.n_tokens) OVER (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING) AS cum_distinct
+  FROM per_doc p LEFT JOIN new_terms n ON p.doc_id = n.doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_new AS BIGINT) AS n_new_terms,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(cum_distinct AS BIGINT) AS cum_distinct,
+       {_TTR_EXPR} AS type_token_ratio
+FROM curve
+"""
+
+
+@register(
+    "vocab_growth",
+    _VOCAB_ORACLE,
+    "Vocabulary growth (Heaps' law) curve: running distinct-term "
+    "count as the corpus accumulates in doc_id order, WITHOUT a "
+    "running COUNT(DISTINCT) — each term charges its first-occurrence "
+    "doc (a grouped MIN), so the curve is two tiny running sums over "
+    "the per-doc table. Diminishing type-token ratio signals "
+    "saturation/duplication in a growing training corpus; the "
+    "windowed-distinct rewrite is what makes it computable at all at "
+    "scale.",
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    firsts = toks.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
+    new_terms = firsts.groupBy("doc_id").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(new_terms, "doc_id", "left")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_new",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum("n_new").over(w).alias("cum_distinct"),
+        )
+    )
+    return curve.selectExpr(
+        "doc_id",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(n_new AS BIGINT) AS n_new_terms",
+        "CAST(cum_tokens AS BIGINT) AS cum_tokens",
+        "CAST(cum_distinct AS BIGINT) AS cum_distinct",
+        f"{_TTR_EXPR} AS type_token_ratio",
+    )
+
+
+# ----------------------------------------------------------------------------
+# Segment migration matrix (month-over-month quartile transitions)
+# ----------------------------------------------------------------------------
+
+_MIGRATION_ORACLE = """
+WITH monthly AS (
+  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS BIGINT)
+           AS spend6
+  FROM orders GROUP BY 1, 2
+),
+tiered AS (
+  SELECT *, NTILE(4) OVER (
+    PARTITION BY month ORDER BY spend6 DESC, o_custkey
+  ) AS tier
+  FROM monthly
+),
+paired AS (
+  SELECT t.o_custkey, t.month, t.tier AS from_tier, nxt.tier AS to_tier
+  FROM tiered t
+  JOIN tiered nxt
+    ON t.o_custkey = nxt.o_custkey
+   AND nxt.month = t.month + INTERVAL 1 MONTH
+)
+SELECT from_tier, to_tier, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM paired GROUP BY 1, 2
+"""
+
+
+@register(
+    "segment_migration",
+    _MIGRATION_ORACLE,
+    "Month-over-month tier migration matrix: customers get a spend "
+    "quartile per month (exact scaled spend, custkey-tiebroken "
+    "NTILE), consecutive months pair by an equi-join on (custkey, "
+    "month+1), and the 4x4 transition counts fall out of one grouped "
+    "count. The retention/churn movement view behind 'did our top "
+    "quartile stay top'; all shuffles key on custkey or month — "
+    "nothing quadratic, no window over the raw fact.",
+)
+def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.money import dec
+
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey",
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        )
+        .agg(F.sum(dec("o_totalprice")).cast("bigint").alias("spend6"))
+    )
+    w = Window.partitionBy("month").orderBy(F.desc("spend6"), F.col("o_custkey"))
+    tiered = monthly.withColumn("tier", F.ntile(4).over(w))
+    nxt = tiered.select(
+        F.col("o_custkey").alias("n_custkey"),
+        F.col("month").alias("n_month"),
+        F.col("tier").alias("to_tier"),
+    )
+    paired = tiered.join(
+        nxt,
+        (F.col("o_custkey") == F.col("n_custkey"))
+        & (F.col("n_month") == F.col("month") + F.expr("INTERVAL 1 MONTH")),
+    )
+    return (
+        paired.groupBy(F.col("tier").alias("from_tier"), "to_tier")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+
+
+# ----------------------------------------------------------------------------
+# Lag-1 autocorrelation of daily revenue (exact paired moments)
+# ----------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0)))
+           AS BIGINT) // 1000000 AS x
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT CAST(LAG(x) OVER (ORDER BY day) AS BIGINT) AS xi,
+         CAST(x AS BIGINT) AS yi
+  FROM daily
+),
+pts AS (SELECT xi, yi FROM pairs WHERE xi IS NOT NULL),
+m AS (
+  SELECT {", ".join(f"{expr} AS {name}" for name, expr in _MOMENTS.items())}
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       {_CORR_EXPR} AS lag1_autocorr
+FROM m
+"""
+
+
+@register(
+    "revenue_autocorr",
+    _AUTOCORR_ORACLE,
+    "Lag-1 autocorrelation of daily revenue: LAG pairs consecutive "
+    "days (whole-unit exact integers), then the same shared "
+    "closed-form Pearson expression as corr_qty_price over five exact "
+    "moments. Positive autocorrelation means yesterday predicts "
+    "today — the one-number stationarity check run before trusting "
+    "the rolling z-score thresholds. Daily collapse first, so the "
+    "window and moments touch ~span-days rows regardless of fact "
+    "size.",
+)
+def revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) "
+            "AS BIGINT) DIV 1000000"
+        ).alias("x"))
+    )
+    w = Window.orderBy("day")
+    pts = (
+        daily.select(
+            F.lag("x").over(w).cast("bigint").alias("xi"),
+            F.col("x").cast("bigint").alias("yi"),
+        )
+        .filter(F.col("xi").isNotNull())
+    )
+    m = pts.agg(*[F.expr(expr).alias(name) for name, expr in _MOMENTS.items()])
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_pairs",
+        f"{_CORR_EXPR} AS lag1_autocorr",
+    )
+
+
+# ----------------------------------------------------------------------------
+# Cohort LTV curve (cumulative revenue per signup cohort)
+# ----------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey,
+         MIN(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+monthly AS (
+  SELECT f.cohort,
+         CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 1000000) AS DECIMAL(28,0))) AS BIGINT)
+           AS rev6,
+         COUNT(DISTINCT o.o_custkey) AS n_active
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+),
+curve AS (
+  SELECT cohort, month, rev6, n_active,
+         CAST(date_diff('month', cohort, month) AS INT) AS month_offset,
+         SUM(rev6) OVER (
+           PARTITION BY cohort ORDER BY month ROWS UNBOUNDED PRECEDING
+         ) AS cum_rev6
+  FROM monthly
+)
+SELECT cohort, CAST(month_offset AS INT) AS month_offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(rev6 AS DOUBLE) / 1000000 AS revenue,
+       CAST(cum_rev6 AS DOUBLE) / 1000000 AS cum_revenue
+FROM curve
+"""
+
+
+@register(
+    "cohort_ltv",
+    _LTV_ORACLE,
+    "Lifetime-value curve per acquisition cohort: customers anchor to "
+    "their first-order month, each cohort accumulates exact monthly "
+    "revenue (scaled BIGINT through the running sum — cast to DOUBLE "
+    "only at the edge), reported by month offset. One extra shuffle "
+    "over the plain retention matrix buys the 'how much is a cohort "
+    "worth by month 6' curve that payback-period decisions read.",
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.money import dec
+
+    od = _t(spark, sf_dir, "orders")
+    firsts = od.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("cohort")
+    )
+    monthly = (
+        od.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort", F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        )
+        .agg(
+            F.sum(dec("o_totalprice")).cast("bigint").alias("rev6"),
+            F.countDistinct("o_custkey").alias("n_active"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = monthly.select(
+        "cohort",
+        (F.months_between(F.col("month"), F.col("cohort")))
+        .cast("int")
+        .alias("month_offset"),
+        "n_active",
+        "rev6",
+        F.sum("rev6").over(w).alias("cum_rev6"),
+    )
+    return curve.selectExpr(
+        "cohort",
+        "CAST(month_offset AS INT) AS month_offset",
+        "CAST(n_active AS BIGINT) AS n_active",
+        "CAST(rev6 AS DOUBLE) / 1000000 AS revenue",
+        "CAST(cum_rev6 AS DOUBLE) / 1000000 AS cum_revenue",
+    )
+
+
+# ----------------------------------------------------------------------------
+# New vs returning customers per month
+# ----------------------------------------------------------------------------
+
+_NVR_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey,
+         MIN(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS first_month
+  FROM orders GROUP BY o_custkey
+),
+tagged AS (
+  SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+         CASE WHEN CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+                   = f.first_month
+              THEN 1 ELSE 0 END AS is_new,
+         o.o_custkey, o.o_totalprice
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+)
+SELECT month,
+       CAST(SUM(is_new) AS BIGINT) AS n_new_orders,
+       CAST(SUM(1 - is_new) AS BIGINT) AS n_returning_orders,
+       CAST(COUNT(DISTINCT CASE WHEN is_new = 1 THEN o_custkey END) AS BIGINT)
+         AS n_new_customers,
+       CAST(SUM(CASE WHEN is_new = 1
+                     THEN CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))
+                     ELSE 0 END) AS DOUBLE) / 1000000 AS new_revenue,
+       CAST(SUM(CASE WHEN is_new = 0
+                     THEN CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))
+                     ELSE 0 END) AS DOUBLE) / 1000000 AS returning_revenue
+FROM tagged GROUP BY month
+"""
+
+
+@register(
+    "new_vs_returning",
+    _NVR_ORACLE,
+    "Monthly new-vs-returning split: an order is 'new' iff its month "
+    "equals the customer's first-order month, then conditional exact "
+    "sums split order counts, distinct new customers, and revenue. "
+    "Two custkey-keyed shuffles (first-month anchor + the join back); "
+    "the acquisition-vs-retention revenue mix every growth dashboard "
+    "leads with.",
+)
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.money import dec
+
+    od = _t(spark, sf_dir, "orders")
+    firsts = od.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("first_month")
+    )
+    tagged = od.join(firsts, "o_custkey").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        (F.date_trunc("month", F.col("o_orderdate")) == F.col("first_month"))
+        .cast("int")
+        .alias("is_new"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    return tagged.groupBy("month").agg(
+        F.sum("is_new").cast("bigint").alias("n_new_orders"),
+        F.sum(1 - F.col("is_new")).cast("bigint").alias("n_returning_orders"),
+        F.countDistinct(
+            F.when(F.col("is_new") == 1, F.col("o_custkey"))
+        ).cast("bigint").alias("n_new_customers"),
+        (
+            F.sum(F.when(F.col("is_new") == 1, dec("o_totalprice")).otherwise(F.lit(0)))
+            .cast("double") / 1000000
+        ).alias("new_revenue"),
+        (
+            F.sum(F.when(F.col("is_new") == 0, dec("o_totalprice")).otherwise(F.lit(0)))
+            .cast("double") / 1000000
+        ).alias("returning_revenue"),
+    )

@@ -74,3 +74,81 @@ def test_resize_images_preserves_layout(spark):
 
     feats = decode_image_features(resized, batch_size=8).collect()
     assert all(f.n_bytes == 32 for f in feats)
+
+
+def test_rgray_real_decode_features(spark):
+    """RGRAY is genuinely decoded: features computed by Spark match
+    numpy computed locally on the same pixel arrays, bit for bit."""
+    import numpy as np
+
+    from data_lakehouse_platform_spark.operators.multimodal import (
+        attach_metadata,
+        encode_rgray,
+        gray_features,
+    )
+
+    imgs = {
+        1: np.arange(64, dtype=np.uint8).reshape(8, 8),
+        2: np.full((4, 16), 200, dtype=np.uint8),
+        3: (np.indices((6, 10)).sum(axis=0) * 12 % 256).astype(np.uint8),
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_rgray(a))) for i, a in imgs.items()],
+        "media_id long, payload binary",
+    )
+    media = attach_metadata(df, "media_id", "payload", "image/x-rgray")
+    got = {r["media_id"]: r for r in gray_features(media).collect()}
+
+    for i, a in imgs.items():
+        f = a.astype(np.float64)
+        assert got[i]["width"] == a.shape[1] and got[i]["height"] == a.shape[0]
+        assert got[i]["mean_brightness"] == f.mean()
+        assert got[i]["std_brightness"] == f.std()
+        assert got[i]["edge_energy"] == np.abs(np.diff(f, axis=1)).mean()
+
+
+def test_rgray_resize_then_decode_composes(spark):
+    """Block-mean resize halves dimensions, stays a valid RGRAY
+    payload, and the resized pixels equal the local numpy block
+    means."""
+    import numpy as np
+
+    from data_lakehouse_platform_spark.operators.multimodal import (
+        attach_metadata,
+        decode_rgray,
+        encode_rgray,
+        gray_features,
+        resize_rgray,
+    )
+
+    a = (np.indices((8, 12)).sum(axis=0) * 21 % 256).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_rgray(a)))], "media_id long, payload binary"
+    )
+    media = attach_metadata(df, "media_id", "payload", "image/x-rgray")
+    small = resize_rgray(media, factor=2)
+
+    row = small.collect()[0]
+    assert row["meta"]["width"] == 6 and row["meta"]["height"] == 4
+    got_img = decode_rgray(bytes(row["payload"]))
+    want = a.reshape(4, 2, 6, 2).mean(axis=(1, 3)).round().astype(np.uint8)
+    assert (got_img == want).all()
+
+    # Composes: features over the resized stream still decode for real.
+    feats = gray_features(small).collect()[0]
+    assert feats["width"] == 6 and feats["mean_brightness"] == want.astype(np.float64).mean()
+
+
+def test_rgray_corrupt_payload_fails_loudly(spark):
+    """Truncated or wrong-magic payloads raise instead of decoding to
+    garbage — media DQ mirrors the engine's fail-loud posture."""
+    import pytest as _pytest
+
+    from data_lakehouse_platform_spark.operators.multimodal import decode_rgray, encode_rgray
+    import numpy as np
+
+    good = encode_rgray(np.zeros((2, 2), dtype=np.uint8))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_rgray(good[:-1])
+    with _pytest.raises(ValueError, match="not an RGRAY"):
+        decode_rgray(b"JPEG" + good)
