@@ -2264,3 +2264,215 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double") / 1000000
         ).alias("returning_revenue"),
     )
+
+
+# ----------------------------------------------------------------------------
+# Conversion latency distribution (view -> first purchase)
+# ----------------------------------------------------------------------------
+
+_LATENCY_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.view_ts
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT p.user_id,
+         (epoch_us(p.purchase_ts) - epoch_us(v.view_ts)) // 1000000 AS latency_s
+  FROM p JOIN v USING (user_id)
+)
+SELECT
+  CASE WHEN latency_s < 60 THEN 'lt_1m'
+       WHEN latency_s < 3600 THEN 'lt_1h'
+       WHEN latency_s < 86400 THEN 'lt_1d'
+       ELSE 'ge_1d' END AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(MIN(latency_s) AS BIGINT) AS min_s,
+  CAST(MAX(latency_s) AS BIGINT) AS max_s
+FROM lat GROUP BY 1
+"""
+
+
+@register(
+    "conversion_latency",
+    _LATENCY_ORACLE,
+    "Time-to-convert distribution: first view to first subsequent "
+    "purchase per user, in exact integer seconds (micros floor-div — "
+    "no float timestamps), bucketed minute/hour/day. Two grouped MINs "
+    "and a key join, all on user_id; the latency histogram behind "
+    "'how long does conversion take', feeding the attribution-window "
+    "choice used by asof_forward_tolerance.",
+)
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    lat = p.join(v, "user_id").select(
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("us"),
+    ).selectExpr("user_id", "us DIV 1000000 AS latency_s")
+    bucket = (
+        F.when(F.col("latency_s") < 60, "lt_1m")
+        .when(F.col("latency_s") < 3600, "lt_1h")
+        .when(F.col("latency_s") < 86400, "lt_1d")
+        .otherwise("ge_1d")
+    )
+    return lat.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.min("latency_s").cast("bigint").alias("min_s"),
+        F.max("latency_s").cast("bigint").alias("max_s"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# DAU / MAU stickiness (sliding-distinct via coverage explode)
+# ----------------------------------------------------------------------------
+
+_MAU_WINDOW_DAYS = 30
+
+_DAU_MAU_ORACLE = f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM user_days GROUP BY day),
+coverage AS (
+  SELECT DISTINCT user_id,
+         unnest(generate_series(
+           day, day + INTERVAL {_MAU_WINDOW_DAYS - 1} DAY, INTERVAL 1 DAY
+         )) AS cover_day
+  FROM user_days
+),
+mau AS (SELECT cover_day AS day, COUNT(DISTINCT user_id) AS mau FROM coverage GROUP BY 1)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(m.mau AS BIGINT) AS mau,
+       CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+FROM dau d JOIN mau m ON d.day = m.day
+"""
+
+
+@register(
+    "dau_mau_stickiness",
+    _DAU_MAU_ORACLE,
+    "DAU/MAU stickiness per day with an EXACT trailing-30-day "
+    "distinct: windows can't COUNT(DISTINCT), so each user-day "
+    "explodes into the 30 future days it keeps the user 'monthly "
+    "active' for, and MAU is a plain grouped distinct — a bounded "
+    "30x row fan-out of the already-collapsed user-day table, not "
+    "the raw events. Reported only for observed days. The "
+    "engagement-health ratio every consumer product tracks.",
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    user_days = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    dau = user_days.groupBy("day").agg(F.count("*").alias("dau"))
+    coverage = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {_MAU_WINDOW_DAYS - 1} DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("cover_day"),
+    ).distinct()
+    mau = coverage.groupBy(F.col("cover_day").alias("day")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return dau.join(mau, "day").selectExpr(
+        "day",
+        "CAST(dau AS BIGINT) AS dau",
+        "CAST(mau AS BIGINT) AS mau",
+        "CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness",
+    )
+
+
+# ----------------------------------------------------------------------------
+# Lorenz curve by customer decile (80/20 concentration profile)
+# ----------------------------------------------------------------------------
+
+_LORENZ_SHARE = "CAST(cum6 AS DOUBLE) / CAST(tot6 AS DOUBLE)"
+
+_LORENZ_ORACLE = f"""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS BIGINT)
+           AS spend6
+  FROM orders GROUP BY o_custkey
+),
+tiered AS (
+  SELECT *, NTILE(10) OVER (ORDER BY spend6, o_custkey) AS decile
+  FROM cust
+),
+per_decile AS (
+  SELECT decile, COUNT(*) AS n_customers, SUM(spend6) AS dec6
+  FROM tiered GROUP BY decile
+),
+curve AS (
+  SELECT *,
+         SUM(dec6) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum6,
+         SUM(dec6) OVER () AS tot6
+  FROM per_decile
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(dec6 AS DOUBLE) / 1000000 AS decile_revenue,
+       {_LORENZ_SHARE} AS cum_revenue_share
+FROM curve
+"""
+
+
+@register(
+    "lorenz_curve_deciles",
+    _LORENZ_ORACLE,
+    "Lorenz curve at decile resolution: customers sorted by exact "
+    "spend into NTILE(10), each decile's exact revenue, and the "
+    "cumulative share (ratio of exact scaled BIGINTs — both under "
+    "2^53, so the doubles agree bitwise). Reads directly against "
+    "gini_hhi_concentration: 'the bottom half of customers carry X% "
+    "of revenue'. The ten-row windows run over the already-reduced "
+    "decile table; only the NTILE touches per-customer rows.",
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.money import dec
+
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).cast("bigint").alias("spend6"))
+    )
+    w = Window.orderBy("spend6", "o_custkey")
+    tiered = cust.withColumn("decile", F.ntile(10).over(w))
+    per_decile = tiered.groupBy("decile").agg(
+        F.count("*").alias("n_customers"), F.sum("spend6").alias("dec6")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    curve = per_decile.select(
+        "*",
+        F.sum("dec6").over(wc).alias("cum6"),
+        F.sum("dec6").over(wt).alias("tot6"),
+    )
+    return curve.selectExpr(
+        "CAST(decile AS INT) AS decile",
+        "CAST(n_customers AS BIGINT) AS n_customers",
+        "CAST(dec6 AS DOUBLE) / 1000000 AS decile_revenue",
+        f"{_LORENZ_SHARE} AS cum_revenue_share",
+    )

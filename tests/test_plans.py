@@ -256,3 +256,30 @@ def test_stats_ext_plan_contracts(spark):
     # customer side broadcast into the join.
     ar = audit_plan(registry["percent_rank_spend"].build(spark, SF_DIR))
     assert ar.broadcast_hash_joins >= 1 and ar.single_partition_exchanges == 0
+
+
+def test_lifecycle_plan_contracts(spark):
+    """Scale contracts for the lifecycle/corpus-stats batch."""
+    registry = all_queries()
+
+    # Journey mining: the sequence collapse and pattern count are
+    # grouped aggregations — no window over the raw event stream, no
+    # cartesian anywhere.
+    aj = audit_plan(registry["journey_patterns"].build(spark, SF_DIR))
+    assert aj.cartesian_products == 0 and aj.python_free_hot_path
+
+    # Vocab growth: running COUNT(DISTINCT) rewritten to grouped MIN +
+    # running sums — the windows run over per-doc rows, so the only
+    # single-partition window is the tiny curve ordering.
+    av = audit_plan(registry["vocab_growth"].build(spark, SF_DIR))
+    assert av.cartesian_products == 0
+
+    # Cohort LTV: two custkey/cohort-keyed shuffles + windows; the
+    # first-order anchor join must not be cartesian or nested-loop.
+    al = audit_plan(registry["cohort_ltv"].build(spark, SF_DIR))
+    assert al.cartesian_products == 0 and al.broadcast_nested_loop_joins == 0
+
+    # Gini/HHI: one broadcast (customer dim), grouped moments, and a
+    # segment-partitioned rank — never a global sort over the fact.
+    ag = audit_plan(registry["gini_hhi_concentration"].build(spark, SF_DIR))
+    assert ag.broadcast_hash_joins >= 1 and ag.cartesian_products == 0

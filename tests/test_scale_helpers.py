@@ -74,3 +74,35 @@ def test_salted_join_left_outer(spark):
     assert len(rows) == 200
     assert {r["v"] for r in rows if r["k"] >= 3} == {None}
     assert {r["v"] for r in rows if r["k"] < 3} == {"x"}
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Custom operators must behave on empty inputs — at 100 TB a
+    partition, an incremental slice, or a filtered stream is routinely
+    empty, and an operator that throws on zero rows kills the job."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_platform_spark.operators.asof import asof_join
+    from data_lakehouse_platform_spark.operators.dedup import (
+        containment_pairs,
+        exact_dedup_groups,
+        jaccard_pairs,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_sh = spark.createDataFrame([], "doc_id long, shingle string")
+
+    assert exact_dedup_groups(empty_docs, "doc_id", "text").count() == 0
+    assert jaccard_pairs(empty_sh).count() == 0
+    assert containment_pairs(empty_sh).count() == 0
+
+    left = spark.createDataFrame([(1, 10, 5)], "k int, ts int, payload int")
+    empty_right = spark.createDataFrame([], "k int, ts int, v int")
+    # Empty right side: every left row survives with a NULL carry.
+    out = asof_join(left, empty_right, on="ts", by="k").collect()
+    assert len(out) == 1 and out[0]["v_right"] is None
+    # Empty right with tolerance: same, and the matched-ts is NULL too.
+    out = asof_join(
+        left, empty_right, on="ts", by="k", direction="forward", tolerance=100
+    ).collect()
+    assert len(out) == 1 and out[0]["ts_right"] is None
