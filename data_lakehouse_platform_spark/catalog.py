@@ -56,16 +56,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default. Read it as raw nanos and truncate to micros with
-        # INTEGER division (`div`) — double division would lose low
-        # bits of the int64 and corrupt timestamps. DuckDB truncates
-        # the same way, so the oracle sees identical values.
+        # Some generations of the testdata write events.ts as parquet
+        # TIMESTAMP(NANOS), which Spark rejects by default; others as
+        # TIMESTAMP(MICROS), which reads natively. Enable the nanos-as-
+        # long escape hatch, then convert ONLY if ts actually arrived
+        # as a raw int64: truncate nanos→micros with INTEGER division
+        # (`div`) — double division would lose low bits of the int64
+        # and corrupt timestamps. DuckDB truncates the same way, so
+        # the oracle sees identical values either way.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as
+            # NTZ; downstream code (unix_micros, range joins) expects a
+            # regular TIMESTAMP. The session timezone is pinned to UTC
+            # (session.py), so this cast is value-preserving and lands
+            # on exactly the instants DuckDB reads for the same file.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in _CPU_HEAVY:
         return _fan_out(spark, df)

@@ -64,7 +64,9 @@ class SnapshotTable:
         return sorted(
             int(f[: -len(".json")])
             for f in os.listdir(self.log_dir)
-            if f.endswith(".json")
+            # Commit manifests are bare "<N>.json"; index sidecars
+            # (bloom-N.json) live alongside and are not versions.
+            if f.endswith(".json") and f[: -len(".json")].isdigit()
         )
 
     def _manifest(self, version: int) -> Snapshot:
@@ -207,6 +209,167 @@ class SnapshotTable:
         pre = _emit("o", "update_preimage", upd)
         post = _emit("n", "update_postimage", upd)
         return inserts.unionAll(deletes).unionAll(pre).unionAll(post)
+
+    def upsert(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        evolve_schema: bool = True,
+        txn_id: str | None = None,
+    ) -> int:
+        """Delta-style ``MERGE`` with optional automatic schema
+        evolution (Delta's ``mergeSchema``): rows in ``df`` replace
+        same-key rows in the latest snapshot, other rows are kept, and
+        with ``evolve_schema`` new columns in ``df`` are added to the
+        table (pre-existing rows read NULL for them) while columns
+        missing from ``df`` survive as NULL on the updated rows.
+
+        Physically one anti join of old-vs-new keys + a union — the
+        join keys co-partition, so at scale this is one shuffle of each
+        side (or a broadcast when the upsert batch is small; AQE picks).
+        Reference analog: gold SCD merges (gold_dim_products.py:66-131)
+        run DeltaTable.merge for the same effect.
+        """
+        if txn_id is not None:
+            for s in self.history():
+                if s.txn_id == txn_id:
+                    return s.version
+        if self.latest_version() is None:
+            return self.write_snapshot(df, operation="upsert", txn_id=txn_id)
+        old = self.read(df.sparkSession)
+        old_cols, new_cols = set(old.columns), set(df.columns)
+        extra = sorted(new_cols - old_cols)
+        if extra and not evolve_schema:
+            raise ValueError(
+                f"upsert adds columns {extra}; pass evolve_schema=True to allow"
+            )
+        # Align both sides to the union schema (old's order, then new's
+        # additions) with typed NULLs for the missing columns.
+        target = list(old.columns) + [c for c in df.columns if c not in old_cols]
+        new_types = dict(df.dtypes)
+        old_types = dict(old.dtypes)
+        o = old.select(
+            *[
+                F.col(c) if c in old_cols else F.lit(None).cast(new_types[c]).alias(c)
+                for c in target
+            ]
+        )
+        n = df.select(
+            *[
+                F.col(c) if c in new_cols else F.lit(None).cast(old_types[c]).alias(c)
+                for c in target
+            ]
+        )
+        survivors = o.join(n.select(*key_cols).distinct(), on=key_cols, how="left_anti")
+        merged = survivors.unionByName(n)
+        return self.write_snapshot(merged, operation="upsert", txn_id=txn_id)
+
+    # -- bloom-filter point-lookup index --------------------------------
+
+    @staticmethod
+    def _bloom_positions(value, m_bits: int, k: int) -> list[int]:
+        """The k bit positions for ``value`` — md5-derived so the
+        driver-side probe and the executor-side build agree bit-for-bit
+        (same trick as the MinHash permutations: md5 of ``seed|value``
+        string bytes is identical in Python, Spark, and DuckDB)."""
+        import hashlib
+
+        return [
+            int(hashlib.md5(f"{seed}|{value}".encode()).hexdigest()[:8], 16) % m_bits
+            for seed in range(k)
+        ]
+
+    def write_snapshot_bloom(
+        self,
+        df: DataFrame,
+        bloom_col: str,
+        n_files: int = 8,
+        m_bits: int = 8192,
+        k: int = 5,
+        operation: str = "write-bloom",
+        txn_id: str | None = None,
+    ) -> int:
+        """Commit a version hash-distributed on ``bloom_col`` with a
+        per-file Bloom filter sidecar, so ``read_point_lookup`` opens
+        only files that may contain the probed key — Delta's
+        ``bloomFilterIndex`` for point lookups on a non-clustered,
+        high-cardinality column (range stats can't skip for those).
+
+        Build is executor-side: each file contributes at most
+        ``m_bits`` distinct bit positions (a bounded collect_set), and
+        the sidecar costs O(n_files * m_bits / 8) bytes — the same
+        budget Delta spends on its index files; nothing driver-sized
+        depends on row count.
+        """
+        if txn_id is not None:
+            for s in self.history():
+                if s.txn_id == txn_id:
+                    return s.version
+        next_v = (self.latest_version() or 0) + 1 if self._versions() else 1
+        rel_dir = f"v={next_v}"
+        out = os.path.join(self.data_root, rel_dir)
+        df.repartition(n_files, F.col(bloom_col)).write.mode("errorifexists").parquet(out)
+
+        back = df.sparkSession.read.parquet(out)
+        n = back.count()
+        pos_exprs = [
+            f"cast(conv(substring(md5(cast(concat('{seed}', '|', cast({bloom_col} as string)) as binary)), 1, 8), 16, 10) as bigint) % {m_bits}"
+            for seed in range(k)
+        ]
+        per_file = (
+            back.select(
+                F.input_file_name().alias("__file"),
+                F.explode(F.array(*[F.expr(e) for e in pos_exprs])).alias("__pos"),
+            )
+            .groupBy("__file")
+            .agg(F.collect_set("__pos").alias("__bits"))
+            .collect()
+        )
+        blooms = {}
+        for row in per_file:
+            bitmap = 0
+            for p in row["__bits"]:
+                bitmap |= 1 << int(p)
+            blooms[os.path.basename(row["__file"])] = f"{bitmap:x}"
+        os.makedirs(self.log_dir, exist_ok=True)
+        with open(os.path.join(self.log_dir, f"bloom-{next_v}.json"), "w") as fh:
+            json.dump(
+                {"column": bloom_col, "m_bits": m_bits, "k": k, "files": blooms}, fh
+            )
+        self._commit(next_v, rel_dir, operation, n, txn_id=txn_id)
+        return next_v
+
+    def read_point_lookup(
+        self, spark: SparkSession, value, version: int | None = None
+    ) -> DataFrame:
+        """Point lookup through the version's Bloom sidecar: test the
+        probe's k bits against each file's bitmap, scan only files
+        where every bit is set (false positives re-filtered by the
+        exact predicate; false negatives impossible). Falls back to a
+        full filtered scan when the version carries no bloom index."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        snap = self._manifest(v)
+        data_dir = os.path.join(self.data_root, snap.data_dir)
+        sidecar = os.path.join(self.log_dir, f"bloom-{v}.json")
+        if not os.path.exists(sidecar):
+            raise FileNotFoundError(
+                f"version {v} has no bloom index; use read() with a filter"
+            )
+        with open(sidecar) as fh:
+            idx = json.load(fh)
+        col, m_bits, k = idx["column"], idx["m_bits"], idx["k"]
+        positions = self._bloom_positions(value, m_bits, k)
+        candidates = [
+            os.path.join(data_dir, fname)
+            for fname, hexmap in idx["files"].items()
+            if all((int(hexmap, 16) >> p) & 1 for p in positions)
+        ]
+        base = spark.read.parquet(data_dir)
+        if not candidates:
+            return base.where(F.lit(False))
+        return spark.read.parquet(*candidates).where(F.col(col) == F.lit(value))
 
     def rollback(self, to_version: int) -> int:
         """RESTORE: commit a new version whose data is an old version's

@@ -167,3 +167,69 @@ def test_change_data_feed_between_versions(spark, tmp_path):
     }
     new_rows = {tuple(r) for r in t.read(spark, version=2).collect()}
     assert (old_rows - removed) | added == new_rows
+
+
+def test_upsert_merge_with_schema_evolution(spark, tmp_path):
+    """Delta-MERGE analog: same-key rows replaced, new keys inserted,
+    and a new column arriving mid-stream evolves the schema — old rows
+    read NULL for it, time travel preserves the pre-evolution schema."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.upsert(_df(spark, ["a", "b", "c"]), key_cols=["id"])  # v1: ids 0,1,2
+
+    batch = spark.createDataFrame(
+        [(1, "B", "eu"), (9, "z", "us")], "id int, val string, region string"
+    )
+    v2 = t.upsert(batch, key_cols=["id"])
+    assert v2 == 2
+    got = {r["id"]: (r["val"], r["region"]) for r in t.read(spark).collect()}
+    assert got == {0: ("a", None), 1: ("B", "eu"), 2: ("c", None), 9: ("z", "us")}
+    # time travel: v1 keeps its original 2-column schema
+    assert t.read(spark, version=1).columns == ["id", "val"]
+    # evolve_schema=False rejects new columns instead of silently dropping
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="evolve_schema"):
+        t.upsert(
+            spark.createDataFrame([(0, "x", 1.0)], "id int, val string, w double"),
+            key_cols=["id"],
+            evolve_schema=False,
+        )
+    # columns missing from a later batch survive as NULL on updated rows
+    v3 = t.upsert(spark.createDataFrame([(9, "Z")], "id int, val string"), ["id"])
+    got3 = {r["id"]: (r["val"], r["region"]) for r in t.read(spark, version=v3).collect()}
+    assert got3[9] == ("Z", None) and got3[1] == ("B", "eu")
+    # idempotent replay via txn id
+    v4 = t.upsert(spark.createDataFrame([(0, "q")], "id int, val string"), ["id"], txn_id="u1")
+    v4b = t.upsert(spark.createDataFrame([(0, "q")], "id int, val string"), ["id"], txn_id="u1")
+    assert v4 == v4b
+
+
+def test_bloom_index_point_lookup_skips_files(spark, tmp_path):
+    """Bloom-sidecar point lookup: exact same result as a full filtered
+    scan, touching a strict subset of the version's files; absent keys
+    come back empty (usually zero files opened); composes with time
+    travel."""
+    from data_lakehouse_platform_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    orders = load_table(spark, SF_DIR, "orders")
+    t.write_snapshot(orders.limit(5), operation="seed")
+    v2 = t.write_snapshot_bloom(orders, "o_orderkey", n_files=8)
+    assert v2 == 2
+
+    keys = [r["o_orderkey"] for r in orders.select("o_orderkey").limit(3).collect()]
+    total_files = orders.count() and 8
+    for k in keys:
+        hit = t.read_point_lookup(spark, k)
+        want = [tuple(r) for r in orders.where(F.col("o_orderkey") == k).collect()]
+        assert sorted(tuple(r) for r in hit.collect()) == sorted(want)
+        touched = {r[0] for r in hit.select(F.input_file_name()).distinct().collect()}
+        assert 0 < len(touched) < total_files
+    # absent key: no false negatives possible; result must be empty
+    assert t.read_point_lookup(spark, -12345).count() == 0
+    # time travel to a bloom-less version raises the documented error
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="bloom"):
+        t.read_point_lookup(spark, keys[0], version=1)
