@@ -334,3 +334,731 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc("user_id"))
         .limit(10)
     )
+
+
+# ----------------------------------------------------------------------------
+# Regular-grid resample + LINEAR interpolation (complements resample_ffill)
+# ----------------------------------------------------------------------------
+# Knot values are fixed-point units (floor(value*1e6) as int64); the
+# interpolated value floor((pv*dn + nv*dp)/(dn+dp)) keeps the numerator
+# an exact int64 product (<2^53, so the one double division and floor
+# are bit-identical in both engines). Edges (before first / after last
+# knot) stay NULL — interpolation, not extrapolation.
+
+_INTERP_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(FLOOR(MAX(value) * 1000000) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM bounds
+),
+joined AS (
+  SELECT g.user_id, g.day, daily.v
+  FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day
+),
+knots AS (
+  SELECT user_id, day, v,
+    LAST_VALUE(v IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    FIRST_VALUE(v IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM joined
+)
+SELECT user_id, day,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         CAST(FLOOR((pv * date_diff('day', day, nd) + nv * date_diff('day', pd, day))
+                    / date_diff('day', pd, nd)) AS BIGINT)
+  END AS interp_units,
+  CAST(v IS NULL AS INT) AS is_gap
+FROM knots
+"""
+
+
+@register(
+    "resample_interpolate",
+    _INTERP_ORACLE,
+    "Daily-grid resample with LINEAR interpolation between knots "
+    "(resample_ffill's sibling for continuous measures): per-user grid "
+    "via sequence+explode, prev/next knot located with "
+    "last/first_value(IGNORE NULLS), and the interpolated value "
+    "computed as an exact int64 weighted numerator with one shared "
+    "double division + floor. Edges remain NULL (no extrapolation). "
+    "One user-partitioned window pass each direction — per-key sorts, "
+    "no global ordering, scales like any keyed window at 100 TB.",
+)
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.expr("CAST(FLOOR(MAX(value) * 1000000) AS BIGINT)").alias("v"))
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_if_knot = F.when(F.col("v").isNotNull(), F.col("day"))
+    knots = joined.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(day_if_knot, ignorenulls=True).over(back).alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(day_if_knot, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    return knots.selectExpr(
+        "user_id",
+        "day",
+        "CASE WHEN v IS NOT NULL THEN v "
+        "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN "
+        "CAST(FLOOR((pv * datediff(nd, day) + nv * datediff(day, pd)) "
+        "/ datediff(nd, pd)) AS BIGINT) END AS interp_units",
+        "CAST(v IS NULL AS INT) AS is_gap",
+    )
+
+
+# ----------------------------------------------------------------------------
+# Time-bounded conversion funnel (ClickHouse windowFunnel semantics)
+# ----------------------------------------------------------------------------
+
+_WFUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS click_ts
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.view_ts
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts
+  GROUP BY e.user_id
+),
+flat AS (
+  SELECT u.user_id, s1.view_ts, s3.purchase_ts,
+         CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END AS hit2,
+         CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END AS hit3
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN view_ts IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+       SUM(hit2) AS n_click_chain,
+       SUM(hit3) AS n_purchase_chain,
+       SUM(CASE WHEN hit3 = 1
+                AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+           THEN 1 ELSE 0 END) AS n_converted_1h
+FROM flat
+"""
+
+
+@register(
+    "windowfunnel_1h",
+    _WFUNNEL_ORACLE,
+    "Time-bounded ordered funnel (ClickHouse windowFunnel semantics): "
+    "the strictly-increasing view->click->purchase chain of "
+    "funnel_steps, plus the conversion-deadline gate purchase within "
+    "1 hour of the anchoring view. Three keyed min-aggregations and "
+    "co-partitioned user_id joins — no per-user event sort, no "
+    "collect_list buffering; the chain prunes at each step so later "
+    "joins shrink at scale.",
+)
+def windowfunnel_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("view_ts")
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    flat = (
+        ev.select("user_id")
+        .distinct()
+        .join(s1, "user_id", "left")
+        .join(s2.withColumn("hit2", F.lit(1)), "user_id", "left")
+        .join(s3.withColumn("hit3", F.lit(1)), "user_id", "left")
+    )
+    return flat.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("view_ts").isNotNull(), 1).otherwise(0)).alias("n_view"),
+        F.sum(F.coalesce(F.col("hit2"), F.lit(0))).alias("n_click_chain"),
+        F.sum(F.coalesce(F.col("hit3"), F.lit(0))).alias("n_purchase_chain"),
+        F.sum(
+            F.when(
+                F.col("hit3").isNotNull()
+                & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted_1h"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Audience overlap matrix across event types (co-engagement Jaccard)
+# ----------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+sz AS (SELECT event_type, COUNT(*) AS n FROM ue GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST(p.n_both AS DOUBLE) / (sa.n + sb.n - p.n_both) AS jaccard
+FROM pairs p
+JOIN sz sa ON p.type_a = sa.event_type
+JOIN sz sb ON p.type_b = sb.event_type
+ORDER BY p.type_a, p.type_b
+"""
+
+
+@register(
+    "event_type_overlap",
+    _OVERLAP_ORACLE,
+    "Audience overlap matrix: for every event-type pair, how many "
+    "users do both, with Jaccard overlap from one shared double "
+    "division. The self-join runs on deduplicated (user, type) pairs "
+    "co-partitioned by user — per-user width is bounded by the type "
+    "vocabulary (a handful), so pair blowup is capped and the shuffle "
+    "stays linear in users at 100 TB; type-size lookups broadcast.",
+)
+def event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ue = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    sz = ue.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ue.select(F.col("user_id"), F.col("event_type").alias("type_a"))
+    b = ue.select(F.col("user_id").alias("uid_b"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, (a.user_id == b.uid_b) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), pairs.type_a == sa.ta)
+        .join(F.broadcast(sb), pairs.type_b == sb.tb)
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Tukey IQR outlier fences per segment (robust outlier gate)
+# ----------------------------------------------------------------------------
+# Q1/Q3 come from the same interpolated-order-statistic machinery as
+# percentile_cont_portable; the fence arithmetic and the fence
+# comparisons are shared double expressions, so both engines flag the
+# same rows.
+
+_IQR_VALUE_EXPR = "v_lo + (pos - FLOOR(pos)) * (v_hi - v_lo)"
+
+_IQR_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderpriority AS priority, o_totalprice AS v,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+ps AS (SELECT * FROM (VALUES (0.25), (0.75)) t(p)),
+grid AS (
+  SELECT DISTINCT priority, n, p, CAST(p AS DOUBLE) * (n - 1) AS pos
+  FROM ranked, ps
+),
+lohi AS (
+  SELECT g.priority, g.p, g.pos, lo.v AS v_lo, hi.v AS v_hi
+  FROM grid g
+  JOIN ranked lo ON lo.priority = g.priority
+                AND lo.rn = CAST(FLOOR(g.pos) AS BIGINT) + 1
+  JOIN ranked hi ON hi.priority = g.priority
+                AND hi.rn = CAST(CEIL(g.pos) AS BIGINT) + 1
+),
+q AS (
+  SELECT priority,
+         MAX(CASE WHEN p = 0.25 THEN {_IQR_VALUE_EXPR} END) AS q1,
+         MAX(CASE WHEN p = 0.75 THEN {_IQR_VALUE_EXPR} END) AS q3
+  FROM lohi GROUP BY priority
+),
+f AS (
+  SELECT priority, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo_fence,
+         q3 + 1.5 * (q3 - q1) AS hi_fence
+  FROM q
+)
+SELECT f.priority, f.q1, f.q3, f.lo_fence, f.hi_fence,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN o.o_totalprice < f.lo_fence THEN 1 ELSE 0 END) AS n_low,
+       SUM(CASE WHEN o.o_totalprice > f.hi_fence THEN 1 ELSE 0 END) AS n_high
+FROM orders o JOIN f ON o.o_orderpriority = f.priority
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY f.priority
+"""
+
+
+@register(
+    "iqr_outlier_fences",
+    _IQR_ORACLE,
+    "Tukey outlier gate: interpolated Q1/Q3 per order priority (the "
+    "percentile_cont_portable machinery), 1.5*IQR fences as one shared "
+    "double expression, then a broadcast join back over orders counts "
+    "rows outside each fence. Robust-statistics screening with zero "
+    "engine-specific percentile quirks; two scans + one tiny broadcast "
+    "— the second scan streams, nothing is materialized per group.",
+)
+def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = od.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(F.lit(0.25), F.lit(0.75))).alias("p")
+    )
+    grid = (
+        ranked.select("priority", "n")
+        .distinct()
+        .crossJoin(F.broadcast(ps))
+        .selectExpr("priority", "n", "p", "CAST(p AS DOUBLE) * (n - 1) AS pos")
+    )
+    lo = ranked.select(
+        F.col("priority").alias("lp"), F.col("rn").alias("rn_lo"), F.col("v").alias("v_lo")
+    )
+    hi = ranked.select(
+        F.col("priority").alias("hp"), F.col("rn").alias("rn_hi"), F.col("v").alias("v_hi")
+    )
+    lohi = grid.join(
+        lo,
+        (F.col("priority") == F.col("lp"))
+        & (F.col("rn_lo") == F.floor(F.col("pos")).cast("bigint") + 1),
+    ).join(
+        hi,
+        (F.col("priority") == F.col("hp"))
+        & (F.col("rn_hi") == F.ceil(F.col("pos")).cast("bigint") + 1),
+    )
+    q = lohi.groupBy("priority").agg(
+        F.max(F.expr(f"CASE WHEN p = 0.25 THEN {_IQR_VALUE_EXPR} END")).alias("q1"),
+        F.max(F.expr(f"CASE WHEN p = 0.75 THEN {_IQR_VALUE_EXPR} END")).alias("q3"),
+    )
+    fences = q.selectExpr(
+        "priority",
+        "q1",
+        "q3",
+        "q1 - 1.5 * (q3 - q1) AS lo_fence",
+        "q3 + 1.5 * (q3 - q1) AS hi_fence",
+    )
+    return (
+        od.join(F.broadcast(fences), od.o_orderpriority == fences.priority)
+        .groupBy("priority", "q1", "q3", "lo_fence", "hi_fence")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("lo_fence"), 1).otherwise(0)
+            ).alias("n_low"),
+            F.sum(
+                F.when(F.col("o_totalprice") > F.col("hi_fence"), 1).otherwise(0)
+            ).alias("n_high"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Freshness / staleness DQ sweep (pipeline-liveness check)
+# ----------------------------------------------------------------------------
+
+_FRESHNESS_ORACLE = """
+WITH per_type AS (
+  SELECT event_type, COUNT(*) AS n_rows, MAX(ts) AS last_seen
+  FROM events GROUP BY event_type
+),
+g AS (SELECT MAX(ts) AS global_last FROM events)
+SELECT p.event_type, p.n_rows, p.last_seen,
+       date_diff('day', CAST(p.last_seen AS DATE), CAST(g.global_last AS DATE)) AS days_stale,
+       CAST(date_diff('day', CAST(p.last_seen AS DATE), CAST(g.global_last AS DATE)) > 7 AS INT) AS is_stale
+FROM per_type p CROSS JOIN g
+ORDER BY p.event_type
+"""
+
+
+@register(
+    "dq_freshness",
+    _FRESHNESS_ORACLE,
+    "Freshness DQ sweep: per event stream, last-seen timestamp and "
+    "staleness in days against the table's own high-water mark, with "
+    "a >7d stale flag. Two cheap aggregations (per-type and global "
+    "1-row, cross-joined broadcast) — the liveness check the "
+    "reference's validation layer runs before trusting a bronze load "
+    "(bronze_validation.py row-count checks generalized to recency).",
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"), F.max("ts").alias("last_seen")
+    )
+    g = ev.agg(F.max("ts").alias("global_last"))
+    stale = F.datediff(F.to_date("global_last"), F.to_date("last_seen"))
+    return (
+        per_type.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_rows",
+            "last_seen",
+            stale.alias("days_stale"),
+            (stale > 7).cast("int").alias("is_stale"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Weighted Bernoulli sampling with an EXACT integer acceptance test
+# ----------------------------------------------------------------------------
+# P(doc) = n_chars / (2 * max_chars). The acceptance test
+#   hk32 * 2 * max_chars < n_chars * 2^32
+# is pure int64 arithmetic (no float probability, no RNG state), so
+# the same doc is accepted on every engine, every run, any partitioning
+# — reproducible length-weighted corpus downsampling.
+
+_WSAMPLE_ORACLE = """
+WITH hashed AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hk
+  FROM documents
+),
+g AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS max_chars FROM documents)
+SELECT lang,
+       COUNT(*) AS n_docs_total,
+       SUM(CASE WHEN h.hk * 2 * g.max_chars < h.n_chars * 4294967296 THEN 1 ELSE 0 END) AS n_sampled,
+       CAST(SUM(CASE WHEN h.hk * 2 * g.max_chars < h.n_chars * 4294967296 THEN h.n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+FROM hashed h CROSS JOIN g
+GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "sample_weighted",
+    _WSAMPLE_ORACLE,
+    "Length-weighted Bernoulli sampling (P proportional to n_chars) "
+    "decided by an exact int64 comparison of an md5-derived uniform "
+    "against the scaled weight — no RNG, no floats, identical keep "
+    "set on every engine/run/partitioning. Per-language totals audit "
+    "the expected size. One scan + broadcast of the 1-row max; the "
+    "reproducible mix-rebalancing primitive for corpus curation.",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "lang",
+        "n_chars",
+        F.expr(
+            "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 8), 16, 10) as bigint)"
+        ).alias("hk"),
+    )
+    g = docs.agg(F.max("n_chars").cast("bigint").alias("max_chars"))
+    keep = (F.col("hk") * 2 * F.col("max_chars")) < (F.col("n_chars") * F.lit(4294967296))
+    return (
+        hashed.crossJoin(F.broadcast(g))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_total"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ----------------------------------------------------------------------------
+# ABC inventory classification (Pareto revenue classes)
+# ----------------------------------------------------------------------------
+# Cumulative-share cuts are INTEGER comparisons on exact fixed-point
+# revenue (cum*100 <= tot*80), so class boundaries can't drift between
+# engines. The ordered cumsum runs over the part-level aggregate
+# (|parts| << |lineitem|), same posture as lorenz_curve_deciles.
+
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000) AS DECIMAL(28,0))) AS r
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(r) AS DECIMAL(38,0)) AS t FROM rev),
+ranked AS (
+  SELECT l_partkey, r,
+         CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0)) AS cum
+  FROM rev
+),
+classed AS (
+  SELECT l_partkey, r,
+         CASE WHEN cum * 100 <= t * 80 THEN 'A'
+              WHEN cum * 100 <= t * 95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked CROSS JOIN tot
+)
+SELECT abc_class,
+       COUNT(*) AS n_parts,
+       CAST(SUM(r) AS DOUBLE) / 1000000 AS class_revenue,
+       CAST(CAST(SUM(r) AS DECIMAL(38,0)) AS DOUBLE) / (SELECT CAST(t AS DOUBLE) FROM tot) AS revenue_share
+FROM classed GROUP BY abc_class ORDER BY abc_class
+"""
+
+
+@register(
+    "abc_classification",
+    _ABC_ORACLE,
+    "ABC (Pareto) classification: parts ranked by exact fixed-point "
+    "revenue, classes cut at 80%/95% of cumulative share with integer "
+    "comparisons (cum*100 <= tot*80 — no float thresholds to drift). "
+    "The ordered cumsum runs on the part-level aggregate, not the "
+    "fact; the classic inventory-prioritization rollup.",
+)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.expr(
+            "SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000) "
+            "AS DECIMAL(28,0)))"
+        ).alias("r")
+    )
+    tot = rev.agg(F.expr("CAST(SUM(r) AS DECIMAL(38,0))").alias("t"))
+    w = (
+        Window.orderBy(F.desc("r"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.withColumn("cum", F.sum("r").over(w).cast("decimal(38,0)"))
+    classed = ranked.crossJoin(F.broadcast(tot)).selectExpr(
+        "l_partkey",
+        "r",
+        "t",
+        "CASE WHEN cum * 100 <= t * 80 THEN 'A' "
+        "WHEN cum * 100 <= t * 95 THEN 'B' ELSE 'C' END AS abc_class",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.expr("CAST(SUM(r) AS DOUBLE) / 1000000").alias("class_revenue"),
+            F.expr(
+                "CAST(CAST(SUM(r) AS DECIMAL(38,0)) AS DOUBLE) / CAST(MIN(t) AS DOUBLE)"
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Churn hazard curve (discrete survival analysis on order tenure)
+# ----------------------------------------------------------------------------
+
+_HAZARD_ORACLE = """
+WITH cm AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym
+  FROM orders
+),
+t AS (
+  SELECT o_custkey, MAX(ym) - MIN(ym) AS tenure FROM cm GROUP BY o_custkey
+),
+h AS (SELECT tenure, COUNT(*) AS n_ended FROM t GROUP BY tenure)
+SELECT tenure AS tenure_months, n_ended,
+       SUM(n_ended) OVER (ORDER BY tenure DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk,
+       CAST(n_ended AS DOUBLE) / SUM(n_ended) OVER (ORDER BY tenure DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hazard
+FROM h ORDER BY tenure
+"""
+
+
+@register(
+    "churn_hazard_curve",
+    _HAZARD_ORACLE,
+    "Discrete survival analysis: customer tenure in months (first to "
+    "last order, integer year*12+month arithmetic — no months_between "
+    "float quirks), ended-at-k counts, at-risk counts via a reverse "
+    "cumulative sum, hazard = ended/at_risk as one shared division. "
+    "Per-customer aggregation shuffles once; the curve itself is "
+    "tenure-bucket sized (tiny) so its ordered window is free.",
+)
+def churn_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    cm = od.selectExpr(
+        "o_custkey",
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym",
+    )
+    t = cm.groupBy("o_custkey").agg((F.max("ym") - F.min("ym")).alias("tenure"))
+    h = t.groupBy("tenure").agg(F.count("*").alias("n_ended"))
+    w = (
+        Window.orderBy(F.desc("tenure"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        h.select(
+            F.col("tenure").alias("tenure_months"),
+            "n_ended",
+            F.sum("n_ended").over(w).alias("n_at_risk"),
+            (F.col("n_ended").cast("double") / F.sum("n_ended").over(w)).alias(
+                "hazard"
+            ),
+        )
+        .orderBy("tenure_months")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Bigram collocation lift (PMI's rational twin, oracle-exact)
+# ----------------------------------------------------------------------------
+# lift(x,y) = P(xy) / (P(x)P(y)) = c_xy * N^2 / (M * c_x * c_y): all
+# operands exact integer counts, one shared double expression — the
+# collocation salience score without a transcendental log (log-PMI
+# would differ in the last ulp across libm implementations).
+
+_LIFT_MINSUP = 5
+_LIFT_TOPK = 20
+_LIFT_EXPR = (
+    "CAST(c_xy AS DOUBLE) * n_uni * n_uni / (CAST(m_bi AS DOUBLE) * c_x * c_y)"
+)
+
+
+def _lift_oracle() -> str:
+    from data_lakehouse_platform_spark.operators.text import sql_normalize_ws
+
+    return f"""
+WITH norm_docs AS (
+  SELECT doc_id, string_split({sql_normalize_ws('text')}, ' ') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT unnest(toks) AS tok FROM norm_docs
+),
+uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+un AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uc),
+bi AS (
+  SELECT unnest(
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+         ELSE [] END) AS ngram
+  FROM norm_docs
+),
+bc AS (SELECT ngram, COUNT(*) AS c_xy FROM bi GROUP BY ngram HAVING COUNT(*) >= {_LIFT_MINSUP}),
+bn AS (SELECT CAST(SUM(CAST(c_xy AS BIGINT)) AS BIGINT) AS m_bi FROM (SELECT COUNT(*) AS c_xy FROM bi GROUP BY ngram) raw),
+scored AS (
+  SELECT b.ngram, b.c_xy, x.c AS c_x, y.c AS c_y, un.n_uni, bn.m_bi,
+         {_LIFT_EXPR} AS lift
+  FROM bc b
+  JOIN uc x ON string_split(b.ngram, ' ')[1] = x.tok
+  JOIN uc y ON string_split(b.ngram, ' ')[2] = y.tok
+  CROSS JOIN un CROSS JOIN bn
+)
+SELECT ngram, c_xy, c_x, c_y, lift FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, ngram) AS rn FROM scored
+) t WHERE rn <= {_LIFT_TOPK}
+"""
+
+
+@register(
+    "bigram_lift",
+    _lift_oracle(),
+    "Collocation mining: bigram lift = P(xy)/(P(x)P(y)) from exact "
+    "corpus counts via one shared double expression (the rational twin "
+    "of PMI — no transcendental log, so both engines rank identically "
+    "with a unique ngram tiebreak). Min-support gate bounds the join "
+    "fan-in; unigram-count joins key on the vocabulary (bounded), "
+    "totals broadcast as 1-row aggregates.",
+)
+def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.ws_tokens("text").alias("__toks"))
+    uni = toks.select(F.explode("__toks").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    un = uc.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    bi = toks.select(F.explode(T.shingle_expr("__toks", 2)).alias("ngram"))
+    bc_all = bi.groupBy("ngram").agg(F.count("*").alias("c_xy"))
+    bn = bc_all.agg(F.sum("c_xy").cast("bigint").alias("m_bi"))
+    bc = bc_all.where(F.col("c_xy") >= _LIFT_MINSUP)
+    x = uc.select(F.col("tok").alias("xt"), F.col("c").alias("c_x"))
+    y = uc.select(F.col("tok").alias("yt"), F.col("c").alias("c_y"))
+    scored = (
+        bc.withColumn("w1", F.split(F.col("ngram"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("ngram"), " ").getItem(1))
+        .join(x, F.col("w1") == F.col("xt"))
+        .join(y, F.col("w2") == F.col("yt"))
+        .crossJoin(F.broadcast(un))
+        .crossJoin(F.broadcast(bn))
+        .withColumn("lift", F.expr(_LIFT_EXPR))
+    )
+    return (
+        scored.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("lift"), F.asc("ngram")))
+        )
+        .where(F.col("rn") <= _LIFT_TOPK)
+        .select("ngram", "c_xy", "c_x", "c_y", "lift")
+    )

@@ -371,6 +371,25 @@ class SnapshotTable:
             return base.where(F.lit(False))
         return spark.read.parquet(*candidates).where(F.col(col) == F.lit(value))
 
+    def optimize(self, spark: SparkSession, target_files: int = 4) -> int:
+        """Delta ``OPTIMIZE`` (bin-packing compaction) as a commit:
+        rewrite the latest version's many small files into
+        ``target_files`` larger ones and commit the result as a new
+        version. Data is byte-identical (same rows), old versions stay
+        time-travelable, and vacuum can later reclaim the small-file
+        directory. Streaming sinks create exactly the small-file debris
+        this removes (one file per micro-batch per partition).
+
+        At scale, target_files comes from total bytes / desired file
+        size (Delta uses ~1 GB); coalesce avoids a full shuffle — it
+        merges existing partitions in place.
+        """
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        df = self.read(spark, v).coalesce(target_files)
+        return self.write_snapshot(df, operation=f"optimize(from={v})")
+
     def rollback(self, to_version: int) -> int:
         """RESTORE: commit a new version whose data is an old version's
         directory. O(1) — no data moves; history stays intact."""

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_lakehouse_platform_spark.streaming.order_tracker import track_order_completion
@@ -380,3 +381,63 @@ def test_stream_commits_produce_change_feed(spark, tmp_path):
     # Batch 3 carried only a stale row: the LWW merge keeps v2's data,
     # so the change feed between v2 and v3 is EMPTY.
     assert t.changes(spark, ["event_id"], 2, 3).count() == 0
+
+
+def test_order_tracker_transform_with_state(spark, tmp_path):
+    """The transformWithState (Spark 4.x) twin of the order tracker
+    emits the same complete/pending decisions as the
+    applyInPandasWithState implementation; requires the RocksDB state
+    store, so skip gracefully where that provider can't initialize."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's python worker needs protobuf (not in this env)",
+    )
+    from data_lakehouse_platform_spark.streaming.order_tracker_tws import (
+        track_order_completion_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = tmp_path / "items"
+        src.mkdir()
+        items = [
+            {"order_id": "A", "product_id": "p1", "num_products": 2, "customer_id": 7},
+            {"order_id": "A", "product_id": "p2", "num_products": 2, "customer_id": 7},
+            {"order_id": "B", "product_id": "p1", "num_products": 3, "customer_id": 8},
+            {"order_id": "B", "product_id": "p3", "num_products": 3, "customer_id": 8},
+            {"order_id": "C", "product_id": "p9", "num_products": 1, "customer_id": 9},
+            {"order_id": "C", "product_id": "p9", "num_products": 1, "customer_id": 9},
+        ]
+        (src / "b.json").write_text("\n".join(json.dumps(r) for r in items))
+
+        stream = spark.readStream.schema(
+            "order_id string, product_id string, num_products int, customer_id long"
+        ).json(str(src))
+        completed = track_order_completion_tws(stream)
+        q = (
+            completed.writeStream.format("memory")
+            .queryName("completed_orders_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt-tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        rows = {
+            r.order_id: r
+            for r in spark.sql("SELECT * FROM completed_orders_tws").collect()
+        }
+        assert set(rows) == {"A", "C"}  # B incomplete -> stays in state
+        assert rows["A"].status == "complete"
+        assert sorted(rows["A"].product_ids) == ["p1", "p2"]
+        assert rows["C"].n_products == 1 and rows["C"].customer_id == 9
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -233,3 +233,25 @@ def test_bloom_index_point_lookup_skips_files(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="bloom"):
         t.read_point_lookup(spark, keys[0], version=1)
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    """OPTIMIZE: a fragmented version (many tiny files) is rewritten
+    into few larger files as a NEW commit — same rows, old fragmented
+    version still time-travelable, vacuum reclaims the debris."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    frag = spark.range(200).repartition(16).withColumnRenamed("id", "k")
+    v1 = t.write_snapshot(frag, operation="fragmented-load")
+
+    def n_files(version):
+        d = os.path.join(t.data_root, t._manifest(version).data_dir)
+        return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+    assert n_files(v1) == 16
+    v2 = t.optimize(spark, target_files=4)
+    assert v2 == v1 + 1 and n_files(v2) <= 4
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(200))
+    assert sorted(r["k"] for r in t.read(spark, version=v1).collect()) == list(range(200))
+    assert t.history()[-1].operation == f"optimize(from={v1})"
+    removed = t.vacuum(keep_last=1)
+    assert f"v={v1}" in removed
