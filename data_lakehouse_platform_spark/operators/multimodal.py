@@ -267,3 +267,105 @@ def resize_rgray(media: DataFrame, factor: int, batch_size: int = 64) -> DataFra
     spark = media.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# ----------------------------------------------------------------------------
+# Perceptual hashing (block-mean pHash) + hamming near-dup pairs
+# ----------------------------------------------------------------------------
+
+PHASH_SCHEMA = "media_id long, phash long"
+
+
+def phash_rgray(media: DataFrame, hash_size: int = 8, batch_size: int = 64) -> DataFrame:
+    """REAL block-mean perceptual hash over RGRAY payloads: the image
+    is area-averaged onto a hash_size x hash_size grid (np.array_split
+    handles non-divisible dimensions), each cell compares against the
+    grid MEDIAN, and the 64 bits pack into one int64. Visually-similar
+    images (noise, small edits, re-encodes) land within a few bits —
+    the image twin of SimHash for text. Runs in the same Arrow-batched
+    mapInPandas plumbing as the other RGRAY kernels."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_rgray(bytes(p)).astype(np.float64)
+                rows = np.array_split(img, hash_size, axis=0)
+                cells = np.array(
+                    [
+                        [blk.mean() for blk in np.array_split(r, hash_size, axis=1)]
+                        for r in rows
+                    ]
+                )
+                bits = (cells > np.median(cells)).flatten()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                # reinterpret the uint64 bit pattern as signed int64
+                ids.append(int(mid))
+                hashes.append(int(np.uint64(h).astype(np.int64)))
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming near-dup pairs over 64-bit perceptual hashes WITHOUT a
+    cross join: split each hash into 4 x 16-bit bands and self-join on
+    (band_index, band_value). By pigeonhole, two hashes within
+    max_hamming <= 3 bits differ in at most 3 bands, so at least one
+    band matches exactly — candidate generation is complete, and the
+    final bit_count(xor) filter is exact. Same banded-LSH shape the
+    text MinHash path uses (operators/dedup.py), so the shuffle keys
+    on bounded-width band buckets at any scale."""
+    from pyspark.sql import functions as F
+
+    n_bands, band_bits = 4, 16
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"pigeonhole completeness needs max_hamming <= {n_bands - 1}"
+        )
+    mask = (1 << band_bits) - 1
+    banded = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"CAST(shiftrightunsigned(phash, {band_bits * b}) & {mask} AS INT)"
+                        ).alias("bkey"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "phash", "bk.band", "bk.bkey")
+    a = banded.select(
+        F.col("band"),
+        F.col("bkey"),
+        F.col("media_id").alias("id_a"),
+        F.col("phash").alias("phash_a"),
+    )
+    b = banded.select(
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+        F.col("media_id").alias("id_b"),
+        F.col("phash").alias("phash_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.band == b.band_b) & (a.bkey == b.bkey_b) & (a.id_a < b.id_b),
+        )
+        .select("id_a", "id_b", "phash_a", "phash_b")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(phash_a ^ phash_b)"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

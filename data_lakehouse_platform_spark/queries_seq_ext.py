@@ -1062,3 +1062,174 @@ def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _LIFT_TOPK)
         .select("ngram", "c_xy", "c_x", "c_y", "lift")
     )
+
+
+# ----------------------------------------------------------------------------
+# Supplier scorecard (fulfillment KPIs per supplier, top-20 by revenue)
+# ----------------------------------------------------------------------------
+
+_SCORECARD_ORACLE = f"""
+WITH lagged AS (
+  SELECT l.l_suppkey,
+         l.l_extendedprice * (1 - l.l_discount) AS rev,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_supp AS (
+  SELECT l_suppkey,
+         COUNT(*) AS n_shipments,
+         {sql_sum('rev')} AS revenue,
+         MIN(lag_days) AS min_lag_days,
+         MAX(lag_days) AS max_lag_days,
+         CAST(SUM(CAST(lag_days AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS avg_lag_days
+  FROM lagged GROUP BY l_suppkey
+)
+SELECT s.s_name, n.n_name, p.n_shipments, p.revenue,
+       p.min_lag_days, p.max_lag_days, p.avg_lag_days
+FROM per_supp p
+JOIN supplier s ON p.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY p.revenue DESC, s.s_name
+LIMIT 20
+"""
+
+
+@register(
+    "supplier_scorecard",
+    _SCORECARD_ORACLE,
+    "Supplier fulfillment scorecard: revenue (exact fixed-point) plus "
+    "order-to-ship lag stats (min/max/avg from exact integer day "
+    "moments) per supplier, enriched with broadcast supplier/nation "
+    "dims, top-20 by revenue with a unique name tiebreak. One "
+    "co-partitioned lineitem-orders shuffle join feeds a supplier-"
+    "keyed aggregation — the operational-KPI rollup the reference's "
+    "gold layer serves to dashboards.",
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    lagged = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lag_days"),
+    )
+    per_supp = lagged.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_shipments"),
+        dec_sum("rev", "revenue"),
+        F.min("lag_days").alias("min_lag_days"),
+        F.max("lag_days").alias("max_lag_days"),
+        (
+            F.sum(F.col("lag_days").cast("decimal(38,0)")).cast("double")
+            / F.count("*")
+        ).alias("avg_lag_days"),
+    )
+    return (
+        per_supp.join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_name",
+            "n_name",
+            "n_shipments",
+            "revenue",
+            "min_lag_days",
+            "max_lag_days",
+            "avg_lag_days",
+        )
+        .orderBy(F.desc("revenue"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------------------------------
+# NTH_VALUE window coverage: a customer's 1st/2nd/3rd order values
+# ----------------------------------------------------------------------------
+
+_NTHVAL_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_totalprice,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
+         NTH_VALUE(o_totalprice, 1) OVER w AS first_price,
+         NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+         NTH_VALUE(o_totalprice, 3) OVER w AS third_price
+  FROM orders
+  WINDOW w AS (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  )
+)
+SELECT o_custkey, n_orders, first_price, second_price, third_price
+FROM ranked WHERE rn = 1 AND n_orders >= 2
+"""
+
+
+@register(
+    "window_nth_value",
+    _NTHVAL_ORACLE,
+    "NTH_VALUE over a full frame: each repeat customer's 1st/2nd/3rd "
+    "order values in one windowed pass (chronological ordering with a "
+    "unique orderkey tiebreak), reduced to one row per customer via "
+    "rn=1. Completes the window-function surface next to "
+    "first/last/lead/lag/ntile — and shows the full-frame idiom that "
+    "an unbounded-following NTH_VALUE needs to be deterministic.",
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = od.select(
+        "o_custkey",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_custkey")).alias("n_orders"),
+        F.nth_value("o_totalprice", 1).over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+    )
+    return ranked.where((F.col("rn") == 1) & (F.col("n_orders") >= 2)).select(
+        "o_custkey", "n_orders", "first_price", "second_price", "third_price"
+    )
+
+
+# ----------------------------------------------------------------------------
+# Hour-of-week activity heatmap (ISO weekday x hour engagement grid)
+# ----------------------------------------------------------------------------
+
+_HEATMAP_ORACLE = """
+SELECT CAST(EXTRACT(ISODOW FROM ts) AS INT) AS iso_dow,
+       CAST(EXTRACT(HOUR FROM ts) AS INT) AS hour_of_day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "hourly_heatmap",
+    _HEATMAP_ORACLE,
+    "Hour-of-week engagement heatmap: event and distinct-user counts "
+    "per (ISO weekday, hour) cell — 168 output rows regardless of "
+    "input size. Spark's weekday() (0=Monday) maps to ISO dow with a "
+    "+1, matching DuckDB's ISODOW exactly (dayofweek() would not: it "
+    "is Sunday-first). One grouped aggregation with map-side partials.",
+)
+def hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("iso_dow", "hour_of_day")
+    )

@@ -152,3 +152,54 @@ def test_rgray_corrupt_payload_fails_loudly(spark):
         decode_rgray(good[:-1])
     with _pytest.raises(ValueError, match="not an RGRAY"):
         decode_rgray(b"JPEG" + good)
+
+
+def test_rgray_phash_and_hamming_pairs(spark):
+    """Perceptual hashing: a lightly-perturbed image hashes within a
+    few bits of its original while unrelated images stay far; the
+    banded hamming join finds exactly the brute-force pair set
+    (pigeonhole completeness for max_hamming <= 3)."""
+    import itertools
+
+    import numpy as np
+
+    from data_lakehouse_platform_spark.operators.multimodal import (
+        attach_metadata,
+        encode_rgray,
+        phash_near_pairs,
+        phash_rgray,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(32, 32), dtype=np.uint8)
+    tweaked = base.copy()
+    tweaked[0, 0:3] ^= 255  # tiny local edit -> same perceptual hash region
+    unrelated1 = rng.randint(0, 256, size=(32, 32), dtype=np.uint8)
+    unrelated2 = (np.indices((32, 32)).sum(axis=0) * 9 % 256).astype(np.uint8)
+    imgs = {1: base, 2: tweaked, 3: unrelated1, 4: unrelated2}
+
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_rgray(a))) for i, a in imgs.items()],
+        "media_id long, payload binary",
+    )
+    media = attach_metadata(df, "media_id", "payload", "image/x-rgray")
+    hashes = phash_rgray(media)
+    hv = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    assert len(hv) == 4
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(hv[1], hv[2]) <= 3  # near-dup survives the edit
+    assert ham(hv[1], hv[3]) > 3 and ham(hv[1], hv[4]) > 3
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_pairs(hashes, max_hamming=3).collect()
+    }
+    want = {
+        (a, b): ham(hv[a], hv[b])
+        for a, b in itertools.combinations(sorted(imgs), 2)
+        if ham(hv[a], hv[b]) <= 3
+    }
+    assert got == want and (1, 2) in got
