@@ -105,3 +105,32 @@ def run_checks(tables: dict[str, DataFrame], checks: list[DQCheck]) -> DataFrame
         ]
         per_table.append(reduce(lambda a, b: a.unionByName(b), rows))
     return reduce(lambda a, b: a.unionByName(b), per_table)
+
+
+def observe_metrics(df: DataFrame, name: str = "dq"):
+    """In-flight DQ instrumentation via Spark's ``Observation``: attach
+    row-count / null-count / min-max accumulators to a plan so the
+    metrics come back FOR FREE with the action that runs it — zero
+    extra scans, unlike a separate count() per metric (the
+    one-action-per-rule pattern this module replaces batch-side).
+
+    Returns (instrumented_df, observation); read
+    ``observation.get`` AFTER an action has executed the plan. At
+    scale this is the only affordable way to monitor a 100 TB write:
+    the metrics ride the write job itself.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    numeric = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("integer", "long", "double", "float", "decimal")
+    ]
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    metrics += [
+        F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}") for c in df.columns
+    ]
+    metrics += [F.min(F.col(c)).alias(f"min_{c}") for c in numeric[:4]]
+    metrics += [F.max(F.col(c)).alias(f"max_{c}") for c in numeric[:4]]
+    return df.observe(obs, *metrics), obs

@@ -1233,3 +1233,140 @@ def hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_dow", "hour_of_day")
     )
+
+
+# ----------------------------------------------------------------------------
+# Language-ID confusion matrix (heuristic vs labeled truth)
+# ----------------------------------------------------------------------------
+
+def _langid_confusion_oracle() -> str:
+    from data_lakehouse_platform_spark.queries_llm import _LANGID_ORACLE
+
+    return f"""
+WITH pred AS ({_LANGID_ORACLE}),
+joined AS (
+  SELECT d.lang AS true_lang, p.predicted_lang
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+),
+tot AS (SELECT true_lang, COUNT(*) AS n_true FROM joined GROUP BY true_lang)
+SELECT j.true_lang, j.predicted_lang, COUNT(*) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE) / t.n_true AS row_share,
+       CAST(j.true_lang = j.predicted_lang AS INT) AS is_correct
+FROM joined j JOIN tot t ON j.true_lang = t.true_lang
+GROUP BY j.true_lang, j.predicted_lang, t.n_true
+ORDER BY j.true_lang, j.predicted_lang
+"""
+
+
+@register(
+    "langid_confusion",
+    _langid_confusion_oracle(),
+    "Classifier audit: confusion matrix of the heuristic language ID "
+    "against the labeled lang column, with per-truth-row shares (one "
+    "shared division) and a correctness flag. Reuses text_langid's "
+    "scoring CTE verbatim so the two queries can never drift apart; "
+    "output is vocabulary-squared sized (tiny) regardless of corpus "
+    "scale.",
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.queries_llm import text_langid
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", F.col("lang").alias("true_lang"))
+    pred = text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    joined = docs.join(pred, "doc_id").select("true_lang", "predicted_lang")
+    tot = joined.groupBy("true_lang").agg(F.count("*").alias("n_true"))
+    return (
+        joined.groupBy("true_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .join(F.broadcast(tot), "true_lang")
+        .select(
+            "true_lang",
+            "predicted_lang",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_true")).alias("row_share"),
+            (F.col("true_lang") == F.col("predicted_lang")).cast("int").alias(
+                "is_correct"
+            ),
+        )
+        .orderBy("true_lang", "predicted_lang")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Out-of-vocabulary rate against the corpus top-K vocabulary
+# ----------------------------------------------------------------------------
+
+_OOV_VOCAB_K = 1000
+
+
+def _oov_oracle() -> str:
+    from data_lakehouse_platform_spark.operators.text import sql_normalize_ws
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split({sql_normalize_ws('text')}, ' ')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+    FROM toks GROUP BY tok
+  ) v WHERE rn <= {_OOV_VOCAB_K}
+),
+marked AS (
+  SELECT t.doc_id, t.lang,
+         CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS is_oov
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+)
+SELECT lang,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_tokens,
+       SUM(is_oov) AS n_oov,
+       CAST(SUM(is_oov) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM marked GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "oov_rate",
+    _oov_oracle(),
+    f"Tokenizer-coverage audit: the corpus top-{_OOV_VOCAB_K} "
+    "vocabulary (deterministic count-then-token ranking) broadcast "
+    "against every token occurrence, per-language OOV rates from "
+    "exact counts with one shared division. The pre-flight check "
+    "before freezing a tokenizer on a corpus; vocabulary is bounded "
+    "so the join is a broadcast at any corpus scale.",
+)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(T.ws_tokens("text")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok")))
+        )
+        .where(F.col("rn") <= _OOV_VOCAB_K)
+        .select("tok")
+    )
+    marked = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("is_oov"),
+    )
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_tokens"),
+            F.sum("is_oov").alias("n_oov"),
+            (F.sum("is_oov").cast("double") / F.count("*")).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )

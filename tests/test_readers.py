@@ -89,3 +89,41 @@ def test_text_reader_line_and_wholefile(spark, tmp_path):
     docs = read_text(spark, str(d), whole_file=True)
     assert docs.count() == 2
     assert any("across two lines" in r["value"] for r in docs.collect())
+
+
+def test_csv_malformed_row_handling(spark, tmp_path):
+    """Bronze-ingest robustness: PERMISSIVE mode quarantines malformed
+    rows into a corrupt-record column (auditable, nothing dropped
+    silently); FAILFAST refuses the file outright."""
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,2,9.5\n"
+        "2,notanumber,1.0\n"  # qty fails to parse
+        "3,4,2.5\n"
+    )
+    schema = "id long, qty long, price double, _corrupt string"
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema(schema)
+        .csv(str(p))
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt"] is None]
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert bad[0]["qty"] is None and "notanumber" in bad[0]["_corrupt"]
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    strict = (
+        spark.read.option("header", True)
+        .option("mode", "FAILFAST")
+        .schema("id long, qty long, price double")
+        .csv(str(p))
+    )
+    with _pytest.raises(Exception, match="Malformed|FAILFAST|BadRecord"):
+        strict.collect()

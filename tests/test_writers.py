@@ -201,3 +201,24 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     )
     got = sorted(r["o_orderkey"] for r in pruned.collect())
     assert got == want and got
+
+
+def test_observe_metrics_ride_the_write(spark, tmp_path):
+    """Observation-based DQ: metrics accumulate during the write action
+    itself (no second scan) and report exact row/null/min/max values."""
+    from data_lakehouse_platform_spark.operators.quality import observe_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 4.5), (3, "c", None), (4, "d", 7.25)],
+        "id long, name string, score double",
+    )
+    instrumented, obs = observe_metrics(df, name="write-dq")
+    instrumented.write.mode("overwrite").parquet(str(tmp_path / "out"))
+
+    m = obs.get
+    assert m["n_rows"] == 4
+    assert m["nulls_name"] == 1 and m["nulls_score"] == 1 and m["nulls_id"] == 0
+    assert m["min_id"] == 1 and m["max_id"] == 4
+    assert m["min_score"] == 4.5 and m["max_score"] == 10.0
+    # the written data is untouched by instrumentation
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 4
