@@ -1370,3 +1370,125 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ----------------------------------------------------------------------------
+# Packing fragmentation audit (documents split across context windows)
+# ----------------------------------------------------------------------------
+
+_PACKFRAG_BUDGET = 512
+
+
+def _pack_frag_oracle() -> str:
+    from data_lakehouse_platform_spark.operators.text import sql_normalize_ws
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split({sql_normalize_ws('text')}, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS okey
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY okey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM t
+),
+spans AS (
+  SELECT doc_id, n_tokens,
+         CAST(FLOOR(CAST(start_offset AS DOUBLE) / {_PACKFRAG_BUDGET}) AS BIGINT) AS first_bin,
+         CAST(FLOOR(CAST(start_offset + n_tokens - 1 AS DOUBLE) / {_PACKFRAG_BUDGET}) AS BIGINT) AS last_bin
+  FROM c WHERE n_tokens > 0
+)
+SELECT COUNT(*) AS n_docs,
+       SUM(CASE WHEN last_bin > first_bin THEN 1 ELSE 0 END) AS n_split_docs,
+       CAST(SUM(CASE WHEN last_bin > first_bin THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS split_share,
+       CAST(SUM(last_bin - first_bin + 1) AS BIGINT) AS total_bin_spans,
+       CAST(MAX(last_bin - first_bin + 1) AS BIGINT) AS max_bins_spanned,
+       CAST(SUM(last_bin - first_bin + 1) AS DOUBLE) / COUNT(*) AS avg_bins_spanned
+FROM spans
+"""
+
+
+@register(
+    "pack_fragmentation",
+    _pack_frag_oracle(),
+    f"Packing-quality audit over pack_sequences' layout: how many "
+    f"documents straddle a {_PACKFRAG_BUDGET}-token context boundary "
+    f"(first vs last bin of each doc's token span from the exact "
+    f"distributed prefix sum), split share, and bins-spanned stats — "
+    f"the attention-fragmentation cost of concat-and-chunk packing. "
+    f"Same two-pass prefix-sum machinery, one extra map + one global "
+    f"1-row aggregate.",
+)
+def pack_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators import text as T
+    from data_lakehouse_platform_spark.operators.packing import exclusive_prefix_sum
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(T.ws_tokens("text")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("okey"),
+    )
+    packed = exclusive_prefix_sum(
+        docs, order_col="okey", weight_col="n_tokens", out_col="start_offset"
+    )
+    spans = packed.where(F.col("n_tokens") > 0).selectExpr(
+        "doc_id",
+        "n_tokens",
+        f"CAST(FLOOR(CAST(start_offset AS DOUBLE) / {_PACKFRAG_BUDGET}) AS BIGINT) AS first_bin",
+        f"CAST(FLOOR(CAST(start_offset + n_tokens - 1 AS DOUBLE) / {_PACKFRAG_BUDGET}) AS BIGINT) AS last_bin",
+    )
+    split = F.when(F.col("last_bin") > F.col("first_bin"), 1).otherwise(0)
+    span = F.col("last_bin") - F.col("first_bin") + 1
+    return spans.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(split).alias("n_split_docs"),
+        (F.sum(split).cast("double") / F.count("*")).alias("split_share"),
+        F.sum(span).cast("bigint").alias("total_bin_spans"),
+        F.max(span).cast("bigint").alias("max_bins_spanned"),
+        (F.sum(span).cast("double") / F.count("*")).alias("avg_bins_spanned"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Numeric RANGE frame: peer-band density around every order value
+# ----------------------------------------------------------------------------
+
+_BAND = 100.0
+
+_RANGEFRAME_ORACLE = f"""
+SELECT o_orderkey, o_orderpriority AS priority, o_totalprice,
+       COUNT(*) OVER (
+         PARTITION BY o_orderpriority ORDER BY o_totalprice
+         RANGE BETWEEN {_BAND} PRECEDING AND {_BAND} FOLLOWING
+       ) - 1 AS n_peers_within_band
+FROM orders
+"""
+
+
+@register(
+    "range_frame_price_band",
+    _RANGEFRAME_ORACLE,
+    f"Value-based RANGE window on a numeric (not time) ordering: for "
+    f"every order, how many same-priority orders fall within "
+    f"±{_BAND:.0f} of its total price (self excluded) — local price-"
+    f"density without a self-join or binning approximation. COUNT "
+    f"over a RANGE frame is peer-order independent, so results are "
+    f"deterministic despite value ties; one partitioned sort per "
+    f"priority at any scale.",
+)
+def range_frame_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    # PySpark's Window.rangeBetween only accepts integral offsets; a
+    # fractional numeric band needs the SQL frame syntax.
+    return od.selectExpr(
+        "o_orderkey",
+        "o_orderpriority AS priority",
+        "o_totalprice",
+        f"COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice "
+        f"RANGE BETWEEN {_BAND} PRECEDING AND {_BAND} FOLLOWING) - 1 "
+        "AS n_peers_within_band",
+    )

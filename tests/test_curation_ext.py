@@ -119,3 +119,41 @@ def test_new_ops_plan_contracts(spark):
     km = audit_plan(qs["kmeans_cells"].build(spark, SF_DIR))
     assert km.python_free_hot_path
     assert km.cartesian_products == 0
+
+
+def test_udtf_chunker_windows_and_reconstruction(spark):
+    """Python UDTF chunker: overlapping token windows with exact
+    coverage (stitching non-overlap parts rebuilds the normalized
+    text), lateral-join parallelism, and loud rejection of bad
+    window specs."""
+    import pytest as _pytest
+
+    from data_lakehouse_platform_spark.operators.chunking import (
+        _chunk_tokens,
+        chunk_documents,
+        reconstruct_from_chunks,
+    )
+
+    toks = [str(i) for i in range(10)]
+    rows = list(_chunk_tokens(toks, 4, 1))
+    assert rows[0] == (0, 0, 4, "0 1 2 3")
+    assert [r[1] for r in rows] == [0, 3, 6]  # stride = size - overlap
+    assert sum(r[2] - (1 if r[0] else 0) for r in rows) == len(toks)
+    with _pytest.raises(ValueError, match="overlap"):
+        list(_chunk_tokens(toks, 4, 4))
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    chunks = chunk_documents(docs, size=32, overlap=8)
+    assert chunks.columns == ["doc_id", "chunk_id", "start_tok", "n_tokens", "chunk"]
+    assert chunks.where(F.col("n_tokens") > 32).count() == 0
+    per_doc = chunks.groupBy("doc_id").count()
+    assert per_doc.where(F.col("count") < 1).count() == 0
+
+    rebuilt = reconstruct_from_chunks(chunks, overlap=8)
+    norm = docs.select(
+        "doc_id", F.regexp_replace(F.trim("text"), r"\s+", " ").alias("norm")
+    )
+    assert (
+        rebuilt.join(norm, "doc_id").where(F.col("rebuilt") != F.col("norm")).count()
+        == 0
+    )
