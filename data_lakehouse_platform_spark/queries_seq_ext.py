@@ -1492,3 +1492,84 @@ def range_frame_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"RANGE BETWEEN {_BAND} PRECEDING AND {_BAND} FOLLOWING) - 1 "
         "AS n_peers_within_band",
     )
+
+
+# ----------------------------------------------------------------------------
+# Basket-size distribution (lineitems per order histogram)
+# ----------------------------------------------------------------------------
+
+_BASKET_ORACLE = f"""
+WITH sizes AS (
+  SELECT l_orderkey, COUNT(*) AS basket_size,
+         {sql_sum('l_extendedprice * (1 - l_discount)')} AS order_rev
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT basket_size,
+       COUNT(*) AS n_orders,
+       {sql_sum('order_rev')} AS revenue
+FROM sizes GROUP BY basket_size ORDER BY basket_size
+"""
+
+
+@register(
+    "basket_size_hist",
+    _BASKET_ORACLE,
+    "Basket-size distribution: line-count histogram over orders with "
+    "exact revenue per size bucket — two keyed aggregations (order "
+    "key, then the tiny size domain), the merchandising twin of "
+    "q13's per-customer order-count histogram. Note the re-scaled "
+    "outer sum: the inner per-order revenue is already exact, so the "
+    "second fixed-point pass stays bit-identical.",
+)
+def basket_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("basket_size"),
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "order_rev"),
+    )
+    return (
+        sizes.groupBy("basket_size")
+        .agg(F.count("*").alias("n_orders"), dec_sum("order_rev", "revenue"))
+        .orderBy("basket_size")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Discount ladder (promo-depth effectiveness table)
+# ----------------------------------------------------------------------------
+
+_LADDER_ORACLE = f"""
+SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS discount_pct,
+       COUNT(*) AS n_lines,
+       {sql_sum('l_quantity')} AS total_qty,
+       {sql_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       {sql_sum('l_extendedprice * l_discount')} AS discount_given
+FROM lineitem
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "discount_ladder",
+    _LADDER_ORACLE,
+    "Promo-depth ladder: volume, exact revenue, and exact discount "
+    "spend per discount percentage point (half-up integer bucketing "
+    "shared by both engines). One grouped aggregation over a domain "
+    "of ~11 buckets; the pricing-team view of q19's predicates.",
+)
+def discount_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("discount_pct")
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            dec_sum("l_quantity", "total_qty"),
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "discount_given"),
+        )
+        .orderBy("discount_pct")
+    )

@@ -6,13 +6,17 @@ Delta so SCD2 merges are transactional and old versions readable);
 Delta isn't in this container, so this module provides the same
 *operations* with the same log-structured design Delta/Iceberg use:
 
-* data files are IMMUTABLE — every write creates a new data directory
-  ``<path>/data/v=N`` and commits a tiny JSON manifest
-  ``<path>/_log/N.json`` pointing at it;
+* data files are IMMUTABLE — every write creates a new uniquely-named
+  data directory ``<path>/data/vN-<uuid>`` and commits a tiny JSON
+  manifest ``<path>/_log/N.json`` pointing at it;
 * readers resolve the manifest first (O(1), no listing of data dirs)
   and read only the referenced directory — a reader never sees a
-  half-written version because the manifest is written last, via
-  rename (the commit point);
+  half-written version because the manifest is created last,
+  atomically (O_EXCL — the commit point);
+* version slots are claimed with O_EXCL creation, so two concurrent
+  writers can never clobber each other: the loser's commit retries
+  onto the next slot (Delta's optimistic concurrency), its data dir
+  untouched because dir names are uuid-decoupled from versions;
 * rollback commits a NEW manifest referencing an OLD data directory —
   O(1), no data copied, full history preserved (Delta's RESTORE);
 * vacuum deletes data directories no live manifest references
@@ -92,23 +96,48 @@ class SnapshotTable:
         operation: str,
         row_count: int,
         txn_id: str | None = None,
-    ) -> None:
+    ) -> int:
+        """Atomically claim a version slot (Delta-style optimistic
+        concurrency). The manifest is created with O_EXCL, so exactly
+        one writer can ever own ``N.json``; a concurrent committer that
+        finds the slot taken moves to the next version instead of
+        clobbering history. Data directories are immutable and
+        uniquely named, so retrying the commit never rewrites data.
+        Returns the version actually committed."""
         os.makedirs(self.log_dir, exist_ok=True)
-        manifest = {
-            "version": version,
-            "data_dir": data_dir,
-            "operation": operation,
-            "committed_at": time.time(),
-            "row_count": row_count,
-            "txn_id": txn_id,
-        }
-        # Write-then-rename: the rename IS the commit point; a crashed
-        # writer leaves only an invisible tmp file and an orphan data
-        # dir for vacuum.
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.rename(tmp, os.path.join(self.log_dir, f"{version}.json"))
+        while True:
+            manifest = {
+                "version": version,
+                "data_dir": data_dir,
+                "operation": operation,
+                "committed_at": time.time(),
+                "row_count": row_count,
+                "txn_id": txn_id,
+            }
+            target = os.path.join(self.log_dir, f"{version}.json")
+            try:
+                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                # Lost the race for this slot — another writer
+                # committed version N first. Re-check txn idempotence
+                # (the winner might BE our replayed transaction), then
+                # try the next slot.
+                if txn_id is not None:
+                    for s in self.history():
+                        if s.txn_id == txn_id:
+                            return s.version
+                version += 1
+                continue
+            with os.fdopen(fd, "w") as fh:
+                json.dump(manifest, fh)
+            return version
+
+    def _new_data_dir(self, version_hint: int) -> str:
+        """Unique, immutable data-directory name. The uuid suffix
+        decouples the directory from the version number so an
+        optimistic-concurrency retry (commit landing at version+1)
+        never needs to move data."""
+        return f"v{version_hint}-{uuid.uuid4().hex[:8]}"
 
     # -- operations -----------------------------------------------------
 
@@ -132,12 +161,11 @@ class SnapshotTable:
                 if s.txn_id == txn_id:
                     return s.version
         next_v = (self.latest_version() or 0) + 1 if self._versions() else 1
-        rel_dir = f"v={next_v}"
+        rel_dir = self._new_data_dir(next_v)
         out = os.path.join(self.data_root, rel_dir)
         df.write.mode("errorifexists").parquet(out)
         n = df.sparkSession.read.parquet(out).count()
-        self._commit(next_v, rel_dir, operation, n, txn_id=txn_id)
-        return next_v
+        return self._commit(next_v, rel_dir, operation, n, txn_id=txn_id)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Latest snapshot, or time-travel to `version`."""
@@ -306,7 +334,7 @@ class SnapshotTable:
                 if s.txn_id == txn_id:
                     return s.version
         next_v = (self.latest_version() or 0) + 1 if self._versions() else 1
-        rel_dir = f"v={next_v}"
+        rel_dir = self._new_data_dir(next_v)
         out = os.path.join(self.data_root, rel_dir)
         df.repartition(n_files, F.col(bloom_col)).write.mode("errorifexists").parquet(out)
 
@@ -331,13 +359,17 @@ class SnapshotTable:
             for p in row["__bits"]:
                 bitmap |= 1 << int(p)
             blooms[os.path.basename(row["__file"])] = f"{bitmap:x}"
+        # Commit first (the version may shift if another writer raced
+        # us), then write the sidecar under the FINAL version. A reader
+        # probing in the tiny window between the two sees the documented
+        # fail-loud FileNotFoundError, never wrong results.
+        final_v = self._commit(next_v, rel_dir, operation, n, txn_id=txn_id)
         os.makedirs(self.log_dir, exist_ok=True)
-        with open(os.path.join(self.log_dir, f"bloom-{next_v}.json"), "w") as fh:
+        with open(os.path.join(self.log_dir, f"bloom-{final_v}.json"), "w") as fh:
             json.dump(
                 {"column": bloom_col, "m_bits": m_bits, "k": k, "files": blooms}, fh
             )
-        self._commit(next_v, rel_dir, operation, n, txn_id=txn_id)
-        return next_v
+        return final_v
 
     def read_point_lookup(
         self, spark: SparkSession, value, version: int | None = None
@@ -395,8 +427,9 @@ class SnapshotTable:
         directory. O(1) — no data moves; history stays intact."""
         old = self._manifest(to_version)
         next_v = self.latest_version() + 1
-        self._commit(next_v, old.data_dir, f"rollback(to={to_version})", old.row_count)
-        return next_v
+        return self._commit(
+            next_v, old.data_dir, f"rollback(to={to_version})", old.row_count
+        )
 
     def write_snapshot_clustered(
         self,
@@ -417,12 +450,11 @@ class SnapshotTable:
         from data_lakehouse_platform_spark.sources.clustering import write_clustered
 
         next_v = (self.latest_version() or 0) + 1 if self._versions() else 1
-        rel_dir = f"v={next_v}"
+        rel_dir = self._new_data_dir(next_v)
         out = os.path.join(self.data_root, rel_dir)
         write_clustered(df, out, cluster_col, n_files=n_files)
         n = df.sparkSession.read.parquet(out).count()
-        self._commit(next_v, rel_dir, operation, n, txn_id=txn_id)
-        return next_v
+        return self._commit(next_v, rel_dir, operation, n, txn_id=txn_id)
 
     def read_pruned(
         self,

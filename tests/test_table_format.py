@@ -49,9 +49,10 @@ def test_vacuum_keeps_referenced_data(spark, tmp_path):
     t.write_snapshot(_df(spark, ["b"]))
     t.rollback(to_version=1)  # v3 -> v1's dir
 
+    v2_dir = {s2.version: s2.data_dir for s2 in t.history()}[2]
     removed = t.vacuum(keep_last=1)
-    # v3 (latest) references v=1's dir, so only v=2's dir is reclaimable
-    assert removed == ["v=2"]
+    # v3 (latest) references v1's dir, so only v2's dir is reclaimable
+    assert removed == [v2_dir]
     assert sorted(r.val for r in t.read(spark).collect()) == ["a"]
     # v2's manifest is gone (its data was reclaimed); v1 stays readable
     # because the rollback version still references its directory
@@ -248,10 +249,47 @@ def test_optimize_compacts_small_files(spark, tmp_path):
         return len([f for f in os.listdir(d) if f.endswith(".parquet")])
 
     assert n_files(v1) == 16
+    v1_dir = t._manifest(v1).data_dir
     v2 = t.optimize(spark, target_files=4)
     assert v2 == v1 + 1 and n_files(v2) <= 4
     assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(200))
     assert sorted(r["k"] for r in t.read(spark, version=v1).collect()) == list(range(200))
     assert t.history()[-1].operation == f"optimize(from={v1})"
     removed = t.vacuum(keep_last=1)
-    assert f"v={v1}" in removed
+    assert v1_dir in removed
+
+
+def test_concurrent_commit_conflict_retries_not_clobbers(spark, tmp_path):
+    """Optimistic concurrency: when another writer claims the version
+    slot first (simulated by pre-creating its manifest), a committer
+    retries onto the NEXT slot — history is never overwritten, both
+    writes survive, and txn replay still resolves to the winner."""
+    import json as _json
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.write_snapshot(_df(spark, ["a"]))  # v1
+
+    # Writer X half-commits: claims slot 2 directly (the race winner).
+    os.makedirs(t.log_dir, exist_ok=True)
+    foreign = {
+        "version": 2,
+        "data_dir": t._manifest(1).data_dir,  # reuse v1's data for realism
+        "operation": "foreign-write",
+        "committed_at": 0.0,
+        "row_count": 1,
+        "txn_id": "batch-X",
+    }
+    with open(os.path.join(t.log_dir, "2.json"), "w") as fh:
+        _json.dump(foreign, fh)
+
+    # Writer Y computed next_v=2 concurrently; its commit must land at 3.
+    v = t.write_snapshot(_df(spark, ["y1", "y2"]), operation="mine")
+    assert v == 3
+    assert [s.version for s in t.history()] == [1, 2, 3]
+    assert t.history()[1].operation == "foreign-write"  # untouched
+    assert sorted(r.val for r in t.read(spark, version=3).collect()) == ["y1", "y2"]
+
+    # txn idempotence across the conflict: replaying the WINNER's txn id
+    # returns its version instead of double-committing
+    v_replay = t.write_snapshot(_df(spark, ["zzz"]), txn_id="batch-X")
+    assert v_replay == 2 and t.latest_version() == 3
