@@ -1573,3 +1573,188 @@ def discount_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("discount_pct")
     )
+
+
+# ----------------------------------------------------------------------------
+# Growth accounting: user lifecycle states per month (new/retained/
+# resurrected) — the MAU movement table
+# ----------------------------------------------------------------------------
+
+_LIFECYCLE_ORACLE = """
+WITH um AS (
+  SELECT DISTINCT user_id,
+         CAST(EXTRACT(YEAR FROM ts) * 12 + EXTRACT(MONTH FROM ts) AS BIGINT) AS ym
+  FROM events
+),
+seq AS (
+  SELECT user_id, ym,
+         LAG(ym) OVER (PARTITION BY user_id ORDER BY ym) AS prev_ym
+  FROM um
+),
+classed AS (
+  SELECT ym,
+         CASE WHEN prev_ym IS NULL THEN 'new'
+              WHEN ym - prev_ym = 1 THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM seq
+)
+SELECT ym, state, COUNT(*) AS n_users
+FROM classed GROUP BY ym, state ORDER BY ym, state
+"""
+
+
+@register(
+    "user_lifecycle_states",
+    _LIFECYCLE_ORACLE,
+    "Growth accounting (MAU movement): each active user-month is "
+    "classified new / retained / resurrected from the LAG of their "
+    "previous active month (integer year*12+month arithmetic). One "
+    "distinct pass + one per-user window + a tiny grouped count — the "
+    "monthly growth ledger every product review starts with.",
+)
+def user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    um = ev.selectExpr(
+        "user_id",
+        "CAST(year(ts) * 12 + month(ts) AS BIGINT) AS ym",
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("ym")
+    seq = um.withColumn("prev_ym", F.lag("ym").over(w))
+    state = (
+        F.when(F.col("prev_ym").isNull(), "new")
+        .when(F.col("ym") - F.col("prev_ym") == 1, "retained")
+        .otherwise("resurrected")
+    )
+    return (
+        seq.select("ym", state.alias("state"))
+        .groupBy("ym", "state")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("ym", "state")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Revenue bridge (SaaS waterfall): month-over-month revenue change
+# decomposed into new / expansion / contraction / churned per customer
+# ----------------------------------------------------------------------------
+# Per-customer monthly revenue is an exact fixed-point sum surfaced as
+# integer-exact cents-of-micro units; the month self-join on
+# (customer, month+1) co-partitions, and every bridge bucket is a SUM
+# of exact differences — the ledger reconciles to the month's total
+# revenue delta by construction (asserted by the oracle comparison).
+
+def _bridge_oracle() -> str:
+    # The FULL-JOIN formulation above is awkward in portable SQL; use
+    # the symmetric-union formulation instead (same result, simpler):
+    return """
+WITH cm AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+),
+shifted AS (SELECT o_custkey, ym + 1 AS ym, rev AS prev_rev FROM cm),
+paired AS (
+  SELECT COALESCE(c.ym, s.ym) AS ym,
+         COALESCE(c.rev, 0) AS cur_rev,
+         COALESCE(s.prev_rev, 0) AS prev_rev
+  FROM cm c FULL OUTER JOIN shifted s
+    ON c.o_custkey = s.o_custkey AND c.ym = s.ym
+),
+b AS (
+  SELECT ym,
+    SUM(CASE WHEN prev_rev = 0 THEN cur_rev ELSE 0 END) AS new_rev,
+    SUM(CASE WHEN prev_rev > 0 AND cur_rev > prev_rev THEN cur_rev - prev_rev ELSE 0 END) AS expansion,
+    SUM(CASE WHEN prev_rev > 0 AND cur_rev > 0 AND cur_rev < prev_rev THEN prev_rev - cur_rev ELSE 0 END) AS contraction,
+    SUM(CASE WHEN cur_rev = 0 THEN prev_rev ELSE 0 END) AS churned,
+    SUM(cur_rev) AS ending_rev,
+    SUM(prev_rev) AS starting_rev
+  FROM paired GROUP BY ym
+)
+SELECT ym,
+       CAST(starting_rev AS BIGINT) AS starting_units,
+       CAST(new_rev AS BIGINT) AS new_units,
+       CAST(expansion AS BIGINT) AS expansion_units,
+       CAST(contraction AS BIGINT) AS contraction_units,
+       CAST(churned AS BIGINT) AS churned_units,
+       CAST(ending_rev AS BIGINT) AS ending_units,
+       CAST(starting_rev + new_rev + expansion - contraction - churned AS BIGINT) AS reconciled_units
+FROM b
+WHERE ym > (SELECT MIN(ym) FROM cm)
+ORDER BY ym
+"""
+
+
+@register(
+    "revenue_bridge",
+    _bridge_oracle(),
+    "SaaS-style revenue bridge: per month, the revenue delta "
+    "decomposed into new / expansion / contraction / churned customer "
+    "buckets via a co-partitioned full-outer join of customer-month "
+    "revenue against itself shifted one month. All buckets are exact "
+    "fixed-point integers and the ledger reconciles exactly "
+    "(starting + new + expansion - contraction - churned = ending, "
+    "emitted as a column so the oracle check proves it). The first "
+    "month is excluded (no prior period to bridge from).",
+)
+def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    cm = od.selectExpr(
+        "o_custkey",
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym",
+        "o_totalprice",
+    ).groupBy("o_custkey", "ym").agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS BIGINT)"
+        ).alias("rev")
+    )
+    shifted = cm.select(
+        F.col("o_custkey").alias("s_custkey"),
+        (F.col("ym") + 1).alias("s_ym"),
+        F.col("rev").alias("prev_rev"),
+    )
+    paired = cm.join(
+        shifted,
+        (cm.o_custkey == shifted.s_custkey) & (cm.ym == shifted.s_ym),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("ym"), F.col("s_ym")).alias("ym"),
+        F.coalesce(F.col("rev"), F.lit(0)).alias("cur_rev"),
+        F.coalesce(F.col("prev_rev"), F.lit(0)).alias("prev_rev"),
+    )
+    min_ym = cm.agg(F.min("ym").alias("m0"))
+    b = paired.groupBy("ym").agg(
+        F.sum(F.when(F.col("prev_rev") == 0, F.col("cur_rev")).otherwise(0)).alias("new_rev"),
+        F.sum(
+            F.when(
+                (F.col("prev_rev") > 0) & (F.col("cur_rev") > F.col("prev_rev")),
+                F.col("cur_rev") - F.col("prev_rev"),
+            ).otherwise(0)
+        ).alias("expansion"),
+        F.sum(
+            F.when(
+                (F.col("prev_rev") > 0)
+                & (F.col("cur_rev") > 0)
+                & (F.col("cur_rev") < F.col("prev_rev")),
+                F.col("prev_rev") - F.col("cur_rev"),
+            ).otherwise(0)
+        ).alias("contraction"),
+        F.sum(F.when(F.col("cur_rev") == 0, F.col("prev_rev")).otherwise(0)).alias("churned"),
+        F.sum("cur_rev").alias("ending_rev"),
+        F.sum("prev_rev").alias("starting_rev"),
+    )
+    return (
+        b.crossJoin(F.broadcast(min_ym))
+        .where(F.col("ym") > F.col("m0"))
+        .selectExpr(
+            "ym",
+            "CAST(starting_rev AS BIGINT) AS starting_units",
+            "CAST(new_rev AS BIGINT) AS new_units",
+            "CAST(expansion AS BIGINT) AS expansion_units",
+            "CAST(contraction AS BIGINT) AS contraction_units",
+            "CAST(churned AS BIGINT) AS churned_units",
+            "CAST(ending_rev AS BIGINT) AS ending_units",
+            "CAST(starting_rev + new_rev + expansion - contraction - churned AS BIGINT) AS reconciled_units",
+        )
+        .orderBy("ym")
+    )

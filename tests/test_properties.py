@@ -206,3 +206,36 @@ def test_exclusive_prefix_sum_property(spark, weights):
         want[rid] = run
         run += w
     assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=200),
+    st.integers(min_value=1, max_value=40),
+    st.data(),
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunk_tokens_property(token_ids, size, data):
+    """Chunker invariants for ANY token stream and window spec:
+    windows never exceed `size`, strides equal size-overlap, stitching
+    non-overlap parts reproduces the exact input, and every token is
+    covered at least once."""
+    from data_lakehouse_platform_spark.operators.chunking import _chunk_tokens
+
+    overlap = data.draw(st.integers(min_value=0, max_value=size - 1))
+    toks = [f"t{i}" for i in token_ids]
+    rows = list(_chunk_tokens(toks, size, overlap))
+
+    if not toks:
+        assert rows == []
+        return
+    assert rows[0][1] == 0
+    assert all(r[2] <= size for r in rows)
+    # stride
+    for a, b in zip(rows, rows[1:]):
+        assert b[1] - a[1] == size - overlap
+    # exact reconstruction from non-overlapping tails
+    rebuilt = []
+    for cid, start, n, chunk in rows:
+        parts = chunk.split(" ") if chunk else []
+        rebuilt.extend(parts if cid == 0 else parts[overlap:])
+    assert rebuilt == toks
