@@ -369,3 +369,112 @@ def phash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ----------------------------------------------------------------------------
+# RWAV: a real (library-free) raw-PCM audio path — the audio twin of
+# RGRAY. b"RWAV" + sample_rate(uint32 BE) + n_samples(uint32 BE) +
+# int16 LE samples. decode/features/frame-split do real numpy signal
+# math inside the same Arrow-batched mapInPandas plumbing.
+# ----------------------------------------------------------------------------
+
+_RWAV_MAGIC = b"RWAV"
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples int, duration_s double, "
+    "rms double, peak int, zero_crossings int"
+)
+
+AUDIO_FRAME_SCHEMA = (
+    "media_id long, frame_id int, start_sample int, n_samples int, frame_rms double"
+)
+
+
+def encode_rwav(samples, sample_rate: int = 16_000) -> bytes:
+    """numpy int16 1-D array -> RWAV payload bytes."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    return (
+        _RWAV_MAGIC
+        + int(sample_rate).to_bytes(4, "big")
+        + int(a.size).to_bytes(4, "big")
+        + a.tobytes()
+    )
+
+
+def decode_rwav(payload: bytes):
+    """RWAV payload -> (sample_rate, numpy int16 array). Raises on bad
+    magic or truncated samples — corrupt media fails loudly."""
+    import numpy as np
+
+    if payload[:4] != _RWAV_MAGIC:
+        raise ValueError("not an RWAV payload")
+    sr = int.from_bytes(payload[4:8], "big")
+    n = int.from_bytes(payload[8:12], "big")
+    raw = payload[12:]
+    if len(raw) != 2 * n:
+        raise ValueError(f"truncated RWAV: expected {n} samples, got {len(raw) // 2}")
+    return sr, np.frombuffer(raw, dtype="<i2")
+
+
+def audio_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
+    """REAL audio feature extraction: RMS energy, peak amplitude, and
+    zero-crossing count per payload — the audio-quality triage pass
+    (silence / clipping / noise gates) before any expensive model."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                sr, x = decode_rwav(bytes(p))
+                f = x.astype(np.float64)
+                zc = int(np.count_nonzero(np.signbit(f[1:]) != np.signbit(f[:-1])))
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": sr,
+                        "n_samples": int(x.size),
+                        "duration_s": float(x.size / sr),
+                        "rms": float(np.sqrt((f * f).mean())) if x.size else 0.0,
+                        "peak": int(np.abs(f).max()) if x.size else 0,
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def audio_frames(media: DataFrame, frame_samples: int = 1024, batch_size: int = 64) -> DataFrame:
+    """Frame sampling for audio: split each payload into fixed-size
+    windows (tail kept) and emit per-frame RMS — one row per frame,
+    the shape downstream VAD/embedding stages consume. The audio
+    analog of video frame-sampling; fan-out is bounded by duration."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _, x = decode_rwav(bytes(p))
+                f = x.astype(np.float64)
+                for fid, start in enumerate(range(0, x.size, frame_samples)):
+                    w = f[start : start + frame_samples]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_id": fid,
+                            "start_sample": start,
+                            "n_samples": int(w.size),
+                            "frame_rms": float(np.sqrt((w * w).mean())) if w.size else 0.0,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(run, schema=AUDIO_FRAME_SCHEMA)

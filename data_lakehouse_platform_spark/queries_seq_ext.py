@@ -1758,3 +1758,94 @@ def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ym")
     )
+
+
+# ----------------------------------------------------------------------------
+# Corpus datacard: the one-row dataset summary (docs, languages,
+# volume, dedup rate, dominant language) in a single plan
+# ----------------------------------------------------------------------------
+
+_DATACARD_ORACLE = """
+WITH base AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT lang) AS n_langs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS avg_chars,
+         SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS n_empty
+  FROM documents
+),
+uniq AS (SELECT COUNT(DISTINCT md5(text)) AS n_unique FROM documents),
+toplang AS (
+  SELECT lang AS top_lang, COUNT(*) AS top_lang_docs
+  FROM documents GROUP BY lang
+  ORDER BY COUNT(*) DESC, lang LIMIT 1
+)
+SELECT b.n_docs, b.n_langs, b.total_chars, b.min_chars, b.max_chars,
+       b.avg_chars, b.n_empty,
+       u.n_unique,
+       CAST(b.n_docs - u.n_unique AS DOUBLE) / b.n_docs AS dup_rate,
+       t.top_lang, t.top_lang_docs,
+       CAST(t.top_lang_docs AS DOUBLE) / b.n_docs AS top_lang_share
+FROM base b CROSS JOIN uniq u CROSS JOIN toplang t
+"""
+
+
+@register(
+    "corpus_datacard",
+    _DATACARD_ORACLE,
+    "Dataset datacard in one plan: document/language counts, exact "
+    "character volume and averages, empty-doc count, exact-duplicate "
+    "rate (distinct content hashes), and the dominant language with "
+    "its share — the one-row summary a dataset card or mix ledger "
+    "starts from. Three bounded aggregates cross-joined broadcast; "
+    "every ratio is one shared division over exact integers.",
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("double")
+            / F.count("*")
+        ).alias("avg_chars"),
+        F.sum(
+            F.when(F.length(F.trim("text")) == 0, 1).otherwise(0)
+        ).alias("n_empty"),
+    )
+    uniq = docs.agg(
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n_unique")
+    )
+    toplang = (
+        docs.groupBy(F.col("lang").alias("top_lang"))
+        .agg(F.count("*").alias("top_lang_docs"))
+        .orderBy(F.desc("top_lang_docs"), F.asc("top_lang"))
+        .limit(1)
+    )
+    return (
+        base.crossJoin(F.broadcast(uniq))
+        .crossJoin(F.broadcast(toplang))
+        .select(
+            "n_docs",
+            "n_langs",
+            "total_chars",
+            "min_chars",
+            "max_chars",
+            "avg_chars",
+            "n_empty",
+            "n_unique",
+            ((F.col("n_docs") - F.col("n_unique")).cast("double") / F.col("n_docs")).alias(
+                "dup_rate"
+            ),
+            "top_lang",
+            "top_lang_docs",
+            (F.col("top_lang_docs").cast("double") / F.col("n_docs")).alias(
+                "top_lang_share"
+            ),
+        )
+    )
