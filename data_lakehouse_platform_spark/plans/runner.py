@@ -16,10 +16,13 @@ Semantics:
 * a status table (task, state, seconds) comes back as a DataFrame so
   run history can land in the lakehouse like any other table.
 
-This is NOT a scheduler: no cron, no retries-with-backoff, no
-executors. At deploy scale those belong to Airflow/dbt — the point
-here is that pipeline structure (deps, idempotence, partial progress)
-lives with the engine and stays testable without one.
+This is NOT a scheduler: no cron, no executors. Bounded in-process
+retries ARE supported (``retries=N`` per task) because transient
+Spark failures — a lost executor, a fetch failure — are an engine
+concern, not an orchestrator one; sleep/backoff policy and cron
+still belong to Airflow/dbt. The point is that pipeline structure
+(deps, idempotence, retries, partial progress) lives with the engine
+and stays testable without an orchestrator.
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ class Task:
     fn: Callable[[], None]
     deps: list[str] = field(default_factory=list)
     done_marker: str | None = None
+    retries: int = 0  # extra attempts after the first failure
 
 
 class PipelineRunner:
@@ -51,10 +55,11 @@ class PipelineRunner:
         fn: Callable[[], None],
         deps: list[str] | None = None,
         done_marker: str | None = None,
+        retries: int = 0,
     ) -> "PipelineRunner":
         if name in self.tasks:
             raise ValueError(f"duplicate task {name}")
-        self.tasks[name] = Task(name, fn, list(deps or []), done_marker)
+        self.tasks[name] = Task(name, fn, list(deps or []), done_marker, retries)
         return self
 
     def run(self) -> DataFrame:
@@ -66,6 +71,7 @@ class PipelineRunner:
                     raise ValueError(f"{t.name} depends on unknown task {d}")
         state: dict[str, str] = {}
         seconds: dict[str, float] = {}
+        attempts: dict[str, int] = {}
         remaining = dict(self.tasks)
         while remaining:
             ready = sorted(
@@ -79,23 +85,26 @@ class PipelineRunner:
                 t = remaining.pop(name)
                 bad = [d for d in t.deps if state[d] not in ("OK", "SKIPPED_DONE")]
                 if bad:
-                    state[name], seconds[name] = "SKIPPED_UPSTREAM", 0.0
+                    state[name], seconds[name], attempts[name] = "SKIPPED_UPSTREAM", 0.0, 0
                     continue
                 if t.done_marker and os.path.exists(t.done_marker):
-                    state[name], seconds[name] = "SKIPPED_DONE", 0.0
+                    state[name], seconds[name], attempts[name] = "SKIPPED_DONE", 0.0, 0
                     continue
                 t0 = time.perf_counter()
-                try:
-                    t.fn()
-                    if t.done_marker:
-                        os.makedirs(os.path.dirname(t.done_marker), exist_ok=True)
-                        with open(t.done_marker, "w") as fh:
-                            fh.write("done")
-                    state[name] = "OK"
-                except Exception:
-                    state[name] = "FAILED"
+                for attempt in range(1, t.retries + 2):
+                    attempts[name] = attempt
+                    try:
+                        t.fn()
+                        if t.done_marker:
+                            os.makedirs(os.path.dirname(t.done_marker), exist_ok=True)
+                            with open(t.done_marker, "w") as fh:
+                                fh.write("done")
+                        state[name] = "OK"
+                        break
+                    except Exception:
+                        state[name] = "FAILED"  # sticks if retries exhaust
                 seconds[name] = round(time.perf_counter() - t0, 3)
         return self.spark.createDataFrame(
-            [(n, state[n], seconds[n]) for n in sorted(self.tasks)],
-            "task: string, state: string, seconds: double",
+            [(n, state[n], seconds[n], attempts[n]) for n in sorted(self.tasks)],
+            "task: string, state: string, seconds: double, attempts: int",
         )

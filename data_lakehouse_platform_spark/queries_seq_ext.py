@@ -1849,3 +1849,140 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ----------------------------------------------------------------------------
+# Near-dup contamination matrix by source (where do duplicates come from?)
+# ----------------------------------------------------------------------------
+
+
+def _neardup_source_oracle() -> str:
+    from data_lakehouse_platform_spark.queries_llm import _minhash_ctes
+
+    return f"""
+WITH {_minhash_ctes()},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+tagged AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         c.doc_a, c.doc_b
+  FROM cand c
+  JOIN documents da ON c.doc_a = da.doc_id
+  JOIN documents db ON c.doc_b = db.doc_id
+)
+SELECT source_a, source_b,
+       COUNT(*) AS n_pairs,
+       COUNT(DISTINCT doc_a) + COUNT(DISTINCT doc_b) AS n_docs_involved
+FROM tagged GROUP BY source_a, source_b ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "neardup_by_source",
+    _neardup_source_oracle(),
+    "Duplication provenance: MinHash-LSH candidate pairs rolled up "
+    "into a source x source contamination matrix (canonical pair "
+    "order via LEAST/GREATEST) — tells you WHICH feeds duplicate "
+    "each other before you spend compute verifying pairs. Reuses the "
+    "LSH machinery; the doc->source joins key on doc_id "
+    "(co-partitioned), output is source-vocabulary squared (tiny).",
+)
+def neardup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators import dedup as D
+    from data_lakehouse_platform_spark.operators import text as T
+    from data_lakehouse_platform_spark.queries_llm import _BANDS, _N_HASHES
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = T.explode_shingles(docs, "doc_id", "text", k=3, distinct=False)
+    sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
+    cand = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS).select(
+        "doc_a", "doc_b"
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    tagged = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    return (
+        tagged.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (F.countDistinct("doc_a") + F.countDistinct("doc_b")).alias(
+                "n_docs_involved"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Token Simpson diversity (rational lexical-diversity index, no log)
+# ----------------------------------------------------------------------------
+
+
+def _simpson_oracle() -> str:
+    from data_lakehouse_platform_spark.operators.text import sql_normalize_ws
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({sql_normalize_ws('text')}, ' ')) AS tok
+  FROM documents
+),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS rep_pairs
+  FROM tc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens >= 2
+            THEN 1.0 - CAST(rep_pairs AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1))
+       END AS simpson_diversity
+FROM per_doc
+"""
+
+
+@register(
+    "token_diversity_simpson",
+    _simpson_oracle(),
+    "Lexical diversity via the Simpson index: 1 - P(two random tokens "
+    "match) = 1 - sum(c*(c-1))/(n*(n-1)), exact integer moments with "
+    "one shared double expression — the rational alternative to "
+    "Shannon entropy (whose log differs across libm builds). "
+    "Complements repetition_stats' fraction gates with a proper "
+    "diversity index; one shuffle keyed on (doc, token).",
+)
+def token_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(T.ws_tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("rep_pairs"),
+    )
+    return per_doc.selectExpr(
+        "doc_id",
+        "n_tokens",
+        "CASE WHEN n_tokens >= 2 THEN "
+        "1.0 - CAST(rep_pairs AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)) "
+        "END AS simpson_diversity",
+    )

@@ -283,3 +283,35 @@ def test_lifecycle_plan_contracts(spark):
     # segment-partitioned rank — never a global sort over the fact.
     ag = audit_plan(registry["gini_hhi_concentration"].build(spark, SF_DIR))
     assert ag.broadcast_hash_joins >= 1 and ag.cartesian_products == 0
+
+
+def test_pipeline_runner_bounded_retries(spark, tmp_path):
+    """Transient failures recover within the retry budget (attempts
+    recorded); exhausted retries still fail fast and cancel
+    downstream."""
+    from data_lakehouse_platform_spark.plans.runner import PipelineRunner
+
+    calls = {"flaky": 0, "broken": 0}
+
+    def flaky():
+        calls["flaky"] += 1
+        if calls["flaky"] < 3:
+            raise RuntimeError("transient")
+
+    def broken():
+        calls["broken"] += 1
+        raise RuntimeError("permanent")
+
+    r = (
+        PipelineRunner(spark)
+        .add("flaky", flaky, retries=2)
+        .add("after_flaky", lambda: None, deps=["flaky"])
+        .add("broken", broken, retries=1)
+        .add("after_broken", lambda: None, deps=["broken"])
+    )
+    rows = {row["task"]: row for row in r.run().collect()}
+    assert rows["flaky"]["state"] == "OK" and rows["flaky"]["attempts"] == 3
+    assert rows["after_flaky"]["state"] == "OK"
+    assert rows["broken"]["state"] == "FAILED" and rows["broken"]["attempts"] == 2
+    assert rows["after_broken"]["state"] == "SKIPPED_UPSTREAM"
+    assert calls == {"flaky": 3, "broken": 2}
