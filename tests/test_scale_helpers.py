@@ -106,3 +106,37 @@ def test_operators_handle_empty_inputs(spark):
         left, empty_right, on="ts", by="k", direction="forward", tolerance=100
     ).collect()
     assert len(out) == 1 and out[0]["ts_right"] is None
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF recall audit: with trained centroids and a generous nprobe,
+    IVF top-k must recover most of the exact brute-force neighbor set
+    — and probing ALL cells must make IVF exactly match brute force
+    (the correctness limit of the recall/cost dial)."""
+    from data_lakehouse_platform_spark.operators import similarity as S
+    from data_lakehouse_platform_spark.operators.kmeans import lloyd_kmeans
+    from data_lakehouse_platform_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    _, centroids = lloyd_kmeans(emb, k=8, rounds=2)
+    queries = emb.filter(F.col("vec_id") < 8)
+    k = 10
+
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in S.ann_topk_bruteforce(emb, queries, k=k).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in S.ann_topk_ivf(emb, queries, centroids, k=k, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall@{k} too low: {recall:.2f}"
+
+    # probing every cell removes the approximation entirely
+    full = {
+        (r["query_id"], r["cand_id"])
+        for r in S.ann_topk_ivf(emb, queries, centroids, k=k, nprobe=8).collect()
+    }
+    assert full == exact

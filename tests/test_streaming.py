@@ -441,3 +441,40 @@ def test_order_tracker_transform_with_state(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Exactly-once across restarts: a file-source -> parquet-sink
+    stream drains with availableNow, stops, new files arrive, and a
+    SECOND query over the SAME checkpoint processes only the new files
+    — every input row lands in the sink exactly once."""
+    src = tmp_path / "in"
+    sink = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_batch(name, ids):
+        (src / name).write_text(
+            "\n".join(json.dumps({"event_id": i, "v": i * 10}) for i in ids)
+        )
+
+    def drain():
+        stream = spark.readStream.schema("event_id long, v long").json(str(src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch("b0.json", range(0, 5))
+    drain()
+    first = sorted(r["event_id"] for r in spark.read.parquet(str(sink)).collect())
+    assert first == list(range(5))
+
+    write_batch("b1.json", range(5, 9))
+    drain()  # resume from the SAME checkpoint: b0 must not reprocess
+    final = sorted(r["event_id"] for r in spark.read.parquet(str(sink)).collect())
+    assert final == list(range(9)), f"duplicates or loss after resume: {final}"
