@@ -887,13 +887,18 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS DECIMAL(28,0)))"
         ).alias("r")
     )
-    tot = rev.agg(F.expr("CAST(SUM(r) AS DECIMAL(38,0))").alias("t"))
+    # Global total as SUM() OVER () on the part-level aggregate: the
+    # aggregate is dim-sized, so the unpartitioned window is cheap and
+    # the lineitem scan+agg runs ONCE (a separate 1-row agg + cross
+    # join re-ran the whole upstream, doubling the query's cost).
     w = (
         Window.orderBy(F.desc("r"), F.asc("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = rev.withColumn("cum", F.sum("r").over(w).cast("decimal(38,0)"))
-    classed = ranked.crossJoin(F.broadcast(tot)).selectExpr(
+    ranked = rev.withColumn("cum", F.sum("r").over(w).cast("decimal(38,0)")).withColumn(
+        "t", F.sum("r").over(Window.partitionBy()).cast("decimal(38,0)")
+    )
+    classed = ranked.selectExpr(
         "l_partkey",
         "r",
         "t",

@@ -55,6 +55,31 @@ def read_text(
     return spark.read.options(**options).text(path, wholetext=whole_file)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """XML ingestion via Spark 4's built-in XML source (spark-xml was
+    folded into core): one row per ``row_tag`` element. Explicit
+    schema preferred for the same reason as CSV — schema inference is
+    an extra full pass. The legacy-feed edge (ERP exports, SOAP
+    payload dumps) that still shows up in enterprise bronze layers."""
+    reader = spark.read.format("xml").option("rowTag", row_tag).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row", **options) -> None:
+    """XML export (round-trip partner of read_xml)."""
+    df.write.format("xml").option("rowTag", row_tag).options(**options).mode(
+        "overwrite"
+    ).save(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

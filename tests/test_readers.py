@@ -127,3 +127,25 @@ def test_csv_malformed_row_handling(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="Malformed|FAILFAST|BadRecord"):
         strict.collect()
+
+
+def test_xml_roundtrip_with_schema(spark, tmp_path):
+    """Spark 4 built-in XML source: schema-explicit read of rowTag
+    elements, write-then-read round-trip preserves values."""
+    from data_lakehouse_platform_spark.sources.readers import read_xml, write_xml
+
+    src = tmp_path / "feed.xml"
+    src.write_text(
+        "<orders>"
+        "<o><id>1</id><sku>widget</sku><qty>3</qty></o>"
+        "<o><id>2</id><sku>gadget</sku><qty>5</qty></o>"
+        "</orders>"
+    )
+    df = read_xml(spark, str(src), row_tag="o", schema="id long, sku string, qty long")
+    rows = {r["id"]: (r["sku"], r["qty"]) for r in df.collect()}
+    assert rows == {1: ("widget", 3), 2: ("gadget", 5)}
+
+    out = tmp_path / "out-xml"
+    write_xml(df, str(out), row_tag="o")
+    back = read_xml(spark, str(out), row_tag="o", schema="id long, sku string, qty long")
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
