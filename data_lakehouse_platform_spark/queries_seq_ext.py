@@ -759,10 +759,15 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_type = ev.groupBy("event_type").agg(
         F.count("*").alias("n_rows"), F.max("ts").alias("last_seen")
     )
-    g = ev.agg(F.max("ts").alias("global_last"))
+    # Global high-water = max over the per-type aggregate (a handful of
+    # rows), via an unpartitioned window — one scan of events instead
+    # of two; the window input is type-vocabulary sized, never large.
+    g = per_type.withColumn(
+        "global_last", F.max("last_seen").over(Window.partitionBy())
+    )
     stale = F.datediff(F.to_date("global_last"), F.to_date("last_seen"))
     return (
-        per_type.crossJoin(F.broadcast(g))
+        g
         .select(
             "event_type",
             "n_rows",
@@ -1043,21 +1048,29 @@ def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", T.ws_tokens("text").alias("__toks"))
     uni = toks.select(F.explode("__toks").alias("tok"))
-    uc = uni.groupBy("tok").agg(F.count("*").alias("c"))
-    un = uc.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    # Corpus totals ride the vocab-sized aggregates as unpartitioned
+    # windows (vocabulary is bounded, so the single-partition window is
+    # cheap) — each n-gram order explodes and aggregates exactly ONCE
+    # instead of re-running for its 1-row total.
+    uc = (
+        uni.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn("n_uni", F.sum("c").over(Window.partitionBy()).cast("bigint"))
+    )
     bi = toks.select(F.explode(T.shingle_expr("__toks", 2)).alias("ngram"))
-    bc_all = bi.groupBy("ngram").agg(F.count("*").alias("c_xy"))
-    bn = bc_all.agg(F.sum("c_xy").cast("bigint").alias("m_bi"))
+    bc_all = bi.groupBy("ngram").agg(F.count("*").alias("c_xy")).withColumn(
+        "m_bi", F.sum("c_xy").over(Window.partitionBy()).cast("bigint")
+    )
     bc = bc_all.where(F.col("c_xy") >= _LIFT_MINSUP)
-    x = uc.select(F.col("tok").alias("xt"), F.col("c").alias("c_x"))
+    x = uc.select(
+        F.col("tok").alias("xt"), F.col("c").alias("c_x"), F.col("n_uni")
+    )
     y = uc.select(F.col("tok").alias("yt"), F.col("c").alias("c_y"))
     scored = (
         bc.withColumn("w1", F.split(F.col("ngram"), " ").getItem(0))
         .withColumn("w2", F.split(F.col("ngram"), " ").getItem(1))
         .join(x, F.col("w1") == F.col("xt"))
         .join(y, F.col("w2") == F.col("yt"))
-        .crossJoin(F.broadcast(un))
-        .crossJoin(F.broadcast(bn))
         .withColumn("lift", F.expr(_LIFT_EXPR))
     )
     return (
@@ -1727,7 +1740,6 @@ def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("rev"), F.lit(0)).alias("cur_rev"),
         F.coalesce(F.col("prev_rev"), F.lit(0)).alias("prev_rev"),
     )
-    min_ym = cm.agg(F.min("ym").alias("m0"))
     b = paired.groupBy("ym").agg(
         F.sum(F.when(F.col("prev_rev") == 0, F.col("cur_rev")).otherwise(0)).alias("new_rev"),
         F.sum(
@@ -1748,8 +1760,10 @@ def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cur_rev").alias("ending_rev"),
         F.sum("prev_rev").alias("starting_rev"),
     )
+    # First bridgeable month = min over the month-level table b (tiny)
+    # — avoids re-aggregating orders for a 1-row min.
     return (
-        b.crossJoin(F.broadcast(min_ym))
+        b.withColumn("m0", F.min("ym").over(Window.partitionBy()))
         .where(F.col("ym") > F.col("m0"))
         .selectExpr(
             "ym",
