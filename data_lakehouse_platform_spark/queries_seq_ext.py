@@ -2005,3 +2005,157 @@ def token_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "1.0 - CAST(rep_pairs AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)) "
         "END AS simpson_diversity",
     )
+
+
+# ----------------------------------------------------------------------------
+# Session KPIs (composition: sessionizer -> session-level funnel stats)
+# ----------------------------------------------------------------------------
+
+_SESSION_KPI_ORACLE = """
+WITH flagged AS (
+  SELECT
+    user_id, event_id, ts, event_type,
+    CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > 1800000000
+           OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT *,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_idx,
+         COUNT(*) AS n_events,
+         CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM numbered GROUP BY user_id, session_idx
+)
+SELECT COUNT(*) AS n_sessions,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
+       CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events_per_session,
+       CAST(SUM(duration_us) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_duration_s,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS session_conversion_rate,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM sessions
+"""
+
+
+@register(
+    "session_kpis",
+    _SESSION_KPI_ORACLE,
+    "Session-level KPI rollup on top of the gap sessionizer: session "
+    "counts, exact average length (integer micros moments) and "
+    "per-session conversion rate (any purchase in session) in one "
+    "extra aggregation after the one-shuffle sessionization — the "
+    "composition proof that sessionize output is a first-class table. "
+    "All ratios are single shared divisions over exact integers.",
+)
+def session_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    new_s = (
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0)
+    )
+    numbered = ev.select(
+        "user_id", "event_id", "ts", "event_type", new_s.alias("new_session")
+    ).withColumn("session_idx", F.sum("new_session").over(run))
+    sessions = numbered.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("bigint")
+        .alias("duration_us"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    return sessions.agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        (F.sum("n_events").cast("double") / F.count("*")).alias(
+            "avg_events_per_session"
+        ),
+        (F.sum("duration_us").cast("double") / (F.count("*") * 1000000.0)).alias(
+            "avg_duration_s"
+        ),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count("*")).alias(
+            "session_conversion_rate"
+        ),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Batch sliding (hopping) windows: 30-min windows every 10 min
+# ----------------------------------------------------------------------------
+# Each event belongs to exactly 3 overlapping windows; the explode is
+# a bounded fan-out (window/slide), the aggregation shuffles on the
+# window start — the batch twin of the streaming hopping-window test.
+
+_SLIDE_US = 600_000_000  # 10 min
+_WIN_FACTOR = 3  # 30-min window / 10-min slide
+
+_SLIDING_ORACLE = f"""
+WITH hopped AS (
+  SELECT event_type,
+         (CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / {_SLIDE_US}) AS BIGINT) - off.o) * {_SLIDE_US} AS win_start_us
+  FROM events
+  CROSS JOIN (SELECT unnest(range(0, {_WIN_FACTOR})) AS o) off
+)
+SELECT make_timestamp(win_start_us) AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM hopped
+WHERE win_start_us >= 0
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register(
+    "sliding_window_counts",
+    _SLIDING_ORACLE,
+    "Hopping-window counts (30-min windows sliding every 10): each "
+    "event expands to exactly window/slide = 3 window memberships "
+    "(bounded explode — the same containment rule Spark's native "
+    "window(ts, '30 minutes', '10 minutes') uses), then one grouped "
+    "count keyed on window start. The batch twin of the streaming "
+    "sliding-window pipeline, verified there against this semantics.",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hopped = ev.select(
+        "event_type",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_WIN_FACTOR)])
+        ).alias("o"),
+        F.unix_micros("ts").alias("us"),
+    ).select(
+        "event_type",
+        (
+            (F.floor(F.col("us").cast("double") / _SLIDE_US).cast("bigint") - F.col("o"))
+            * _SLIDE_US
+        ).alias("win_start_us"),
+    )
+    return (
+        hopped.where(F.col("win_start_us") >= 0)
+        .groupBy(
+            F.timestamp_micros(F.col("win_start_us")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("window_start", "event_type")
+    )
