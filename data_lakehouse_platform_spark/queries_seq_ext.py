@@ -2159,3 +2159,66 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .orderBy("window_start", "event_type")
     )
+
+
+# ----------------------------------------------------------------------------
+# RANK vs DENSE_RANK leaderboard (ties preserved, gaps shown)
+# ----------------------------------------------------------------------------
+
+_RANKS_ORACLE = """
+WITH spend AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 1000000) AS DECIMAL(28,0))) AS BIGINT) AS spend_units
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT n.n_name, s.o_custkey, s.spend_units,
+         RANK() OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk
+  FROM spend s JOIN nation n ON s.c_nationkey = n.n_nationkey
+  WINDOW w AS (PARTITION BY n.n_name ORDER BY s.spend_units DESC)
+)
+SELECT n_name, o_custkey, spend_units, rnk, drnk
+FROM ranked WHERE rnk <= 5
+ORDER BY n_name, rnk, o_custkey
+"""
+
+
+@register(
+    "rank_ties_leaderboard",
+    _RANKS_ORACLE,
+    "Per-nation spend leaderboard with RANK (gaps after ties) and "
+    "DENSE_RANK side by side, keeping EVERY tied row in the top-5 — "
+    "the ranking semantics row_number-based top-N silently drops. "
+    "Exact integer spend makes tie groups identical across engines, "
+    "so both rank columns agree bit-for-bit. Completes the window-"
+    "function surface: row_number/rank/dense_rank/ntile/percent_rank/"
+    "cume_dist/lead/lag/first/last/nth_value are all exercised.",
+)
+def rank_ties_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    spend = (
+        od.join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS BIGINT)"
+            ).alias("spend_units")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("spend_units"))
+    return (
+        spend.join(F.broadcast(nation), spend.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "o_custkey",
+            "spend_units",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .where(F.col("rnk") <= 5)
+        .orderBy("n_name", "rnk", "o_custkey")
+    )
