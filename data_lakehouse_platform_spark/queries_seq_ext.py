@@ -2222,3 +2222,93 @@ def rank_ties_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .orderBy("n_name", "rnk", "o_custkey")
     )
+
+
+# ----------------------------------------------------------------------------
+# Native unpivot (melt): wide measures -> long (measure, value) rows
+# ----------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = f"""
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT measure, COUNT(*) AS n,
+       {sql_sum('val')} AS total,
+       {sql_sum('val')} / COUNT(*) AS mean
+FROM long GROUP BY measure ORDER BY measure
+"""
+
+
+@register(
+    "unpivot_measures",
+    _UNPIVOT_ORACLE,
+    "Wide-to-long reshape with the native unpivot/melt API (Spark "
+    "3.4+): four lineitem measures become (measure, value) rows in "
+    "one scan — no UNION of four self-reads — then exact per-measure "
+    "totals. The reshape every profiling/metrics layer needs before "
+    "a generic measures table; the oracle spells it as UNION ALL, "
+    "proving the semantics equivalence.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            dec_sum("val", "total"),
+            (dec_sum("val", "__t").cast("double") / F.count("*")).alias("mean"),
+        )
+        .orderBy("measure")
+    )
+
+
+# ----------------------------------------------------------------------------
+# VARIANT semi-structured extraction (Spark 4 open variant type)
+# ----------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+WITH x AS (
+  SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS BIGINT) * 10 AS k_bucket,
+         user_id
+  FROM events
+)
+SELECT k_bucket, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM x GROUP BY k_bucket ORDER BY k_bucket
+"""
+
+
+@register(
+    "variant_extract_buckets",
+    _VARIANT_ORACLE,
+    "Schemaless payloads through Spark 4's open VARIANT type: "
+    "parse_json once into a variant column, variant_get typed paths "
+    "out — binary-encoded traversal, substantially faster than "
+    "re-parsing JSON strings per path (get_json_object, the "
+    "json_props_extract query) when payloads are wide. Bucketed "
+    "histogram over the extracted value with distinct users per "
+    "bucket; at the silver layer this is how you keep raw payloads "
+    "queryable without freezing a schema.",
+)
+def variant_extract_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select(
+            (F.floor(k / 10).cast("bigint") * 10).alias("k_bucket"), "user_id"
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("k_bucket")
+    )

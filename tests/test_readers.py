@@ -4,6 +4,7 @@ JDBC/Kafka edges raise their gated errors cleanly in this container."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_lakehouse_platform_spark.sources.readers import (
     read_csv,
@@ -149,3 +150,36 @@ def test_xml_roundtrip_with_schema(spark, tmp_path):
     write_xml(df, str(out), row_tag="o")
     back = read_xml(spark, str(out), row_tag="o", schema="id long, sku string, qty long")
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_python_datasource_docsgen(spark):
+    """Spark 4 Python Data Source API: the synthetic-corpus generator
+    registers as a real format — partitioned scan, deterministic rows
+    (pure function of doc_id), filter/agg compose like any table."""
+    from data_lakehouse_platform_spark.sources.docsgen import (
+        DocsGenDataSource,
+        _doc_row,
+    )
+
+    spark.dataSource.register(DocsGenDataSource)
+    df = (
+        spark.read.format("docsgen")
+        .option("n_docs", 200)
+        .option("n_partitions", 4)
+        .load()
+    )
+    assert df.columns == ["doc_id", "text", "lang", "n_chars"]
+    assert df.count() == 200
+    assert df.rdd.getNumPartitions() == 4
+    # deterministic: the scan yields exactly the pure-function rows
+    got = {r["doc_id"]: (r["text"], r["lang"], r["n_chars"]) for r in df.collect()}
+    for i in (0, 7, 199):
+        assert got[i] == _doc_row(i)[1:]
+    # composes with ordinary relational ops
+    by_lang = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert sum(by_lang.values()) == 200 and set(by_lang) <= {"en", "de", "fr", "es"}
+    # rereading with the same options gives identical rows (no RNG state)
+    again = spark.read.format("docsgen").option("n_docs", 200).option(
+        "n_partitions", 4).load()
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in df.collect()}
