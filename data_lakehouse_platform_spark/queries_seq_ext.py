@@ -2312,3 +2312,134 @@ def variant_extract_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_bucket")
     )
+
+
+# ----------------------------------------------------------------------------
+# SLA attainment: cumulative ship-within-N-days shares per month
+# ----------------------------------------------------------------------------
+
+_SLA_ORACLE = """
+WITH lagged AS (
+  SELECT date_trunc('month', o.o_orderdate) AS m,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT CAST(m AS DATE) AS month,
+       COUNT(*) AS n_shipments,
+       SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS within_30d,
+       SUM(CASE WHEN lag_days <= 60 THEN 1 ELSE 0 END) AS within_60d,
+       SUM(CASE WHEN lag_days <= 90 THEN 1 ELSE 0 END) AS within_90d,
+       CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS sla_30d_rate,
+       CAST(SUM(CASE WHEN lag_days <= 90 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS sla_90d_rate
+FROM lagged GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "sla_attainment",
+    _SLA_ORACLE,
+    "Fulfillment SLA attainment: per order month, cumulative shares "
+    "of shipments leaving within 30/60/90 days (exact counts, shared "
+    "divisions). One co-partitioned fact join + a month-keyed "
+    "aggregation — the ops-review curve that q12's delay buckets "
+    "feed; conditional aggregation keeps it to a single pass.",
+)
+def sla_attainment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lagged = li.join(od, li.l_orderkey == od.o_orderkey).select(
+        F.trunc("o_orderdate", "month").alias("month"),
+        F.datediff("l_shipdate", "o_orderdate").alias("lag_days"),
+    )
+    w30 = F.sum(F.when(F.col("lag_days") <= 30, 1).otherwise(0))
+    w60 = F.sum(F.when(F.col("lag_days") <= 60, 1).otherwise(0))
+    w90 = F.sum(F.when(F.col("lag_days") <= 90, 1).otherwise(0))
+    return (
+        lagged.groupBy("month")
+        .agg(
+            F.count("*").alias("n_shipments"),
+            w30.alias("within_30d"),
+            w60.alias("within_60d"),
+            w90.alias("within_90d"),
+            (w30.cast("double") / F.count("*")).alias("sla_30d_rate"),
+            (w90.cast("double") / F.count("*")).alias("sla_90d_rate"),
+        )
+        .orderBy("month")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Seasonal-naive forecast with portable exact arithmetic
+# ----------------------------------------------------------------------------
+# forecast(m) = rev(m-12) scaled by the trailing-quarter-over-
+# prior-year-quarter ratio; every operand is an exact fixed-point
+# integer, the single ratio+product expression is shared text, and the
+# forecast is evaluated ONLY against months that actually exist (a
+# self-join on month arithmetic, no calendar generation).
+
+_FORECAST_ORACLE = """
+WITH m AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+trail AS (
+  SELECT ym, rev,
+         SUM(rev) OVER (ORDER BY ym ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS tq,
+         LAG(rev, 12) OVER (ORDER BY ym) AS rev_ly,
+         SUM(rev) OVER (ORDER BY ym ROWS BETWEEN 15 PRECEDING AND 13 PRECEDING) AS tq_ly
+  FROM m
+)
+SELECT ym, rev AS actual_units, rev_ly AS same_month_ly_units,
+       CAST(FLOOR(CAST(rev_ly AS DOUBLE) * tq / tq_ly) AS BIGINT) AS forecast_units,
+       CAST(rev - CAST(FLOOR(CAST(rev_ly AS DOUBLE) * tq / tq_ly) AS BIGINT) AS BIGINT) AS forecast_error_units
+FROM trail
+WHERE rev_ly IS NOT NULL AND tq_ly IS NOT NULL AND tq_ly > 0
+ORDER BY ym
+"""
+
+
+@register(
+    "seasonal_naive_forecast",
+    _FORECAST_ORACLE,
+    "Seasonal-naive revenue forecast: same month last year scaled by "
+    "the trailing-quarter / prior-year-quarter trend ratio, with the "
+    "realized error — the baseline every forecasting system must "
+    "beat, in pure portable arithmetic (exact integer moments, one "
+    "shared double expression, CAST truncation identical because the "
+    "operand is a positive double in both engines). The month series "
+    "is aggregate-sized, so the ordered windows are free.",
+)
+def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    m = od.selectExpr(
+        "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym",
+        "o_totalprice",
+    ).groupBy("ym").agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS BIGINT)"
+        ).alias("rev")
+    )
+    w = Window.orderBy("ym")
+    trail = m.select(
+        "ym",
+        "rev",
+        F.sum("rev").over(w.rowsBetween(-3, -1)).alias("tq"),
+        F.lag("rev", 12).over(w).alias("rev_ly"),
+        F.sum("rev").over(w.rowsBetween(-15, -13)).alias("tq_ly"),
+    )
+    return (
+        trail.where(
+            F.col("rev_ly").isNotNull()
+            & F.col("tq_ly").isNotNull()
+            & (F.col("tq_ly") > 0)
+        )
+        .selectExpr(
+            "ym",
+            "rev AS actual_units",
+            "rev_ly AS same_month_ly_units",
+            "CAST(FLOOR(CAST(rev_ly AS DOUBLE) * tq / tq_ly) AS BIGINT) AS forecast_units",
+            "CAST(rev - CAST(FLOOR(CAST(rev_ly AS DOUBLE) * tq / tq_ly) AS BIGINT) AS BIGINT) AS forecast_error_units",
+        )
+        .orderBy("ym")
+    )
