@@ -2443,3 +2443,92 @@ def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ym")
     )
+
+
+# ----------------------------------------------------------------------------
+# BFS over the near-dup graph (bounded-depth iterative traversal)
+# ----------------------------------------------------------------------------
+# Spark has no recursive SQL, so the classic pattern is a bounded
+# frontier loop of joins — each iteration one co-partitioned join +
+# a min-dist aggregate. The DuckDB oracle IS a recursive CTE, proving
+# the loop computes exactly the recursive semantics. Depth is fixed
+# (3) so the plan is static and Catalyst sees the whole pipeline.
+
+_BFS_DEPTH = 3
+
+
+def _bfs_oracle() -> str:
+    from data_lakehouse_platform_spark.queries_llm import _minhash_ctes
+
+    return f"""
+WITH {_minhash_ctes()},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+),
+seed AS (SELECT MIN(src) AS s FROM edges),
+bfs AS (
+  WITH RECURSIVE walk(node, dist) AS (
+    SELECT s, 0 FROM seed
+    UNION
+    SELECT e.dst, w.dist + 1
+    FROM walk w JOIN edges e ON w.node = e.src
+    WHERE w.dist < {_BFS_DEPTH}
+  )
+  SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+)
+SELECT node AS doc_id, CAST(dist AS INT) AS dist FROM bfs ORDER BY dist, doc_id
+"""
+
+
+@register(
+    "graph_bfs_depth3",
+    _bfs_oracle(),
+    f"Bounded BFS (depth {_BFS_DEPTH}) from the smallest connected "
+    "doc over the MinHash-LSH near-dup graph: Spark expresses the "
+    "traversal as a fixed frontier-join loop (no recursive SQL "
+    "needed when depth is bounded), the oracle as a genuine "
+    "RECURSIVE CTE — the loop provably computes recursive-query "
+    "semantics. Each hop is one edge-keyed join; at scale this is "
+    "Pregel-by-joins with the frontier never leaving the cluster.",
+)
+def graph_bfs_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators import dedup as D
+    from data_lakehouse_platform_spark.operators import text as T
+    from data_lakehouse_platform_spark.queries_llm import _BANDS, _N_HASHES
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = T.explode_shingles(docs, "doc_id", "text", k=3, distinct=False)
+    sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
+    cand = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS).select(
+        "doc_a", "doc_b"
+    )
+    edges = cand.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        cand.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    # Bounded metadata fetch: one scalar seed (same posture as the LSH
+    # pivot fetch) — the traversal itself never touches the driver.
+    seed = edges.agg(F.min("src")).collect()[0][0]
+    frontier = spark.createDataFrame([(int(seed), 0)], "node long, dist int")
+    visited = frontier
+    for depth in range(1, _BFS_DEPTH + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), F.lit(depth).alias("dist"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return (
+        visited.groupBy("node")
+        .agg(F.min("dist").cast("int").alias("dist"))
+        .selectExpr("node AS doc_id", "dist")
+        .orderBy("dist", "doc_id")
+    )

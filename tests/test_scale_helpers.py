@@ -140,3 +140,41 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
         for r in S.ann_topk_ivf(emb, queries, centroids, k=k, nprobe=8).collect()
     }
     assert full == exact
+
+
+def test_map_in_arrow_l2_normalize(spark):
+    """mapInArrow vector kernel: every embedding comes back unit-norm,
+    values match the expression-side normalization bit-for-bit."""
+    from data_lakehouse_platform_spark.functions.vectors import l2_normalize_arrow
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 50)
+    out = l2_normalize_arrow(emb.selectExpr("vec_id", "CAST(embedding AS array<double>) AS embedding"))
+    rows = {r["vec_id"]: r["embedding"] for r in out.collect()}
+    src = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    import math
+
+    for vid, v in src.items():
+        n = math.sqrt(sum(float(x) * float(x) for x in v))
+        want = [float(x) / n for x in v]
+        assert rows[vid] == want
+        assert abs(sum(x * x for x in rows[vid]) - 1.0) < 1e-9
+
+
+def test_pandas_api_on_spark_matches_sql(spark):
+    """pyspark.pandas front end: a pandas-style groupby/agg over the
+    same parquet produces exactly the SQL engine's numbers — the
+    dataframe-api-for-analysts surface rides the same optimizer."""
+    import pyspark.pandas as ps
+
+    psdf = ps.read_parquet(f"{SF_DIR}/orders.parquet")
+    got = (
+        psdf.groupby("o_orderpriority")["o_orderkey"].count().sort_index().to_dict()
+    )
+    want = {
+        r["o_orderpriority"]: r["n"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
