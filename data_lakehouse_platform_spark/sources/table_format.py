@@ -167,8 +167,28 @@ class SnapshotTable:
         n = df.sparkSession.read.parquet(out).count()
         return self._commit(next_v, rel_dir, operation, n, txn_id=txn_id)
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Latest snapshot, or time-travel to `version`."""
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of_ts: float | None = None,
+    ) -> DataFrame:
+        """Latest snapshot, time-travel to `version`, or Delta-style
+        ``timestampAsOf``: with ``as_of_ts`` (unix seconds), read the
+        newest version committed at or before that instant — what the
+        table looked like then, resolved from commit timestamps in the
+        manifests (O(#versions) metadata reads, no data touched)."""
+        if version is not None and as_of_ts is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        if as_of_ts is not None:
+            eligible = [
+                s.version for s in self.history() if s.committed_at <= as_of_ts
+            ]
+            if not eligible:
+                raise FileNotFoundError(
+                    f"no snapshot at {self.path} committed at or before {as_of_ts}"
+                )
+            version = max(eligible)
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")

@@ -183,3 +183,32 @@ def test_python_datasource_docsgen(spark):
     again = spark.read.format("docsgen").option("n_docs", 200).option(
         "n_partitions", 4).load()
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_persistent_catalog_tables(spark, tmp_path):
+    """Metastore-backed catalog: testdata registered as persistent
+    tables survives as named SQL objects (database, listTables,
+    cross-table joins) — the shared-catalog workflow a lakehouse
+    deployment uses instead of per-session temp views."""
+    from data_lakehouse_platform_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    db = "lake_it"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    try:
+        load_table(spark, SF_DIR, "nation").write.mode("overwrite").saveAsTable(
+            f"{db}.nation"
+        )
+        load_table(spark, SF_DIR, "region").write.mode("overwrite").saveAsTable(
+            f"{db}.region"
+        )
+        names = {t.name for t in spark.catalog.listTables(db)}
+        assert {"nation", "region"} <= names
+        got = spark.sql(
+            f"""SELECT r.r_name, COUNT(*) AS n
+                FROM {db}.nation n JOIN {db}.region r ON n.n_regionkey = r.r_regionkey
+                GROUP BY r.r_name ORDER BY r.r_name"""
+        ).collect()
+        assert sum(r["n"] for r in got) == 25 and len(got) == 5
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

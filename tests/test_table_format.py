@@ -293,3 +293,27 @@ def test_concurrent_commit_conflict_retries_not_clobbers(spark, tmp_path):
     # returns its version instead of double-committing
     v_replay = t.write_snapshot(_df(spark, ["zzz"]), txn_id="batch-X")
     assert v_replay == 2 and t.latest_version() == 3
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """Delta-style timestampAsOf: reading at an instant resolves to
+    the newest commit at-or-before it; instants before the first
+    commit fail loudly; version and timestamp selectors are mutually
+    exclusive."""
+    import pytest as _pytest
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.write_snapshot(_df(spark, ["a"]))
+    t1 = t.history()[-1].committed_at
+    t.write_snapshot(_df(spark, ["a", "b"]))
+    t2 = t.history()[-1].committed_at
+
+    assert [r.val for r in t.read(spark, as_of_ts=t1).collect()] == ["a"]
+    assert sorted(r.val for r in t.read(spark, as_of_ts=t2 + 10).collect()) == ["a", "b"]
+    # between the two commits -> still v1
+    mid = (t1 + t2) / 2 if t2 > t1 else t1
+    assert [r.val for r in t.read(spark, as_of_ts=mid).collect()] == ["a"]
+    with _pytest.raises(FileNotFoundError, match="at or before"):
+        t.read(spark, as_of_ts=t1 - 1000)
+    with _pytest.raises(ValueError, match="not both"):
+        t.read(spark, version=1, as_of_ts=t1)
