@@ -41,6 +41,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality",
     "curate_corpus",
+    "revenue_bridge",
+    "oov_rate",
+    "iqr_outlier_fences",
+    "resample_interpolate",
 ]
 
 
