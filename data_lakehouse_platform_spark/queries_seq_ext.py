@@ -2532,3 +2532,153 @@ def graph_bfs_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("node AS doc_id", "dist")
         .orderBy("dist", "doc_id")
     )
+
+
+# ----------------------------------------------------------------------------
+# Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL on repeat behavior
+# ----------------------------------------------------------------------------
+# Distinct set ops (16t/16u) ask WHO overlaps; the ALL variants keep
+# multiplicity — how MANY TIMES a customer ordered in both halves of
+# the year (min of the two counts) or more in H1 than H2 (count
+# difference). Spark's intersectAll/exceptAll are hash aggregates on
+# (row, count) — one shuffle, no explosion.
+
+_BAG_CUT = "1995-07-01"
+
+_BAG_ORACLE = f"""
+WITH h1 AS (
+  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '{_BAG_CUT}'
+),
+h2 AS (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '{_BAG_CUT}'
+),
+both_bag AS (SELECT o_custkey FROM h1 INTERSECT ALL SELECT o_custkey FROM h2),
+h1_only_bag AS (SELECT o_custkey FROM h1 EXCEPT ALL SELECT o_custkey FROM h2)
+SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS multiplicity FROM both_bag GROUP BY 2
+UNION ALL
+SELECT 'except_all', o_custkey, COUNT(*) FROM h1_only_bag GROUP BY 2
+ORDER BY op, o_custkey
+"""
+
+
+@register(
+    "bag_setops_orders",
+    _BAG_ORACLE,
+    "INTERSECT ALL / EXCEPT ALL with bag semantics over half-year "
+    "order bags: multiplicity = min(orders in H1, orders in H2) for "
+    "the intersection, surplus H1 orders for the difference — the "
+    "repeat-behavior question the DISTINCT set-op cohorts (16t/16u) "
+    "cannot answer. One hash aggregate per side in Spark's "
+    "intersectAll/exceptAll, multiplicities re-counted for a "
+    "bounded, comparable output.",
+)
+def bag_setops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    h1 = od.where(F.col("o_orderdate") < _BAG_CUT).select("o_custkey")
+    h2 = od.where(F.col("o_orderdate") >= _BAG_CUT).select("o_custkey")
+    both = (
+        h1.intersectAll(h2)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("multiplicity"))
+        .select(F.lit("intersect_all").alias("op"), "o_custkey", "multiplicity")
+    )
+    only = (
+        h1.exceptAll(h2)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "o_custkey", "multiplicity")
+    )
+    return both.unionAll(only).orderBy("op", "o_custkey")
+
+
+# ----------------------------------------------------------------------------
+# Duplicate-invoice detection (finance DQ screen)
+# ----------------------------------------------------------------------------
+
+_DUPINV_ORACLE = """
+WITH groups AS (
+  SELECT o_custkey, o_orderdate, o_totalprice,
+         COUNT(*) AS n_dupes,
+         MIN(o_orderkey) AS first_orderkey,
+         MAX(o_orderkey) AS last_orderkey
+  FROM orders
+  GROUP BY o_custkey, o_orderdate, o_totalprice
+  HAVING COUNT(*) > 1
+)
+SELECT * FROM groups ORDER BY o_custkey, o_orderdate, o_totalprice
+"""
+
+
+@register(
+    "dq_duplicate_invoices",
+    _DUPINV_ORACLE,
+    "Duplicate-invoice screen: orders sharing (customer, date, exact "
+    "amount) under different order keys — the classic double-payment "
+    "audit. One grouped aggregation with a HAVING gate; at scale the "
+    "composite key shuffles once and the suspicious set is tiny, so "
+    "the follow-up investigation join is a broadcast.",
+)
+def dq_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_custkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.count("*").alias("n_dupes"),
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.max("o_orderkey").alias("last_orderkey"),
+        )
+        .where(F.col("n_dupes") > 1)
+        .orderBy("o_custkey", "o_orderdate", "o_totalprice")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Brand x size assortment pivot (multi-aggregate pivot)
+# ----------------------------------------------------------------------------
+
+_ASSORT_SIZES = (1, 5, 10, 25, 50)
+
+_ASSORT_ORACLE = f"""
+SELECT p_brand,
+       {", ".join(f'''SUM(CASE WHEN p_size = {s} THEN 1 ELSE 0 END) AS n_size_{s},
+       {'{'}sum{'}'}'''.replace("{sum}", f"CAST(SUM(CASE WHEN p_size = {s} THEN CAST(FLOOR(p_retailprice * 1000000) AS DECIMAL(28,0)) ELSE 0 END) AS DOUBLE) / 1000000 AS price_size_{s}") for s in _ASSORT_SIZES)}
+FROM part
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+@register(
+    "pivot_brand_assortment",
+    _ASSORT_ORACLE,
+    "Assortment pivot: per brand, SKU counts AND exact retail-price "
+    "totals for five pivoted size columns — the multi-measure pivot "
+    "(pivot_events pivots a single count). Spark's pivot(values=...) "
+    "with explicit pivot values skips the extra distinct-discovery "
+    "job; the oracle spells the same thing as conditional aggregation.",
+)
+def pivot_brand_assortment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    pv = (
+        part.where(F.col("p_size").isin(*_ASSORT_SIZES))
+        .groupBy("p_brand")
+        .pivot("p_size", list(_ASSORT_SIZES))
+        .agg(
+            # count(*) is rejected inside pivot aggregates
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(p_retailprice * 1000000) AS DECIMAL(28,0))) AS DOUBLE) / 1000000"
+            ).alias("price"),
+        )
+    )
+    # pivot drops brands with NO row in any pivoted size only if they
+    # never appear; conditional-agg oracle keeps all brands — align by
+    # re-joining the full brand list with zero-fill.
+    brands = part.select("p_brand").distinct()
+    out = brands.join(pv, "p_brand", "left")
+    cols = [F.col("p_brand")]
+    for s in _ASSORT_SIZES:
+        cols.append(F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"n_size_{s}"))
+        cols.append(
+            F.coalesce(F.col(f"{s}_price"), F.lit(0.0)).alias(f"price_size_{s}")
+        )
+    return out.select(*cols).orderBy("p_brand")
