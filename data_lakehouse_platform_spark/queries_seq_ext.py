@@ -2682,3 +2682,130 @@ def pivot_brand_assortment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(f"{s}_price"), F.lit(0.0)).alias(f"price_size_{s}")
         )
     return out.select(*cols).orderBy("p_brand")
+
+
+# ----------------------------------------------------------------------------
+# Exact weighted median (cumulative-weight crossing, no interpolation)
+# ----------------------------------------------------------------------------
+# The quantity-weighted median unit price per return flag: sort by
+# price within the group, accumulate integer quantity weight, and take
+# the first row whose doubled cumulative weight reaches the total —
+# the discrete lower weighted median, pure integer comparisons.
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS wt
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, price, wt,
+         SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY price, wt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+  FROM w
+),
+hit AS (
+  SELECT l_returnflag, price, cum, tot,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY price, wt) AS rn
+  FROM c WHERE 2 * cum >= tot
+)
+SELECT l_returnflag,
+       price AS weighted_median_price,
+       CAST(tot AS BIGINT) AS total_weight
+FROM hit WHERE rn = 1 ORDER BY l_returnflag
+"""
+
+
+@register(
+    "weighted_median_price",
+    _WMEDIAN_ORACLE,
+    "Exact quantity-weighted median price per return flag: one "
+    "price-ordered cumulative integer-weight window, then the first "
+    "row where 2*cum >= total — the discrete lower weighted median "
+    "with zero interpolation or float thresholds. The robust 'typical "
+    "unit price' that an unweighted median misstates when line sizes "
+    "vary; same per-group-sort cost as any ranked window at scale.",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.floor("l_quantity").cast("bigint").alias("wt"),
+    )
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = w.select(
+        "l_returnflag",
+        "price",
+        "wt",
+        F.sum("wt").over(cum_w).alias("cum"),
+        F.sum("wt").over(Window.partitionBy("l_returnflag")).alias("tot"),
+    )
+    hit = c.where(2 * F.col("cum") >= F.col("tot")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("price", "wt")
+        ),
+    )
+    return (
+        hit.where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("price").alias("weighted_median_price"),
+            F.col("tot").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Market-segment mix per region (share-of-region composition)
+# ----------------------------------------------------------------------------
+
+_SEGMIX_ORACLE = """
+WITH base AS (
+  SELECT r.r_name, c.c_mktsegment, COUNT(*) AS n_customers
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, c_mktsegment, n_customers,
+       CAST(n_customers AS DOUBLE) /
+         SUM(n_customers) OVER (PARTITION BY r_name) AS segment_share
+FROM base ORDER BY r_name, c_mktsegment
+"""
+
+
+@register(
+    "segment_mix_by_region",
+    _SEGMIX_ORACLE,
+    "Customer-base composition: market-segment counts and within-"
+    "region shares (share via a partitioned window over the tiny "
+    "region x segment aggregate — no total re-scan). Broadcast dim "
+    "joins; output bounded by |regions| x |segments|.",
+)
+def segment_mix_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    base = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return base.select(
+        "r_name",
+        "c_mktsegment",
+        "n_customers",
+        (
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(Window.partitionBy("r_name"))
+        ).alias("segment_share"),
+    ).orderBy("r_name", "c_mktsegment")
