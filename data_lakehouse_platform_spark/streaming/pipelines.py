@@ -259,3 +259,60 @@ def upsert_stream_to_snapshot(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def fanout_stream_to_sinks(
+    df: DataFrame,
+    raw_path: str,
+    agg_table_path: str,
+    agg_key: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Multi-sink fanout in ONE stream: each micro-batch lands in a
+    raw parquet archive AND folds into an aggregate SnapshotTable,
+    inside a single foreachBatch — the standard way to feed two sinks
+    without running (and paying for) the source twice.
+
+    Exactly-once on both legs despite foreachBatch's at-least-once
+    contract: the raw leg writes to a batch-id-named directory
+    (overwrite-idempotent on replay), and the aggregate leg commits
+    with txn_id=(checkpoint, batch_id) so SnapshotTable drops
+    replayed commits. Partial failure between the two legs replays
+    the whole batch; both legs converge because both are idempotent.
+    """
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
+
+    table = SnapshotTable(agg_table_path)
+
+    def _fanout(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        # Leg 1: raw archive, per-batch dir => replay overwrites itself.
+        batch_df.write.mode("overwrite").parquet(f"{raw_path}/batch={batch_id}")
+        # Leg 2: merge batch partial counts into the running aggregate.
+        part = batch_df.groupBy(agg_key).agg(F.count("*").alias("n"))
+        if table.latest_version() is not None:
+            prev = table.read(spark)
+            part = (
+                prev.unionByName(part)
+                .groupBy(agg_key)
+                .agg(F.sum("n").alias("n"))
+            )
+        table.upsert(
+            part,
+            key_cols=[agg_key],
+            txn_id=f"{checkpoint_path}#fanout#{batch_id}",
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(_fanout)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

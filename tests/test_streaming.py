@@ -478,3 +478,46 @@ def test_stream_checkpoint_resume_exactly_once(spark, tmp_path):
     drain()  # resume from the SAME checkpoint: b0 must not reprocess
     final = sorted(r["event_id"] for r in spark.read.parquet(str(sink)).collect())
     assert final == list(range(9)), f"duplicates or loss after resume: {final}"
+
+
+def test_fanout_stream_two_sinks_exactly_once(spark, tmp_path):
+    """One stream, two sinks in one foreachBatch: raw archive and a
+    running aggregate snapshot both converge; draining again with new
+    data only appends the new contribution (idempotent legs)."""
+    from data_lakehouse_platform_spark.streaming.pipelines import (
+        fanout_stream_to_sinks,
+    )
+    from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
+
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"k": k, "v": i}) for i, k in enumerate(rows))
+        )
+
+    def drain():
+        stream = spark.readStream.schema("k string, v long").json(str(src))
+        q = fanout_stream_to_sinks(
+            stream,
+            raw_path=str(tmp_path / "raw"),
+            agg_table_path=str(tmp_path / "agg"),
+            agg_key="k",
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    write_batch("b0.json", ["a", "a", "b"])
+    drain()
+    t = SnapshotTable(str(tmp_path / "agg"))
+    agg1 = {r["k"]: r["n"] for r in t.read(spark).collect()}
+    assert agg1 == {"a": 2, "b": 1}
+    raw1 = spark.read.parquet(str(tmp_path / "raw")).count()
+    assert raw1 == 3
+
+    write_batch("b1.json", ["b", "c"])
+    drain()
+    agg2 = {r["k"]: r["n"] for r in t.read(spark).collect()}
+    assert agg2 == {"a": 2, "b": 2, "c": 1}
+    assert spark.read.parquet(str(tmp_path / "raw")).count() == 5
