@@ -24,10 +24,13 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class DQCheck:
     table: str
-    check: str  # null_count | unique | min | completeness
+    check: str  # null_count | unique | min | completeness | cross_field
     column: str
     max_null_rate: float = 0.05
     min_value: float = 0.0
+    # cross_field: SQL predicate that must hold on EVERY row (metric =
+    # violation count); `column` becomes the rule's display name.
+    predicate: str | None = None
 
 
 def _metric_and_passed(c: DQCheck):
@@ -43,6 +46,13 @@ def _metric_and_passed(c: DQCheck):
         return F.min(col).cast("double"), F.min(col) >= F.lit(c.min_value)
     if c.check == "completeness":
         return (F.count(col).cast("double") / total), F.count(col) == total
+    if c.check == "cross_field":
+        if not c.predicate:
+            raise ValueError("cross_field check needs a predicate")
+        # Violations = rows where the invariant is NOT satisfied; NULL
+        # predicate results count as violations (unknown != compliant).
+        bad = F.count(F.when(~F.coalesce(F.expr(c.predicate), F.lit(False)), 1))
+        return bad.cast("double"), bad == 0
     raise ValueError(f"unknown check {c.check!r}")
 
 

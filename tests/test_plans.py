@@ -315,3 +315,33 @@ def test_pipeline_runner_bounded_retries(spark, tmp_path):
     assert rows["broken"]["state"] == "FAILED" and rows["broken"]["attempts"] == 2
     assert rows["after_broken"]["state"] == "SKIPPED_UPSTREAM"
     assert calls == {"flaky": 3, "broken": 2}
+
+
+def test_dq_cross_field_rule(spark):
+    """Cross-field invariants compile into the same single-pass
+    aggregate: violation counts are exact, NULL predicate results
+    count as violations, and clean rules pass."""
+    from data_lakehouse_platform_spark.operators.quality import DQCheck, run_checks
+
+    df = spark.createDataFrame(
+        [
+            (1, "shipped", "2024-01-02", "2024-01-01"),
+            (2, "shipped", None, "2024-01-01"),        # NULL ship date -> violation
+            (3, "pending", None, "2024-01-03"),        # rule not applicable -> ok
+            (4, "shipped", "2023-12-30", "2024-01-01"),  # ships before order -> violation
+        ],
+        "id long, status string, ship_date string, order_date string",
+    )
+    checks = [
+        DQCheck(
+            "t", "cross_field", "shipped_has_valid_dates",
+            predicate="status != 'shipped' OR (ship_date IS NOT NULL AND ship_date >= order_date)",
+        ),
+        DQCheck("t", "cross_field", "ids_positive", predicate="id > 0"),
+        DQCheck("t", "unique", "id"),
+    ]
+    rows = {r["column_name"]: r for r in run_checks({"t": df}, checks).collect()}
+    assert rows["shipped_has_valid_dates"]["metric_value"] == 2.0
+    assert rows["shipped_has_valid_dates"]["passed"] is False
+    assert rows["ids_positive"]["metric_value"] == 0.0 and rows["ids_positive"]["passed"] is True
+    assert rows["id"]["passed"] is True
