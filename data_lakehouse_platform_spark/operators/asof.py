@@ -119,3 +119,119 @@ def asof_join(
             F.when(ok, F.col(r_on)).alias(r_on),
         )
     return out
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+    tolerance: int | None = None,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Nearest-direction as-of join (``pandas.merge_asof
+    direction='nearest'``): each left row takes whichever of its
+    backward or forward neighbor is closer in time; exact ties prefer
+    backward (pandas semantics — and an equal-time right row always
+    resolves backward with distance 0, so inclusivity costs nothing).
+
+    ONE union + ONE partitioned sort serves BOTH directions: the
+    backward candidate is last_value(IGNORE NULLS) over the preceding
+    frame, the forward candidate first_value over the following frame
+    — no second shuffle, same cost as a single-direction as-of.
+
+    ``tolerance`` (micros for timestamps) gates each side BEFORE the
+    choice; ``right_tiebreak`` orders same-timestamp right rows
+    deterministically (pass the right table's unique id when exact
+    reproducibility across runs/engines matters).
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in {*by_cols, on}]
+    left_cols = list(left.columns)
+    on_type = right.schema[on].dataType
+    r_on = f"{on}{suffix}"
+
+    tb = "__tb"
+    l_tagged = left.select(
+        *[F.col(c) for c in left_cols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+        F.lit(None).cast(on_type).alias("__rts"),
+        (
+            F.lit(None).cast(right.schema[right_tiebreak].dataType)
+            if right_tiebreak
+            else F.lit(None).cast("long")
+        ).alias(tb),
+        F.lit(1).alias("__side"),
+    )
+    r_tagged = right.select(
+        *[
+            F.col(c)
+            if c in {*by_cols, on}
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+        ],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.col(on).alias("__rts"),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).alias(tb),
+        F.lit(0).alias("__side"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    order = [F.col(on).asc(), F.col("__side").asc(), F.col(tb).asc()]
+    back = (
+        Window.partitionBy(*by_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(*by_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = u.select(
+        *left_cols,
+        "__side",
+        F.last("__rts", ignorenulls=True).over(back).alias("__bts"),
+        F.first("__rts", ignorenulls=True).over(fwd).alias("__fts"),
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(back).alias(f"__b_{c}")
+            for c in value_cols
+        ],
+        *[
+            F.first(f"__v_{c}", ignorenulls=True).over(fwd).alias(f"__f_{c}")
+            for c in value_cols
+        ],
+    ).filter(F.col("__side") == 1)
+
+    def _axis(col: F.Column) -> F.Column:
+        return (
+            F.unix_micros(col)
+            if on_type.typeName().startswith("timestamp")
+            else col.cast("long")
+        )
+
+    db = _axis(F.col(on)) - _axis(F.col("__bts"))
+    df_ = _axis(F.col("__fts")) - _axis(F.col(on))
+    ok_b = F.col("__bts").isNotNull() & (
+        F.lit(True) if tolerance is None else (db <= F.lit(tolerance))
+    )
+    ok_f = F.col("__fts").isNotNull() & (
+        F.lit(True) if tolerance is None else (df_ <= F.lit(tolerance))
+    )
+    pick_b = ok_b & (~ok_f | (db <= df_))
+    pick_f = ok_f & ~pick_b
+    return filled.select(
+        *left_cols,
+        F.when(pick_b, F.col("__bts")).when(pick_f, F.col("__fts")).alias(r_on),
+        *[
+            F.when(pick_b, F.col(f"__b_{c}"))
+            .when(pick_f, F.col(f"__f_{c}"))
+            .alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )

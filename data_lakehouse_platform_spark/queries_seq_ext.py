@@ -2809,3 +2809,80 @@ def segment_mix_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_customers").over(Window.partitionBy("r_name"))
         ).alias("segment_share"),
     ).orderBy("r_name", "c_mktsegment")
+
+
+# ----------------------------------------------------------------------------
+# Nearest-direction as-of join (attribution to the closest touchpoint)
+# ----------------------------------------------------------------------------
+
+_NEAREST_ORACLE = """
+WITH l AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, event_id AS rid, ts, value FROM events WHERE event_type = 'view'
+),
+u AS (
+  SELECT user_id, ts, event_id,
+         CAST(NULL AS DOUBLE) AS rv, CAST(NULL AS TIMESTAMP) AS rts,
+         CAST(NULL AS BIGINT) AS tb, 1 AS side
+  FROM l
+  UNION ALL
+  SELECT user_id, ts, NULL, value, ts, rid, 0 FROM r
+),
+w AS (
+  SELECT *,
+    LAST_VALUE(rts IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, side, tb
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bts,
+    LAST_VALUE(rv IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, side, tb
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bv,
+    FIRST_VALUE(rts IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, side, tb
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fts,
+    FIRST_VALUE(rv IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, side, tb
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fv
+  FROM u
+)
+SELECT user_id, event_id, ts,
+  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+            OR epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts))
+       THEN bts ELSE fts END AS ts_right,
+  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+            OR epoch_us(ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(ts))
+       THEN bv ELSE fv END AS value_right
+FROM w WHERE side = 1
+"""
+
+
+@register(
+    "asof_nearest_events",
+    _NEAREST_ORACLE,
+    "Nearest-direction as-of join: each purchase attributed to its "
+    "CLOSEST view in time, either side (ties prefer backward, pandas "
+    "merge_asof nearest semantics). One union + one per-user sort "
+    "serves both directions via a preceding last_value and a "
+    "following first_value frame — completes the as-of family "
+    "(backward, forward+tolerance, nearest) at single-direction cost. "
+    "Same-timestamp views break ties on event id in both engines.",
+)
+def asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.asof import asof_join_nearest
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("rid"), "ts", "value"
+    )
+    return asof_join_nearest(
+        left,
+        right,
+        on="ts",
+        by="user_id",
+        value_cols=["value"],
+        right_tiebreak="rid",
+    )

@@ -239,3 +239,38 @@ def test_chunk_tokens_property(token_ids, size, data):
         parts = chunk.split(" ") if chunk else []
         rebuilt.extend(parts if cid == 0 else parts[overlap:])
     assert rebuilt == toks
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2), _ts), min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 2), _ts, st.integers(-100, 100)), min_size=1, max_size=20),
+)
+@settings(**_SETTINGS)
+def test_asof_nearest_matches_pandas(spark, left_rows, right_rows):
+    """direction='nearest' must agree with pandas.merge_asof
+    (closest side wins, exact ties prefer backward)."""
+    from data_lakehouse_platform_spark.operators.asof import asof_join_nearest
+
+    right_rows = list({(k, t): v for k, t, v in right_rows}.items())
+    right_rows = [(k, t, v) for (k, t), v in right_rows]
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k int, ts int, row_id int"
+    )
+    right = spark.createDataFrame(right_rows, "k int, ts int, v int")
+    got = {
+        (r["k"], r["ts"], r["row_id"]): r["v_right"]
+        for r in asof_join_nearest(left, right, on="ts", by="k").collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        columns=["k", "ts", "row_id"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values(
+        "ts", kind="stable"
+    )
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="nearest")
+    for row in merged.itertuples(index=False):
+        want = None if pd.isna(row.v) else int(row.v)
+        assert got[(row.k, row.ts, row.row_id)] == want
