@@ -521,3 +521,48 @@ def test_fanout_stream_two_sinks_exactly_once(spark, tmp_path):
     agg2 = {r["k"]: r["n"] for r in t.read(spark).collect()}
     assert agg2 == {"a": 2, "b": 2, "c": 1}
     assert spark.read.parquet(str(tmp_path / "raw")).count() == 5
+
+
+def test_watermark_merges_late_within_delay_once(spark, tmp_path):
+    """Guaranteed watermark semantics: an event arriving in a LATER
+    micro-batch but within the watermark delay merges into its still-
+    open window, and append mode emits that window exactly once with
+    the combined count after the watermark passes. (Dropping data
+    beyond the watermark is explicitly best-effort in Spark and not
+    asserted here.)"""
+    from data_lakehouse_platform_spark.streaming.pipelines import (
+        read_event_stream,
+        windowed_event_counts_stream,
+        write_stream_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def row(i, ts, etype):
+        return {"event_id": i, "ts": ts, "user_id": 0, "event_type": etype,
+                "value": 0.0, "props": "{}"}
+
+    # Batch 1: one 09:05 event (watermark after batch: 09:05 - 10min).
+    (src / "a.json").write_text(json.dumps(row(1, "2024-01-01T09:05:00", "ontime")))
+    # Batch 2: 09:06 arrives AFTER batch 1 but within the delay — the
+    # [09:00, 10:00) window is still open and must absorb it.
+    (src / "b.json").write_text(json.dumps(row(2, "2024-01-01T09:06:00", "ontime")))
+    # Batch 3: sentinel pushes the watermark past 10:00 -> emission.
+    (src / "c.json").write_text(json.dumps(row(3, "2024-01-01T12:00:00", "sentinel")))
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    agg = windowed_event_counts_stream(stream)
+    out = str(tmp_path / "out")
+    q = write_stream_parquet(agg, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    rows = (
+        spark.read.parquet(out)
+        .where(F.col("event_type") == "ontime")
+        .select("window_start", "n_events")
+        .collect()
+    )
+    # exactly ONE emitted row for the window, carrying BOTH events
+    assert len(rows) == 1, f"window emitted {len(rows)} times: {rows}"
+    assert rows[0]["n_events"] == 2
