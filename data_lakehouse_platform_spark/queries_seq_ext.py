@@ -2886,3 +2886,49 @@ def asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["value"],
         right_tiebreak="rid",
     )
+
+
+# ----------------------------------------------------------------------------
+# Joint distribution: basket size x order-value decile matrix
+# ----------------------------------------------------------------------------
+
+_BVM_ORACLE = """
+WITH sizes AS (
+  SELECT l_orderkey, COUNT(*) AS basket_size FROM lineitem GROUP BY l_orderkey
+),
+ranked AS (
+  SELECT o.o_orderkey, s.basket_size,
+         NTILE(10) OVER (ORDER BY o.o_totalprice, o.o_orderkey) AS value_decile
+  FROM orders o JOIN sizes s ON o.o_orderkey = s.l_orderkey
+)
+SELECT basket_size, value_decile, COUNT(*) AS n_orders
+FROM ranked GROUP BY basket_size, value_decile
+ORDER BY basket_size, value_decile
+"""
+
+
+@register(
+    "basket_value_matrix",
+    _BVM_ORACLE,
+    "Joint profile of basket size x order-value decile (NTILE with a "
+    "unique orderkey tiebreak so decile cuts are identical across "
+    "engines): the dependence structure between how MANY lines an "
+    "order has and how much it is WORTH, as a bounded contingency "
+    "matrix. One fact-side aggregation, one co-partitioned join, one "
+    "global NTILE over the order-level aggregate.",
+)
+def basket_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("basket_size"))
+    ranked = od.join(sizes, od.o_orderkey == sizes.l_orderkey).select(
+        "basket_size",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("value_decile"),
+    )
+    return (
+        ranked.groupBy("basket_size", "value_decile")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("basket_size", "value_decile")
+    )
