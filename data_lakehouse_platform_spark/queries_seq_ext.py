@@ -70,15 +70,41 @@ FROM longest GROUP BY streak_days ORDER BY streak_days
     "1000-executor cluster.",
 )
 def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single per-user pass: instead of grouping by the island key
+    # (which would force a second full-data exchange on (user, grp)),
+    # track the ROW NUMBER of the current island's start as a running
+    # max — position-in-island = rn - start_rn + 1, and the longest
+    # streak is its per-user max, computed WITHOUT leaving the user_id
+    # partitioning (3 exchanges total, all but the distinct tiny).
     days = (
         _t(spark, sf_dir, "events")
         .select("user_id", F.to_date("ts").alias("day"))
         .distinct()
     )
     w = Window.partitionBy("user_id").orderBy("day")
-    isl = days.withColumn("grp", F.date_sub(F.col("day"), F.row_number().over(w)))
-    runs = isl.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
-    longest = runs.groupBy("user_id").agg(F.max("len").alias("streak_days"))
+    # The running max is ordered by rn (same order as day) so the
+    # second window works on flagged's projection directly.
+    run = Window.partitionBy("user_id").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = days.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.when(
+            F.lag("day").over(w).isNull()
+            | (F.datediff(F.col("day"), F.lag("day").over(w)) > 1),
+            F.row_number().over(w),
+        ).alias("start_rn_or_null"),
+    )
+    pos = flagged.select(
+        "user_id",
+        (
+            F.col("rn")
+            - F.max("start_rn_or_null").over(run)
+            + 1
+        ).alias("pos"),
+    )
+    longest = pos.groupBy("user_id").agg(F.max("pos").alias("streak_days"))
     return (
         longest.groupBy("streak_days")
         .agg(
