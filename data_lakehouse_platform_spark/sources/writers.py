@@ -132,6 +132,26 @@ def scd2_merge(
         F.concat_ws("|", key.cast("string"), ts.cast("string")).cast("binary")
     )
 
+    # Collapse the update batch to ONE row per key — the latest by ts
+    # (deterministic tiebreak on the content fingerprint). This makes
+    # the merge safe for cumulative/replayed sources (a re-fed old
+    # version can never resurrect: only the newest row per key merges)
+    # — the same last-writer-wins collapse the CDC upsert sink uses.
+    from pyspark.sql import Window as _W
+
+    updates = (
+        updates.withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy(key_col).orderBy(
+                    F.col(ts_col).desc(), fingerprint(updates).desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
     fresh = updates.select(
         surrogate(F.col(key_col), F.col(ts_col)).alias("row_key"),
         F.col(key_col),

@@ -345,3 +345,44 @@ def test_dq_cross_field_rule(spark):
     assert rows["shipped_has_valid_dates"]["passed"] is False
     assert rows["ids_positive"]["metric_value"] == 0.0 and rows["ids_positive"]["passed"] is True
     assert rows["id"]["passed"] is True
+
+
+def test_medallion_scd2_second_pass_closes_out(spark, tmp_path):
+    """SCD2 evolution through the full medallion path: a second load
+    with changed attributes closes out the old version (is_current
+    false, end_ts stamped) and inserts a new current row; unchanged
+    keys keep exactly one open version."""
+    from data_lakehouse_platform_spark.plans.medallion import MedallionPipeline
+
+    pipe = MedallionPipeline(spark, str(tmp_path))
+    v1 = spark.createDataFrame(
+        [(1, "O", 100.0, "2024-01-01"), (2, "O", 200.0, "2024-01-01")],
+        "o_orderkey long, o_orderstatus string, o_totalprice double, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    pipe.bronze_ingest(v1, "orders", "ts")
+    pipe.silver_transform("orders", lambda df: df)
+    pipe.gold_scd2("dim", "o_orderkey", ["o_orderstatus", "o_totalprice"], "ts",
+                   source_table="orders")
+
+    # key 1 changes price later; key 2 unchanged (same attributes)
+    v2 = spark.createDataFrame(
+        [(1, "F", 150.0, "2024-02-01"), (2, "O", 200.0, "2024-02-01")],
+        "o_orderkey long, o_orderstatus string, o_totalprice double, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    pipe.bronze_ingest(v2, "orders", "ts")
+    pipe.silver_transform("orders", lambda df: df)
+    pipe.gold_scd2("dim", "o_orderkey", ["o_orderstatus", "o_totalprice"], "ts",
+                   source_table="orders")
+
+    dim = pipe.read("gold", "dim").collect()
+    by_key = {}
+    for r in dim:
+        by_key.setdefault(r["o_orderkey"], []).append(r)
+
+    k1 = sorted(by_key[1], key=lambda r: r["start_ts"])
+    assert len(k1) == 2
+    assert k1[0]["is_current"] is False and k1[0]["end_ts"] is not None
+    assert k1[1]["is_current"] is True and k1[1]["o_totalprice"] == 150.0
+
+    k2 = by_key[2]
+    assert len(k2) == 1 and k2[0]["is_current"] is True and k2[0]["end_ts"] is None
