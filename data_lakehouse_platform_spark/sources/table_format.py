@@ -149,13 +149,25 @@ class SnapshotTable:
         return any(s.txn_id == txn_id for s in self.history())
 
     def write_snapshot(
-        self, df: DataFrame, operation: str = "write", txn_id: str | None = None
+        self,
+        df: DataFrame,
+        operation: str = "write",
+        txn_id: str | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Commit `df` as the next version. Returns the new version.
 
         With ``txn_id``: if that transaction already committed, the
         write is skipped and the existing version returned (replay /
-        retry safe)."""
+        retry safe).
+
+        With ``partition_by``: the version's data directory is laid
+        out hive-partitioned on those columns, so filtered reads of
+        the snapshot get PARTITION PRUNING on top of time travel —
+        Delta's partitioned-table layout per version. Different
+        versions may use different partition specs (each version is a
+        self-contained directory), which is partition-spec evolution
+        for free."""
         if txn_id is not None:
             for s in self.history():
                 if s.txn_id == txn_id:
@@ -163,7 +175,10 @@ class SnapshotTable:
         next_v = (self.latest_version() or 0) + 1 if self._versions() else 1
         rel_dir = self._new_data_dir(next_v)
         out = os.path.join(self.data_root, rel_dir)
-        df.write.mode("errorifexists").parquet(out)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
         n = df.sparkSession.read.parquet(out).count()
         return self._commit(next_v, rel_dir, operation, n, txn_id=txn_id)
 

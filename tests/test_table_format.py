@@ -317,3 +317,36 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         t.read(spark, as_of_ts=t1 - 1000)
     with _pytest.raises(ValueError, match="not both"):
         t.read(spark, version=1, as_of_ts=t1)
+
+
+def test_partitioned_snapshot_prunes_partitions(spark, tmp_path):
+    """Partitioned commits: a snapshot written partitionBy(date-ish
+    column) serves filtered reads from ONLY the matching partition
+    directories (partition pruning composes with time travel), and a
+    later version may change the partition spec entirely."""
+    from data_lakehouse_platform_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    v1 = t.write_snapshot(orders, partition_by=["order_month"])
+
+    months = [r["order_month"] for r in orders.select("order_month").distinct().collect()]
+    pick = sorted(months)[0]
+    filtered = t.read(spark, v1).where(F.col("order_month") == pick)
+    want = orders.where(F.col("order_month") == pick).count()
+    assert filtered.count() == want > 0
+    touched = {
+        r[0] for r in filtered.select(F.input_file_name()).distinct().collect()
+    }
+    assert all(f"order_month={pick}" in f for f in touched)
+
+    # partition-spec evolution: next version partitions by status
+    v2 = t.write_snapshot(orders, partition_by=["o_orderstatus"])
+    f2 = t.read(spark, v2).where(F.col("o_orderstatus") == "F")
+    touched2 = {r[0] for r in f2.select(F.input_file_name()).distinct().collect()}
+    assert touched2 and all("o_orderstatus=F" in f for f in touched2)
+    # v1 still reads with its own layout
+    assert t.read(spark, v1).count() == orders.count()
