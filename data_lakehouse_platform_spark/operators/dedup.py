@@ -265,3 +265,59 @@ def simhash(shingles: DataFrame, id_col: str = "doc_id", bits: int = 16) -> Data
     return out.withColumn(
         "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    ledger_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-batch exact dedup against a persistent content-hash
+    LEDGER: rows whose hash appeared in ANY earlier batch are dropped,
+    first-in-batch wins among same-batch copies, and the ledger (a
+    versioned SnapshotTable of hashes) advances atomically with each
+    call — the production shape for continuously-ingested corpora,
+    where "have we seen this document before?" must survive restarts
+    and span every batch ever processed.
+
+    Plan: one md5 map over the batch, a within-batch keep-first
+    (min-id per hash), and a LEFT ANTI join against the ledger — the
+    anti join keys on the 16-byte hash, so at 100 TB the probe is a
+    hash-shuffle of the (small) batch against the (large, but
+    hash-bucketed) ledger. The ledger commit is txn-less here; wrap
+    calls with SnapshotTable txn ids when batches can replay
+    (streaming pipelines do exactly that, see
+    streaming/pipelines.upsert_stream_to_snapshot).
+
+    Returns the surviving (new-content) rows of ``batch``.
+    """
+    from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
+
+    spark = batch.sparkSession
+    ledger = SnapshotTable(ledger_path)
+
+    hashed = batch.withColumn(
+        "__h", F.md5(F.col(text_col).cast("binary"))
+    )
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    batch_first = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if ledger.latest_version() is not None:
+        seen = ledger.read(spark)
+        fresh = batch_first.join(
+            seen.select(F.col("content_hash").alias("__h")), "__h", "left_anti"
+        )
+    else:
+        fresh = batch_first
+
+    new_hashes = fresh.select(F.col("__h").alias("content_hash"))
+    if ledger.latest_version() is not None:
+        merged = ledger.read(spark).unionByName(new_hashes).distinct()
+    else:
+        merged = new_hashes.distinct()
+    ledger.write_snapshot(merged, operation="dedup-ledger")
+    return fresh.drop("__h")

@@ -123,3 +123,36 @@ def test_lsh_hot_bucket_cap(spark):
     assert len(uncapped) >= 20 * 19 // 2  # identical crowd blows up
     capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
     assert capped_pairs == {(100, 101)}  # crowd suppressed, real pair kept
+
+
+def test_incremental_dedup_ledger_spans_batches(spark, tmp_path):
+    """Cross-batch dedup: the content-hash ledger persists between
+    calls, so a document seen in batch 1 is dropped from batch 2 even
+    under a different doc_id; within a batch the lowest id wins; the
+    ledger is a versioned table (one commit per batch)."""
+    from data_lakehouse_platform_spark.operators.dedup import incremental_dedup
+    from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
+
+    ledger = str(tmp_path / "ledger")
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    )
+    out1 = incremental_dedup(b1, ledger)
+    assert sorted(r["doc_id"] for r in out1.collect()) == [1, 2]  # 3 is a dup of 1
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text"), (12, "gamma text")],
+        "doc_id long, text string",
+    )
+    out2 = incremental_dedup(b2, ledger)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [11]  # alpha seen in b1
+
+    t = SnapshotTable(ledger)
+    assert t.latest_version() == 2  # one ledger commit per batch
+    assert t.read(spark).count() == 3  # alpha, beta, gamma
+    # empty batch: nothing survives, ledger grows by an identical commit
+    out3 = incremental_dedup(
+        spark.createDataFrame([], "doc_id long, text string"), ledger
+    )
+    assert out3.count() == 0 and t.read(spark).count() == 3
