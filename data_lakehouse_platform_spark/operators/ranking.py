@@ -1,0 +1,182 @@
+"""Distributed global ranking — exact ``row_number``/``NTILE``/running
+aggregates over a total order WITHOUT an unpartitioned window.
+
+The naive form, ``Window.orderBy(keys)`` with no ``partitionBy``, funnels
+every row through ONE task: fine on a 150k-customer aggregate at sf0.1,
+a wall at 10^9 customers on a 100 TB corpus.  This module generalizes the
+two-pass distributed prefix-sum in :mod:`operators.packing` to arbitrary
+numeric sort keys:
+
+1. sample B-1 cut points of a *monotone numeric bucket key* (any numeric
+   expression non-decreasing along the desired total order, e.g.
+   ``-total_spend`` for a descending spend rank) via ``approxQuantile`` —
+   cut *placement* only affects balance, never correctness;
+2. assign each row a bucket by counting cuts strictly below its key —
+   deterministic given the cuts (which are collected once and baked in as
+   literals), so recomputed lineage branches always agree;
+3. per-bucket windows (PARTITIONED — parallel across the cluster) compute
+   local row numbers / running sums / running maxes;
+4. per-bucket totals (<= B rows, the only driver-side data) are cumulated
+   on the driver and broadcast back as bucket offsets.
+
+global row_number = bucket count-offset + local row_number, and likewise
+for running sums (offset add) and running maxes (offset ``greatest``).
+Wall-clock is two parallel passes plus a B-row broadcast, independent of
+row count.  The input is persisted so the cuts/stats/main passes reuse one
+materialization instead of re-running the upstream aggregation three times.
+
+Reference analog: the reference computes customer tiers with single-node
+pandas-style ranking (loyalty tiers in scripts/batch/silver_customers.py);
+this is the shape that survives when the customer table no longer fits a
+node.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_B = "__rk_bucket"
+
+
+@dataclass(frozen=True)
+class RankStats:
+    """Driver-side scalars that fall out of the bucket-stats pass."""
+
+    rows: int
+    weight_sum: Any = None  # total of `weight` (None when no weight given)
+    weight_max: Any = None
+
+
+def _bucketize(df: DataFrame, bucket_key: Column, buckets: int) -> DataFrame:
+    """Add a deterministic bucket id that is non-decreasing in ``bucket_key``.
+
+    Cuts come from one ``approxQuantile`` pass; they are baked into the plan
+    as literals so every downstream lineage recomputation assigns identical
+    buckets.  Rows with equal keys always share a bucket, so bucket ranges
+    stay contiguous in the total order.
+    """
+    keyed = df.withColumn("__rk_key", bucket_key.cast("double"))
+    qs = [i / buckets for i in range(1, buckets)]
+    cuts = sorted(set(keyed.stat.approxQuantile("__rk_key", qs, 0.001)))
+    if not cuts:
+        return keyed.withColumn(_B, F.lit(0))
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    return keyed.withColumn(
+        _B, F.size(F.filter(arr, lambda c: c < F.col("__rk_key")))
+    )
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    bucket_key: Column,
+    *,
+    buckets: int = 64,
+    rn_col: str | None = None,
+    cum_col: str | None = None,
+    prior_max_col: str | None = None,
+    weight: Column | None = None,
+    weight_type: str = "decimal(38,0)",
+) -> tuple[DataFrame, RankStats]:
+    """Return ``(df + requested columns, RankStats)``.
+
+    * ``rn_col``       — exact global 1-based ``row_number`` over
+      ``order_cols`` (which must define a TOTAL order: unique tiebreaker).
+    * ``cum_col``      — running inclusive sum of ``weight`` in that order.
+    * ``prior_max_col``— running max of ``weight`` over *strictly preceding*
+      rows (NULL for the global first row) — the sort-based skyline sweep.
+    * ``bucket_key``   — numeric expression non-decreasing along
+      ``order_cols``'s order (negate for DESC keys); must be non-null.
+
+    Total row count / weight sum / weight max fall out of the bucket-stats
+    pass for free, so callers needing ``n`` (NTILE, percent_rank) or the
+    grand total (ABC share cuts) don't pay another action.
+    """
+    need_weight = cum_col is not None or prior_max_col is not None
+    if need_weight and weight is None:
+        raise ValueError("cum_col/prior_max_col require a weight column")
+
+    bucketed = _bucketize(df, bucket_key, buckets)
+    if need_weight:
+        bucketed = bucketed.withColumn("__rk_w", weight.cast(weight_type))
+    bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    if cum_col is not None:
+        aggs.append(F.sum("__rk_w").alias("__wsum"))
+    if prior_max_col is not None:
+        aggs.append(F.max("__rk_w").alias("__wmax"))
+    stats = sorted(
+        bucketed.groupBy(_B).agg(*aggs).collect(), key=lambda r: r[_B]
+    )  # bounded: <= `buckets` rows
+
+    total = 0
+    run_cnt, run_sum, run_max = 0, None, None
+    offsets = []
+    for r in stats:
+        offsets.append((r[_B], run_cnt, run_sum, run_max))
+        run_cnt += r["__cnt"]
+        if cum_col is not None:
+            run_sum = r["__wsum"] if run_sum is None else run_sum + r["__wsum"]
+        if prior_max_col is not None:
+            run_max = (
+                r["__wmax"]
+                if run_max is None
+                else max(run_max, r["__wmax"])
+            )
+    total = run_cnt
+
+    off_schema = (
+        f"{_B}: int, __cnt_off: long, __sum_off: {weight_type}, "
+        f"__max_off: {weight_type}"
+    )
+    off_df = df.sparkSession.createDataFrame(offsets, off_schema)
+
+    w = Window.partitionBy(_B).orderBy(*order_cols)
+    joined = bucketed.join(F.broadcast(off_df), _B)
+    out = joined
+    if rn_col is not None:
+        out = out.withColumn(rn_col, (F.col("__cnt_off") + F.row_number().over(w)))
+    if cum_col is not None:
+        run = F.sum("__rk_w").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        out = out.withColumn(
+            cum_col, F.coalesce(F.col("__sum_off"), F.lit(0).cast(weight_type)) + run
+        )
+    if prior_max_col is not None:
+        prior = F.max("__rk_w").over(w.rowsBetween(Window.unboundedPreceding, -1))
+        out = out.withColumn(prior_max_col, F.greatest(
+            F.coalesce(prior, F.col("__max_off")),
+            F.coalesce(F.col("__max_off"), prior),
+        ))
+    drop = ["__rk_key", _B, "__cnt_off", "__sum_off", "__max_off"]
+    if need_weight:
+        drop.append("__rk_w")
+    final_sum = run_sum if cum_col is not None else None
+    final_max = run_max if prior_max_col is not None else None
+    return out.drop(*drop), RankStats(total, final_sum, final_max)
+
+
+def ntile_expr(rn: Column, n: int, k: int) -> Column:
+    """SQL-standard NTILE(k) from an exact global row_number and total n.
+
+    With q = n // k and r = n % k, buckets 1..r get q+1 rows and the rest
+    get q — the same distribution every engine implements.  Pure integer
+    arithmetic on plan-time literals, so it composes with the distributed
+    row_number instead of forcing a single-partition window.
+    """
+    q, r = divmod(n, k)
+    head = r * (q + 1)
+    if q == 0:  # fewer rows than tiles: row i -> tile i
+        return rn.cast("int")
+    return (
+        F.when(rn <= head, F.floor((rn - 1) / (q + 1)))
+        .otherwise(r + F.floor((rn - head - 1) / q))
+        .cast("int")
+        + 1
+    )

@@ -46,9 +46,40 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 
+def _ordered_build(fn: QueryFn) -> QueryFn:
+    """Append a total-order final sort (all columns, left-to-right, NULLS
+    FIRST) so the emitted row order is deterministic regardless of
+    partitioning/shuffle placement.  The driver hashes rows in emitted
+    order; this sort is the registry-edge contract that makes the hash
+    reproducible.  Spark executes it as a range-partitioned parallel sort
+    (TakeOrderedAndProject when a limit precedes it), not a single-reducer
+    collapse.  NULLS FIRST + NaN-greatest matches DuckDB's ORDER BY ALL
+    NULLS FIRST, so both engines agree on the total order for value-exact
+    results."""
+
+    def ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = fn(spark, sf_dir)
+        return df.orderBy(*[df[c].asc_nulls_first() for c in df.columns])
+
+    ordered.__name__ = getattr(fn, "__name__", "query")
+    ordered.__doc__ = fn.__doc__
+    ordered.__wrapped__ = fn  # type: ignore[attr-defined]
+    return ordered
+
+
+def _ordered_oracle(sql: str) -> str:
+    """DuckDB twin of :func:`_ordered_build` — same total order."""
+    return f"SELECT * FROM (\n{sql}\n) AS __det ORDER BY ALL NULLS FIRST"
+
+
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
     def wrap(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = Query(name=name, build=fn, oracle=oracle, doc=doc)
+        _REGISTRY[name] = Query(
+            name=name,
+            build=_ordered_build(fn),
+            oracle=_ordered_oracle(oracle) if oracle is not None else None,
+            doc=doc,
+        )
         return fn
 
     return wrap

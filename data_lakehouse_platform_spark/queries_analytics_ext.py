@@ -654,12 +654,17 @@ FROM spend
     "Customer spend deciles: grouped decimal-exact spend, then "
     "NTILE(10) with a unique key tiebreaker so both engines cut "
     "identical bucket boundaries. The segmentation primitive behind "
-    "'top-10%% customers' BI slices; the global NTILE is the one "
-    "deliberate single-partition window (output is one row per "
-    "customer aggregate, already reduced).",
+    "'top-10%% customers' BI slices. The decile cut runs on the "
+    "distributed two-pass rank (operators/ranking.py) — bucketed "
+    "partitioned windows + broadcast offsets — so no single task ever "
+    "sees the whole customer table (10^9 rows at 100 TB).",
 )
 def ntile_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lakehouse_platform_spark.functions.money import dec, undec
+    from data_lakehouse_platform_spark.operators.ranking import (
+        ntile_expr,
+        with_global_rank,
+    )
 
     spend = (
         _t(spark, sf_dir, "orders")
@@ -669,8 +674,15 @@ def ntile_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             undec(F.sum(dec("o_totalprice"))).alias("total_spend"),
         )
     )
-    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey"))
-    return spend.withColumn("spend_decile", F.ntile(10).over(w))
+    ranked, st = with_global_rank(
+        spend,
+        [F.col("total_spend").desc(), F.col("o_custkey")],
+        bucket_key=-F.col("total_spend"),
+        rn_col="__rn",
+    )
+    return ranked.withColumn(
+        "spend_decile", ntile_expr(F.col("__rn"), st.rows, 10)
+    ).drop("__rn")
 
 
 # ----------------------------------------------------------------------------

@@ -740,19 +740,19 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", T.ws_tokens("text").alias("__toks"))
         .select("doc_id", F.explode(T.shingle_expr("__toks", 2)).alias("ngram"))
     )
+    # Top-K via sort+limit (TakeOrderedAndProject): each task keeps a
+    # local K-heap and the driver merges — parallel partial top-K with
+    # the same deterministic tiebreak, vs. row_number over an
+    # unpartitioned window which funnels the whole vocabulary (hundreds
+    # of millions of bigrams at 100 TB) through one reducer.
     ranked = (
         grams.groupBy("ngram")
         .agg(
             F.count(F.lit(1)).alias("term_freq"),
             F.countDistinct("doc_id").alias("doc_freq"),
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("term_freq").desc(), F.col("ngram"))
-            ),
-        )
-        .filter(F.col("rn") <= _NGRAM_TOPK)
+        .orderBy(F.col("term_freq").desc(), F.col("ngram"))
+        .limit(_NGRAM_TOPK)
         .select("ngram", "term_freq", "doc_freq")
     )
     return ranked

@@ -907,10 +907,15 @@ FROM classed GROUP BY abc_class ORDER BY abc_class
     "ABC (Pareto) classification: parts ranked by exact fixed-point "
     "revenue, classes cut at 80%/95% of cumulative share with integer "
     "comparisons (cum*100 <= tot*80 — no float thresholds to drift). "
-    "The ordered cumsum runs on the part-level aggregate, not the "
-    "fact; the classic inventory-prioritization rollup.",
+    "The ordered cumsum rides the distributed two-pass rank "
+    "(operators/ranking.py): bucketed partitioned cumsums + broadcast "
+    "bucket offsets, and the grand total falls out of the same "
+    "bucket-stats pass — one materialized part-level aggregate, no "
+    "unpartitioned window, no re-run of the lineitem scan.",
 )
 def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.ranking import with_global_rank
+
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.expr(
@@ -918,17 +923,15 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS DECIMAL(28,0)))"
         ).alias("r")
     )
-    # Global total as SUM() OVER () on the part-level aggregate: the
-    # aggregate is dim-sized, so the unpartitioned window is cheap and
-    # the lineitem scan+agg runs ONCE (a separate 1-row agg + cross
-    # join re-ran the whole upstream, doubling the query's cost).
-    w = (
-        Window.orderBy(F.desc("r"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked, st = with_global_rank(
+        rev,
+        [F.desc("r"), F.asc("l_partkey")],
+        bucket_key=-F.col("r"),
+        cum_col="cum",
+        weight=F.col("r"),
+        weight_type="decimal(38,0)",
     )
-    ranked = rev.withColumn("cum", F.sum("r").over(w).cast("decimal(38,0)")).withColumn(
-        "t", F.sum("r").over(Window.partitionBy()).cast("decimal(38,0)")
-    )
+    ranked = ranked.withColumn("t", F.lit(st.weight_sum).cast("decimal(38,0)"))
     classed = ranked.selectExpr(
         "l_partkey",
         "r",
@@ -1388,13 +1391,16 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(T.ws_tokens("text")).alias("tok")
     )
+    # Top-K vocabulary via sort+limit (TakeOrderedAndProject — parallel
+    # per-task K-heaps, driver merge) instead of row_number over an
+    # unpartitioned window that would pull every distinct token through
+    # one reducer at corpus scale. Tiebreak (count desc, token asc) is
+    # unique, so both forms pick the identical vocabulary.
     vocab = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("c"))
-        .withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok")))
-        )
-        .where(F.col("rn") <= _OOV_VOCAB_K)
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_OOV_VOCAB_K)
         .select("tok")
     )
     marked = toks.join(

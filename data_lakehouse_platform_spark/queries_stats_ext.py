@@ -1259,14 +1259,18 @@ FROM scored
     "RFM customer segmentation: exact per-customer recency (days to a "
     "fixed anchor), frequency, decimal-exact monetary, then NTILE(5) "
     "quintiles on each axis (custkey tiebreaks -> identical cuts in "
-    "both engines) composed into a 111..555 cell id. Input is one row "
-    "per customer — already reduced — so the three global NTILEs run "
-    "on the small aggregate, the same deliberate trade as "
-    "ntile_customer_deciles. The lifecycle-marketing segmentation "
-    "behind the reference's tier-based eligibility rules.",
+    "both engines) composed into a 111..555 cell id. Each NTILE rides "
+    "the distributed two-pass rank (operators/ranking.py): bucketed "
+    "partitioned windows + broadcast offsets, so the 10^9-customer "
+    "table at 100 TB never crosses one task. The lifecycle-marketing "
+    "segmentation behind the reference's tier-based eligibility rules.",
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lakehouse_platform_spark.functions.money import dec, undec
+    from data_lakehouse_platform_spark.operators.ranking import (
+        ntile_expr,
+        with_global_rank,
+    )
 
     cust = (
         _t(spark, sf_dir, "orders")
@@ -1275,25 +1279,30 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.lit(_RFM_ANCHOR), F.max("o_orderdate"))
             .cast("bigint")
             .alias("recency_days"),
-            F.count("*").alias("frequency"),
+            F.count("*").cast("bigint").alias("frequency"),
             undec(F.sum(dec("o_totalprice"))).alias("monetary"),
         )
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-    scored = cust.select(
+    axes = [
+        ("r_score", [F.col("recency_days").asc(), F.col("o_custkey")], F.col("recency_days")),
+        ("f_score", [F.col("frequency").desc(), F.col("o_custkey")], -F.col("frequency")),
+        ("m_score", [F.col("monetary").desc(), F.col("o_custkey")], -F.col("monetary")),
+    ]
+    scored = cust
+    for out, order_cols, key in axes:
+        scored, st = with_global_rank(scored, order_cols, bucket_key=key, rn_col="__rn")
+        scored = scored.withColumn(out, ntile_expr(F.col("__rn"), st.rows, 5)).drop("__rn")
+    return scored.select(
         "o_custkey",
         "recency_days",
-        F.col("frequency").cast("bigint").alias("frequency"),
+        "frequency",
         "monetary",
-        F.ntile(5).over(wr).alias("r_score"),
-        F.ntile(5).over(wf).alias("f_score"),
-        F.ntile(5).over(wm).alias("m_score"),
-    )
-    return scored.withColumn(
-        "rfm_cell",
-        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias(
+            "rfm_cell"
+        ),
     )
 
 
@@ -1710,6 +1719,7 @@ WHERE best_before IS NULL OR monetary6 > best_before
 )
 def skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lakehouse_platform_spark.functions.money import dec
+    from data_lakehouse_platform_spark.operators.ranking import with_global_rank
 
     cust = (
         _t(spark, sf_dir, "orders")
@@ -1721,13 +1731,17 @@ def skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("o_totalprice")).cast("bigint").alias("monetary6"),
         )
     )
-    w = (
-        Window.orderBy(
-            F.col("recency_days").asc(), F.col("monetary6").desc(), F.col("o_custkey")
-        )
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # Distributed sweep: running max over strictly-preceding rows in
+    # (recency asc, monetary desc, custkey) order via the bucketed
+    # two-pass rank — no unpartitioned window over the customer table.
+    swept, _ = with_global_rank(
+        cust,
+        [F.col("recency_days").asc(), F.col("monetary6").desc(), F.col("o_custkey")],
+        bucket_key=F.col("recency_days"),
+        prior_max_col="best_before",
+        weight=F.col("monetary6"),
+        weight_type="bigint",
     )
-    swept = cust.withColumn("best_before", F.max("monetary6").over(w))
     return swept.filter(
         F.col("best_before").isNull() | (F.col("monetary6") > F.col("best_before"))
     ).selectExpr(
@@ -2448,18 +2462,31 @@ FROM curve
     "2^53, so the doubles agree bitwise). Reads directly against "
     "gini_hhi_concentration: 'the bottom half of customers carry X% "
     "of revenue'. The ten-row windows run over the already-reduced "
-    "decile table; only the NTILE touches per-customer rows.",
+    "decile table; the per-customer NTILE rides the distributed "
+    "two-pass rank (operators/ranking.py), so no single-task window "
+    "ever sees the customer table.",
 )
 def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lakehouse_platform_spark.functions.money import dec
+    from data_lakehouse_platform_spark.operators.ranking import (
+        ntile_expr,
+        with_global_rank,
+    )
 
     cust = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(dec("o_totalprice")).cast("bigint").alias("spend6"))
     )
-    w = Window.orderBy("spend6", "o_custkey")
-    tiered = cust.withColumn("decile", F.ntile(10).over(w))
+    ranked, st = with_global_rank(
+        cust,
+        [F.col("spend6").asc(), F.col("o_custkey")],
+        bucket_key=F.col("spend6"),
+        rn_col="__rn",
+    )
+    tiered = ranked.withColumn("decile", ntile_expr(F.col("__rn"), st.rows, 10)).drop(
+        "__rn"
+    )
     per_decile = tiered.groupBy("decile").agg(
         F.count("*").alias("n_customers"), F.sum("spend6").alias("dec6")
     )
