@@ -162,6 +162,101 @@ def with_global_rank(
     return out.drop(*drop), RankStats(total, final_sum, final_max)
 
 
+def with_grouped_rank(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    bucket_key: Column,
+    *,
+    buckets: int = 64,
+    rn_col: str | None = None,
+    n_col: str | None = None,
+    cum_col: str | None = None,
+    tot_col: str | None = None,
+    weight: Column | None = None,
+    weight_type: str = "bigint",
+) -> DataFrame:
+    """Per-group exact ``row_number``/group size/running weight sum — the
+    grouped twin of :func:`with_global_rank`, for the quantile-family
+    pattern ``Window.partitionBy(low_card_key).orderBy(value)``.
+
+    A window partitioned by a 5-value key pushes ~20% of the fact table
+    through ONE sort task — the skew wall the plain form hits at 100x
+    scale.  Here rows are sub-bucketed by value cuts (one global
+    ``approxQuantile`` pass — monotone within every group), windows run
+    per ``(group, bucket)`` so task input is bounded by bucket width, and
+    per-group/per-bucket counts (<= groups x buckets rows, the only
+    driver-side data) are cumulated into broadcast offsets.
+
+    Contract: ``group_cols`` must be LOW cardinality (priority, segment,
+    flag — the stats collect is groups x buckets rows).  For high-
+    cardinality groups the plain partitioned window has no skew wall and
+    should be used directly.  ``order_cols`` need not be unique per row,
+    but running sums are then only value-deterministic when tied rows
+    carry equal weights (order ties by the weight column to guarantee
+    this — the weighted-median trick).
+    """
+    need_weight = cum_col is not None or tot_col is not None
+    if need_weight and weight is None:
+        raise ValueError("cum_col/tot_col require a weight column")
+    gcols = list(group_cols)
+
+    bucketed = _bucketize(df, bucket_key, buckets)
+    if need_weight:
+        bucketed = bucketed.withColumn("__rk_w", weight.cast(weight_type))
+    bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    if need_weight:
+        aggs.append(F.sum("__rk_w").alias("__wsum"))
+    stats = bucketed.groupBy(*gcols, _B).agg(*aggs).collect()
+
+    per_group: dict[tuple, list] = {}
+    for r in sorted(stats, key=lambda r: (tuple(str(r[g]) for g in gcols), r[_B])):
+        per_group.setdefault(tuple(r[g] for g in gcols), []).append(r)
+    from decimal import Decimal
+
+    zero = Decimal(0) if weight_type.startswith("decimal") else 0
+    off_rows = []
+    for key, rows in per_group.items():
+        run_cnt, run_sum = 0, zero
+        grp_n = sum(r["__cnt"] for r in rows)
+        grp_tot = sum(r["__wsum"] for r in rows) if need_weight else None
+        for r in rows:
+            off_rows.append(
+                tuple(key) + (r[_B], run_cnt, run_sum if need_weight else None,
+                              grp_n, grp_tot)
+            )
+            run_cnt += r["__cnt"]
+            if need_weight:
+                run_sum += r["__wsum"]
+
+    gschema = ", ".join(
+        f"{g}: {dict(df.dtypes)[g]}" for g in gcols
+    )
+    off_schema = (
+        f"{gschema}, {_B}: int, __cnt_off: long, __sum_off: {weight_type}, "
+        f"__grp_n: long, __grp_tot: {weight_type}"
+    )
+    off_df = df.sparkSession.createDataFrame(off_rows, off_schema)
+
+    w = Window.partitionBy(*gcols, _B).orderBy(*order_cols)
+    out = bucketed.join(F.broadcast(off_df), gcols + [_B])
+    if rn_col is not None:
+        out = out.withColumn(rn_col, F.col("__cnt_off") + F.row_number().over(w))
+    if n_col is not None:
+        out = out.withColumn(n_col, F.col("__grp_n"))
+    if cum_col is not None:
+        run = F.sum("__rk_w").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        out = out.withColumn(cum_col, F.col("__sum_off") + run)
+    if tot_col is not None:
+        out = out.withColumn(tot_col, F.col("__grp_tot"))
+    drop = ["__rk_key", _B, "__cnt_off", "__sum_off", "__grp_n", "__grp_tot"]
+    if need_weight:
+        drop.append("__rk_w")
+    return out.drop(*drop)
+
+
 def ntile_expr(rn: Column, n: int, k: int) -> Column:
     """SQL-standard NTILE(k) from an exact global row_number and total n.
 

@@ -190,24 +190,26 @@ FROM r GROUP BY segment
     "rank + count windows pick the ceil(p*n)-th actual value (unique "
     "orderkey tiebreaker), so no engine-specific interpolation rule is "
     "involved — percentile_cont/percentile disagree across engines at "
-    "the ulp, discrete selection cannot. One shuffle on segment; at "
-    "scale swap in approx_percentile per partition then merge, same "
-    "output columns (documented trade: exact -> sketch).",
+    "the ulp, discrete selection cannot. Ranks come from the bucketed "
+    "grouped rank (operators/ranking.py): windows run per (segment, "
+    "value-bucket) so no task ever sorts a whole segment (~20%% of the "
+    "fact table) — the exact-quantile shape that survives 100x scale.",
 )
 def quantile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.ranking import with_grouped_rank
+
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
         F.col("c_mktsegment").alias("segment"), "o_totalprice", "o_orderkey"
     )
-    w = Window.partitionBy("segment")
-    r = j.select(
-        "segment",
-        "o_totalprice",
-        F.row_number()
-        .over(w.orderBy("o_totalprice", "o_orderkey"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(w).alias("n"),
+    r = with_grouped_rank(
+        j,
+        ["segment"],
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        bucket_key=F.col("o_totalprice"),
+        rn_col="rn",
+        n_col="n",
     )
 
     def pick(p: float, alias: str) -> F.Column:
@@ -790,10 +792,17 @@ def mad_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("c_mktsegment").alias("segment"), "o_totalprice", "o_orderkey")
 
     def discrete_median(df, val_col, out_name):
-        w = Window.partitionBy("segment").orderBy(val_col, "o_orderkey")
-        wc = Window.partitionBy("segment")
-        r = df.withColumn("__rn", F.row_number().over(w)).withColumn(
-            "__n", F.count(F.lit(1)).over(wc)
+        from data_lakehouse_platform_spark.operators.ranking import with_grouped_rank
+
+        # Bucketed grouped rank: per-(segment, value-bucket) windows, so
+        # the median selection never sorts a whole segment in one task.
+        r = with_grouped_rank(
+            df,
+            ["segment"],
+            [F.col(val_col), F.col("o_orderkey")],
+            bucket_key=F.col(val_col),
+            rn_col="__rn",
+            n_col="__n",
         )
         return r.groupBy("segment").agg(
             F.max(

@@ -88,6 +88,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 16
 _BANDS = 4
 
+# Hot-bucket safety valve, ON in the production path (and mirrored in
+# every oracle below, so results stay exact): an LSH bucket holding B
+# docs emits B^2/2 candidate pairs from one reducer — 10k identical
+# boilerplate docs would mean 5*10^7 pairs. Buckets over the cap are
+# near-identical crowds that exact dedup (dedup_exact) collapses more
+# cheaply first; SURVEY §4 documents the dedup_exact-before-LSH
+# contract. At driver-checked scales no bucket approaches the cap, so
+# capped and uncapped semantics coincide there.
+_LSH_MAX_BUCKET = 1000
+
 
 def _minhash_ctes() -> str:
     """Shared CTE chain `shingles -> sigs -> banded` (DuckDB side of
@@ -113,8 +123,14 @@ sigs AS (
     {mins}
   FROM shingles GROUP BY doc_id
 ),
-banded AS (
+banded_all AS (
   {bands_sql}
+),
+banded AS (
+  SELECT b.doc_id, b.band, b.bkey FROM banded_all b
+  JOIN (SELECT band, bkey FROM banded_all
+        GROUP BY band, bkey HAVING COUNT(*) <= {_LSH_MAX_BUCKET}) ok
+  ON b.band = ok.band AND b.bkey = ok.bkey
 )"""
 
 
@@ -144,7 +160,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, distinct=False
     )
     sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
-    return D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
+    return D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS, max_bucket=_LSH_MAX_BUCKET)
 
 
 def _minhash_est_oracle() -> str:
@@ -185,7 +201,7 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, distinct=False
     )
     sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
-    cand = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
+    cand = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS, max_bucket=_LSH_MAX_BUCKET)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{k}").alias(f"__a{k}") for k in range(_N_HASHES)],
@@ -259,7 +275,7 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, distinct=False
     )
     sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
-    pairs = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
+    pairs = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS, max_bucket=_LSH_MAX_BUCKET)
     comp = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -833,7 +849,7 @@ def dedup_verify_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sh = T.explode_shingles(docs, "doc_id", "text", k=3, distinct=False)
     sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
-    pairs = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS).select(
+    pairs = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS, max_bucket=_LSH_MAX_BUCKET).select(
         "doc_a", "doc_b"
     )
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
@@ -915,7 +931,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, distinct=False
     )
     sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
-    pairs = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
+    pairs = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS, max_bucket=_LSH_MAX_BUCKET)
     pr = pagerank_fixed(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
         rounds=2,

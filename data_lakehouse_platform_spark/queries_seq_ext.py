@@ -692,15 +692,24 @@ ORDER BY f.priority
     "— the second scan streams, nothing is materialized per group.",
 )
 def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.ranking import with_grouped_rank
+
     od = _t(spark, sf_dir, "orders")
-    wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = od.select(
-        F.col("o_orderpriority").alias("priority"),
-        F.col("o_totalprice").alias("v"),
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
+    # Bucketed grouped rank (operators/ranking.py): per-(priority,
+    # value-bucket) windows bound task input by bucket width instead of
+    # pushing ~20% of orders through one sort task per priority.
+    ranked = with_grouped_rank(
+        od.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("v"),
+            "o_orderkey",
+        ),
+        ["priority"],
+        [F.col("v"), F.col("o_orderkey")],
+        bucket_key=F.col("v"),
+        rn_col="rn",
+        n_col="n",
+    ).select("priority", "v", "rn", "n")
     ps = spark.range(1).select(
         F.explode(F.array(F.lit(0.25), F.lit(0.75))).alias("p")
     )
@@ -1946,12 +1955,18 @@ FROM tagged GROUP BY source_a, source_b ORDER BY source_a, source_b
 def neardup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lakehouse_platform_spark.operators import dedup as D
     from data_lakehouse_platform_spark.operators import text as T
-    from data_lakehouse_platform_spark.queries_llm import _BANDS, _N_HASHES
+    from data_lakehouse_platform_spark.queries_llm import (
+        _BANDS,
+        _LSH_MAX_BUCKET,
+        _N_HASHES,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     sh = T.explode_shingles(docs, "doc_id", "text", k=3, distinct=False)
     sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
-    cand = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS).select(
+    cand = D.lsh_candidate_pairs(
+        sigs, n_hashes=_N_HASHES, bands=_BANDS, max_bucket=_LSH_MAX_BUCKET
+    ).select(
         "doc_a", "doc_b"
     )
     src = docs.select("doc_id", "source")
@@ -2533,16 +2548,30 @@ SELECT node AS doc_id, CAST(dist AS INT) AS dist FROM bfs ORDER BY dist, doc_id
 def graph_bfs_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lakehouse_platform_spark.operators import dedup as D
     from data_lakehouse_platform_spark.operators import text as T
-    from data_lakehouse_platform_spark.queries_llm import _BANDS, _N_HASHES
+    from data_lakehouse_platform_spark.queries_llm import (
+        _BANDS,
+        _LSH_MAX_BUCKET,
+        _N_HASHES,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     sh = T.explode_shingles(docs, "doc_id", "text", k=3, distinct=False)
     sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
-    cand = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS).select(
+    cand = D.lsh_candidate_pairs(
+        sigs, n_hashes=_N_HASHES, bands=_BANDS, max_bucket=_LSH_MAX_BUCKET
+    ).select(
         "doc_a", "doc_b"
     )
-    edges = cand.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
-        cand.selectExpr("doc_b AS src", "doc_a AS dst")
+    # Persist the edge list: without this, every BFS hop (and the seed
+    # fetch) re-evaluates the whole MinHash/LSH lineage — 4 redundant
+    # LSH passes over the corpus. One materialization, reused by the
+    # seed agg and all three frontier joins.
+    from pyspark import StorageLevel
+
+    edges = (
+        cand.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(cand.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Bounded metadata fetch: one scalar seed (same posture as the LSH
     # pivot fetch) — the traversal itself never touches the driver.
@@ -2760,35 +2789,40 @@ FROM hit WHERE rn = 1 ORDER BY l_returnflag
     "vary; same per-group-sort cost as any ranked window at scale.",
 )
 def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.ranking import with_grouped_rank
+
     li = _t(spark, sf_dir, "lineitem")
     w = li.select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
         F.floor("l_quantity").cast("bigint").alias("wt"),
     )
-    cum_w = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price", "wt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Cumulative weight via the bucketed grouped rank: per-(flag,
+    # price-bucket) windows + broadcast bucket offsets, so no task sorts
+    # a whole return-flag slice (~1/3 of lineitem). Ties order by wt too,
+    # which makes every cum value order-independent (tied rows carry
+    # equal weights). The first threshold crossing is then min(struct) —
+    # an ordinary aggregation, not a second window.
+    c = with_grouped_rank(
+        w,
+        ["l_returnflag"],
+        [F.col("price"), F.col("wt")],
+        bucket_key=F.col("price"),
+        cum_col="cum",
+        tot_col="tot",
+        weight=F.col("wt"),
+        weight_type="bigint",
     )
-    c = w.select(
-        "l_returnflag",
-        "price",
-        "wt",
-        F.sum("wt").over(cum_w).alias("cum"),
-        F.sum("wt").over(Window.partitionBy("l_returnflag")).alias("tot"),
-    )
-    hit = c.where(2 * F.col("cum") >= F.col("tot")).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("l_returnflag").orderBy("price", "wt")
-        ),
-    )
+    hit = c.where(2 * F.col("cum") >= F.col("tot"))
     return (
-        hit.where(F.col("rn") == 1)
+        hit.groupBy("l_returnflag")
+        .agg(
+            F.min(F.struct("price", "wt")).alias("__first"),
+            F.max("tot").alias("tot"),
+        )
         .select(
             "l_returnflag",
-            F.col("price").alias("weighted_median_price"),
+            F.col("__first.price").alias("weighted_median_price"),
             F.col("tot").cast("bigint").alias("total_weight"),
         )
         .orderBy("l_returnflag")

@@ -1441,15 +1441,24 @@ FROM lohi
     "interpolation quirks at 100 TB either.",
 )
 def percentile_cont_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.ranking import with_grouped_rank
+
     od = _t(spark, sf_dir, "orders")
-    wr = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = od.select(
-        F.col("o_orderpriority").alias("priority"),
-        F.col("o_totalprice").alias("v"),
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
+    # Bucketed grouped rank (operators/ranking.py): per-(priority,
+    # value-bucket) windows, so the order-statistics rank never sorts a
+    # whole priority slice (~20% of orders) in one task.
+    ranked = with_grouped_rank(
+        od.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("v"),
+            "o_orderkey",
+        ),
+        ["priority"],
+        [F.col("v"), F.col("o_orderkey")],
+        bucket_key=F.col("v"),
+        rn_col="rn",
+        n_col="n",
+    ).select("priority", "v", "rn", "n")
     ps = spark.range(1).select(
         F.explode(F.array(*[F.lit(float(p)) for p in _PCONT_PS])).alias("p")
     )

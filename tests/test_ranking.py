@@ -1,0 +1,156 @@
+"""Distributed ranking (operators/ranking.py): the two-pass bucketed
+rank must agree exactly with the single-partition window it replaces,
+on every primitive (row_number, NTILE, running sum, prior running max,
+grouped variants) — and the LSH production cap must keep an
+identical-document crowd bounded."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _toy(spark, n=500, groups=None, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                rng.choice(groups) if groups else "g",
+                float(rng.randint(0, 80)),  # deliberately tie-heavy
+                rng.randint(1, 9),
+            )
+        )
+    return spark.createDataFrame(rows, "id: long, grp: string, v: double, wt: long")
+
+
+def test_global_rank_matches_window(spark):
+    from data_lakehouse_platform_spark.operators.ranking import with_global_rank
+
+    df = _toy(spark)
+    order = [F.col("v").desc(), F.col("id")]
+    got, st = with_global_rank(
+        df,
+        order,
+        bucket_key=-F.col("v"),
+        buckets=16,
+        rn_col="rn",
+        cum_col="cum",
+        weight=F.col("wt"),
+        weight_type="bigint",
+    )
+    w = Window.orderBy(*order)
+    want = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cum", F.sum("wt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    g = {r["id"]: (r["rn"], r["cum"]) for r in got.collect()}
+    e = {r["id"]: (r["rn"], r["cum"]) for r in want.collect()}
+    assert g == e
+    assert st.rows == 500 and st.weight_sum == sum(
+        r["wt"] for r in df.collect()
+    )
+
+
+def test_global_prior_max_matches_window(spark):
+    from data_lakehouse_platform_spark.operators.ranking import with_global_rank
+
+    df = _toy(spark, n=300, seed=11)
+    order = [F.col("v").asc(), F.col("id")]
+    got, _ = with_global_rank(
+        df,
+        order,
+        bucket_key=F.col("v"),
+        buckets=8,
+        prior_max_col="pm",
+        weight=F.col("wt"),
+        weight_type="bigint",
+    )
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("pm", F.max("wt").over(w))
+    g = {r["id"]: r["pm"] for r in got.collect()}
+    e = {r["id"]: r["pm"] for r in want.collect()}
+    assert g == e  # includes the NULL-for-first-row case
+
+
+def test_ntile_expr_matches_spark_ntile(spark):
+    from data_lakehouse_platform_spark.operators.ranking import (
+        ntile_expr,
+        with_global_rank,
+    )
+
+    for n, k in [(500, 10), (47, 5), (3, 5)]:
+        df = _toy(spark, n=n, seed=n)
+        order = [F.col("v").asc(), F.col("id")]
+        got, st = with_global_rank(
+            df, order, bucket_key=F.col("v"), buckets=8, rn_col="rn"
+        )
+        got = got.withColumn("t", ntile_expr(F.col("rn"), st.rows, k))
+        want = df.withColumn("t", F.ntile(k).over(Window.orderBy(*order)))
+        g = {r["id"]: r["t"] for r in got.collect()}
+        e = {r["id"]: r["t"] for r in want.collect()}
+        assert g == e, (n, k)
+
+
+def test_grouped_rank_matches_window(spark):
+    from data_lakehouse_platform_spark.operators.ranking import with_grouped_rank
+
+    df = _toy(spark, n=600, groups=["a", "b", "c"], seed=13)
+    order = [F.col("v"), F.col("id")]
+    got = with_grouped_rank(
+        df,
+        ["grp"],
+        order,
+        bucket_key=F.col("v"),
+        buckets=16,
+        rn_col="rn",
+        n_col="n",
+        cum_col="cum",
+        tot_col="tot",
+        weight=F.col("wt"),
+        weight_type="bigint",
+    )
+    w = Window.partitionBy("grp").orderBy(*order)
+    wg = Window.partitionBy("grp")
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wg))
+        .withColumn("cum", F.sum("wt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot", F.sum("wt").over(wg))
+    )
+    g = {r["id"]: (r["rn"], r["n"], r["cum"], r["tot"]) for r in got.collect()}
+    e = {r["id"]: (r["rn"], r["n"], r["cum"], r["tot"]) for r in want.collect()}
+    assert g == e
+
+
+def test_lsh_production_cap_bounds_identical_crowd(spark):
+    """A 10k-identical-doc crowd under the production cap emits ZERO
+    crowd pairs (uncapped: ~5*10^7 from one reducer) while a genuine
+    near-dup pair below the cap survives — the dedup_exact-before-LSH
+    contract at the scale that motivated it."""
+    from data_lakehouse_platform_spark.operators import dedup as D
+    from data_lakehouse_platform_spark.operators import text as T
+    from data_lakehouse_platform_spark.queries_llm import (
+        _BANDS,
+        _LSH_MAX_BUCKET,
+        _N_HASHES,
+    )
+
+    crowd = [
+        (i, "boiler plate legal disclaimer repeated verbatim on every page")
+        for i in range(10_000)
+    ]
+    real = [
+        (20_000, "genuinely unique words apple banana cherry date elderberry fig"),
+        (20_001, "genuinely unique words apple banana cherry date elderberry fig"),
+    ]
+    docs = spark.createDataFrame(crowd + real, "doc_id: long, text: string")
+    sh = T.explode_shingles(docs, "doc_id", "text", k=3, distinct=False)
+    sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
+    pairs = D.lsh_candidate_pairs(
+        sigs, n_hashes=_N_HASHES, bands=_BANDS, max_bucket=_LSH_MAX_BUCKET
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(20_000, 20_001)}
