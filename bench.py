@@ -76,6 +76,35 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Round-over-round regression guard: compare per-query wall time
+    # against the checked-in driver-box baseline (BENCH_BASELINE.json,
+    # refreshed each round from the driver's BENCH_r{N}.json). Report
+    # goes to STDERR — stdout stays the one JSON line the driver parses.
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+    )
+    if os.path.exists(baseline_path) and abs(sf - 0.1) < 1e-9:
+        with open(baseline_path) as fh:
+            base = json.load(fh).get("queries", {})
+        regressions = {
+            n: (base[n], timings[n])
+            for n in timings
+            if n in base and base[n] > 0 and timings[n] > 1.3 * base[n]
+        }
+        if regressions:
+            for n, (b, now) in sorted(regressions.items()):
+                print(
+                    f"REGRESSION {n}: {now:.2f}s vs baseline {b:.2f}s "
+                    f"({now / b:.2f}x)",
+                    file=sys.stderr,
+                )
+        else:
+            print(
+                f"no >1.3x per-query regressions vs baseline ({len(base)} tracked)",
+                file=sys.stderr,
+            )
+
     print(
         json.dumps(
             {

@@ -68,15 +68,19 @@ def chunk_documents(
     """LATERAL-join every document against its chunk windows. Returns
     doc_id + CHUNK_SCHEMA columns; downstream stages treat chunks as
     first-class rows (dedup them, embed them, pack them)."""
+    import uuid
+
     spark = docs.sparkSession
     spark.udtf.register("chunk_text_udtf", make_chunk_udtf())
-    docs.select("doc_id", F.col(text_col).alias("__text")).createOrReplaceTempView(
-        "__chunk_input"
-    )
+    # Per-call unique view name: temp views resolve lazily at
+    # EXECUTION time, so a fixed name would make two interleaved
+    # chunk_documents calls silently read each other's documents.
+    view = f"__chunk_input_{uuid.uuid4().hex}"
+    docs.select("doc_id", F.col(text_col).alias("__text")).createOrReplaceTempView(view)
     return spark.sql(
         f"""
         SELECT i.doc_id, c.chunk_id, c.start_tok, c.n_tokens, c.chunk
-        FROM __chunk_input i,
+        FROM {view} i,
         LATERAL chunk_text_udtf(i.__text, {int(size)}, {int(overlap)}) c
         """
     )

@@ -272,6 +272,7 @@ def incremental_dedup(
     ledger_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int = 8,
 ) -> DataFrame:
     """Cross-batch exact dedup against a persistent content-hash
     LEDGER: rows whose hash appeared in ANY earlier batch are dropped,
@@ -285,10 +286,28 @@ def incremental_dedup(
     (min-id per hash), and a LEFT ANTI join against the ledger — the
     anti join keys on the 16-byte hash, so at 100 TB the probe is a
     hash-shuffle of the (small) batch against the (large, but
-    hash-bucketed) ledger. The ledger commit is txn-less here; wrap
-    calls with SnapshotTable txn ids when batches can replay
-    (streaming pipelines do exactly that, see
-    streaming/pipelines.upsert_stream_to_snapshot).
+    hash-bucketed) ledger.
+
+    Ledger storage is LOG-STRUCTURED: each batch commits ONLY its new
+    hashes (a ``dedup-ledger-delta`` version — O(batch) write cost,
+    not O(corpus) write amplification), and readers take the union of
+    the last ``dedup-ledger-full`` snapshot plus every delta after it.
+    Once ``compact_every`` deltas accumulate, the call folds them into
+    a fresh full snapshot and vacuums the superseded delta data — the
+    same compaction rhythm an LSM tree or Delta's OPTIMIZE uses, so
+    version count and dead bytes stay bounded.
+
+    NULL text hashes as empty text (``md5(coalesce(text, ''))``), so a
+    null-document per batch can never ride through the anti join
+    forever — the first null/empty doc wins, the rest dedup away.
+
+    The ledger commit is txn-less here; wrap calls with SnapshotTable
+    txn ids when batches can replay (streaming pipelines do exactly
+    that, see streaming/pipelines.upsert_stream_to_snapshot). Exact
+    cross-batch semantics assume one writer at a time (concurrent
+    batches cannot see each other's in-flight hashes — serialize
+    ingest or accept per-pair duplicates between exactly-concurrent
+    batches).
 
     Returns the surviving (new-content) rows of ``batch``.
     """
@@ -298,7 +317,7 @@ def incremental_dedup(
     ledger = SnapshotTable(ledger_path)
 
     hashed = batch.withColumn(
-        "__h", F.md5(F.col(text_col).cast("binary"))
+        "__h", F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
     )
     w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
     batch_first = (
@@ -306,18 +325,36 @@ def incremental_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    if ledger.latest_version() is not None:
-        seen = ledger.read(spark)
+
+    # Resolve the live ledger: last full snapshot + all deltas after it.
+    snaps = ledger.history()
+    start = 0
+    for i, s in enumerate(snaps):
+        if s.operation == "dedup-ledger-full":
+            start = i
+    live = snaps[start:]
+    seen = None
+    for s in live:
+        part = ledger.read(spark, version=s.version)
+        seen = part if seen is None else seen.unionByName(part)
+
+    if seen is not None:
         fresh = batch_first.join(
             seen.select(F.col("content_hash").alias("__h")), "__h", "left_anti"
         )
     else:
         fresh = batch_first
 
-    new_hashes = fresh.select(F.col("__h").alias("content_hash"))
-    if ledger.latest_version() is not None:
-        merged = ledger.read(spark).unionByName(new_hashes).distinct()
+    new_hashes = fresh.select(F.col("__h").alias("content_hash")).distinct()
+    n_deltas = sum(1 for s in live if s.operation == "dedup-ledger-delta")
+    if seen is not None and n_deltas + 1 >= compact_every:
+        # Fold: one full snapshot replaces the delta chain, then
+        # reclaim the superseded versions' bytes.
+        ledger.write_snapshot(
+            seen.unionByName(new_hashes).distinct(),
+            operation="dedup-ledger-full",
+        )
+        ledger.vacuum(keep_last=1)
     else:
-        merged = new_hashes.distinct()
-    ledger.write_snapshot(merged, operation="dedup-ledger")
+        ledger.write_snapshot(new_hashes, operation="dedup-ledger-delta")
     return fresh.drop("__h")

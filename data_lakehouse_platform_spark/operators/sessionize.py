@@ -3,8 +3,10 @@
 One shuffle by user key, two window passes over the same sort order
 (Catalyst fuses them into a single Window exec): lag → gap flag →
 running-sum session index → grouped session rollup. Scales linearly;
-the only skew risk is a single hyperactive user, handled by AQE skew
-splitting on the final groupBy.
+the skew risk — a single hyperactive user funneling its whole history
+through one window task — is eliminated by :func:`sessionize_salted`,
+which chunks the timeline so window partitions are bounded and
+stitches chunk boundaries exactly.
 
 Reference analog: per-order event accumulation in Redis with a TTL
 window (order_details_consumer.py:33-71) — here the "session" close is
@@ -48,4 +50,111 @@ def sessionize(
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
         undec(F.sum(dec(value_col))).alias("total_value"),
+    )
+
+
+def sessionize_salted(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    gap_minutes: int = 30,
+    value_col: str = "value",
+    chunk_minutes: int = 24 * 60,
+) -> DataFrame:
+    """Exact sessionization with BOUNDED window partitions — the
+    hot-key-safe twin of :func:`sessionize`.
+
+    ``sessionize`` partitions its window by user alone, so one
+    hyperactive user (a bot, a load tester) funnels its entire history
+    through a single sort task. Here the expensive window partitions
+    by ``(user, time-chunk)`` — no task ever sorts more than one
+    chunk's worth of one user — and a per-chunk metadata pass (one row
+    per (user, chunk), ~events/chunk_size rows total) stitches the
+    chunks back into exact global sessions:
+
+    1. within each (user, chunk): lag → gap flags → running count,
+       the chunk's first event tentatively flagged as a session start;
+    2. per-chunk rollup (first/last ts, tentative start count) + a lag
+       over the user's CHUNK LIST decides whether each chunk's first
+       event really starts a session (gap from the previous chunk's
+       last event) — time-ordered chunk ids make "previous chunk"
+       well-defined even across empty chunks;
+    3. running sum over the chunk list gives each chunk its session-
+       index offset; events re-join their chunk's correction on the
+       same (user, chunk) key (co-partitioned — no extra shuffle) and
+       the final rollup is an ordinary partial-aggregatable groupBy.
+
+    Results are bit-identical to :func:`sessionize` (tested, including
+    sessions spanning chunk boundaries). Cost: one extra tiny shuffle
+    of the per-chunk metadata. Worst case is all of a user's events
+    inside ONE chunk width — pick ``chunk_minutes`` so a chunk of the
+    hottest conceivable key fits a task (a day of 10 Hz events is
+    ~1M rows; an hour ~36K).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    chunk_us = chunk_minutes * 60 * 1_000_000
+
+    base = df.select(
+        user_col,
+        order_col,
+        ts_col,
+        value_col,
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(chunk_us)).alias("__chunk"),
+    )
+    w = Window.partitionBy(user_col, "__chunk").orderBy(ts_col, order_col)
+    prev_ts = F.lag(ts_col).over(w)
+    flag = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us),
+        1,
+    ).otherwise(0)
+    ev = base.withColumn("__flag", flag).withColumn(
+        "__local_run",
+        F.sum("__flag").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    meta = ev.groupBy(user_col, "__chunk").agg(
+        F.min(ts_col).alias("__first_ts"),
+        F.max(ts_col).alias("__last_ts"),
+        F.sum("__flag").alias("__tentative"),
+    )
+    w_meta = Window.partitionBy(user_col).orderBy("__chunk")
+    prev_last = F.lag("__last_ts").over(w_meta)
+    bnew = F.when(
+        prev_last.isNull()
+        | (
+            (F.unix_micros(F.col("__first_ts")) - F.unix_micros(prev_last))
+            > gap_us
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    meta = meta.withColumn("__bnew", bnew).withColumn(
+        "__corrected", F.col("__tentative") - 1 + F.col("__bnew")
+    )
+    meta = meta.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__corrected").over(
+                w_meta.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(user_col, "__chunk", "__bnew", "__offset")
+
+    joined = ev.join(meta, [user_col, "__chunk"])
+    session_idx = (
+        F.col("__offset") + F.col("__local_run") - 1 + F.col("__bnew")
+    ).alias("session_idx")
+    return (
+        joined.select(user_col, ts_col, value_col, session_idx)
+        .groupBy(user_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            undec(F.sum(dec(value_col))).alias("total_value"),
+        )
     )

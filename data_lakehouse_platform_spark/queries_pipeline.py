@@ -381,16 +381,18 @@ GROUP BY user_id, session_idx
     "sessionize_events",
     _SESSION_ORACLE,
     "Gap-based sessionization (30-min inactivity): lag → gap flag → "
-    "running sum = session id, in ONE shuffle by user. Reference analog: "
-    "Redis per-order session accumulation with TTL "
+    "running sum = session id. Production path is the hot-key-safe "
+    "salted variant — windows partition by (user, day-chunk) with exact "
+    "boundary stitching, so one hyperactive user can never wall a task. "
+    "Reference analog: Redis per-order session accumulation with TTL "
     "(order_details_consumer.py:33-71). Streaming twin: "
     "streaming/order_tracker.py (applyInPandasWithState).",
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_lakehouse_platform_spark.operators.sessionize import sessionize
+    from data_lakehouse_platform_spark.operators.sessionize import sessionize_salted
 
     ev = _t(spark, sf_dir, "events")
-    return sessionize(
+    return sessionize_salted(
         ev, user_col="user_id", ts_col="ts", order_col="event_id", gap_minutes=30
     )
 

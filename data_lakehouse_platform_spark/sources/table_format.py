@@ -13,10 +13,12 @@ Delta isn't in this container, so this module provides the same
   and read only the referenced directory — a reader never sees a
   half-written version because the manifest is created last,
   atomically (O_EXCL — the commit point);
-* version slots are claimed with O_EXCL creation, so two concurrent
-  writers can never clobber each other: the loser's commit retries
-  onto the next slot (Delta's optimistic concurrency), its data dir
-  untouched because dir names are uuid-decoupled from versions;
+* version slots are claimed with O_EXCL creation, so history is never
+  overwritten: a concurrent APPEND that loses the race retries onto
+  the next slot, while a READ-MODIFY-WRITE commit (upsert, optimize)
+  that loses raises :class:`ConcurrentModificationError` and is
+  recomputed against the new latest snapshot — Delta's optimistic
+  concurrency, including its conflicting-MERGE abort;
 * rollback commits a NEW manifest referencing an OLD data directory —
   O(1), no data copied, full history preserved (Delta's RESTORE);
 * vacuum deletes data directories no live manifest references
@@ -40,6 +42,16 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentModificationError(RuntimeError):
+    """A read-modify-write commit (upsert/optimize/ledger merge) found
+    that another writer advanced the table past the snapshot the merge
+    was computed from. Retrying the commit blindly would publish a
+    stale merge and silently drop the other writer's rows — the same
+    condition Delta surfaces as ConcurrentModificationException on a
+    conflicting MERGE. Callers re-read and re-merge (upsert does this
+    automatically) or give up."""
 
 
 @dataclass(frozen=True)
@@ -96,14 +108,23 @@ class SnapshotTable:
         operation: str,
         row_count: int,
         txn_id: str | None = None,
+        exact_version: bool = False,
     ) -> int:
         """Atomically claim a version slot (Delta-style optimistic
         concurrency). The manifest is created with O_EXCL, so exactly
-        one writer can ever own ``N.json``; a concurrent committer that
-        finds the slot taken moves to the next version instead of
-        clobbering history. Data directories are immutable and
-        uniquely named, so retrying the commit never rewrites data.
-        Returns the version actually committed."""
+        one writer can ever own ``N.json``: history is never
+        overwritten. For blind APPENDS a concurrent committer that
+        finds the slot taken simply moves to the next version (its
+        rows don't depend on what it read). For READ-MODIFY-WRITE
+        commits the caller passes ``exact_version=True`` — the merge
+        was computed against version-1, so landing anywhere later
+        would publish a stale merge that drops the intervening
+        writer's rows; instead the slot loss raises
+        :class:`ConcurrentModificationError` and the caller re-reads
+        and re-merges (Delta's conflicting-MERGE abort). Data
+        directories are immutable and uniquely named, so retrying a
+        commit never rewrites data. Returns the version actually
+        committed."""
         os.makedirs(self.log_dir, exist_ok=True)
         while True:
             manifest = {
@@ -126,6 +147,12 @@ class SnapshotTable:
                     for s in self.history():
                         if s.txn_id == txn_id:
                             return s.version
+                if exact_version:
+                    raise ConcurrentModificationError(
+                        f"version {version} was committed by another writer "
+                        f"while this merge was computed against version "
+                        f"{version - 1}; re-read and re-merge"
+                    )
                 version += 1
                 continue
             with os.fdopen(fd, "w") as fh:
@@ -154,6 +181,7 @@ class SnapshotTable:
         operation: str = "write",
         txn_id: str | None = None,
         partition_by: list[str] | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Commit `df` as the next version. Returns the new version.
 
@@ -167,12 +195,21 @@ class SnapshotTable:
         Delta's partitioned-table layout per version. Different
         versions may use different partition specs (each version is a
         self-contained directory), which is partition-spec evolution
-        for free."""
+        for free.
+
+        With ``base_version``: declares the commit a READ-MODIFY-WRITE
+        derived from that snapshot — it must land at exactly
+        ``base_version + 1`` or raise
+        :class:`ConcurrentModificationError` (never silently publish a
+        merge computed against a superseded snapshot)."""
         if txn_id is not None:
             for s in self.history():
                 if s.txn_id == txn_id:
                     return s.version
-        next_v = (self.latest_version() or 0) + 1 if self._versions() else 1
+        if base_version is not None:
+            next_v = base_version + 1
+        else:
+            next_v = (self.latest_version() or 0) + 1 if self._versions() else 1
         rel_dir = self._new_data_dir(next_v)
         out = os.path.join(self.data_root, rel_dir)
         writer = df.write.mode("errorifexists")
@@ -180,7 +217,14 @@ class SnapshotTable:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
         n = df.sparkSession.read.parquet(out).count()
-        return self._commit(next_v, rel_dir, operation, n, txn_id=txn_id)
+        return self._commit(
+            next_v,
+            rel_dir,
+            operation,
+            n,
+            txn_id=txn_id,
+            exact_version=base_version is not None,
+        )
 
     def read(
         self,
@@ -290,42 +334,84 @@ class SnapshotTable:
         Physically one anti join of old-vs-new keys + a union — the
         join keys co-partition, so at scale this is one shuffle of each
         side (or a broadcast when the upsert batch is small; AQE picks).
-        Reference analog: gold SCD merges (gold_dim_products.py:66-131)
-        run DeltaTable.merge for the same effect.
+        Key matching is null-safe (``<=>``): a null-keyed row in ``df``
+        REPLACES the null-keyed row in the table instead of silently
+        duplicating it. A column present on both sides with a different
+        type raises (no silent Spark coercion).
+
+        Concurrency: the merge is computed against the latest snapshot
+        and committed with ``base_version`` pinning — if another
+        writer lands first, the stale merge is thrown away and
+        recomputed against the new latest (bounded retries), so a
+        concurrent writer's rows can never silently vanish. Reference
+        analog: gold SCD merges (gold_dim_products.py:66-131) run
+        DeltaTable.merge, which aborts conflicting merges the same way.
         """
         if txn_id is not None:
             for s in self.history():
                 if s.txn_id == txn_id:
                     return s.version
-        if self.latest_version() is None:
-            return self.write_snapshot(df, operation="upsert", txn_id=txn_id)
-        old = self.read(df.sparkSession)
-        old_cols, new_cols = set(old.columns), set(df.columns)
-        extra = sorted(new_cols - old_cols)
-        if extra and not evolve_schema:
-            raise ValueError(
-                f"upsert adds columns {extra}; pass evolve_schema=True to allow"
+        for _attempt in range(5):
+            base = self.latest_version()
+            if base is None:
+                return self.write_snapshot(df, operation="upsert", txn_id=txn_id)
+            old = self.read(df.sparkSession, version=base)
+            old_cols, new_cols = set(old.columns), set(df.columns)
+            extra = sorted(new_cols - old_cols)
+            if extra and not evolve_schema:
+                raise ValueError(
+                    f"upsert adds columns {extra}; pass evolve_schema=True to allow"
+                )
+            new_types = dict(df.dtypes)
+            old_types = dict(old.dtypes)
+            mismatched = {
+                c: (old_types[c], new_types[c])
+                for c in sorted(old_cols & new_cols)
+                if old_types[c] != new_types[c]
+            }
+            if mismatched:
+                raise ValueError(
+                    "upsert column types disagree with the table (cast the "
+                    f"batch explicitly): {mismatched}"
+                )
+            # Align both sides to the union schema (old's order, then
+            # new's additions) with typed NULLs for the missing columns.
+            target = list(old.columns) + [c for c in df.columns if c not in old_cols]
+            o = old.select(
+                *[
+                    F.col(c)
+                    if c in old_cols
+                    else F.lit(None).cast(new_types[c]).alias(c)
+                    for c in target
+                ]
             )
-        # Align both sides to the union schema (old's order, then new's
-        # additions) with typed NULLs for the missing columns.
-        target = list(old.columns) + [c for c in df.columns if c not in old_cols]
-        new_types = dict(df.dtypes)
-        old_types = dict(old.dtypes)
-        o = old.select(
-            *[
-                F.col(c) if c in old_cols else F.lit(None).cast(new_types[c]).alias(c)
-                for c in target
-            ]
+            n = df.select(
+                *[
+                    F.col(c)
+                    if c in new_cols
+                    else F.lit(None).cast(old_types[c]).alias(c)
+                    for c in target
+                ]
+            )
+            keys = n.select(
+                *[F.col(k).alias(f"__k_{k}") for k in key_cols]
+            ).distinct()
+            anti_cond = None
+            for k in key_cols:
+                t = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+                anti_cond = t if anti_cond is None else anti_cond & t
+            survivors = o.join(keys, anti_cond, "left_anti")
+            merged = survivors.unionByName(n)
+            try:
+                return self.write_snapshot(
+                    merged, operation="upsert", txn_id=txn_id, base_version=base
+                )
+            except ConcurrentModificationError:
+                continue  # another writer landed — re-read, re-merge
+        raise ConcurrentModificationError(
+            f"upsert at {self.path} lost the commit race 5 times; "
+            "writer contention too high"
         )
-        n = df.select(
-            *[
-                F.col(c) if c in new_cols else F.lit(None).cast(old_types[c]).alias(c)
-                for c in target
-            ]
-        )
-        survivors = o.join(n.select(*key_cols).distinct(), on=key_cols, how="left_anti")
-        merged = survivors.unionByName(n)
-        return self.write_snapshot(merged, operation="upsert", txn_id=txn_id)
 
     # -- bloom-filter point-lookup index --------------------------------
 
@@ -399,6 +485,13 @@ class SnapshotTable:
         # probing in the tiny window between the two sees the documented
         # fail-loud FileNotFoundError, never wrong results.
         final_v = self._commit(next_v, rel_dir, operation, n, txn_id=txn_id)
+        if self._manifest(final_v).data_dir != rel_dir:
+            # txn replay: the slot check matched an EXISTING commit for
+            # this txn_id, whose manifest points at the original data
+            # dir — our freshly written dir is an orphan (vacuum will
+            # reclaim it). Writing a sidecar keyed to our orphan's file
+            # names would destroy the committed version's valid index.
+            return final_v
         os.makedirs(self.log_dir, exist_ok=True)
         with open(os.path.join(self.log_dir, f"bloom-{final_v}.json"), "w") as fh:
             json.dump(
@@ -455,7 +548,11 @@ class SnapshotTable:
         if v is None:
             raise FileNotFoundError(f"no snapshots at {self.path}")
         df = self.read(spark, v).coalesce(target_files)
-        return self.write_snapshot(df, operation=f"optimize(from={v})")
+        # Read-modify-write: pin to the version we compacted so a
+        # concurrent writer's commit is never shadowed by stale data.
+        return self.write_snapshot(
+            df, operation=f"optimize(from={v})", base_version=v
+        )
 
     def rollback(self, to_version: int) -> int:
         """RESTORE: commit a new version whose data is an old version's

@@ -157,3 +157,22 @@ def test_udtf_chunker_windows_and_reconstruction(spark):
         rebuilt.join(norm, "doc_id").where(F.col("rebuilt") != F.col("norm")).count()
         == 0
     )
+
+
+def test_chunk_documents_interleaved_calls_do_not_clobber(spark):
+    """Two chunk_documents calls whose execution interleaves (both
+    built lazily, executed after both are constructed) must each read
+    their OWN documents — a fixed temp-view name used to make the
+    earlier DataFrame silently chunk the later call's input."""
+    from data_lakehouse_platform_spark.operators.chunking import chunk_documents
+
+    a = spark.createDataFrame([(1, "alpha " * 8)], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "beta " * 8)], "doc_id long, text string")
+    ca = chunk_documents(a, size=4, overlap=0)  # lazy
+    cb = chunk_documents(b, size=4, overlap=0)  # lazy — second view registered
+    rows_a = ca.collect()  # executes AFTER cb's registration
+    rows_b = cb.collect()
+    assert {r.doc_id for r in rows_a} == {1}
+    assert all("alpha" in r.chunk for r in rows_a)
+    assert {r.doc_id for r in rows_b} == {2}
+    assert all("beta" in r.chunk for r in rows_b)

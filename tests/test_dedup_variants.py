@@ -150,9 +150,61 @@ def test_incremental_dedup_ledger_spans_batches(spark, tmp_path):
 
     t = SnapshotTable(ledger)
     assert t.latest_version() == 2  # one ledger commit per batch
-    assert t.read(spark).count() == 3  # alpha, beta, gamma
-    # empty batch: nothing survives, ledger grows by an identical commit
+    # Log-structured: each version holds only ITS batch's new hashes
+    # (O(batch) write cost, not an O(corpus) rewrite per batch)...
+    assert t.read(spark, version=2).count() == 1  # just gamma
+    # ...and the live ledger is the union across versions.
+    total = sum(t.read(spark, version=v).count() for v in (1, 2))
+    assert total == 3  # alpha, beta, gamma
+    # empty batch: nothing survives, ledger grows by an empty delta
     out3 = incremental_dedup(
         spark.createDataFrame([], "doc_id long, text string"), ledger
     )
-    assert out3.count() == 0 and t.read(spark).count() == 3
+    assert out3.count() == 0 and t.read(spark).count() == 0
+    # and the union-ledger still blocks everything already seen
+    out4 = incremental_dedup(
+        spark.createDataFrame([(99, "beta text")], "doc_id long, text string"), ledger
+    )
+    assert out4.count() == 0
+
+
+def test_incremental_dedup_null_text_does_not_leak(spark, tmp_path):
+    """md5(NULL) is NULL and a left-anti join never matches NULL keys,
+    so null-text rows used to ride through dedup forever. They now
+    hash as empty text: the first one wins, every later one dedups."""
+    from data_lakehouse_platform_spark.operators.dedup import incremental_dedup
+
+    ledger = str(tmp_path / "ledger")
+    b1 = spark.createDataFrame([(1, None), (2, None)], "doc_id long, text string")
+    out1 = incremental_dedup(b1, ledger)
+    assert [r["doc_id"] for r in out1.collect()] == [1]  # first null wins
+    b2 = spark.createDataFrame([(3, None), (4, "")], "doc_id long, text string")
+    out2 = incremental_dedup(b2, ledger)
+    # null ≡ '' under the sentinel; both were seen in batch 1
+    assert out2.count() == 0
+
+
+def test_incremental_dedup_compaction_bounds_versions(spark, tmp_path):
+    """After compact_every deltas the ledger folds into one full
+    snapshot and vacuums the chain — version count and dead bytes stay
+    bounded under continuous ingest, and dedup stays exact across the
+    fold."""
+    from data_lakehouse_platform_spark.operators.dedup import incremental_dedup
+    from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
+
+    ledger = str(tmp_path / "ledger")
+    for i in range(7):
+        incremental_dedup(
+            spark.createDataFrame([(i, f"doc {i}")], "doc_id long, text string"),
+            ledger,
+            compact_every=3,
+        )
+    t = SnapshotTable(ledger)
+    ops = [s.operation for s in t.history()]
+    assert "dedup-ledger-full" in ops  # a fold happened
+    assert len(ops) <= 4  # vacuum reclaimed the superseded chain
+    # exactness across the fold: everything ever seen still blocks
+    replay = spark.createDataFrame(
+        [(100 + i, f"doc {i}") for i in range(7)], "doc_id long, text string"
+    )
+    assert incremental_dedup(replay, ledger, compact_every=3).count() == 0

@@ -350,3 +350,114 @@ def test_partitioned_snapshot_prunes_partitions(spark, tmp_path):
     assert touched2 and all("o_orderstatus=F" in f for f in touched2)
     # v1 still reads with its own layout
     assert t.read(spark, v1).count() == orders.count()
+
+
+def test_read_modify_write_conflict_raises_not_clobbers(spark, tmp_path):
+    """A merge committed with base_version pinning must land at
+    base+1; if another writer took the slot first, the stale merge
+    raises ConcurrentModificationError instead of silently publishing
+    onto a later slot and dropping the intervening writer's rows."""
+    from data_lakehouse_platform_spark.sources.table_format import (
+        ConcurrentModificationError,
+    )
+    import pytest as _pytest
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    base = t.write_snapshot(_df(spark, ["a"]))  # v1
+    # Another writer lands v2 while our merge (computed against v1) is
+    # in flight.
+    t.write_snapshot(_df(spark, ["a", "b"]), operation="foreign-append")
+    with _pytest.raises(ConcurrentModificationError):
+        t.write_snapshot(_df(spark, ["stale-merge"]), base_version=base)
+    # History untouched: the foreign append is still the latest.
+    assert t.history()[-1].operation == "foreign-append"
+
+
+def test_upsert_remerges_after_concurrent_writer(spark, tmp_path):
+    """upsert recomputes its merge when a concurrent writer lands
+    between its read and its commit — the concurrent writer's rows
+    survive in the final snapshot (Delta's conflicting-MERGE abort +
+    retry), instead of silently vanishing under a stale merge."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.write_snapshot(
+        spark.createDataFrame([(1, "one"), (2, "two")], "id int, val string")
+    )
+
+    # Simulate the race: the first time upsert reads the table, sneak
+    # in a competing append (id=3) AFTER the read, so upsert's first
+    # commit attempt is computed against a superseded snapshot.
+    original_read = SnapshotTable.read
+    state = {"raced": False}
+
+    def racing_read(self, s, version=None, as_of_ts=None):
+        out = original_read(self, s, version=version, as_of_ts=as_of_ts)
+        if not state["raced"]:
+            state["raced"] = True
+            original_read_df = out.localCheckpoint()  # pin pre-race data
+            t.write_snapshot(
+                spark.createDataFrame(
+                    [(1, "one"), (2, "two"), (3, "three")], "id int, val string"
+                ),
+                operation="concurrent-append",
+            )
+            return original_read_df
+        return out
+
+    SnapshotTable.read = racing_read
+    try:
+        t.upsert(
+            spark.createDataFrame([(2, "TWO")], "id int, val string"),
+            key_cols=["id"],
+        )
+    finally:
+        SnapshotTable.read = original_read
+
+    rows = {(r.id, r.val) for r in t.read(spark).collect()}
+    # id=3 from the concurrent writer MUST survive; id=2 updated.
+    assert rows == {(1, "one"), (2, "TWO"), (3, "three")}
+
+
+def test_upsert_null_key_replaces_not_duplicates(spark, tmp_path):
+    """Null-safe key matching: a null-keyed upsert row replaces the
+    existing null-keyed row instead of duplicating it."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.write_snapshot(
+        spark.createDataFrame([(None, "old-null"), (1, "one")], "id int, val string")
+    )
+    t.upsert(
+        spark.createDataFrame([(None, "new-null")], "id int, val string"),
+        key_cols=["id"],
+    )
+    rows = {(r.id, r.val) for r in t.read(spark).collect()}
+    assert rows == {(None, "new-null"), (1, "one")}
+
+
+def test_upsert_type_mismatch_raises(spark, tmp_path):
+    """A shared column with a different type raises loudly instead of
+    passing through to unionByName / silent coercion."""
+    import pytest as _pytest
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.write_snapshot(spark.createDataFrame([(1, "one")], "id int, val string"))
+    with _pytest.raises(ValueError, match="types disagree"):
+        t.upsert(
+            spark.createDataFrame([(1, 999)], "id int, val bigint"),
+            key_cols=["id"],
+        )
+
+
+def test_bloom_sidecar_not_clobbered_by_txn_replay(spark, tmp_path):
+    """Replaying a bloom write with the same txn_id must NOT overwrite
+    the committed version's sidecar with file names from the replay's
+    orphan data directory — point lookups keep working."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.createDataFrame([(i, f"k{i}") for i in range(64)], "id int, key string")
+    v1 = t.write_snapshot_bloom(df, "key", n_files=4, txn_id="batch-7")
+    before = t.read_point_lookup(spark, "k13", version=v1).collect()
+    assert [r.id for r in before] == [13]
+
+    # Replay the same transaction (at-least-once delivery).
+    v2 = t.write_snapshot_bloom(df, "key", n_files=4, txn_id="batch-7")
+    assert v2 == v1  # idempotent commit
+    after = t.read_point_lookup(spark, "k13", version=v1).collect()
+    assert [r.id for r in after] == [13]  # sidecar still valid
