@@ -272,3 +272,82 @@ def test_rwav_frame_sampling(spark):
     for fid, start, n, rms in frames:
         w = f64[start : start + 1024]
         assert rms == float(np.sqrt((w * w).mean()))
+
+
+def test_rvid_roundtrip_and_features(spark):
+    """RVID videos are genuinely decoded: whole-video features match
+    numpy computed locally on the same frame arrays, bit for bit, and
+    corrupt payloads fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from data_lakehouse_platform_spark.operators.multimodal import (
+        decode_rvid,
+        encode_rvid,
+        video_features,
+    )
+
+    rng = np.random.default_rng(7)
+    vids = {
+        1: rng.integers(0, 256, size=(9, 6, 8), dtype=np.uint8),
+        2: np.zeros((1, 4, 4), dtype=np.uint8),  # single black frame
+    }
+    fps, vb = decode_rvid(encode_rvid(vids[1], fps=12.5))
+    assert fps == 12.5 and np.array_equal(vb, vids[1])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_rvid(encode_rvid(vids[1])[:-3])
+
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_rvid(a, fps=10.0))) for i, a in vids.items()],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in video_features(df).collect()}
+    for i, a in vids.items():
+        f = a.astype(np.float64)
+        assert got[i]["n_frames"] == a.shape[0]
+        assert got[i]["width"] == a.shape[2] and got[i]["height"] == a.shape[1]
+        assert got[i]["mean_brightness"] == f.mean()
+        want_motion = (
+            float(np.abs(np.diff(f, axis=0)).mean()) if a.shape[0] > 1 else 0.0
+        )
+        assert got[i]["motion_energy"] == want_motion
+        assert got[i]["duration_s"] == a.shape[0] / 10.0
+
+
+def test_rvid_frame_sampling_composes_with_image_kernels(spark):
+    """Frame sampling keeps every k-th frame with exact timestamps and
+    emits RGRAY payloads that flow straight into the image kernels —
+    video → sampled frames → gray_features is one composed pipeline."""
+    import numpy as np
+
+    from data_lakehouse_platform_spark.operators.multimodal import (
+        decode_rgray,
+        encode_rvid,
+        gray_features,
+        sample_rvid_frames,
+    )
+    from pyspark.sql import functions as F
+
+    frames = np.stack(
+        [np.full((4, 6), 10 * i, dtype=np.uint8) for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        [(5, bytearray(encode_rvid(frames, fps=5.0)))],
+        "media_id long, payload binary",
+    )
+    sampled = sample_rvid_frames(df, every_k=3).collect()
+    assert [r["frame_id"] for r in sampled] == [0, 3, 6, 9]
+    assert [r["t_offset_s"] for r in sampled] == [0.0, 0.6, 1.2, 1.8]
+    # each payload is a decodable RGRAY of the right frame
+    for r in sampled:
+        img = decode_rgray(bytes(r["payload"]))
+        assert np.array_equal(img, frames[r["frame_id"]])
+
+    # compose: sampled frames (keyed by frame_id as media_id) feed the
+    # image feature kernel unchanged
+    as_media = sample_rvid_frames(df, every_k=3).select(
+        F.col("frame_id").cast("long").alias("media_id"), "payload"
+    )
+    feats = {r["media_id"]: r for r in gray_features(as_media).collect()}
+    for fid in (0, 3, 6, 9):
+        assert feats[fid]["mean_brightness"] == float(10 * fid)
