@@ -17,6 +17,11 @@ sort-merge join — regardless of time-range density, so it holds at
 realtime "latest state for this key" correlation done in Redis
 (scripts/real-time/orders_consumer.py:38-56), re-expressed as a
 declarative distributed plan.
+
+Skew: the union-sort window partitions by key, so one hyperactive key
+funnels its history through one sort task; :func:`asof_join_salted`
+is the exact hot-key-safe twin ((key, time-chunk) windows + boundary
+carry injection), at the cost of two extra metadata-scale passes.
 """
 
 from __future__ import annotations
@@ -235,3 +240,212 @@ def asof_join_nearest(
             for c in value_cols
         ],
     )
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: int | None = None,
+    chunk: int = 24 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Hot-key-safe twin of :func:`asof_join` — identical results, but
+    the expensive union-sort window partitions by ``(by, time-chunk)``
+    instead of ``by`` alone, so one hyperactive key can never funnel
+    its entire history through a single sort task.
+
+    Chunk stitching (the same boundary-metadata pattern as
+    ``sessionize_salted``): a left row earlier than every right row in
+    its chunk must inherit the nearest right row from a PREVIOUS chunk
+    (next chunk, under ``direction="forward"``). That carry is
+    computed on per-chunk metadata — the boundary-nearest right row of
+    each (key, chunk), one row per chunk — with a tiny as-of pass of
+    the same union-sort shape partitioned by key (bounded: chunks per
+    key, not rows per key). Carries are then INJECTED into the
+    union as synthetic right rows carrying their true timestamps:
+    within-chunk sorting places them before (after, forward) all real
+    rows of the chunk, so the one partitioned window sees exactly the
+    state a global sort would have seen. Tolerance gating rides the
+    carried true timestamp unchanged.
+
+    ``chunk`` is in the time column's exact integer units (micros for
+    timestamps) — size it so the hottest key's densest chunk fits a
+    task, same contract as ``sessionize_salted``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in {*by_cols, on}]
+    carried = [f"{c}{suffix}" for c in value_cols]
+    left_cols = list(left.columns)
+    on_type = right.schema[on].dataType
+    r_on = f"{on}{suffix}"
+    is_ts = on_type.typeName().startswith("timestamp")
+
+    def _axis(col):
+        c = F.col(col) if isinstance(col, str) else col
+        return F.unix_micros(c) if is_ts else c.cast("long")
+
+    chunk_of = F.floor(_axis(on) / F.lit(int(chunk)))
+
+    # ---- per-chunk boundary metadata from the RIGHT side ----
+    # The main window carries EACH value column independently with
+    # last(ignorenulls), so the boundary state of a chunk is the
+    # per-column last non-null value (first, under forward) plus the
+    # chunk's boundary timestamp — NOT simply its boundary row (whose
+    # null columns would wrongly mask older non-null values).
+    w_full = (
+        Window.partitionBy(*by_cols, "__chunk")
+        .orderBy(F.col(on).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    if direction == "backward":
+        col_state = [
+            F.last(c, ignorenulls=True).over(w_full).alias(c) for c in value_cols
+        ]
+        on_state = F.max(on).over(w_full).alias(on)
+    else:
+        col_state = [
+            F.first(c, ignorenulls=True).over(w_full).alias(c) for c in value_cols
+        ]
+        on_state = F.min(on).over(w_full).alias(on)
+    wb = Window.partitionBy(*by_cols, "__chunk").orderBy(F.col(on).asc())
+    r_chunked = right.withColumn("__chunk", chunk_of)
+    chunk_last = (
+        r_chunked.select(
+            *by_cols,
+            "__chunk",
+            on_state,
+            *col_state,
+            F.row_number().over(wb).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # ---- carry per LEFT chunk: nearest boundary row from a strictly
+    # earlier (later, forward) chunk — a metadata-scale as-of on chunk
+    # ids, partitioned by key only (rows here are one-per-chunk).
+    l_chunks = (
+        left.withColumn("__chunk", chunk_of).select(*by_cols, "__chunk").distinct()
+    )
+    m_l = l_chunks.select(
+        *by_cols,
+        "__chunk",
+        F.lit(None).cast(on_type).alias("__m_on"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__m_{c}") for c in value_cols],
+        F.lit(1).alias("__mside"),
+    )
+    m_r = chunk_last.select(
+        *by_cols,
+        "__chunk",
+        F.col(on).alias("__m_on"),
+        *[F.col(c).alias(f"__m_{c}") for c in value_cols],
+        F.lit(0).alias("__mside"),
+    )
+    # Strictly-earlier-chunk carry: order by chunk with the LEFT marker
+    # first among equal chunks (backward), so a chunk's own boundary
+    # row is never its carry — in-chunk rows are handled by the main
+    # window. Forward mirrors.
+    if direction == "backward":
+        m_order = [F.col("__chunk").asc(), F.col("__mside").desc()]
+    else:
+        m_order = [F.col("__chunk").desc(), F.col("__mside").desc()]
+    wm = (
+        Window.partitionBy(*by_cols)
+        .orderBy(*m_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        m_l.unionByName(m_r)
+        .select(
+            *by_cols,
+            "__chunk",
+            "__mside",
+            F.last("__m_on", ignorenulls=True).over(wm).alias("__c_on"),
+            *[
+                F.last(f"__m_{c}", ignorenulls=True).over(wm).alias(f"__c_{c}")
+                for c in value_cols
+            ],
+        )
+        .filter(F.col("__mside") == 1)
+        .filter(F.col("__c_on").isNotNull())
+        .select(*by_cols, "__chunk", "__c_on", *[f"__c_{c}" for c in value_cols])
+    )
+
+    # ---- main union, with carries injected as synthetic right rows ----
+    l_tagged = left.select(
+        *[F.col(c) for c in left_cols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(a)
+            for c, a in zip(value_cols, carried)
+        ],
+        F.lit(None).cast(on_type).alias(r_on),
+        F.lit(1).alias("__side"),
+    ).withColumn("__chunk", chunk_of)
+    r_main = right.select(
+        *[
+            F.col(c)
+            if c in {*by_cols, on}
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+        ],
+        *[F.col(c).alias(a) for c, a in zip(value_cols, carried)],
+        F.col(on).alias(r_on),
+        F.lit(0).alias("__side"),
+    ).withColumn("__chunk", chunk_of)
+    # synthetic carry rows: true right timestamp in r_on, but chunk =
+    # the LEFT chunk they serve; their `on` is set to the carried time
+    # too — it sorts before (after, forward) every real row of that
+    # chunk because it comes from an earlier (later) chunk.
+    r_carry = carry.select(
+        *[
+            F.col(c)
+            if c in by_cols
+            else (
+                F.col("__c_on").alias(on)
+                if c == on
+                else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            )
+            for c in left_cols
+        ],
+        *[F.col(f"__c_{c}").alias(a) for c, a in zip(value_cols, carried)],
+        F.col("__c_on").alias(r_on),
+        F.lit(0).alias("__side"),
+        F.col("__chunk"),
+    )
+
+    unioned = l_tagged.unionByName(r_main).unionByName(r_carry)
+    on_ordered = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    w = (
+        Window.partitionBy(*by_cols, "__chunk")
+        .orderBy(on_ordered, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *left_cols,
+        *[F.last(a, ignorenulls=True).over(w).alias(a) for a in carried],
+        F.last(r_on, ignorenulls=True).over(w).alias(r_on),
+        "__side",
+    )
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+
+    if tolerance is not None:
+        diff = (
+            (_axis(on) - _axis(r_on))
+            if direction == "backward"
+            else (_axis(r_on) - _axis(on))
+        )
+        ok = F.col(r_on).isNotNull() & (diff <= F.lit(tolerance))
+        return out.select(
+            *left_cols,
+            *[F.when(ok, F.col(a)).alias(a) for a in carried],
+            F.when(ok, F.col(r_on)).alias(r_on),
+        )
+    # match asof_join's default column surface (no r_on unless tolerance)
+    return out.drop(r_on)

@@ -1,0 +1,74 @@
+"""Product-quantization ANN: deterministic codebooks, 32x
+compression, and audited recall against the exact brute-force
+baseline — the acceptance contract for an approximate index."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.operators.pq import (
+    ann_topk_pq,
+    pq_encode,
+    train_pq,
+)
+from data_lakehouse_platform_spark.operators.similarity import ann_topk_bruteforce
+from tests.conftest import SF_DIR_MED
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR_MED}/embeddings.parquet")
+
+
+def test_pq_training_deterministic(spark):
+    emb = _emb(spark)
+    cb1 = train_pq(emb, m=8, k=16, rounds=2)
+    cb2 = train_pq(emb, m=8, k=16, rounds=2)
+    assert cb1 == cb2  # fixed-point means -> bit-identical retrain
+    assert len(cb1) == 8 and all(len(b) == 16 for b in cb1)
+    assert all(len(vec) == 8 for b in cb1 for _, vec in b)
+
+
+def test_pq_encode_codes_bounded_and_complete(spark):
+    emb = _emb(spark)
+    cb = train_pq(emb, m=8, k=16, rounds=1)
+    enc = pq_encode(emb, cb)
+    assert enc.count() == emb.count()
+    bad = enc.where(
+        (F.size("codes") != 8)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 16))
+        | F.col("recon_norm2").isNull()
+    )
+    assert bad.count() == 0
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    """Recall@10 of the 32x-compressed ADC scan against exact cosine.
+    The bar (0.35) is the audited floor for 8x16 codebooks on this
+    synthetic corpus — the point is the measured-recall DISCIPLINE:
+    an index change that silently craters recall fails here."""
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 8)
+    cb = train_pq(emb, m=8, k=16, rounds=2)
+    enc = pq_encode(emb, cb)
+
+    exact = ann_topk_bruteforce(emb, queries, k=10)
+    approx = ann_topk_pq(enc, queries, cb, k=10)
+
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    assert len(a) == len(e) == 8 * 10
+    recall = len(e & a) / len(e)
+    assert recall >= 0.35, f"recall@10 collapsed: {recall:.2f}"
+
+
+def test_pq_scan_is_pure_expression(spark):
+    """The ADC scan plan must contain no Python eval nodes and no
+    cartesian product — the scan side stays JVM-vectorized."""
+    emb = _emb(spark)
+    cb = train_pq(emb, m=4, k=8, rounds=1)
+    enc = pq_encode(emb, cb)
+    plan = ann_topk_pq(
+        enc, emb.where(F.col("vec_id") < 4), cb, k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan  # broadcast NLJ is expected
