@@ -115,6 +115,12 @@ def sessionize_salted(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # Both the metadata branch and the join-back branch consume `ev`;
+    # without this persist the scan + chunk window would evaluate twice
+    # (Spark does not share subtrees across lineage branches).
+    from pyspark import StorageLevel
+
+    ev = ev.persist(StorageLevel.MEMORY_AND_DISK)
 
     meta = ev.groupBy(user_col, "__chunk").agg(
         F.min(ts_col).alias("__first_ts"),

@@ -708,31 +708,53 @@ def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("v"), F.col("o_orderkey")],
         bucket_key=F.col("v"),
         rn_col="rn",
-        n_col="n",
-    ).select("priority", "v", "rn", "n")
+    ).select("priority", "v", "rn")
+    # Group sizes from a cheap base-table agg (NOT from `ranked`), and
+    # both quantile endpoints picked in ONE broadcast join against the
+    # ranked rows — the window stage evaluates once, where the previous
+    # grid-distinct + separate lo/hi joins evaluated it three times
+    # (measured 5.3s -> ~2s at sf0.1).
+    counts = od.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
     ps = spark.range(1).select(
         F.explode(F.array(F.lit(0.25), F.lit(0.75))).alias("p")
     )
-    grid = (
-        ranked.select("priority", "n")
-        .distinct()
-        .crossJoin(F.broadcast(ps))
-        .selectExpr("priority", "n", "p", "CAST(p AS DOUBLE) * (n - 1) AS pos")
+    roles = (
+        counts.crossJoin(F.broadcast(ps))
+        .selectExpr("priority", "p", "CAST(p AS DOUBLE) * (n - 1) AS pos")
+        .select(
+            "priority",
+            "p",
+            "pos",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lo").alias("which"),
+                        (F.floor("pos").cast("bigint") + 1).alias("rn_need"),
+                    ),
+                    F.struct(
+                        F.lit("hi").alias("which"),
+                        (F.ceil("pos").cast("bigint") + 1).alias("rn_need"),
+                    ),
+                )
+            ).alias("r"),
+        )
+        .select(
+            F.col("priority").alias("rp"),
+            "p",
+            "pos",
+            F.col("r.which").alias("which"),
+            F.col("r.rn_need").alias("rn_need"),
+        )
     )
-    lo = ranked.select(
-        F.col("priority").alias("lp"), F.col("rn").alias("rn_lo"), F.col("v").alias("v_lo")
+    sel = ranked.join(
+        F.broadcast(roles),
+        (F.col("priority") == F.col("rp")) & (F.col("rn") == F.col("rn_need")),
     )
-    hi = ranked.select(
-        F.col("priority").alias("hp"), F.col("rn").alias("rn_hi"), F.col("v").alias("v_hi")
-    )
-    lohi = grid.join(
-        lo,
-        (F.col("priority") == F.col("lp"))
-        & (F.col("rn_lo") == F.floor(F.col("pos")).cast("bigint") + 1),
-    ).join(
-        hi,
-        (F.col("priority") == F.col("hp"))
-        & (F.col("rn_hi") == F.ceil(F.col("pos")).cast("bigint") + 1),
+    lohi = sel.groupBy("priority", "p", "pos").agg(
+        F.max(F.when(F.col("which") == "lo", F.col("v"))).alias("v_lo"),
+        F.max(F.when(F.col("which") == "hi", F.col("v"))).alias("v_hi"),
     )
     q = lohi.groupBy("priority").agg(
         F.max(F.expr(f"CASE WHEN p = 0.25 THEN {_IQR_VALUE_EXPR} END")).alias("q1"),

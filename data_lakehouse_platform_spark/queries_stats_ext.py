@@ -1457,34 +1457,51 @@ def percentile_cont_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("v"), F.col("o_orderkey")],
         bucket_key=F.col("v"),
         rn_col="rn",
-        n_col="n",
-    ).select("priority", "v", "rn", "n")
+    ).select("priority", "v", "rn")
+    # Group sizes from a cheap base-table agg, and both interpolation
+    # endpoints for every percentile picked in ONE broadcast join — the
+    # window stage evaluates once instead of three times (grid distinct
+    # + separate lo/hi joins), same rewrite as iqr_outlier_fences.
+    counts = od.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
     ps = spark.range(1).select(
         F.explode(F.array(*[F.lit(float(p)) for p in _PCONT_PS])).alias("p")
     )
-    grid = (
-        ranked.select("priority", "n")
-        .distinct()
-        .crossJoin(F.broadcast(ps))
+    roles = (
+        counts.crossJoin(F.broadcast(ps))
         .selectExpr("priority", "n", "p", "CAST(p AS DOUBLE) * (n - 1) AS pos")
-    )
-    lo = ranked.select(
-        F.col("priority").alias("lp"), F.col("rn").alias("rn_lo"), F.col("v").alias("v_lo")
-    )
-    hi = ranked.select(
-        F.col("priority").alias("hp"), F.col("rn").alias("rn_hi"), F.col("v").alias("v_hi")
-    )
-    lohi = (
-        grid.join(
-            lo,
-            (F.col("priority") == F.col("lp"))
-            & (F.col("rn_lo") == F.floor(F.col("pos")).cast("bigint") + 1),
+        .select(
+            F.col("priority").alias("rp"),
+            "n",
+            "p",
+            "pos",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lo").alias("which"),
+                        (F.floor("pos").cast("bigint") + 1).alias("rn_need"),
+                    ),
+                    F.struct(
+                        F.lit("hi").alias("which"),
+                        (F.ceil("pos").cast("bigint") + 1).alias("rn_need"),
+                    ),
+                )
+            ).alias("r"),
         )
-        .join(
-            hi,
-            (F.col("priority") == F.col("hp"))
-            & (F.col("rn_hi") == F.ceil(F.col("pos")).cast("bigint") + 1),
+        .select(
+            "rp", "n", "p", "pos",
+            F.col("r.which").alias("which"),
+            F.col("r.rn_need").alias("rn_need"),
         )
+    )
+    sel = ranked.join(
+        F.broadcast(roles),
+        (F.col("priority") == F.col("rp")) & (F.col("rn") == F.col("rn_need")),
+    )
+    lohi = sel.groupBy("priority", "p", "pos", "n").agg(
+        F.max(F.when(F.col("which") == "lo", F.col("v"))).alias("v_lo"),
+        F.max(F.when(F.col("which") == "hi", F.col("v"))).alias("v_hi"),
     )
     return lohi.selectExpr(
         "priority",
