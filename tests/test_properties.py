@@ -274,3 +274,86 @@ def test_asof_nearest_matches_pandas(spark, left_rows, right_rows):
     for row in merged.itertuples(index=False):
         want = None if pd.isna(row.v) else int(row.v)
         assert got[(row.k, row.ts, row.row_id)] == want
+
+
+# ---------------------------------------------------------------------------
+# Salted twins vs their single-window originals (chunk stitching must be
+# invisible for ANY event stream, not just the seeded cases)
+# ---------------------------------------------------------------------------
+
+_evt = st.tuples(
+    st.integers(min_value=0, max_value=3),        # key
+    st.integers(min_value=0, max_value=5_000),    # time (spans ~5 chunks @1000)
+    st.integers(min_value=0, max_value=10_000),   # value basis
+)
+
+
+@given(st.lists(_evt, min_size=1, max_size=60, unique_by=lambda e: (e[0], e[1])))
+@settings(**_SETTINGS)
+def test_sessionize_salted_equals_plain_property(spark, events):
+    import datetime as dt
+
+    from data_lakehouse_platform_spark.operators.sessionize import (
+        sessionize,
+        sessionize_salted,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, i, t0 + dt.timedelta(minutes=t), float(v) / 100)
+        for i, (k, t, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    plain = sessionize(df, "user_id", "ts", "event_id", gap_minutes=30)
+    # chunk width 16h40m => sessions regularly straddle chunk edges
+    salted = sessionize_salted(
+        df, "user_id", "ts", "event_id", gap_minutes=30, chunk_minutes=1000
+    )
+    canon = lambda d: sorted(tuple(r) for r in d.collect())  # noqa: E731
+    assert canon(plain.select(*sorted(plain.columns))) == canon(
+        salted.select(*sorted(plain.columns))
+    )
+
+
+_lrow = st.tuples(
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=0, max_value=3_000),
+)
+
+
+@given(
+    st.lists(_lrow, min_size=1, max_size=30, unique=True),
+    st.lists(_lrow, min_size=0, max_size=30, unique=True),
+    st.sampled_from(["backward", "forward"]),
+    st.sampled_from([None, 700, 2_500]),
+)
+@settings(**_SETTINGS)
+def test_asof_salted_equals_plain_property(spark, lrows, rrows, direction, tol):
+    from data_lakehouse_platform_spark.operators.asof import (
+        asof_join,
+        asof_join_salted,
+    )
+
+    left = spark.createDataFrame(
+        [(k, t, f"l{i}") for i, (k, t) in enumerate(lrows)],
+        "k long, t long, lv string",
+    )
+    right = spark.createDataFrame(
+        [
+            # every 3rd value NULL exercises the per-column carry
+            (k, t, None if i % 3 == 0 else float(i))
+            for i, (k, t) in enumerate(rrows)
+        ],
+        "k long, t long, price double",
+    )
+    plain = asof_join(left, right, on="t", by="k", direction=direction, tolerance=tol)
+    salted = asof_join_salted(
+        left, right, on="t", by="k", direction=direction, tolerance=tol, chunk=1000
+    )
+    cols = sorted(plain.columns)
+    canon = lambda d: sorted(  # noqa: E731
+        tuple(r) for r in d.select(*cols).collect()
+    )
+    assert canon(plain) == canon(salted)
