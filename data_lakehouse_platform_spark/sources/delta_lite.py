@@ -1,0 +1,301 @@
+"""Dependency-free Delta Lake transaction-log interop (protocol v1).
+
+The reference's gold tables are real Delta (gold_dim_products.py:118-131
+uses DeltaTable.merge; versioned reads and RESTORE ride the same log).
+This container has no delta-spark jar, so SnapshotTable re-creates the
+*semantics* on plain parquet — but a user migrating from the reference
+may hold actual ``_delta_log`` tables. This module speaks the PUBLIC
+Delta protocol (https://github.com/delta-io/delta/blob/master/PROTOCOL.md)
+directly, no jar required:
+
+* the log is ``_delta_log/{version:020d}.json`` — one JSON action per
+  line: ``protocol``, ``metaData``, ``add``, ``remove``, ``commitInfo``;
+* a version commits by PUT-IF-ABSENT of its log file (O_EXCL here, the
+  same primitive Delta requires of its LogStore);
+* a snapshot is the log replay: files with an ``add`` not later
+  ``remove``d; ``schemaString`` is the Spark StructType JSON, so the
+  schema round-trips losslessly;
+* time travel = replay to a version prefix; Delta's ``timestampAsOf``
+  = newest version whose commit timestamp <= the instant.
+
+Capability boundary (documented, not hidden): protocol v1
+reader/writer features only — add/remove file actions, hive-style
+partition values, append/overwrite writes, version + timestamp time
+travel. No checkpoints (pure-JSON log replay; fine to thousands of
+commits), no deletion vectors, no column mapping — a table using
+those advertises ``minReaderVersion > 1`` and this reader REFUSES it
+loudly rather than returning wrong rows. delta-spark, when present,
+reads tables this writer produces (plain v1 parquet + JSON log).
+
+SnapshotTable remains the engine's native format; DeltaLiteTable is
+the interchange edge for Delta tables a user already has.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class DeltaProtocolError(RuntimeError):
+    """Table requires protocol features this v1 implementation lacks."""
+
+
+class DeltaLiteTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, "_delta_log")
+
+    # -- log ------------------------------------------------------------
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for f in os.listdir(self.log_dir):
+            if f.endswith(".json") and f[: -len(".json")].isdigit():
+                out.append(int(f[: -len(".json")]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def _actions(self, version: int) -> list[dict]:
+        with open(os.path.join(self.log_dir, f"{version:020d}.json")) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def _replay(self, to_version: int) -> tuple[dict, dict[str, dict]]:
+        """Replay the log: returns (metaData, {path: add-action})."""
+        meta: dict = {}
+        live: dict[str, dict] = {}
+        for v in self._versions():
+            if v > to_version:
+                break
+            for a in self._actions(v):
+                if "protocol" in a:
+                    p = a["protocol"]
+                    if p.get("minReaderVersion", 1) > 1:
+                        raise DeltaProtocolError(
+                            f"table requires minReaderVersion="
+                            f"{p['minReaderVersion']}; this reader speaks v1 "
+                            "(no deletion vectors / column mapping) and "
+                            "refuses rather than misread"
+                        )
+                elif "metaData" in a:
+                    meta = a["metaData"]
+                elif "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+        return meta, live
+
+    # -- write ----------------------------------------------------------
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Commit ``df`` as the next Delta version (``append`` keeps
+        prior files; ``overwrite`` removes them in the same commit —
+        Delta's ReplaceTable-as-one-atomic-version). Data files are
+        written to a staging directory first, then referenced by
+        relative path from the commit, so readers never observe a
+        half-written version."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        latest = self.latest_version()
+        first = latest is None
+        if not first:
+            meta, live = self._replay(latest)
+            prev_part = meta.get("partitionColumns", [])
+            if partition_by is not None and list(partition_by) != list(prev_part):
+                raise ValueError(
+                    f"partition spec {partition_by} != table's {prev_part}"
+                )
+            partition_by = list(prev_part)
+            existing_schema = meta.get("schemaString")
+            if existing_schema and existing_schema != df.schema.json():
+                raise ValueError(
+                    "schema differs from table schema; Delta-lite does not "
+                    "evolve schemas implicitly — align the DataFrame first"
+                )
+        else:
+            partition_by = list(partition_by or [])
+            live = {}
+
+        # Stage data under a unique directory; commit references the
+        # files relatively (spec: `path` is relative + URL-encoded; our
+        # names are [-A-Za-z0-9_/.] so encoding is the identity).
+        stage = f"part-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, stage)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
+
+        adds = []
+        now_ms = int(time.time() * 1000)
+        for root, _dirs, files in os.walk(out):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.path)
+                pvals: dict[str, str] = {}
+                for seg in os.path.relpath(root, out).split(os.sep):
+                    if "=" in seg:
+                        kcol, val = seg.split("=", 1)
+                        pvals[kcol] = val
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(full),
+                            "modificationTime": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": mode.upper()},
+                    "engineInfo": "delta-lite/0.1 (protocol v1)",
+                }
+            }
+        ]
+        if first:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(uuid.uuid4()),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": partition_by,
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        if mode == "overwrite":
+            for pth in sorted(live):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": pth,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        actions.extend(adds)
+
+        # PUT-IF-ABSENT commit (the LogStore contract): losing the race
+        # retries onto the next version; data staging dirs are unique so
+        # nothing is clobbered.
+        os.makedirs(self.log_dir, exist_ok=True)
+        version = (latest or 0) + 1 if latest is not None else 0
+        while True:
+            target = os.path.join(self.log_dir, f"{version:020d}.json")
+            try:
+                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                version += 1
+                continue
+            with os.fdopen(fd, "w") as fh:
+                for a in actions:
+                    fh.write(json.dumps(a) + "\n")
+            return version
+
+    # -- read -----------------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of_ts_ms: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read with optional time travel (``version`` or
+        Delta's timestampAsOf in unix millis)."""
+        if version is not None and as_of_ts_ms is not None:
+            raise ValueError("pass version OR as_of_ts_ms, not both")
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        if as_of_ts_ms is not None:
+            eligible = [
+                v
+                for v in vs
+                if any(
+                    a.get("commitInfo", {}).get("timestamp", 0) <= as_of_ts_ms
+                    for a in self._actions(v)
+                    if "commitInfo" in a
+                )
+            ]
+            if not eligible:
+                raise FileNotFoundError(
+                    f"no commit at or before {as_of_ts_ms}"
+                )
+            version = max(eligible)
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise FileNotFoundError(f"version {v} not in log (have {vs})")
+        meta, live = self._replay(v)
+
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = meta.get("partitionColumns", [])
+        if not live:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, p) for p in sorted(live)]
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in part_cols]
+        )
+        df = spark.read.schema(data_schema).parquet(*paths)
+        if part_cols:
+            # Partition values come from the LOG (add.partitionValues),
+            # not from directory inference — per spec, the log is the
+            # source of truth. Parquet part-file basenames carry task
+            # UUIDs, so the basename is a unique, scheme-independent
+            # join key for the per-file values.
+            from pyspark.sql import functions as F
+
+            mapping = {
+                os.path.basename(p): a["partitionValues"]
+                for p, a in live.items()
+            }
+            fname = F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
+            for c in part_cols:
+                tgt = schema[c].dataType
+                m = F.create_map(
+                    *[
+                        x
+                        for base, pv in mapping.items()
+                        for x in (F.lit(base), F.lit(pv.get(c)))
+                    ]
+                )
+                df = df.withColumn(c, m[fname].cast(tgt))
+        return df.select(*[f.name for f in schema.fields])
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in self._versions():
+            for a in self._actions(v):
+                if "commitInfo" in a:
+                    out.append({"version": v, **a["commitInfo"]})
+        return out

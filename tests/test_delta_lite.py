@@ -1,0 +1,145 @@
+"""Dependency-free Delta protocol-v1 interop: log-replay reads,
+append/overwrite commit atomicity, time travel, partition values from
+the log, and loud refusal of unsupported protocol versions."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.sources.delta_lite import (
+    DeltaLiteTable,
+    DeltaProtocolError,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id int, val string")
+
+
+def test_first_commit_writes_protocol_and_metadata(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    v = t.write(_df(spark, [(1, "a")]))
+    assert v == 0  # Delta versions start at 0
+    log = os.path.join(t.log_dir, f"{0:020d}.json")
+    actions = [json.loads(line) for line in open(log)]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "commitInfo"
+    assert "protocol" in kinds and "metaData" in kinds and "add" in kinds
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    # schemaString is the Spark StructType JSON — round-trips losslessly
+    assert json.loads(meta["schemaString"])["type"] == "struct"
+    adds = [a["add"] for a in actions if "add" in a]
+    assert all(not a["path"].startswith("/") for a in adds)  # relative paths
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    v0 = t.write(_df(spark, [(1, "a")]))
+    v1 = t.write(_df(spark, [(2, "b")]), mode="append")
+    v2 = t.write(_df(spark, [(9, "z")]), mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+
+    def vals(version=None):
+        return sorted(
+            (r.id, r.val) for r in t.read(spark, version=version).collect()
+        )
+
+    assert vals(0) == [(1, "a")]
+    assert vals(1) == [(1, "a"), (2, "b")]  # append keeps prior adds
+    assert vals(2) == [(9, "z")]  # overwrite removes them in ONE commit
+    assert vals() == [(9, "z")]  # latest
+
+    # timestampAsOf: commit timestamps are in the log's commitInfo
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    ts1 = hist[1]["timestamp"]
+    got = sorted(
+        (r.id, r.val) for r in t.read(spark, as_of_ts_ms=ts1).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_partition_values_come_from_log(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "x", "2024-01"), (2, "y", "2024-02"), (3, "z", "2024-01")],
+        "id int, val string, month string",
+    )
+    t.write(df, partition_by=["month"])
+    back = t.read(spark)
+    assert back.columns == ["id", "val", "month"]  # schema order preserved
+    got = sorted((r.id, r.month) for r in back.collect())
+    assert got == [(1, "2024-01"), (2, "2024-02"), (3, "2024-01")]
+    # appends must keep the table's partition spec
+    with pytest.raises(ValueError, match="partition spec"):
+        t.write(df, mode="append", partition_by=["val"])
+
+
+def test_commit_put_if_absent_race(spark, tmp_path):
+    """Losing the version race retries onto the next slot (the LogStore
+    put-if-absent contract); both commits survive."""
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))
+    # foreign writer claims version 1 directly
+    os.makedirs(t.log_dir, exist_ok=True)
+    with open(os.path.join(t.log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 0}}) + "\n")
+    v = t.write(_df(spark, [(2, "b")]), mode="append")
+    assert v == 2
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_unsupported_protocol_refused_loudly(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))
+    # a later commit upgrades the table to reader v3 (e.g. deletion vectors)
+    with open(os.path.join(t.log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}
+            )
+            + "\n"
+        )
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion=3"):
+        t.read(spark)
+
+
+def test_schema_mismatch_rejected(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))
+    other = spark.createDataFrame([(1, 2.5)], "id int, val double")
+    with pytest.raises(ValueError, match="schema differs"):
+        t.write(other, mode="append")
+
+
+def test_reader_ignores_orphan_staging_data(spark, tmp_path):
+    """A crashed writer leaves staged parquet with NO add action; the
+    log replay must not surface those rows (manifest is truth)."""
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))
+    _df(spark, [(99, "orphan")]).write.parquet(
+        os.path.join(t.path, "part-deadbeef0000")
+    )
+    assert sorted(r.id for r in t.read(spark).collect()) == [1]
+
+
+def test_snapshot_table_interchange(spark, tmp_path):
+    """The engine's native SnapshotTable content can be exported to a
+    Delta-protocol table and read back identically — the migration
+    edge a reference user needs."""
+    from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
+
+    st = SnapshotTable(str(tmp_path / "native"))
+    st.write_snapshot(_df(spark, [(1, "a"), (2, "b")]))
+    dt = DeltaLiteTable(str(tmp_path / "delta"))
+    dt.write(st.read(spark))
+    assert sorted((r.id, r.val) for r in dt.read(spark).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
