@@ -222,6 +222,14 @@ def lsh_candidate_pairs(
         id_col,
         F.expr(f"stack({bands}, {', '.join(stack_args)}) as (band, bkey)"),
     ).select(id_col, "band", "bkey")
+    # Both join sides (and the bucket-count filter, when capped) consume
+    # `banded`; without this persist each consumer re-runs the ENTIRE
+    # upstream shingle+MinHash pipeline (3 full corpus passes observed).
+    # The banded index is n_docs x bands narrow rows — this is the small
+    # thing you keep, the classic LSH index materialization.
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     if max_bucket is not None:
         small = (
             banded.groupBy("band", "bkey")
