@@ -200,7 +200,14 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = T.explode_shingles(
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, distinct=False
     )
-    sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES)
+    from pyspark import StorageLevel
+
+    # Three consumers (the banded index inside lsh_candidate_pairs and
+    # both sides of the signature re-join) — materialize the signature
+    # table once instead of re-hashing the corpus per consumer.
+    sigs = D.minhash_signatures(sh, n_hashes=_N_HASHES).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = D.lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS, max_bucket=_LSH_MAX_BUCKET)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),

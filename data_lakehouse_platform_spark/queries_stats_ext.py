@@ -551,7 +551,11 @@ FROM deg GROUP BY degree
     "the corpus.",
 )
 def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _edges(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # Both endpoint projections consume the edge list; persist it so
+    # the shingle+Jaccard pipeline runs once, not twice.
+    e = _edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     nodes = e.select(F.col("doc_a").alias("node")).unionAll(
         e.select(F.col("doc_b").alias("node"))
     )
@@ -586,7 +590,14 @@ SELECT
     "list first; the joins key on node ids so they co-partition.",
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _edges(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # The edge list is consumed by all three legs of the triangle join
+    # and the triangle set by the count AND the three corner unions —
+    # without materializing them, the full shingle+Jaccard pipeline
+    # re-runs once per consumer. Edges/triangles are the small derived
+    # artifacts here; the corpus is what must be scanned once.
+    e = _edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
@@ -600,7 +611,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e1.doc_b").alias("b"),
             F.col("e2.doc_b").alias("c"),
         )
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_tri = tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
     corners = (
         tri.select(F.col("a").alias("x"))

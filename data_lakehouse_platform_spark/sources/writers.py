@@ -157,7 +157,10 @@ def scd2_merge(
         F.col(key_col),
         *[F.col(c) for c in tracked_cols],
         F.col(ts_col).alias("start_ts"),
-        F.lit(None).cast("timestamp").alias("end_ts"),
+        # end_ts takes the SOURCE ts column's type (timestamp, date, or
+        # an integer version/watermark column all work) — close-out
+        # assigns start_ts values into it, so the types must agree.
+        F.lit(None).cast(updates.schema[ts_col].dataType).alias("end_ts"),
         F.lit(True).alias("is_current"),
         fingerprint(updates).alias("__fp"),
     )
