@@ -53,6 +53,12 @@ def jaccard_pairs(
     engines apply the same cap, so results stay comparable); Jaccard
     itself uses the FULL shingle sets of both documents.
     """
+    # `shingles` feeds three aggregations and `filtered` both pair-join
+    # sides, but NO persist here: the duplicated subtrees are identical,
+    # so Spark's ReuseExchange already evaluates each exchange once —
+    # persisting was measured SLOWER (materialization cost, no reuse
+    # gain) at sf0.1. Contrast lsh_candidate_pairs, whose consumers are
+    # NON-identical subtrees that reuse cannot fuse.
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     filtered = shingles.join(
@@ -100,6 +106,12 @@ def containment_pairs(
     dominated by the long doc. The standard second gate in corpus
     dedup (RefinedWeb-style) for quote/excerpt removal.
     """
+    # `shingles` feeds three aggregations and `filtered` both pair-join
+    # sides, but NO persist here: the duplicated subtrees are identical,
+    # so Spark's ReuseExchange already evaluates each exchange once —
+    # persisting was measured SLOWER (materialization cost, no reuse
+    # gain) at sf0.1. Contrast lsh_candidate_pairs, whose consumers are
+    # NON-identical subtrees that reuse cannot fuse.
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     filtered = shingles.join(
