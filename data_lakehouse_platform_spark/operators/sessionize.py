@@ -73,24 +73,32 @@ def sessionize_salted(
     per (user, chunk), ~events/chunk_size rows total) stitches the
     chunks back into exact global sessions:
 
-    1. within each (user, chunk): lag → gap flags → running count,
-       the chunk's first event tentatively flagged as a session start;
-    2. per-chunk rollup (first/last ts, tentative start count) + a lag
-       over the user's CHUNK LIST decides whether each chunk's first
-       event really starts a session (gap from the previous chunk's
-       last event) — time-ordered chunk ids make "previous chunk"
-       well-defined even across empty chunks;
-    3. running sum over the chunk list gives each chunk its session-
-       index offset; events re-join their chunk's correction on the
-       same (user, chunk) key (co-partitioned — no extra shuffle) and
-       the final rollup is an ordinary partial-aggregatable groupBy.
+    1. within each (user, chunk): lag → gap flags → running count
+       (``local_run``, the 1-based within-chunk session ordinal), the
+       chunk's first event tentatively flagged as a session start;
+    2. the per-event stream is IMMEDIATELY rolled up to per-
+       ``(user, chunk, local_run)`` session partials (min/max ts,
+       count, exact decimal value sum) — same shuffle partitioning, so
+       the rollup partial-aggregates map-side and the event-cardinality
+       stream is consumed exactly once, never persisted;
+    3. a chunk-list pass over those partials (one row per (user,
+       chunk), via a lag over the user's CHUNK LIST) decides whether
+       each chunk's first session really starts a session (gap from
+       the previous chunk's last event) — time-ordered chunk ids make
+       "previous chunk" well-defined even across empty chunks — and a
+       running sum gives each chunk its session-index offset;
+    4. the session PARTIALS (not the events) re-join their chunk's
+       correction on the same (user, chunk) key and the final rollup
+       merges partials per (user, session_idx): min/max/count/decimal-
+       sum are associative, so the merge is exact.
 
     Results are bit-identical to :func:`sessionize` (tested, including
-    sessions spanning chunk boundaries). Cost: one extra tiny shuffle
-    of the per-chunk metadata. Worst case is all of a user's events
-    inside ONE chunk width — pick ``chunk_minutes`` so a chunk of the
-    hottest conceivable key fits a task (a day of 10 Hz events is
-    ~1M rows; an hour ~36K).
+    sessions spanning chunk boundaries). Only session-cardinality
+    intermediates are cached/joined — at corpus scale the persisted
+    footprint is #sessions, not #events. Worst case is all of a
+    user's events inside ONE chunk width — pick ``chunk_minutes`` so a
+    chunk of the hottest conceivable key fits a task (a day of 10 Hz
+    events is ~1M rows; an hour ~36K).
     """
     gap_us = gap_minutes * 60 * 1_000_000
     chunk_us = chunk_minutes * 60 * 1_000_000
@@ -115,17 +123,32 @@ def sessionize_salted(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    # Both the metadata branch and the join-back branch consume `ev`;
+    # Collapse events → per-(user, chunk, local session) partials right
+    # away: session_idx is a pure function of (user, chunk, local_run),
+    # so the final rollup can merge these partials instead of raw
+    # events. This is what keeps the twice-consumed (meta + join-back)
+    # intermediate at SESSION cardinality — the persist below holds
+    # one row per session-chunk fragment, not per event.
+    part = ev.groupBy(user_col, "__chunk", "__local_run").agg(
+        F.min(ts_col).alias("__s_start"),
+        F.max(ts_col).alias("__s_end"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(dec(value_col)).alias("__vdec"),
+    )
+    # Both the metadata branch and the join-back branch consume `part`;
     # without this persist the scan + chunk window would evaluate twice
     # (Spark does not share subtrees across lineage branches).
     from pyspark import StorageLevel
 
-    ev = ev.persist(StorageLevel.MEMORY_AND_DISK)
+    part = part.persist(StorageLevel.MEMORY_AND_DISK)
 
-    meta = ev.groupBy(user_col, "__chunk").agg(
-        F.min(ts_col).alias("__first_ts"),
-        F.max(ts_col).alias("__last_ts"),
-        F.sum("__flag").alias("__tentative"),
+    # Chunk metadata derived from the partials: the chunk's first/last
+    # event ts and its tentative session-start count (= highest local
+    # session ordinal, since local_run is a 1-based running count).
+    meta = part.groupBy(user_col, "__chunk").agg(
+        F.min("__s_start").alias("__first_ts"),
+        F.max("__s_end").alias("__last_ts"),
+        F.max("__local_run").alias("__tentative"),
     )
     w_meta = Window.partitionBy(user_col).orderBy("__chunk")
     prev_last = F.lag("__last_ts").over(w_meta)
@@ -150,17 +173,17 @@ def sessionize_salted(
         ),
     ).select(user_col, "__chunk", "__bnew", "__offset")
 
-    joined = ev.join(meta, [user_col, "__chunk"])
+    joined = part.join(meta, [user_col, "__chunk"])
     session_idx = (
         F.col("__offset") + F.col("__local_run") - 1 + F.col("__bnew")
     ).alias("session_idx")
     return (
-        joined.select(user_col, ts_col, value_col, session_idx)
+        joined.select(user_col, "__s_start", "__s_end", "__n", "__vdec", session_idx)
         .groupBy(user_col, "session_idx")
         .agg(
-            F.min(ts_col).alias("session_start"),
-            F.max(ts_col).alias("session_end"),
-            F.count(F.lit(1)).alias("n_events"),
-            undec(F.sum(dec(value_col))).alias("total_value"),
+            F.min("__s_start").alias("session_start"),
+            F.max("__s_end").alias("session_end"),
+            F.sum("__n").alias("n_events"),
+            undec(F.sum("__vdec")).alias("total_value"),
         )
     )
