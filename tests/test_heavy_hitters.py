@@ -1,0 +1,66 @@
+"""Misra–Gries heavy hitters: candidate coverage, exact-recount
+equality with the unrestricted plan, and the exactness certificate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.operators.heavy_hitters import (
+    heavy_hitters_exact,
+    misra_gries_candidates,
+)
+
+
+def _zipfish(spark, n_kinds=200, hot=5):
+    # hot items get big counts, the tail is flat — Zipf-ish without RNG
+    rows = []
+    for i in range(n_kinds):
+        cnt = 500 - 90 * i if i < hot else 3
+        rows += [(f"item{i:04d}",)] * cnt
+    return spark.createDataFrame(rows, "item string").repartition(8)
+
+
+def test_mg_candidates_cover_frequent_items(spark):
+    items = _zipfish(spark)
+    cands = {
+        r.item for r in misra_gries_candidates(items, "item", 64).collect()
+    }
+    # every item with global share > 1/(64+1) must be covered
+    n = items.count()
+    exact = items.groupBy("item").count().collect()
+    for r in exact:
+        if r["count"] * 65 > n:
+            assert r.item in cands
+
+
+def test_heavy_hitters_match_unrestricted_topk(spark):
+    items = _zipfish(spark)
+    got = heavy_hitters_exact(items, "item", k=5, capacity=64).collect()
+    want = (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "item")
+        .limit(5)
+        .collect()
+    )
+    assert [(r.item, r.freq) for r in got] == [(r.item, r.freq) for r in want]
+    assert all(r.above_mg_floor == 1 for r in got)  # certificate holds
+    assert [r.hh_rank for r in got] == [1, 2, 3, 4, 5]
+
+
+def test_certificate_flags_underscaled_capacity(spark):
+    # near-uniform stream + tiny capacity: the floor n/(c+1) sits above
+    # the true top-K counts, so the certificate must NOT claim exactness.
+    rows = [(f"u{i:03d}",) for i in range(100) for _ in range(10)]
+    items = spark.createDataFrame(rows, "item string").repartition(4)
+    got = heavy_hitters_exact(items, "item", k=5, capacity=3).collect()
+    assert all(r.above_mg_floor == 0 for r in got)
+
+
+def test_mg_bounded_output_per_partition(spark):
+    items = _zipfish(spark, n_kinds=1000, hot=3)
+    cap = 16
+    cands = misra_gries_candidates(items, "item", cap)
+    # ≤ cap survivors per input partition → ≤ cap × partitions overall
+    nparts = items.rdd.getNumPartitions()
+    assert cands.count() <= cap * nparts
