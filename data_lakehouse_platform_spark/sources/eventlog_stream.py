@@ -24,10 +24,29 @@ exactly-once, demonstrated with the public Python DataSource API:
   before the stop are never re-served, segments appended while the
   stream was down are picked up — exactly-once end to end (tested).
 
+The format is also WRITABLE, batch and streaming, with the two-phase
+commit protocol a Kafka producer's transactions provide:
+
+* every write task serializes its partition to a ``.tmp-*`` file
+  (invisible to readers — only ``segment-*`` names are served) and
+  reports it in its commit message; a failed/aborted task's tmp file
+  is deleted and never published;
+* the DRIVER commit seals the tmp files as consecutive segments
+  (rename is the atomic publish), so a batch's segments appear only
+  after every task succeeded;
+* the STREAMING sink additionally records each committed micro-batch
+  id in a marker file created with ``O_EXCL`` — when Spark replays a
+  batch after a failure-between-commit-and-checkpoint, the duplicate
+  commit sees the marker, discards its tmp files, and publishes
+  nothing: idempotent commit ⇒ exactly-once from source offset to
+  sealed sink segment.
+
 Usage:
     spark.dataSource.register(EventLogStreamDataSource)
     stream = (spark.readStream.format("eventlog")
               .option("path", log_dir).load())
+    df.write.format("eventlog").mode("append").option("path", d).save()
+    stream.writeStream.format("eventlog").option("path", d)...
 """
 
 from __future__ import annotations
@@ -38,8 +57,12 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -115,6 +138,140 @@ class EventLogStreamReader(DataSourceStreamReader):
         return
 
 
+class EventLogBatchReader(DataSourceReader):
+    """Batch scan of the sealed log: one input partition per segment,
+    executor-side parse — the bootstrap/backfill read path."""
+
+    def __init__(self, options):
+        self.log_dir = options.get("path")
+        if not self.log_dir:
+            raise ValueError("eventlog source requires .option('path', dir)")
+
+    def partitions(self):
+        return [
+            _SegmentPartition(segment_path(self.log_dir, n))
+            for n in range(sealed_segments(self.log_dir))
+        ]
+
+    def read(self, partition: _SegmentPartition):
+        with open(partition.path) as fh:
+            for line in fh:
+                if line.strip():
+                    r = json.loads(line)
+                    yield tuple(r.get(f) for f in _FIELDS)
+
+
+class _TmpFileMessage(WriterCommitMessage):
+    """Per-task commit message: the invisible tmp file holding the
+    task's rows (None when the partition was empty)."""
+
+    def __init__(self, tmp_path: str | None, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+def _write_tmp(log_dir: str, iterator, fields) -> _TmpFileMessage:
+    os.makedirs(log_dir, exist_ok=True)
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+    rows = 0
+    with open(tmp, "w") as fh:
+        for row in iterator:
+            d = row.asDict()
+            fh.write(json.dumps({f: d.get(f) for f in fields}) + "\n")
+            rows += 1
+        fh.flush()
+        os.fsync(fh.fileno())
+    if rows == 0:
+        os.remove(tmp)
+        return _TmpFileMessage(None, 0)
+    return _TmpFileMessage(tmp, rows)
+
+
+def _seal_tmps(log_dir: str, messages) -> list[int]:
+    """Driver-side publish: rename each task's tmp file to the next
+    consecutive segment number (renames are atomic; tmp names never
+    match the reader's ``segment-*`` pattern, so readers observe only
+    fully-written segments)."""
+    sealed = []
+    for m in messages:
+        if m is not None and m.tmp_path is not None:
+            n = sealed_segments(log_dir)
+            os.rename(m.tmp_path, segment_path(log_dir, n))
+            sealed.append(n)
+    return sealed
+
+
+def _drop_tmps(messages) -> None:
+    for m in messages:
+        if m is not None and getattr(m, "tmp_path", None):
+            try:
+                os.remove(m.tmp_path)
+            except FileNotFoundError:
+                pass
+
+
+class EventLogBatchWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.log_dir = options.get("path")
+        if not self.log_dir:
+            raise ValueError("eventlog sink requires .option('path', dir)")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _TmpFileMessage:
+        return _write_tmp(self.log_dir, iterator, _FIELDS)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for n in range(sealed_segments(self.log_dir)):
+                os.remove(segment_path(self.log_dir, n))
+        _seal_tmps(self.log_dir, messages)
+
+    def abort(self, messages) -> None:
+        _drop_tmps(messages)
+
+
+def _batch_marker(log_dir: str, batch_id: int) -> str:
+    return os.path.join(log_dir, f".batch-{batch_id:012d}.committed")
+
+
+class EventLogStreamWriter(DataSourceStreamWriter):
+    """Streaming sink with IDEMPOTENT batch commit — the transactional-
+    producer half of the Kafka-shaped contract.
+
+    Spark may re-run a micro-batch whose commit landed but whose
+    checkpoint advance did not (failure in the gap). The replayed
+    batch's tasks write fresh tmp files, but ``commit`` finds the
+    ``O_EXCL``-created marker for that batchId already present,
+    discards the tmps, and seals nothing — each micro-batch publishes
+    exactly once no matter how many times it is replayed."""
+
+    def __init__(self, options):
+        self.log_dir = options.get("path")
+        if not self.log_dir:
+            raise ValueError("eventlog sink requires .option('path', dir)")
+
+    def write(self, iterator) -> _TmpFileMessage:
+        return _write_tmp(self.log_dir, iterator, _FIELDS)
+
+    def commit(self, messages, batchId: int) -> None:
+        try:
+            fd = os.open(
+                _batch_marker(self.log_dir, batchId),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            _drop_tmps(messages)  # replayed batch: already published
+            return
+        sealed = _seal_tmps(self.log_dir, messages)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(json.dumps({"batch_id": batchId, "segments": sealed}))
+            fh.flush()
+            os.fsync(fh.fileno())
+
+    def abort(self, messages, batchId: int) -> None:
+        _drop_tmps(messages)
+
+
 class EventLogStreamDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -123,5 +280,14 @@ class EventLogStreamDataSource(DataSource):
     def schema(self) -> str:
         return EVENTLOG_SCHEMA
 
+    def reader(self, schema: StructType) -> EventLogBatchReader:
+        return EventLogBatchReader(self.options)
+
     def streamReader(self, schema: StructType) -> EventLogStreamReader:
         return EventLogStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> EventLogBatchWriter:
+        return EventLogBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> EventLogStreamWriter:
+        return EventLogStreamWriter(self.options)

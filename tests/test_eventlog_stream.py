@@ -113,3 +113,101 @@ def test_eventlog_stream_aggregates_and_schema(spark, tmp_path):
         for k, v in b.items():
             total[k] = total.get(k, 0) + v
     assert total == {"view": 20, "purchase": 20}
+
+
+def test_eventlog_batch_write_read_roundtrip(spark, tmp_path):
+    spark.dataSource.register(EventLogStreamDataSource)
+    log = str(tmp_path / "blog")
+    df = spark.createDataFrame(
+        [tuple(r[k] for k in ("event_id", "user_id", "event_type", "ts", "value"))
+         for r in _rows(0, 12)],
+        "event_id bigint, user_id bigint, event_type string, ts string, value double",
+    ).repartition(5)  # includes the empty-partition path
+    df.write.format("eventlog").mode("append").option("path", log).save()
+    assert sealed_segments(log) >= 1
+    back = spark.read.format("eventlog").option("path", log).load()
+    assert back.count() == 12
+    assert {r.event_id for r in back.collect()} == {r["event_id"] for r in _rows(0, 12)}
+
+    # append adds, overwrite replaces
+    df.write.format("eventlog").mode("append").option("path", log).save()
+    assert spark.read.format("eventlog").option("path", log).load().count() == 24
+    df.limit(3).write.format("eventlog").mode("overwrite").option("path", log).save()
+    assert spark.read.format("eventlog").option("path", log).load().count() == 3
+
+
+def test_eventlog_sink_relay_exactly_once(spark, tmp_path):
+    """Source log -> stream -> sink log: the topic-to-topic relay, with a
+    stop/append/restart in the middle — every event lands in the sink
+    exactly once."""
+    spark.dataSource.register(EventLogStreamDataSource)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ck")
+    append_segment(src, _rows(0, 8))
+    append_segment(src, _rows(1, 8))
+
+    def relay():
+        return (
+            spark.readStream.format("eventlog").option("path", src).load()
+            .writeStream.format("eventlog").option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = relay(); q.awaitTermination(120)
+    append_segment(src, _rows(2, 5))
+    q = relay(); q.awaitTermination(120)
+
+    out = spark.read.format("eventlog").option("path", dst).load()
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    assert len(ids) == len(set(ids)) == 21
+
+
+def test_eventlog_sink_replayed_batch_commits_once(tmp_path):
+    """Driver-side idempotence: a micro-batch whose commit already
+    landed (marker present) publishes nothing when replayed."""
+    from pyspark.sql import Row
+    from data_lakehouse_platform_spark.sources.eventlog_stream import (
+        EventLogStreamWriter,
+        _write_tmp,
+        _FIELDS,
+    )
+    import os
+
+    log = str(tmp_path / "sink")
+    w = EventLogStreamWriter({"path": log})
+    rows = [Row(**r) for r in _rows(0, 4)]
+
+    m1 = _write_tmp(log, iter(rows), _FIELDS)
+    w.commit([m1], batchId=7)
+    assert sealed_segments(log) == 1
+
+    # replay of batch 7: fresh tmp, same batch id -> dropped, not sealed
+    m2 = _write_tmp(log, iter(rows), _FIELDS)
+    w.commit([m2], batchId=7)
+    assert sealed_segments(log) == 1
+    assert not [f for f in os.listdir(log) if f.startswith(".tmp-")]
+
+    # next batch id seals normally
+    m3 = _write_tmp(log, iter(rows), _FIELDS)
+    w.commit([m3], batchId=8)
+    assert sealed_segments(log) == 2
+
+
+def test_eventlog_abort_drops_tmps(tmp_path):
+    from pyspark.sql import Row
+    from data_lakehouse_platform_spark.sources.eventlog_stream import (
+        EventLogBatchWriter,
+        _write_tmp,
+        _FIELDS,
+    )
+    import os
+
+    log = str(tmp_path / "ab")
+    w = EventLogBatchWriter({"path": log}, overwrite=False)
+    m = _write_tmp(log, iter([Row(**r) for r in _rows(0, 3)]), _FIELDS)
+    w.abort([m])
+    assert sealed_segments(log) == 0
+    assert not [f for f in os.listdir(log) if f.startswith(".tmp-")]
