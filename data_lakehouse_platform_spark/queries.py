@@ -97,6 +97,7 @@ def all_queries() -> dict[str, Query]:
     from data_lakehouse_platform_spark import queries_stats_ext  # noqa: F401
     from data_lakehouse_platform_spark import queries_seq_ext  # noqa: F401
     from data_lakehouse_platform_spark import queries_mixture_ext  # noqa: F401
+    from data_lakehouse_platform_spark import queries_robust_ext  # noqa: F401
 
     return dict(_REGISTRY)
 
