@@ -41,6 +41,15 @@ commit protocol a Kafka producer's transactions provide:
   nothing: idempotent commit ⇒ exactly-once from source offset to
   sealed sink segment.
 
+The transport is schema-generic: pass any flat schema of JSON-
+representable atomic types (``.schema("k bigint, v string, ...")``)
+on read, and any such DataFrame on write — the default schema is the
+events-table shape. Producers control retention with
+``vacuum_segments`` (the log-start offset moves forward, consumers
+below the floor fail loudly, like Kafka's earliest offset), and
+consumers may start mid-log with ``.option("startingSegment", n)``
+(the startingOffsets analog).
+
 Usage:
     spark.dataSource.register(EventLogStreamDataSource)
     stream = (spark.readStream.format("eventlog")
@@ -72,17 +81,35 @@ EVENTLOG_SCHEMA = (
 
 _FIELDS = ("event_id", "user_id", "event_type", "ts", "value")
 
+_SEG_PREFIX, _SEG_SUFFIX = "segment-", ".jsonl"
+
 
 def segment_path(log_dir: str, n: int) -> str:
-    return os.path.join(log_dir, f"segment-{n:08d}.jsonl")
+    return os.path.join(log_dir, f"{_SEG_PREFIX}{n:08d}{_SEG_SUFFIX}")
+
+
+def segment_range(log_dir: str) -> tuple[int, int]:
+    """``(first, end)`` of the contiguous sealed segments on disk —
+    ``first`` > 0 after a retention vacuum (like a Kafka partition's
+    log-start offset moving forward). One directory listing, not a
+    stat per segment."""
+    try:
+        names = os.listdir(log_dir)
+    except FileNotFoundError:
+        return (0, 0)
+    nums = sorted(
+        int(f[len(_SEG_PREFIX):-len(_SEG_SUFFIX)])
+        for f in names
+        if f.startswith(_SEG_PREFIX) and f.endswith(_SEG_SUFFIX)
+    )
+    if not nums:
+        return (0, 0)
+    return (nums[0], nums[-1] + 1)
 
 
 def sealed_segments(log_dir: str) -> int:
-    """Count of contiguous sealed segments starting at 0."""
-    n = 0
-    while os.path.exists(segment_path(log_dir, n)):
-        n += 1
-    return n
+    """End of the sealed log (= count when never vacuumed)."""
+    return segment_range(log_dir)[1]
 
 
 def append_segment(log_dir: str, rows: list[dict]) -> int:
@@ -94,11 +121,25 @@ def append_segment(log_dir: str, rows: list[dict]) -> int:
     tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         for r in rows:
-            fh.write(json.dumps(r) + "\n")
+            fh.write(json.dumps(r, default=str) + "\n")
         fh.flush()
         os.fsync(fh.fileno())
     os.rename(tmp, segment_path(log_dir, n))
     return n
+
+
+def vacuum_segments(log_dir: str, keep_from: int) -> int:
+    """Retention: drop sealed segments below ``keep_from`` (the
+    producer's policy decision, like Kafka retention). Consumers whose
+    checkpointed offset is at or past the floor are unaffected; a
+    consumer asking for a vacuumed segment fails loudly rather than
+    silently skipping data. Returns the number of segments removed."""
+    first, end = segment_range(log_dir)
+    removed = 0
+    for n in range(first, min(keep_from, end)):
+        os.remove(segment_path(log_dir, n))
+        removed += 1
+    return removed
 
 
 class _SegmentPartition(InputPartition):
@@ -106,14 +147,29 @@ class _SegmentPartition(InputPartition):
         self.path = path
 
 
+def _parse_segment(path: str, fields):
+    """Executor-side parse of one sealed segment. A missing file means
+    the consumer fell behind the retention vacuum — fail loudly."""
+    with open(path) as fh:
+        for line in fh:
+            if line.strip():
+                r = json.loads(line)
+                yield tuple(r.get(f) for f in fields)
+
+
 class EventLogStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, fields):
         self.log_dir = options.get("path")
         if not self.log_dir:
             raise ValueError("eventlog source requires .option('path', dir)")
+        self.fields = tuple(fields)
+        self.starting = int(options.get("startingsegment", 0))
 
     def initialOffset(self) -> dict:
-        return {"segment": 0}
+        # Never start below the retention floor; honor an explicit
+        # startingSegment option (the Kafka startingOffsets analog).
+        first, _end = segment_range(self.log_dir)
+        return {"segment": max(first, self.starting)}
 
     def latestOffset(self) -> dict:
         return {"segment": sealed_segments(self.log_dir)}
@@ -125,12 +181,7 @@ class EventLogStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _SegmentPartition):
-        # Executor-side parse: one sealed segment per task.
-        with open(partition.path) as fh:
-            for line in fh:
-                if line.strip():
-                    r = json.loads(line)
-                    yield tuple(r.get(f) for f in _FIELDS)
+        yield from _parse_segment(partition.path, self.fields)
 
     def commit(self, end: dict) -> None:
         # Segments are retained for replay (vacuum is the producer's
@@ -142,23 +193,21 @@ class EventLogBatchReader(DataSourceReader):
     """Batch scan of the sealed log: one input partition per segment,
     executor-side parse — the bootstrap/backfill read path."""
 
-    def __init__(self, options):
+    def __init__(self, options, fields):
         self.log_dir = options.get("path")
         if not self.log_dir:
             raise ValueError("eventlog source requires .option('path', dir)")
+        self.fields = tuple(fields)
 
     def partitions(self):
+        first, end = segment_range(self.log_dir)
         return [
             _SegmentPartition(segment_path(self.log_dir, n))
-            for n in range(sealed_segments(self.log_dir))
+            for n in range(first, end)
         ]
 
     def read(self, partition: _SegmentPartition):
-        with open(partition.path) as fh:
-            for line in fh:
-                if line.strip():
-                    r = json.loads(line)
-                    yield tuple(r.get(f) for f in _FIELDS)
+        yield from _parse_segment(partition.path, self.fields)
 
 
 class _TmpFileMessage(WriterCommitMessage):
@@ -211,18 +260,20 @@ def _drop_tmps(messages) -> None:
 
 
 class EventLogBatchWriter(DataSourceWriter):
-    def __init__(self, options, overwrite: bool):
+    def __init__(self, options, overwrite: bool, fields=_FIELDS):
         self.log_dir = options.get("path")
         if not self.log_dir:
             raise ValueError("eventlog sink requires .option('path', dir)")
         self.overwrite = overwrite
+        self.fields = tuple(fields)
 
     def write(self, iterator) -> _TmpFileMessage:
-        return _write_tmp(self.log_dir, iterator, _FIELDS)
+        return _write_tmp(self.log_dir, iterator, self.fields)
 
     def commit(self, messages) -> None:
         if self.overwrite:
-            for n in range(sealed_segments(self.log_dir)):
+            first, end = segment_range(self.log_dir)
+            for n in range(first, end):
                 os.remove(segment_path(self.log_dir, n))
         _seal_tmps(self.log_dir, messages)
 
@@ -245,13 +296,14 @@ class EventLogStreamWriter(DataSourceStreamWriter):
     discards the tmps, and seals nothing — each micro-batch publishes
     exactly once no matter how many times it is replayed."""
 
-    def __init__(self, options):
+    def __init__(self, options, fields=_FIELDS):
         self.log_dir = options.get("path")
         if not self.log_dir:
             raise ValueError("eventlog sink requires .option('path', dir)")
+        self.fields = tuple(fields)
 
     def write(self, iterator) -> _TmpFileMessage:
-        return _write_tmp(self.log_dir, iterator, _FIELDS)
+        return _write_tmp(self.log_dir, iterator, self.fields)
 
     def commit(self, messages, batchId: int) -> None:
         try:
@@ -281,13 +333,13 @@ class EventLogStreamDataSource(DataSource):
         return EVENTLOG_SCHEMA
 
     def reader(self, schema: StructType) -> EventLogBatchReader:
-        return EventLogBatchReader(self.options)
+        return EventLogBatchReader(self.options, schema.fieldNames())
 
     def streamReader(self, schema: StructType) -> EventLogStreamReader:
-        return EventLogStreamReader(self.options)
+        return EventLogStreamReader(self.options, schema.fieldNames())
 
     def writer(self, schema: StructType, overwrite: bool) -> EventLogBatchWriter:
-        return EventLogBatchWriter(self.options, overwrite)
+        return EventLogBatchWriter(self.options, overwrite, schema.fieldNames())
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> EventLogStreamWriter:
-        return EventLogStreamWriter(self.options)
+        return EventLogStreamWriter(self.options, schema.fieldNames())

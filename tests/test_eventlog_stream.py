@@ -211,3 +211,166 @@ def test_eventlog_abort_drops_tmps(tmp_path):
     w.abort([m])
     assert sealed_segments(log) == 0
     assert not [f for f in os.listdir(log) if f.startswith(".tmp-")]
+
+
+def test_eventlog_custom_schema_roundtrip(spark, tmp_path):
+    """The transport is schema-generic: any flat JSON-representable
+    schema rides the same sealed-segment protocol."""
+    spark.dataSource.register(EventLogStreamDataSource)
+    log = str(tmp_path / "generic")
+    df = spark.createDataFrame(
+        [(1, "alpha", True, 1.5), (2, "beta", False, -2.25)],
+        "k bigint, name string, flag boolean, score double",
+    )
+    df.write.format("eventlog").mode("append").option("path", log).save()
+    back = (
+        spark.read.format("eventlog")
+        .schema("k bigint, name string, flag boolean, score double")
+        .option("path", log)
+        .load()
+    )
+    assert sorted(back.collect(), key=lambda r: r.k) == sorted(
+        df.collect(), key=lambda r: r.k
+    )
+
+
+def test_eventlog_vacuum_and_starting_segment(spark, tmp_path):
+    from data_lakehouse_platform_spark.sources.eventlog_stream import (
+        segment_range,
+        vacuum_segments,
+    )
+
+    spark.dataSource.register(EventLogStreamDataSource)
+    log = str(tmp_path / "vac")
+    for seg in range(4):
+        append_segment(log, _rows(seg, 5))
+
+    assert vacuum_segments(log, keep_from=2) == 2
+    assert segment_range(log) == (2, 4)
+
+    # batch read serves only the retained suffix
+    back = spark.read.format("eventlog").option("path", log).load()
+    assert {r.event_id // 1000 for r in back.collect()} == {2, 3}
+
+    # a fresh stream starts at the retention floor, not at zero
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("eventlog").option("path", log).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 10
+
+    # startingSegment skips ahead of the floor (Kafka startingOffsets)
+    out2 = str(tmp_path / "out2")
+    q = (
+        spark.readStream.format("eventlog")
+        .option("path", log).option("startingSegment", 3).load()
+        .writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out2).count() == 5
+
+
+def test_eventlog_watermarked_window_agg(spark, tmp_path):
+    """Event-time semantics over the custom source: watermark +
+    tumbling window aggregation, late data beyond the watermark
+    dropped across micro-batches."""
+    spark.dataSource.register(EventLogStreamDataSource)
+    log = str(tmp_path / "wm")
+    out = str(tmp_path / "wmout")
+
+    def _midday(seg, n):
+        # midday timestamps so "max event time - 1h" lands inside the
+        # same day and can close the PREVIOUS day's window
+        rows = _rows(seg, n)
+        for r in rows:
+            r["ts"] = r["ts"].replace(" 00:00:", " 12:00:")
+        return rows
+
+    def run():
+        agg = (
+            spark.readStream.format("eventlog").option("path", log).load()
+            .withColumn("ets", F.to_timestamp("ts"))
+            .withWatermark("ets", "1 hour")
+            .groupBy(F.window("ets", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", str(tmp_path / "wmck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    append_segment(log, _midday(0, 10))  # 2024-01-01 12:00:0x
+    run()  # watermark still epoch during this batch; nothing closed
+    append_segment(log, _midday(1, 10))  # 2024-01-02 12:00:0x
+    run()  # batch runs with watermark = day-1 max - 1h: day 1 still open
+    append_segment(log, _midday(2, 6))  # day-3 data drives the next batch
+    run()  # watermark now day-2 12:00 - 1h -> day-1 window closes, emits
+
+    got = spark.read.parquet(out)
+    day1 = got.where(F.col("w.start") == "2024-01-01 00:00:00")
+    rows = {(r.event_type, r.n) for r in day1.collect()}
+    assert rows == {("view", 5), ("purchase", 5)}
+    # day-2/day-3 windows are NOT emitted: still open under the watermark
+    assert got.where(F.col("w.start") >= "2024-01-02 00:00:00").count() == 0
+
+
+def test_eventlog_to_snapshot_bronze_exactly_once(spark, tmp_path):
+    """The reference's core real-time flow — Kafka topic -> consumer ->
+    Delta bronze merge — end to end on this stack: eventlog source
+    (real offsets) -> upsert_stream_to_snapshot (last-writer-wins CDC
+    merge, txn-id exactly-once table versions), across a
+    stop/append/restart cycle with an overlapping key update."""
+    from pyspark.sql import functions as F
+    from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
+    from data_lakehouse_platform_spark.streaming.pipelines import (
+        upsert_stream_to_snapshot,
+    )
+
+    spark.dataSource.register(EventLogStreamDataSource)
+    log = str(tmp_path / "topic")
+    tbl = str(tmp_path / "bronze")
+    ck = str(tmp_path / "ck")
+
+    append_segment(log, _rows(0, 6))  # event_ids 0..5, day 1
+
+    def run():
+        src = (
+            spark.readStream.format("eventlog").option("path", log).load()
+            .withColumn("ets", F.to_timestamp("ts"))
+        )
+        q = upsert_stream_to_snapshot(
+            src, tbl, key_cols=["event_id"], ts_col="ets", checkpoint_path=ck
+        )
+        q.awaitTermination(120)
+
+    run()
+    t = SnapshotTable(tbl)
+    assert t.read(spark).count() == 6
+
+    # while down: a late UPDATE for event 3 (newer ts) + new events
+    upd = dict(_rows(0, 6)[3])
+    upd["ts"] = "2024-01-05 00:00:00"
+    upd["value"] = 999.0
+    append_segment(log, [upd] + _rows(1, 4))
+    run()
+
+    got = t.read(spark)
+    assert got.count() == 10  # 6 + 4 new, update merged not appended
+    assert got.where(F.col("event_id") == 3).collect()[0].value == 999.0
+    # replay safety: restarting with no new data commits no new version
+    v = t.latest_version()
+    run()
+    assert t.latest_version() == v
