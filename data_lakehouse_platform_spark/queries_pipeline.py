@@ -795,3 +795,52 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+# ----------------------------------------------------------------------------
+# Changelog compaction: last-writer-wins netting per key
+# ----------------------------------------------------------------------------
+
+_COMPACT_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id, CAST(n_changes AS BIGINT) AS n_changes, ts AS last_ts,
+       event_type AS last_event_type, value AS last_value
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "changelog_compaction",
+    _COMPACT_ORACLE,
+    "Changelog compaction (Kafka compacted topic / CDC netting): each "
+    "key's change history nets to its final record, last writer wins "
+    "on the unique (ts, event_id) order. NOT a per-key window "
+    "(a hyperactive key would funnel its whole history through one "
+    "sort task): a single groupBy with MAX_BY over the composite "
+    "order key partial-aggregates map-side, so a key's history "
+    "collapses to one running maximum per mapper before anything "
+    "shuffles. Reference analog: the orders consumer's last-state "
+    "upsert into Redis (scripts/real-time/orders_consumer.py).",
+)
+def changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    last = F.max_by(
+        F.struct("ts", "event_type", "value"), F.struct("ts", "event_id")
+    ).alias("last")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_changes"), last)
+        .select(
+            "user_id",
+            "n_changes",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.event_type").alias("last_event_type"),
+            F.col("last.value").alias("last_value"),
+        )
+    )
