@@ -1,0 +1,118 @@
+"""Incremental view maintenance: keep a grouped-aggregate "view" in
+sync with a versioned table by applying CHANGE DELTAS instead of
+recomputing — the step that turns the snapshot table's change data
+feed (sources/table_format.py `changes`) into cheap continuously-
+maintained gold aggregates.
+
+The algebra: SUM and COUNT are abelian-group aggregates, so a CDF row
+set maps to per-group deltas — inserts and update-postimages
+contribute ``+row``, deletes and update-preimages contribute ``-row``
+— and applying a delta is a keyed merge of two aggregate states.  The
+view stores measures as exact fixed-point DECIMAL (functions/money.py)
+so delta application is associative and bit-exact: maintaining the
+view incrementally for any number of versions gives the same bits as
+a full rebuild at the final version (tested).  Groups whose row count
+reaches zero leave the view, exactly as a full recompute would drop
+them.
+
+Cost model at 100 TB: a full rebuild scans the whole fact table; the
+incremental path scans only the CDF between versions (one keyed diff)
+plus the view (group-cardinality, orders of magnitude smaller), and
+every step is a partial-aggregatable groupBy or a co-partitioned
+full-outer merge — no step touches unchanged fact rows.
+
+Reference analog: the reference rebuilds its gold aggregates from
+scratch per run (scripts/batch/gold_product_agg.py); this is the shape
+that replaces the nightly full scan once the fact table stops fitting
+a night.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.functions.money import dec
+
+_FP = "decimal(38,0)"
+
+
+def _fp(name: str) -> str:
+    return f"{name}_fp"
+
+
+def agg_state(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    measures: Mapping[str, str],
+) -> DataFrame:
+    """Full build of the view state: per-group row count ``n`` plus one
+    exact fixed-point sum column ``<name>_fp`` per measure."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for name, src in measures.items():
+        aggs.append(F.sum(dec(src)).cast(_FP).alias(_fp(name)))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def changes_to_delta(
+    changes: DataFrame,
+    group_cols: Sequence[str],
+    measures: Mapping[str, str],
+) -> DataFrame:
+    """Collapse a change feed (``_change_type`` rows from
+    SnapshotTable.changes) into per-group aggregate deltas.  Group
+    cardinality bounds the output — a million changed rows in one
+    group become one delta row."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    aggs = [F.sum(sign).cast("bigint").alias("n")]
+    for name, src in measures.items():
+        aggs.append(
+            F.sum(sign.cast(_FP) * dec(src).cast(_FP)).cast(_FP).alias(_fp(name))
+        )
+    return changes.groupBy(*group_cols).agg(*aggs)
+
+
+def apply_delta(
+    state: DataFrame,
+    delta: DataFrame,
+    group_cols: Sequence[str],
+    measure_names: Sequence[str],
+) -> DataFrame:
+    """Merge a delta into the view state: null-safe co-partitioned
+    full-outer join on the group key, exact decimal addition, and
+    groups whose row count reaches zero drop out (as a rebuild would).
+    """
+    s = state.select(
+        *[F.col(c).alias(f"__s_{c}") for c in state.columns]
+    )
+    d = delta.select(
+        *[F.col(c).alias(f"__d_{c}") for c in delta.columns]
+    )
+    cond = None
+    for k in group_cols:
+        t = F.col(f"__s_{k}").eqNullSafe(F.col(f"__d_{k}"))
+        cond = t if cond is None else cond & t
+    j = s.join(d, cond, "full_outer")
+    zero = F.lit(0).cast(_FP)
+    out_cols = [
+        F.coalesce(F.col(f"__s_{k}"), F.col(f"__d_{k}")).alias(k)
+        for k in group_cols
+    ]
+    n = (
+        F.coalesce(F.col("__s_n"), F.lit(0))
+        + F.coalesce(F.col("__d_n"), F.lit(0))
+    ).alias("n")
+    ms = [
+        (
+            F.coalesce(F.col(f"__s_{_fp(m)}"), zero)
+            + F.coalesce(F.col(f"__d_{_fp(m)}"), zero)
+        )
+        .cast(_FP)
+        .alias(_fp(m))
+        for m in measure_names
+    ]
+    return j.select(*out_cols, n, *ms).filter(F.col("n") > 0)
