@@ -83,6 +83,95 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def connected_components_starred(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 40
+) -> DataFrame:
+    """Connected components via the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round twin of :func:`connected_components` for
+    ADVERSARIAL graphs whose diameter is large (long chains), where
+    min-label propagation needs diameter rounds.
+
+    Both half-steps are one partial-aggregatable groupBy (per-node min
+    neighbor) plus one co-partitioned join back to the edge list —
+    never a collect, never per-node Python:
+
+    * large-star: every node connects its strictly-LARGER neighbors to
+      the minimum of its neighborhood (incl. itself) — long chains
+      contract exponentially;
+    * small-star: edges oriented larger→smaller; every node connects
+      its smaller neighbors (and itself) to the neighborhood minimum
+      — turns contracted clumps into stars.
+
+    Fixpoint = the edge set is a union of stars rooted at component
+    minima; convergence is detected with a 2-scalar aggregate (edge
+    count + xxhash64 sum), the only driver-side data. Returns
+    (node, component), singletons absent — same contract as
+    :func:`connected_components` (equality property-tested, including
+    a path graph that the label-propagation loop needs 25 rounds on).
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).collect()[0]
+        return (row[0], row[1])
+
+    def _large(df: DataFrame) -> DataFrame:
+        sym = df.union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least("mv", "u").alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def _small(df: DataFrame) -> DataFrame:
+        # df is larger→smaller oriented: every neighbor v < u, so the
+        # neighborhood min is just min(v).
+        m = df.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            df.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return moved.union(m.select(F.col("u"), F.col("m").alias("v")))
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        e = (
+            _small(_large(e))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # O(1)-deep plan per round
+        )
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    roots = e.select(F.col("v").alias("node")).distinct()
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(roots.select("node", F.col("node").alias("component")))
+        .distinct()
+    )
+
+
 _PR_SCALE = 1_000_000_000_000  # 1e12: rank unit in exact int64
 
 

@@ -64,3 +64,54 @@ def test_mg_bounded_output_per_partition(spark):
     # ≤ cap survivors per input partition → ≤ cap × partitions overall
     nparts = items.rdd.getNumPartitions()
     assert cands.count() <= cap * nparts
+
+
+# ---------------------------------------------------------------------------
+# Property: for ANY stream, MG candidates cover everything above the
+# 1/(c+1) floor, and whenever the certificate holds the top-K equals
+# the unrestricted exact top-K.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_stream = st.lists(
+    st.integers(min_value=0, max_value=30),  # item ids (collision-heavy)
+    min_size=1,
+    max_size=300,
+)
+
+
+@given(_stream)
+@settings(**_SETTINGS)
+def test_mg_invariants_property(spark, ids):
+    cap = 8
+    items = spark.createDataFrame(
+        [(f"i{v:02d}",) for v in ids], "item string"
+    ).repartition(3)
+    n = len(ids)
+    exact = {
+        r.item: r["count"] for r in items.groupBy("item").count().collect()
+    }
+    cands = {
+        r.item for r in misra_gries_candidates(items, "item", cap).collect()
+    }
+    # coverage invariant
+    for item, cnt in exact.items():
+        if cnt * (cap + 1) > n:
+            assert item in cands
+
+    got = heavy_hitters_exact(items, "item", k=3, capacity=cap).collect()
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    if all(r.above_mg_floor == 1 for r in got):
+        # certificate => provably the unrestricted top-K
+        assert [(r.item, r.freq) for r in got] == want
+    # with or without the certificate, reported counts are EXACT
+    for r in got:
+        assert exact[r.item] == r.freq
