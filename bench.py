@@ -45,6 +45,9 @@ HEADLINE = [
     "oov_rate",
     "iqr_outlier_fences",
     "resample_interpolate",
+    # round-2 flagship additions (baselined from their first driver run)
+    "heavy_hitter_tokens",
+    "changelog_compaction",
 ]
 
 

@@ -64,20 +64,20 @@ def misra_gries_candidates(
     overall), covering every item with global share > 1/(capacity+1)."""
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        run: dict = {}
+        # Vectorized throughout: per-batch exact counts via
+        # value_counts, summary merge via index-aligned Series.add —
+        # Python-level work is O(summary size), never O(rows).
+        run = pd.Series(dtype="int64")
         for pdf in batches:
             vc = pdf[item_col].value_counts()
-            for item, cnt in zip(vc.index, vc.values):
-                run[item] = run.get(item, 0) + int(cnt)
+            run = run.add(vc, fill_value=0) if len(run) else vc.astype("int64")
             if len(run) > capacity:
                 # Mergeable-summaries reduction: subtract the (c+1)-th
                 # largest counter from all, drop the non-positive —
                 # at most c strictly-greater entries remain.
-                d = sorted(run.values(), reverse=True)[capacity]
-                run = {k: v - d for k, v in run.items() if v > d}
-        yield pd.DataFrame({item_col: list(run.keys())}).astype(
-            {item_col: "object"}
-        )
+                d = run.nlargest(capacity + 1).iloc[-1]
+                run = run[run > d] - d
+        yield pd.DataFrame({item_col: run.index}).astype({item_col: "object"})
 
     return items.select(item_col).mapInPandas(
         mg, schema=f"{item_col} string"

@@ -361,3 +361,52 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean"),
     )
+
+
+# ----------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidates + exact recount
+# ----------------------------------------------------------------------------
+
+_HH_K = 25
+_HH_CAP = 512
+
+_HH_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split({T.sql_normalize_ws('text')}, ' ')) AS token
+  FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token),
+tot AS (SELECT COUNT(*) AS corpus_n FROM toks),
+topk AS (
+  SELECT token, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS hh_rank
+  FROM counts
+)
+SELECT t.token, t.freq, t.hh_rank, tot.corpus_n,
+       CAST(t.freq * {_HH_CAP + 1} > tot.corpus_n AS INT) AS above_mg_floor
+FROM topk t CROSS JOIN tot
+WHERE t.hh_rank <= {_HH_K}
+"""
+
+
+@register(
+    "heavy_hitter_tokens",
+    _HH_ORACLE,
+    f"Top-{_HH_K} corpus tokens by exact frequency, found via per-"
+    "partition Misra-Gries summaries (mergeable, capacity "
+    f"{_HH_CAP}) + an exact broadcast-recount pass — shuffle volume "
+    "is bounded by summary capacity x partitions instead of the "
+    "distinct vocabulary, the shape that survives a billion-term "
+    "n-gram domain at 100 TB. Each row carries the integer-exact "
+    "`above_mg_floor` certificate (freq*(cap+1) > corpus_n); all-true "
+    "proves the summary provably covered the true top-K "
+    "(operators/heavy_hitters.py).",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.heavy_hitters import (
+        heavy_hitters_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.ws_tokens("text")).alias("token"))
+    return heavy_hitters_exact(toks, "token", k=_HH_K, capacity=_HH_CAP)

@@ -117,14 +117,20 @@ def append_segment(log_dir: str, rows: list[dict]) -> int:
     (write tmp, fsync, rename — readers never observe a partial
     segment). Returns the segment number."""
     os.makedirs(log_dir, exist_ok=True)
-    n = sealed_segments(log_dir)
     tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         for r in rows:
             fh.write(json.dumps(r, default=str) + "\n")
         fh.flush()
         os.fsync(fh.fileno())
-    os.rename(tmp, segment_path(log_dir, n))
+    n = sealed_segments(log_dir)
+    while True:
+        try:
+            os.link(tmp, segment_path(log_dir, n))  # atomic put-if-absent
+            break
+        except FileExistsError:
+            n += 1  # concurrent producer took this slot
+    os.unlink(tmp)
     return n
 
 
@@ -237,15 +243,24 @@ def _write_tmp(log_dir: str, iterator, fields) -> _TmpFileMessage:
 
 
 def _seal_tmps(log_dir: str, messages) -> list[int]:
-    """Driver-side publish: rename each task's tmp file to the next
-    consecutive segment number (renames are atomic; tmp names never
+    """Driver-side publish: link each task's tmp file in as the next
+    consecutive segment number. ``os.link`` is the atomic put-if-absent
+    (a plain rename would silently CLOBBER a segment another writer
+    sealed concurrently) — on collision we retry the next number, so
+    two committers interleave instead of overwriting. Tmp names never
     match the reader's ``segment-*`` pattern, so readers observe only
-    fully-written segments)."""
+    fully-written segments."""
     sealed = []
     for m in messages:
         if m is not None and m.tmp_path is not None:
             n = sealed_segments(log_dir)
-            os.rename(m.tmp_path, segment_path(log_dir, n))
+            while True:
+                try:
+                    os.link(m.tmp_path, segment_path(log_dir, n))
+                    break
+                except FileExistsError:
+                    n += 1  # lost the race for this slot: take the next
+            os.unlink(m.tmp_path)
             sealed.append(n)
     return sealed
 

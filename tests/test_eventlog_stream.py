@@ -374,3 +374,62 @@ def test_eventlog_to_snapshot_bronze_exactly_once(spark, tmp_path):
     v = t.latest_version()
     run()
     assert t.latest_version() == v
+
+
+def test_eventlog_bootstrap_then_tail(spark, tmp_path):
+    """The kappa bootstrap pattern startingSegment exists for: batch-
+    read the history [0, N) for a backfill, then tail the stream from
+    segment N — union covers every event exactly once, no overlap."""
+    spark.dataSource.register(EventLogStreamDataSource)
+    log = str(tmp_path / "boot")
+    for seg in range(3):
+        append_segment(log, _rows(seg, 4))
+    cut = sealed_segments(log)  # 3
+
+    backfill = spark.read.format("eventlog").option("path", log).load()
+    backfill_ids = {r.event_id for r in backfill.collect()}
+    assert len(backfill_ids) == 12
+
+    append_segment(log, _rows(3, 4))  # live traffic after the cut
+    out = str(tmp_path / "tail")
+    q = (
+        spark.readStream.format("eventlog")
+        .option("path", log).option("startingSegment", cut).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    tail_ids = {r.event_id for r in spark.read.parquet(out).collect()}
+    assert tail_ids == {3000 + i for i in range(4)}
+    assert backfill_ids.isdisjoint(tail_ids)
+    assert len(backfill_ids | tail_ids) == 16
+
+
+def test_eventlog_concurrent_sealers_never_clobber(tmp_path):
+    """Two committers racing for the same segment slot must interleave,
+    not overwrite: sealing is os.link put-if-absent with slot retry."""
+    from pyspark.sql import Row
+    from data_lakehouse_platform_spark.sources.eventlog_stream import (
+        EventLogBatchWriter,
+        _write_tmp,
+        _FIELDS,
+        segment_path,
+    )
+    import json as _json
+
+    log = str(tmp_path / "race")
+    w = EventLogBatchWriter({"path": log}, overwrite=False)
+    # writer A stages its tmp while the log has 0 segments...
+    m_a = _write_tmp(log, iter([Row(**r) for r in _rows(0, 2)]), _FIELDS)
+    # ...and an interloping producer seals segment 0 first
+    append_segment(log, _rows(9, 3))
+    w.commit([m_a])  # A must land at slot 1, not clobber slot 0
+    assert sealed_segments(log) == 2
+    with open(segment_path(log, 0)) as fh:
+        ids0 = {_json.loads(l)["event_id"] for l in fh if l.strip()}
+    with open(segment_path(log, 1)) as fh:
+        ids1 = {_json.loads(l)["event_id"] for l in fh if l.strip()}
+    assert ids0 == {9000, 9001, 9002}  # interloper intact
+    assert ids1 == {0, 1}              # A's rows after it

@@ -386,3 +386,39 @@ def test_medallion_scd2_second_pass_closes_out(spark, tmp_path):
 
     k2 = by_key[2]
     assert len(k2) == 1 and k2[0]["is_current"] is True and k2[0]["end_ts"] is None
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark, tmp_path):
+    """At 100 TB the fact table is hive-partitioned (by day/month) and
+    dim-filter joins must prune fact PARTITIONS at runtime, not scan
+    everything: Spark's dynamic partition pruning injects the
+    broadcast dim's key set into the fact scan's partition filters.
+    Pin that this actually fires for the partitioned-fact + filtered-
+    dim shape our gold builds use."""
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "fact")
+    (
+        spark.range(10_000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 12).alias("month"),
+            (F.col("id") * 2).alias("v"),
+        )
+        .write.partitionBy("month")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(m, "keep" if m in (3, 7) else "drop") for m in range(12)],
+        "month bigint, flag string",
+    )
+    q = fact.join(dim.where(F.col("flag") == "keep"), "month").agg(
+        F.sum("v").alias("s")
+    )
+    rows = q.collect()  # execute so the post-AQE plan is final
+    # behavior: only months 3 and 7 contribute
+    want = sum(i * 2 for i in range(10_000) if i % 12 in (3, 7))
+    assert rows[0].s == want
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
