@@ -11,6 +11,7 @@ shape.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -34,6 +35,58 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Production JSON ingest: PERMISSIVE parse with a corrupt-record
+    column, split into ``(good, quarantine)``.
+
+    Real feeds always contain some malformed lines; failing the whole
+    100 TB job on one bad record (FAILFAST) or silently dropping them
+    (DROPMALFORMED) are both wrong for a lakehouse bronze layer — the
+    contract is: good rows flow, bad RAW LINES are preserved for
+    replay/debugging, and both legs come from ONE scan definition.
+
+    Implementation note: Spark's native JSON reader refuses plans that
+    reference only its internal corrupt column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the documented workaround is
+    caching the whole parse, a non-starter at 100 TB). So the scan is
+    ``spark.read.text`` + ``from_json`` with the corrupt column
+    embedded in the struct: one pass, no cache, and quarantine keeps
+    the byte-exact original line.
+
+    Reference analog: the reference's Kafka consumers json.loads inside
+    try/except and drop failures (orders_consumer.py) — this keeps
+    them.
+    """
+    from pyspark.sql.types import StringType, StructType as _ST
+
+    if isinstance(schema, str):
+        schema = _ST.fromDDL(schema)
+    assert isinstance(schema, _ST)
+    business = [f.name for f in schema.fields]
+    full = schema.add(corrupt_col, StringType())
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.col("value"),
+        F.from_json(
+            "value",
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ).alias("__r"),
+    )
+    good = parsed.filter(F.col(f"__r.{corrupt_col}").isNull()).select(
+        *[F.col(f"__r.{c}").alias(c) for c in business]
+    )
+    quarantine = parsed.filter(
+        F.col(f"__r.{corrupt_col}").isNotNull()
+    ).select(F.col("value").alias("raw_line"))
+    return good, quarantine
 
 
 def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:

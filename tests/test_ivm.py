@@ -111,3 +111,63 @@ def test_unchanged_groups_survive_and_zero_delta_noop(spark, tmp_path):
         view, changes_to_delta(cdf, ["grp"], measures), ["grp"], ["amount"]
     )
     assert _canon(maintained) == _canon(view)
+
+
+# ---------------------------------------------------------------------------
+# Property: for ANY random chain of inserts/updates/deletes, maintaining
+# the view by CDF deltas equals the full rebuild at the final version.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# one edit: (key 0..9, group 0..2, amount-units, op) where op deletes
+# when the key exists and amount is odd, else upserts
+_edit = st.tuples(
+    st.integers(min_value=0, max_value=9),
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=0, max_value=400),
+)
+_chain = st.lists(
+    st.lists(_edit, min_size=1, max_size=6), min_size=1, max_size=4
+)
+
+
+@given(_chain)
+@settings(**_SETTINGS)
+def test_ivm_property_random_chains(spark, tmp_path_factory, chain):
+    tbl = SnapshotTable(str(tmp_path_factory.mktemp("ivmprop")))
+    state: dict[int, tuple[str, float]] = {
+        k: ("g0", float(k)) for k in range(3)
+    }
+
+    def snap():
+        rows = [(k, g, a) for k, (g, a) in sorted(state.items())]
+        if not rows:
+            rows = [(-1, "g_sentinel", 0.0)]  # keep snapshots non-empty
+        return tbl.write_snapshot(spark.createDataFrame(rows, _SCHEMA))
+
+    versions = [snap()]
+    for batch in chain:
+        for k, g, a in batch:
+            if k in state and a % 2 == 1:
+                del state[k]
+            else:
+                state[k] = (f"g{g}", a / 8)
+        versions.append(snap())
+
+    measures = {"amount": "amount"}
+    view = agg_state(tbl.read(spark, versions[0]), ["grp"], measures)
+    for frm, to in zip(versions, versions[1:]):
+        cdf = tbl.changes(spark, ["k"], frm, to)
+        view = apply_delta(
+            view, changes_to_delta(cdf, ["grp"], measures), ["grp"], ["amount"]
+        )
+    rebuilt = agg_state(tbl.read(spark, versions[-1]), ["grp"], measures)
+    assert _canon(view) == _canon(rebuilt)

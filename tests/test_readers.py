@@ -212,3 +212,30 @@ def test_persistent_catalog_tables(spark, tmp_path):
         assert sum(r["n"] for r in got) == 25 and len(got) == 5
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_json_quarantine_split(spark, tmp_path):
+    """PERMISSIVE ingest: good rows flow with the business schema, bad
+    raw lines land in quarantine — nothing fails, nothing vanishes."""
+    from data_lakehouse_platform_spark.sources.readers import (
+        read_json_with_quarantine,
+    )
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"k": 1, "v": "ok"}\n'
+        "{not json at all}\n"
+        '{"k": 2, "v": "fine"}\n'
+        '{"k": "NaNope", "v": 3}\n'  # type mismatch -> corrupt
+    )
+    good, quarantine = read_json_with_quarantine(
+        spark, str(p), "k bigint, v string"
+    )
+    assert sorted((r.k, r.v) for r in good.collect()) == [
+        (1, "ok"),
+        (2, "fine"),
+    ]
+    raw = [r.raw_line for r in quarantine.collect()]
+    assert len(raw) == 2
+    assert any("not json" in s for s in raw)
+    assert all(isinstance(s, str) for s in raw)
