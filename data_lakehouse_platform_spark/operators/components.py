@@ -63,6 +63,7 @@ def connected_components(
         return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
     prev = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         nbr_labels = (
             sym.alias("e")
@@ -78,8 +79,19 @@ def connected_components(
         cur = _label_sum(new_labels)
         labels = new_labels
         if cur == prev:  # min-label is monotone; equal sum == fixpoint
+            converged = True
             break
         prev = cur
+    if not converged:
+        # Silent wrong labels (one component split across several) are
+        # far worse than a loud stop: propagation needs diameter
+        # rounds, so a long-chain graph should use the O(log n)
+        # star-contraction twin instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter or use "
+            "connected_components_starred for long-diameter graphs"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -149,6 +161,7 @@ def connected_components_starred(
         return moved.union(m.select(F.col("u"), F.col("m").alias("v")))
 
     sig = _sig(e)
+    converged = False
     for _ in range(max_iter):
         e = (
             _small(_large(e))
@@ -161,8 +174,15 @@ def connected_components_starred(
         )
         new_sig = _sig(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_starred did not converge in {max_iter} "
+            "rounds — unexpected for O(log n) star contraction; raise "
+            "max_iter"
+        )
 
     roots = e.select(F.col("v").alias("node")).distinct()
     return (

@@ -57,18 +57,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def misra_gries_candidates(
-    items: DataFrame, item_col: str, capacity: int = 512
-) -> DataFrame:
-    """≤ ``capacity`` candidate items per input partition (distinct
-    overall), covering every item with global share > 1/(capacity+1)."""
+def _mg_summary(items: DataFrame, item_col: str, capacity: int) -> DataFrame:
+    """Per-partition Misra–Gries pass. Output rows: one per surviving
+    candidate (``__prows`` null) plus ONE partition-total row per
+    partition (``item_col`` null, ``__prows`` = rows streamed) — so the
+    corpus row count falls out of the same single scan instead of
+    costing another full pass.
+
+    NULL item values are never candidates (the null slot is the
+    partition-total sentinel; value_counts drops them) but DO count
+    toward ``__prows``, which only makes the exactness certificate
+    more conservative."""
+    dtype = dict(items.dtypes)[item_col]
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Vectorized throughout: per-batch exact counts via
         # value_counts, summary merge via index-aligned Series.add —
         # Python-level work is O(summary size), never O(rows).
         run = pd.Series(dtype="int64")
+        rows = 0
         for pdf in batches:
+            rows += len(pdf)
             vc = pdf[item_col].value_counts()
             run = run.add(vc, fill_value=0) if len(run) else vc.astype("int64")
             if len(run) > capacity:
@@ -77,11 +86,35 @@ def misra_gries_candidates(
                 # at most c strictly-greater entries remain.
                 d = run.nlargest(capacity + 1).iloc[-1]
                 run = run[run > d] - d
-        yield pd.DataFrame({item_col: run.index}).astype({item_col: "object"})
+        # Two separate frames (not concat): mixing a typed index with a
+        # null row would coerce int64 items to float64 and break the
+        # Arrow cast back to the declared type.
+        yield pd.DataFrame(
+            # object dtype on purpose: an empty partition's summary has
+            # an int64 RangeIndex, and Arrow type-checks the dtype even
+            # for zero rows; object converts per the declared schema.
+            {item_col: run.index.astype(object), "__prows": [None] * len(run)}
+        )
+        yield pd.DataFrame({item_col: [None], "__prows": [rows]})
 
     return items.select(item_col).mapInPandas(
-        mg, schema=f"{item_col} string"
-    ).distinct()
+        mg, schema=f"{item_col} {dtype}, __prows bigint"
+    )
+
+
+def misra_gries_candidates(
+    items: DataFrame, item_col: str, capacity: int = 512
+) -> DataFrame:
+    """≤ ``capacity`` candidate items per input partition (distinct
+    overall), covering every item with global share > 1/(capacity+1).
+    Works for any atomic item type — the kernel's output schema is
+    derived from the input column."""
+    summary = _mg_summary(items, item_col, capacity)
+    return (
+        summary.filter(F.col(item_col).isNotNull())
+        .select(item_col)
+        .distinct()
+    )
 
 
 def heavy_hitters_exact(
@@ -98,8 +131,22 @@ def heavy_hitters_exact(
     ``above_mg_floor`` true on every row certifies the result equals
     the unrestricted exact top-K.
     """
-    cands = misra_gries_candidates(items, item_col, capacity)
-    totals = items.groupBy().agg(F.count(F.lit(1)).alias("corpus_n"))
+    from pyspark import StorageLevel
+
+    # One MG scan produces BOTH the candidates and the corpus row count
+    # (partition-total rows) — persisted so the two consumers don't
+    # re-run the kernel; the footprint is ≤ (capacity+1) × partitions.
+    summary = _mg_summary(items, item_col, capacity).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = (
+        summary.filter(F.col(item_col).isNotNull()).select(item_col).distinct()
+    )
+    totals = (
+        summary.filter(F.col(item_col).isNull())
+        .groupBy()
+        .agg(F.sum("__prows").alias("corpus_n"))
+    )
     exact = (
         items.join(F.broadcast(cands), item_col)
         .groupBy(item_col)

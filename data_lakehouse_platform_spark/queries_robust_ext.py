@@ -109,9 +109,13 @@ FROM cells
 )
 def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        "event_type", (F.dayofweek("ts") - 1).alias("dow")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    obs = (
+        ev.groupBy("event_type", (F.dayofweek("ts") - 1).alias("dow"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        # |types| x 7 rows — materialize so the marginal/total branches
+        # reuse it and the events fact table is scanned exactly ONCE.
+        .localCheckpoint(eager=True)
+    )
     rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
     ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
     tot = obs.groupBy().agg(F.sum("o").alias("n"))
@@ -125,13 +129,16 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
         * F.lit(1_000_000_000)
     ).cast("bigint")
+    # dof from the cell table inside the same aggregate — no eager
+    # driver actions, so the events scan happens once per plan branch
+    # and never at build time.
     dof = (
-        rt.count() - 1
-    ) * (ct.count() - 1)  # bounded collects: |types|, 7
+        (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+    ).cast("bigint")
     return cells.groupBy().agg(
         F.max("n").alias("n_events"),
         F.count(F.lit(1)).alias("n_cells"),
-        F.lit(dof).cast("bigint").alias("dof"),
+        dof.alias("dof"),
         (F.sum(term_fp).cast("double") / F.lit(1_000_000_000)).alias("chi2"),
     )
 
@@ -184,8 +191,12 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_digit")
     )
-    obs = digits.groupBy("first_digit").agg(
-        F.count(F.lit(1)).alias("n_orders")
+    obs = (
+        digits.groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        # 9 rows — materialize so the total branch reuses it and orders
+        # is scanned exactly once.
+        .localCheckpoint(eager=True)
     )
     tot = obs.groupBy().agg(F.sum("n_orders").alias("n"))
     expected = F.coalesce(

@@ -34,12 +34,12 @@ commit protocol a Kafka producer's transactions provide:
 * the DRIVER commit seals the tmp files as consecutive segments
   (rename is the atomic publish), so a batch's segments appear only
   after every task succeeded;
-* the STREAMING sink additionally records each committed micro-batch
-  id in a marker file created with ``O_EXCL`` — when Spark replays a
-  batch after a failure-between-commit-and-checkpoint, the duplicate
-  commit sees the marker, discards its tmp files, and publishes
-  nothing: idempotent commit ⇒ exactly-once from source offset to
-  sealed sink segment.
+* the STREAMING sink runs a two-marker commit (``begin`` pins the
+  batch's slot range before anything seals; sealing is per-slot
+  put-if-absent and therefore idempotent; ``committed`` ends the
+  transaction) — a crash at ANY point inside commit, replayed by
+  Spark, re-seals only the missing slots: exactly-once from source
+  offset to sealed sink segment with no loss-or-duplicate window.
 
 The transport is schema-generic: pass any flat schema of JSON-
 representable atomic types (``.schema("k bigint, v string, ...")``)
@@ -88,23 +88,67 @@ def segment_path(log_dir: str, n: int) -> str:
     return os.path.join(log_dir, f"{_SEG_PREFIX}{n:08d}{_SEG_SUFFIX}")
 
 
+def _atomic_write_json(log_dir: str, name: str, payload: dict) -> bool:
+    """Create ``name`` with ``payload`` atomically (tmp + link put-if-
+    absent): the file is either absent or complete, never partial.
+    Returns False when it already existed."""
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(payload))
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, os.path.join(log_dir, name))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def _log_start(log_dir: str) -> int:
+    """Durable log-start floor: advanced by vacuum/overwrite so segment
+    NUMBERING never reuses a retired number — a consumer checkpointed
+    past the floor keeps monotone offsets instead of silently skipping
+    the first N newly produced segments."""
+    try:
+        with open(os.path.join(log_dir, ".log-start")) as fh:
+            return json.load(fh)["log_start"]
+    except FileNotFoundError:
+        return 0
+
+
+def _advance_log_start(log_dir: str, n: int) -> None:
+    cur = _log_start(log_dir)
+    if n <= cur:
+        return
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps({"log_start": n}))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, os.path.join(log_dir, ".log-start"))
+
+
 def segment_range(log_dir: str) -> tuple[int, int]:
     """``(first, end)`` of the contiguous sealed segments on disk —
     ``first`` > 0 after a retention vacuum (like a Kafka partition's
-    log-start offset moving forward). One directory listing, not a
-    stat per segment."""
+    log-start offset moving forward), and both never fall below the
+    durable log-start floor even when every segment is gone. One
+    directory listing, not a stat per segment."""
+    floor = _log_start(log_dir)
     try:
         names = os.listdir(log_dir)
     except FileNotFoundError:
-        return (0, 0)
+        return (floor, floor)
     nums = sorted(
         int(f[len(_SEG_PREFIX):-len(_SEG_SUFFIX)])
         for f in names
         if f.startswith(_SEG_PREFIX) and f.endswith(_SEG_SUFFIX)
     )
     if not nums:
-        return (0, 0)
-    return (nums[0], nums[-1] + 1)
+        return (floor, floor)
+    return (max(nums[0], floor), max(nums[-1] + 1, floor))
 
 
 def sealed_segments(log_dir: str) -> int:
@@ -145,6 +189,9 @@ def vacuum_segments(log_dir: str, keep_from: int) -> int:
     for n in range(first, min(keep_from, end)):
         os.remove(segment_path(log_dir, n))
         removed += 1
+    # Persist the floor so numbering never reuses retired numbers —
+    # even when keep_from == end removed every segment.
+    _advance_log_start(log_dir, min(keep_from, end))
     return removed
 
 
@@ -290,26 +337,47 @@ class EventLogBatchWriter(DataSourceWriter):
             first, end = segment_range(self.log_dir)
             for n in range(first, end):
                 os.remove(segment_path(self.log_dir, n))
+            # overwrite truncates CONTENT, never numbering: new
+            # segments continue past the old end so consumer offsets
+            # stay monotone.
+            _advance_log_start(self.log_dir, end)
         _seal_tmps(self.log_dir, messages)
 
     def abort(self, messages) -> None:
         _drop_tmps(messages)
 
 
-def _batch_marker(log_dir: str, batch_id: int) -> str:
-    return os.path.join(log_dir, f".batch-{batch_id:012d}.committed")
+def _batch_marker(log_dir: str, batch_id: int, phase: str) -> str:
+    return os.path.join(log_dir, f".batch-{batch_id:012d}.{phase}")
 
 
 class EventLogStreamWriter(DataSourceStreamWriter):
-    """Streaming sink with IDEMPOTENT batch commit — the transactional-
-    producer half of the Kafka-shaped contract.
+    """Streaming sink with a two-marker commit protocol — the
+    transactional-producer half of the Kafka-shaped contract, safe
+    against a crash at ANY point inside commit:
 
-    Spark may re-run a micro-batch whose commit landed but whose
-    checkpoint advance did not (failure in the gap). The replayed
-    batch's tasks write fresh tmp files, but ``commit`` finds the
-    ``O_EXCL``-created marker for that batchId already present,
-    discards the tmps, and seals nothing — each micro-batch publishes
-    exactly once no matter how many times it is replayed."""
+    1. ``begin`` marker (atomic put-if-absent, complete-or-absent):
+       pins the batch's BASE segment number and slot count. Written
+       durably BEFORE any segment seals, so every retry of this batch
+       seals into the SAME slots.
+    2. seal: each task's tmp file links into its pinned slot with
+       ``os.link`` put-if-absent, in message order (readers only ever
+       observe a contiguous prefix). A slot that already exists was
+       sealed by a previous attempt of this same batch — same offsets,
+       same rows — so the retry just skips it: sealing is idempotent.
+    3. ``committed`` marker records the sealed range; a replay that
+       finds it drops its tmps and exits (the common fast path).
+
+    Crash matrix: before begin → fresh attempt, nothing published;
+    after begin, any subset sealed → retry re-links only the missing
+    slots; after all seals, before committed → retry links nothing and
+    writes the marker; after committed → retry is a no-op. No window
+    loses rows and none duplicates them.
+
+    Contract: while a sink-owned batch is mid-commit, no FOREIGN
+    producer may append to the same log (slot pinning assumes the base
+    range stays ours — Kafka's single-leader-per-partition rule);
+    between batches, interleaved producers are safe."""
 
     def __init__(self, options, fields=_FIELDS):
         self.log_dir = options.get("path")
@@ -321,19 +389,33 @@ class EventLogStreamWriter(DataSourceStreamWriter):
         return _write_tmp(self.log_dir, iterator, self.fields)
 
     def commit(self, messages, batchId: int) -> None:
-        try:
-            fd = os.open(
-                _batch_marker(self.log_dir, batchId),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
+        if os.path.exists(_batch_marker(self.log_dir, batchId, "committed")):
             _drop_tmps(messages)  # replayed batch: already published
             return
-        sealed = _seal_tmps(self.log_dir, messages)
-        with os.fdopen(fd, "w") as fh:
-            fh.write(json.dumps({"batch_id": batchId, "segments": sealed}))
-            fh.flush()
-            os.fsync(fh.fileno())
+        tmps = [m for m in messages if m is not None and m.tmp_path]
+        os.makedirs(self.log_dir, exist_ok=True)
+        begin_name = f".batch-{batchId:012d}.begin"
+        base = sealed_segments(self.log_dir)
+        if not _atomic_write_json(
+            self.log_dir, begin_name, {"base": base, "count": len(tmps)}
+        ):
+            # a previous attempt of this batch pinned the slots — reuse
+            with open(_batch_marker(self.log_dir, batchId, "begin")) as fh:
+                base = json.load(fh)["base"]
+        sealed = []
+        for i, m in enumerate(tmps):
+            target = segment_path(self.log_dir, base + i)
+            try:
+                os.link(m.tmp_path, target)
+            except FileExistsError:
+                pass  # sealed by a previous attempt of this batch
+            os.unlink(m.tmp_path)
+            sealed.append(base + i)
+        _atomic_write_json(
+            self.log_dir,
+            f".batch-{batchId:012d}.committed",
+            {"batch_id": batchId, "segments": sealed},
+        )
 
     def abort(self, messages, batchId: int) -> None:
         _drop_tmps(messages)

@@ -64,13 +64,15 @@ def read_json_with_quarantine(
     try/except and drop failures (orders_consumer.py) — this keeps
     them.
     """
-    from pyspark.sql.types import StringType, StructType as _ST
+    from pyspark.sql.types import StringType, StructField, StructType as _ST
 
     if isinstance(schema, str):
         schema = _ST.fromDDL(schema)
     assert isinstance(schema, _ST)
     business = [f.name for f in schema.fields]
-    full = schema.add(corrupt_col, StringType())
+    # COPY the schema — StructType.add mutates in place, and the
+    # caller's schema must stay reusable.
+    full = _ST(list(schema.fields) + [StructField(corrupt_col, StringType())])
     raw = spark.read.text(path)
     parsed = raw.select(
         F.col("value"),
@@ -80,12 +82,15 @@ def read_json_with_quarantine(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
         ).alias("__r"),
     )
-    good = parsed.filter(F.col(f"__r.{corrupt_col}").isNull()).select(
+    # Blank/whitespace-only lines parse to a NULL struct (corrupt col
+    # null too) — they are NOT good rows; route them to quarantine.
+    is_good = F.col("__r").isNotNull() & F.col(f"__r.{corrupt_col}").isNull()
+    good = parsed.filter(is_good).select(
         *[F.col(f"__r.{c}").alias(c) for c in business]
     )
-    quarantine = parsed.filter(
-        F.col(f"__r.{corrupt_col}").isNotNull()
-    ).select(F.col("value").alias("raw_line"))
+    quarantine = parsed.filter(~is_good).select(
+        F.col("value").alias("raw_line")
+    )
     return good, quarantine
 
 

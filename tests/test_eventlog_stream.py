@@ -433,3 +433,80 @@ def test_eventlog_concurrent_sealers_never_clobber(tmp_path):
         ids1 = {_json.loads(l)["event_id"] for l in fh if l.strip()}
     assert ids0 == {9000, 9001, 9002}  # interloper intact
     assert ids1 == {0, 1}              # A's rows after it
+
+
+def test_eventlog_sink_crash_inside_commit_recovers_exactly_once(tmp_path):
+    """Simulate a crash BETWEEN sealing and the committed marker: the
+    begin marker pinned the slots, so the replay re-links only the
+    missing ones — no loss, no duplicates."""
+    import json as _json
+    from pyspark.sql import Row
+    from data_lakehouse_platform_spark.sources.eventlog_stream import (
+        EventLogStreamWriter,
+        _atomic_write_json,
+        _write_tmp,
+        _FIELDS,
+        segment_path,
+    )
+
+    log = str(tmp_path / "crash")
+    w = EventLogStreamWriter({"path": log})
+    rows = [Row(**r) for r in _rows(0, 6)]
+
+    # ---- first attempt: begin written, only slot 0 sealed, then "crash"
+    import os
+
+    os.makedirs(log, exist_ok=True)
+    m1 = _write_tmp(log, iter(rows[:3]), _FIELDS)
+    m2 = _write_tmp(log, iter(rows[3:]), _FIELDS)
+    assert _atomic_write_json(log, ".batch-000000000005.begin", {"base": 0, "count": 2})
+    os.link(m1.tmp_path, segment_path(log, 0))  # slot 0 sealed
+    # crash: m1/m2 tmps orphaned, slot 1 unsealed, no committed marker
+
+    # ---- replay: fresh tmps, same rows, same batch id
+    r1 = _write_tmp(log, iter(rows[:3]), _FIELDS)
+    r2 = _write_tmp(log, iter(rows[3:]), _FIELDS)
+    w.commit([r1, r2], batchId=5)
+
+    assert sealed_segments(log) == 2
+    ids = []
+    for n in range(2):
+        with open(segment_path(log, n)) as fh:
+            ids += [_json.loads(l)["event_id"] for l in fh if l.strip()]
+    assert sorted(ids) == [r["event_id"] for r in _rows(0, 6)]  # each once
+    assert os.path.exists(log + "/.batch-000000000005.committed")
+
+    # a second replay after success publishes nothing new
+    r3 = _write_tmp(log, iter(rows[:3]), _FIELDS)
+    w.commit([r3], batchId=5)
+    assert sealed_segments(log) == 2
+
+
+def test_eventlog_full_vacuum_keeps_numbering(spark, tmp_path):
+    """Retiring every segment must NOT reset numbering to zero — a
+    consumer checkpointed at the old end keeps monotone offsets and
+    sees every newly produced segment."""
+    from data_lakehouse_platform_spark.sources.eventlog_stream import (
+        segment_range,
+        vacuum_segments,
+    )
+
+    log = str(tmp_path / "fullvac")
+    for seg in range(3):
+        append_segment(log, _rows(seg, 2))
+    assert vacuum_segments(log, keep_from=99) == 3  # clamped to end
+    assert segment_range(log) == (3, 3)  # floor persists, not (0, 0)
+    n = append_segment(log, _rows(7, 2))
+    assert n == 3  # numbering continues past the retired range
+    assert segment_range(log) == (3, 4)
+
+    # overwrite mode likewise truncates content, never numbering
+    spark.dataSource.register(EventLogStreamDataSource)
+    df = spark.createDataFrame(
+        [(1, 1, "view", "2024-01-01 00:00:00", 0.0)],
+        "event_id bigint, user_id bigint, event_type string, ts string, value double",
+    )
+    df.write.format("eventlog").mode("overwrite").option("path", log).save()
+    first, end = segment_range(log)
+    assert first >= 4  # the overwritten segment sits past the old end
+    assert spark.read.format("eventlog").option("path", log).load().count() == 1

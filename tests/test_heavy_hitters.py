@@ -115,3 +115,20 @@ def test_mg_invariants_property(spark, ids):
     # with or without the certificate, reported counts are EXACT
     for r in got:
         assert exact[r.item] == r.freq
+
+
+def test_heavy_hitters_non_string_items(spark):
+    """The kernel's output schema derives from the input column type —
+    bigint item domains (user ids) work end to end."""
+    rows = [(i % 7,) for i in range(700)] + [(99,)] * 50
+    items = spark.createDataFrame(rows, "item bigint").repartition(4)
+    got = heavy_hitters_exact(items, "item", k=3, capacity=32).collect()
+    want = (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "item")
+        .limit(3)
+        .collect()
+    )
+    assert [(r.item, r.freq) for r in got] == [(r.item, r.freq) for r in want]
+    assert got[0].corpus_n == 750
