@@ -40,31 +40,26 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def jaccard_pairs(
-    shingles: DataFrame,
-    id_col: str = "doc_id",
-    threshold: float = 0.2,
-    max_df: int = 100,
+def _shared_shingle_candidates(
+    shingles: DataFrame, id_col: str, max_df: int
 ) -> DataFrame:
-    """Near-dup pairs with exact Jaccard >= threshold.
+    """Shared candidate generation for the set-similarity pair family:
+    (doc_a, doc_b, n_inter, n_a, n_b) for every pair sharing at least
+    one shingle whose document frequency is <= max_df (the prefix-
+    filter cap that keeps boilerplate from exploding the join); set
+    sizes use the FULL shingle sets of both documents.
 
-    ``shingles``: (id, shingle) DISTINCT rows. Candidate pairs share
-    at least one shingle whose document frequency is <= max_df (both
-    engines apply the same cap, so results stay comparable); Jaccard
-    itself uses the FULL shingle sets of both documents.
-    """
-    # `shingles` feeds three aggregations and `filtered` both pair-join
-    # sides, but NO persist here: the duplicated subtrees are identical,
-    # so Spark's ReuseExchange already evaluates each exchange once —
-    # persisting was measured SLOWER (materialization cost, no reuse
-    # gain) at sf0.1. Contrast lsh_candidate_pairs, whose consumers are
-    # NON-identical subtrees that reuse cannot fuse.
+    `shingles` feeds three aggregations and `filtered` both pair-join
+    sides, but NO persist here: the duplicated subtrees are identical,
+    so Spark's ReuseExchange already evaluates each exchange once —
+    persisting was measured SLOWER (materialization cost, no reuse
+    gain) at sf0.1. Contrast lsh_candidate_pairs, whose consumers are
+    NON-identical subtrees that reuse cannot fuse."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     filtered = shingles.join(
         dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
     )
-
     a = filtered.select(F.col(id_col).alias("doc_a"), "shingle")
     b = filtered.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
@@ -75,9 +70,23 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    max_df: int = 100,
+) -> DataFrame:
+    """Near-dup pairs with exact Jaccard >= threshold.
+
+    ``shingles``: (id, shingle) DISTINCT rows. Candidates come from
+    :func:`_shared_shingle_candidates` (both engines apply the same
+    df cap, so results stay comparable).
+    """
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _shared_shingle_candidates(shingles, id_col, max_df)
         .select(
             "doc_a",
             "doc_b",
@@ -106,30 +115,8 @@ def containment_pairs(
     dominated by the long doc. The standard second gate in corpus
     dedup (RefinedWeb-style) for quote/excerpt removal.
     """
-    # `shingles` feeds three aggregations and `filtered` both pair-join
-    # sides, but NO persist here: the duplicated subtrees are identical,
-    # so Spark's ReuseExchange already evaluates each exchange once —
-    # persisting was measured SLOWER (materialization cost, no reuse
-    # gain) at sf0.1. Contrast lsh_candidate_pairs, whose consumers are
-    # NON-identical subtrees that reuse cannot fuse.
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    filtered = shingles.join(
-        dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
-    )
-    a = filtered.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = filtered.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, ["shingle"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _shared_shingle_candidates(shingles, id_col, max_df)
         .select(
             "doc_a",
             "doc_b",

@@ -80,10 +80,17 @@ def train_pq(
         raise ValueError(f"dim {d} not divisible by m={m}")
     blk = d // m
 
+    from pyspark import StorageLevel
+
     pts = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    # The training loop consumes `pts` m*rounds+1 times, and each pass
+    # embeds DIFFERENT centroid literals (non-identical subtrees, so
+    # ReuseExchange can't fuse them) — materialize once instead of
+    # re-running the upstream pipeline per (block, round).
+    pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
     seed_rows = pts.filter(F.col("vec_id") < k).collect()
 
     codebooks: Codebooks = []
@@ -117,6 +124,7 @@ def train_pq(
             ]
         # re-number codes 0..len-1 so element_at lookups are dense
         codebooks.append([(j, vec) for j, (_, vec) in enumerate(centroids)])
+    pts.unpersist()
     return codebooks
 
 

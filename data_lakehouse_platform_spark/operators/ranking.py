@@ -235,16 +235,24 @@ def with_grouped_rank(
                 run_sum += r["__wsum"]
 
     gschema = ", ".join(
-        f"{g}: {dict(df.dtypes)[g]}" for g in gcols
+        f"__off_{g}: {dict(df.dtypes)[g]}" for g in gcols
     )
     off_schema = (
-        f"{gschema}, {_B}: int, __cnt_off: long, __sum_off: {weight_type}, "
+        f"{gschema}, {_B}_off: int, __cnt_off: long, __sum_off: {weight_type}, "
         f"__grp_n: long, __grp_tot: {weight_type}"
     )
     off_df = df.sparkSession.createDataFrame(off_rows, off_schema)
 
     w = Window.partitionBy(*gcols, _B).orderBy(*order_cols)
-    out = bucketed.join(F.broadcast(off_df), gcols + [_B])
+    # NULL is a real group (SQL window PARTITION BY ranks it normally),
+    # so the offsets join back with NULL-SAFE equality — a plain
+    # equi-join would silently drop every null-group row.
+    join_cond = F.col(_B) == F.col(f"{_B}_off")
+    for g in gcols:
+        join_cond = join_cond & F.col(g).eqNullSafe(F.col(f"__off_{g}"))
+    out = bucketed.join(F.broadcast(off_df), join_cond).drop(
+        f"{_B}_off", *[f"__off_{g}" for g in gcols]
+    )
     if rn_col is not None:
         out = out.withColumn(rn_col, F.col("__cnt_off") + F.row_number().over(w))
     if n_col is not None:

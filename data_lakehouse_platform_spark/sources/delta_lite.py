@@ -204,9 +204,20 @@ class DeltaLiteTable:
                 )
         actions.extend(adds)
 
-        # PUT-IF-ABSENT commit (the LogStore contract): losing the race
-        # retries onto the next version; data staging dirs are unique so
-        # nothing is clobbered.
+        # PUT-IF-ABSENT commit (the LogStore contract). A lost race is
+        # only retryable when the action list does not depend on the
+        # snapshot it was computed from: a pure APPEND adds files and
+        # read nothing, so it may take the next slot. An OVERWRITE's
+        # remove list (and a first commit's protocol/metaData) were
+        # computed against `latest` — blindly committing them one slot
+        # later would fail to remove the intervening commit's files
+        # (silent corruption), so that race aborts loudly instead, the
+        # same conflict Delta raises on a concurrent MERGE.
+        from data_lakehouse_platform_spark.sources.table_format import (
+            ConcurrentModificationError,
+        )
+
+        stale_sensitive = (mode == "overwrite") or (latest is None)
         os.makedirs(self.log_dir, exist_ok=True)
         version = (latest or 0) + 1 if latest is not None else 0
         while True:
@@ -214,6 +225,12 @@ class DeltaLiteTable:
             try:
                 fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
+                if stale_sensitive:
+                    raise ConcurrentModificationError(
+                        f"version {version} was committed concurrently; "
+                        f"this {mode or 'initial'} commit was computed "
+                        f"against version {latest} — re-read and retry"
+                    )
                 version += 1
                 continue
             with os.fdopen(fd, "w") as fh:
@@ -237,15 +254,18 @@ class DeltaLiteTable:
         if not vs:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
         if as_of_ts_ms is not None:
-            eligible = [
-                v
-                for v in vs
-                if any(
-                    a.get("commitInfo", {}).get("timestamp", 0) <= as_of_ts_ms
-                    for a in self._actions(v)
-                    if "commitInfo" in a
-                )
-            ]
+            # commitInfo is OPTIONAL in the Delta protocol; when a
+            # version (written by another engine) lacks it, fall back
+            # to the log file's mtime — exactly what delta-spark does
+            # for timestamp time travel.
+            def _version_ts(v: int) -> int:
+                for a in self._actions(v):
+                    if "commitInfo" in a and "timestamp" in a["commitInfo"]:
+                        return int(a["commitInfo"]["timestamp"])
+                log_file = os.path.join(self.log_dir, f"{v:020d}.json")
+                return int(os.path.getmtime(log_file) * 1000)
+
+            eligible = [v for v in vs if _version_ts(v) <= as_of_ts_ms]
             if not eligible:
                 raise FileNotFoundError(
                     f"no commit at or before {as_of_ts_ms}"

@@ -147,6 +147,8 @@ class SnapshotTable:
                     for s in self.history():
                         if s.txn_id == txn_id:
                             return s.version
+                    if txn_id in self._retired_txns():
+                        return version - 1  # committed then vacuumed
                 if exact_version:
                     raise ConcurrentModificationError(
                         f"version {version} was committed by another writer "
@@ -172,8 +174,19 @@ class SnapshotTable:
         """True when a commit carrying ``txn_id`` is already in the log
         — the Delta-style idempotent-writer check (txn appId+version)
         that turns at-least-once stream delivery into exactly-once
-        table versions."""
-        return any(s.txn_id == txn_id for s in self.history())
+        table versions. Checks retired txns too: vacuum folds the
+        txn_ids of dropped manifests into a sidecar so reclaiming
+        history can never reopen the exactly-once window."""
+        if any(s.txn_id == txn_id for s in self.history()):
+            return True
+        return txn_id in self._retired_txns()
+
+    def _retired_txns(self) -> set[str]:
+        try:
+            with open(os.path.join(self.log_dir, "_retired_txns.json")) as fh:
+                return set(json.load(fh))
+        except FileNotFoundError:
+            return set()
 
     def write_snapshot(
         self,
@@ -206,6 +219,11 @@ class SnapshotTable:
             for s in self.history():
                 if s.txn_id == txn_id:
                     return s.version
+            if txn_id in self._retired_txns():
+                # the txn's manifest was vacuumed; its version number is
+                # gone but the commit HAPPENED — replay must still skip.
+                latest = self.latest_version()
+                return latest if latest is not None else -1
         if base_version is not None:
             next_v = base_version + 1
         else:
@@ -283,21 +301,25 @@ class SnapshotTable:
         val_cols = [c for c in cols if c not in key_cols]
         # Fingerprint only the non-key payload; same-engine compare, so
         # xxhash64 (fastest JVM hash) is fine here.
+        # Null-safe key matching + literal presence markers: a NULL-
+        # keyed row must behave like any other key (upsert() matches
+        # null keys with eqNullSafe), and side-presence must never be
+        # probed through a key column that can itself be NULL.
         o = old.select(
             *[F.col(c).alias(f"__o_{c}") for c in cols],
             F.xxhash64(*val_cols).alias("__oh"),
+            F.lit(True).alias("__o_present"),
         )
         n = new.select(
             *[F.col(c).alias(f"__n_{c}") for c in cols],
             F.xxhash64(*val_cols).alias("__nh"),
+            F.lit(True).alias("__n_present"),
         )
         cond = None
         for k in key_cols:
-            t = F.col(f"__o_{k}") == F.col(f"__n_{k}")
+            t = F.col(f"__o_{k}").eqNullSafe(F.col(f"__n_{k}"))
             cond = t if cond is None else cond & t
         j = o.join(n, cond, "full_outer")
-
-        k0_o, k0_n = f"__o_{key_cols[0]}", f"__n_{key_cols[0]}"
 
         def _emit(side: str, change: str, flt) -> DataFrame:
             return j.filter(flt).select(
@@ -306,13 +328,11 @@ class SnapshotTable:
                 F.lit(to_version).alias("_commit_version"),
             )
 
-        inserts = _emit("n", "insert", F.col(k0_o).isNull())
-        deletes = _emit("o", "delete", F.col(k0_n).isNull())
-        upd = (
-            F.col(k0_o).isNotNull()
-            & F.col(k0_n).isNotNull()
-            & (F.col("__oh") != F.col("__nh"))
-        )
+        o_here = F.col("__o_present").isNotNull()
+        n_here = F.col("__n_present").isNotNull()
+        inserts = _emit("n", "insert", ~o_here)
+        deletes = _emit("o", "delete", ~n_here)
+        upd = o_here & n_here & (F.col("__oh") != F.col("__nh"))
         pre = _emit("o", "update_preimage", upd)
         post = _emit("n", "update_postimage", upd)
         return inserts.unionAll(deletes).unionAll(pre).unionAll(post)
@@ -630,8 +650,22 @@ class SnapshotTable:
             if d not in live:
                 shutil.rmtree(os.path.join(self.data_root, d), ignore_errors=True)
                 removed.append(d)
-        # Drop manifests whose data is gone so history() stays truthful.
-        for v in vs:
-            if self._manifest(v).data_dir not in live:
-                os.remove(os.path.join(self.log_dir, f"{v}.json"))
+        # Drop manifests whose data is gone so history() stays truthful
+        # — but FIRST fold their txn_ids into the retired-txns sidecar:
+        # deleting a manifest must never reopen the exactly-once window
+        # for a replayed stream batch (txn_committed checks both).
+        retiring = [
+            v for v in vs if self._manifest(v).data_dir not in live
+        ]
+        txns = self._retired_txns()
+        for v in retiring:
+            t = self._manifest(v).txn_id
+            if t:
+                txns.add(t)
+        tmp = os.path.join(self.log_dir, f"_retired_txns.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(sorted(txns), fh)
+        os.replace(tmp, os.path.join(self.log_dir, "_retired_txns.json"))
+        for v in retiring:
+            os.remove(os.path.join(self.log_dir, f"{v}.json"))
         return removed

@@ -143,3 +143,70 @@ def test_snapshot_table_interchange(spark, tmp_path):
         (1, "a"),
         (2, "b"),
     ]
+
+
+def test_overwrite_lost_race_aborts_not_corrupts(spark, tmp_path):
+    """An overwrite whose remove list was computed against a stale
+    snapshot must ABORT on a lost commit race (Delta's concurrent-
+    modification semantics), never blind-retry one slot later."""
+    import os
+    import pytest
+    from data_lakehouse_platform_spark.sources.table_format import (
+        ConcurrentModificationError,
+    )
+
+    t = DeltaLiteTable(str(tmp_path / "race"))
+    t.write(spark.createDataFrame([(1, "a")], "k bigint, s string"))
+    # Simulate the race window: our overwrite reads latest=0, and
+    # ANOTHER writer lands version 1 before our O_EXCL commit. Freeze
+    # this table object's view of "latest" at 0, then create v1 behind
+    # its back.
+    t.latest_version = lambda: 0  # stale snapshot view
+    nxt = os.path.join(str(tmp_path / "race"), "_delta_log", f"{1:020d}.json")
+    open(nxt, "w").close()
+    with pytest.raises(ConcurrentModificationError):
+        t.write(
+            spark.createDataFrame([(9, "z")], "k bigint, s string"),
+            mode="overwrite",
+        )
+
+
+def test_append_lost_race_retries_safely(spark, tmp_path):
+    import os
+
+    t = DeltaLiteTable(str(tmp_path / "appendrace"))
+    t.write(spark.createDataFrame([(1, "a")], "k bigint, s string"))
+    # a concurrent append takes version 1: our append must slide to 2
+    log = os.path.join(str(tmp_path / "appendrace"), "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write("")  # empty commit: adds nothing
+    v = t.write(
+        spark.createDataFrame([(2, "b")], "k bigint, s string"), mode="append"
+    )
+    assert v == 2
+    got = t.read(spark)
+    assert sorted(r.k for r in got.collect()) == [1, 2]
+
+
+def test_timestamp_travel_without_commitinfo(spark, tmp_path):
+    """commitInfo is optional in the Delta protocol: versions lacking
+    it fall back to log-file mtime for timestampAsOf resolution."""
+    import json as _json
+    import os
+    import time
+
+    t = DeltaLiteTable(str(tmp_path / "nocommitinfo"))
+    t.write(spark.createDataFrame([(1, "a")], "k bigint, s string"))
+    # strip commitInfo from the commit, as another engine might
+    log = os.path.join(str(tmp_path / "nocommitinfo"), "_delta_log")
+    f0 = os.path.join(log, f"{0:020d}.json")
+    actions = [
+        _json.loads(l) for l in open(f0) if l.strip()
+    ]
+    with open(f0, "w") as fh:
+        for a in actions:
+            if "commitInfo" not in a:
+                fh.write(_json.dumps(a) + "\n")
+    now_ms = int(time.time() * 1000) + 60_000
+    got = t.read(spark, as_of_ts_ms=now_ms)
+    assert [r.k for r in got.collect()] == [1]

@@ -510,3 +510,59 @@ def test_eventlog_full_vacuum_keeps_numbering(spark, tmp_path):
     first, end = segment_range(log)
     assert first >= 4  # the overwritten segment sits past the old end
     assert spark.read.format("eventlog").option("path", log).load().count() == 1
+
+
+def test_eventlog_stream_stream_join(spark, tmp_path):
+    """Two eventlog topics correlated with a stream-stream event-time
+    band join (the reference's two-consumer Redis correlation, on the
+    custom source): views matched to purchases by the same user within
+    one hour, bounded state via watermarks."""
+    from data_lakehouse_platform_spark.streaming.pipelines import (
+        join_event_streams,
+    )
+
+    spark.dataSource.register(EventLogStreamDataSource)
+    views_log = str(tmp_path / "views")
+    buys_log = str(tmp_path / "buys")
+
+    def mk(seg_user_ts_val):
+        return [
+            {"event_id": i, "user_id": u, "event_type": t,
+             "ts": ts, "value": 1.0}
+            for i, (u, t, ts) in enumerate(seg_user_ts_val)
+        ]
+
+    append_segment(views_log, mk([
+        (1, "view", "2024-01-01 10:00:00"),
+        (2, "view", "2024-01-01 10:05:00"),
+        (3, "view", "2024-01-01 10:10:00"),
+    ]))
+    append_segment(buys_log, mk([
+        (1, "purchase", "2024-01-01 10:30:00"),  # within the hour -> match
+        (2, "purchase", "2024-01-01 12:30:00"),  # too late -> no match
+    ]))
+
+    def topic(path):
+        return (
+            spark.readStream.format("eventlog").option("path", path).load()
+            .select("user_id", F.to_timestamp("ts").alias("ts"))
+        )
+
+    joined = join_event_streams(
+        topic(views_log), topic(buys_log), key="user_id",
+        within="1 hour", watermark="10 minutes",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.ts").alias("view_ts"),
+        F.col("r.ts").alias("buy_ts"),
+    )
+    out = str(tmp_path / "joined")
+    q = (
+        joined.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [(r.user_id, str(r.buy_ts)) for r in spark.read.parquet(out).collect()]
+    assert got == [(1, "2024-01-01 10:30:00")]

@@ -154,3 +154,27 @@ def test_lsh_production_cap_bounds_identical_crowd(spark):
     )
     got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
     assert got == {(20_000, 20_001)}
+
+
+def test_grouped_rank_null_group_rows_kept(spark):
+    """NULL is a real group: ROW_NUMBER() OVER (PARTITION BY g) ranks
+    null-group rows normally, so the offsets join-back must be
+    null-safe — no silent row loss."""
+    from pyspark.sql import functions as F
+    from data_lakehouse_platform_spark.operators.ranking import (
+        with_grouped_rank,
+    )
+
+    rows = [(None, 10, 1), (None, 5, 2), ("a", 7, 3), ("a", 1, 4)]
+    df = spark.createDataFrame(rows, "g string, v int, id int")
+    out = with_grouped_rank(
+        df,
+        ["g"],
+        [F.col("v"), F.col("id")],
+        bucket_key=F.col("v"),
+        rn_col="rn",
+    ).collect()
+    assert len(out) == 4  # null-group rows survive
+    got = {(r.g, r.v): r.rn for r in out}
+    assert got[(None, 5)] == 1 and got[(None, 10)] == 2
+    assert got[("a", 1)] == 1 and got[("a", 7)] == 2

@@ -461,3 +461,47 @@ def test_bloom_sidecar_not_clobbered_by_txn_replay(spark, tmp_path):
     assert v2 == v1  # idempotent commit
     after = t.read_point_lookup(spark, "k13", version=v1).collect()
     assert [r.id for r in after] == [13]  # sidecar still valid
+
+
+def test_changes_null_keyed_rows(spark, tmp_path):
+    """CDC must treat a NULL key like any other key (null-safe match):
+    unchanged null-keyed rows emit nothing; an updated one emits a
+    pre/post image pair — never spurious all-null inserts/deletes."""
+    t = SnapshotTable(str(tmp_path / "nullkey"))
+    v0 = t.write_snapshot(
+        spark.createDataFrame(
+            [(None, "a", 1.0), (1, "b", 2.0)], "k bigint, g string, v double"
+        )
+    )
+    v1 = t.write_snapshot(
+        spark.createDataFrame(
+            [(None, "a", 1.0), (1, "b", 2.0)], "k bigint, g string, v double"
+        )
+    )
+    assert t.changes(spark, ["k"], v0, v1).count() == 0
+
+    v2 = t.write_snapshot(
+        spark.createDataFrame(
+            [(None, "a", 9.0), (1, "b", 2.0)], "k bigint, g string, v double"
+        )
+    )
+    cdf = t.changes(spark, ["k"], v1, v2).collect()
+    kinds = sorted(r._change_type for r in cdf)
+    assert kinds == ["update_postimage", "update_preimage"]
+    assert all(r.k is None for r in cdf)
+
+
+def test_vacuum_preserves_txn_idempotence(spark, tmp_path):
+    """Reclaiming old versions must not reopen the exactly-once window:
+    a txn_id whose manifest was vacuumed still reports committed, and a
+    replayed commit with that txn_id is skipped."""
+    t = SnapshotTable(str(tmp_path / "txnvac"))
+    df1 = spark.createDataFrame([(1, "x")], "k bigint, s string")
+    df2 = spark.createDataFrame([(2, "y")], "k bigint, s string")
+    t.write_snapshot(df1, txn_id="stream:ck:7")
+    t.write_snapshot(df2)  # newer version; v0 becomes vacuumable
+    t.vacuum(keep_last=1)
+    assert t.txn_committed("stream:ck:7")
+    v_before = t.latest_version()
+    t.write_snapshot(df1, txn_id="stream:ck:7")  # replayed batch
+    assert t.latest_version() == v_before  # skipped, not re-committed
