@@ -46,7 +46,13 @@ def exclusive_prefix_sum(
     offset, exact. ``bucket_chars`` trades bucket count (16^n for hex
     keys) against per-bucket skew; 2 → 256 buckets.
     """
+    from pyspark import StorageLevel
+
     bucketed = df.withColumn("__bucket", F.substring(F.col(order_col), 1, bucket_chars))
+    # Consumed twice (local window pass + bucket-totals collect); the
+    # upstream is typically whole-corpus tokenization — materialize so
+    # it runs once, and so both consumers provably see the SAME rows.
+    bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
     w = (
         Window.partitionBy("__bucket")
         .orderBy(order_col)

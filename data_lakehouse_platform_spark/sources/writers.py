@@ -50,7 +50,13 @@ def incremental_append(
     """
     if _exists(target_path):
         hw = spark.read.parquet(target_path).agg(F.max(ts_col)).first()[0]
-        new_rows = source.filter(F.col(ts_col) > F.lit(hw))
+        if hw is None:
+            # target exists but holds no usable watermark (all-null
+            # ts): `> NULL` would silently drop EVERY source row
+            # forever — fall back to a full load instead.
+            new_rows = source
+        else:
+            new_rows = source.filter(F.col(ts_col) > F.lit(hw))
     else:
         new_rows = source
     # Count once via an accumulator-free path: write, then read back
@@ -180,22 +186,25 @@ def scd2_merge(
         F.col("__fp").alias("__new_fp"),
         F.col("start_ts").alias("__new_ts"),
     )
-    # Close out current rows whose tracked content changed.
+    # Close out current rows whose tracked content changed — but ONLY
+    # for updates strictly NEWER than the current row's start_ts: a
+    # replayed/backfilled batch carrying an older version must never
+    # close a newer row (end_ts before its own start_ts) and regress
+    # the dimension to stale content.
+    changed = (
+        F.col("__new_fp").isNotNull()
+        & (F.col("__new_fp") != F.col("__fp"))
+        & (F.col("__new_ts") > F.col("start_ts"))
+    )
     joined = cur.join(upd, cur[key_col] == upd["__k"], "left")
     closed = joined.select(
         *[
-            F.when(
-                F.col("__new_fp").isNotNull() & (F.col("__new_fp") != F.col("__fp")),
-                F.col("__new_ts"),
-            )
+            F.when(changed, F.col("__new_ts"))
             .otherwise(F.col("end_ts"))
             .alias("end_ts")
             if c == "end_ts"
             else (
-                F.when(
-                    F.col("__new_fp").isNotNull() & (F.col("__new_fp") != F.col("__fp")),
-                    F.lit(False),
-                )
+                F.when(changed, F.lit(False))
                 .otherwise(F.col("is_current"))
                 .alias("is_current")
                 if c == "is_current"
@@ -204,11 +213,23 @@ def scd2_merge(
             for c in target.columns
         ]
     )
-    # Insert new versions only for changed or brand-new keys.
-    cur_fp = cur.select(F.col(key_col).alias("__ck"), F.col("__fp").alias("__cur_fp"))
+    # Insert new versions only for changed-and-newer or brand-new keys
+    # (the same staleness guard as the close-out, so close and insert
+    # always agree).
+    cur_fp = cur.select(
+        F.col(key_col).alias("__ck"),
+        F.col("__fp").alias("__cur_fp"),
+        F.col("start_ts").alias("__cur_start"),
+    )
     inserts = (
         fresh.join(cur_fp, fresh[key_col] == cur_fp["__ck"], "left")
-        .filter(F.col("__cur_fp").isNull() | (F.col("__cur_fp") != F.col("__fp")))
+        .filter(
+            F.col("__cur_fp").isNull()
+            | (
+                (F.col("__cur_fp") != F.col("__fp"))
+                & (F.col("start_ts") > F.col("__cur_start"))
+            )
+        )
         .select(*target.columns)
     )
     merged = hist.select(*target.columns).unionByName(closed).unionByName(inserts)

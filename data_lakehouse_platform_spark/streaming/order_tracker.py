@@ -64,9 +64,12 @@ def _track(
         for row in pdf.itertuples(index=False):
             if row.product_id not in product_ids:
                 product_ids.append(row.product_id)
-            if row.num_products is not None:
+            # Arrow hands null ints to pandas as float NaN — `is not
+            # None` passes for NaN and int(NaN) would crash the task
+            # permanently (every replay re-fails); guard with notna.
+            if pd.notna(row.num_products):
                 num_products = int(row.num_products)
-            if row.customer_id is not None:
+            if pd.notna(row.customer_id):
                 customer_id = int(row.customer_id)
 
     if num_products is not None and len(product_ids) >= num_products:

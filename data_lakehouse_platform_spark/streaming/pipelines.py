@@ -239,7 +239,15 @@ def upsert_stream_to_snapshot(
         else:
             target = table.read(spark)
             combined = target.unionByName(batch_df.select(*target.columns))
-        w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
+        # Deterministic tiebreak on equal event timestamps: a content
+        # fingerprint over the non-key columns, so the converged table
+        # really is independent of batch/arrival order even when two
+        # conflicting rows carry the same ts (same discipline as
+        # writers.scd2_merge).
+        val_cols = [c for c in combined.columns if c not in key_cols]
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(ts_col).desc(), F.xxhash64(*val_cols).desc()
+        )
         merged = (
             combined.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -281,8 +289,6 @@ def fanout_stream_to_sinks(
     replayed commits. Partial failure between the two legs replays
     the whole batch; both legs converge because both are idempotent.
     """
-    from pyspark.sql import functions as F
-
     from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
 
     table = SnapshotTable(agg_table_path)

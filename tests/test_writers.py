@@ -222,3 +222,44 @@ def test_observe_metrics_ride_the_write(spark, tmp_path):
     assert m["min_score"] == 4.5 and m["max_score"] == 10.0
     # the written data is untouched by instrumentation
     assert spark.read.parquet(str(tmp_path / "out")).count() == 4
+
+
+def test_scd2_merge_replayed_old_version_never_regresses(spark, tmp_path):
+    """A backfill/replayed batch carrying an OLDER version of a key
+    must not close the newer current row (which would set end_ts
+    before its own start_ts) nor resurrect stale content."""
+    path = str(tmp_path / "dim_replay")
+    t_old = dt.datetime(2024, 1, 1)
+    t_new = dt.datetime(2024, 6, 1)
+    schema = "pid string, name string, price double, updated_at timestamp"
+    scd2_merge(
+        spark, path,
+        spark.createDataFrame([("p1", "espresso", 4.0, t_new)], schema),
+        "pid", ["name", "price"], "updated_at",
+    )
+    # replay of January's version, different content
+    scd2_merge(
+        spark, path,
+        spark.createDataFrame([("p1", "espresso", 3.0, t_old)], schema),
+        "pid", ["name", "price"], "updated_at",
+    )
+    dim = spark.read.parquet(path).collect()
+    assert len(dim) == 1  # nothing closed, nothing inserted
+    r = dim[0]
+    assert r.is_current and r.price == 4.0 and r.end_ts is None
+    assert r.start_ts == t_new
+
+
+def test_incremental_append_null_watermark_full_loads(spark, tmp_path):
+    """A target whose ts column is all NULL has no usable high-water
+    mark: the load must fall back to a full append, not silently drop
+    every source row via `ts > NULL`."""
+    path = str(tmp_path / "bronze_nullhw")
+    spark.createDataFrame(
+        [(1, None), (2, None)], "k bigint, ts timestamp"
+    ).write.parquet(path)
+    src = spark.createDataFrame(
+        [(3, dt.datetime(2024, 1, 1))], "k bigint, ts timestamp"
+    )
+    assert incremental_append(spark, path, src, "ts") == 1
+    assert spark.read.parquet(path).count() == 3
