@@ -566,3 +566,46 @@ def test_eventlog_stream_stream_join(spark, tmp_path):
     q.awaitTermination(120)
     got = [(r.user_id, str(r.buy_ts)) for r in spark.read.parquet(out).collect()]
     assert got == [(1, "2024-01-01 10:30:00")]
+
+
+def test_upsert_sink_equal_ts_deterministic_winner(spark, tmp_path):
+    """Two conflicting updates for one key with the SAME event ts must
+    converge deterministically (content-fingerprint tiebreak), not to
+    whichever row an arbitrary partition order produced."""
+    from data_lakehouse_platform_spark.sources.table_format import SnapshotTable
+    from data_lakehouse_platform_spark.streaming.pipelines import (
+        upsert_stream_to_snapshot,
+    )
+
+    spark.dataSource.register(EventLogStreamDataSource)
+    log = str(tmp_path / "ties")
+    same_ts = "2024-01-01 10:00:00"
+    rows = [
+        {"event_id": 1, "user_id": 1, "event_type": "a", "ts": same_ts, "value": 1.0},
+        {"event_id": 1, "user_id": 1, "event_type": "b", "ts": same_ts, "value": 2.0},
+    ]
+    append_segment(log, rows)
+    tbl = str(tmp_path / "tbl")
+    src = (
+        spark.readStream.format("eventlog").option("path", log).load()
+        .withColumn("ets", F.to_timestamp("ts"))
+    )
+    q = upsert_stream_to_snapshot(
+        src, tbl, key_cols=["event_id"], ts_col="ets",
+        checkpoint_path=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    got = SnapshotTable(tbl).read(spark).collect()
+    assert len(got) == 1
+    # the tiebreak is deterministic: re-running from scratch converges
+    # to the same winner
+    tbl2 = str(tmp_path / "tbl2")
+    q = upsert_stream_to_snapshot(
+        src, tbl2, key_cols=["event_id"], ts_col="ets",
+        checkpoint_path=str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(120)
+    got2 = SnapshotTable(tbl2).read(spark).collect()
+    assert [(r.event_type, r.value) for r in got] == [
+        (r.event_type, r.value) for r in got2
+    ]
