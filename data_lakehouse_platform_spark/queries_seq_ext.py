@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_lakehouse_platform_spark.catalog import load_table
-from data_lakehouse_platform_spark.functions.money import sql_sum, dec_sum
+from data_lakehouse_platform_spark.functions.money import dec, dec_sum, sql_sum
 from data_lakehouse_platform_spark.queries import register
 
 
@@ -1785,9 +1785,7 @@ def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym",
         "o_totalprice",
     ).groupBy("o_custkey", "ym").agg(
-        F.expr(
-            "CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS BIGINT)"
-        ).alias("rev")
+        F.sum(dec("o_totalprice")).cast("bigint").alias("rev")
     )
     shifted = cm.select(
         F.col("o_custkey").alias("s_custkey"),
@@ -2273,9 +2271,7 @@ def rank_ties_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         od.join(F.broadcast(cust), od.o_custkey == cust.c_custkey)
         .groupBy("c_nationkey", "o_custkey")
         .agg(
-            F.expr(
-                "CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS BIGINT)"
-            ).alias("spend_units")
+            F.sum(dec("o_totalprice")).cast("bigint").alias("spend_units")
         )
     )
     w = Window.partitionBy("n_name").orderBy(F.desc("spend_units"))
@@ -2485,9 +2481,7 @@ def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym",
         "o_totalprice",
     ).groupBy("ym").agg(
-        F.expr(
-            "CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0))) AS BIGINT)"
-        ).alias("rev")
+        F.sum(dec("o_totalprice")).cast("bigint").alias("rev")
     )
     w = Window.orderBy("ym")
     trail = m.select(
@@ -2598,6 +2592,10 @@ def graph_bfs_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bounded metadata fetch: one scalar seed (same posture as the LSH
     # pivot fetch) — the traversal itself never touches the driver.
     seed = edges.agg(F.min("src")).collect()[0][0]
+    if seed is None:
+        # Empty similarity graph (no LSH candidate pairs): mirror the
+        # oracle's seed CTE, which emits one (NULL, 0) row.
+        return spark.createDataFrame([(None, 0)], "doc_id long, dist int")
     frontier = spark.createDataFrame([(int(seed), 0)], "node long, dist int")
     visited = frontier
     for depth in range(1, _BFS_DEPTH + 1):
@@ -2721,10 +2719,21 @@ def dq_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASSORT_SIZES = (1, 5, 10, 25, 50)
 
+def _assort_cols(s: int) -> str:
+    price = (
+        f"CAST(SUM(CASE WHEN p_size = {s} THEN "
+        f"CAST(FLOOR(p_retailprice * 1000000) AS DECIMAL(28,0)) "
+        f"ELSE 0 END) AS DOUBLE) / 1000000 AS price_size_{s}"
+    )
+    return (
+        f"SUM(CASE WHEN p_size = {s} THEN 1 ELSE 0 END) AS n_size_{s},\n"
+        f"       {price}"
+    )
+
+
 _ASSORT_ORACLE = f"""
 SELECT p_brand,
-       {", ".join(f'''SUM(CASE WHEN p_size = {s} THEN 1 ELSE 0 END) AS n_size_{s},
-       {'{'}sum{'}'}'''.replace("{sum}", f"CAST(SUM(CASE WHEN p_size = {s} THEN CAST(FLOOR(p_retailprice * 1000000) AS DECIMAL(28,0)) ELSE 0 END) AS DOUBLE) / 1000000 AS price_size_{s}") for s in _ASSORT_SIZES)}
+       {", ".join(_assort_cols(s) for s in _ASSORT_SIZES)}
 FROM part
 GROUP BY p_brand ORDER BY p_brand
 """
@@ -3002,18 +3011,37 @@ ORDER BY basket_size, value_decile
     "unique orderkey tiebreak so decile cuts are identical across "
     "engines): the dependence structure between how MANY lines an "
     "order has and how much it is WORTH, as a bounded contingency "
-    "matrix. One fact-side aggregation, one co-partitioned join, one "
-    "global NTILE over the order-level aggregate.",
+    "matrix. One fact-side aggregation, one co-partitioned join; the "
+    "decile assignment runs through the distributed two-pass global "
+    "rank + SQL-standard tile arithmetic (operators/ranking.py), never "
+    "an unpartitioned NTILE window over the orders fact.",
 )
 def basket_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.ranking import (
+        ntile_expr,
+        with_global_rank,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders")
     sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("basket_size"))
-    ranked = od.join(sizes, od.o_orderkey == sizes.l_orderkey).select(
+    base = od.join(sizes, od.o_orderkey == sizes.l_orderkey).select(
+        "basket_size", "o_totalprice", "o_orderkey"
+    )
+    # Distributed exact NTILE: the window input here is the full orders
+    # fact, so a plain unpartitioned ntile() would funnel every order
+    # through ONE sort task — use the two-pass bucketed global rank +
+    # SQL-standard tile arithmetic instead (same value contract as
+    # NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)).
+    ranked_df, stats = with_global_rank(
+        base,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        bucket_key=F.col("o_totalprice"),
+        rn_col="__rn",
+    )
+    ranked = ranked_df.select(
         "basket_size",
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("value_decile"),
+        ntile_expr(F.col("__rn"), stats.rows, 10).alias("value_decile"),
     )
     return (
         ranked.groupBy("basket_size", "value_decile")

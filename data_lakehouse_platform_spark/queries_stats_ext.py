@@ -2443,7 +2443,10 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("INTERVAL 1 DAY"),
             )
         ).alias("cover_day"),
-    ).distinct()
+    )
+    # no distinct here: countDistinct below already dedupes, and a
+    # pre-distinct would add a full extra shuffle of the 30x-exploded
+    # coverage table (the largest intermediate in this query).
     mau = coverage.groupBy(F.col("cover_day").alias("day")).agg(
         F.countDistinct("user_id").alias("mau")
     )
