@@ -67,23 +67,19 @@ def chunk_documents(
 ) -> DataFrame:
     """LATERAL-join every document against its chunk windows. Returns
     doc_id + CHUNK_SCHEMA columns; downstream stages treat chunks as
-    first-class rows (dedup them, embed them, pack them)."""
-    import uuid
+    first-class rows (dedup them, embed them, pack them).
 
-    spark = docs.sparkSession
-    spark.udtf.register("chunk_text_udtf", make_chunk_udtf())
-    # Per-call unique view name: temp views resolve lazily at
-    # EXECUTION time, so a fixed name would make two interleaved
-    # chunk_documents calls silently read each other's documents.
-    view = f"__chunk_input_{uuid.uuid4().hex}"
-    docs.select("doc_id", F.col(text_col).alias("__text")).createOrReplaceTempView(view)
-    return spark.sql(
-        f"""
-        SELECT i.doc_id, c.chunk_id, c.start_tok, c.n_tokens, c.chunk
-        FROM {view} i,
-        LATERAL chunk_text_udtf(i.__text, {int(size)}, {int(overlap)}) c
-        """
-    )
+    Built with the DataFrame ``lateralJoin`` API (Spark 4) and an
+    ``.outer()`` column reference — no named temp view at all, so
+    concurrent/interleaved calls can't collide and a long-lived
+    session's catalog doesn't accumulate one view per call (the
+    earlier SQL-text form needed a uuid-named view that then leaked)."""
+    chunk_udtf = make_chunk_udtf()
+    return docs.select("doc_id", F.col(text_col).alias("__text")).lateralJoin(
+        chunk_udtf(
+            F.col("__text").outer(), F.lit(int(size)), F.lit(int(overlap))
+        )
+    ).select("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk")
 
 
 def reconstruct_from_chunks(chunks: DataFrame, overlap: int) -> DataFrame:

@@ -36,6 +36,19 @@ FEATURE_SCHEMA = (
 )
 
 
+
+def _slices(batches: Iterator[pd.DataFrame], n: int) -> Iterator[pd.DataFrame]:
+    """Bound each kernel's Python-side working set: iterate incoming
+    Arrow batches in <= n-row slices. The Arrow batch itself is sized
+    by the SESSION's spark.sql.execution.arrow.maxRecordsPerBatch —
+    deliberately not touched here, because a conf set at DataFrame-
+    build time is read once at execution and would leak across
+    composed stages (video -> frames -> image dedup) and unrelated
+    queries. Cap it session-wide when payloads are multi-MB."""
+    for pdf in batches:
+        for i in range(0, len(pdf), n):
+            yield pdf.iloc[i : i + n]
+
 def attach_metadata(df: DataFrame, id_col: str, payload_col: str, mime: str) -> DataFrame:
     """Wrap raw binary into the typed media layout. Width/height are
     unknown until decode; n_bytes comes free from the payload."""
@@ -70,15 +83,18 @@ def decode_image_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _slices(batches, batch_size):
             feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
-    media = media.repartition(max(media.sparkSession.sparkContext.defaultParallelism, 1))
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    # No repartition: payloads ride the existing parquet splits into a
+    # map-only kernel — a shuffle here would move every payload byte
+    # across the network for nothing. And no session-conf mutation:
+    # Arrow batch sizing belongs to the caller's session (see module
+    # docstring), since a conf set at BUILD time would be read once at
+    # execution and leak across composed stages and later queries.
     return media.mapInPandas(decode, schema=FEATURE_SCHEMA)
 
 
@@ -103,7 +119,7 @@ def resize_images(
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
-        for pdf in batches:
+        for pdf in _slices(batches, batch_size):
             payloads = []
             for p in pdf["payload"]:
                 b = bytes(p)
@@ -125,8 +141,6 @@ def resize_images(
                 }
             )
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
 
 
@@ -202,7 +216,7 @@ def gray_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _slices(batches, batch_size):
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 img = decode_rgray(bytes(p)).astype(np.float64)
@@ -220,8 +234,6 @@ def gray_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return media.mapInPandas(run, schema=GRAY_FEATURE_SCHEMA)
 
 
@@ -233,7 +245,7 @@ def resize_rgray(media: DataFrame, factor: int, batch_size: int = 64) -> DataFra
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _slices(batches, batch_size):
             payloads, metas = [], []
             for p, m in zip(pdf["payload"], pdf["meta"]):
                 img = decode_rgray(bytes(p))
@@ -264,8 +276,6 @@ def resize_rgray(media: DataFrame, factor: int, batch_size: int = 64) -> DataFra
                 }
             )
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
@@ -287,10 +297,20 @@ def phash_rgray(media: DataFrame, hash_size: int = 8, batch_size: int = 64) -> D
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _slices(batches, batch_size):
             ids, hashes = [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 img = decode_rgray(bytes(p)).astype(np.float64)
+                # Upsample tiny images by pixel repetition so every
+                # grid cell is non-empty: array_split of a dimension
+                # smaller than hash_size yields EMPTY blocks whose
+                # mean is NaN, which silently hashed every sub-grid
+                # image to 0 (all mutual hamming-0 "duplicates").
+                # Repetition preserves block-mean semantics exactly.
+                if img.shape[0] < hash_size:
+                    img = np.repeat(img, -(-hash_size // img.shape[0]), axis=0)
+                if img.shape[1] < hash_size:
+                    img = np.repeat(img, -(-hash_size // img.shape[1]), axis=1)
                 rows = np.array_split(img, hash_size, axis=0)
                 cells = np.array(
                     [
@@ -307,8 +327,6 @@ def phash_rgray(media: DataFrame, hash_size: int = 8, batch_size: int = 64) -> D
                 hashes.append(int(np.uint64(h).astype(np.int64)))
             yield pd.DataFrame({"media_id": ids, "phash": hashes})
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return media.mapInPandas(run, schema=PHASH_SCHEMA)
 
 
@@ -425,7 +443,7 @@ def audio_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _slices(batches, batch_size):
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 sr, x = decode_rwav(bytes(p))
@@ -444,8 +462,6 @@ def audio_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
 
 
@@ -457,7 +473,7 @@ def audio_frames(media: DataFrame, frame_samples: int = 1024, batch_size: int = 
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _slices(batches, batch_size):
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 _, x = decode_rwav(bytes(p))
@@ -473,10 +489,21 @@ def audio_frames(media: DataFrame, frame_samples: int = 1024, batch_size: int = 
                             "frame_rms": float(np.sqrt((w * w).mean())) if w.size else 0.0,
                         }
                     )
-            yield pd.DataFrame(rows)
+            # explicit columns: a slice whose payloads are ALL empty
+            # audio yields zero rows, and a column-less DataFrame would
+            # fail the Arrow cast against AUDIO_FRAME_SCHEMA (same
+            # guard as the video frame sampler)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_id",
+                    "start_sample",
+                    "n_samples",
+                    "frame_rms",
+                ],
+            )
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return media.mapInPandas(run, schema=AUDIO_FRAME_SCHEMA)
 
 
@@ -555,7 +582,7 @@ def sample_rvid_frames(
     executor memory, not row count."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _slices(batches, batch_size):
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 fps, frames = decode_rvid(bytes(p))
@@ -573,8 +600,6 @@ def sample_rvid_frames(
                 columns=["media_id", "frame_id", "t_offset_s", "payload"],
             )
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return media.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
 
 
@@ -587,7 +612,7 @@ def video_features(media: DataFrame, batch_size: int = 16) -> DataFrame:
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _slices(batches, batch_size):
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 fps, frames = decode_rvid(bytes(p))
@@ -610,6 +635,4 @@ def video_features(media: DataFrame, batch_size: int = 16) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return media.mapInPandas(run, schema=VIDEO_FEATURE_SCHEMA)

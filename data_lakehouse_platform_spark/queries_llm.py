@@ -797,7 +797,7 @@ GROUP BY 1
 @register(
     "length_histogram",
     _LENHIST_ORACLE,
-    "Token-length histogram ({_LEN_BUCKET}-token buckets) with per-bucket "
+    f"Token-length histogram ({_LEN_BUCKET}-token buckets) with per-bucket "
     "token totals — the length-distribution audit every pretraining mix "
     "needs before choosing packing/truncation lengths. One map pass plus "
     "a tiny grouped agg (bucket count is bounded).",

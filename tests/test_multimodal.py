@@ -351,3 +351,40 @@ def test_rvid_frame_sampling_composes_with_image_kernels(spark):
     feats = {r["media_id"]: r for r in gray_features(as_media).collect()}
     for fid in (0, 3, 6, 9):
         assert feats[fid]["mean_brightness"] == float(10 * fid)
+
+
+def test_phash_small_images_not_all_zero(spark):
+    """Images smaller than the hash grid must NOT all hash to 0 (the
+    empty-block NaN path): distinct tiny images get distinct hashes."""
+    import numpy as np
+    from data_lakehouse_platform_spark.operators.multimodal import (
+        encode_rgray,
+        phash_rgray,
+    )
+
+    a = (np.arange(24, dtype=np.uint8) * 10).reshape(4, 6)
+    b = np.flipud(np.fliplr(a)).copy()
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_rgray(a))), (2, bytearray(encode_rgray(b)))],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r.phash for r in phash_rgray(media).collect()}
+    assert got[1] != 0 and got[2] != 0
+    assert got[1] != got[2]
+
+
+def test_audio_frames_all_empty_batch(spark):
+    """A batch whose payloads are all zero-sample audio must yield an
+    empty, correctly-typed result — not an Arrow schema crash."""
+    from data_lakehouse_platform_spark.operators.multimodal import (
+        audio_frames,
+        encode_rwav,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_rwav([]))), (2, bytearray(encode_rwav([])))],
+        "media_id long, payload binary",
+    )
+    got = audio_frames(media)
+    assert got.count() == 0
+    assert "frame_rms" in got.columns
