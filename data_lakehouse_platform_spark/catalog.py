@@ -58,17 +58,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Some generations of the testdata write events.ts as parquet
         # TIMESTAMP(NANOS), which Spark rejects by default; others as
-        # TIMESTAMP(MICROS), which reads natively. Enable the nanos-as-
-        # long escape hatch, then convert ONLY if ts actually arrived
-        # as a raw int64: truncate nanos→micros with INTEGER division
-        # (`div`) — double division would lose low bits of the int64
-        # and corrupt timestamps. DuckDB truncates the same way, so
-        # the oracle sees identical values either way.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # TIMESTAMP(MICROS), which reads natively. Try the native read
+        # first and only flip the nanos-as-long escape hatch when the
+        # file is genuinely NANOS — in that case the flag must REMAIN
+        # set for the returned DataFrame's lifetime (the scan consults
+        # it at execution), so it stays session-wide by design; in the
+        # common micros case the loader has no conf side effect at
+        # all. Then convert ONLY if ts actually arrived as a raw
+        # int64: truncate nanos→micros with INTEGER division (`div`)
+        # — double division would lose low bits of the int64 and
+        # corrupt timestamps. DuckDB truncates the same way, so the
+        # oracle sees identical values either way.
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampNTZType
 
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df.schema  # force schema resolution to surface NANOS here
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -29,7 +29,6 @@ class Lakehouse:
     def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
         self.spark = spark or get_spark()
         self.sf_dir = sf_dir
-        self._views_registered = False
 
     # -- data access ----------------------------------------------------
 
@@ -37,9 +36,14 @@ class Lakehouse:
         return load_table(self.spark, self._dir(), name)
 
     def sql(self, query: str) -> DataFrame:
-        if not self._views_registered:
-            register_views(self.spark, self._dir())
-            self._views_registered = True
+        # Re-register EVERY call: temp views are session-global, so two
+        # facades sharing one SparkSession would otherwise silently
+        # read whichever sf_dir registered last. spark.sql resolves
+        # views eagerly at analysis time, so the returned DataFrame is
+        # pinned to THIS facade's tables even if another facade
+        # re-registers afterwards; registration itself is lazy metadata
+        # (no scan), so the per-call cost is negligible.
+        register_views(self.spark, self._dir())
         return self.spark.sql(query)
 
     # -- operator registry ----------------------------------------------

@@ -18,7 +18,7 @@ Reference parity notes cite /root/reference file:line in each builder.
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -74,6 +74,11 @@ def _ordered_oracle(sql: str) -> str:
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
     def wrap(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            # 181 names across 12 side-effect modules: a duplicate must
+            # fail at import, not silently displace an earlier query
+            # (which would also shift the driver's first-50 check set).
+            raise ValueError(f"duplicate registry name {name!r}")
         _REGISTRY[name] = Query(
             name=name,
             build=_ordered_build(fn),

@@ -36,3 +36,27 @@ def test_registry_contract():
     oracles = e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 16
+
+
+def test_oracle_fixed_point_scale_consistency():
+    """Several oracle strings inline the fixed-point money fragment
+    verbatim (readable SQL beats interpolation there); this guard
+    makes that safe: if functions/money.SCALE ever changes, every
+    inlined DECIMAL(28,0) fragment that silently kept the old scale
+    fails here at test time instead of drifting from the Spark side."""
+    import re
+
+    from data_lakehouse_platform_spark.functions.money import SCALE
+
+    pat = re.compile(r"FLOOR\((.+?)\*\s*(\d+)\)\s*AS\s+DECIMAL\(28,\s*0\)")
+    checked = 0
+    for name, q in _QUERIES.items():
+        if not q.oracle:
+            continue
+        for m in pat.finditer(q.oracle):
+            assert int(m.group(2)) == SCALE, (
+                f"{name}: oracle fixed-point scale {m.group(2)} != "
+                f"money.SCALE {SCALE}"
+            )
+            checked += 1
+    assert checked > 50  # the guard actually sees the inlined copies

@@ -143,8 +143,12 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
 
 
 def test_map_in_arrow_l2_normalize(spark):
-    """mapInArrow vector kernel: every embedding comes back unit-norm,
-    values match the expression-side normalization bit-for-bit."""
+    """mapInArrow vector kernel: every embedding comes back unit-norm
+    and exactly proportional to its input. The kernel's vectorized
+    fold is numpy pairwise summation — deterministic for a fixed
+    vector width, but its norm can differ from a sequential fold in
+    the last ulp, so the reference comparison carries an explicit
+    1e-15 relative bound instead of bit-equality."""
     from data_lakehouse_platform_spark.functions.vectors import l2_normalize_arrow
 
     emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 50)
@@ -155,9 +159,14 @@ def test_map_in_arrow_l2_normalize(spark):
 
     for vid, v in src.items():
         n = math.sqrt(sum(float(x) * float(x) for x in v))
-        want = [float(x) / n for x in v]
-        assert rows[vid] == want
-        assert abs(sum(x * x for x in rows[vid]) - 1.0) < 1e-9
+        got = rows[vid]
+        for g, x in zip(got, v):
+            assert abs(g - float(x) / n) <= 1e-15 * max(1.0, abs(g))
+        assert abs(sum(x * x for x in got) - 1.0) < 1e-9
+
+    # determinism: a second run is bit-identical to the first
+    again = {r["vec_id"]: r["embedding"] for r in out.collect()}
+    assert again == rows
 
 
 def test_pandas_api_on_spark_matches_sql(spark):
