@@ -40,8 +40,15 @@ def _metric_and_passed(c: DQCheck):
         nulls = F.count(F.when(col.isNull(), 1))
         return nulls.cast("double"), nulls <= F.lit(c.max_null_rate) * total
     if c.check == "unique":
-        dupes = total - F.countDistinct(col)
-        return dupes.cast("double"), total == F.countDistinct(col)
+        # duplicates among NON-NULL values only: countDistinct ignores
+        # NULLs, so comparing against the raw row count would report a
+        # unique-but-nullable column as having duplicates. NULL
+        # handling belongs to a separate null_count/completeness rule
+        # (SQL UNIQUE constraints likewise admit NULLs).
+        non_null = F.count(col)
+        distinct = F.countDistinct(col)
+        dupes = non_null - distinct
+        return dupes.cast("double"), non_null == distinct
     if c.check == "min":
         return F.min(col).cast("double"), F.min(col) >= F.lit(c.min_value)
     if c.check == "completeness":

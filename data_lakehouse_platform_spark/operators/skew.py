@@ -33,6 +33,16 @@ def salted_join(
     RNG), so retries and speculative tasks agree — the same
     reproducibility posture as the rest of the engine.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        # right/full outer are WRONG under salting: a small-side row
+        # with no big-side match would surface once per salt value
+        # (salt copies of it exist), not once. Fail loudly rather than
+        # emit duplicated null-padded rows.
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got "
+            f"{how!r} — the replicated small side makes right/full "
+            "outer emit one unmatched row per salt value"
+        )
     salt_col = F.pmod(
         F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)
     ).cast("int")

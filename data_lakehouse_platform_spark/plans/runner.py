@@ -72,6 +72,7 @@ class PipelineRunner:
         state: dict[str, str] = {}
         seconds: dict[str, float] = {}
         attempts: dict[str, int] = {}
+        errors: dict[str, str | None] = {}
         remaining = dict(self.tasks)
         while remaining:
             ready = sorted(
@@ -96,15 +97,25 @@ class PipelineRunner:
                     try:
                         t.fn()
                         if t.done_marker:
-                            os.makedirs(os.path.dirname(t.done_marker), exist_ok=True)
+                            marker_dir = os.path.dirname(t.done_marker)
+                            if marker_dir:  # bare filename: cwd, no mkdir
+                                os.makedirs(marker_dir, exist_ok=True)
                             with open(t.done_marker, "w") as fh:
                                 fh.write("done")
                         state[name] = "OK"
+                        errors[name] = None
                         break
-                    except Exception:
+                    except Exception as e:  # noqa: BLE001 — runner boundary
                         state[name] = "FAILED"  # sticks if retries exhaust
+                        # keep the failure diagnosable: type + message
+                        # land in the status table's error column
+                        errors[name] = f"{type(e).__name__}: {e}"[:500]
                 seconds[name] = round(time.perf_counter() - t0, 3)
         return self.spark.createDataFrame(
-            [(n, state[n], seconds[n], attempts[n]) for n in sorted(self.tasks)],
-            "task: string, state: string, seconds: double, attempts: int",
+            [
+                (n, state[n], seconds[n], attempts[n], errors.get(n))
+                for n in sorted(self.tasks)
+            ],
+            "task: string, state: string, seconds: double, attempts: int, "
+            "error: string",
         )

@@ -52,29 +52,45 @@ class FileStat:
     rows: int
 
 
-def file_stats(path: str, column: str) -> list[FileStat]:
-    """Per-file (min, max, rows) for ``column`` from parquet footers
-    only — the file-skipping manifest. No data pages are read."""
+def file_stats_multi(
+    path: str, columns: list[str]
+) -> dict[str, dict[str, FileStat]]:
+    """Per-file (min, max, rows) for EVERY listed column from parquet
+    footers only — one footer read per file no matter how many columns
+    are asked for. No data pages are read. ``rows`` is always the true
+    file row count (``metadata.num_rows``); min/max are None when any
+    row group lacks statistics for that column (conservative)."""
     import pyarrow.parquet as pq
 
-    out = []
+    out: dict[str, dict[str, FileStat]] = {}
     for name in sorted(os.listdir(path)):
         if not name.endswith(".parquet"):
             continue
         full = os.path.join(path, name)
         meta = pq.ParquetFile(full).metadata
-        idx = meta.schema.to_arrow_schema().get_field_index(column)
-        lo, hi, rows = None, None, 0
-        for rg in range(meta.num_row_groups):
-            st = meta.row_group(rg).column(idx).statistics
-            rows += meta.row_group(rg).num_rows
-            if st is None or not st.has_min_max:
-                lo, hi = None, None
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        out.append(FileStat(full, lo, hi, rows))
+        arrow_schema = meta.schema.to_arrow_schema()
+        rows = meta.num_rows
+        per_col: dict[str, FileStat] = {}
+        for column in columns:
+            idx = arrow_schema.get_field_index(column)
+            lo, hi = None, None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo, hi = None, None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            per_col[column] = FileStat(full, lo, hi, rows)
+        out[full] = per_col
     return out
+
+
+def file_stats(path: str, column: str) -> list[FileStat]:
+    """Per-file (min, max, rows) for ``column`` from parquet footers
+    only — the file-skipping manifest. No data pages are read."""
+    many = file_stats_multi(path, [column])
+    return [many[f][column] for f in sorted(many)]
 
 
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
@@ -91,6 +107,12 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
     codegen, no UDF). Layout-only: correctness never depends on the
     key, so float scaling imprecision is harmless.
     """
+    # The interleave must fit 63 bits (long sign bit excluded): with
+    # the default bits=16, four columns would push column 0's MSB into
+    # the sign bit and wreck the ordering under repartitionByRange.
+    # Clustering is layout-only, so silently narrowing per-column
+    # precision is safe — locality degrades gracefully, never breaks.
+    bits = min(bits, 63 // max(len(cols), 1))
     stats = df.agg(
         *[F.min(c).alias(f"__min_{c}") for c in cols],
         *[F.max(c).alias(f"__max_{c}") for c in cols],
@@ -147,13 +169,14 @@ def read_pruned_multi(
     range on EVERY column in ``ranges`` (conjunctive box predicate);
     unknown stats keep the file (conservative). Residual predicates
     still apply row-level, so results equal a full-scan filter."""
-    per_col = {c: file_stats(path, c) for c in ranges}
-    files = sorted({s.file for stats in per_col.values() for s in stats})
+    # ONE footer read per file covering every queried column, and
+    # dict lookups instead of per-file list scans.
+    stats_by_file = file_stats_multi(path, list(ranges))
     candidates = []
-    for f in files:
+    for f in sorted(stats_by_file):
         keep = True
         for c, (lo, hi) in ranges.items():
-            st = next(s for s in per_col[c] if s.file == f)
+            st = stats_by_file[f][c]
             if st.min is not None and (st.max < lo or st.min > hi):
                 keep = False
                 break

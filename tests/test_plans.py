@@ -422,3 +422,44 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark, tmp_path):
     assert rows[0].s == want
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_runner_bare_done_marker_and_error_column(spark, tmp_path, monkeypatch):
+    """A done_marker with no directory component must not fail the
+    task after it succeeded, and failures must surface diagnostics in
+    the status table's error column."""
+    from data_lakehouse_platform_spark.plans.runner import PipelineRunner
+
+    monkeypatch.chdir(tmp_path)
+    r = PipelineRunner(spark)
+    r.add("ok_task", lambda: None, done_marker="bare.done")
+    r.add("boom", lambda: (_ for _ in ()).throw(ValueError("kapow")), retries=0)
+    status = {row.task: row for row in r.run().collect()}
+    assert status["ok_task"].state == "OK"
+    assert (tmp_path / "bare.done").exists()
+    assert status["boom"].state == "FAILED"
+    assert "ValueError" in status["boom"].error and "kapow" in status["boom"].error
+    assert status["ok_task"].error is None
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+    from data_lakehouse_platform_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    small = spark.createDataFrame([(2, "d")], "k bigint, d string")
+    with pytest.raises(ValueError, match="full"):
+        salted_join(big, small, ["k"], how="full")
+    # supported modes still work
+    assert salted_join(big, small, ["k"], how="left").count() == 1
+
+
+def test_dq_unique_ignores_nulls(spark):
+    from data_lakehouse_platform_spark.operators.quality import DQCheck, run_checks
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)], "k bigint"
+    )
+    out = run_checks({"t": df}, [DQCheck("t", "unique", "k")]).collect()
+    assert len(out) == 1
+    assert out[0].passed and out[0].metric_value == 0.0
