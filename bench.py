@@ -53,12 +53,21 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # path contains 'sf' without a trailing number
 
     spark = get_spark("dlp-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
+    missing = [n for n in HEADLINE if n not in registry]
+    if missing:
+        # never drop a headline silently: a renamed query would shrink
+        # the total and read as a phantom speedup round-over-round
+        print(f"WARNING: headline queries missing from registry: {missing}",
+              file=sys.stderr)
 
     # Benchmark the query's computational core: registry builds are
     # wrapped with a total-order final sort whose only purpose is the

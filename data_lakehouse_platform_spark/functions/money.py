@@ -52,7 +52,7 @@ def dec_avg(col: Column | str, alias: str) -> Column:
 def money(col: Column | str) -> Column:
     """Per-row deterministic 6-dp truncation (for non-aggregated
     computed measures that must hash identically across engines)."""
-    return undec(F.floor(_c(col) * SCALE).cast("decimal(28,0)"))
+    return undec(dec(col))
 
 
 # SQL fragments for the DuckDB oracles — keep in lockstep with above.
@@ -63,7 +63,11 @@ def sql_sum(expr: str) -> str:
 
 
 def sql_avg(expr: str) -> str:
-    return f"{sql_sum(expr)} / COUNT(*)"
+    # COUNT((expr)), not COUNT(*): dec_avg divides by the NON-NULL
+    # count (F.count(col)), and the two must stay in lockstep on
+    # nullable columns — SUM skips NULLs in both engines, so dividing
+    # by the row count would disagree the moment a NULL appears.
+    return f"{sql_sum(expr)} / COUNT(({expr}))"
 
 
 def sql_money(expr: str) -> str:

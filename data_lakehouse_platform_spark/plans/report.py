@@ -40,8 +40,11 @@ def plan_report(sf_dir: str) -> str:
         df = q.build(spark, sf_dir)
         # Execute THIS QueryExecution (a noop write would plan a fresh
         # one) so AQE finalizes it — join strategy swaps and codegen
-        # spans are only truthful on the final plan.
-        df._jdf.queryExecution().executedPlan().executeCollect()
+        # spans are only truthful on the final plan. execute().count()
+        # runs the physical plan WITHOUT shipping result rows to the
+        # driver (executeCollect would materialize every row of every
+        # registry query driver-side — OOM bait at larger SFs).
+        df._jdf.queryExecution().executedPlan().execute().count()
         a = audit_plan(df)
         lines.append(
             f"| `{name}` | {a.shuffles} | {a.broadcast_hash_joins} "

@@ -59,12 +59,23 @@ def assert_matches_oracle(spark_df, duck_con, oracle_sql: str, *, float_tol: flo
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
-            return round(v, 9) if float_tol == 0.0 else round(v / max(float_tol, 1e-12))
+            return round(v, 9)
         return v
 
     s_sorted = sorted([tuple(norm(v) for v in r) for r in spark_rows], key=repr)
     d_sorted = sorted([tuple(norm(v) for v in r) for r in duck_rows], key=repr)
+
+    def cell_eq(a, b):
+        # with a nonzero tolerance, floats compare by |a-b| <= tol on
+        # the sorted pairing (independent bucketing would both fail
+        # in-tolerance near-ties and pass ~2x-tolerance differences)
+        if float_tol > 0.0 and isinstance(a, float) and isinstance(b, float):
+            return abs(a - b) <= float_tol
+        return a == b
+
     mismatches = [
-        (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
+        (a, b)
+        for a, b in zip(s_sorted, d_sorted)
+        if not (len(a) == len(b) and all(cell_eq(x, y) for x, y in zip(a, b)))
     ]
     assert not mismatches, f"value mismatch (first 3): {mismatches[:3]}"
