@@ -55,6 +55,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def _mg_summary(items: DataFrame, item_col: str, capacity: int) -> DataFrame:
@@ -136,16 +137,37 @@ def heavy_hitters_exact(
     # One MG scan produces BOTH the candidates and the corpus row count
     # (partition-total rows) — persisted so the two consumers don't
     # re-run the kernel; the footprint is ≤ (capacity+1) × partitions.
+    # Both outputs are driver-bounded by construction (that is the point
+    # of the sketch), so they are collected HERE and the summary is
+    # unpersisted before returning — a long-lived session running many
+    # heavy-hitter passes must not accumulate cached MG blocks.
     summary = _mg_summary(items, item_col, capacity).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = (
-        summary.filter(F.col(item_col).isNotNull()).select(item_col).distinct()
+    try:
+        cand_rows = (
+            summary.filter(F.col(item_col).isNotNull())
+            .select(item_col)
+            .distinct()
+            .collect()
+        )
+        corpus_n = (
+            summary.filter(F.col(item_col).isNull())
+            .groupBy()
+            .agg(F.sum("__prows").alias("corpus_n"))
+            .collect()[0]["corpus_n"]
+        )
+        item_type = summary.schema[item_col].dataType
+    finally:
+        summary.unpersist()
+    spark = items.sparkSession
+    cands = spark.createDataFrame(
+        [(r[item_col],) for r in cand_rows],
+        StructType([StructField(item_col, item_type)]),
     )
-    totals = (
-        summary.filter(F.col(item_col).isNull())
-        .groupBy()
-        .agg(F.sum("__prows").alias("corpus_n"))
+    totals = spark.createDataFrame(
+        [(int(corpus_n) if corpus_n is not None else 0,)],
+        "corpus_n bigint",
     )
     exact = (
         items.join(F.broadcast(cands), item_col)

@@ -74,7 +74,8 @@ def train_pq(
 ) -> Codebooks:
     """Train ``m`` per-subspace codebooks of ``k`` centroids each.
     d must divide evenly by m. Seeds are the block-slices of the rows
-    with ``id_col < k`` (deterministic, recomputable)."""
+    with the ``k`` smallest ids (deterministic, recomputable, and safe
+    for offset/sparse id spaces)."""
     d = len(emb.select(vec_col).first()[0])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -91,7 +92,15 @@ def train_pq(
     # ReuseExchange can't fuse them) — materialize once instead of
     # re-running the upstream pipeline per (block, round).
     pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
-    seed_rows = pts.filter(F.col("vec_id") < k).collect()
+    # Seed from the k smallest ids — NOT `vec_id < k`, which assumes dense
+    # ids starting at 0 and yields too few (possibly zero) seeds on a
+    # corpus with offset or sparse ids.
+    seed_rows = pts.orderBy("vec_id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"train_pq needs at least k={k} vectors to seed the codebooks; "
+            f"corpus has only {len(seed_rows)}"
+        )
 
     codebooks: Codebooks = []
     for b in range(m):

@@ -67,8 +67,58 @@ def _ordered_build(fn: QueryFn) -> QueryFn:
     return ordered
 
 
-def _ordered_oracle(sql: str) -> str:
-    """DuckDB twin of :func:`_ordered_build` — same total order."""
+# DuckDB's integer-returning builtins (len, rank, ntile, year, strpos,
+# levenshtein, date_diff, ...) yield BIGINT where the Spark expression
+# yields INT, and the driver's value hash is Arrow-dtype-sensitive.  The
+# value-neutral fix lives here, at the single oracle-assembly point, as a
+# declarative width map applied with DuckDB's `SELECT * REPLACE` before
+# the ORDER BY ALL wrapper (so emitted order is untouched).  The sibling
+# class — uncast integer SUM widening to HUGEINT/decimal128 — is fixed
+# in-line in each oracle with CAST(SUM(..) AS BIGINT) because the cast
+# must sit inside GROUP BY/window scoping.  tests/test_oracle_parity.py
+# asserts the whole registry is width-exact against Spark's Arrow schema.
+_ORACLE_INT_CASTS: dict[str, tuple[str, ...]] = {
+    "activity_streaks": ("streak_days",),
+    "ann_cosine_topk": ("rank",),
+    "ann_ivf_topk": ("rank",),
+    "ann_lsh_topk": ("rank",),
+    "basket_value_matrix": ("value_decile",),
+    "bronze_incremental_orders": ("year", "month", "day"),
+    "cube_sales": ("o_year",),
+    "curate_corpus": ("n_tokens",),
+    "dedup_verify_editdist": ("edit_distance",),
+    "dq_freshness": ("days_stale",),
+    "gold_fact_star": ("year", "month"),
+    "heavy_hitter_tokens": ("hh_rank",),
+    "histogram_totalprice": ("bucket", "bucket_lo"),
+    "interpurchase_gaps": ("min_gap_days", "max_gap_days"),
+    "kfold_assign": ("fold",),
+    "ntile_customer_deciles": ("spend_decile",),
+    "pii_scrub": ("n_redactions",),
+    "q7_volume_shipping": ("l_year",),
+    "q8_market_share": ("o_year",),
+    "q9_product_profit": ("o_year",),
+    "rank_change_months": ("rnk", "prev_rnk", "rank_delta"),
+    "rank_ties_leaderboard": ("rnk", "drnk"),
+    "rfm_segments": ("r_score", "f_score", "m_score", "rfm_cell"),
+    "segment_migration": ("from_tier", "to_tier"),
+    "silver_clean_documents": ("n_chars_clean",),
+    "supplier_scorecard": ("min_lag_days", "max_lag_days"),
+    "text_fingerprint": ("n_chars",),
+    "text_langid": ("score_en", "score_de", "score_fr", "score_es"),
+    "text_quality": ("n_chars", "n_tokens", "n_punct", "n_stop"),
+    "text_tokens": ("ws_tokens", "bpe_ish_tokens", "n_chars"),
+    "window_topn_per_customer": ("rn",),
+}
+
+
+def _ordered_oracle(sql: str, name: str) -> str:
+    """DuckDB twin of :func:`_ordered_build` — same total order, with the
+    registry-level int-width corrections applied first."""
+    casts = _ORACLE_INT_CASTS.get(name)
+    if casts:
+        repl = ", ".join(f"CAST({c} AS INTEGER) AS {c}" for c in casts)
+        sql = f"SELECT * REPLACE ({repl}) FROM (\n{sql}\n) AS __w"
     return f"SELECT * FROM (\n{sql}\n) AS __det ORDER BY ALL NULLS FIRST"
 
 
@@ -82,7 +132,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
         _REGISTRY[name] = Query(
             name=name,
             build=_ordered_build(fn),
-            oracle=_ordered_oracle(oracle) if oracle is not None else None,
+            oracle=_ordered_oracle(oracle, name) if oracle is not None else None,
             doc=doc,
         )
         return fn

@@ -254,7 +254,7 @@ w AS (
 )
 SELECT user_id,
   CAST(SUM(wv) AS DOUBLE) / (1000000.0 * SUM(dt)) AS time_weighted_avg,
-  SUM(dt) AS observed_seconds,
+  CAST(SUM(dt) AS BIGINT) AS observed_seconds,
   COUNT(*) AS n_segments
 FROM w
 GROUP BY user_id

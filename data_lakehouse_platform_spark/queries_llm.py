@@ -788,7 +788,7 @@ SELECT
   CAST(FLOOR(len(string_split({T.sql_normalize_ws('text')}, ' ')) / {_LEN_BUCKET})
     AS BIGINT) * {_LEN_BUCKET} AS token_bucket,
   COUNT(*) AS n_docs,
-  SUM(len(string_split({T.sql_normalize_ws('text')}, ' '))) AS total_tokens
+  CAST(SUM(len(string_split({T.sql_normalize_ws('text')}, ' '))) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY 1
 """

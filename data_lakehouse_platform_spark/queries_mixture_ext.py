@@ -136,7 +136,7 @@ cum AS (
 )
 SELECT CAST(FLOOR((c - t) / {_SHARD_BUDGET}.0) AS BIGINT) AS shard_id,
        COUNT(*) AS n_docs,
-       SUM(t) AS total_tokens,
+       CAST(SUM(t) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM cum
@@ -201,9 +201,9 @@ WITH tok AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(ws) AS ws_tokens,
-       SUM(bpe) AS bpe_tokens,
-       SUM(ch) AS n_chars,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(ch) AS BIGINT) AS n_chars,
        CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility,
        CAST(SUM(ch) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE) AS chars_per_token
 FROM tok

@@ -362,8 +362,8 @@ WITH flagged AS (
 ),
 numbered AS (
   SELECT *,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT
@@ -525,7 +525,7 @@ _JSON_ORACLE = """
 SELECT
   event_type,
   COUNT(*) AS n_events,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
   COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END)
     AS n_high_k

@@ -503,12 +503,12 @@ flat AS (
   LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN view_ts IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-       SUM(hit2) AS n_click_chain,
-       SUM(hit3) AS n_purchase_chain,
-       SUM(CASE WHEN hit3 = 1
+       CAST(SUM(CASE WHEN view_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(hit2) AS BIGINT) AS n_click_chain,
+       CAST(SUM(hit3) AS BIGINT) AS n_purchase_chain,
+       CAST(SUM(CASE WHEN hit3 = 1
                 AND purchase_ts <= view_ts + INTERVAL 1 HOUR
-           THEN 1 ELSE 0 END) AS n_converted_1h
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_1h
 FROM flat
 """
 
@@ -673,8 +673,8 @@ f AS (
 )
 SELECT f.priority, f.q1, f.q3, f.lo_fence, f.hi_fence,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN o.o_totalprice < f.lo_fence THEN 1 ELSE 0 END) AS n_low,
-       SUM(CASE WHEN o.o_totalprice > f.hi_fence THEN 1 ELSE 0 END) AS n_high
+       CAST(SUM(CASE WHEN o.o_totalprice < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN o.o_totalprice > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT) AS n_high
 FROM orders o JOIN f ON o.o_orderpriority = f.priority
 GROUP BY 1, 2, 3, 4, 5
 ORDER BY f.priority
@@ -854,7 +854,7 @@ WITH hashed AS (
 g AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS max_chars FROM documents)
 SELECT lang,
        COUNT(*) AS n_docs_total,
-       SUM(CASE WHEN h.hk * 2 * g.max_chars < h.n_chars * 4294967296 THEN 1 ELSE 0 END) AS n_sampled,
+       CAST(SUM(CASE WHEN h.hk * 2 * g.max_chars < h.n_chars * 4294967296 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        CAST(SUM(CASE WHEN h.hk * 2 * g.max_chars < h.n_chars * 4294967296 THEN h.n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
 FROM hashed h CROSS JOIN g
 GROUP BY lang ORDER BY lang
@@ -998,8 +998,8 @@ t AS (
 ),
 h AS (SELECT tenure, COUNT(*) AS n_ended FROM t GROUP BY tenure)
 SELECT tenure AS tenure_months, n_ended,
-       SUM(n_ended) OVER (ORDER BY tenure DESC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_at_risk,
+       CAST(SUM(n_ended) OVER (ORDER BY tenure DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk,
        CAST(n_ended AS DOUBLE) / SUM(n_ended) OVER (ORDER BY tenure DESC
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hazard
 FROM h ORDER BY tenure
@@ -1399,7 +1399,7 @@ marked AS (
 SELECT lang,
        COUNT(DISTINCT doc_id) AS n_docs,
        COUNT(*) AS n_tokens,
-       SUM(is_oov) AS n_oov,
+       CAST(SUM(is_oov) AS BIGINT) AS n_oov,
        CAST(SUM(is_oov) AS DOUBLE) / COUNT(*) AS oov_rate
 FROM marked GROUP BY lang ORDER BY lang
 """
@@ -1484,7 +1484,7 @@ spans AS (
   FROM c WHERE n_tokens > 0
 )
 SELECT COUNT(*) AS n_docs,
-       SUM(CASE WHEN last_bin > first_bin THEN 1 ELSE 0 END) AS n_split_docs,
+       CAST(SUM(CASE WHEN last_bin > first_bin THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
        CAST(SUM(CASE WHEN last_bin > first_bin THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS split_share,
        CAST(SUM(last_bin - first_bin + 1) AS BIGINT) AS total_bin_spans,
        CAST(MAX(last_bin - first_bin + 1) AS BIGINT) AS max_bins_spanned,
@@ -1853,7 +1853,7 @@ WITH base AS (
          CAST(MIN(n_chars) AS BIGINT) AS min_chars,
          CAST(MAX(n_chars) AS BIGINT) AS max_chars,
          CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS avg_chars,
-         SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS n_empty
+         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
   FROM documents
 ),
 uniq AS (SELECT COUNT(DISTINCT md5(text)) AS n_unique FROM documents),
@@ -2391,9 +2391,9 @@ WITH lagged AS (
 )
 SELECT CAST(m AS DATE) AS month,
        COUNT(*) AS n_shipments,
-       SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS within_30d,
-       SUM(CASE WHEN lag_days <= 60 THEN 1 ELSE 0 END) AS within_60d,
-       SUM(CASE WHEN lag_days <= 90 THEN 1 ELSE 0 END) AS within_90d,
+       CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS within_30d,
+       CAST(SUM(CASE WHEN lag_days <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS within_60d,
+       CAST(SUM(CASE WHEN lag_days <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS within_90d,
        CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS sla_30d_rate,
        CAST(SUM(CASE WHEN lag_days <= 90 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS sla_90d_rate
 FROM lagged GROUP BY 1 ORDER BY 1
@@ -2726,7 +2726,7 @@ def _assort_cols(s: int) -> str:
         f"ELSE 0 END) AS DOUBLE) / 1000000 AS price_size_{s}"
     )
     return (
-        f"SUM(CASE WHEN p_size = {s} THEN 1 ELSE 0 END) AS n_size_{s},\n"
+        f"CAST(SUM(CASE WHEN p_size = {s} THEN 1 ELSE 0 END) AS BIGINT) AS n_size_{s},\n"
         f"       {price}"
     )
 

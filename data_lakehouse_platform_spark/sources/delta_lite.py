@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -148,11 +149,19 @@ class DeltaLiteTable:
                     continue
                 full = os.path.join(root, f)
                 rel = os.path.relpath(full, self.path)
-                pvals: dict[str, str] = {}
+                # Per the Delta protocol, partitionValues holds DECODED
+                # values (null for null) — not the hive-escaped directory
+                # segment Spark wrote (e.g. 'x:y' escapes to 'x%3Ay' on
+                # disk, and NULL to '__HIVE_DEFAULT_PARTITION__').
+                pvals: dict[str, str | None] = {}
                 for seg in os.path.relpath(root, out).split(os.sep):
                     if "=" in seg:
                         kcol, val = seg.split("=", 1)
-                        pvals[kcol] = val
+                        pvals[kcol] = (
+                            None
+                            if val == "__HIVE_DEFAULT_PARTITION__"
+                            else urllib.parse.unquote(val)
+                        )
                 adds.append(
                     {
                         "add": {
@@ -290,26 +299,42 @@ class DeltaLiteTable:
         if part_cols:
             # Partition values come from the LOG (add.partitionValues),
             # not from directory inference — per spec, the log is the
-            # source of truth. Parquet part-file basenames carry task
-            # UUIDs, so the basename is a unique, scheme-independent
-            # join key for the per-file values.
+            # source of truth.  The join key is the add-action's FULL
+            # relative path matched against the tail of
+            # input_file_name(): one task writing several hive
+            # partitions emits IDENTICAL part-file basenames in
+            # different directories, so the basename alone silently
+            # attaches the wrong partition values.  input_file_name()
+            # returns a URI whose path may be percent-encoded, so each
+            # file is keyed under both its raw relative path and the
+            # URI-encoded spelling.
             from pyspark.sql import functions as F
 
-            mapping = {
-                os.path.basename(p): a["partitionValues"]
-                for p, a in live.items()
-            }
-            fname = F.regexp_extract(F.input_file_name(), "[^/]+$", 0)
+            entries: list = []
+            depths = set()
+            for p, a in live.items():
+                depths.add(p.count("/") + 1)
+                enc = urllib.parse.quote(p, safe="/=")
+                for key in {p, enc}:
+                    entries.append((key, a["partitionValues"]))
+            segs = F.split(F.input_file_name(), "/")
+            n_seg = F.size(segs)
             for c in part_cols:
                 tgt = schema[c].dataType
                 m = F.create_map(
                     *[
                         x
-                        for base, pv in mapping.items()
-                        for x in (F.lit(base), F.lit(pv.get(c)))
+                        for key, pv in entries
+                        for x in (F.lit(key), F.lit(pv.get(c)).cast("string"))
                     ]
                 )
-                df = df.withColumn(c, m[fname].cast(tgt))
+                val = F.lit(None).cast("string")
+                for depth in sorted(depths):
+                    tail = F.concat_ws(
+                        "/", F.slice(segs, n_seg - depth + 1, depth)
+                    )
+                    val = F.coalesce(val, m[tail])
+                df = df.withColumn(c, val.cast(tgt))
         return df.select(*[f.name for f in schema.fields])
 
     def history(self) -> list[dict]:

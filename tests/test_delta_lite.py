@@ -210,3 +210,42 @@ def test_timestamp_travel_without_commitinfo(spark, tmp_path):
     now_ms = int(time.time() * 1000) + 60_000
     got = t.read(spark, as_of_ts_ms=now_ms)
     assert [r.k for r in got.collect()] == [1]
+
+
+def test_partition_values_single_task_multi_partition(spark, tmp_path):
+    """One task writing several hive partitions emits IDENTICAL part-file
+    basenames in different directories; partition reattachment must key on
+    the full relative path, not the basename (round-2 ADVICE high)."""
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "p1"), (2, "p2"), (3, "p3")], "id int, k string"
+    ).coalesce(1)  # force a single task → duplicate basenames across dirs
+    t.write(df, partition_by=["k"])
+    got = sorted((r.id, r.k) for r in t.read(spark).collect())
+    assert got == [(1, "p1"), (2, "p2"), (3, "p3")]
+
+
+def test_partition_values_decoded_and_null(spark, tmp_path):
+    """Hive-escaped segment values must be stored DECODED in
+    add.partitionValues ('x%3Ay' → 'x:y') and '__HIVE_DEFAULT_PARTITION__'
+    as null, per the Delta protocol (round-2 ADVICE medium)."""
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "x:y"), (2, "a b"), (3, None)], "id int, k string"
+    )
+    t.write(df, partition_by=["k"])
+    # the log stores decoded values / null
+    log = os.path.join(t.log_dir, f"{0:020d}.json")
+    pvals = [
+        json.loads(line)["add"]["partitionValues"]
+        for line in open(log)
+        if "add" in json.loads(line)
+    ]
+    stored = sorted((pv["k"] is None, pv["k"]) for pv in pvals)
+    assert {pv["k"] for pv in pvals} == {"x:y", "a b", None}, stored
+    # and the read surface round-trips them
+    got = sorted(
+        ((r.id, r.k) for r in t.read(spark).collect()),
+        key=lambda x: x[0],
+    )
+    assert got == [(1, "x:y"), (2, "a b"), (3, None)]

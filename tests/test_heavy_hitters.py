@@ -132,3 +132,15 @@ def test_heavy_hitters_non_string_items(spark):
     )
     assert [(r.item, r.freq) for r in got] == [(r.item, r.freq) for r in want]
     assert got[0].corpus_n == 750
+
+
+def test_heavy_hitters_unpersists_mg_summary(spark):
+    """heavy_hitters_exact must not leak cached MG summary blocks into a
+    long-lived session (round-2 ADVICE low)."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    items = spark.range(2000).select(
+        (F.col("id") % 7).cast("string").alias("tok")
+    )
+    heavy_hitters_exact(items, "tok", k=3, capacity=16).collect()
+    assert jsc.getPersistentRDDs().size() <= before

@@ -72,3 +72,17 @@ def test_pq_scan_is_pure_expression(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan  # broadcast NLJ is expected
+
+
+def test_pq_seeds_from_smallest_ids_not_dense_assumption(spark):
+    """Seeding must survive offset/sparse ids (round-2 ADVICE low): a
+    corpus whose ids all exceed k used to yield ZERO seeds and crash."""
+    import pytest
+
+    emb = _emb(spark).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    cb = train_pq(emb, m=4, k=8, rounds=1)
+    assert len(cb) == 4 and all(len(b) == 8 for b in cb)
+    # and a corpus smaller than k fails with a clear message, not F.array()
+    tiny = _emb(spark).limit(3)
+    with pytest.raises(ValueError, match="at least k="):
+        train_pq(tiny, m=4, k=8, rounds=1)
