@@ -96,6 +96,49 @@ class MedallionPipeline:
         gold dims (broadcast the dims — they are bounded)."""
         build(self.spark, self).write.mode("overwrite").parquet(self.path("gold", table))
 
+    # -- similarity index ----------------------------------------------------
+
+    def build_similarity_index(
+        self,
+        docs: DataFrame,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 3,
+        n_hashes: int = 16,
+    ) -> str:
+        """Materialize the MinHash signature table ONCE under
+        ``index/similarity_signatures``.
+
+        Every LSH consumer in a curation run — near-dup candidate
+        generation, Jaccard estimation, dedup clustering, per-source
+        provenance overlap — needs the same (doc_id, h0..h{n-1})
+        signatures, and shingling + hashing the corpus is the expensive
+        part (full text scan; the banded index derives from signatures
+        with a narrow map). Registry queries stay standalone by
+        contract, but a PIPELINE should hash the corpus once and point
+        all consumers here: read via :meth:`similarity_signatures`,
+        then ``operators.dedup.lsh_candidate_pairs`` and the signature
+        re-joins run off the stored artifact with zero re-shingling.
+
+        Returns the artifact path. Deterministic md5-derived
+        permutations (operators/dedup.py) make the artifact stable
+        across rebuilds, so an overwrite is an idempotent refresh.
+        """
+        from data_lakehouse_platform_spark.operators import dedup as D
+        from data_lakehouse_platform_spark.operators import text as T
+
+        sh = T.explode_shingles(docs, id_col, text_col, k=k, distinct=False)
+        sigs = D.minhash_signatures(sh, id_col=id_col, n_hashes=n_hashes)
+        out = self.path("index", "similarity_signatures")
+        sigs.write.mode("overwrite").parquet(out)
+        return out
+
+    def similarity_signatures(self) -> DataFrame:
+        """The materialized MinHash signature artifact (build it first
+        with :meth:`build_similarity_index`)."""
+        return self.read("index", "similarity_signatures")
+
     # -- data quality --------------------------------------------------------
 
     def validate(self, layer: str, checks: list[DQCheck]) -> DataFrame:

@@ -85,7 +85,9 @@ class DeltaLiteTable:
                             f"table requires minReaderVersion="
                             f"{p['minReaderVersion']}; this reader speaks v1 "
                             "(no deletion vectors / column mapping) and "
-                            "refuses rather than misread"
+                            "refuses rather than misread; use the real "
+                            "delta-spark package for modern tables (see "
+                            "JARS.md for why it is absent here)"
                         )
                 elif "metaData" in a:
                     meta = a["metaData"]

@@ -202,7 +202,11 @@ def read_kafka_batch(
     except Exception as exc:
         raise RuntimeError(
             "Kafka source unavailable in this environment (no "
-            "spark-sql-kafka package/brokers). Streaming semantics are "
-            "covered by the file-source pipelines in streaming/. "
-            "Original error: " + str(exc)[:200]
+            "spark-sql-kafka package/brokers; see JARS.md for the "
+            "documented acquisition attempt). The in-repo drop-in twin "
+            "is sources/eventlog_stream.py — the same Kafka-shaped "
+            "contract (offsets, partitions, exactly-once restart, "
+            "streaming sink, retention) with no broker; streaming "
+            "semantics are also covered by the file-source pipelines in "
+            "streaming/. Original error: " + str(exc)[:200]
         ) from exc

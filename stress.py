@@ -1,0 +1,258 @@
+#!/usr/bin/env python
+"""Scale-stress kit: adversarial skew shapes with HARD task-input
+assertions from the Spark status REST API.
+
+The property/oracle tests prove the skew-safe operators are
+*equivalent* to their plain twins; nothing there proves the BOUNDS at
+a scale where they bite.  This job generates synthetic hot-key data at
+a size where an unbounded plan visibly funnels the key through one
+task, runs both the plain and the safe plan, and asserts — from the
+per-stage taskSummary (quantile 1.0 = the worst task) — that the safe
+plan's worst task reads a small fraction of what the plain plan's
+does.  Self-calibrating: the plain twin's measured wall is the
+denominator, so the assertion never goes stale as data sizes change.
+
+Shapes (mirroring the three round-2 scale-safety rewrites):
+  1. sessionize_salted vs sessionize — one user with 1M events;
+  2. LSH candidate pairs with the hot-bucket cap — a 10k-doc
+     identical-text crowd;
+  3. with_grouped_rank vs a plain partitionBy(segment) window — one
+     segment holding 80% of 2M rows.
+
+Run: python stress.py   (~2-4 min on local[32]; exit 0 = all bounds hold)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import urllib.request
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from data_lakehouse_platform_spark.operators.dedup import (  # noqa: E402
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from data_lakehouse_platform_spark.operators.ranking import (  # noqa: E402
+    with_grouped_rank,
+)
+from data_lakehouse_platform_spark.operators.sessionize import (  # noqa: E402
+    sessionize,
+    sessionize_salted,
+)
+from data_lakehouse_platform_spark.operators.text import (  # noqa: E402
+    explode_shingles,
+)
+from data_lakehouse_platform_spark.session import get_spark  # noqa: E402
+
+
+def _api(spark, path: str):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}{path}") as r:
+        return json.load(r)
+
+
+def max_task_records(spark, since_stage: int) -> int:
+    """Worst single-task input across all stages completed after
+    ``since_stage``: max of shuffle-read records and scan records at
+    quantile 1.0 (the slowest/fattest task)."""
+    worst = 0
+    for s in _api(spark, "/stages?status=COMPLETE"):
+        if s["stageId"] <= since_stage:
+            continue
+        try:
+            ts = _api(
+                spark,
+                f"/stages/{s['stageId']}/{s['attemptId']}"
+                "/taskSummary?quantiles=1.0",
+            )
+        except urllib.error.HTTPError:
+            continue  # stage with no task data
+        shuffle = int(ts.get("shuffleReadMetrics", {}).get("readRecords", [0])[0])
+        scan = int(ts.get("inputMetrics", {}).get("recordsRead", [0])[0])
+        worst = max(worst, shuffle, scan)
+    return worst
+
+
+def last_stage(spark) -> int:
+    stages = _api(spark, "/stages")
+    return max((s["stageId"] for s in stages), default=-1)
+
+
+def run_shape(spark, name, fn):
+    mark = last_stage(spark)
+    t0 = time.perf_counter()
+    result = fn()
+    wall = time.perf_counter() - t0
+    worst = max_task_records(spark, mark)
+    print(f"[{name}] result={result} worst_task_records={worst:,} "
+          f"wall={wall:.1f}s", flush=True)
+    return worst
+
+
+def main() -> None:
+    spark = get_spark(
+        "dlp-stress",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "2000",
+            "spark.sql.shuffle.partitions": "32",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    failures: list[str] = []
+
+    # ---- shape 1: hyperactive user -------------------------------------
+    HOT = 1_000_000
+    hot = spark.range(HOT).select(
+        F.lit(0).alias("user_id"),
+        F.col("id").alias("event_id"),
+        # one event every ~2.6s for 30 days -> sessions break on the gap
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 2_600_000
+        ).alias("ts"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    normal = spark.range(64_000).select(
+        (F.col("id") % 10_000 + 1).alias("user_id"),
+        (F.col("id") + HOT).alias("event_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + (F.col("id") % 720) * 3_600_000_000
+        ).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    events = hot.unionAll(normal)
+    events = events.repartition(32, "event_id").persist()
+    n_events = events.count()
+
+    plain_max = run_shape(
+        spark, "sessionize_plain",
+        lambda: sessionize(events, "user_id", "ts", "event_id").count(),
+    )
+    salted_max = run_shape(
+        spark, "sessionize_salted",
+        lambda: sessionize_salted(events, "user_id", "ts", "event_id").count(),
+    )
+    # the plain window funnels the hot user's 1M rows through ONE task
+    if plain_max < HOT:
+        failures.append(
+            f"shape1 calibration: plain window worst task {plain_max:,} "
+            f"< {HOT:,} — the adversarial shape is not adversarial"
+        )
+    if salted_max > 0.3 * plain_max:
+        failures.append(
+            f"shape1 BOUND: salted worst task {salted_max:,} not < 30% of "
+            f"plain {plain_max:,}"
+        )
+    events.unpersist()
+
+    # ---- shape 2: LSH identical-text crowd, cap on ---------------------
+    CROWD, CAP = 10_000, 1_000
+    crowd = spark.range(CROWD).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated across the crowd "
+              "of documents again and again").alias("text"),
+    )
+    uniq = spark.range(5_000).select(
+        (F.col("id") + CROWD).alias("doc_id"),
+        F.concat(
+            F.lit("unique document number "),
+            F.col("id").cast("string"),
+            F.lit(" with distinct content tokens "),
+            F.md5(F.col("id").cast("string")),
+        ).alias("text"),
+    )
+    docs = crowd.unionAll(uniq).repartition(32).persist()
+    docs.count()
+
+    def lsh_capped():
+        sh = explode_shingles(docs, "doc_id", "text", k=3, distinct=False)
+        sigs = minhash_signatures(sh, n_hashes=16)
+        return lsh_candidate_pairs(
+            sigs, n_hashes=16, bands=4, max_bucket=CAP
+        ).count()
+
+    lsh_max = run_shape(spark, "lsh_capped", lsh_capped)
+    # without the cap the crowd emits ~CROWD^2/2 = 5e7 pairs through the
+    # crowd's buckets; with it, no task may read more than a small
+    # multiple of the corpus (pair generation sees only <=CAP buckets).
+    bound = 20 * (CROWD + 5_000)
+    if lsh_max > bound:
+        failures.append(
+            f"shape2 BOUND: capped LSH worst task {lsh_max:,} > {bound:,}"
+        )
+    docs.unpersist()
+
+    # ---- shape 3: grouped rank on a skewed segment ---------------------
+    N, SEGS = 2_000_000, 5
+    orders = spark.range(N).select(
+        F.col("id").alias("o_orderkey"),
+        # 80% of rows land in segment 0
+        F.when(F.col("id") % 5 < 4, 0).otherwise((F.col("id") % 5).cast("int"))
+        .alias("seg"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(1_000_000)))
+        .cast("double").alias("price"),
+    ).repartition(32, "o_orderkey").persist()
+    orders.count()
+
+    # NOTE: a `rn <= k` filter would let Spark's WindowGroupLimit prune
+    # map-side and the plain window never sees the skew; summing EVERY
+    # row's rank forces the full per-segment sort the rewrite exists for.
+    def plain_rank():
+        w = Window.partitionBy("seg").orderBy("price", "o_orderkey")
+        return (
+            orders.withColumn("rn", F.row_number().over(w))
+            .agg(F.sum("rn")).collect()[0][0]
+        )
+
+    def bucketed_rank():
+        ranked = with_grouped_rank(
+            orders, ["seg"], [F.col("price"), F.col("o_orderkey")],
+            F.col("price"), buckets=64, rn_col="rn",
+        )
+        return ranked.agg(F.sum("rn")).collect()[0][0]
+
+    plain_sum = {}
+    plain_rank_max = run_shape(
+        spark, "grouped_rank_plain",
+        lambda: plain_sum.setdefault("v", plain_rank()),
+    )
+    bucketed_sum = {}
+    bucketed_max = run_shape(
+        spark, "grouped_rank_bucketed",
+        lambda: bucketed_sum.setdefault("v", bucketed_rank()),
+    )
+    if plain_sum["v"] != bucketed_sum["v"]:
+        failures.append(
+            f"shape3 EQUIVALENCE: sum(rn) plain {plain_sum['v']} != "
+            f"bucketed {bucketed_sum['v']}"
+        )
+    if plain_rank_max < int(0.75 * N):
+        failures.append(
+            f"shape3 calibration: plain window worst task {plain_rank_max:,} "
+            f"< {int(0.75 * N):,} — shape not adversarial"
+        )
+    if bucketed_max > 0.3 * plain_rank_max:
+        failures.append(
+            f"shape3 BOUND: bucketed worst task {bucketed_max:,} not < 30% "
+            f"of plain {plain_rank_max:,}"
+        )
+    orders.unpersist()
+
+    print()
+    if failures:
+        for f in failures:
+            print(f"FAIL {f}")
+        sys.exit(1)
+    print(f"ALL BOUNDS HOLD (events={n_events:,}, crowd={CROWD:,}, "
+          f"orders={N:,})")
+
+
+if __name__ == "__main__":
+    main()

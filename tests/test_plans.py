@@ -463,3 +463,40 @@ def test_dq_unique_ignores_nulls(spark):
     out = run_checks({"t": df}, [DQCheck("t", "unique", "k")]).collect()
     assert len(out) == 1
     assert out[0].passed and out[0].metric_value == 0.0
+
+
+def test_similarity_index_shared_across_lsh_consumers(spark, tmp_path):
+    """build_similarity_index hashes the corpus ONCE; every LSH consumer
+    then reads the stored signature artifact — its plan must scan the
+    index parquet, never re-shingle the documents table."""
+    from data_lakehouse_platform_spark.operators import dedup as D
+    from data_lakehouse_platform_spark.operators import text as T
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pipe = MedallionPipeline(spark, str(tmp_path))
+    path = pipe.build_similarity_index(docs, n_hashes=16)
+    assert "similarity_signatures" in path
+
+    sigs = pipe.similarity_signatures()
+    # consumer 1: banded candidate pairs off the artifact
+    pairs_idx = D.lsh_candidate_pairs(sigs, n_hashes=16, bands=4)
+    # consumer 2: signature agreement join off the SAME artifact
+    agree_idx = pairs_idx.join(
+        sigs.select(F.col("doc_id").alias("doc_a"), F.col("h0").alias("a0")),
+        "doc_a",
+    )
+    for df in (pairs_idx, agree_idx):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "documents.parquet" not in plan  # zero re-shingling
+        # scans the signature artifact (paths truncate in toString, but
+        # the signature columns only exist in the stored parquet)
+        assert "h0:string" in plan
+    # and the artifact-backed result equals the direct single-query path
+    sh = T.explode_shingles(docs, "doc_id", "text", k=3, distinct=False)
+    pairs_direct = D.lsh_candidate_pairs(
+        D.minhash_signatures(sh, n_hashes=16), n_hashes=16, bands=4
+    )
+    got = {(r.doc_a, r.doc_b, r.n_shared_bands) for r in pairs_idx.collect()}
+    want = {(r.doc_a, r.doc_b, r.n_shared_bands) for r in pairs_direct.collect()}
+    assert got == want and got
