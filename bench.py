@@ -48,6 +48,9 @@ HEADLINE = [
     # round-2 flagship additions (baselined from their first driver run)
     "heavy_hitter_tokens",
     "changelog_compaction",
+    # round-3 flagship additions (PQ ADC scan; cross-source provenance)
+    "ann_pq_topk",
+    "dedup_provenance",
 ]
 
 

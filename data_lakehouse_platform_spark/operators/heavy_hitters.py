@@ -132,43 +132,25 @@ def heavy_hitters_exact(
     ``above_mg_floor`` true on every row certifies the result equals
     the unrestricted exact top-K.
     """
-    from pyspark import StorageLevel
-
     # One MG scan produces BOTH the candidates and the corpus row count
-    # (partition-total rows) — persisted so the two consumers don't
-    # re-run the kernel; the footprint is ≤ (capacity+1) × partitions.
-    # Both outputs are driver-bounded by construction (that is the point
-    # of the sketch), so they are collected HERE and the summary is
-    # unpersisted before returning — a long-lived session running many
-    # heavy-hitter passes must not accumulate cached MG blocks.
-    summary = _mg_summary(items, item_col, capacity).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # (partition-total rows).  The whole summary is driver-bounded by
+    # construction — ≤ (capacity+1) × partitions narrow rows, that is
+    # the point of the sketch — so ONE collect of ONE job yields both
+    # outputs: no persist to leak into a long-lived session, no second
+    # pass over the kernel.
+    summary = _mg_summary(items, item_col, capacity)
+    rows = summary.collect()
+    cand_rows = sorted(
+        {r[item_col] for r in rows if r[item_col] is not None}
     )
-    try:
-        cand_rows = (
-            summary.filter(F.col(item_col).isNotNull())
-            .select(item_col)
-            .distinct()
-            .collect()
-        )
-        corpus_n = (
-            summary.filter(F.col(item_col).isNull())
-            .groupBy()
-            .agg(F.sum("__prows").alias("corpus_n"))
-            .collect()[0]["corpus_n"]
-        )
-        item_type = summary.schema[item_col].dataType
-    finally:
-        summary.unpersist()
+    corpus_n = sum(r["__prows"] for r in rows if r[item_col] is None)
+    item_type = summary.schema[item_col].dataType
     spark = items.sparkSession
     cands = spark.createDataFrame(
-        [(r[item_col],) for r in cand_rows],
+        [(v,) for v in cand_rows],
         StructType([StructField(item_col, item_type)]),
     )
-    totals = spark.createDataFrame(
-        [(int(corpus_n) if corpus_n is not None else 0,)],
-        "corpus_n bigint",
-    )
+    totals = spark.createDataFrame([(int(corpus_n),)], "corpus_n bigint")
     exact = (
         items.join(F.broadcast(cands), item_col)
         .groupBy(item_col)

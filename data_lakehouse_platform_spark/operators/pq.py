@@ -25,6 +25,8 @@ extends the ANN subsystem the LLM-pipeline mandate adds
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -33,21 +35,32 @@ _SCALE = 1_000_000
 Codebooks = list[list[tuple[int, list[float]]]]  # [block][(code_id, subvec)]
 
 
-def _block_assign(subvec_col, centroids: list[tuple[int, list[float]]]):
+def _block_dot(vec_col, start0: int, c: list[float]):
+    """Sequential left-fold dot of vec[start0 : start0+len(c)] with the
+    literal centroid — FLAT scalar arithmetic (element_at + literal
+    multiply-adds) instead of aggregate/zip_with lambdas, which Spark
+    evaluates per element OUTSIDE whole-stage codegen (~8x slower
+    measured on the encode pass).  The fold starts at 0.0 and adds
+    left-to-right, bit-identical to the lambda form and to DuckDB's
+    list_dot_product, so oracle hash parity is preserved."""
+    acc = F.lit(0.0)
+    for i, ci in enumerate(c):
+        acc = acc + F.element_at(vec_col, start0 + i + 1).cast("double") * F.lit(
+            float(ci)
+        )
+    return acc
+
+
+def _block_assign(
+    vec_col, centroids: list[tuple[int, list[float]]], start0: int = 0
+):
     """argmin_c ||x − c||² == argmax_c (2·x·c − |c|²), ties to the
     LOWEST code id (struct array_max over (score, −cid)) — one codegen
-    expression, no join."""
+    expression, no join.  ``start0`` slices the block out of the full
+    vector without a transform/slice pass."""
     entries = []
     for cid, c in centroids:
-        dot = F.aggregate(
-            F.zip_with(
-                subvec_col,
-                F.array(*[F.lit(float(x)) for x in c]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot = _block_dot(vec_col, start0, c)
         c2 = float(sum(x * x for x in c))
         entries.append(
             F.struct(
@@ -143,26 +156,128 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """One map pass: (vec_id, codes array<int>[m], recon_norm2) —
-    recon_norm2 is the squared norm of the RECONSTRUCTED vector
-    (sum of chosen centroids' |c|² per block), the candidate-side half
-    of the approximate-cosine denominator, paid once at encode time."""
+    """One Arrow-batched map pass: (vec_id, codes array<int>[m],
+    recon_norm2) — recon_norm2 is the squared norm of the RECONSTRUCTED
+    vector (sum of chosen centroids' |c|² per block), the candidate-side
+    half of the approximate-cosine denominator, paid once at encode time.
+
+    Implementation note: the assignment is a numpy kernel in
+    mapInPandas, not a Catalyst expression.  The expression forms both
+    lose: aggregate/zip_with lambdas evaluate per element OUTSIDE
+    whole-stage codegen (~5s/5k vectors), and the flattened
+    element_at+literal arithmetic (m·k·blk ≈ 1k terms) blows the 64 KB
+    JIT method limit and falls back to interpreted (slower still).
+    The kernel reproduces the expression semantics BIT-EXACTLY: the
+    per-row dot is a left fold starting at 0.0, looped over dims and
+    vectorized over rows, so every double equals the lambda form and
+    DuckDB's list_dot_product; ties go to the lowest code id
+    (np.argmax first-max over code-ascending rows == array_max over
+    (score, −cid) structs)."""
+    import numpy as np
+    import pandas as pd
+
     m = len(codebooks)
     blk = len(codebooks[0][0][1])
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    codes = []
-    norm2 = F.lit(0.0)
-    for b in range(m):
-        best = _block_assign(_slice(v, b * blk, blk), codebooks[b])
-        codes.append((-best["negid"]).cast("int"))
-        n2_lut = F.array(
-            *[F.lit(float(sum(x * x for x in c))) for _, c in codebooks[b]]
-        )
-        norm2 = norm2 + F.element_at(n2_lut, codes[-1] + 1)
-    return emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.array(*codes).alias("codes"),
-        norm2.alias("recon_norm2"),
+    # code-ascending order makes argmax's first-max tie rule == lowest id
+    books = [sorted(cb, key=lambda e: e[0]) for cb in codebooks]
+    cids = [np.array([cid for cid, _ in cb], dtype=np.int32) for cb in books]
+    c2s = [
+        np.array([float(sum(x * x for x in c)) for _, c in cb]) for cb in books
+    ]
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((n, m), dtype=np.int32)
+            norm2 = np.zeros(n)
+            for b in range(m):
+                scores = np.empty((len(books[b]), n))
+                for j, (_cid, c) in enumerate(books[b]):
+                    acc = np.zeros(n)  # 0.0-seeded left fold over dims
+                    for i in range(blk):
+                        acc = acc + V[:, b * blk + i] * c[i]
+                    scores[j] = 2.0 * acc - c2s[b][j]
+                best = np.argmax(scores, axis=0)
+                codes[:, b] = cids[b][best]
+                norm2 = norm2 + c2s[b][best]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "codes": [row.tolist() for row in codes],
+                    "recon_norm2": norm2,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kernel, schema="vec_id long, codes array<int>, recon_norm2 double"
+    )
+
+
+def ann_topk_pq_mips(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: Codebooks,
+    k: int = 10,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-quantized ADC maximum-inner-product top-k — the
+    oracle-checkable twin of :func:`ann_topk_pq`.
+
+    Each LUT entry is ``floor(scale · dot(q_block, centroid))``: the
+    dot is a sequential left fold (bit-identical across engines on the
+    same operands), and the per-candidate score ``adc_q6 = Σ_b
+    lut[b][code_b]`` is then an exact BIGINT sum — associative, order-
+    free, hash-safe — so ranking and emitted values reproduce exactly
+    under any execution plan.  The corpus scan stays one
+    zip_with/aggregate expression over the m-byte codes; queries are
+    driver-small by construction like the other ANN variants.
+    """
+    m = len(codebooks)
+    blk = len(codebooks[0][0][1])
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).collect()
+    lut_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r["v"]]
+        lut = []
+        for b in range(m):
+            row = []
+            for _, c in codebooks[b]:
+                acc = 0.0  # same left fold as the engine dot products
+                for i in range(blk):
+                    acc += qv[b * blk + i] * c[i]
+                row.append(math.floor(scale * acc))
+            lut.append(row)
+        lut_rows.append((int(r["query_id"]), lut))
+    ldf = queries.sparkSession.createDataFrame(
+        lut_rows, "query_id long, lut array<array<bigint>>"
+    )
+    adc = F.aggregate(
+        F.zip_with("codes", "lut", lambda c, row: F.element_at(row, c + 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = encoded.join(
+        F.broadcast(ldf), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        adc.alias("adc_q6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_q6").desc(), F.col("cand_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )
 
 

@@ -82,6 +82,7 @@ _ORACLE_INT_CASTS: dict[str, tuple[str, ...]] = {
     "ann_cosine_topk": ("rank",),
     "ann_ivf_topk": ("rank",),
     "ann_lsh_topk": ("rank",),
+    "ann_pq_topk": ("rank",),
     "basket_value_matrix": ("value_decile",),
     "bronze_incremental_orders": ("year", "month", "day"),
     "cube_sales": ("o_year",),
@@ -125,7 +126,7 @@ def _ordered_oracle(sql: str, name: str) -> str:
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
     def wrap(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
-            # 181 names across 12 side-effect modules: a duplicate must
+            # 185 names across 12 side-effect modules: a duplicate must
             # fail at import, not silently displace an earlier query
             # (which would also shift the driver's first-50 check set).
             raise ValueError(f"duplicate registry name {name!r}")

@@ -824,3 +824,104 @@ def mad_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = discrete_median(dev, "d", "mad").select("segment", "mad")
     return med.join(mad, "segment").select("segment", "median_price", "n_orders", "mad")
+
+
+# ----------------------------------------------------------------------------
+# PQ ANN: product-quantization ADC scan (integer-exact MIPS variant)
+# ----------------------------------------------------------------------------
+
+_PQ_SEED_BASE = 300
+_PQ_M = 8          # subspaces over the 64-dim embeddings
+_PQ_BLK = 8        # dims per subspace
+_PQ_CODES = 16     # centroids per subspace codebook
+_PQ_K = 10
+_PQ_SCALE = 1_000_000
+
+_ANN_PQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+blocks AS (SELECT CAST(b AS INT) AS b FROM range({_PQ_M}) t(b)),
+cb AS (
+  SELECT CAST(vec_id - {_PQ_SEED_BASE} AS INT) AS code, b,
+         v[b * {_PQ_BLK} + 1 : b * {_PQ_BLK} + {_PQ_BLK}] AS cvec
+  FROM e CROSS JOIN blocks
+  WHERE vec_id BETWEEN {_PQ_SEED_BASE} AND {_PQ_SEED_BASE + _PQ_CODES - 1}
+),
+cbn AS (
+  SELECT code, b, cvec, list_dot_product(cvec, cvec) AS cn2 FROM cb
+),
+xs AS (
+  SELECT vec_id, b, v[b * {_PQ_BLK} + 1 : b * {_PQ_BLK} + {_PQ_BLK}] AS xvec
+  FROM e CROSS JOIN blocks
+),
+assign AS (
+  SELECT vec_id, b, code,
+    ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY
+      2 * list_dot_product(xvec, cvec) - cn2 DESC, code) AS rn
+  FROM xs JOIN cbn USING (b)
+),
+codes AS (SELECT vec_id, b, code FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+lut AS (
+  SELECT query_id, b, code,
+    CAST(FLOOR({_PQ_SCALE} * list_dot_product(
+      qv[b * {_PQ_BLK} + 1 : b * {_PQ_BLK} + {_PQ_BLK}], cvec)) AS BIGINT) AS l
+  FROM q CROSS JOIN cbn
+),
+adc AS (
+  SELECT l.query_id, c.vec_id AS cand_id, CAST(SUM(l.l) AS BIGINT) AS adc_q6
+  FROM codes c
+  JOIN lut l ON c.b = l.b AND c.code = l.code AND c.vec_id != l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, cand_id, adc_q6, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_q6 DESC, cand_id
+  ) AS rank
+  FROM adc
+) t
+WHERE rank <= {_PQ_K}
+"""
+
+
+@register(
+    "ann_pq_topk",
+    _ANN_PQ_ORACLE,
+    "Product-quantization ADC top-k, the third ANN scale route next to "
+    "LSH and IVF (SURVEY §2 #31; operators/pq.py trains real fixed-"
+    "point Lloyd codebooks — here the codebooks are 16 designated "
+    "corpus rows standing in for offline training so the oracle can "
+    "derive them too). Encode is one argmin-L2 codegen map pass "
+    "(8 codes/vector = 32x compression); each query precomputes an "
+    "INTEGER fixed-point LUT (floor(1e6 x block dot)), so the ADC "
+    "score is an exact BIGINT sum — order-free, hash-safe — and the "
+    "corpus scan is a pure zip_with/aggregate expression over the "
+    "codes, never the raw vectors. MIPS objective (raw inner product).",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators import pq as P
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # Bounded metadata fetch (16 rows) — seed codebooks become literals.
+    rows = (
+        emb.filter(
+            F.col("vec_id").between(_PQ_SEED_BASE, _PQ_SEED_BASE + _PQ_CODES - 1)
+        )
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    codebooks = [
+        [
+            (
+                int(r.vec_id) - _PQ_SEED_BASE,
+                [float(x) for x in r.embedding][b * _PQ_BLK : (b + 1) * _PQ_BLK],
+            )
+            for r in rows
+        ]
+        for b in range(_PQ_M)
+    ]
+    encoded = P.pq_encode(emb, codebooks)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return P.ann_topk_pq_mips(
+        encoded, queries, codebooks, k=_PQ_K, scale=_PQ_SCALE
+    ).select("query_id", "cand_id", "adc_q6", "rank")

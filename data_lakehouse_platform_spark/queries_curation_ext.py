@@ -438,3 +438,73 @@ def curate_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_offset",
         F.floor(F.col("start_offset") / _PACK_BUDGET).cast("bigint").alias("bin_id"),
     )
+
+
+# ----------------------------------------------------------------------------
+# Quality-gate funnel: first-failing-gate attribution
+# ----------------------------------------------------------------------------
+
+_FUNNEL_MIN_CHARS = 60
+_FUNNEL_LANGS = ("en", "de", "fr", "es")
+_FUNNEL_LANG_LIST = ", ".join(f"'{s}'" for s in _FUNNEL_LANGS)
+
+_FUNNEL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars,
+         string_split({T.sql_normalize_ws('text')}, ' ') AS t
+  FROM documents
+),
+gated AS (
+  SELECT doc_id, n_chars,
+    CASE
+      WHEN n_chars < {_FUNNEL_MIN_CHARS} THEN '1_too_short'
+      WHEN lang NOT IN ({_FUNNEL_LANG_LIST}) THEN '2_bad_lang'
+      WHEN len(list_distinct(t)) * 10 < len(t) * 3 THEN '3_low_diversity'
+      ELSE '4_passed'
+    END AS gate
+  FROM toks
+)
+SELECT gate,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM gated
+GROUP BY gate
+"""
+
+
+@register(
+    "quality_gate_funnel",
+    _FUNNEL_ORACLE,
+    "Curation funnel attribution: each document is charged to its FIRST "
+    "failing quality gate (length -> language -> token diversity), in "
+    "the order the production filter chain applies them, so the "
+    "datacard answers 'which gate costs us the most data' without "
+    "re-running the chain N times. The diversity test is an integer "
+    "cross-multiplication (10 x distinct < 3 x total), never a float "
+    "ratio — both engines branch identically. One map pass + one "
+    "4-group aggregate; no shuffle beyond the final rollup.",
+)
+def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = T.ws_tokens("text")
+    gate = (
+        F.when(F.col("n_chars") < _FUNNEL_MIN_CHARS, "1_too_short")
+        .when(~F.col("lang").isin(*_FUNNEL_LANGS), "2_bad_lang")
+        .when(
+            F.size(F.array_distinct(toks)) * 10 < F.size(toks) * 3,
+            "3_low_diversity",
+        )
+        .otherwise("4_passed")
+    )
+    return (
+        docs.select(F.col("n_chars").cast("bigint").alias("n_chars"), gate.alias("gate"))
+        .groupBy("gate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (
+                F.sum("n_chars").cast("double") / F.count(F.lit(1))
+            ).alias("avg_chars"),
+        )
+    )

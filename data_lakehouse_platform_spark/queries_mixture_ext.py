@@ -410,3 +410,77 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(T.ws_tokens("text")).alias("token"))
     return heavy_hitters_exact(toks, "token", k=_HH_K, capacity=_HH_CAP)
+
+
+# ----------------------------------------------------------------------------
+# Temperature-smoothed mixture resampling (alpha = 0.5)
+# ----------------------------------------------------------------------------
+
+_TEMP_ORACLE = """
+WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+m AS (SELECT MIN(n_s) AS n_min FROM n),
+r AS (
+  SELECT source, n_s,
+         SQRT(CAST(n_min AS DOUBLE) / CAST(n_s AS DOUBLE)) AS rate
+  FROM n CROSS JOIN m
+),
+h AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hk
+  FROM documents
+)
+SELECT h.source,
+       CAST(r.n_s AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN CAST(h.hk AS DOUBLE) < r.rate * 4294967296.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       r.rate AS rate
+FROM h JOIN r USING (source)
+GROUP BY h.source, r.n_s, r.rate
+"""
+
+
+@register(
+    "mixture_temperature_resample",
+    _TEMP_ORACLE,
+    "Temperature-smoothed source mixture (alpha = 0.5, the multilingual-"
+    "LM rebalancing rule): acceptance rate per source is "
+    "sqrt(n_min/n_s), so the smallest source keeps everything and each "
+    "larger one is downsampled toward the root-smoothed share. "
+    "Acceptance is md5(doc_id)-uniform vs rate x 2^32 — sqrt and one "
+    "multiply are single correctly-rounded IEEE ops, so both engines "
+    "admit the identical doc set; no RNG state, restart-safe. One "
+    "tiny per-source aggregate broadcasts into a map-only filter — "
+    "zero data-path shuffle at any corpus size.",
+)
+def mixture_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n_s",
+        F.sqrt(
+            F.col("n_min").cast("double") / F.col("n_s").cast("double")
+        ).alias("rate"),
+    )
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "cast(conv(substring(md5(cast(cast(doc_id as string) as binary))"
+            ", 1, 8), 16, 10) as bigint)"
+        ).alias("hk"),
+    )
+    kept = F.when(
+        F.col("hk").cast("double") < F.col("rate") * F.lit(4294967296.0), 1
+    ).otherwise(0)
+    return (
+        hashed.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.max("rate").alias("rate"),
+        )
+        .select("source", "n_docs", "n_kept", "rate")
+    )
