@@ -945,71 +945,3 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping_pct=_PR_DAMP,
     )
     return pr.select(F.col("node").alias("doc_id"), "rank_scaled", "rank")
-
-
-# ----------------------------------------------------------------------------
-# Cross-source duplicate provenance attribution
-# ----------------------------------------------------------------------------
-
-_PROV_ORACLE = """
-WITH h AS (
-  SELECT doc_id, source, md5(coalesce(text, '')) AS th FROM documents
-),
-canon AS (
-  SELECT th, MIN(doc_id) AS canon_id,
-         MIN_BY(source, doc_id) AS canon_source
-  FROM h GROUP BY th
-)
-SELECT h.source,
-       COUNT(*) AS n_docs,
-       CAST(SUM(CASE WHEN h.doc_id = c.canon_id THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_canonical,
-       CAST(SUM(CASE WHEN h.doc_id != c.canon_id THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_shadowed,
-       CAST(SUM(CASE WHEN h.doc_id != c.canon_id
-                      AND h.source != c.canon_source THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_cross_source
-FROM h JOIN canon c USING (th)
-GROUP BY h.source
-"""
-
-
-@register(
-    "dedup_provenance",
-    _PROV_ORACLE,
-    "Duplicate PROVENANCE attribution on top of exact dedup: every "
-    "content hash elects a canonical doc (lowest doc_id, MIN/MIN_BY "
-    "aggregates — no per-hash window, so a million-copy boilerplate "
-    "crowd is one aggregate group, not one sort task), then each "
-    "source is scored on how many of its docs are canonical, shadowed "
-    "by an earlier copy, or shadowed by a DIFFERENT source's copy. "
-    "The cross-source column is the one that finds mirror/scraper "
-    "relationships between crawls — the provenance question a plain "
-    "dedup count cannot answer. Null text folds to the empty-string "
-    "sentinel like operators/dedup.py's ledger.",
-)
-def dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    h = docs.select(
-        "doc_id", "source", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("th")
-    )
-    canon = h.groupBy("th").agg(
-        F.min("doc_id").alias("canon_id"),
-        F.min_by("source", "doc_id").alias("canon_source"),
-    )
-    j = h.join(canon, "th")
-    is_canon = (F.col("doc_id") == F.col("canon_id")).cast("int")
-    is_shadow = (F.col("doc_id") != F.col("canon_id")).cast("int")
-    cross = (
-        (F.col("doc_id") != F.col("canon_id"))
-        & (F.col("source") != F.col("canon_source"))
-    ).cast("int")
-    return (
-        j.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(is_canon).cast("bigint").alias("n_canonical"),
-            F.sum(is_shadow).cast("bigint").alias("n_shadowed"),
-            F.sum(cross).cast("bigint").alias("n_cross_source"),
-        )
-    )

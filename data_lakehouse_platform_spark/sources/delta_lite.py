@@ -19,13 +19,16 @@ directly, no jar required:
   = newest version whose commit timestamp <= the instant.
 
 Capability boundary (documented, not hidden): protocol v1
-reader/writer features only — add/remove file actions, hive-style
+reader/writer features — add/remove file actions, hive-style
 partition values, append/overwrite writes, version + timestamp time
-travel. No checkpoints (pure-JSON log replay; fine to thousands of
-commits), no deletion vectors, no column mapping — a table using
-those advertises ``minReaderVersion > 1`` and this reader REFUSES it
-loudly rather than returning wrong rows. delta-spark, when present,
-reads tables this writer produces (plain v1 parquet + JSON log).
+travel, and parquet CHECKPOINTS (read single- and multi-part
+``{v}.checkpoint[.{i}.{n}].parquet``; write single-part +
+``_last_checkpoint``; ``clean_log`` drops covered JSON commits the
+way delta-spark's log cleanup does). No deletion vectors, no column
+mapping — a table using those advertises ``minReaderVersion > 1``
+and this reader REFUSES it loudly rather than returning wrong rows.
+delta-spark, when present, reads tables this writer produces (plain
+v1 parquet + JSON log + spec-shaped checkpoint).
 
 SnapshotTable remains the engine's native format; DeltaLiteTable is
 the interchange edge for Delta tables a user already has.
@@ -35,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import urllib.parse
 import uuid
@@ -53,7 +57,12 @@ class DeltaLiteTable:
 
     # -- log ------------------------------------------------------------
 
+    _CP_RE = re.compile(
+        r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$"
+    )
+
     def _versions(self) -> list[int]:
+        """Versions with a JSON commit file present."""
         if not os.path.isdir(self.log_dir):
             return []
         out = []
@@ -62,33 +71,102 @@ class DeltaLiteTable:
                 out.append(int(f[: -len(".json")]))
         return sorted(out)
 
+    def _checkpoints(self) -> dict[int, list[str]]:
+        """Checkpointed versions -> their parquet part files (single- or
+        multi-part ``{v}.checkpoint[.{i}.{n}].parquet`` per the spec)."""
+        out: dict[int, list[str]] = {}
+        if not os.path.isdir(self.log_dir):
+            return out
+        for f in os.listdir(self.log_dir):
+            m = self._CP_RE.match(f)
+            if m:
+                out.setdefault(int(m.group(1)), []).append(f)
+        return {v: sorted(fs) for v, fs in out.items()}
+
+    def all_versions(self) -> list[int]:
+        """Every readable snapshot version: JSON commits plus versions
+        reachable only through a checkpoint (after log cleanup)."""
+        return sorted(set(self._versions()) | set(self._checkpoints()))
+
     def latest_version(self) -> int | None:
-        vs = self._versions()
+        vs = self.all_versions()
         return vs[-1] if vs else None
 
     def _actions(self, version: int) -> list[dict]:
         with open(os.path.join(self.log_dir, f"{version:020d}.json")) as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
-    def _replay(self, to_version: int) -> tuple[dict, dict[str, dict]]:
-        """Replay the log: returns (metaData, {path: add-action})."""
+    def _check_protocol(self, p: dict) -> None:
+        if p.get("minReaderVersion", 1) > 1:
+            raise DeltaProtocolError(
+                f"table requires minReaderVersion="
+                f"{p['minReaderVersion']}; this reader speaks v1 "
+                "(no deletion vectors / column mapping) and "
+                "refuses rather than misread; use the real "
+                "delta-spark package for modern tables (see "
+                "JARS.md for why it is absent here)"
+            )
+
+    @staticmethod
+    def _plain(v):
+        """pyarrow row values -> JSON-shaped plain Python: MapArray rows
+        surface as [(k, val), ...] tuple lists; fold them (and nested
+        structs) back to dicts so checkpoint state matches log-replay
+        state field for field."""
+        if isinstance(v, list) and v and all(
+            isinstance(e, tuple) and len(e) == 2 for e in v
+        ):
+            return {k: DeltaLiteTable._plain(x) for k, x in v}
+        if isinstance(v, dict):
+            return {k: DeltaLiteTable._plain(x) for k, x in v.items()}
+        return v
+
+    def _load_checkpoint(
+        self, version: int, files: list[str]
+    ) -> tuple[dict, dict[str, dict]]:
+        import pyarrow.parquet as pq
+
         meta: dict = {}
         live: dict[str, dict] = {}
-        for v in self._versions():
-            if v > to_version:
-                break
+        for f in files:
+            tbl = pq.read_table(os.path.join(self.log_dir, f))
+            for row in tbl.to_pylist():
+                if row.get("protocol") is not None:
+                    self._check_protocol(self._plain(row["protocol"]))
+                if row.get("metaData") is not None:
+                    meta = self._plain(row["metaData"])
+                if row.get("add") is not None:
+                    add = self._plain(row["add"])
+                    live[add["path"]] = add
+        return meta, live
+
+    def _replay(self, to_version: int) -> tuple[dict, dict[str, dict]]:
+        """Replay to a snapshot: seed from the newest checkpoint at or
+        before ``to_version`` (if any), then apply the JSON commits
+        after it. Returns (metaData, {path: add-action}).  A gap in the
+        JSON chain that no checkpoint covers (over-eager external log
+        cleanup) raises instead of silently dropping history."""
+        meta: dict = {}
+        live: dict[str, dict] = {}
+        start_after = -1
+        cps = self._checkpoints()
+        eligible = [v for v in cps if v <= to_version]
+        if eligible:
+            cp = max(eligible)
+            meta, live = self._load_checkpoint(cp, cps[cp])
+            start_after = cp
+        json_vs = [v for v in self._versions() if start_after < v <= to_version]
+        expected = list(range(start_after + 1, to_version + 1))
+        if json_vs != expected:
+            missing = sorted(set(expected) - set(json_vs))
+            raise FileNotFoundError(
+                f"log versions {missing} are missing and no checkpoint "
+                f"covers them — cannot reconstruct version {to_version}"
+            )
+        for v in json_vs:
             for a in self._actions(v):
                 if "protocol" in a:
-                    p = a["protocol"]
-                    if p.get("minReaderVersion", 1) > 1:
-                        raise DeltaProtocolError(
-                            f"table requires minReaderVersion="
-                            f"{p['minReaderVersion']}; this reader speaks v1 "
-                            "(no deletion vectors / column mapping) and "
-                            "refuses rather than misread; use the real "
-                            "delta-spark package for modern tables (see "
-                            "JARS.md for why it is absent here)"
-                        )
+                    self._check_protocol(a["protocol"])
                 elif "metaData" in a:
                     meta = a["metaData"]
                 elif "add" in a:
@@ -261,20 +339,26 @@ class DeltaLiteTable:
         Delta's timestampAsOf in unix millis)."""
         if version is not None and as_of_ts_ms is not None:
             raise ValueError("pass version OR as_of_ts_ms, not both")
-        vs = self._versions()
+        vs = self.all_versions()
         if not vs:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
         if as_of_ts_ms is not None:
             # commitInfo is OPTIONAL in the Delta protocol; when a
             # version (written by another engine) lacks it, fall back
             # to the log file's mtime — exactly what delta-spark does
-            # for timestamp time travel.
+            # for timestamp time travel.  A version whose JSON was
+            # cleaned after checkpointing uses the checkpoint's mtime.
+            cps = self._checkpoints()
+
             def _version_ts(v: int) -> int:
-                for a in self._actions(v):
-                    if "commitInfo" in a and "timestamp" in a["commitInfo"]:
-                        return int(a["commitInfo"]["timestamp"])
                 log_file = os.path.join(self.log_dir, f"{v:020d}.json")
-                return int(os.path.getmtime(log_file) * 1000)
+                if os.path.exists(log_file):
+                    for a in self._actions(v):
+                        if "commitInfo" in a and "timestamp" in a["commitInfo"]:
+                            return int(a["commitInfo"]["timestamp"])
+                    return int(os.path.getmtime(log_file) * 1000)
+                cp = os.path.join(self.log_dir, cps[v][0])
+                return int(os.path.getmtime(cp) * 1000)
 
             eligible = [v for v in vs if _version_ts(v) <= as_of_ts_ms]
             if not eligible:
@@ -338,6 +422,117 @@ class DeltaLiteTable:
                     val = F.coalesce(val, m[tail])
                 df = df.withColumn(c, val.cast(tgt))
         return df.select(*[f.name for f in schema.fields])
+
+    # -- checkpoints ------------------------------------------------------
+
+    def checkpoint(self, version: int | None = None) -> int:
+        """Write a protocol-v1 checkpoint for ``version`` (default:
+        latest): a single parquet file holding the replayed state —
+        protocol + metaData + every live ``add`` — plus the
+        ``_last_checkpoint`` pointer, exactly the layout delta-spark
+        produces every 10 commits.  After a checkpoint, the JSON
+        commits it covers may be dropped (:meth:`clean_log`) and every
+        read at or after the checkpoint version still works; reads
+        STRICTLY BEFORE it correctly fail once their JSON is gone.
+        partitionValues/configuration are map-typed with nullable
+        values per the spec (null partition value stays null)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        meta, live = self._replay(v)
+
+        smap = pa.map_(pa.string(), pa.field("value", pa.string()))
+        proto_t = pa.struct(
+            [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        )
+        meta_t = pa.struct(
+            [
+                ("id", pa.string()),
+                (
+                    "format",
+                    pa.struct([("provider", pa.string()), ("options", smap)]),
+                ),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", smap),
+                ("createdTime", pa.int64()),
+            ]
+        )
+        add_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("partitionValues", smap),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+            ]
+        )
+
+        def _mapify(d):
+            return list((d or {}).items())
+
+        proto_col = [{"minReaderVersion": 1, "minWriterVersion": 2}]
+        meta_col = [
+            {
+                "id": meta.get("id"),
+                "format": {
+                    "provider": meta.get("format", {}).get("provider", "parquet"),
+                    "options": _mapify(meta.get("format", {}).get("options")),
+                },
+                "schemaString": meta.get("schemaString"),
+                "partitionColumns": meta.get("partitionColumns", []),
+                "configuration": _mapify(meta.get("configuration")),
+                "createdTime": meta.get("createdTime"),
+            }
+        ]
+        add_col = [
+            {
+                "path": a["path"],
+                "partitionValues": _mapify(a.get("partitionValues")),
+                "size": a.get("size"),
+                "modificationTime": a.get("modificationTime"),
+                "dataChange": bool(a.get("dataChange", True)),
+            }
+            for _, a in sorted(live.items())
+        ]
+        n = 2 + len(add_col)
+        tbl = pa.table(
+            {
+                "protocol": pa.array(
+                    proto_col + [None] * (n - 1), type=proto_t
+                ),
+                "metaData": pa.array(
+                    [None] + meta_col + [None] * len(add_col), type=meta_t
+                ),
+                "add": pa.array([None, None] + add_col, type=add_t),
+            }
+        )
+        target = os.path.join(self.log_dir, f"{v:020d}.checkpoint.parquet")
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, target)
+        with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": v, "size": n}, fh)
+        return v
+
+    def clean_log(self) -> list[int]:
+        """Drop JSON commits at or before the newest checkpoint (Delta's
+        log cleanup). Returns the removed versions. Refuses when no
+        checkpoint exists — cleanup must never orphan the only copy of
+        the state."""
+        cps = self._checkpoints()
+        if not cps:
+            raise FileNotFoundError("no checkpoint; refusing to clean the log")
+        floor = max(cps)
+        removed = []
+        for v in self._versions():
+            if v <= floor:
+                os.remove(os.path.join(self.log_dir, f"{v:020d}.json"))
+                removed.append(v)
+        return removed
 
     def history(self) -> list[dict]:
         out = []

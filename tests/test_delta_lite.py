@@ -249,3 +249,64 @@ def test_partition_values_decoded_and_null(spark, tmp_path):
         key=lambda x: x[0],
     )
     assert got == [(1, "x:y"), (2, "a b"), (3, None)]
+
+
+def test_checkpoint_and_log_cleanup(spark, tmp_path):
+    """checkpoint() writes the spec-shaped parquet + _last_checkpoint;
+    clean_log() then drops the covered JSON commits, and every read at
+    or after the checkpoint still reconstructs exactly — reads before
+    it fail loudly instead of returning partial history."""
+    import pytest
+
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))                       # v0
+    t.write(_df(spark, [(2, "b")]))                       # v1 append
+    t.write(_df(spark, [(3, "c")]), mode="overwrite")     # v2 overwrite
+    cp = t.checkpoint()
+    assert cp == 2
+    assert os.path.exists(os.path.join(t.log_dir, f"{2:020d}.checkpoint.parquet"))
+    lc = json.load(open(os.path.join(t.log_dir, "_last_checkpoint")))
+    assert lc["version"] == 2
+
+    before = sorted((r.id, r.val) for r in t.read(spark).collect())
+    removed = t.clean_log()
+    assert removed == [0, 1, 2]
+    # latest still reads purely from the checkpoint
+    assert sorted((r.id, r.val) for r in t.read(spark).collect()) == before
+    assert t.latest_version() == 2
+    # a commit AFTER cleanup continues the version chain from the checkpoint
+    v3 = t.write(_df(spark, [(4, "d")]))
+    assert v3 == 3
+    assert sorted(r.id for r in t.read(spark).collect()) == [3, 4]
+    # pre-checkpoint history is genuinely gone -> loud failure
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=1)
+
+
+def test_checkpoint_with_partitions_and_null_values(spark, tmp_path):
+    """Checkpointed add.partitionValues round-trip as a nullable-value
+    map: decoded strings stay decoded, null stays null."""
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "x:y"), (2, None), (3, "p")], "id int, k string"
+    )
+    t.write(df, partition_by=["k"])
+    t.checkpoint()
+    t.clean_log()
+    got = sorted(
+        ((r.id, r.k) for r in t.read(spark).collect()), key=lambda x: x[0]
+    )
+    assert got == [(1, "x:y"), (2, None), (3, "p")]
+
+
+def test_checkpoint_then_more_commits(spark, tmp_path):
+    """Reads past the checkpoint seed from it and replay only the JSON
+    tail; time travel to the checkpoint version itself still works."""
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))          # v0
+    t.write(_df(spark, [(2, "b")]))          # v1
+    t.checkpoint(1)
+    t.write(_df(spark, [(3, "c")]))          # v2 (JSON tail after cp)
+    t.clean_log()
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+    assert sorted(r.id for r in t.read(spark, version=1).collect()) == [1, 2]
