@@ -154,6 +154,11 @@ def all_queries() -> dict[str, Query]:
     from data_lakehouse_platform_spark import queries_seq_ext  # noqa: F401
     from data_lakehouse_platform_spark import queries_mixture_ext  # noqa: F401
     from data_lakehouse_platform_spark import queries_robust_ext  # noqa: F401
+    # Registered last ON PURPOSE: the external driver grades the first 50
+    # registry keys by registration order (pinned by
+    # tests/test_oracle_parity.py::test_driver_first_50_stable), so new
+    # modules must only ever append.
+    from data_lakehouse_platform_spark import queries_sketch_ext  # noqa: F401
 
     return dict(_REGISTRY)
 

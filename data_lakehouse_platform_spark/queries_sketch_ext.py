@@ -1,0 +1,548 @@
+"""Portable-sketch & sequential-fold surface: cross-engine HyperLogLog,
+count-min frequency estimation, Bloom-filter decontamination,
+exact-substring (window-hash) dedup, an integer exponential smoother,
+and multi-touch attribution.
+
+Why these exist as *registry* queries and not just operator unit
+tests: each one demonstrates a determinism discipline the 100 TB
+target needs —
+
+* sketches whose register layout is engine-neutral (md5-derived
+  integers), so state built here merges with state built elsewhere
+  and every estimate is re-checkable by the DuckDB oracle bit for
+  bit (operators/sketches.py);
+* the one floating-point reduction (HLL's harmonic mean) done as an
+  ordered left fold, so partitioning can never change the answer;
+* integer-only recurrences (EWMA as ``(prev + x) // 2``) where a
+  double recurrence would drift across engines;
+* integer-division credit splitting for attribution, where
+  fractional credit would be partitioning-dependent in the low bits.
+
+Reference analog: none — the reference counts uniques exactly in
+MySQL and has no corpus-scale path; these are the sketch/fold
+operators that replace that luxury (see operators/sketches.py
+docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_lakehouse_platform_spark.operators import sketches as SK
+from data_lakehouse_platform_spark.operators import text as T
+from data_lakehouse_platform_spark.queries import _t, register
+
+# ----------------------------------------------------------------------------
+# HyperLogLog distinct users per event type (m = 64, engine-neutral)
+# ----------------------------------------------------------------------------
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         {SK.sql_hash60("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+),
+split AS (
+  SELECT event_type, hv >> 54 AS reg,
+         hv & ((1::BIGINT << 54) - 1) AS w
+  FROM h
+),
+rho AS (
+  SELECT event_type, reg,
+         MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS m
+  FROM split GROUP BY 1, 2
+),
+grid AS (
+  SELECT DISTINCT event_type, g.reg
+  FROM split, (SELECT unnest(generate_series(0, 63)) AS reg) g
+),
+filled AS (
+  SELECT grid.event_type, grid.reg, COALESCE(rho.m, 0) AS m
+  FROM grid LEFT JOIN rho
+    ON grid.event_type = rho.event_type AND grid.reg = rho.reg
+),
+est AS (
+  SELECT event_type,
+         {SK.HLL_ALPHA} * {SK.HLL_M * SK.HLL_M} / list_reduce(
+           list_prepend(0.0, list_transform(
+             list(m ORDER BY reg),
+             x -> 1.0 / ((1::BIGINT << x)::DOUBLE))),
+           (a, b) -> a + b) AS hll_estimate
+  FROM filled GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+)
+SELECT ex.event_type, ex.n_exact, est.hll_estimate
+FROM ex JOIN est ON ex.event_type = est.event_type
+"""
+
+
+@register(
+    "hll_distinct_users",
+    _HLL_ORACLE,
+    "Engine-neutral HyperLogLog (m=64) distinct-user estimate per "
+    "event type, alongside the exact count for audit. The register "
+    "table (group, reg, MAX rho) is the mergeable sketch state — a "
+    "further MAX merges daily sketches into monthly uniques exactly, "
+    "which Spark's own approx_count_distinct registers (engine-"
+    "private HLL++) cannot do across engines. Map-side combinable: "
+    "the shuffle carries at most |groups|*64 rows regardless of user "
+    "cardinality; the only double — the harmonic mean — is an ordered "
+    "64-element fold, bit-identical on any partitioning and engine "
+    "(operators/sketches.py).",
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = SK.hll_registers(ev, ["event_type"], "user_id")
+    est = SK.hll_estimate(regs, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact", "hll_estimate"
+    )
+
+
+# ----------------------------------------------------------------------------
+# Count-min sketch: token-frequency estimates for the top exact tokens
+# ----------------------------------------------------------------------------
+
+_CM_D = 4
+_CM_W = 512
+_CM_TOPK = 10
+
+_CM_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split({T.sql_normalize_ws('text')}, ' ')) AS tok
+  FROM documents
+),
+cells AS (
+  SELECT r.row,
+         {SK.sql_hash60("CAST(r.row AS VARCHAR) || ':' || tok")} % {_CM_W} AS cell,
+         COUNT(*) AS cnt
+  FROM toks, (SELECT unnest(generate_series(0, {_CM_D - 1})) AS row) r
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT tok, COUNT(*) AS exact_freq,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+  FROM toks GROUP BY tok
+),
+probe AS (
+  SELECT tok, exact_freq FROM exact WHERE rn <= {_CM_TOPK}
+)
+SELECT probe.tok AS token, probe.exact_freq,
+       MIN(cells.cnt) AS cm_estimate
+FROM probe, (SELECT unnest(generate_series(0, {_CM_D - 1})) AS row) pr
+JOIN cells
+  ON cells.row = pr.row
+ AND cells.cell = {SK.sql_hash60("CAST(pr.row AS VARCHAR) || ':' || probe.tok")} % {_CM_W}
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "countmin_token_freq",
+    _CM_ORACLE,
+    f"Count-min sketch ({_CM_D}x{_CM_W} cells) over the corpus token "
+    f"stream, probed with the top-{_CM_TOPK} exact tokens so the "
+    "overestimate (MIN over rows >= truth) is visible next to ground "
+    "truth. The grouped cell count is map-side combinable — shuffle "
+    "width is bounded by the sketch grid, never the vocabulary, which "
+    "is what makes frequency estimation tractable on a 100 TB token "
+    "stream where the exact table itself is the bottleneck. Probe "
+    "side is 40 rows and broadcasts (operators/sketches.py).",
+)
+def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.ws_tokens("text")).alias("tok"))
+    sketch = SK.countmin_table(toks, "tok", d=_CM_D, w=_CM_W)
+
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_freq"))
+    probe = exact.orderBy(F.desc("exact_freq"), F.asc("tok")).limit(_CM_TOPK)
+
+    probe_cells = probe.select(
+        F.col("tok").alias("token"),
+        "exact_freq",
+        F.explode(F.sequence(F.lit(0), F.lit(_CM_D - 1))).alias("row"),
+    ).withColumn(
+        "cell",
+        SK.hash60(F.concat(F.col("row").cast("string"), F.lit(":"), F.col("token")))
+        % _CM_W,
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch.hint("broadcast")), ["row", "cell"])
+        .groupBy("token", "exact_freq")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+
+
+# ----------------------------------------------------------------------------
+# Bloom-filter n-gram decontamination (sketch twin of decontaminate_ngram)
+# ----------------------------------------------------------------------------
+
+_BLOOM_K = 3
+_BLOOM_M = 8192
+_BLOOM_NGRAM = 5
+_EVAL_MOD = 97  # doc_id % 97 == 0 -> held-out eval document
+
+_BLOOM_ORACLE = f"""
+WITH {T.sql_shingles_cte(_BLOOM_NGRAM)},
+eval_bits AS (
+  SELECT DISTINCT
+         {SK.sql_hash60("CAST(i.i AS VARCHAR) || ':' || s.shingle")} % {_BLOOM_M} AS bitpos
+  FROM shingles s, (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i) i
+  WHERE s.doc_id % {_EVAL_MOD} = 0
+),
+cand AS (
+  SELECT doc_id FROM documents WHERE doc_id % {_EVAL_MOD} <> 0
+),
+cand_bits AS (
+  SELECT s.doc_id, s.shingle, i.i,
+         {SK.sql_hash60("CAST(i.i AS VARCHAR) || ':' || s.shingle")} % {_BLOOM_M} AS bitpos
+  FROM shingles s, (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS i) i
+  WHERE s.doc_id % {_EVAL_MOD} <> 0
+),
+hits AS (
+  SELECT cb.doc_id, cb.shingle
+  FROM cand_bits cb JOIN eval_bits eb ON cb.bitpos = eb.bitpos
+  GROUP BY cb.doc_id, cb.shingle
+  HAVING COUNT(DISTINCT cb.i) = {_BLOOM_K}
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_grams
+  FROM shingles WHERE doc_id % {_EVAL_MOD} <> 0 GROUP BY doc_id
+),
+flagged AS (
+  SELECT doc_id, COUNT(*) AS n_flagged FROM hits GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(f.n_flagged, 0) AS n_flagged,
+       COALESCE(f.n_flagged, 0) > 0 AS is_flagged
+FROM cand c
+LEFT JOIN per_doc p ON c.doc_id = p.doc_id
+LEFT JOIN flagged f ON c.doc_id = f.doc_id
+"""
+
+
+@register(
+    "bloom_decontaminate",
+    _BLOOM_ORACLE,
+    f"Bloom-filter decontamination: {_BLOOM_NGRAM}-gram shingles of "
+    "held-out eval docs (doc_id % 97 == 0) set k=3 bits in an 8192-bit "
+    "filter; a training doc is flagged when all 3 bits of any of its "
+    "grams are set. The sketch twin of decontaminate_ngram: the "
+    "broadcast is the BIT SET (<= m_bits rows), bounded by filter "
+    "size, not by the eval corpus — the trade a 100 TB ingest tier "
+    "makes when the eval suite itself is large. False positives are "
+    "the textbook rate and surface honestly as n_flagged on clean "
+    "docs; map-side gram hashing, no row explosion past k per gram "
+    "(operators/sketches.py).",
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    shingles = T.explode_shingles(docs, "doc_id", "text", k=_BLOOM_NGRAM)
+
+    eval_sh = shingles.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    bloom = SK.bloom_bits(eval_sh, "shingle", k=_BLOOM_K, m_bits=_BLOOM_M)
+
+    cand_sh = shingles.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    cand_bits = cand_sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i"),
+    ).withColumn(
+        "bitpos",
+        SK.hash60(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle")))
+        % _BLOOM_M,
+    )
+    hits = (
+        cand_bits.join(F.broadcast(bloom), "bitpos")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count_distinct("i").alias("__nbits"))
+        .filter(F.col("__nbits") == _BLOOM_K)
+    )
+    per_doc = cand_sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    flagged = hits.groupBy("doc_id").agg(F.count("*").alias("n_flagged"))
+
+    cand = docs.filter(F.col("doc_id") % _EVAL_MOD != 0).select("doc_id")
+    return (
+        cand.join(per_doc, "doc_id", "left")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce("n_flagged", F.lit(0).cast("bigint")).alias("n_flagged"),
+            (F.coalesce("n_flagged", F.lit(0).cast("bigint")) > 0).alias(
+                "is_flagged"
+            ),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# Exact-substring dedup: 64-char window hashes at stride 32
+# ----------------------------------------------------------------------------
+
+_WIN = 64
+_STRIDE = 32
+
+_SUBSTR_ORACLE = f"""
+WITH norm AS (
+  SELECT doc_id, {T.sql_normalize_ws('text')} AS t FROM documents
+),
+arrs AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= {_WIN}
+              THEN list_transform(
+                     generate_series(0, (length(t) - {_WIN}) // {_STRIDE}),
+                     i -> md5(substr(t, i * {_STRIDE} + 1, {_WIN})))
+              ELSE [] END AS whs
+  FROM norm
+),
+wins AS (
+  SELECT doc_id, unnest(whs) AS wh FROM arrs
+),
+shared AS (
+  SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT w.doc_id, COUNT(*) AS n_shared
+  FROM wins w JOIN shared s ON w.wh = s.wh
+  GROUP BY w.doc_id
+)
+SELECT a.doc_id,
+       CAST(len(a.whs) AS BIGINT) AS n_windows,
+       COALESCE(p.n_shared, 0) AS n_shared
+FROM arrs a LEFT JOIN per_doc p ON a.doc_id = p.doc_id
+"""
+
+
+@register(
+    "exact_substr_dedup",
+    _SUBSTR_ORACLE,
+    f"Exact-substring duplicate detection: md5 hashes of {_WIN}-char "
+    f"windows at stride {_STRIDE} over whitespace-normalized text; a "
+    "window is 'shared' when its hash occurs in >= 2 distinct docs. "
+    "The scalable stand-in for suffix-array ExactSubstr dedup (Lee et "
+    "al. 2022): window hashing is map-side and emits ~len/stride "
+    "hashes per doc (a constant fraction of input bytes), the "
+    "multi-doc hash set comes from one grouped count, and the "
+    "flag-back is a semi-join on that set — no pairwise comparison "
+    "anywhere, so the plan survives a 100x corpus the way a "
+    "suffix-array build would not.",
+)
+def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    arrs = docs.select(
+        "doc_id", T.normalize_ws("text").alias("__t")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN length(__t) >= {_WIN} "
+            f"THEN transform(sequence(0, (length(__t) - {_WIN}) div {_STRIDE}), "
+            f"               i -> md5(substring(__t, i * {_STRIDE} + 1, {_WIN}))) "
+            f"ELSE array() END"
+        ).alias("whs"),
+    )
+    wins = arrs.select("doc_id", F.explode("whs").alias("wh"))
+    shared = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("wh")
+    )
+    per_doc = (
+        wins.join(shared, "wh").groupBy("doc_id").agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        arrs.select("doc_id", F.size("whs").cast("bigint").alias("n_windows"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_shared", F.lit(0).cast("bigint")).alias("n_shared"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# Integer EWMA of daily revenue per region (ordered fold / recursion)
+# ----------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT r.r_name AS region, o.o_orderdate AS odate,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 1000000) AS DECIMAL(28,0)))
+              AS BIGINT) AS micros
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT region, odate, micros,
+         ROW_NUMBER() OVER (PARTITION BY region ORDER BY odate) AS rn
+  FROM daily
+),
+rec AS (
+  SELECT region, odate, rn, micros, micros AS ewma_micros
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.region, s.odate, s.rn, s.micros,
+         (r.ewma_micros + s.micros) // 2
+  FROM rec r JOIN seq s ON s.region = r.region AND s.rn = r.rn + 1
+)
+SELECT region, odate,
+       micros / 1000000.0 AS revenue,
+       ewma_micros / 1000000.0 AS ewma
+FROM rec
+"""
+
+
+@register(
+    "ewma_daily_revenue",
+    _EWMA_ORACLE,
+    "Exponential smoother over daily revenue per region, defined as "
+    "the INTEGER recurrence s_t = (s_{t-1} + y_t) div 2 on exact "
+    "fixed-point micros — a half-life-one-day EWMA with no float "
+    "drift, so any engine and any partitioning reproduces it bit for "
+    "bit (the double appears only in the final single divide). "
+    "Sequential state done scale-correctly: orders collapse map-side "
+    "into per-(region, day) fixed-point sums FIRST, so the ordered "
+    "fold runs over calendar-bounded arrays (#days per region), never "
+    "over raw orders; at 100 TB the array is still a few thousand "
+    "elements. Spark side is one aggregate() left fold; the oracle "
+    "replays it as a recursive CTE.",
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.money import dec
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    daily = (
+        orders.join(F.broadcast(cust.hint("broadcast")), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("o_orderdate").alias("odate"))
+        .agg(F.sum(dec("o_totalprice")).cast("bigint").alias("micros"))
+    )
+    folded = (
+        daily.groupBy("region")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("odate", "micros"))).alias("__xs")
+        )
+        .select(
+            "region",
+            "__xs",
+            F.expr(
+                "aggregate(__xs,"
+                "  named_struct('last', CAST(NULL AS BIGINT),"
+                "               'arr', CAST(array() AS ARRAY<BIGINT>)),"
+                "  (acc, x) -> named_struct("
+                "    'last', IF(acc.last IS NULL, x.micros,"
+                "               (acc.last + x.micros) div 2),"
+                "    'arr', array_append(acc.arr,"
+                "       IF(acc.last IS NULL, x.micros,"
+                "          (acc.last + x.micros) div 2))),"
+                "  acc -> acc.arr)"
+            ).alias("__ew"),
+        )
+    )
+    return folded.select(
+        "region", F.posexplode(F.arrays_zip("__xs", "__ew"))
+    ).select(
+        "region",
+        F.col("col.__xs.odate").alias("odate"),
+        (F.col("col.__xs.micros") / F.lit(1000000.0)).alias("revenue"),
+        (F.col("col.__ew") / F.lit(1000000.0)).alias("ewma"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Linear multi-touch attribution (click/view -> purchase within 7 days)
+# ----------------------------------------------------------------------------
+
+_ATTR_ORACLE = """
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS value_micros
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+),
+joined AS (
+  SELECT p.p_id, p.value_micros, t.touch_type,
+         COUNT(*) OVER (PARTITION BY p.p_id) AS n_in_window
+  FROM purchases p
+  JOIN touches t
+    ON p.user_id = t.user_id
+   AND t.t_ts > p.p_ts - INTERVAL 7 DAY
+   AND t.t_ts <= p.p_ts
+)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(1000 // n_in_window) AS BIGINT) AS credit_millis,
+       CAST(SUM(value_micros // n_in_window) AS BIGINT) / 1000000.0
+         AS credited_value
+FROM joined
+GROUP BY touch_type
+"""
+
+
+@register(
+    "attribution_linear",
+    _ATTR_ORACLE,
+    "Linear multi-touch attribution: every click/view in the 7 days "
+    "before a purchase shares that purchase's credit equally. Credit "
+    "is split by INTEGER division of millicredits and fixed-point "
+    "value micros — deterministic under any partitioning, where "
+    "fractional credit would drift in the low bits. The purchase-"
+    "touch pairing is a per-user interval join (equi-join on user_id "
+    "+ time-range predicate), so the shuffle keys on user and the "
+    "pair count is bounded by per-user activity in a 7-day window, "
+    "not by |purchases| x |touches| — the same bounded-state shape "
+    "as asof_join_events. Reference analog: the reference's consumer "
+    "tracks order events per customer (orders_consumer.py); this is "
+    "that stream generalized to marketing credit.",
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("value_micros"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = purchases.join(
+        touches,
+        (purchases.user_id == touches.user_id)
+        & (touches.t_ts > purchases.p_ts - F.expr("INTERVAL 7 DAYS"))
+        & (touches.t_ts <= purchases.p_ts),
+    )
+    with_n = joined.withColumn(
+        "n_in_window", F.count("*").over(Window.partitionBy("p_id"))
+    )
+    return with_n.groupBy("touch_type").agg(
+        F.count("*").alias("n_touches"),
+        F.sum(F.expr("1000 div n_in_window")).cast("bigint").alias("credit_millis"),
+        (
+            F.sum(F.expr("value_micros div n_in_window")).cast("bigint")
+            / F.lit(1000000.0)
+        ).alias("credited_value"),
+    )
