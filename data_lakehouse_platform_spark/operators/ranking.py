@@ -268,6 +268,111 @@ def with_grouped_rank(
     return out.drop(*drop)
 
 
+def select_group_ranks(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    bucket_key: Column,
+    ranks_fn,
+    *,
+    buckets: int = 64,
+    rn_col: str = "rn",
+    n_col: str | None = None,
+) -> DataFrame:
+    """Rows at SPECIFIC per-group ranks only — the selection twin of
+    :func:`with_grouped_rank` for the quantile family.
+
+    When a query needs a handful of order statistics per group (Q1/Q3
+    endpoints, a median row, percentile cut rows), ranking every row is
+    wasted motion: the full grouped rank persists the table and sorts
+    every bucket.  Here only the buckets that CONTAIN a requested rank
+    flow through a window — with 4 requested ranks and 64 buckets
+    that's ~1/16 of the rows, and the sorted task input is bounded by
+    bucket width exactly as in the full form.
+
+    ``ranks_fn(n) -> iterable[int]`` maps a group's size to the 1-based
+    ranks wanted from it (so callers can ask for ``floor(p*(n-1))+1``
+    style interpolation endpoints).  Output: ``df``'s columns plus
+    ``rn_col`` (the exact per-group rank, bigint) — one row per
+    requested rank.  ``n_col`` additionally emits the group size (it is
+    already known driver-side from the stats pass, so callers needing
+    ``n`` — every interpolating quantile does — skip a whole extra
+    scan-and-aggregate job).
+
+    Same contract as the full form: ``group_cols`` low-cardinality,
+    ``order_cols`` a total order within groups, ``bucket_key`` numeric,
+    non-null, and non-decreasing along ``order_cols``.
+    """
+    gcols = list(group_cols)
+    bucketed = _bucketize(df, bucket_key, buckets)
+    stats = bucketed.groupBy(*gcols, _B).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    ).collect()  # bounded: <= |groups| x buckets rows
+
+    per_group: dict[tuple, list] = {}
+    for r in sorted(stats, key=lambda r: (tuple(str(r[g]) for g in gcols), r[_B])):
+        per_group.setdefault(tuple(r[g] for g in gcols), []).append(
+            (r[_B], r["__cnt"])
+        )
+
+    need_rows = []
+    for key, rows in per_group.items():
+        n = sum(c for _, c in rows)
+        want = sorted(set(int(x) for x in ranks_fn(n)))
+        if want and (want[0] < 1 or want[-1] > n):
+            raise ValueError(
+                f"ranks_fn asked for ranks {want} outside 1..{n} for group {key}"
+            )
+        cum, i = 0, 0
+        for b, c in rows:
+            while i < len(want) and want[i] <= cum + c:
+                need_rows.append(tuple(key) + (b, want[i] - cum, want[i], n))
+                i += 1
+            cum += c
+
+    gschema = ", ".join(f"__sel_{g}: {dict(df.dtypes)[g]}" for g in gcols)
+    need_df = df.sparkSession.createDataFrame(
+        need_rows,
+        f"{gschema}, {_B}_sel: int, __rn_in_b: long, __rn: long, __grp_n: long",
+    )
+
+    # Semi-join down to target buckets first (broadcast — the needed
+    # set is |groups| x |ranks| rows), then rank WITHIN those buckets
+    # and keep exactly the requested positions.  NULL groups join
+    # null-safely, same as the full form.  `keys` is built from the
+    # driver-side rows (not derived from need_df) so the two joins
+    # don't share lineage and trip the ambiguous-self-join check.
+    keys = df.sparkSession.createDataFrame(
+        sorted(
+            {r[: len(gcols) + 1] for r in need_rows},
+            key=lambda t: tuple(str(x) for x in t),
+        ),
+        f"{gschema}, {_B}_sel: int",
+    )
+    cond = F.col(_B) == keys[f"{_B}_sel"]
+    for g in gcols:
+        cond = cond & F.col(g).eqNullSafe(keys[f"__sel_{g}"])
+    filtered = bucketed.join(F.broadcast(keys), cond).drop(
+        f"{_B}_sel", *[f"__sel_{g}" for g in gcols]
+    )
+
+    w = Window.partitionBy(*gcols, _B).orderBy(*order_cols)
+    local = filtered.withColumn("__rn_in_b", F.row_number().over(w).cast("long"))
+    cond2 = (local[_B] == need_df[f"{_B}_sel"]) & (
+        local["__rn_in_b"] == need_df["__rn_in_b"]
+    )
+    for g in gcols:
+        cond2 = cond2 & local[g].eqNullSafe(need_df[f"__sel_{g}"])
+    picked = local.join(F.broadcast(need_df), cond2)
+    cols = [
+        *[local[c] for c in df.columns],
+        need_df["__rn"].cast("bigint").alias(rn_col),
+    ]
+    if n_col is not None:
+        cols.append(need_df["__grp_n"].cast("bigint").alias(n_col))
+    return picked.select(*cols)
+
+
 def ntile_expr(rn: Column, n: int, k: int) -> Column:
     """SQL-standard NTILE(k) from an exact global row_number and total n.
 

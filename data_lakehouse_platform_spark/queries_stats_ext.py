@@ -1447,18 +1447,36 @@ FROM lohi
     "expression — identical doubles in, identical percentile out, on "
     "any engine. Complements quantile_order_values (discrete): this "
     "is the SQL-standard continuous definition, still portable and "
-    "exact. Cost: one partitioned sort + two sparse position joins — "
-    "no native percentile function, so no engine-specific "
-    "interpolation quirks at 100 TB either.",
+    "exact. Cost: the SELECTION form of the bucketed rank "
+    "(select_group_ranks) — only buckets containing a bracketing rank "
+    "are sorted, nothing is persisted — plus one broadcast join; no "
+    "native percentile function, so no engine-specific interpolation "
+    "quirks at 100 TB either.",
 )
 def percentile_cont_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_lakehouse_platform_spark.operators.ranking import with_grouped_rank
+    import math
+
+    from data_lakehouse_platform_spark.operators.ranking import select_group_ranks
 
     od = _t(spark, sf_dir, "orders")
-    # Bucketed grouped rank (operators/ranking.py): per-(priority,
-    # value-bucket) windows, so the order-statistics rank never sorts a
-    # whole priority slice (~20% of orders) in one task.
-    ranked = with_grouped_rank(
+
+    # SELECTION form of the bucketed grouped rank: only the 8 bracketing
+    # order statistics per priority (floor/ceil of 4 percentile
+    # positions) are ranked — just the buckets containing a requested
+    # rank flow through a window and nothing is persisted.  The full
+    # with_grouped_rank ranks and materializes every order for ranks it
+    # then throws away; at fact-table scale the persist IS the cost, so
+    # this is the plan that survives 100x (see select_group_ranks's
+    # docstring for the local-vs-scale trade).
+    def _pcont_ranks(n: int) -> set[int]:
+        want: set[int] = set()
+        for p in _PCONT_PS:
+            pos = p * (n - 1)  # same IEEE double the SQL side computes
+            want.add(math.floor(pos) + 1)
+            want.add(math.ceil(pos) + 1)
+        return want
+
+    sel_rows = select_group_ranks(
         od.select(
             F.col("o_orderpriority").alias("priority"),
             F.col("o_totalprice").alias("v"),
@@ -1467,15 +1485,13 @@ def percentile_cont_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["priority"],
         [F.col("v"), F.col("o_orderkey")],
         bucket_key=F.col("v"),
-        rn_col="rn",
-    ).select("priority", "v", "rn")
-    # Group sizes from a cheap base-table agg, and both interpolation
-    # endpoints for every percentile picked in ONE broadcast join — the
-    # window stage evaluates once instead of three times (grid distinct
-    # + separate lo/hi joins), same rewrite as iqr_outlier_fences.
-    counts = od.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
+        ranks_fn=_pcont_ranks,
+        n_col="gn",
+    ).select("priority", "v", "rn", "gn")
+    ranked = sel_rows.select("priority", "v", "rn")
+    # Group sizes ride along from the selection's stats pass — no extra
+    # scan-and-aggregate job for them.
+    counts = sel_rows.select("priority", F.col("gn").alias("n")).distinct()
     ps = spark.range(1).select(
         F.explode(F.array(*[F.lit(float(p)) for p in _PCONT_PS])).alias("p")
     )

@@ -178,3 +178,61 @@ def test_grouped_rank_null_group_rows_kept(spark):
     got = {(r.g, r.v): r.rn for r in out}
     assert got[(None, 5)] == 1 and got[(None, 10)] == 2
     assert got[("a", 1)] == 1 and got[("a", 7)] == 2
+
+
+def test_select_group_ranks_matches_window(spark):
+    from data_lakehouse_platform_spark.operators.ranking import select_group_ranks
+
+    df = _toy(spark, n=600, groups=["a", "b", "c"], seed=29)
+    order = [F.col("v"), F.col("id")]
+
+    def ranks_fn(n):
+        # interpolation-endpoint shape plus the extremes
+        return {1, n, n // 2 + 1, max(1, n // 4), min(n, 3 * n // 4 + 1)}
+
+    got = select_group_ranks(
+        df, ["grp"], order, bucket_key=F.col("v"), ranks_fn=ranks_fn,
+        buckets=16, rn_col="rn", n_col="n",
+    )
+    w = Window.partitionBy("grp").orderBy(*order)
+    wg = Window.partitionBy("grp")
+    full = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wg))
+        .collect()
+    )
+    sizes = {}
+    for r in full:
+        sizes[r["grp"]] = r["n"]
+    want = {
+        (r["grp"], r["rn"]): (r["id"], r["n"])
+        for r in full
+        if r["rn"] in ranks_fn(sizes[r["grp"]])
+    }
+    res = {(r["grp"], r["rn"]): (r["id"], r["n"]) for r in got.collect()}
+    assert res == want
+
+
+def test_select_group_ranks_null_group_and_bounds(spark):
+    import pytest
+
+    from data_lakehouse_platform_spark.operators.ranking import select_group_ranks
+
+    df = _toy(spark, n=60, groups=["a"], seed=3).withColumn(
+        "grp", F.when(F.col("id") % 2 == 0, F.col("grp"))
+    )  # half the rows in the NULL group
+    out = select_group_ranks(
+        df, ["grp"], [F.col("v"), F.col("id")], bucket_key=F.col("v"),
+        ranks_fn=lambda n: {1, n}, buckets=8,
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["rn"])
+    assert sorted(by_grp[None]) == [1, 30]
+    assert sorted(by_grp["a"]) == [1, 30]
+
+    with pytest.raises(ValueError, match="outside"):
+        select_group_ranks(
+            df, ["grp"], [F.col("v"), F.col("id")], bucket_key=F.col("v"),
+            ranks_fn=lambda n: {n + 1}, buckets=8,
+        )
