@@ -73,17 +73,16 @@ HLL_M = 1 << HLL_P  # 64 registers
 HLL_ALPHA = 0.709
 
 
-def hll_registers(
+def hll_rho_projection(
     df: DataFrame, group_cols: list[str], value_col: str
 ) -> DataFrame:
-    """Per-group HLL register maxima: ``group_cols + (reg, m)``.
+    """Map-side HLL projection: ``group_cols + (reg, __rho)``.
 
-    This is the *mergeable sketch state*: a further ``MAX(m)`` per
-    (group, reg) merges sketches across days/shards exactly. Register
-    index = top 6 bits of the 60-bit hash; rank = position of the
-    highest set bit in the remaining 54 (``55 - length(bin(w))``,
-    0-input capped at 55). Integer-only, map-side combinable — the
-    shuffle carries at most ``|groups| * 64`` rows.
+    Register index = top 6 bits of the 60-bit hash; rank = position of
+    the highest set bit in the remaining 54 (``55 - length(bin(w))``,
+    0-input capped at 55). Pure expression work, shared verbatim by
+    the batch sketch and the streaming sketch (streaming/sketches.py)
+    so both produce identical register state from identical rows.
     """
     h = df.select(
         *group_cols,
@@ -94,14 +93,30 @@ def hll_registers(
         F.expr("shiftright(__hv, 54)").alias("reg"),
         F.expr(f"__hv & {_MASK54}").alias("__w"),
     )
-    rho = split.select(
+    return split.select(
         *group_cols,
         "reg",
         F.expr("IF(__w = 0, 55, 55 - length(bin(__w)))")
         .cast("bigint")
         .alias("__rho"),
     )
-    return rho.groupBy(*group_cols, "reg").agg(F.max("__rho").alias("m"))
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group HLL register maxima: ``group_cols + (reg, m)``.
+
+    This is the *mergeable sketch state*: a further ``MAX(m)`` per
+    (group, reg) merges sketches across days/shards exactly.
+    Integer-only, map-side combinable — the shuffle carries at most
+    ``|groups| * 64`` rows.
+    """
+    return (
+        hll_rho_projection(df, group_cols, value_col)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("__rho").alias("m"))
+    )
 
 
 def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:

@@ -428,8 +428,11 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
 
+    # customer is NOT broadcast-hinted: at corpus scale it is a fact-
+    # sized dimension; the join shuffles on custkey (or AQE broadcasts
+    # it when it truly is small). nation/region are genuinely tiny.
     daily = (
-        orders.join(F.broadcast(cust.hint("broadcast")), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("o_orderdate").alias("odate"))
@@ -545,4 +548,215 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("value_micros div n_in_window")).cast("bigint")
             / F.lit(1000000.0)
         ).alias("credited_value"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# HLL union rollup: merged per-type sketches vs global exact
+# ----------------------------------------------------------------------------
+
+_HLL_UNION_ORACLE = f"""
+WITH h AS (
+  SELECT event_type,
+         {SK.sql_hash60("CAST(user_id AS VARCHAR)")} AS hv
+  FROM events
+),
+split AS (
+  SELECT event_type, hv >> 54 AS reg,
+         hv & ((1::BIGINT << 54) - 1) AS w
+  FROM h
+),
+per_type AS (
+  SELECT event_type, reg,
+         MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS m
+  FROM split GROUP BY 1, 2
+),
+merged AS (
+  SELECT reg, MAX(m) AS m FROM per_type GROUP BY reg
+),
+grid AS (SELECT unnest(generate_series(0, 63)) AS reg),
+filled AS (
+  SELECT grid.reg, COALESCE(merged.m, 0) AS m
+  FROM grid LEFT JOIN merged ON grid.reg = merged.reg
+),
+est AS (
+  SELECT {SK.HLL_ALPHA} * {SK.HLL_M * SK.HLL_M} / list_reduce(
+           list_prepend(0.0, list_transform(
+             list(m ORDER BY reg),
+             x -> 1.0 / ((1::BIGINT << x)::DOUBLE))),
+           (a, b) -> a + b) AS hll_estimate
+  FROM filled
+),
+ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events),
+ty AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS sum_type_exacts FROM (
+    SELECT COUNT(DISTINCT user_id) AS n FROM events GROUP BY event_type
+  )
+)
+SELECT ex.n_exact, ty.sum_type_exacts, est.hll_estimate,
+       ty.sum_type_exacts / (1.0 * ex.n_exact) AS overlap_factor
+FROM ex, ty, est
+"""
+
+
+@register(
+    "hll_union_rollup",
+    _HLL_UNION_ORACLE,
+    "The HLL MERGE in action: per-event-type register tables (the "
+    "shape a daily pipeline persists) union into a global sketch with "
+    "one register-wise MAX — lossless, so the merged estimate is "
+    "IDENTICAL to a sketch built directly over the union, which no "
+    "sum of per-type counts can do (users overlap across types; the "
+    "overlap_factor column shows exactly how much double-counting a "
+    "naive rollup would commit). This is why sketch state, not exact "
+    "distinct state, is what daily jobs should persist at 100 TB: "
+    "rollups over arbitrary type/day subsets become register MAXes "
+    "over tiny tables.",
+)
+def hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = SK.hll_registers(ev, ["event_type"], "user_id")
+    merged = per_type.groupBy("reg").agg(F.max("m").alias("m")).withColumn(
+        "g", F.lit(1)
+    )
+    est = SK.hll_estimate(merged, ["g"]).select("hll_estimate")
+    exact = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    per_type_exact = (
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .agg(F.sum("n").cast("bigint").alias("sum_type_exacts"))
+    )
+    return (
+        exact.crossJoin(per_type_exact)
+        .crossJoin(est)
+        .select(
+            "n_exact",
+            "sum_type_exacts",
+            "hll_estimate",
+            (F.col("sum_type_exacts") / (F.lit(1.0) * F.col("n_exact"))).alias(
+                "overlap_factor"
+            ),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# Smoothed target encoding (m-estimate) of order priority
+# ----------------------------------------------------------------------------
+
+_TE_M = 10  # m-estimate pseudo-count
+
+_TE_ORACLE = f"""
+WITH per_cat AS (
+  SELECT o_orderpriority AS priority,
+         COUNT(*) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS gn, CAST(SUM(n_pos) AS BIGINT) AS gpos
+  FROM per_cat
+)
+SELECT p.priority, p.n, p.n_pos,
+       p.n_pos / (1.0 * p.n) AS raw_rate,
+       (p.n_pos * g.gn + {_TE_M} * g.gpos) / (1.0 * g.gn * (p.n + {_TE_M}))
+         AS enc_smoothed
+FROM per_cat p CROSS JOIN g
+"""
+
+
+@register(
+    "target_encode_smoothed",
+    _TE_ORACLE,
+    f"m-estimate target encoding (m={_TE_M}) of order priority against "
+    "the fulfilled-status target — the category-to-number feature prep "
+    "step of every tabular ML pipeline, done leakage-consciously "
+    "(global prior smooths small categories toward the corpus rate). "
+    "Determinism discipline: the encoding is ONE double division of "
+    "exact cross-multiplied integers — (n_pos*gn + m*gpos) / "
+    "(gn*(n+m)) — so any engine and any partitioning produces the "
+    "identical feature value; a naive mean-of-doubles would drift. "
+    "Two map-side aggs over a pruned scan, a 5-row broadcast cross "
+    "join: nothing here grows with the fact table.",
+)
+def target_encode_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    per_cat = od.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    g = per_cat.agg(
+        F.sum("n").cast("bigint").alias("gn"),
+        F.sum("n_pos").cast("bigint").alias("gpos"),
+    )
+    return per_cat.crossJoin(F.broadcast(g)).select(
+        "priority",
+        "n",
+        "n_pos",
+        (F.col("n_pos") / (F.lit(1.0) * F.col("n"))).alias("raw_rate"),
+        (
+            (F.col("n_pos") * F.col("gn") + F.lit(_TE_M) * F.col("gpos"))
+            / (F.lit(1.0) * F.col("gn") * (F.col("n") + F.lit(_TE_M)))
+        ).alias("enc_smoothed"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Feature hashing (hashing trick) of document tokens per language
+# ----------------------------------------------------------------------------
+
+_FH_BUCKETS = 256
+
+_FH_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split({T.sql_normalize_ws('text')}, ' ')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT lang,
+         {SK.sql_hash60("tok", salt="fh")} % {_FH_BUCKETS} AS bucket,
+         CASE WHEN (({SK.sql_hash60("tok", salt="fh")} >> 8) & 1) = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+)
+SELECT lang, bucket,
+       CAST(SUM(sgn) AS BIGINT) AS feat_value,
+       COUNT(*) AS n_terms
+FROM hashed GROUP BY 1, 2
+"""
+
+
+@register(
+    "feature_hashing_agg",
+    _FH_ORACLE,
+    f"The hashing trick: tokens project into {_FH_BUCKETS} signed "
+    "feature buckets (sign bit from an independent bit of the same "
+    "md5 hash — the classic collision-debiasing), aggregated per "
+    "language. This is how text becomes a FIXED-WIDTH feature vector "
+    "with no vocabulary table at all — the feature dimension is a "
+    "constant, so the shuffle is bounded by |langs| x buckets no "
+    "matter how large the corpus vocabulary grows, and train/serve "
+    "skew is impossible because there is no fitted state to drift. "
+    "Integer-only (signed counts), hash-exact across engines.",
+)
+def feature_hashing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(T.ws_tokens("text")).alias("tok"))
+    hashed = toks.select(
+        "lang",
+        (SK.hash60("tok", salt="fh") % _FH_BUCKETS).alias("bucket"),
+        F.when(
+            (SK.hash60("tok", salt="fh").bitwiseAND(F.lit(256)) / 256).cast("int")
+            == 1,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return hashed.groupBy("lang", "bucket").agg(
+        F.sum("sgn").cast("bigint").alias("feat_value"),
+        F.count("*").alias("n_terms"),
     )

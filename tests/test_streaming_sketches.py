@@ -1,0 +1,150 @@
+"""Streaming sketches (streaming/sketches.py): the streamed HLL
+register table must be BIT-IDENTICAL to the batch sketch over the same
+rows (that is the merge contract), and the streaming Misra-Gries state
+must stay capacity-bounded while keeping every guaranteed heavy item."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.operators import sketches as SK
+from data_lakehouse_platform_spark.streaming.pipelines import read_event_stream
+from data_lakehouse_platform_spark.streaming.sketches import (
+    heavy_hitter_stream,
+    hll_register_stream,
+)
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _write_event_files(src, n_files=3, rows_per_file=40):
+    src.mkdir()
+    eid = 0
+    for f in range(n_files):
+        rows = []
+        for i in range(rows_per_file):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": f"2024-01-01T00:{f:02d}:{i % 60:02d}",
+                    "user_id": (eid * 7) % 53,
+                    "event_type": "click" if eid % 3 else "view",
+                    "value": float(i),
+                    "props": "{}",
+                }
+            )
+            eid += 1
+        (src / f"{f}.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def test_hll_stream_registers_match_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_event_files(src)
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    regs = hll_register_stream(stream, "event_type", "user_id")
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_regs")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.event_type, r.reg): r.m
+        for r in spark.sql("SELECT * FROM hll_regs").collect()
+    }
+    batch = spark.read.schema(EVENT_SCHEMA).json(str(src))
+    want = {
+        (r.event_type, r.reg): r.m
+        for r in SK.hll_registers(batch, ["event_type"], "user_id").collect()
+    }
+    assert got == want
+
+    # ...so the estimates are bit-identical too (stream -> snapshot ->
+    # estimate is the backfill-equivalence the docstring promises).
+    snap = spark.createDataFrame(
+        [(k[0], int(k[1]), int(v)) for k, v in got.items()],
+        "event_type string, reg long, m long",
+    )
+    e_stream = {
+        r.event_type: r.hll_estimate
+        for r in SK.hll_estimate(snap, ["event_type"]).collect()
+    }
+    e_batch = {
+        r.event_type: r.hll_estimate
+        for r in SK.hll_estimate(
+            SK.hll_registers(batch, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    assert e_stream == e_batch
+
+
+def test_heavy_hitter_stream_bounded_and_complete(spark, tmp_path):
+    src = tmp_path / "toks"
+    src.mkdir()
+    # 3 micro-batches; "flood" dominates (guaranteed heavy), the tail
+    # is wide enough to force the MG reduction repeatedly.
+    eid = 0
+    for f in range(3):
+        rows = []
+        for i in range(200):
+            tok = "flood" if i % 2 == 0 else f"tail{(eid * 13) % 97}"
+            rows.append({"tok": tok})
+            eid += 1
+        (src / f"{f}.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    capacity = 16
+    summary = heavy_hitter_stream(stream, "tok", capacity=capacity, shards=4)
+    q = (
+        summary.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("mg_sum")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM mg_sum").collect()
+    latest_seq = {}
+    for r in rows:
+        latest_seq[r.shard] = max(latest_seq.get(r.shard, 0), r.batch_seq)
+    final = {
+        (r.shard, r.item): r.weight
+        for r in rows
+        if r.batch_seq == latest_seq[r.shard]
+    }
+    # State bound: no shard's final summary exceeds capacity.
+    per_shard: dict[int, int] = {}
+    for (shard, _), _w in final.items():
+        per_shard[shard] = per_shard.get(shard, 0) + 1
+    assert all(n <= capacity for n in per_shard.values())
+
+    # MG guarantee per shard: every item with share > 1/(capacity+1) of
+    # its shard's stream is present in the final summary.
+    batch = spark.read.schema("tok string").json(str(src)).select(
+        (F.abs(F.hash(F.col("tok"))) % 4).cast("int").alias("shard"),
+        F.col("tok").alias("item"),
+    )
+    shard_totals = {
+        r.shard: r.n for r in batch.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    exact = batch.groupBy("shard", "item").agg(F.count("*").alias("n")).collect()
+    for r in exact:
+        if r.n > shard_totals[r.shard] / (capacity + 1):
+            assert (r.shard, r.item) in final, f"lost heavy item {r.item}"
+    assert any(item == "flood" for (_, item) in final)
