@@ -51,6 +51,10 @@ HEADLINE = [
     # round-3 flagship additions (PQ ADC scan; cross-source provenance)
     "ann_pq_topk",
     "dedup_provenance",
+    # round-3 sketch-family flagships (engine-neutral HLL; window-hash
+    # substring dedup), baselined from their first bench run
+    "hll_distinct_users",
+    "exact_substr_dedup",
 ]
 
 

@@ -350,10 +350,13 @@ def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("whs"),
     )
     wins = arrs.select("doc_id", F.explode("whs").alias("wh"))
+    # "seen in >= 2 distinct docs" as min != max — fully map-side
+    # combinable where COUNT(DISTINCT doc_id) would carry every
+    # (hash, doc) pair through the shuffle.
     shared = (
         wins.groupBy("wh")
-        .agg(F.count_distinct("doc_id").alias("__nd"))
-        .filter(F.col("__nd") >= 2)
+        .agg(F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
         .select("wh")
     )
     per_doc = (
