@@ -24,9 +24,16 @@ partition values, append/overwrite writes, version + timestamp time
 travel, and parquet CHECKPOINTS (read single- and multi-part
 ``{v}.checkpoint[.{i}.{n}].parquet``; write single-part +
 ``_last_checkpoint``; ``clean_log`` drops covered JSON commits the
-way delta-spark's log cleanup does). No deletion vectors, no column
-mapping — a table using those advertises ``minReaderVersion > 1``
-and this reader REFUSES it loudly rather than returning wrong rows.
+way delta-spark's log cleanup does) — plus COLUMN MAPPING on read
+(reader v2, and reader v3 when ``readerFeatures`` is exactly
+``columnMapping``): physical ``col-<uuid>`` parquet columns are read
+under their physical names and surfaced under logical names from the
+schema's ``delta.columnMapping.physicalName`` metadata, with
+partition values resolved by physical key per spec.  That covers the
+most common modern-Delta shape (tables that ever ran RENAME/DROP
+COLUMN).  No deletion vectors, no type widening, no variant — a
+table advertising reader features beyond columnMapping still makes
+this reader REFUSE loudly rather than return wrong rows.
 delta-spark, when present, reads tables this writer produces (plain
 v1 parquet + JSON log + spec-shaped checkpoint).
 
@@ -96,16 +103,41 @@ class DeltaLiteTable:
         with open(os.path.join(self.log_dir, f"{version:020d}.json")) as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
+    # Reader features this implementation actually honors.  Reader v2
+    # exists solely for column mapping; v3 tables enumerate features.
+    _SUPPORTED_READER_FEATURES = frozenset({"columnMapping"})
+
     def _check_protocol(self, p: dict) -> None:
-        if p.get("minReaderVersion", 1) > 1:
+        mrv = p.get("minReaderVersion", 1)
+        if mrv <= 2:
+            # v1 plain; v2 = column mapping, handled in read().
+            return
+        if mrv == 3:
+            feats = p.get("readerFeatures")
+            if feats is None:
+                # v3 REQUIRES an explicit feature list; a table without
+                # one is malformed and its needs are unknowable.
+                raise DeltaProtocolError(
+                    "table advertises minReaderVersion=3 without a "
+                    "readerFeatures list — malformed protocol action; "
+                    "refusing rather than guess"
+                )
+            unsupported = set(feats) - self._SUPPORTED_READER_FEATURES
+            if not unsupported:
+                return
             raise DeltaProtocolError(
-                f"table requires minReaderVersion="
-                f"{p['minReaderVersion']}; this reader speaks v1 "
-                "(no deletion vectors / column mapping) and "
-                "refuses rather than misread; use the real "
-                "delta-spark package for modern tables (see "
-                "JARS.md for why it is absent here)"
+                f"table requires reader features {sorted(unsupported)}; "
+                "this reader speaks v1 + columnMapping and refuses "
+                "rather than misread (deletion vectors would silently "
+                "resurrect deleted rows); use the real delta-spark "
+                "package for such tables (see JARS.md for why it is "
+                "absent here)"
             )
+        raise DeltaProtocolError(
+            f"table requires minReaderVersion={mrv}; this reader speaks "
+            "v1 + columnMapping (v2/v3) and refuses rather than "
+            "misread; use the real delta-spark package (see JARS.md)"
+        )
 
     @staticmethod
     def _plain(v):
@@ -371,17 +403,47 @@ class DeltaLiteTable:
             raise FileNotFoundError(f"version {v} not in log (have {vs})")
         meta, live = self._replay(v)
 
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructField, StructType
 
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = meta.get("partitionColumns", [])
         if not live:
             return spark.createDataFrame([], schema)
+        # Column mapping (reader v2 / v3 columnMapping feature): data
+        # files store physical `col-<uuid>` names; the logical names
+        # live only in the schema metadata.  'name' mode matches by
+        # physical name; 'id' mode tables (as produced by delta-spark)
+        # carry the same physicalName alongside the parquet field ids,
+        # so the physical-name read covers both — the refusal path in
+        # _check_protocol guards everything else.
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode in ("name", "id"):
+            phys = {
+                f.name: (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                for f in schema.fields
+            }
+        elif mode == "none":
+            phys = {f.name: f.name for f in schema.fields}
+        else:
+            raise DeltaProtocolError(
+                f"unknown delta.columnMapping.mode {mode!r}"
+            )
         paths = [os.path.join(self.path, p) for p in sorted(live)]
         data_schema = StructType(
-            [f for f in schema.fields if f.name not in part_cols]
+            [
+                StructField(phys[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+                if f.name not in part_cols
+            ]
         )
         df = spark.read.schema(data_schema).parquet(*paths)
+        for logical in [f.name for f in schema.fields if f.name not in part_cols]:
+            if phys[logical] != logical:
+                df = df.withColumnRenamed(phys[logical], logical)
         if part_cols:
             # Partition values come from the LOG (add.partitionValues),
             # not from directory inference — per spec, the log is the
@@ -396,13 +458,21 @@ class DeltaLiteTable:
             # URI-encoded spelling.
             from pyspark.sql import functions as F
 
+            # Under column mapping, add.partitionValues is keyed by the
+            # PHYSICAL column name per spec; resolve through `phys`
+            # with a logical-name fallback for lenient writers.
             entries: list = []
             depths = set()
             for p, a in live.items():
                 depths.add(p.count("/") + 1)
                 enc = urllib.parse.quote(p, safe="/=")
+                pv_raw = a["partitionValues"]
+                pv = {
+                    c: pv_raw.get(phys[c], pv_raw.get(c))
+                    for c in part_cols
+                }
                 for key in {p, enc}:
-                    entries.append((key, a["partitionValues"]))
+                    entries.append((key, pv))
             segs = F.split(F.input_file_name(), "/")
             n_seg = F.size(segs)
             for c in part_cols:

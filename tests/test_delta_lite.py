@@ -98,7 +98,28 @@ def test_commit_put_if_absent_race(spark, tmp_path):
 def test_unsupported_protocol_refused_loudly(spark, tmp_path):
     t = DeltaLiteTable(str(tmp_path / "t"))
     t.write(_df(spark, [(1, "a")]))
-    # a later commit upgrades the table to reader v3 (e.g. deletion vectors)
+    # a later commit upgrades the table to reader v3 with deletion
+    # vectors — reading would silently resurrect deleted rows; refuse.
+    with open(os.path.join(t.log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        t.read(spark)
+
+
+def test_v3_without_feature_list_refused(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))
     with open(os.path.join(t.log_dir, f"{1:020d}.json"), "w") as fh:
         fh.write(
             json.dumps(
@@ -106,7 +127,21 @@ def test_unsupported_protocol_refused_loudly(spark, tmp_path):
             )
             + "\n"
         )
-    with pytest.raises(DeltaProtocolError, match="minReaderVersion=3"):
+    with pytest.raises(DeltaProtocolError, match="malformed"):
+        t.read(spark)
+
+
+def test_unknown_reader_version_refused(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))
+    with open(os.path.join(t.log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 4, "minWriterVersion": 9}}
+            )
+            + "\n"
+        )
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion=4"):
         t.read(spark)
 
 
@@ -310,3 +345,89 @@ def test_checkpoint_then_more_commits(spark, tmp_path):
     t.clean_log()
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
     assert sorted(r.id for r in t.read(spark, version=1).collect()) == [1, 2]
+
+
+def _write_mapped_table(tmp_path, reader_protocol):
+    """Hand-craft a column-mapped Delta table the way delta-spark with
+    columnMapping.mode=name lays it out: physical col-<uuid> parquet
+    columns and physical-keyed partitionValues; logical names live
+    only in the schema metadata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "mapped"
+    log = root / "_delta_log"
+    log.mkdir(parents=True)
+    p_id, p_val, p_k = "col-11111111", "col-22222222", "col-33333333"
+
+    (root / "k=x").mkdir()
+    (root / "k=y").mkdir()
+    pq.write_table(
+        pa.table({p_id: pa.array([1, 2], pa.int32()),
+                  p_val: pa.array(["a", "b"])}),
+        root / "k=x" / "part-0.parquet",
+    )
+    pq.write_table(
+        pa.table({p_id: pa.array([3], pa.int32()),
+                  p_val: pa.array(["c"])}),
+        root / "k=y" / "part-1.parquet",
+    )
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": p_id}},
+            {"name": "val", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": p_val}},
+            {"name": "k", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": p_k}},
+        ],
+    }
+    actions = [
+        {"protocol": reader_protocol},
+        {"metaData": {
+            "id": "00000000-0000-0000-0000-000000000001",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["k"],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "3",
+            },
+        }},
+        {"add": {"path": "k=x/part-0.parquet",
+                 "partitionValues": {p_k: "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "k=y/part-1.parquet",
+                 "partitionValues": {p_k: "y"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(log / f"{0:020d}.json", "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return str(root)
+
+
+def test_column_mapping_read_v2(spark, tmp_path):
+    path = _write_mapped_table(
+        tmp_path, {"minReaderVersion": 2, "minWriterVersion": 5}
+    )
+    got = DeltaLiteTable(path).read(spark)
+    assert got.columns == ["id", "val", "k"]
+    rows = {(r.id, r.val, r.k) for r in got.collect()}
+    assert rows == {(1, "a", "x"), (2, "b", "x"), (3, "c", "y")}
+
+
+def test_column_mapping_read_v3_feature(spark, tmp_path):
+    path = _write_mapped_table(
+        tmp_path,
+        {"minReaderVersion": 3, "minWriterVersion": 7,
+         "readerFeatures": ["columnMapping"]},
+    )
+    got = DeltaLiteTable(path).read(spark)
+    assert {(r.id, r.val, r.k) for r in got.collect()} == {
+        (1, "a", "x"), (2, "b", "x"), (3, "c", "y")
+    }
