@@ -116,3 +116,78 @@ def apply_delta(
         for m in measure_names
     ]
     return j.select(*out_cols, n, *ms).filter(F.col("n") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance of JOIN views
+# ---------------------------------------------------------------------------
+
+
+def _signed(changes: DataFrame) -> DataFrame:
+    """CDF rows -> signed multiset rows: inserts/update-postimages are
+    +1, deletes/update-preimages are -1."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return changes.withColumn("__sign", sign).drop("_change_type")
+
+
+def join_agg_state(
+    a: DataFrame,
+    b: DataFrame,
+    on: Sequence[str],
+    group_cols: Sequence[str],
+    measures: Mapping[str, str],
+) -> DataFrame:
+    """Full build of a join-view's aggregate state:
+    ``SELECT group_cols, COUNT(*), SUM(measure)... FROM a JOIN b USING (on)``."""
+    return agg_state(a.join(b, list(on)), group_cols, measures)
+
+
+def join_changes_to_delta(
+    changes_a: DataFrame,
+    a_old: DataFrame,
+    changes_b: DataFrame,
+    b_new: DataFrame,
+    on: Sequence[str],
+    group_cols: Sequence[str],
+    measures: Mapping[str, str],
+) -> DataFrame:
+    """Per-group aggregate deltas for the join view A ⋈ B when BOTH
+    inputs changed.
+
+    Signed-multiset algebra: with A_new = A_old + ΔA and
+    B_new = B_old + ΔB,
+
+        V_new − V_old = ΔA ⋈ B_new  +  A_old ⋈ ΔB
+
+    (the ΔA ⋈ ΔB cross term is inside the first join because it uses
+    B_NEW; the second join uses A_OLD so nothing double-counts).  Each
+    joined row inherits the sign of its delta side; signs multiply
+    into the count and fixed-point measure sums exactly like the
+    single-table path, so ``apply_delta`` works unchanged and the
+    maintained view is bit-identical to a rebuild (tested).
+
+    Cost at 100 TB: two keyed joins of a CHANGE SET against one
+    snapshot each — the snapshots are only probed on changed keys
+    (broadcast or shuffle-on-key, both prunable), never re-scanned
+    into the aggregate; group cardinality bounds the output.  Pass an
+    empty-change DataFrame for a side that didn't change and its term
+    contributes nothing.
+    """
+    keys = list(on)
+    da = _signed(changes_a).join(b_new, keys)
+    db = a_old.join(_signed(changes_b), keys)
+    need = list(group_cols) + sorted(
+        {src for src in measures.values()}
+    ) + ["__sign"]
+    signed_rows = da.select(*need).unionByName(db.select(*need))
+
+    aggs = [F.sum("__sign").cast("bigint").alias("n")]
+    for name, src in measures.items():
+        aggs.append(
+            F.sum(F.col("__sign").cast(_FP) * dec(src).cast(_FP))
+            .cast(_FP)
+            .alias(_fp(name))
+        )
+    return signed_rows.groupBy(*group_cols).agg(*aggs)

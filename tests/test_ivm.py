@@ -171,3 +171,91 @@ def test_ivm_property_random_chains(spark, tmp_path_factory, chain):
         )
     rebuilt = agg_state(tbl.read(spark, versions[-1]), ["grp"], measures)
     assert _canon(view) == _canon(rebuilt)
+
+
+_A_SCHEMA = "k bigint, grp string, amount double"
+_B_SCHEMA = "k bigint, rate double"
+
+_A0 = [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0), (4, "c", 2.0)]
+_B0 = [(1, 1.5), (2, 2.0), (3, 0.5), (4, 1.0)]
+
+# A: update k=2, delete k=4 (kills group c), insert k=5 (group d)
+_A1 = [(1, "a", 10.0), (2, "a", 6.25), (3, "b", 7.0), (5, "d", 4.0)]
+# B: update k=1, delete k=3 (drops b's only joined row), insert k=5
+_B1 = [(1, 9.0), (2, 2.0), (4, 1.0), (5, 3.0)]
+
+
+def _canon_join(df):
+    return sorted(
+        tuple(r) for r in df.select("grp", "n", "amount_fp", "rate_fp").collect()
+    )
+
+
+def test_join_view_delta_equals_rebuild_both_sides_change(spark, tmp_path):
+    from data_lakehouse_platform_spark.operators.ivm import (
+        join_agg_state,
+        join_changes_to_delta,
+    )
+
+    ta = SnapshotTable(str(tmp_path / "a"))
+    tb = SnapshotTable(str(tmp_path / "b"))
+    va0 = ta.write_snapshot(spark.createDataFrame(_A0, _A_SCHEMA))
+    vb0 = tb.write_snapshot(spark.createDataFrame(_B0, _B_SCHEMA))
+    va1 = ta.write_snapshot(spark.createDataFrame(_A1, _A_SCHEMA))
+    vb1 = tb.write_snapshot(spark.createDataFrame(_B1, _B_SCHEMA))
+
+    measures = {"amount": "amount", "rate": "rate"}
+    view = join_agg_state(
+        ta.read(spark, va0), tb.read(spark, vb0), ["k"], ["grp"], measures
+    )
+    delta = join_changes_to_delta(
+        ta.changes(spark, ["k"], va0, va1),
+        ta.read(spark, va0),
+        tb.changes(spark, ["k"], vb0, vb1),
+        tb.read(spark, vb1),
+        ["k"],
+        ["grp"],
+        measures,
+    )
+    maintained = apply_delta(view, delta, ["grp"], ["amount", "rate"])
+    rebuilt = join_agg_state(
+        ta.read(spark, va1), tb.read(spark, vb1), ["k"], ["grp"], measures
+    )
+    assert _canon_join(maintained) == _canon_join(rebuilt)
+    grps = {r.grp for r in maintained.collect()}
+    # c died (A delete), b died (B delete of its only match), d born
+    # (insert on BOTH sides — the ΔA ⋈ ΔB cross term)
+    assert grps == {"a", "d"}
+
+
+def test_join_view_one_sided_change(spark, tmp_path):
+    from data_lakehouse_platform_spark.operators.ivm import (
+        join_agg_state,
+        join_changes_to_delta,
+    )
+
+    ta = SnapshotTable(str(tmp_path / "a1"))
+    tb = SnapshotTable(str(tmp_path / "b1"))
+    va0 = ta.write_snapshot(spark.createDataFrame(_A0, _A_SCHEMA))
+    vb0 = tb.write_snapshot(spark.createDataFrame(_B0, _B_SCHEMA))
+    va1 = ta.write_snapshot(spark.createDataFrame(_A1, _A_SCHEMA))
+
+    measures = {"amount": "amount", "rate": "rate"}
+    view = join_agg_state(
+        ta.read(spark, va0), tb.read(spark, vb0), ["k"], ["grp"], measures
+    )
+    empty_changes = tb.changes(spark, ["k"], vb0, vb0)
+    delta = join_changes_to_delta(
+        ta.changes(spark, ["k"], va0, va1),
+        ta.read(spark, va0),
+        empty_changes,
+        tb.read(spark, vb0),
+        ["k"],
+        ["grp"],
+        measures,
+    )
+    maintained = apply_delta(view, delta, ["grp"], ["amount", "rate"])
+    rebuilt = join_agg_state(
+        ta.read(spark, va1), tb.read(spark, vb0), ["k"], ["grp"], measures
+    )
+    assert _canon_join(maintained) == _canon_join(rebuilt)
