@@ -145,3 +145,50 @@ class MedallionPipeline:
         """One-scan-per-table DQ metrics for the given layer's tables."""
         tables = {c.table: self.read(layer, c.table) for c in checks}
         return run_checks(tables, checks)
+
+    def build_uniques_sketch(
+        self,
+        df: DataFrame,
+        group_cols: list[str],
+        value_col: str,
+        *,
+        name: str = "uniques",
+    ) -> str:
+        """APPEND a batch's HLL register table under ``index/hll_<name>``.
+
+        Sketch state — not raw ids — is what a daily job should
+        persist: the artifact is |groups| x 64 narrow rows per batch,
+        and any later rollup over any subset of batches/groups is a
+        register-wise MAX over that tiny table, never a re-scan of the
+        fact data (queries hll_distinct_users / hll_union_rollup show
+        the same algebra inside one query; this is the cross-RUN form).
+        Appends stay mergeable by construction because every batch
+        shares the identical md5 hash/rho projection
+        (operators/sketches.py) — :meth:`uniques_estimate` MAXes
+        everything it finds, so re-running a day is idempotent for the
+        estimate and a backfill is just another append.
+        """
+        from data_lakehouse_platform_spark.operators import sketches as SK
+
+        regs = SK.hll_registers(df, group_cols, value_col)
+        out = self.path("index", f"hll_{name}")
+        regs.write.mode("append").parquet(out)
+        return out
+
+    def uniques_estimate(
+        self, group_cols: list[str], *, name: str = "uniques"
+    ) -> DataFrame:
+        """Distinct-count estimates from the stored register artifact:
+        merge (MAX per group+register) then the shared ordered-fold
+        estimator — bit-identical to a sketch built directly over the
+        union of every appended batch (tested)."""
+        from pyspark.sql import functions as F
+
+        from data_lakehouse_platform_spark.operators import sketches as SK
+
+        merged = (
+            self.read("index", f"hll_{name}")
+            .groupBy(*group_cols, "reg")
+            .agg(F.max("m").alias("m"))
+        )
+        return SK.hll_estimate(merged, group_cols)

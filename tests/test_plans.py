@@ -500,3 +500,35 @@ def test_similarity_index_shared_across_lsh_consumers(spark, tmp_path):
     got = {(r.doc_a, r.doc_b, r.n_shared_bands) for r in pairs_idx.collect()}
     want = {(r.doc_a, r.doc_b, r.n_shared_bands) for r in pairs_direct.collect()}
     assert got == want and got
+
+
+def test_uniques_sketch_artifact_merges_across_batches(spark, tmp_path):
+    """Daily appends of HLL registers roll up to the EXACT estimate a
+    single whole-corpus sketch would give — the reason the pipeline
+    persists sketch state instead of raw ids."""
+    from data_lakehouse_platform_spark.operators import sketches as SK
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    day1 = ev.filter(F.col("user_id") % 2 == 0)
+    day2 = ev.filter(F.col("user_id") % 2 == 1)
+
+    pipe = MedallionPipeline(spark, str(tmp_path))
+    pipe.build_uniques_sketch(day1, ["event_type"], "user_id")
+    pipe.build_uniques_sketch(day2, ["event_type"], "user_id")
+    # idempotent re-run of a day: same registers, MAX makes it a no-op
+    pipe.build_uniques_sketch(day2, ["event_type"], "user_id")
+
+    rolled = {
+        r.event_type: r.hll_estimate
+        for r in pipe.uniques_estimate(["event_type"]).collect()
+    }
+    direct = {
+        r.event_type: r.hll_estimate
+        for r in SK.hll_estimate(
+            SK.hll_registers(ev, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    assert rolled == direct
