@@ -513,14 +513,19 @@ GROUP BY touch_type
     "before a purchase shares that purchase's credit equally. Credit "
     "is split by INTEGER division of millicredits and fixed-point "
     "value micros — deterministic under any partitioning, where "
-    "fractional credit would drift in the low bits. The purchase-"
-    "touch pairing is a per-user interval join (equi-join on user_id "
-    "+ time-range predicate), so the shuffle keys on user and the "
-    "pair count is bounded by per-user activity in a 7-day window, "
-    "not by |purchases| x |touches| — the same bounded-state shape "
-    "as asof_join_events. Reference analog: the reference's consumer "
-    "tracks order events per customer (orders_consumer.py); this is "
-    "that stream generalized to marketing credit.",
+    "fractional credit would drift in the low bits. PAIR-FREE on "
+    "purpose: the oracle's interval join materializes |P_u| x |T_u| "
+    "rows per user — quadratic under a hyperactive user — so the "
+    "Spark plan instead interleaves touches with two probe rows per "
+    "purchase (at p_ts and p_ts - 7d) in ONE per-user window pass of "
+    "running per-type counts; window counts are probe differences, "
+    "and per-type credit is count_t * (credit div n) because every "
+    "touch of one purchase carries the same integer credit. Cost is "
+    "O(|P| + |T|) rows through one sort per user — the same events "
+    "stream the reference's consumer walks per customer "
+    "(orders_consumer.py), never a pairwise blowup. The ORACLE stays "
+    "the pairwise interval join, so the driver's value check is "
+    "itself the pairwise-equivalence proof.",
 )
 def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -535,22 +540,88 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("t_ts"),
         F.col("event_type").alias("touch_type"),
     )
-    joined = purchases.join(
-        touches,
-        (purchases.user_id == touches.user_id)
-        & (touches.t_ts > purchases.p_ts - F.expr("INTERVAL 7 DAYS"))
-        & (touches.t_ts <= purchases.p_ts),
+
+    # One interleaved stream per user: touches count +1 into running
+    # per-type sums; each purchase contributes a probe at p_ts
+    # (inclusive upper bound) and one at p_ts - 7d (its count is the
+    # EXCLUSIVE lower bound, since t_ts > p_ts-7d == C(p_ts)-C(p_ts-7d)
+    # with C counting t_ts <= x).  Probes sort after touches at equal
+    # ts (is_probe tiebreak), matching both bounds' tie semantics.
+    t_rows = touches.select(
+        "user_id",
+        F.col("t_ts").alias("ts"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("string").alias("bound"),
+        F.when(F.col("touch_type") == "click", 1).otherwise(0).alias("is_click"),
+        F.when(F.col("touch_type") == "view", 1).otherwise(0).alias("is_view"),
+        F.lit(None).cast("bigint").alias("value_micros"),
     )
-    with_n = joined.withColumn(
-        "n_in_window", F.count("*").over(Window.partitionBy("p_id"))
+    p_rows = purchases.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p_ts").alias("ts"), F.lit("hi").alias("bound")
+                ),
+                F.struct(
+                    (F.col("p_ts") - F.expr("INTERVAL 7 DAYS")).alias("ts"),
+                    F.lit("lo").alias("bound"),
+                ),
+            )
+        ).alias("pr"),
+        "p_id",
+        "value_micros",
+    ).select(
+        "user_id",
+        F.col("pr.ts").alias("ts"),
+        F.lit(1).alias("is_probe"),
+        "p_id",
+        F.col("pr.bound").alias("bound"),
+        F.lit(0).alias("is_click"),
+        F.lit(0).alias("is_view"),
+        "value_micros",
     )
-    return with_n.groupBy("touch_type").agg(
-        F.count("*").alias("n_touches"),
-        F.sum(F.expr("1000 div n_in_window")).cast("bigint").alias("credit_millis"),
-        (
-            F.sum(F.expr("value_micros div n_in_window")).cast("bigint")
-            / F.lit(1000000.0)
-        ).alias("credited_value"),
+    w = Window.partitionBy("user_id").orderBy("ts", "is_probe", "p_id", "bound")
+    cum = (
+        t_rows.unionByName(p_rows)
+        .withColumn("c_click", F.sum("is_click").over(w))
+        .withColumn("c_view", F.sum("is_view").over(w))
+        .filter(F.col("is_probe") == 1)
+    )
+    per_purchase = cum.groupBy("p_id", "value_micros").agg(
+        F.sum(F.when(F.col("bound") == "hi", F.col("c_click")).otherwise(-F.col("c_click")))
+        .cast("bigint")
+        .alias("n_click"),
+        F.sum(F.when(F.col("bound") == "hi", F.col("c_view")).otherwise(-F.col("c_view")))
+        .cast("bigint")
+        .alias("n_view"),
+    ).withColumn("n", F.col("n_click") + F.col("n_view")).filter(F.col("n") > 0)
+
+    # Every touch of one purchase carries the identical integer credit,
+    # so per-type totals are count_type * (credit div n) — no per-pair
+    # rows ever exist.
+    long_form = per_purchase.select(
+        "n",
+        "value_micros",
+        F.explode(
+            F.array(
+                F.struct(F.lit("click").alias("touch_type"), F.col("n_click").alias("cnt")),
+                F.struct(F.lit("view").alias("touch_type"), F.col("n_view").alias("cnt")),
+            )
+        ).alias("t"),
+    ).select("n", "value_micros", F.col("t.touch_type").alias("touch_type"), F.col("t.cnt").alias("cnt"))
+    return (
+        long_form.filter(F.col("cnt") > 0)
+        .groupBy("touch_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_touches"),
+            F.sum(F.col("cnt") * F.expr("1000 div n")).cast("bigint").alias("credit_millis"),
+            (
+                F.sum(F.col("cnt") * F.expr("value_micros div n")).cast("bigint")
+                / F.lit(1000000.0)
+            ).alias("credited_value"),
+        )
     )
 
 

@@ -93,3 +93,65 @@ def test_bloom_no_false_negatives(spark):
         for j in range(3):
             pos = int(hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:15], 16) % 4096
             assert pos in bits
+
+
+def test_attribution_pair_free_matches_pairwise_under_hot_user(spark, tmp_path):
+    """The registry attribution plan must produce EXACTLY the pairwise
+    interval-join answer on a corpus with a hyperactive user (where the
+    pairwise form would materialize |P_u| x |T_u| rows) — and do it
+    without any join in the plan."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    eid = 0
+    # hot user 1: 2000 touches + 40 purchases inside overlapping windows
+    for i in range(2000):
+        rows.append((eid, base + dt.timedelta(hours=i % 168), 1,
+                     "click" if i % 2 else "view", 0.0, "{}")); eid += 1
+    for i in range(40):
+        rows.append((eid, base + dt.timedelta(hours=3 * i + 1), 1,
+                     "purchase", 10.0 + i, "{}")); eid += 1
+    # normal users
+    for u in range(2, 12):
+        for i in range(5):
+            rows.append((eid, base + dt.timedelta(hours=u + i), u,
+                         "view", 0.0, "{}")); eid += 1
+        rows.append((eid, base + dt.timedelta(hours=u + 6), u,
+                     "purchase", 5.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    import __spark_entry__ as e
+
+    got_df = e.queries()["attribution_linear"](spark, str(tmp_path))
+    got = {r.touch_type: (r.n_touches, r.credit_millis, r.credited_value)
+           for r in got_df.collect()}
+
+    # pairwise twin, straight from the oracle's definition
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id p_id", "user_id", "ts p_ts",
+        "CAST(FLOOR(value * 1000000) AS BIGINT) value_micros")
+    t = ev.filter("event_type IN ('click','view')").selectExpr(
+        "user_id", "ts t_ts", "event_type touch_type")
+    j = p.join(t, (p.user_id == t.user_id)
+               & (t.t_ts > p.p_ts - F.expr("INTERVAL 7 DAYS"))
+               & (t.t_ts <= p.p_ts))
+    jn = j.withColumn("n", F.count("*").over(Window.partitionBy("p_id")))
+    want = {r.touch_type: (r.n_touches, r.credit_millis, r.credited_value)
+            for r in jn.groupBy("touch_type").agg(
+                F.count("*").alias("n_touches"),
+                F.sum(F.expr("1000 div n")).cast("bigint").alias("credit_millis"),
+                (F.sum(F.expr("value_micros div n")).cast("bigint")
+                 / F.lit(1000000.0)).alias("credited_value"),
+            ).collect()}
+    assert got == want and "click" in got
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # pair-free: union + one window pass
