@@ -47,7 +47,9 @@ def hash60(col: Column | str, salt: str | None = None) -> Column:
     ``conv(hex, 16, 10)`` on 15 md5 hex chars — pure JVM expression,
     bit-identical to DuckDB's ``('0x' || substr(md5(x),1,15))::BIGINT``
     (see :func:`sql_hash60`), positive, so ``%`` behaves the same in
-    every engine.
+    every engine.  NULL input hashes to NULL (md5 of NULL) in both
+    engines — consumers that must count nulls should ``coalesce`` to a
+    sentinel first, the way dedup_exact does.
     """
     c = F.col(col) if isinstance(col, str) else col
     if salt is not None:
@@ -122,7 +124,10 @@ def hll_registers(
 def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     """Raw HLL estimate per group from a register table.
 
-    Missing registers count as 0 (empty). The harmonic-mean denominator
+    Contract: ``registers`` has at most one row per (group, reg) — the
+    shape :func:`hll_registers` and any ``MAX``-merge of such tables
+    produce (``map_from_entries`` rejects duplicate keys loudly
+    otherwise).  Missing registers count as 0 (empty). The harmonic-mean denominator
     folds ``1 / 2^m`` over the 64 registers *in register order* via
     ``aggregate`` — a left fold DuckDB's ``list_reduce`` replays in the
     identical sequence, so the double is bit-identical across engines

@@ -174,7 +174,7 @@ def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _CM_W,
     )
     return (
-        probe_cells.join(F.broadcast(sketch.hint("broadcast")), ["row", "cell"])
+        probe_cells.join(F.broadcast(sketch), ["row", "cell"])
         .groupBy("token", "exact_freq")
         .agg(F.min("cnt").alias("cm_estimate"))
     )

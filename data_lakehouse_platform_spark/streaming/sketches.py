@@ -127,7 +127,7 @@ def heavy_hitter_stream(
     within its shard is present in the final summary.
     """
     sharded = items.select(
-        (F.abs(F.hash(F.col(item_col))) % shards).cast("int").alias("shard"),
+        F.pmod(F.hash(F.col(item_col)), F.lit(shards)).cast("int").alias("shard"),
         F.col(item_col).cast("string").alias("item"),
     )
     return sharded.groupBy("shard").applyInPandasWithState(

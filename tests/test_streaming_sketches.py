@@ -137,7 +137,7 @@ def test_heavy_hitter_stream_bounded_and_complete(spark, tmp_path):
     # MG guarantee per shard: every item with share > 1/(capacity+1) of
     # its shard's stream is present in the final summary.
     batch = spark.read.schema("tok string").json(str(src)).select(
-        (F.abs(F.hash(F.col("tok"))) % 4).cast("int").alias("shard"),
+        F.pmod(F.hash(F.col("tok")), F.lit(4)).cast("int").alias("shard"),
         F.col("tok").alias("item"),
     )
     shard_totals = {
