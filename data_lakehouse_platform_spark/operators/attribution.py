@@ -1,0 +1,158 @@
+"""Pair-free multi-touch attribution.
+
+Linear attribution joins every conversion to every touch in its
+lookback window — as a literal interval join that is |P_u| x |T_u|
+rows per user, quadratic under a clickstream whale.  This operator
+computes the identical answer with NO pair materialization: touches
+and two probe rows per conversion (window upper bound at the
+conversion time, lower bound at time - lookback) interleave into one
+per-user window pass of running per-type counts; each conversion's
+in-window counts are probe differences, and per-type credit folds to
+``count_type * (credit div n)`` because every touch of one conversion
+carries the same integer credit.  Cost: O(|P| + |T|) rows through one
+sort per user.  Credit is integer-divided millicredits and
+fixed-point value micros, so the result is partition- and
+engine-invariant (the registry oracle runs the PAIRWISE SQL form and
+matches bit for bit; stress.py drives a whale the pairwise form could
+not survive).
+
+Reference analog: the reference's consumer walks per-customer order
+events one stream at a time (orders_consumer.py) — this is that
+single-pass-per-key shape kept at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def linear_attribution(
+    events: DataFrame,
+    *,
+    touch_types: tuple[str, str] = ("click", "view"),
+    conversion_type: str = "purchase",
+    lookback: Column | None = None,
+) -> DataFrame:
+    """Per-touch-type linear credit. Output columns:
+    ``touch_type, n_touches, credit_millis, credited_value``.
+
+    ``events`` needs ``event_id, ts, user_id, event_type, value``.
+    The window is ``(conv_ts - lookback, conv_ts]``.
+    """
+    if lookback is None:
+        lookback = F.expr("INTERVAL 7 DAYS")
+    ta, tb = touch_types
+
+    purchases = events.filter(F.col("event_type") == conversion_type).select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("value_micros"),
+    )
+    touches = events.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+
+    # One interleaved stream per user: touches count +1 into running
+    # per-type sums; each conversion contributes a probe at p_ts
+    # (inclusive upper bound) and one at p_ts - lookback (its count is
+    # the EXCLUSIVE lower bound, since t_ts > p_ts-lookback ==
+    # C(p_ts) - C(p_ts-lookback) with C counting t_ts <= x).  Probes
+    # sort after touches at equal ts (is_probe tiebreak), matching
+    # both bounds' tie semantics; the default RANGE frame makes
+    # same-key touches peers, which cannot change a probe's count
+    # because probes never tie with touches.
+    t_rows = touches.select(
+        "user_id",
+        F.col("t_ts").alias("ts"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("string").alias("bound"),
+        F.when(F.col("touch_type") == ta, 1).otherwise(0).alias("is_a"),
+        F.when(F.col("touch_type") == tb, 1).otherwise(0).alias("is_b"),
+        F.lit(None).cast("bigint").alias("value_micros"),
+    )
+    p_rows = purchases.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("p_ts").alias("ts"), F.lit("hi").alias("bound")),
+                F.struct(
+                    (F.col("p_ts") - lookback).alias("ts"),
+                    F.lit("lo").alias("bound"),
+                ),
+            )
+        ).alias("pr"),
+        "p_id",
+        "value_micros",
+    ).select(
+        "user_id",
+        F.col("pr.ts").alias("ts"),
+        F.lit(1).alias("is_probe"),
+        "p_id",
+        F.col("pr.bound").alias("bound"),
+        F.lit(0).alias("is_a"),
+        F.lit(0).alias("is_b"),
+        "value_micros",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "is_probe", "p_id", "bound")
+    cum = (
+        t_rows.unionByName(p_rows)
+        .withColumn("c_a", F.sum("is_a").over(w))
+        .withColumn("c_b", F.sum("is_b").over(w))
+        .filter(F.col("is_probe") == 1)
+    )
+    per_purchase = (
+        cum.groupBy("p_id", "value_micros")
+        .agg(
+            F.sum(
+                F.when(F.col("bound") == "hi", F.col("c_a")).otherwise(-F.col("c_a"))
+            )
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(
+                F.when(F.col("bound") == "hi", F.col("c_b")).otherwise(-F.col("c_b"))
+            )
+            .cast("bigint")
+            .alias("n_b"),
+        )
+        .withColumn("n", F.col("n_a") + F.col("n_b"))
+        .filter(F.col("n") > 0)
+    )
+
+    # Every touch of one conversion carries the identical integer
+    # credit, so per-type totals are count_type * (credit div n) — no
+    # per-pair rows ever exist.
+    long_form = per_purchase.select(
+        "n",
+        "value_micros",
+        F.explode(
+            F.array(
+                F.struct(F.lit(ta).alias("touch_type"), F.col("n_a").alias("cnt")),
+                F.struct(F.lit(tb).alias("touch_type"), F.col("n_b").alias("cnt")),
+            )
+        ).alias("t"),
+    ).select(
+        "n",
+        "value_micros",
+        F.col("t.touch_type").alias("touch_type"),
+        F.col("t.cnt").alias("cnt"),
+    )
+    return (
+        long_form.filter(F.col("cnt") > 0)
+        .groupBy("touch_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_touches"),
+            F.sum(F.col("cnt") * F.expr("1000 div n"))
+            .cast("bigint")
+            .alias("credit_millis"),
+            (
+                F.sum(F.col("cnt") * F.expr("value_micros div n")).cast("bigint")
+                / F.lit(1000000.0)
+            ).alias("credited_value"),
+        )
+    )

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from data_lakehouse_platform_spark.operators import sketches as SK
 from data_lakehouse_platform_spark.operators import text as T
@@ -528,101 +527,11 @@ GROUP BY touch_type
     "itself the pairwise-equivalence proof.",
 )
 def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"),
-        F.col("user_id"),
-        F.col("ts").alias("p_ts"),
-        F.floor(F.col("value") * 1000000).cast("bigint").alias("value_micros"),
-    )
-    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
-        F.col("user_id"),
-        F.col("ts").alias("t_ts"),
-        F.col("event_type").alias("touch_type"),
+    from data_lakehouse_platform_spark.operators.attribution import (
+        linear_attribution,
     )
 
-    # One interleaved stream per user: touches count +1 into running
-    # per-type sums; each purchase contributes a probe at p_ts
-    # (inclusive upper bound) and one at p_ts - 7d (its count is the
-    # EXCLUSIVE lower bound, since t_ts > p_ts-7d == C(p_ts)-C(p_ts-7d)
-    # with C counting t_ts <= x).  Probes sort after touches at equal
-    # ts (is_probe tiebreak), matching both bounds' tie semantics.
-    t_rows = touches.select(
-        "user_id",
-        F.col("t_ts").alias("ts"),
-        F.lit(0).alias("is_probe"),
-        F.lit(None).cast("long").alias("p_id"),
-        F.lit(None).cast("string").alias("bound"),
-        F.when(F.col("touch_type") == "click", 1).otherwise(0).alias("is_click"),
-        F.when(F.col("touch_type") == "view", 1).otherwise(0).alias("is_view"),
-        F.lit(None).cast("bigint").alias("value_micros"),
-    )
-    p_rows = purchases.select(
-        "user_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("p_ts").alias("ts"), F.lit("hi").alias("bound")
-                ),
-                F.struct(
-                    (F.col("p_ts") - F.expr("INTERVAL 7 DAYS")).alias("ts"),
-                    F.lit("lo").alias("bound"),
-                ),
-            )
-        ).alias("pr"),
-        "p_id",
-        "value_micros",
-    ).select(
-        "user_id",
-        F.col("pr.ts").alias("ts"),
-        F.lit(1).alias("is_probe"),
-        "p_id",
-        F.col("pr.bound").alias("bound"),
-        F.lit(0).alias("is_click"),
-        F.lit(0).alias("is_view"),
-        "value_micros",
-    )
-    w = Window.partitionBy("user_id").orderBy("ts", "is_probe", "p_id", "bound")
-    cum = (
-        t_rows.unionByName(p_rows)
-        .withColumn("c_click", F.sum("is_click").over(w))
-        .withColumn("c_view", F.sum("is_view").over(w))
-        .filter(F.col("is_probe") == 1)
-    )
-    per_purchase = cum.groupBy("p_id", "value_micros").agg(
-        F.sum(F.when(F.col("bound") == "hi", F.col("c_click")).otherwise(-F.col("c_click")))
-        .cast("bigint")
-        .alias("n_click"),
-        F.sum(F.when(F.col("bound") == "hi", F.col("c_view")).otherwise(-F.col("c_view")))
-        .cast("bigint")
-        .alias("n_view"),
-    ).withColumn("n", F.col("n_click") + F.col("n_view")).filter(F.col("n") > 0)
-
-    # Every touch of one purchase carries the identical integer credit,
-    # so per-type totals are count_type * (credit div n) — no per-pair
-    # rows ever exist.
-    long_form = per_purchase.select(
-        "n",
-        "value_micros",
-        F.explode(
-            F.array(
-                F.struct(F.lit("click").alias("touch_type"), F.col("n_click").alias("cnt")),
-                F.struct(F.lit("view").alias("touch_type"), F.col("n_view").alias("cnt")),
-            )
-        ).alias("t"),
-    ).select("n", "value_micros", F.col("t.touch_type").alias("touch_type"), F.col("t.cnt").alias("cnt"))
-    return (
-        long_form.filter(F.col("cnt") > 0)
-        .groupBy("touch_type")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_touches"),
-            F.sum(F.col("cnt") * F.expr("1000 div n")).cast("bigint").alias("credit_millis"),
-            (
-                F.sum(F.col("cnt") * F.expr("value_micros div n")).cast("bigint")
-                / F.lit(1000000.0)
-            ).alias("credited_value"),
-        )
-    )
+    return linear_attribution(_t(spark, sf_dir, "events"))
 
 
 # ----------------------------------------------------------------------------

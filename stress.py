@@ -245,6 +245,65 @@ def main() -> None:
         )
     orders.unpersist()
 
+    # ---- shape 4: attribution whale ------------------------------------
+    # One user with WHALE_T touches and WHALE_P purchases all inside one
+    # 7-day lookback: the pairwise interval join would materialize
+    # ~WHALE_T x WHALE_P rows (4e8 here — unrunnable), the pair-free
+    # probe-window plan streams O(WHALE_T + 2*WHALE_P) rows through one
+    # per-user sort.  Assert the worst task stays linear in the input.
+    from data_lakehouse_platform_spark.operators.attribution import (
+        linear_attribution,
+    )
+
+    WHALE_T, WHALE_P = 400_000, 1_000
+    base_us = 1_700_000_000_000_000
+    whale_t = spark.range(WHALE_T).select(
+        F.col("id").alias("event_id"),
+        # all touches inside ~6.5 days
+        F.timestamp_micros(base_us + F.col("id") * 1_400_000).alias("ts"),
+        F.lit(7).alias("user_id"),
+        F.when(F.col("id") % 2 == 0, "click").otherwise("view").alias(
+            "event_type"
+        ),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    whale_p = spark.range(WHALE_P).select(
+        (F.col("id") + WHALE_T).alias("event_id"),
+        F.timestamp_micros(
+            base_us + F.lit(560_000_000_000) + F.col("id") * 1_000_000
+        ).alias("ts"),
+        F.lit(7).alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        (F.col("id") % 89).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    attr_events = whale_t.unionByName(whale_p).repartition(32, "event_id").persist()
+    n_attr = attr_events.count()
+
+    attr_out = {}
+    attr_max = run_shape(
+        spark, "attribution_pair_free",
+        lambda: attr_out.setdefault(
+            "v",
+            sorted(
+                (r.touch_type, r.n_touches)
+                for r in linear_attribution(attr_events).collect()
+            ),
+        ),
+    )
+    pairs_avoided = WHALE_T * WHALE_P  # what the interval join would build
+    if attr_max > 3 * n_attr:
+        failures.append(
+            f"shape4 BOUND: pair-free attribution worst task {attr_max:,} "
+            f"> 3x input {n_attr:,} (pairwise would be {pairs_avoided:,})"
+        )
+    # sanity: the whale's touches were actually credited
+    total_touches = sum(n for _, n in attr_out["v"])
+    if total_touches <= 0:
+        failures.append("shape4 calibration: no touches credited")
+    attr_events.unpersist()
+
     print()
     if failures:
         for f in failures:
