@@ -156,3 +156,82 @@ def linear_attribution(
             ).alias("credited_value"),
         )
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    *,
+    touch_types: tuple[str, ...] = ("click", "view"),
+    conversion_type: str = "purchase",
+    lookback: Column | None = None,
+) -> DataFrame:
+    """Last-touch attribution, pair-free: each conversion's full value
+    credits the LATEST touch in its lookback window.
+
+    Output: ``touch_type, n_conversions, attributed_value``.
+
+    Same interleaved-stream shape as :func:`linear_attribution`, but
+    the running state is a per-user ``MAX(struct(t_ts, t_id, type))``
+    — lexicographic struct max IS argmax-by-(time, id) — so each probe
+    row reads the latest preceding touch directly; a window-bound
+    check replaces the lower probe.  Ties at equal timestamps resolve
+    to the larger event_id, the same total order the pairwise oracle's
+    ``ORDER BY t_ts DESC, t_id DESC`` picks.  O(|P| + |T|) rows, one
+    sort per user, no pairs.
+    """
+    if lookback is None:
+        lookback = F.expr("INTERVAL 7 DAYS")
+
+    purchases = events.filter(F.col("event_type") == conversion_type).select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("value_micros"),
+    )
+    touches = events.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+
+    t_rows = touches.select(
+        "user_id",
+        F.col("t_ts").alias("ts"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.struct(
+            F.col("t_ts").alias("t_ts"),
+            F.col("t_id").alias("t_id"),
+            F.col("touch_type").alias("touch_type"),
+        ).alias("touch"),
+        F.lit(None).cast("bigint").alias("value_micros"),
+    )
+    p_rows = purchases.select(
+        "user_id",
+        F.col("p_ts").alias("ts"),
+        F.lit(1).alias("is_probe"),
+        "p_id",
+        F.lit(None)
+        .cast("struct<t_ts:timestamp,t_id:bigint,touch_type:string>")
+        .alias("touch"),
+        "value_micros",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "is_probe", "p_id")
+    probes = (
+        t_rows.unionByName(p_rows)
+        .withColumn("latest", F.max("touch").over(w))
+        .filter(F.col("is_probe") == 1)
+    )
+    credited = probes.filter(
+        F.col("latest").isNotNull()
+        & (F.col("latest.t_ts") > F.col("ts") - lookback)
+    )
+    return credited.groupBy(
+        F.col("latest.touch_type").alias("touch_type")
+    ).agg(
+        F.count("*").alias("n_conversions"),
+        (F.sum("value_micros").cast("bigint") / F.lit(1000000.0)).alias(
+            "attributed_value"
+        ),
+    )

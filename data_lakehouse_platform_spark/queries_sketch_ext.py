@@ -743,3 +743,57 @@ def feature_hashing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sgn").cast("bigint").alias("feat_value"),
         F.count("*").alias("n_terms"),
     )
+
+
+# ----------------------------------------------------------------------------
+# Last-touch attribution (pair-free argmax-by-time window)
+# ----------------------------------------------------------------------------
+
+_LAST_TOUCH_ORACLE = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS value_micros
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT p.p_id, p.value_micros, t.touch_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.p_id ORDER BY t.t_ts DESC, t.t_id DESC
+         ) AS rn
+  FROM p JOIN t
+    ON p.user_id = t.user_id
+   AND t.t_ts > p.p_ts - INTERVAL 7 DAY
+   AND t.t_ts <= p.p_ts
+)
+SELECT touch_type,
+       COUNT(*) AS n_conversions,
+       CAST(SUM(value_micros) AS BIGINT) / 1000000.0 AS attributed_value
+FROM j WHERE rn = 1
+GROUP BY touch_type
+"""
+
+
+@register(
+    "attribution_last_touch",
+    _LAST_TOUCH_ORACLE,
+    "Last-touch attribution: each purchase's full value credits the "
+    "latest click/view in its 7-day window. PAIR-FREE like "
+    "attribution_linear, but the running state is a per-user "
+    "MAX(struct(t_ts, t_id, type)) — lexicographic struct max IS "
+    "argmax-by-(time, id) — so every probe reads its latest preceding "
+    "touch straight off one window pass; the oracle stays the "
+    "pairwise interval join + ROW_NUMBER pick, so the driver check is "
+    "the equivalence proof, ties included (equal timestamps resolve "
+    "by event_id in both forms). O(|P|+|T|) per user, no pairs "
+    "(operators/attribution.py).",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.attribution import (
+        last_touch_attribution,
+    )
+
+    return last_touch_attribution(_t(spark, sf_dir, "events"))
