@@ -148,3 +148,74 @@ def test_heavy_hitter_stream_bounded_and_complete(spark, tmp_path):
         if r.n > shard_totals[r.shard] / (capacity + 1):
             assert (r.shard, r.item) in final, f"lost heavy item {r.item}"
     assert any(item == "flood" for (_, item) in final)
+
+
+def test_eventlog_stream_to_sketch_artifact_with_batch_backfill(spark, tmp_path):
+    """Capstone: the broker-twin eventlog source feeds the streaming HLL,
+    the streamed registers land in the medallion sketch artifact, a
+    BATCH backfill appends to the same artifact, and the rolled-up
+    estimate is bit-identical to one sketch built over everything —
+    stream and backfill truly share one state algebra."""
+    from data_lakehouse_platform_spark.plans.medallion import MedallionPipeline
+    from data_lakehouse_platform_spark.sources.eventlog_stream import (
+        EventLogStreamDataSource,
+        append_segment,
+    )
+
+    spark.dataSource.register(EventLogStreamDataSource)
+    log = str(tmp_path / "log")
+
+    def rows(seg, n):
+        return [
+            {
+                "event_id": seg * 1000 + i,
+                "user_id": (seg * 37 + i) % 61,
+                "event_type": "view" if i % 2 else "purchase",
+                "ts": f"2024-01-0{seg + 1} 00:00:{i % 60:02d}",
+                "value": float(i),
+            }
+            for i in range(n)
+        ]
+
+    append_segment(log, rows(0, 40))
+    append_segment(log, rows(1, 40))
+
+    stream = spark.readStream.format("eventlog").option("path", log).load()
+    regs = hll_register_stream(stream, "event_type", "user_id")
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("el_regs")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    pipe = MedallionPipeline(spark, str(tmp_path / "lake"))
+    streamed = spark.sql("SELECT event_type, reg, m FROM el_regs")
+    streamed.write.mode("append").parquet(pipe.path("index", "hll_stream"))
+
+    # batch backfill: a third day's rows never seen by the stream
+    backfill = spark.createDataFrame(
+        [(r["event_type"], r["user_id"]) for r in rows(2, 40)],
+        "event_type string, user_id long",
+    )
+    pipe.build_uniques_sketch(backfill, ["event_type"], "user_id", name="stream")
+
+    rolled = {
+        r.event_type: r.hll_estimate
+        for r in pipe.uniques_estimate(["event_type"], name="stream").collect()
+    }
+    everything = spark.createDataFrame(
+        [(r["event_type"], r["user_id"]) for seg in range(3) for r in rows(seg, 40)],
+        "event_type string, user_id long",
+    )
+    direct = {
+        r.event_type: r.hll_estimate
+        for r in SK.hll_estimate(
+            SK.hll_registers(everything, ["event_type"], "user_id"),
+            ["event_type"],
+        ).collect()
+    }
+    assert rolled == direct and set(rolled) == {"view", "purchase"}
