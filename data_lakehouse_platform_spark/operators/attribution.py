@@ -235,3 +235,128 @@ def last_touch_attribution(
             "attributed_value"
         ),
     )
+
+
+_DAY_US = 86_400_000_000  # exact micros per day; age buckets are integer math
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    *,
+    touch_types: tuple[str, str] = ("click", "view"),
+    conversion_type: str = "purchase",
+    days: int = 7,
+) -> DataFrame:
+    """Time-decay attribution, pair-free: a touch aged ``d`` whole days
+    at conversion time earns ``credit div 2^d``.
+
+    Output: ``touch_type, n_touches, decay_units_milli, decayed_value``.
+
+    Probe generalization of :func:`linear_attribution`: each conversion
+    emits ``days + 1`` probes at ``p_ts - k days``; consecutive probe
+    count differences are exactly the per-day age buckets (age is
+    integer MICROSECONDS, ``d = age_us div day_us`` — timestamps here
+    carry sub-second precision, so second-truncated ages would disagree
+    with the oracle's at day boundaries).  Every touch in bucket ``d``
+    of one conversion carries the identical integer credit
+    ``x div (1 << d)``, so per-type totals fold to
+    ``count * credit`` — still no per-pair rows; cost is
+    O(|T| + (days+1)|P|) through one sort per user.
+    """
+    ta, tb = touch_types
+
+    purchases = events.filter(F.col("event_type") == conversion_type).select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("value_micros"),
+    )
+    touches = events.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+
+    t_rows = touches.select(
+        "user_id",
+        F.col("t_ts").alias("ts"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("int").alias("k"),
+        F.when(F.col("touch_type") == ta, 1).otherwise(0).alias("is_a"),
+        F.when(F.col("touch_type") == tb, 1).otherwise(0).alias("is_b"),
+        F.lit(None).cast("bigint").alias("value_micros"),
+    )
+    probe_structs = F.array(
+        *[
+            F.struct(
+                F.expr(f"p_ts - INTERVAL {k} DAYS").alias("ts"),
+                F.lit(k).alias("k"),
+            )
+            for k in range(days + 1)
+        ]
+    )
+    p_rows = purchases.select(
+        "user_id", F.explode(probe_structs).alias("pr"), "p_id", "value_micros"
+    ).select(
+        "user_id",
+        F.col("pr.ts").alias("ts"),
+        F.lit(1).alias("is_probe"),
+        "p_id",
+        F.col("pr.k").alias("k"),
+        F.lit(0).alias("is_a"),
+        F.lit(0).alias("is_b"),
+        "value_micros",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "is_probe", "p_id", "k")
+    probes = (
+        t_rows.unionByName(p_rows)
+        .withColumn("c_a", F.sum("is_a").over(w))
+        .withColumn("c_b", F.sum("is_b").over(w))
+        .filter(F.col("is_probe") == 1)
+    )
+    # Consecutive probes of ONE conversion differ by its day-k bucket
+    # counts; the per-conversion window is days+2 rows, never data-sized.
+    pw = Window.partitionBy("p_id").orderBy("k")
+    buckets = (
+        probes.withColumn("n_a", F.col("c_a") - F.lead("c_a").over(pw))
+        .withColumn("n_b", F.col("c_b") - F.lead("c_b").over(pw))
+        .filter(F.col("k") < days)  # k = days row is the exclusive floor
+    )
+    long_form = buckets.select(
+        "k",
+        "value_micros",
+        F.explode(
+            F.array(
+                F.struct(F.lit(ta).alias("touch_type"), F.col("n_a").alias("cnt")),
+                F.struct(F.lit(tb).alias("touch_type"), F.col("n_b").alias("cnt")),
+            )
+        ).alias("t"),
+    ).select(
+        "k",
+        "value_micros",
+        F.col("t.touch_type").alias("touch_type"),
+        F.col("t.cnt").alias("cnt"),
+    )
+    return (
+        long_form.filter(F.col("cnt") > 0)
+        .groupBy("touch_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_touches"),
+            F.sum(
+                F.col("cnt")
+                * F.expr("1000 div shiftleft(CAST(1 AS BIGINT), k)")
+            )
+            .cast("bigint")
+            .alias("decay_units_milli"),
+            (
+                F.sum(
+                    F.col("cnt")
+                    * F.expr(
+                        "value_micros div shiftleft(CAST(1 AS BIGINT), k)"
+                    )
+                ).cast("bigint")
+                / F.lit(1000000.0)
+            ).alias("decayed_value"),
+        )
+    )

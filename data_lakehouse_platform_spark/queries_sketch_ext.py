@@ -797,3 +797,58 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return last_touch_attribution(_t(spark, sf_dir, "events"))
+
+
+# ----------------------------------------------------------------------------
+# Time-decay attribution (pair-free per-day probe buckets)
+# ----------------------------------------------------------------------------
+
+_DECAY_ORACLE = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS value_micros
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT p.value_micros, t.touch_type,
+         (epoch_us(p.p_ts) - epoch_us(t.t_ts)) // 86400000000 AS d
+  FROM p JOIN t
+    ON p.user_id = t.user_id
+   AND t.t_ts > p.p_ts - INTERVAL 7 DAY
+   AND t.t_ts <= p.p_ts
+)
+SELECT touch_type,
+       COUNT(*) AS n_touches,
+       CAST(SUM(1000 // (1::BIGINT << d)) AS BIGINT) AS decay_units_milli,
+       CAST(SUM(value_micros // (1::BIGINT << d)) AS BIGINT) / 1000000.0
+         AS decayed_value
+FROM j GROUP BY touch_type
+"""
+
+
+@register(
+    "attribution_time_decay",
+    _DECAY_ORACLE,
+    "Time-decay attribution: a touch aged d whole days at conversion "
+    "time earns credit div 2^d — halving per day, exact integer "
+    "arithmetic (powers of two, no float decay). PAIR-FREE like its "
+    "siblings: 8 probes per purchase (one per day offset) ride the "
+    "same per-user running-count window, consecutive probe "
+    "differences ARE the per-day age buckets, and every touch in one "
+    "bucket carries the identical credit so totals fold to count * "
+    "credit. Ages are integer MICROSECONDS div day (timestamps carry "
+    "sub-second precision; second-truncated ages would disagree at "
+    "day boundaries). Oracle stays the pairwise join, so the driver "
+    "check proves bucket-boundary equivalence too "
+    "(operators/attribution.py).",
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.attribution import (
+        time_decay_attribution,
+    )
+
+    return time_decay_attribution(_t(spark, sf_dir, "events"))
