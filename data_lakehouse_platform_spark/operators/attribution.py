@@ -287,10 +287,18 @@ def time_decay_attribution(
         F.when(F.col("touch_type") == tb, 1).otherwise(0).alias("is_b"),
         F.lit(None).cast("bigint").alias("value_micros"),
     )
+    # Probe timestamps from PHYSICAL micros, not calendar-interval
+    # arithmetic: the age buckets are defined as epoch-micro diffs
+    # (d = age_us div _DAY_US), and 'p_ts - INTERVAL k DAYS' is not
+    # k*86400s across a DST transition — physical subtraction keeps the
+    # operator timezone-invariant instead of relying on the session's
+    # pinned UTC zone.
     probe_structs = F.array(
         *[
             F.struct(
-                F.expr(f"p_ts - INTERVAL {k} DAYS").alias("ts"),
+                F.timestamp_micros(
+                    F.unix_micros(F.col("p_ts")) - k * _DAY_US
+                ).alias("ts"),
                 F.lit(k).alias("k"),
             )
             for k in range(days + 1)

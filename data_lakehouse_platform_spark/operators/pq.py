@@ -30,6 +30,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_lakehouse_platform_spark.operators.similarity import collect_query_set
+
 _SCALE = 1_000_000
 
 Codebooks = list[list[tuple[int, list[float]]]]  # [block][(code_id, subvec)]
@@ -241,10 +243,12 @@ def ann_topk_pq_mips(
     """
     m = len(codebooks)
     blk = len(codebooks[0][0][1])
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).collect()
+    qrows = collect_query_set(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+    )
     lut_rows = []
     for r in qrows:
         qv = [float(x) for x in r["v"]]
@@ -297,10 +301,12 @@ def ann_topk_pq(
     approximate cosine: ADC dot / (|q| · |reconstructed x|)."""
     m = len(codebooks)
     blk = len(codebooks[0][0][1])
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).collect()
+    qrows = collect_query_set(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+    )
     lut_rows = []
     for r in qrows:
         qv = [float(x) for x in r["v"]]

@@ -20,6 +20,34 @@ from pyspark.sql import functions as F
 
 from data_lakehouse_platform_spark.functions.vectors import cosine_similarity, dot
 
+#: Hard cap on ANN query sets that are materialized on the driver
+#: (per-query lookup tables / broadcast literals). The registry queries
+#: select a handful of designated rows; a library user passing a
+#: corpus-sized DataFrame as ``queries`` gets this named error instead
+#: of an opaque driver OOM.
+MAX_QUERY_SET_ROWS = 10_000
+
+
+class QuerySetTooLargeError(ValueError):
+    """ANN ``queries`` DataFrame exceeds the driver-side cap."""
+
+
+def collect_query_set(queries: DataFrame, max_rows: int | None = None):
+    """Collect a query set that the caller contract says is small,
+    enforcing the cap BEFORE driver memory is at risk: one job,
+    ``limit(max_rows + 1)``, never an unbounded collect."""
+    if max_rows is None:
+        max_rows = MAX_QUERY_SET_ROWS
+    rows = queries.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise QuerySetTooLargeError(
+            f"ANN query set exceeds {max_rows} rows; per-query scoring "
+            "state lives on the driver, so batch the queries (e.g. "
+            "process in chunks of <= "
+            f"{max_rows}) instead of passing a corpus-sized DataFrame"
+        )
+    return rows
+
 
 def cosine_pairs(
     emb: DataFrame,

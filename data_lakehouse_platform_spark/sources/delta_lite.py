@@ -57,6 +57,38 @@ class DeltaProtocolError(RuntimeError):
     """Table requires protocol features this v1 implementation lacks."""
 
 
+def _physicalize(dt):
+    """Rewrite a logical Delta schema (or any nested DataType) to the
+    physical parquet schema under column mapping: every StructField at
+    every nesting level takes its ``delta.columnMapping.physicalName``
+    metadata when present (spec: the metadata is attached per-field at
+    ALL levels, not just the top)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(
+                    (f.metadata or {}).get(
+                        "delta.columnMapping.physicalName", f.name
+                    ),
+                    _physicalize(f.dataType),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_physicalize(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _physicalize(dt.keyType),
+            _physicalize(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 class DeltaLiteTable:
     def __init__(self, path: str):
         self.path = path
@@ -420,30 +452,53 @@ class DeltaLiteTable:
             "delta.columnMapping.mode", "none"
         )
         if mode in ("name", "id"):
+            # The spec attaches delta.columnMapping.physicalName metadata
+            # at EVERY nesting level (struct fields inside structs,
+            # arrays, maps), so the physical read-schema is built by a
+            # recursive walk — a top-level-only map would silently read
+            # NULLs for renamed nested fields.
             phys = {
                 f.name: (f.metadata or {}).get(
                     "delta.columnMapping.physicalName", f.name
                 )
                 for f in schema.fields
             }
+            phys_schema = _physicalize(schema)
         elif mode == "none":
             phys = {f.name: f.name for f in schema.fields}
+            phys_schema = schema
         else:
             raise DeltaProtocolError(
                 f"unknown delta.columnMapping.mode {mode!r}"
             )
         paths = [os.path.join(self.path, p) for p in sorted(live)]
+        from pyspark.sql import functions as F
+
         data_schema = StructType(
             [
-                StructField(phys[f.name], f.dataType, f.nullable)
+                f
+                for f in phys_schema.fields
+                if f.name not in {phys[c] for c in part_cols}
+            ]
+        )
+        df = spark.read.schema(data_schema).parquet(*paths)
+        # One ATOMIC physical->logical projection (never a sequence of
+        # withColumnRenamed: when one column's logical name equals
+        # another column's physical name — common after upgrading a
+        # table to columnMapping and then renaming/swapping — stepwise
+        # renames create a transient duplicate and rebind the wrong
+        # column).  Nested renames ride a positional struct cast: the
+        # physical and logical types are shape-identical, so casting
+        # struct<col-a:int,...> to the logical struct type relabels
+        # every nesting level (arrays/maps of structs included) while
+        # preserving nulls.
+        df = df.select(
+            *[
+                df[phys[f.name]].cast(f.dataType).alias(f.name)
                 for f in schema.fields
                 if f.name not in part_cols
             ]
         )
-        df = spark.read.schema(data_schema).parquet(*paths)
-        for logical in [f.name for f in schema.fields if f.name not in part_cols]:
-            if phys[logical] != logical:
-                df = df.withColumnRenamed(phys[logical], logical)
         if part_cols:
             # Partition values come from the LOG (add.partitionValues),
             # not from directory inference — per spec, the log is the

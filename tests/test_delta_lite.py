@@ -431,3 +431,127 @@ def test_column_mapping_read_v3_feature(spark, tmp_path):
     assert {(r.id, r.val, r.k) for r in got.collect()} == {
         (1, "a", "x"), (2, "b", "x"), (3, "c", "y")
     }
+
+
+def test_column_mapping_nested_struct_fields(spark, tmp_path):
+    """physicalName metadata applies at EVERY nesting level (Delta spec):
+    a renamed field inside a struct — and inside an array of structs —
+    must surface under its logical name with its real values, not NULLs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "nested"
+    log = root / "_delta_log"
+    log.mkdir(parents=True)
+    pq.write_table(
+        pa.table({
+            "col-top": pa.array(
+                [{"col-inner-a": 7, "col-inner-b": "x"},
+                 {"col-inner-a": 8, "col-inner-b": "y"}],
+                pa.struct([("col-inner-a", pa.int64()),
+                           ("col-inner-b", pa.string())])),
+            "col-arr": pa.array(
+                [[{"col-e": 1}, {"col-e": 2}], [{"col-e": 3}]],
+                pa.list_(pa.struct([("col-e", pa.int64())]))),
+        }),
+        root / "part-0.parquet",
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "top", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-top"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "a", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 2,
+                               "delta.columnMapping.physicalName":
+                               "col-inner-a"}},
+                 {"name": "b", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName":
+                               "col-inner-b"}},
+             ]}},
+            {"name": "arr", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 4,
+                          "delta.columnMapping.physicalName": "col-arr"},
+             "type": {"type": "array", "containsNull": True,
+                      "elementType": {"type": "struct", "fields": [
+                          {"name": "e", "type": "long", "nullable": True,
+                           "metadata": {
+                               "delta.columnMapping.id": 5,
+                               "delta.columnMapping.physicalName": "col-e"}},
+                      ]}}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "00000000-0000-0000-0000-00000000000e",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "5"},
+        }},
+        {"add": {"path": "part-0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(log / f"{0:020d}.json", "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    got = DeltaLiteTable(str(root)).read(spark)
+    rows = sorted(got.collect(), key=lambda r: r.top.a)
+    assert [(r.top.a, r.top.b, [e.e for e in r.arr]) for r in rows] == [
+        (7, "x", [1, 2]), (8, "y", [3])
+    ]
+
+
+def test_column_mapping_name_swap_atomic(spark, tmp_path):
+    """One column's LOGICAL name equals another's PHYSICAL name (tables
+    upgraded to columnMapping keep originals as physical names; a later
+    rename creates the overlap).  Stepwise renames would corrupt this;
+    the atomic projection must not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "swap"
+    log = root / "_delta_log"
+    log.mkdir(parents=True)
+    # physical 'a' holds ints, physical 'b' holds strings; logically the
+    # table renamed a->b and b->a (a full swap).
+    pq.write_table(
+        pa.table({"a": pa.array([1, 2], pa.int64()),
+                  "b": pa.array(["p", "q"])}),
+        root / "part-0.parquet",
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "b", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "a"}},
+            {"name": "a", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "b"}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "00000000-0000-0000-0000-00000000000f",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"},
+        }},
+        {"add": {"path": "part-0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(log / f"{0:020d}.json", "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    got = DeltaLiteTable(str(root)).read(spark)
+    assert got.columns == ["b", "a"]
+    assert {(r.b, r.a) for r in got.collect()} == {(1, "p"), (2, "q")}

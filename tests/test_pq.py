@@ -86,3 +86,25 @@ def test_pq_seeds_from_smallest_ids_not_dense_assumption(spark):
     tiny = _emb(spark).limit(3)
     with pytest.raises(ValueError, match="at least k="):
         train_pq(tiny, m=4, k=8, rounds=1)
+
+
+def test_pq_query_set_cap_is_loud(spark, monkeypatch):
+    """An oversized ``queries`` DataFrame must raise the named cap error
+    BEFORE any driver-side collect — never an opaque OOM (the query-set
+    LUTs live on the driver by design)."""
+    import pytest
+
+    from data_lakehouse_platform_spark.operators import similarity as S
+    from data_lakehouse_platform_spark.operators.similarity import (
+        QuerySetTooLargeError,
+    )
+
+    emb = _emb(spark)
+    cb = train_pq(emb, m=8, k=16, rounds=1)
+    enc = pq_encode(emb, cb)
+    monkeypatch.setattr(S, "MAX_QUERY_SET_ROWS", 4)
+    with pytest.raises(QuerySetTooLargeError, match="batch the queries"):
+        ann_topk_pq(enc, emb, cb, k=5)  # whole corpus as the query set
+    # at/under the cap still works
+    small = emb.where(F.col("vec_id") < 4)
+    assert ann_topk_pq(enc, small, cb, k=3).count() == 4 * 3
