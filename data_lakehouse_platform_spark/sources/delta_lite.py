@@ -29,11 +29,17 @@ way delta-spark's log cleanup does) — plus COLUMN MAPPING on read
 ``columnMapping``): physical ``col-<uuid>`` parquet columns are read
 under their physical names and surfaced under logical names from the
 schema's ``delta.columnMapping.physicalName`` metadata, with
-partition values resolved by physical key per spec.  That covers the
-most common modern-Delta shape (tables that ever ran RENAME/DROP
-COLUMN).  No deletion vectors, no type widening, no variant — a
-table advertising reader features beyond columnMapping still makes
-this reader REFUSE loudly rather than return wrong rows.
+partition values resolved by physical key per spec (physicalName
+metadata honored at EVERY nesting level) — plus DELETION VECTORS on
+read (reader v3 ``deletionVectors`` feature, ON by default in modern
+Delta writers): the portable 64-bit RoaringBitmapArray payload is
+decoded dependency-free (Z85 inline, relative-UUID ``.bin`` files
+with CRC32 verification, or absolute paths) and deleted rows are
+filtered by ``_metadata.row_index`` — Spark's native per-file row
+position, the same coordinate system the bitmap indexes.  No type
+widening, no variant — a table advertising reader features beyond
+columnMapping + deletionVectors still makes this reader REFUSE
+loudly rather than return wrong rows.
 delta-spark, when present, reads tables this writer produces (plain
 v1 parquet + JSON log + spec-shaped checkpoint).
 
@@ -55,6 +61,137 @@ from pyspark.sql import DataFrame, SparkSession
 
 class DeltaProtocolError(RuntimeError):
     """Table requires protocol features this v1 implementation lacks."""
+
+
+# -- deletion vectors (public Delta protocol, "Deletion Vectors" section) --
+#
+# A DV descriptor on an add action marks rows of that parquet file as
+# deleted by their 0-based row index.  The bitmap is a 64-bit
+# "RoaringBitmapArray" in PORTABLE serialization (magic 1681511377,
+# little-endian), each 32-bit sub-bitmap in the standard interoperable
+# RoaringFormatSpec layout.  Storage types: "i" = the serialized bitmap
+# Z85-inlined in the descriptor; "u" = `<randomPrefix><z85 uuid>` naming
+# `deletion_vector_<uuid>.bin` under the table (1-byte format version,
+# then per-DV: 4-byte big-endian size, bitmap bytes, 4-byte big-endian
+# CRC32); "p" = absolute path to such a file.
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_CHARS)}
+_ROARING_MAGIC = 1681511377
+_SERIAL_COOKIE = 12347
+_SERIAL_COOKIE_NO_RUN = 12346
+_NO_OFFSET_THRESHOLD = 4
+
+
+def z85_decode(s: str) -> bytes:
+    """ZeroMQ Z85: 5 chars -> 4 bytes, big-endian base-85."""
+    if len(s) % 5:
+        raise DeltaProtocolError(f"Z85 length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        acc = 0
+        for c in s[i : i + 5]:
+            try:
+                acc = acc * 85 + _Z85_INDEX[c]
+            except KeyError:
+                raise DeltaProtocolError(f"invalid Z85 character {c!r}")
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def z85_encode(b: bytes) -> str:
+    if len(b) % 4:
+        raise ValueError(f"Z85 payload length {len(b)} not a multiple of 4")
+    out = []
+    for i in range(0, len(b), 4):
+        acc = int.from_bytes(b[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            acc, rem = divmod(acc, 85)
+            chunk.append(_Z85_CHARS[rem])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _read_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """One standard-format 32-bit RoaringBitmap at ``pos``; returns
+    (sorted values, next position). Handles array, bitset and run
+    containers per RoaringFormatSpec."""
+    import struct
+
+    (cookie,) = struct.unpack_from("<i", buf, pos)
+    pos += 4
+    run_bits = b""
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        nb = (n + 7) // 8
+        run_bits = buf[pos : pos + nb]
+        pos += nb
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+    else:
+        raise DeltaProtocolError(f"unknown roaring cookie {cookie}")
+    keys_cards = []
+    for i in range(n):
+        key, card_m1 = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        keys_cards.append((key, card_m1 + 1))
+    has_offsets = cookie == _SERIAL_COOKIE_NO_RUN or n >= _NO_OFFSET_THRESHOLD
+    if has_offsets:
+        pos += 4 * n  # parse sequentially; the offsets are redundant
+    values: list[int] = []
+    for i, (key, card) in enumerate(keys_cards):
+        base = key << 16
+        is_run = bool(run_bits) and (run_bits[i // 8] >> (i % 8)) & 1
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, len_m1 = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(range(base + start, base + start + len_m1 + 1))
+        elif card <= 4096:
+            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            values.extend(base + v for v in vals)
+        else:
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    low = w & -w
+                    values.append(base + (wi << 6) + low.bit_length() - 1)
+                    w ^= low
+    return values, pos
+
+
+def roaring_bitmap_array_values(data: bytes) -> list[int]:
+    """Decode a PORTABLE-format 64-bit RoaringBitmapArray (the DV
+    payload) to sorted row indexes: magic, int64 bitmap count, then per
+    sub-bitmap an int32 high-word key + a standard 32-bit bitmap
+    (value = key << 32 | low)."""
+    import struct
+
+    if len(data) < 12:
+        raise DeltaProtocolError("deletion vector payload too short")
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != _ROARING_MAGIC:
+        raise DeltaProtocolError(
+            f"deletion vector magic {magic} != {_ROARING_MAGIC}"
+        )
+    (n_bitmaps,) = struct.unpack_from("<q", data, 4)
+    pos = 12
+    out: list[int] = []
+    for _ in range(n_bitmaps):
+        (key,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        vals, pos = _read_roaring32(data, pos)
+        out.extend((key << 32) | v for v in vals)
+    return out
 
 
 def _physicalize(dt):
@@ -137,7 +274,54 @@ class DeltaLiteTable:
 
     # Reader features this implementation actually honors.  Reader v2
     # exists solely for column mapping; v3 tables enumerate features.
-    _SUPPORTED_READER_FEATURES = frozenset({"columnMapping"})
+    _SUPPORTED_READER_FEATURES = frozenset({"columnMapping", "deletionVectors"})
+
+    def _dv_deleted_rows(self, dv: dict) -> list[int]:
+        """Resolve a deletionVector descriptor to its sorted deleted row
+        indexes, verifying cardinality (and CRC32 for on-disk DVs)."""
+        import zlib
+
+        st = dv.get("storageType")
+        if st == "i":
+            data = z85_decode(dv["pathOrInlineDv"])
+            data = data[: int(dv["sizeInBytes"])]
+        elif st in ("u", "p"):
+            if st == "u":
+                enc = dv["pathOrInlineDv"]
+                if len(enc) < 20:
+                    raise DeltaProtocolError(
+                        f"storageType=u pathOrInlineDv too short: {enc!r}"
+                    )
+                prefix, uuid_z85 = enc[:-20], enc[-20:]
+                dv_uuid = uuid.UUID(bytes=z85_decode(uuid_z85))
+                fname = f"deletion_vector_{dv_uuid}.bin"
+                path = os.path.join(self.path, prefix, fname) if prefix else (
+                    os.path.join(self.path, fname)
+                )
+            else:
+                path = dv["pathOrInlineDv"]
+            size = int(dv["sizeInBytes"])
+            with open(path, "rb") as fh:
+                fh.seek(int(dv["offset"]))
+                stored_size = int.from_bytes(fh.read(4), "big")
+                if stored_size != size:
+                    raise DeltaProtocolError(
+                        f"DV size mismatch at {path}:{dv['offset']}: "
+                        f"descriptor says {size}, file says {stored_size}"
+                    )
+                data = fh.read(size)
+                crc = int.from_bytes(fh.read(4), "big")
+            if zlib.crc32(data) & 0xFFFFFFFF != crc:
+                raise DeltaProtocolError(f"DV checksum mismatch at {path}")
+        else:
+            raise DeltaProtocolError(f"unknown DV storageType {st!r}")
+        rows = roaring_bitmap_array_values(data)
+        card = dv.get("cardinality")
+        if card is not None and int(card) != len(rows):
+            raise DeltaProtocolError(
+                f"DV cardinality {card} != decoded {len(rows)} rows"
+            )
+        return rows
 
     def _check_protocol(self, p: dict) -> None:
         mrv = p.get("minReaderVersion", 1)
@@ -159,11 +343,11 @@ class DeltaLiteTable:
                 return
             raise DeltaProtocolError(
                 f"table requires reader features {sorted(unsupported)}; "
-                "this reader speaks v1 + columnMapping and refuses "
-                "rather than misread (deletion vectors would silently "
-                "resurrect deleted rows); use the real delta-spark "
-                "package for such tables (see JARS.md for why it is "
-                "absent here)"
+                "this reader speaks v1 + columnMapping + deletionVectors "
+                "and refuses rather than misread (e.g. type widening "
+                "would silently narrow values); use the real "
+                "delta-spark package for such tables (see JARS.md for "
+                "why it is absent here)"
             )
         raise DeltaProtocolError(
             f"table requires minReaderVersion={mrv}; this reader speaks "
@@ -492,13 +676,30 @@ class DeltaLiteTable:
         # struct<col-a:int,...> to the logical struct type relabels
         # every nesting level (arrays/maps of structs included) while
         # preserving nulls.
-        df = df.select(
-            *[
-                df[phys[f.name]].cast(f.dataType).alias(f.name)
-                for f in schema.fields
-                if f.name not in part_cols
-            ]
-        )
+        # Deletion vectors: resolve each add's descriptor to its deleted
+        # row indexes NOW (driver-side — the bitmaps are metadata-sized,
+        # bounded by total deleted-row cardinality like the log itself),
+        # and filter by (file, _metadata.row_index) anti-join below.
+        # row_index is Spark's native per-file row position — the same
+        # coordinate system the DV bitmap indexes.
+        dv_map = {
+            p: a["deletionVector"]
+            for p, a in live.items()
+            if a.get("deletionVector")
+        }
+        proj = [
+            df[phys[f.name]].cast(f.dataType).alias(f.name)
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
+        if dv_map:
+            proj.append(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/+", "/"
+                ).alias("__dv_path")
+            )
+            proj.append(F.col("_metadata.row_index").alias("__dv_ridx"))
+        df = df.select(*proj)
         if part_cols:
             # Partition values come from the LOG (add.partitionValues),
             # not from directory inference — per spec, the log is the
@@ -546,6 +747,24 @@ class DeltaLiteTable:
                     )
                     val = F.coalesce(val, m[tail])
                 df = df.withColumn(c, val.cast(tgt))
+        if dv_map:
+            deleted = []
+            for p, dv in dv_map.items():
+                ap = os.path.abspath(os.path.join(self.path, p))
+                keys = {ap, urllib.parse.quote(ap, safe="/")}
+                for ridx in self._dv_deleted_rows(dv):
+                    for key in keys:
+                        deleted.append((key, int(ridx)))
+            ddf = spark.createDataFrame(
+                deleted, "__dv_path string, __dv_ridx long"
+            )
+            # Small DVs (the common case) broadcast; huge ones fall back
+            # to a shuffled anti-join keyed by (file, row_index).
+            if len(deleted) <= 2_000_000:
+                ddf = F.broadcast(ddf)
+            df = df.join(
+                ddf, on=["__dv_path", "__dv_ridx"], how="left_anti"
+            )
         return df.select(*[f.name for f in schema.fields])
 
     # -- checkpoints ------------------------------------------------------
@@ -586,6 +805,15 @@ class DeltaLiteTable:
                 ("createdTime", pa.int64()),
             ]
         )
+        dv_t = pa.struct(
+            [
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int32()),
+                ("sizeInBytes", pa.int32()),
+                ("cardinality", pa.int64()),
+            ]
+        )
         add_t = pa.struct(
             [
                 ("path", pa.string()),
@@ -593,6 +821,9 @@ class DeltaLiteTable:
                 ("size", pa.int64()),
                 ("modificationTime", pa.int64()),
                 ("dataChange", pa.bool_()),
+                # Checkpoints MUST carry the DV descriptor: dropping it
+                # would resurrect deleted rows after clean_log().
+                ("deletionVector", dv_t),
             ]
         )
 
@@ -613,6 +844,18 @@ class DeltaLiteTable:
                 "createdTime": meta.get("createdTime"),
             }
         ]
+        def _dv_struct(a):
+            dv = a.get("deletionVector")
+            if not dv:
+                return None
+            return {
+                "storageType": dv.get("storageType"),
+                "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                "offset": dv.get("offset"),
+                "sizeInBytes": dv.get("sizeInBytes"),
+                "cardinality": dv.get("cardinality"),
+            }
+
         add_col = [
             {
                 "path": a["path"],
@@ -620,6 +863,7 @@ class DeltaLiteTable:
                 "size": a.get("size"),
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": bool(a.get("dataChange", True)),
+                "deletionVector": _dv_struct(a),
             }
             for _, a in sorted(live.items())
         ]

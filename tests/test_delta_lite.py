@@ -98,8 +98,30 @@ def test_commit_put_if_absent_race(spark, tmp_path):
 def test_unsupported_protocol_refused_loudly(spark, tmp_path):
     t = DeltaLiteTable(str(tmp_path / "t"))
     t.write(_df(spark, [(1, "a")]))
-    # a later commit upgrades the table to reader v3 with deletion
-    # vectors — reading would silently resurrect deleted rows; refuse.
+    # a later commit upgrades the table to reader v3 with a feature this
+    # reader does not speak — reading would silently narrow values; refuse.
+    with open(os.path.join(t.log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["typeWidening"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
+        t.read(spark)
+
+
+def test_v3_deletion_vectors_feature_accepted(spark, tmp_path):
+    """deletionVectors is a SUPPORTED reader feature now: the v3
+    protocol upgrade alone (no actual DVs yet) must not refuse."""
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))
     with open(os.path.join(t.log_dir, f"{1:020d}.json"), "w") as fh:
         fh.write(
             json.dumps(
@@ -113,8 +135,7 @@ def test_unsupported_protocol_refused_loudly(spark, tmp_path):
             )
             + "\n"
         )
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
-        t.read(spark)
+    assert [r.id for r in t.read(spark).collect()] == [1]
 
 
 def test_v3_without_feature_list_refused(spark, tmp_path):
@@ -555,3 +576,244 @@ def test_column_mapping_name_swap_atomic(spark, tmp_path):
     got = DeltaLiteTable(str(root)).read(spark)
     assert got.columns == ["b", "a"]
     assert {(r.b, r.a) for r in got.collect()} == {(1, "p"), (2, "q")}
+
+
+# -- deletion vectors ---------------------------------------------------
+
+def _serialize_roaring_array(values):
+    """Test-side PORTABLE RoaringBitmapArray serializer (array + bitset
+    containers, no runs): magic, int64 bitmap count, then per sub-bitmap
+    an int32 high-word key + a standard-format 32-bit bitmap."""
+    import struct
+    from collections import defaultdict
+
+    by_high = defaultdict(list)
+    for v in sorted(set(values)):
+        by_high[v >> 32].append(v & 0xFFFFFFFF)
+    out = bytearray(struct.pack("<iq", 1681511377, len(by_high)))
+    for high in sorted(by_high):
+        out += struct.pack("<i", high)
+        by_key = defaultdict(list)
+        for lo in by_high[high]:
+            by_key[lo >> 16].append(lo & 0xFFFF)
+        n = len(by_key)
+        bm = bytearray(struct.pack("<ii", 12346, n))
+        for key in sorted(by_key):
+            bm += struct.pack("<HH", key, len(by_key[key]) - 1)
+        # offset header (always present for cookie 12346)
+        off = len(bm) + 4 * n
+        payload = bytearray()
+        for key in sorted(by_key):
+            bm += struct.pack("<I", off)
+            vals = by_key[key]
+            if len(vals) <= 4096:
+                payload += struct.pack(f"<{len(vals)}H", *vals)
+                off += 2 * len(vals)
+            else:
+                words = [0] * 1024
+                for v in vals:
+                    words[v >> 6] |= 1 << (v & 63)
+                payload += struct.pack("<1024Q", *words)
+                off += 8192
+        out += bm + payload
+    return bytes(out)
+
+
+def _write_dv_table(tmp_path, dv_for_part0):
+    """Two-file table; part-0 (ids 1..4) carries the given DV descriptor,
+    part-1 (ids 10, 11) has none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "dvt"
+    log = root / "_delta_log"
+    log.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "val": pa.array(["a", "b", "c", "d"])}),
+        root / "part-0.parquet",
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([10, 11], pa.int64()),
+                  "val": pa.array(["j", "k"])}),
+        root / "part-1.parquet",
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "val", "type": "string", "nullable": True,
+             "metadata": {}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {
+            "id": "00000000-0000-0000-0000-0000000000dv",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.enableDeletionVectors": "true"},
+        }},
+        {"add": {"path": "part-0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "deletionVector": dv_for_part0}},
+        {"add": {"path": "part-1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    with open(log / f"{0:020d}.json", "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    return root
+
+
+def test_dv_inline_read(spark, tmp_path):
+    """Inline ('i') DV: Z85-encoded portable bitmap in the add action.
+    Rows 0 and 2 of part-0 (ids 1, 3) are deleted."""
+    from data_lakehouse_platform_spark.sources.delta_lite import z85_encode
+
+    data = _serialize_roaring_array([0, 2])
+    pad = (-len(data)) % 4
+    dv = {"storageType": "i",
+          "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+          "sizeInBytes": len(data), "cardinality": 2}
+    root = _write_dv_table(tmp_path, dv)
+    got = DeltaLiteTable(str(root)).read(spark)
+    assert sorted((r.id, r.val) for r in got.collect()) == [
+        (2, "b"), (4, "d"), (10, "j"), (11, "k")
+    ]
+
+
+def test_dv_ondisk_uuid_read(spark, tmp_path):
+    """On-disk ('u') DV: `<prefix><z85 uuid>` names
+    deletion_vector_<uuid>.bin; the file has a version byte, then at
+    `offset` a 4-byte BE size, bitmap bytes, 4-byte BE CRC32.  A decoy
+    DV earlier in the same file proves offsets are honored."""
+    import uuid as uuidlib
+    import zlib
+
+    from data_lakehouse_platform_spark.sources.delta_lite import z85_encode
+
+    dv_uuid = uuidlib.UUID("12345678-1234-5678-1234-567812345678")
+    prefix = "ab/"
+    data = _serialize_roaring_array([1, 3])  # delete ids 2, 4
+    decoy = _serialize_roaring_array([0, 1, 2, 3])
+
+    root = _write_dv_table(tmp_path, None)  # placeholder, rewrite below
+    (root / "ab").mkdir()
+    bin_path = root / "ab" / f"deletion_vector_{dv_uuid}.bin"
+    with open(bin_path, "wb") as fh:
+        fh.write(b"\x01")
+        fh.write(len(decoy).to_bytes(4, "big") + decoy
+                 + (zlib.crc32(decoy) & 0xFFFFFFFF).to_bytes(4, "big"))
+        offset = fh.tell()
+        fh.write(len(data).to_bytes(4, "big") + data
+                 + (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    dv = {"storageType": "u",
+          "pathOrInlineDv": prefix + z85_encode(dv_uuid.bytes),
+          "offset": offset, "sizeInBytes": len(data), "cardinality": 2}
+    # rewrite commit 0 with the real descriptor
+    log = root / "_delta_log" / f"{0:020d}.json"
+    actions = [json.loads(l) for l in open(log)]
+    for a in actions:
+        if "add" in a and a["add"]["path"] == "part-0.parquet":
+            a["add"]["deletionVector"] = dv
+    with open(log, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    got = DeltaLiteTable(str(root)).read(spark)
+    assert sorted(r.id for r in got.collect()) == [1, 3, 10, 11]
+
+
+def test_dv_corrupt_checksum_refused(spark, tmp_path):
+    import uuid as uuidlib
+
+    from data_lakehouse_platform_spark.sources.delta_lite import z85_encode
+
+    dv_uuid = uuidlib.UUID("12345678-1234-5678-1234-567812345678")
+    data = _serialize_roaring_array([0])
+    root = _write_dv_table(tmp_path, None)
+    bin_path = root / f"deletion_vector_{dv_uuid}.bin"
+    with open(bin_path, "wb") as fh:
+        fh.write(b"\x01")
+        fh.write(len(data).to_bytes(4, "big") + data + b"\x00\x00\x00\x00")
+    dv = {"storageType": "u", "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+          "offset": 1, "sizeInBytes": len(data), "cardinality": 1}
+    log = root / "_delta_log" / f"{0:020d}.json"
+    actions = [json.loads(l) for l in open(log)]
+    for a in actions:
+        if "add" in a and a["add"]["path"] == "part-0.parquet":
+            a["add"]["deletionVector"] = dv
+    with open(log, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    with pytest.raises(DeltaProtocolError, match="checksum"):
+        DeltaLiteTable(str(root)).read(spark).collect()
+
+
+def test_dv_update_and_checkpoint_roundtrip(spark, tmp_path):
+    """A remove + re-add with a GROWN DV (how Delta DELETE advances a
+    file's DV) replays to the newest bitmap; a checkpoint + clean_log
+    must preserve the descriptor — dropping it would resurrect rows."""
+    from data_lakehouse_platform_spark.sources.delta_lite import z85_encode
+
+    def _inline(rows):
+        data = _serialize_roaring_array(rows)
+        pad = (-len(data)) % 4
+        return {"storageType": "i",
+                "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+                "sizeInBytes": len(data), "cardinality": len(rows)}
+
+    root = _write_dv_table(tmp_path, _inline([0]))
+    t = DeltaLiteTable(str(root))
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 3, 4, 10, 11]
+
+    # commit 1: DELETE grows part-0's DV from {0} to {0, 3}
+    actions = [
+        {"commitInfo": {"timestamp": 1, "operation": "DELETE"}},
+        {"remove": {"path": "part-0.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": {"path": "part-0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True,
+                 "deletionVector": _inline([0, 3])}},
+    ]
+    with open(root / "_delta_log" / f"{1:020d}.json", "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 3, 10, 11]
+
+    t.checkpoint(1)
+    t.clean_log()
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 3, 10, 11]
+
+
+def test_roaring_decode_run_and_bitset_containers():
+    """Decoder unit coverage for the container shapes the test-side
+    serializer doesn't emit: run containers (cookie 12347) and a
+    dense bitset container, plus the z85 round-trip."""
+    import struct
+
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        roaring_bitmap_array_values,
+        z85_decode,
+        z85_encode,
+    )
+
+    # run container: one container, runs [5..9] and [100..101]
+    bm = struct.pack("<i", (0 << 16) | 12347) + bytes([0b1])
+    bm += struct.pack("<HH", 0, 7 - 1)        # key 0, cardinality 7
+    bm += struct.pack("<H", 2)                # 2 runs (n=1 < 4: no offsets)
+    bm += struct.pack("<HH", 5, 4) + struct.pack("<HH", 100, 1)
+    arr = struct.pack("<iq", 1681511377, 1) + struct.pack("<i", 2) + bm
+    assert roaring_bitmap_array_values(arr) == [
+        (2 << 32) | v for v in [5, 6, 7, 8, 9, 100, 101]
+    ]
+
+    # bitset container: 5000 even values in one 16-bit key space
+    vals = list(range(0, 10000, 2))
+    data = _serialize_roaring_array(vals)
+    assert roaring_bitmap_array_values(data) == vals
+
+    # z85 round-trip
+    raw = bytes(range(40))
+    assert z85_decode(z85_encode(raw)) == raw
