@@ -1,0 +1,287 @@
+"""Read-only Iceberg v2 interop: avro_lite container round-trips and
+IcebergLiteTable snapshot reads over a hand-built, spec-shaped table
+(metadata.json -> manifest list -> manifests -> parquet), including
+time travel, position deletes, and loud refusal of equality deletes."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_lakehouse_platform_spark.sources.avro_lite import (
+    AvroFormatError,
+    read_container,
+    write_container,
+)
+from data_lakehouse_platform_spark.sources.iceberg_lite import (
+    IcebergLiteTable,
+    IcebergProtocolError,
+)
+
+# -- avro_lite unit coverage ----------------------------------------------
+
+_NESTED_SCHEMA = {
+    "type": "record",
+    "name": "outer",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": ["null", "long"], "default": None},
+        {"name": "arr", "type": {"type": "array", "items": "int"}},
+        {"name": "m", "type": {"type": "map", "values": "double"}},
+        {"name": "inner", "type": ["null", {
+            "type": "record", "name": "inner_rec",
+            "fields": [
+                {"name": "b", "type": "boolean"},
+                {"name": "fx", "type": {"type": "fixed", "name": "f8",
+                                        "size": 8}},
+                {"name": "e", "type": {"type": "enum", "name": "col",
+                                       "symbols": ["RED", "BLUE"]}},
+            ]}], "default": None},
+    ],
+}
+
+_NESTED_ROWS = [
+    {"s": "héllo", "n": None, "arr": [1, -2, 300000],
+     "m": {"pi": 3.25, "e": -2.5},
+     "inner": {"b": True, "fx": b"12345678", "e": "BLUE"}},
+    {"s": "", "n": -(1 << 40), "arr": [], "m": {}, "inner": None},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_container_roundtrip(tmp_path, codec):
+    p = str(tmp_path / f"t-{codec}.avro")
+    write_container(p, _NESTED_SCHEMA, _NESTED_ROWS, codec=codec)
+    schema, rows = read_container(p)
+    assert schema == _NESTED_SCHEMA
+    assert rows == _NESTED_ROWS
+
+
+def test_avro_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.avro"
+    p.write_bytes(b"PAR1 not avro")
+    with pytest.raises(AvroFormatError, match="not an Avro container"):
+        read_container(str(p))
+
+
+# -- iceberg fixture -------------------------------------------------------
+#
+# Trimmed-but-valid v2 Avro schemas: the reader is writer-schema-driven,
+# so a real table's fuller schemas (column stats maps etc.) decode the
+# same way — these carry every field the reader consults plus the usual
+# optional ones to prove union/null handling.
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+    ],
+}
+
+_MANIFEST_SCHEMA = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2",
+            "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "partition", "type": {
+                    "type": "record", "name": "r102", "fields": []}},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "column_sizes", "type": ["null", {
+                    "type": "map", "values": "long"}], "default": None},
+            ]}},
+    ],
+}
+
+
+def _entry(path, *, content=0, status=1, fmt="PARQUET"):
+    return {
+        "status": status, "snapshot_id": 1, "sequence_number": 1,
+        "file_sequence_number": 1,
+        "data_file": {
+            "content": content, "file_path": path, "file_format": fmt,
+            "partition": {}, "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(path)
+            if os.path.exists(path) else 0,
+            "column_sizes": {"1": 64},
+        },
+    }
+
+
+def _manifest_list_row(path, content):
+    return {
+        "manifest_path": path, "manifest_length": os.path.getsize(path),
+        "partition_spec_id": 0, "content": content, "sequence_number": 1,
+        "min_sequence_number": 1, "added_snapshot_id": 1,
+        "added_files_count": 1, "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": 2,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+    }
+
+
+def _build_table(tmp_path, *, with_deletes=False, delete_kind=1,
+                 data_fmt="PARQUET"):
+    """Two snapshots: snap 1 = files A+B, snap 2 = A+B+C. Optional
+    delete manifest in snap 2 removing rows (A,0) and (C,1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "ice"
+    mdir = root / "metadata"
+    ddir = root / "data"
+    mdir.mkdir(parents=True)
+    ddir.mkdir()
+
+    files = {}
+    for name, ids in [("A", [1, 2]), ("B", [3, 4]), ("C", [5, 6])]:
+        p = str(ddir / f"{name}.parquet")
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64()),
+                      "val": pa.array([f"{name}{i}" for i in ids])}),
+            p,
+        )
+        files[name] = p
+
+    def manifest(path, entries):
+        write_container(str(path), _MANIFEST_SCHEMA, entries)
+        return str(path)
+
+    m1 = manifest(mdir / "m1.avro",
+                  [_entry(files["A"], fmt=data_fmt),
+                   _entry(files["B"], fmt=data_fmt)])
+    m2 = manifest(mdir / "m2.avro", [_entry(files["C"], fmt=data_fmt)])
+
+    ml1 = str(mdir / "snap-1-manifest-list.avro")
+    write_container(ml1, _MANIFEST_LIST_SCHEMA, [_manifest_list_row(m1, 0)])
+
+    ml2_rows = [_manifest_list_row(m1, 0), _manifest_list_row(m2, 0)]
+    if with_deletes:
+        dpath = str(ddir / "pos-delete-0.parquet")
+        pq.write_table(
+            pa.table({
+                "file_path": pa.array([files["A"], files["C"]]),
+                "pos": pa.array([0, 1], pa.int64()),
+            }),
+            dpath,
+        )
+        md = manifest(mdir / "m-del.avro",
+                      [_entry(dpath, content=delete_kind)])
+        ml2_rows.append(_manifest_list_row(md, 1))
+    ml2 = str(mdir / "snap-2-manifest-list.avro")
+    write_container(ml2, _MANIFEST_LIST_SCHEMA, ml2_rows)
+
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-0000000001ce",
+        "location": str(root),
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 2,
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "val", "required": False, "type": "string"},
+        ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 2,
+        "snapshots": [
+            {"snapshot-id": 1, "sequence-number": 1,
+             "timestamp-ms": 1700000000000,
+             "manifest-list": ml1,
+             "summary": {"operation": "append"}},
+            {"snapshot-id": 2, "sequence-number": 2,
+             "timestamp-ms": 1700000001000, "parent-snapshot-id": 1,
+             "manifest-list": ml2,
+             "summary": {"operation": "append"}},
+        ],
+        "snapshot-log": [
+            {"timestamp-ms": 1700000000000, "snapshot-id": 1},
+            {"timestamp-ms": 1700000001000, "snapshot-id": 2},
+        ],
+    }
+    with open(mdir / "v2.metadata.json", "w") as fh:
+        json.dump(meta, fh)
+    with open(mdir / "version-hint.text", "w") as fh:
+        fh.write("2")
+    return str(root)
+
+
+def test_iceberg_current_snapshot_read(spark, tmp_path):
+    t = IcebergLiteTable(_build_table(tmp_path))
+    got = t.read(spark)
+    assert sorted((r.id, r.val) for r in got.collect()) == [
+        (1, "A1"), (2, "A2"), (3, "B3"), (4, "B4"), (5, "C5"), (6, "C6")
+    ]
+
+
+def test_iceberg_time_travel_by_snapshot_id(spark, tmp_path):
+    t = IcebergLiteTable(_build_table(tmp_path))
+    got = t.read(spark, snapshot_id=1)
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3, 4]
+    assert [h["snapshot-id"] for h in t.history()] == [1, 2]
+    with pytest.raises(FileNotFoundError, match="snapshot 99"):
+        t.read(spark, snapshot_id=99)
+
+
+def test_iceberg_position_deletes_applied(spark, tmp_path):
+    """v2 position deletes (file_path, pos) remove exactly the named
+    rows: (A, pos 0) = id 1 and (C, pos 1) = id 6."""
+    t = IcebergLiteTable(_build_table(tmp_path, with_deletes=True))
+    got = t.read(spark)
+    assert sorted(r.id for r in got.collect()) == [2, 3, 4, 5]
+    # older snapshot is untouched by the later delete manifest
+    assert sorted(r.id for r in t.read(spark, snapshot_id=1).collect()) == [
+        1, 2, 3, 4
+    ]
+
+
+def test_iceberg_equality_deletes_refused(spark, tmp_path):
+    t = IcebergLiteTable(
+        _build_table(tmp_path, with_deletes=True, delete_kind=2)
+    )
+    with pytest.raises(IcebergProtocolError, match="EQUALITY deletes"):
+        t.read(spark)
+
+
+def test_iceberg_non_parquet_refused(spark, tmp_path):
+    t = IcebergLiteTable(_build_table(tmp_path, data_fmt="ORC"))
+    with pytest.raises(IcebergProtocolError, match="parquet only"):
+        t.read(spark)
+
+
+def test_iceberg_format_v3_refused(tmp_path):
+    root = tmp_path / "v3"
+    mdir = root / "metadata"
+    mdir.mkdir(parents=True)
+    with open(mdir / "v1.metadata.json", "w") as fh:
+        json.dump({"format-version": 3}, fh)
+    with pytest.raises(IcebergProtocolError, match="format-version=3"):
+        IcebergLiteTable(str(root)).metadata()
