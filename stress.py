@@ -12,14 +12,20 @@ plan's worst task reads a small fraction of what the plain plan's
 does.  Self-calibrating: the plain twin's measured wall is the
 denominator, so the assertion never goes stale as data sizes change.
 
-Shapes (mirroring the three round-2 scale-safety rewrites):
+Shapes (1-3 mirror the round-2 scale-safety rewrites; 4 the round-3
+attribution rewrite; 5 proves the STREAMING bounded-state claims):
   1. sessionize_salted vs sessionize — one user with 1M events;
   2. LSH candidate pairs with the hot-bucket cap — a 10k-doc
      identical-text crowd;
   3. with_grouped_rank vs a plain partitionBy(segment) window — one
-     segment holding 80% of 2M rows.
+     segment holding 80% of 2M rows;
+  4. pair-free attribution vs the 400M-pair interval join it avoids;
+  5. eventlog source -> stateful order tracker at ~0.9M events with a
+     500k-item hot key — asserts from the streaming query's
+     stateOperators metrics (NOT wall time) that state rows track
+     orders-in-flight, not events seen.
 
-Run: python stress.py   (~2-4 min on local[32]; exit 0 = all bounds hold)
+Run: python stress.py   (~3-5 min on local[32]; exit 0 = all bounds hold)
 """
 
 from __future__ import annotations
@@ -304,12 +310,124 @@ def main() -> None:
         failures.append("shape4 calibration: no touches credited")
     attr_events.unpersist()
 
+    # ---- shape 5: streaming state eviction under a hot-key flood -------
+    # ~0.9M items through eventlog -> applyInPandasWithState order
+    # tracker: 80k orders complete across micro-batch boundaries (state
+    # must persist, then EVICT), 1k orders stay open, and ONE hot order
+    # receives 500k items that repeat 5 product ids (num_products=6, so
+    # it never completes).  Bounded state = numRowsTotal tracks
+    # orders-in-flight (~1k), not orders seen (81k) and not events
+    # (0.9M); the hot key's half-million rows must collapse to ONE
+    # state row.  Metrics come from the query's stateOperators — wall
+    # time proves nothing about state.
+    import os
+    import shutil
+    import tempfile
+
+    from data_lakehouse_platform_spark.sources.eventlog_stream import (
+        EventLogStreamDataSource,
+        append_segment,
+    )
+    from data_lakehouse_platform_spark.streaming.order_tracker import (
+        track_order_completion,
+    )
+
+    DONE, OPEN, HOT_ITEMS, WAVES = 80_000, 1_000, 500_000, 4
+    sdir = tempfile.mkdtemp(prefix="stress-shape5-")
+    log_dir = os.path.join(sdir, "log")
+    ckpt = os.path.join(sdir, "ckpt")
+
+    def _item(order, prod, num):
+        return {"order_id": f"o{order}", "product_id": f"p{prod}",
+                "num_products": num, "customer_id": order}
+
+    waves: list[list[dict]] = [[] for _ in range(WAVES)]
+    for o in range(DONE):
+        w = o % WAVES
+        for i in range(4):  # 4 items now, the 5th in a DIFFERENT batch
+            waves[w].append(_item(o, i, 5))
+        waves[(w + 1) % WAVES].append(_item(o, 4, 5))
+    for o in range(OPEN):  # forever missing items 3..5
+        for i in range(3):
+            waves[o % WAVES].append(_item(DONE + 1 + o, i, 6))
+    for w in range(WAVES):  # the hot key: dupes must not grow state
+        for i in range(HOT_ITEMS // WAVES):
+            waves[w].append(_item(DONE, i % 5, 6))
+    n_stream_events = sum(len(wv) for wv in waves)
+
+    spark.dataSource.register(EventLogStreamDataSource)
+    items = (
+        spark.readStream.format("eventlog")
+        .schema(
+            "order_id string, product_id string, "
+            "num_products int, customer_id long"
+        )
+        .option("path", log_dir)
+        .load()
+    )
+    # One availableNow run per wave on a SHARED checkpoint: state
+    # persists in the state store across query restarts (the
+    # resume-exactly-once contract), and each wave is guaranteed its
+    # own micro-batch — so completion-then-eviction demonstrably
+    # crosses batch boundaries.  (A continuous trigger would spin
+    # no-data batches forever for processing-time timeouts.)
+    out_dir = os.path.join(sdir, "out")
+    t0 = time.perf_counter()
+    state_rows = None
+    for w in range(WAVES):
+        append_segment(log_dir, waves[w])
+        q = (
+            track_order_completion(items)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        for prog in reversed(q.recentProgress):
+            ops = prog.get("stateOperators") or []
+            if ops and ops[0].get("numRowsTotal") is not None:
+                state_rows = int(ops[0]["numRowsTotal"])
+                break
+    wall5 = time.perf_counter() - t0
+    n_complete = (
+        spark.read.parquet(out_dir).where("status = 'complete'").count()
+    )
+    shutil.rmtree(sdir, ignore_errors=True)
+    total_keys = DONE + OPEN + 1
+    print(f"[stream_state] events={n_stream_events:,} complete={n_complete:,} "
+          f"state_rows={state_rows} keys_seen={total_keys:,} "
+          f"wall={wall5:.1f}s", flush=True)
+    if n_complete != DONE:
+        failures.append(
+            f"shape5 EQUIVALENCE: {n_complete:,} completed orders != {DONE:,}"
+        )
+    if state_rows is None:
+        failures.append("shape5: no stateOperators metrics reported")
+    else:
+        # in-flight bound: open orders + the hot key, with slack for
+        # orders whose final item races the last batch; far below both
+        # keys-seen and events.
+        if state_rows > 3 * (OPEN + 1):
+            failures.append(
+                f"shape5 BOUND: state rows {state_rows:,} > 3x in-flight "
+                f"orders {OPEN + 1:,} — completed orders not evicted"
+            )
+        if state_rows >= 0.05 * total_keys:
+            failures.append(
+                f"shape5 BOUND: state rows {state_rows:,} >= 5% of keys "
+                f"seen {total_keys:,}"
+            )
+
     print()
     if failures:
         for f in failures:
             print(f"FAIL {f}")
         sys.exit(1)
-    print(f"ALL BOUNDS HOLD (events={n_events:,}, crowd={CROWD:,}, "
+    print(f"ALL BOUNDS HOLD (stream={n_stream_events:,}, "
+          f"events={n_events:,}, crowd={CROWD:,}, "
           f"orders={N:,})")
 
 
