@@ -36,10 +36,13 @@ Delta writers): the portable 64-bit RoaringBitmapArray payload is
 decoded dependency-free (Z85 inline, relative-UUID ``.bin`` files
 with CRC32 verification, or absolute paths) and deleted rows are
 filtered by ``_metadata.row_index`` — Spark's native per-file row
-position, the same coordinate system the bitmap indexes.  No type
-widening, no variant — a table advertising reader features beyond
-columnMapping + deletionVectors still makes this reader REFUSE
-loudly rather than return wrong rows.
+position, the same coordinate system the bitmap indexes — and on
+WRITE via :meth:`DeltaLiteTable.delete`: a SQL-predicate DELETE that
+marks rows in new/merged DVs instead of rewriting data files,
+upgrading the protocol (legacy-implied features preserved) on first
+use.  No type widening, no variant — a table advertising reader
+features beyond columnMapping + deletionVectors still makes this
+reader REFUSE loudly rather than return wrong rows.
 delta-spark, when present, reads tables this writer produces (plain
 v1 parquet + JSON log + spec-shaped checkpoint).
 
@@ -226,6 +229,75 @@ def _physicalize(dt):
     return dt
 
 
+def serialize_roaring_bitmap_array(values) -> bytes:
+    """PORTABLE-format 64-bit RoaringBitmapArray (array containers
+    <= 4096 values per 16-bit key space, bitset containers above —
+    never runs, which stay read-only here): the exact byte layout
+    :func:`roaring_bitmap_array_values` decodes, used by
+    :meth:`DeltaLiteTable.delete` to write DV payloads."""
+    import struct
+    from collections import defaultdict
+
+    by_high: dict[int, list[int]] = defaultdict(list)
+    for v in sorted(set(int(v) for v in values)):
+        if v < 0:
+            raise ValueError(f"negative row index {v}")
+        by_high[v >> 32].append(v & 0xFFFFFFFF)
+    out = bytearray(struct.pack("<iq", _ROARING_MAGIC, len(by_high)))
+    for high in sorted(by_high):
+        out += struct.pack("<i", high)
+        by_key: dict[int, list[int]] = defaultdict(list)
+        for lo in by_high[high]:
+            by_key[lo >> 16].append(lo & 0xFFFF)
+        n = len(by_key)
+        bm = bytearray(struct.pack("<ii", _SERIAL_COOKIE_NO_RUN, n))
+        for key in sorted(by_key):
+            bm += struct.pack("<HH", key, len(by_key[key]) - 1)
+        off = len(bm) + 4 * n  # offset header is mandatory for 12346
+        payload = bytearray()
+        for key in sorted(by_key):
+            bm += struct.pack("<I", off)
+            vals = by_key[key]
+            if len(vals) <= 4096:
+                payload += struct.pack(f"<{len(vals)}H", *vals)
+                off += 2 * len(vals)
+            else:
+                words = [0] * 1024
+                for v in vals:
+                    words[v >> 6] |= 1 << (v & 63)
+                payload += struct.pack("<1024Q", *words)
+                off += 8192
+        out += bm + payload
+    return bytes(out)
+
+
+# Legacy protocol versions imply fixed feature sets (PROTOCOL.md
+# "Table Features"); needed when a DELETE upgrades a v1/v2 table to the
+# feature-list protocol without dropping what the old version implied.
+_LEGACY_READER_FEATURES = {1: (), 2: ("columnMapping",)}
+_LEGACY_WRITER_FEATURES = {
+    1: (),
+    2: ("appendOnly", "invariants"),
+    3: ("appendOnly", "invariants", "checkConstraints"),
+    4: ("appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns"),
+    5: ("appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "columnMapping"),
+    6: ("appendOnly", "invariants", "checkConstraints",
+        "changeDataFeed", "generatedColumns", "columnMapping",
+        "identityColumns"),
+}
+
+#: delete() resolves matches to (file, row-index) pairs on the driver —
+#: bounded like the log itself.  Mass deletes should rewrite files
+#: (overwrite) instead; this cap turns the misuse into a named error.
+MAX_DELETE_ROWS = 2_000_000
+
+
+class DeleteTooLargeError(ValueError):
+    """delete() matched more rows than the DV path should carry."""
+
+
 class DeltaLiteTable:
     def __init__(self, path: str):
         self.path = path
@@ -371,37 +443,44 @@ class DeltaLiteTable:
 
     def _load_checkpoint(
         self, version: int, files: list[str]
-    ) -> tuple[dict, dict[str, dict]]:
+    ) -> tuple[dict, dict[str, dict], dict]:
         import pyarrow.parquet as pq
 
         meta: dict = {}
         live: dict[str, dict] = {}
+        proto: dict = {}
         for f in files:
             tbl = pq.read_table(os.path.join(self.log_dir, f))
             for row in tbl.to_pylist():
                 if row.get("protocol") is not None:
-                    self._check_protocol(self._plain(row["protocol"]))
+                    proto = self._plain(row["protocol"])
+                    self._check_protocol(proto)
                 if row.get("metaData") is not None:
                     meta = self._plain(row["metaData"])
                 if row.get("add") is not None:
                     add = self._plain(row["add"])
                     live[add["path"]] = add
-        return meta, live
+        return meta, live, proto
 
-    def _replay(self, to_version: int) -> tuple[dict, dict[str, dict]]:
+    def _replay(
+        self, to_version: int
+    ) -> tuple[dict, dict[str, dict], dict]:
         """Replay to a snapshot: seed from the newest checkpoint at or
         before ``to_version`` (if any), then apply the JSON commits
-        after it. Returns (metaData, {path: add-action}).  A gap in the
-        JSON chain that no checkpoint covers (over-eager external log
-        cleanup) raises instead of silently dropping history."""
+        after it. Returns (metaData, {path: add-action}, protocol).  A
+        gap in the JSON chain that no checkpoint covers (over-eager
+        external log cleanup) raises instead of silently dropping
+        history."""
         meta: dict = {}
         live: dict[str, dict] = {}
+        proto: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
         start_after = -1
         cps = self._checkpoints()
         eligible = [v for v in cps if v <= to_version]
         if eligible:
             cp = max(eligible)
-            meta, live = self._load_checkpoint(cp, cps[cp])
+            meta, live, cp_proto = self._load_checkpoint(cp, cps[cp])
+            proto = cp_proto or proto
             start_after = cp
         json_vs = [v for v in self._versions() if start_after < v <= to_version]
         expected = list(range(start_after + 1, to_version + 1))
@@ -415,13 +494,14 @@ class DeltaLiteTable:
             for a in self._actions(v):
                 if "protocol" in a:
                     self._check_protocol(a["protocol"])
+                    proto = a["protocol"]
                 elif "metaData" in a:
                     meta = a["metaData"]
                 elif "add" in a:
                     live[a["add"]["path"]] = a["add"]
                 elif "remove" in a:
                     live.pop(a["remove"]["path"], None)
-        return meta, live
+        return meta, live, proto
 
     # -- write ----------------------------------------------------------
 
@@ -442,7 +522,7 @@ class DeltaLiteTable:
         latest = self.latest_version()
         first = latest is None
         if not first:
-            meta, live = self._replay(latest)
+            meta, live, _proto = self._replay(latest)
             prev_part = meta.get("partitionColumns", [])
             if partition_by is not None and list(partition_by) != list(prev_part):
                 raise ValueError(
@@ -575,6 +655,169 @@ class DeltaLiteTable:
                     fh.write(json.dumps(a) + "\n")
             return version
 
+    @staticmethod
+    def _proto_with_dv(proto: dict) -> dict:
+        """Upgrade a protocol action to carry deletionVectors WITHOUT
+        dropping what the old version implied: legacy reader/writer
+        versions map to fixed feature sets per the spec's Table
+        Features section, and those are preserved in the explicit
+        feature lists of the upgraded v3/v7 protocol."""
+        mrv = proto.get("minReaderVersion", 1)
+        mwv = proto.get("minWriterVersion", 2)
+        rf = set(
+            proto.get("readerFeatures")
+            or _LEGACY_READER_FEATURES.get(mrv, ())
+        )
+        wf = set(
+            proto.get("writerFeatures")
+            or _LEGACY_WRITER_FEATURES.get(mwv, ())
+        )
+        if (
+            mrv >= 3
+            and mwv >= 7
+            and "deletionVectors" in rf
+            and "deletionVectors" in wf
+        ):
+            return proto
+        rf.add("deletionVectors")
+        wf.add("deletionVectors")
+        return {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(rf),
+            "writerFeatures": sorted(wf),
+        }
+
+    def delete(self, spark: SparkSession, predicate: str) -> dict:
+        """DELETE rows matching a SQL ``predicate`` WITHOUT rewriting
+        data files: matched (file, row-index) pairs are folded into
+        per-file deletion vectors (merged with any existing DV), the
+        bitmaps land in one ``deletion_vector_<uuid>.bin``, and the
+        commit remove+re-adds each touched file with the new
+        descriptor — the modern Delta DELETE shape
+        (reference gold flows rewrite whole partitions for this;
+        gold_dim_products.py:118-131 merge semantics).  First DV
+        commit upgrades the protocol to reader v3 / writer v7 with the
+        ``deletionVectors`` feature, preserving implied legacy
+        features.  Matches are resolved driver-side and capped at
+        ``MAX_DELETE_ROWS`` — mass deletes should rewrite files
+        (``write(mode='overwrite')``), and the cap turns that misuse
+        into a named error instead of a driver OOM."""
+        import zlib
+
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        meta, live, proto = self._replay(latest)
+        rows = (
+            self.read(spark, version=latest, _with_position=True)
+            .filter(predicate)
+            .select("__dv_path", "__dv_ridx")
+            .limit(MAX_DELETE_ROWS + 1)
+            .collect()
+        )
+        if len(rows) > MAX_DELETE_ROWS:
+            raise DeleteTooLargeError(
+                f"predicate matches more than {MAX_DELETE_ROWS:,} rows; "
+                "deletion vectors are for surgical deletes — rewrite the "
+                "table (write(mode='overwrite') with the rows filtered "
+                "out) for bulk removal"
+            )
+        if not rows:
+            return {"version": latest, "deleted_rows": 0, "files": 0}
+
+        root = os.path.abspath(self.path)
+        by_file: dict[str, set[int]] = {}
+        for r in rows:
+            ap = urllib.parse.unquote(r["__dv_path"])
+            rel = os.path.relpath(ap, root).replace(os.sep, "/")
+            by_file.setdefault(rel, set()).add(int(r["__dv_ridx"]))
+        for rel, ridxs in by_file.items():
+            if rel not in live:
+                raise DeltaProtocolError(
+                    f"matched file {rel} is not in the snapshot"
+                )
+            old_dv = live[rel].get("deletionVector")
+            if old_dv:  # grow, never shrink: union with prior deletes
+                ridxs.update(self._dv_deleted_rows(old_dv))
+
+        dv_uuid = uuid.uuid4()
+        fname = f"deletion_vector_{dv_uuid}.bin"
+        descriptors: dict[str, dict] = {}
+        tmp = os.path.join(self.path, f".{fname}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(b"\x01")  # DV file format version
+            for rel in sorted(by_file):
+                data = serialize_roaring_bitmap_array(by_file[rel])
+                offset = fh.tell()
+                fh.write(len(data).to_bytes(4, "big"))
+                fh.write(data)
+                fh.write(
+                    (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big")
+                )
+                descriptors[rel] = {
+                    "storageType": "u",
+                    "pathOrInlineDv": z85_encode(dv_uuid.bytes),
+                    "offset": offset,
+                    "sizeInBytes": len(data),
+                    "cardinality": len(by_file[rel]),
+                }
+        os.replace(tmp, os.path.join(self.path, fname))
+
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DELETE",
+                    "operationParameters": {"predicate": predicate},
+                    "engineInfo": "delta-lite/0.1 (deletion vectors)",
+                }
+            }
+        ]
+        new_proto = self._proto_with_dv(proto)
+        if new_proto != proto:
+            actions.append({"protocol": new_proto})
+        for rel in sorted(by_file):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+            new_add = dict(live[rel])
+            new_add["deletionVector"] = descriptors[rel]
+            new_add["modificationTime"] = now_ms
+            new_add["dataChange"] = True
+            actions.append({"add": new_add})
+
+        # DELETE is computed against `latest` — a lost commit race
+        # aborts (same stale-sensitive rule as overwrite).
+        from data_lakehouse_platform_spark.sources.table_format import (
+            ConcurrentModificationError,
+        )
+
+        target = os.path.join(self.log_dir, f"{latest + 1:020d}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentModificationError(
+                f"version {latest + 1} was committed concurrently; this "
+                f"DELETE was computed against version {latest} — re-read "
+                "and retry"
+            )
+        with os.fdopen(fd, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        return {
+            "version": latest + 1,
+            "deleted_rows": len(rows),
+            "files": len(by_file),
+        }
+
     # -- read -----------------------------------------------------------
 
     def read(
@@ -582,9 +825,12 @@ class DeltaLiteTable:
         spark: SparkSession,
         version: int | None = None,
         as_of_ts_ms: int | None = None,
+        _with_position: bool = False,
     ) -> DataFrame:
         """Snapshot read with optional time travel (``version`` or
-        Delta's timestampAsOf in unix millis)."""
+        Delta's timestampAsOf in unix millis).  ``_with_position``
+        (internal, used by :meth:`delete`) keeps the ``__dv_path`` /
+        ``__dv_ridx`` file-coordinate columns on the result."""
         if version is not None and as_of_ts_ms is not None:
             raise ValueError("pass version OR as_of_ts_ms, not both")
         vs = self.all_versions()
@@ -617,7 +863,7 @@ class DeltaLiteTable:
         v = vs[-1] if version is None else version
         if v not in vs:
             raise FileNotFoundError(f"version {v} not in log (have {vs})")
-        meta, live = self._replay(v)
+        meta, live, proto = self._replay(v)
 
         from pyspark.sql.types import StructField, StructType
 
@@ -692,7 +938,7 @@ class DeltaLiteTable:
             for f in schema.fields
             if f.name not in part_cols
         ]
-        if dv_map:
+        if dv_map or _with_position:
             proj.append(
                 F.regexp_replace(
                     F.col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/+", "/"
@@ -765,7 +1011,10 @@ class DeltaLiteTable:
             df = df.join(
                 ddf, on=["__dv_path", "__dv_ridx"], how="left_anti"
             )
-        return df.select(*[f.name for f in schema.fields])
+        cols = [f.name for f in schema.fields]
+        if _with_position:
+            cols += ["__dv_path", "__dv_ridx"]
+        return df.select(*cols)
 
     # -- checkpoints ------------------------------------------------------
 
@@ -786,11 +1035,16 @@ class DeltaLiteTable:
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
-        meta, live = self._replay(v)
+        meta, live, proto = self._replay(v)
 
         smap = pa.map_(pa.string(), pa.field("value", pa.string()))
         proto_t = pa.struct(
-            [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+            [
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string())),
+            ]
         )
         meta_t = pa.struct(
             [
@@ -830,7 +1084,18 @@ class DeltaLiteTable:
         def _mapify(d):
             return list((d or {}).items())
 
-        proto_col = [{"minReaderVersion": 1, "minWriterVersion": 2}]
+        # The REPLAYED protocol, not a hardcoded v1: checkpointing a
+        # DV- or column-mapped table must preserve its feature
+        # requirements or a post-clean_log reader loses the refusal
+        # guard.
+        proto_col = [
+            {
+                "minReaderVersion": proto.get("minReaderVersion", 1),
+                "minWriterVersion": proto.get("minWriterVersion", 2),
+                "readerFeatures": proto.get("readerFeatures"),
+                "writerFeatures": proto.get("writerFeatures"),
+            }
+        ]
         meta_col = [
             {
                 "id": meta.get("id"),

@@ -817,3 +817,92 @@ def test_roaring_decode_run_and_bitset_containers():
     # z85 round-trip
     raw = bytes(range(40))
     assert z85_decode(z85_encode(raw)) == raw
+
+
+def test_dv_delete_predicate_roundtrip(spark, tmp_path):
+    """delete(predicate) marks rows in DVs without rewriting files:
+    reads exclude them, a second delete MERGES into the existing DV,
+    time travel still sees pre-delete rows, and the protocol upgrades
+    to v3/v7 with deletionVectors while preserving implied legacy
+    writer features."""
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    # one file per commit so the second delete provably MERGES into
+    # the first file's existing DV
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))  # v0
+    t.write(_df(spark, [(4, "d"), (5, "e")]).coalesce(1),
+            mode="append")                                           # v1
+
+    res = t.delete(spark, "id IN (2, 5)")                      # v2
+    assert res == {"version": 2, "deleted_rows": 2, "files": 2}
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 3, 4]
+    # no data files were rewritten: v2 adds reference the SAME paths
+    acts = [json.loads(l) for l in
+            open(os.path.join(t.log_dir, f"{2:020d}.json"))]
+    adds = [a["add"] for a in acts if "add" in a]
+    assert all(a["deletionVector"]["storageType"] == "u" for a in adds)
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    # legacy writer v2 implied appendOnly/invariants — must survive
+    assert {"appendOnly", "invariants", "deletionVectors"} <= set(
+        proto["writerFeatures"]
+    )
+    # time travel: pre-delete snapshot unaffected
+    assert sorted(r.id for r in t.read(spark, version=1).collect()) == [
+        1, 2, 3, 4, 5
+    ]
+
+    res2 = t.delete(spark, "val = 'a'")                        # v3: merge
+    assert res2["version"] == 3 and res2["deleted_rows"] == 1
+    assert sorted(r.id for r in t.read(spark).collect()) == [3, 4]
+    # the touched file's DV now carries BOTH deletes (cardinality 2)
+    acts3 = [json.loads(l) for l in
+             open(os.path.join(t.log_dir, f"{3:020d}.json"))]
+    add3 = next(a["add"] for a in acts3 if "add" in a)
+    assert add3["deletionVector"]["cardinality"] == 2
+
+    # checkpoint + clean_log must preserve DVs AND the v3 protocol
+    t.checkpoint()
+    t.clean_log()
+    assert sorted(r.id for r in t.read(spark).collect()) == [3, 4]
+    t.write(_df(spark, [(9, "z")]), mode="append")
+    assert sorted(r.id for r in t.read(spark).collect()) == [3, 4, 9]
+
+
+def test_dv_delete_no_match_is_noop(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))
+    res = t.delete(spark, "id = 999")
+    assert res == {"version": 0, "deleted_rows": 0, "files": 0}
+    assert t.latest_version() == 0  # no commit written
+
+
+def test_dv_delete_cap_is_loud(spark, tmp_path, monkeypatch):
+    import data_lakehouse_platform_spark.sources.delta_lite as dl
+
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(i, "x") for i in range(10)]))
+    monkeypatch.setattr(dl, "MAX_DELETE_ROWS", 3)
+    with pytest.raises(dl.DeleteTooLargeError, match="rewrite the"):
+        t.delete(spark, "id >= 0")
+
+
+def test_dv_serializer_matches_reference_layout():
+    """Module serializer must emit byte-identical payloads to the
+    independently written test serializer (array + bitset shapes), and
+    round-trip through the decoder."""
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        roaring_bitmap_array_values,
+        serialize_roaring_bitmap_array,
+    )
+
+    for vals in (
+        [0, 2, 5],
+        [1, 3, (2 << 32) | 7, (2 << 32) | 9],         # two high words
+        list(range(0, 10000, 2)),                      # bitset container
+        [65535, 65536, 131071],                        # key boundaries
+    ):
+        ours = serialize_roaring_bitmap_array(vals)
+        ref = _serialize_roaring_array(vals)
+        assert ours == ref
+        assert roaring_bitmap_array_values(ours) == sorted(set(vals))
