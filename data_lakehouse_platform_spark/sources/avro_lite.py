@@ -300,9 +300,16 @@ def read_container(path: str) -> tuple[dict, list]:
 
 
 def write_container(
-    path: str, schema: dict, records: list, codec: str = "deflate"
+    path: str,
+    schema: dict,
+    records: list,
+    codec: str = "deflate",
+    extra_metadata: dict[str, bytes] | None = None,
 ) -> None:
-    """Write an Avro Object Container File (one block)."""
+    """Write an Avro Object Container File (one block).
+    ``extra_metadata`` adds file-level metadata entries — Iceberg
+    manifests carry ``schema`` / ``partition-spec`` / ``format-version``
+    keys that strict readers consult."""
     if codec not in ("null", "deflate"):
         raise AvroFormatError(f"unsupported codec {codec!r}")
     rec_codec = _Codec(schema)
@@ -322,6 +329,7 @@ def write_container(
         {
             "avro.schema": json.dumps(schema).encode("utf-8"),
             "avro.codec": codec.encode("utf-8"),
+            **(extra_metadata or {}),
         },
     )
     out += sync

@@ -24,9 +24,17 @@ Avro decoding is writer-schema-driven (sources/avro_lite.py), so
 manifests written by any engine decode without this module hard-coding
 Iceberg's Avro schemas.  Capability boundary, refused loudly rather
 than misread: format-version > 2, equality deletes, and non-parquet
-data files.  Writes are out of scope — SnapshotTable/DeltaLiteTable
-are the engine's write paths; this is the read edge for existing
-Iceberg tables.
+data files.
+
+WRITES (:meth:`IcebergLiteTable.write`) cover the migrate-OUT edge:
+unpartitioned v2 tables with append/overwrite snapshots — data parquet
+under ``data/``, a spec-shaped manifest + manifest list per commit
+(field-ids from the spec's manifest tables, ``schema`` /
+``partition-spec`` / ``format-version`` Avro file metadata), a new
+``v{N}.metadata.json`` + ``version-hint.text``, flat primitive
+columns only (nested types and partitioning refuse loudly — use
+SnapshotTable/DeltaLiteTable for the engine's full-featured native
+formats).
 """
 
 from __future__ import annotations
@@ -34,6 +42,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,6 +69,68 @@ def _local_path(uri: str) -> str:
     elif uri.startswith("file:"):
         uri = uri[len("file:"):]
     return urllib.parse.unquote(uri)
+
+
+# -- write-side Avro schemas (field-ids from the Iceberg spec's
+# manifest-list / manifest-entry tables) --------------------------------
+
+_ML_SCHEMA = {
+    "type": "record", "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+_MANIFEST_SCHEMA = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"],
+         "default": None, "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
+        {"name": "data_file", "field-id": 2, "type": {
+            "type": "record", "name": "r2",
+            "fields": [
+                {"name": "content", "type": "int", "field-id": 134},
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "partition", "field-id": 102, "type": {
+                    "type": "record", "name": "r102", "fields": []}},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long",
+                 "field-id": 104},
+            ]}},
+    ],
+}
+
+# Spark -> Iceberg primitive type names (metadata.json schema)
+_SPARK_TO_ICEBERG = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
 
 
 class IcebergLiteTable:
@@ -218,3 +289,206 @@ class IcebergLiteTable:
 
     def history(self) -> list[dict]:
         return self.metadata().get("snapshot-log", [])
+
+    # -- write (migrate-out edge) ---------------------------------------
+
+    def _iceberg_schema(self, df: DataFrame) -> list[dict]:
+        fields = []
+        for i, f in enumerate(df.schema.fields, start=1):
+            tn = f.dataType.typeName()
+            it = _SPARK_TO_ICEBERG.get(tn)
+            if it is None and tn.startswith("decimal"):
+                it = tn  # decimal(p,s) spells identically
+            if it is None:
+                raise IcebergProtocolError(
+                    f"column {f.name}: Spark type {tn} has no flat "
+                    "Iceberg mapping here — this writer covers primitive "
+                    "columns; use SnapshotTable/DeltaLiteTable for "
+                    "nested data"
+                )
+            fields.append(
+                {"id": i, "name": f.name, "required": False, "type": it}
+            )
+        return fields
+
+    def write(self, df: DataFrame, mode: str = "append") -> int:
+        """Commit ``df`` as a new v2 snapshot (returns its snapshot id).
+        ``append`` keeps prior manifests in the new manifest list;
+        ``overwrite`` starts the list fresh (full-table replace, the
+        prior snapshot stays time-travelable).  Unpartitioned, flat
+        primitive columns only — refused loudly otherwise."""
+        import uuid as uuidlib
+
+        from data_lakehouse_platform_spark.sources.avro_lite import (
+            write_container,
+        )
+
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        ice_fields = self._iceberg_schema(df)
+
+        exists = True
+        try:
+            meta = self.metadata()
+        except FileNotFoundError:
+            exists = False
+            meta = {
+                "format-version": 2,
+                "table-uuid": str(uuidlib.uuid4()),
+                "location": os.path.abspath(self.path),
+                "last-sequence-number": 0,
+                "last-updated-ms": 0,
+                "last-column-id": len(ice_fields),
+                "current-schema-id": 0,
+                "schemas": [{"type": "struct", "schema-id": 0,
+                             "fields": ice_fields}],
+                "default-spec-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "last-partition-id": 999,
+                "default-sort-order-id": 0,
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "current-snapshot-id": -1,
+                "snapshots": [],
+                "snapshot-log": [],
+                "metadata-log": [],
+            }
+        if exists:
+            cur = next(
+                (s["fields"] for s in meta.get("schemas", [])
+                 if s.get("schema-id") == meta.get("current-schema-id")),
+                None,
+            )
+            if cur is not None and [
+                (f["name"], f["type"]) for f in cur
+            ] != [(f["name"], f["type"]) for f in ice_fields]:
+                raise ValueError(
+                    "schema differs from table schema; align the "
+                    "DataFrame first (no implicit evolution)"
+                )
+            if meta.get("partition-specs", [{}])[0].get("fields"):
+                raise IcebergProtocolError(
+                    "partitioned Iceberg writes not supported here"
+                )
+
+        mdir = self.metadata_dir
+        ddir = os.path.join(self.path, "data")
+        os.makedirs(mdir, exist_ok=True)
+        os.makedirs(ddir, exist_ok=True)
+
+        # stage data files
+        import pyarrow.parquet as pq
+
+        stage = os.path.join(ddir, f"stage-{uuidlib.uuid4().hex[:12]}")
+        df.write.mode("errorifexists").parquet(stage)
+        data_files = []
+        for root, _d, files in os.walk(stage):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    full = os.path.join(root, f)
+                    data_files.append(
+                        (full, pq.read_metadata(full).num_rows,
+                         os.path.getsize(full))
+                    )
+
+        snaps = meta.get("snapshots", [])
+        snap_id = max((int(s["snapshot-id"]) for s in snaps), default=0) + 1
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        now_ms = int(time.time() * 1000)
+
+        entries = [
+            {
+                "status": 1, "snapshot_id": snap_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0, "file_path": path,
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": nrows, "file_size_in_bytes": size,
+                },
+            }
+            for path, nrows, size in data_files
+        ]
+        extra = {
+            "schema": json.dumps(
+                {"type": "struct", "schema-id": 0, "fields": ice_fields}
+            ).encode(),
+            "partition-spec": json.dumps([]).encode(),
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        }
+        mpath = os.path.join(mdir, f"m-{uuidlib.uuid4().hex}.avro")
+        write_container(mpath, _MANIFEST_SCHEMA, entries,
+                        extra_metadata=extra)
+        n_rows = sum(n for _, n, _ in data_files)
+        ml_rows = [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(data_files),
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0, "deleted_rows_count": 0,
+            }
+        ]
+        if mode == "append" and snaps:
+            cur_id = meta.get("current-snapshot-id")
+            cur_snap = next(
+                (s for s in snaps if int(s["snapshot-id"]) == cur_id), None
+            )
+            if cur_snap is not None:
+                for p, content in self._manifest_paths(cur_snap):
+                    ml_rows.append(
+                        {
+                            "manifest_path": p,
+                            "manifest_length": os.path.getsize(p),
+                            "partition_spec_id": 0, "content": content,
+                            "sequence_number": seq,
+                            "min_sequence_number": 0,
+                            "added_snapshot_id": snap_id,
+                            "added_files_count": 0,
+                            "existing_files_count": 0,
+                            "deleted_files_count": 0,
+                            "added_rows_count": 0,
+                            "existing_rows_count": 0,
+                            "deleted_rows_count": 0,
+                        }
+                    )
+        ml_path = os.path.join(
+            mdir, f"snap-{snap_id}-1-{uuidlib.uuid4().hex}.avro"
+        )
+        write_container(ml_path, _ML_SCHEMA, ml_rows,
+                        extra_metadata={"format-version": b"2"})
+
+        snap = {
+            "snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now_ms, "manifest-list": ml_path,
+            "summary": {"operation":
+                        "append" if mode == "append" else "overwrite"},
+            "schema-id": 0,
+        }
+        if exists and meta.get("current-snapshot-id", -1) != -1:
+            snap["parent-snapshot-id"] = meta["current-snapshot-id"]
+        meta["snapshots"] = snaps + [snap]
+        meta["current-snapshot-id"] = snap_id
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta.setdefault("snapshot-log", []).append(
+            {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+        )
+
+        # version the metadata file put-if-absent (HadoopCatalog shape)
+        version = 1
+        for f in os.listdir(mdir):
+            m = _VFILE_RE.match(f)
+            if m:
+                version = max(version, int(m.group(1)) + 1)
+        target = os.path.join(mdir, f"v{version}.metadata.json")
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            json.dump(meta, fh)
+        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+        return snap_id
