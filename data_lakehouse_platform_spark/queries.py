@@ -159,6 +159,7 @@ def all_queries() -> dict[str, Query]:
     # tests/test_oracle_parity.py::test_driver_first_50_stable), so new
     # modules must only ever append.
     from data_lakehouse_platform_spark import queries_sketch_ext  # noqa: F401
+    from data_lakehouse_platform_spark import queries_trend_ext  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -1,0 +1,530 @@
+"""Robust trend / changepoint / distribution-shift statistics and an
+exactly-computable BM25 retrieval ranking — round-4 additions to the
+registry (imported LAST in queries.all_queries(): the driver's
+first-50 set is pinned by registration order).
+
+Determinism strategy (the registry contract, see queries_robust_ext):
+every statistic reduces to integer counts, fixed-point
+``FLOOR(x * 100)`` cent sums (exact DECIMAL accumulation), pairwise
+integer differences, and at most ONE double divide of exact integers
+per emitted number — no engine transcendentals, no float-sum order
+dependence.
+
+Scale posture: the trend statistics aggregate to the MONTH/DAY
+calendar domain first, so every pairwise pass is bounded by the
+calendar squared (a few thousand rows at any corpus size), never by
+the fact table; BM25 is one corpus-stats scalar broadcast plus a
+map-only per-document score and a global top-k sort+limit.
+
+Reference analog: the reference's volume-anomaly DQ check
+(data_quality/*_validation.py) eyeballs row counts; Theil-Sen /
+Mann-Kendall / CUSUM / KS are the statistically defensible upgrades a
+lakehouse team actually deploys for drift detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.queries import _t, register
+
+# These queries deliberately aggregate revenue in integer CENTS
+# (scale 100), NOT money.SCALE micros: CUSUM multiplies the prefix sum
+# by the month count and KS cross-multiplies CDF counts, so the micros
+# scale would exit int64 around sf100 while cents hold to ~sf10000.
+# tests/test_oracle_parity.py's fixed-point-scale guard consumes this
+# declaration — an oracle here using any OTHER scale still fails it.
+CENT_SCALE_QUERIES = frozenset(
+    {
+        "theil_sen_trend",
+        "mann_kendall_trend",
+        "cusum_changepoint",
+        "ks_two_sample",
+    }
+)
+
+# Monthly order revenue in exact integer CENTS (floor + decimal sum:
+# identical on both engines, order-independent, and the pairwise
+# differences below stay far inside int64 even at large SF).
+_MONTHLY_CTE = """
+monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(28,0)))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+)
+"""
+
+
+def _monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("decimal(28,0)"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# ----------------------------------------------------------------------------
+
+_THEIL_SEN_ORACLE = f"""
+WITH {_MONTHLY_CTE},
+pairs AS (
+  SELECT a.month AS m_a,
+         CAST(date_diff('day', CAST(a.month AS DATE), CAST(b.month AS DATE))
+              AS BIGINT) AS ddays,
+         CAST(b.rev - a.rev AS DOUBLE)
+           / date_diff('day', CAST(a.month AS DATE), CAST(b.month AS DATE))
+           AS slope
+  FROM monthly a JOIN monthly b ON a.month < b.month
+),
+ranked AS (
+  SELECT slope,
+         ROW_NUMBER() OVER (ORDER BY slope, ddays, m_a) AS rn,
+         COUNT(*) OVER () AS n_pairs
+  FROM pairs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM monthly) AS n_months,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       slope AS sen_slope_cents_per_day
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+"""
+
+
+@register(
+    "theil_sen_trend",
+    _THEIL_SEN_ORACLE,
+    "Theil-Sen robust trend of monthly revenue: the median of all "
+    "pairwise slopes (lower median, deterministic tiebreak), immune "
+    "to the outlier months that wreck OLS (ols_daily_trend's "
+    "breakdown point is 0; Theil-Sen's is 29%). Slopes are ONE double "
+    "divide of exact integer cent-differences by exact day gaps, so "
+    "ranking and the emitted median are bit-stable. Pairs live on the "
+    "calendar-month domain — O(months^2) rows regardless of fact "
+    "size.",
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _monthly(spark, sf_dir)
+    a = m.alias("a")
+    b = m.alias("b")
+    ddays = F.datediff(F.to_date("b.month"), F.to_date("a.month"))
+    pairs = (
+        a.join(b, F.col("a.month") < F.col("b.month"))
+        .select(
+            F.col("a.month").alias("m_a"),
+            ddays.cast("bigint").alias("ddays"),
+            (
+                (F.col("b.rev") - F.col("a.rev")).cast("double") / ddays
+            ).alias("slope"),
+        )
+    )
+    w = Window.orderBy("slope", "ddays", "m_a")  # months^2 domain: bounded
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n_pairs"),
+    )
+    n_months = m.agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .crossJoin(F.broadcast(n_months))
+        .select(
+            F.col("c").alias("n_months"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("slope").alias("sen_slope_cents_per_day"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# Mann-Kendall trend test (exact S statistic + tie-corrected variance)
+# ----------------------------------------------------------------------------
+
+_MANN_KENDALL_ORACLE = f"""
+WITH {_MONTHLY_CTE},
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1
+                       WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM monthly a JOIN monthly b ON a.month < b.month
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly),
+ties AS (
+  SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+           AS tie_term
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM monthly GROUP BY rev HAVING COUNT(*) > 1) g
+)
+SELECT n.n_months,
+       s.s_stat,
+       CAST(n.n_months * (n.n_months - 1) * (2 * n.n_months + 5)
+            - ties.tie_term AS BIGINT) AS var_s_x18,
+       CAST(2 * s.s_stat AS DOUBLE)
+         / (n.n_months * (n.n_months - 1)) AS kendall_tau
+FROM s CROSS JOIN n CROSS JOIN ties
+"""
+
+
+@register(
+    "mann_kendall_trend",
+    _MANN_KENDALL_ORACLE,
+    "Mann-Kendall monotone-trend test on monthly revenue: S = sum of "
+    "pairwise signs (exact BIGINT), the tie-corrected variance "
+    "NUMERATOR var_s_x18 = n(n-1)(2n+5) - sum t(t-1)(2t+5) kept as an "
+    "exact integer (the /18 and sqrt belong to the caller's z-score, "
+    "not to cross-engine hashing), and Kendall's tau as one double "
+    "divide. Distribution-free where ols_daily_trend assumes "
+    "linearity; pairs bounded by the month calendar.",
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _monthly(spark, sf_dir)
+    a = m.alias("a")
+    b = m.alias("b")
+    s = (
+        a.join(b, F.col("a.month") < F.col("b.month"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev") > F.col("a.rev"), 1)
+                .when(F.col("b.rev") < F.col("a.rev"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_months"))
+    ties = (
+        m.groupBy("rev")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("tie_term")
+        )
+    )
+    nm = F.col("n_months")
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            nm,
+            F.col("s_stat"),
+            (nm * (nm - 1) * (2 * nm + 5) - F.col("tie_term"))
+            .cast("bigint")
+            .alias("var_s_x18"),
+            (
+                (2 * F.col("s_stat")).cast("double") / (nm * (nm - 1))
+            ).alias("kendall_tau"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# CUSUM changepoint (argmax of mean-centered cumulative deviation)
+# ----------------------------------------------------------------------------
+
+_CUSUM_ORACLE = f"""
+WITH {_MONTHLY_CTE},
+pre AS (
+  SELECT month,
+         CAST(SUM(rev) OVER (ORDER BY month) AS BIGINT) AS prefix,
+         ROW_NUMBER() OVER (ORDER BY month) AS t,
+         CAST(SUM(rev) OVER () AS BIGINT) AS total,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM monthly
+),
+dev AS (
+  SELECT month, n,
+         CAST(n * prefix - t * total AS BIGINT) AS d
+  FROM pre
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM dev LIMIT 1) AS n_months,
+       month AS changepoint_month,
+       CAST(d AS DOUBLE) / n AS cusum_stat_cents
+FROM dev
+ORDER BY ABS(d) DESC, month
+LIMIT 1
+"""
+
+
+@register(
+    "cusum_changepoint",
+    _CUSUM_ORACLE,
+    "CUSUM changepoint on monthly revenue: the month maximizing "
+    "|cumulative deviation from the global mean|, computed scale-free "
+    "as n*prefix_t - t*total (exact BIGINT — no mean division inside "
+    "the scan; the single divide by n happens once, on the emitted "
+    "statistic). Earliest month wins ties deterministically. The "
+    "window runs over the bounded month calendar; the same integer "
+    "trick holds to ~10^5x this SF before int64 cents overflow.",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _monthly(spark, sf_dir)
+    w = Window.orderBy("month")  # month-calendar domain: bounded
+    wall = Window.partitionBy()
+    pre = m.select(
+        "month",
+        F.sum("rev").over(w).cast("bigint").alias("prefix"),
+        F.row_number().over(w).alias("t"),
+        F.sum("rev").over(wall).cast("bigint").alias("total"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+    )
+    dev = pre.select(
+        "month",
+        "n",
+        (F.col("n") * F.col("prefix") - F.col("t") * F.col("total"))
+        .cast("bigint")
+        .alias("d"),
+    )
+    return (
+        dev.orderBy(F.abs(F.col("d")).desc(), F.col("month"))
+        .limit(1)
+        .select(
+            F.col("n").alias("n_months"),
+            F.to_date("month").alias("changepoint_month"),
+            (F.col("d").cast("double") / F.col("n")).alias(
+                "cusum_stat_cents"
+            ),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distance (exact rational supremum)
+# ----------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS hi,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(28,0)))
+              AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2
+),
+vals AS (
+  SELECT rev,
+         CAST(SUM(hi) AS BIGINT) AS c1,
+         CAST(SUM(1 - hi) AS BIGINT) AS c2
+  FROM daily GROUP BY rev
+),
+tot AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+  FROM vals
+),
+cum AS (
+  SELECT rev,
+         CAST(SUM(c1) OVER (ORDER BY rev) AS BIGINT) AS f1,
+         CAST(SUM(c2) OVER (ORDER BY rev) AS BIGINT) AS f2
+  FROM vals
+)
+SELECT tot.n1, tot.n2,
+       CAST(ABS(cum.f1 * tot.n2 - cum.f2 * tot.n1) AS BIGINT) AS d_num,
+       CAST(ABS(cum.f1 * tot.n2 - cum.f2 * tot.n1) AS DOUBLE)
+         / (tot.n1 * tot.n2) AS ks_d
+FROM cum CROSS JOIN tot
+ORDER BY ABS(cum.f1 * tot.n2 - cum.f2 * tot.n1) DESC, cum.rev
+LIMIT 1
+"""
+
+
+@register(
+    "ks_two_sample",
+    _KS_ORACLE,
+    "Two-sample Kolmogorov-Smirnov distance between the daily-revenue "
+    "distributions of high-priority (1-URGENT/2-HIGH) and "
+    "regular-priority order flow: sup over the merged support of "
+    "|F1 - F2|, held EXACT as the integer cross-product "
+    "|f1*n2 - f2*n1| until one final double divide by n1*n2 — no "
+    "float CDFs to drift. Support collapses to distinct per-(day,"
+    "class) revenue values first, so the ordered pass is bounded by "
+    "the calendar, not the order count. The drift detector behind "
+    "dq_volume_anomaly, upgraded from counts to whole distributions.",
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.to_date("o_orderdate").alias("day"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .alias("hi"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("decimal(28,0)"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    vals = daily.groupBy("rev").agg(
+        F.sum("hi").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("hi")).cast("bigint").alias("c2"),
+    )
+    tot = vals.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    w = Window.orderBy("rev")  # distinct daily values: calendar-bounded
+    cum = vals.select(
+        "rev",
+        F.sum("c1").over(w).cast("bigint").alias("f1"),
+        F.sum("c2").over(w).cast("bigint").alias("f2"),
+    )
+    d = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .orderBy(d.desc(), F.col("rev"))
+        .limit(1)
+        .select(
+            "n1",
+            "n2",
+            d.cast("bigint").alias("d_num"),
+            (d.cast("double") / (F.col("n1") * F.col("n2"))).alias("ks_d"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# BM25 retrieval top-k (log-free Robertson-Sparck-Jones idf, exact)
+# ----------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge", "vector")
+# k1 = 1.2 = 6/5, b = 0.75 = 3/4.  Per-term score with the RSJ odds
+# idf (N - df + 0.5)/(df + 0.5) — the log dropped so the whole term
+# is ONE divide of two exact BIGINT products (engine ln()s disagree in
+# the low bits; the log is monotone per term, and this variant is the
+# documented contract, not an approximation of another one):
+#   score_t = [ (2N - 2df + 1) * tf * 22 * sum_dl ]
+#           / [ (2df + 1) * (10 * sum_dl * tf + 3 * sum_dl + 9 * dl * N) ]
+# (derived by multiplying numerator and denominator of the standard
+#  tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) form by 10*sum_dl, with
+#  avgdl = sum_dl / N kept as the exact integer pair).
+
+_BM25_NORM = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(string_split({_BM25_NORM}, ' '), "
+        f"x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score_terms = " + ".join(
+        f"(CAST((2 * s.n - 2 * s.df{i} + 1) * d.tf{i} * 22 * s.sum_dl "
+        f"AS DOUBLE) / ((2 * s.df{i} + 1) * (10 * s.sum_dl * d.tf{i} "
+        f"+ 3 * s.sum_dl + 9 * d.dl * s.n)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split({_BM25_NORM}, ' ')) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {df_cols}
+  FROM toks
+)
+SELECT d.doc_id, d.dl, {score_terms} AS bm25,
+       CAST(ROW_NUMBER() OVER (ORDER BY ({score_terms}) DESC, d.doc_id)
+            AS BIGINT) AS rank
+FROM toks d CROSS JOIN stats s
+WHERE d.tf0 + d.tf1 + d.tf2 > 0
+ORDER BY rank
+LIMIT 20
+"""
+
+
+@register(
+    "bm25_topk",
+    _bm25_oracle(),
+    "BM25 top-20 retrieval over the document corpus for a fixed "
+    "3-term query (k1=1.2, b=0.75), with the Robertson-Sparck-Jones "
+    "odds idf kept LOG-FREE so each per-term score is one double "
+    "divide of two exact integer products (corpus stats N / sum_dl / "
+    "df as a 1-row broadcast; engine ln()s are not bit-portable and "
+    "the log is monotone per term — this exact variant IS the "
+    "contract). Map-only scoring + a global top-k sort-limit: the "
+    "retrieval primitive for corpus curation next to tfidf_top_terms, "
+    "at 100 TB a broadcast of three scalars and one scan.",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        T.ws_tokens("text").alias("__toks"),
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter("__toks", lambda x: x == F.lit(t)))
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        term = (
+            (
+                (2 * F.col("n") - 2 * F.col(f"df{i}") + 1)
+                * F.col(f"tf{i}")
+                * 22
+                * F.col("sum_dl")
+            ).cast("double")
+            / (
+                (2 * F.col(f"df{i}") + 1)
+                * (
+                    10 * F.col("sum_dl") * F.col(f"tf{i}")
+                    + 3 * F.col("sum_dl")
+                    + 9 * F.col("dl") * F.col("n")
+                )
+            )
+        )
+        score = term if score is None else score + term
+    scored = (
+        toks.crossJoin(F.broadcast(stats))
+        .filter(sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS))) > 0)
+        .select("doc_id", "dl", score.alias("bm25"))
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        scored.select(
+            "doc_id", "dl", "bm25",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= 20)
+    )

@@ -105,16 +105,22 @@ def test_oracle_fixed_point_scale_consistency():
     import re
 
     from data_lakehouse_platform_spark.functions.money import SCALE
+    from data_lakehouse_platform_spark.queries_trend_ext import (
+        CENT_SCALE_QUERIES,
+    )
 
     pat = re.compile(r"FLOOR\((.+?)\*\s*(\d+)\)\s*AS\s+DECIMAL\(28,\s*0\)")
     checked = 0
     for name, q in _QUERIES.items():
         if not q.oracle:
             continue
+        # the trend family declares integer CENTS on purpose (pairwise/
+        # prefix products must stay inside int64 at large SF)
+        expected = 100 if name in CENT_SCALE_QUERIES else SCALE
         for m in pat.finditer(q.oracle):
-            assert int(m.group(2)) == SCALE, (
+            assert int(m.group(2)) == expected, (
                 f"{name}: oracle fixed-point scale {m.group(2)} != "
-                f"money.SCALE {SCALE}"
+                f"expected {expected}"
             )
             checked += 1
     assert checked > 50  # the guard actually sees the inlined copies
