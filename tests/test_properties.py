@@ -357,3 +357,76 @@ def test_asof_salted_equals_plain_property(spark, lrows, rrows, direction, tol):
         tuple(r) for r in d.select(*cols).collect()
     )
     assert canon(plain) == canon(salted)
+
+
+# -- DV codec properties (no Spark session needed) -----------------------
+
+_row_indexes = st.sets(
+    st.one_of(
+        st.integers(min_value=0, max_value=1 << 17),        # dense low range
+        st.integers(min_value=0, max_value=(1 << 40) - 1),  # sparse high
+    ),
+    max_size=6000,
+)
+
+
+@given(_row_indexes)
+@settings(max_examples=40, deadline=None)
+def test_roaring_bitmap_array_roundtrip(vals):
+    """serialize -> decode is the identity on ANY row-index set the DV
+    writer can produce (array + bitset containers, multi-key, multi-
+    high-word) — the invariant deletion correctness rides on."""
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        roaring_bitmap_array_values,
+        serialize_roaring_bitmap_array,
+    )
+
+    assert roaring_bitmap_array_values(
+        serialize_roaring_bitmap_array(vals)
+    ) == sorted(vals)
+
+
+@given(st.binary(min_size=0, max_size=256).filter(lambda b: len(b) % 4 == 0))
+@settings(max_examples=40, deadline=None)
+def test_z85_roundtrip(raw):
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        z85_decode,
+        z85_encode,
+    )
+
+    assert z85_decode(z85_encode(raw)) == raw
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(max_size=20),
+            st.one_of(st.none(), st.integers(-(1 << 62), 1 << 62)),
+            st.lists(st.integers(-1000, 1000), max_size=8),
+        ),
+        max_size=20,
+    ),
+    st.sampled_from(["null", "deflate"]),
+)
+@settings(max_examples=25, deadline=None)
+def test_avro_container_property_roundtrip(tmp_path_factory, rows, codec):
+    """avro_lite write -> read is the identity over the type subset
+    Iceberg metadata uses (string/union-null-long/array), both codecs."""
+    from data_lakehouse_platform_spark.sources.avro_lite import (
+        read_container,
+        write_container,
+    )
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": ["null", "long"], "default": None},
+            {"name": "a", "type": {"type": "array", "items": "int"}},
+        ],
+    }
+    recs = [{"s": s, "n": n, "a": a} for s, n, a in rows]
+    p = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    write_container(p, schema, recs, codec=codec)
+    _, back = read_container(p)
+    assert back == recs
