@@ -528,3 +528,155 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 20)
     )
+
+
+# ----------------------------------------------------------------------------
+# IR evaluation: precision/recall/MRR/NDCG of the ANN ranking vs labels
+# ----------------------------------------------------------------------------
+
+_IR_K = 10
+# NDCG discount gains 1/log2(i+1) pre-scaled to INTEGER MICROS in
+# Python and injected into BOTH engines as identical literals: DCG
+# becomes an exact integer sum (order-free, engine-free) and the only
+# float op left is the final dcg/idcg divide.  (Engine log2()s are not
+# bit-portable; positions are fixed 1..k, so the constants are data-
+# independent.)
+import math as _math  # noqa: E402
+
+_IR_GAINS = [int(1_000_000 / _math.log2(i + 1)) for i in range(1, _IR_K + 1)]
+_IR_IDCG_PREFIX = [sum(_IR_GAINS[: i + 1]) for i in range(_IR_K)]
+
+
+def _ir_oracle() -> str:
+    gains_case = " ".join(
+        f"WHEN rank = {i + 1} THEN {g}" for i, g in enumerate(_IR_GAINS)
+    )
+    idcg_list = ", ".join(str(x) for x in _IR_IDCG_PREFIX)
+    return f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+      FROM e WHERE vec_id < 8),
+nrel AS (
+  SELECT q.query_id,
+         CAST(COUNT(*) FILTER (WHERE e.label = q.qlabel) AS BIGINT) AS n_rel
+  FROM q JOIN e ON e.vec_id != q.query_id
+  GROUP BY q.query_id
+),
+ranked AS (
+  SELECT query_id, cand_id, rel, rank FROM (
+    SELECT q.query_id, e.vec_id AS cand_id,
+           CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(v, v))) DESC, e.vec_id
+           ) AS rank
+    FROM e JOIN q ON e.vec_id != q.query_id
+  ) t WHERE rank <= {_IR_K}
+),
+agg AS (
+  SELECT query_id,
+         CAST(SUM(rel) AS BIGINT) AS hits_at_k,
+         MIN(CASE WHEN rel = 1 THEN rank END) AS first_hit,
+         CAST(SUM(CASE WHEN rel = 1 THEN (CASE {gains_case} END)
+                       ELSE 0 END) AS BIGINT) AS dcg_micros
+  FROM ranked GROUP BY query_id
+)
+SELECT a.query_id, n.n_rel, a.hits_at_k,
+       CAST(a.hits_at_k AS DOUBLE) / {_IR_K} AS precision_at_k,
+       CASE WHEN n.n_rel = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(a.hits_at_k AS DOUBLE) / n.n_rel END AS recall_at_k,
+       CASE WHEN a.first_hit IS NULL THEN CAST(0 AS DOUBLE)
+            ELSE CAST(1 AS DOUBLE) / a.first_hit END AS rr,
+       a.dcg_micros,
+       CASE WHEN n.n_rel = 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(a.dcg_micros AS DOUBLE)
+                 / ([{idcg_list}][CAST(LEAST(n.n_rel, {_IR_K}) AS INTEGER)])
+       END AS ndcg_at_k
+FROM agg a JOIN nrel n USING (query_id)
+"""
+
+
+@register(
+    "ir_eval_ann",
+    _ir_oracle(),
+    "Retrieval-quality scorecard for the exact cosine ranking against "
+    "label ground truth, per query (vec_id < 8, k=10): precision@k, "
+    "recall@k, reciprocal rank, and NDCG@k with the log2 discount "
+    "gains PRE-SCALED to integer micros in Python and injected as "
+    "literals — DCG/IDCG are exact integer sums, so the whole "
+    "scorecard is engine- and partitioning-invariant with one double "
+    "divide per emitted metric. The measurement layer every ANN "
+    "variant (LSH/IVF/PQ) plugs into: swap the ranking, keep the "
+    "oracle-checked metrics.",
+)
+def ir_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    ranked = S.ann_topk_bruteforce(emb, queries, k=_IR_K)
+    labels = emb.select("vec_id", "label")
+    qlab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    rel = (
+        ranked.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "cand_id")),
+            "cand_id",
+        )
+        .join(F.broadcast(qlab), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            F.when(F.col("label") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+        )
+    )
+    gains = F.array(*[F.lit(g) for g in _IR_GAINS])
+    agg = rel.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("hits_at_k"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_hit"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1, F.element_at(gains, F.col("rank"))
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dcg_micros"),
+    )
+    nrel = (
+        qlab.join(
+            F.broadcast(labels), F.col("vec_id") != F.col("query_id")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rel")
+        )
+    )
+    idcg_prefix = F.array(*[F.lit(x) for x in _IR_IDCG_PREFIX])
+    m = F.least(F.col("n_rel"), F.lit(_IR_K)).cast("int")
+    idcg = F.when(m > 0, F.element_at(idcg_prefix, m))
+    return agg.join(nrel, "query_id").select(
+        "query_id",
+        "n_rel",
+        "hits_at_k",
+        (F.col("hits_at_k").cast("double") / _IR_K).alias("precision_at_k"),
+        F.when(F.col("n_rel") == 0, F.lit(0.0))
+        .otherwise(F.col("hits_at_k").cast("double") / F.col("n_rel"))
+        .alias("recall_at_k"),
+        F.when(F.col("first_hit").isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0).cast("double") / F.col("first_hit"))
+        .alias("rr"),
+        "dcg_micros",
+        F.when(F.col("n_rel") == 0, F.lit(0.0))
+        .otherwise(F.col("dcg_micros").cast("double") / idcg)
+        .alias("ndcg_at_k"),
+    )
