@@ -358,20 +358,12 @@ class DeltaLiteTable:
             data = z85_decode(dv["pathOrInlineDv"])
             data = data[: int(dv["sizeInBytes"])]
         elif st in ("u", "p"):
-            if st == "u":
-                enc = dv["pathOrInlineDv"]
-                if len(enc) < 20:
-                    raise DeltaProtocolError(
-                        f"storageType=u pathOrInlineDv too short: {enc!r}"
-                    )
-                prefix, uuid_z85 = enc[:-20], enc[-20:]
-                dv_uuid = uuid.UUID(bytes=z85_decode(uuid_z85))
-                fname = f"deletion_vector_{dv_uuid}.bin"
-                path = os.path.join(self.path, prefix, fname) if prefix else (
-                    os.path.join(self.path, fname)
+            if st == "u" and len(dv["pathOrInlineDv"]) < 20:
+                raise DeltaProtocolError(
+                    "storageType=u pathOrInlineDv too short: "
+                    f"{dv['pathOrInlineDv']!r}"
                 )
-            else:
-                path = dv["pathOrInlineDv"]
+            path = self._dv_file_path(dv)
             size = int(dv["sizeInBytes"])
             with open(path, "rb") as fh:
                 fh.seek(int(dv["offset"]))
@@ -817,6 +809,147 @@ class DeltaLiteTable:
             "deleted_rows": len(rows),
             "files": len(by_file),
         }
+
+    # -- restore / vacuum ------------------------------------------------
+
+    def restore(self, version: int) -> int:
+        """Delta RESTORE: re-commit ``version``'s state as a NEW
+        version (history preserved, nothing rewound) — removes files
+        the current snapshot has that the target lacks, re-adds what
+        the target has (including its deletion-vector descriptors, so
+        restoring to a pre-DELETE version resurrects exactly the rows
+        that version could see).  metaData is re-emitted when the
+        target's differs; the protocol is never downgraded."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        if version not in self.all_versions():
+            raise FileNotFoundError(
+                f"version {version} not in log (have {self.all_versions()})"
+            )
+        meta_t, live_t, _proto_t = self._replay(version)
+        meta_c, live_c, _proto_c = self._replay(latest)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "RESTORE",
+                    "operationParameters": {"version": version},
+                    "engineInfo": "delta-lite/0.1",
+                }
+            }
+        ]
+        if meta_t != meta_c:
+            actions.append({"metaData": meta_t})
+        for pth in sorted(set(live_c) - set(live_t)):
+            actions.append(
+                {
+                    "remove": {
+                        "path": pth,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        for pth in sorted(live_t):
+            if live_c.get(pth) != live_t[pth]:
+                # absent in current, or present with a different DV —
+                # remove-then-add swaps in the target's descriptor
+                if pth in live_c:
+                    actions.append(
+                        {
+                            "remove": {
+                                "path": pth,
+                                "deletionTimestamp": now_ms,
+                                "dataChange": True,
+                            }
+                        }
+                    )
+                actions.append({"add": live_t[pth]})
+
+        from data_lakehouse_platform_spark.sources.table_format import (
+            ConcurrentModificationError,
+        )
+
+        target = os.path.join(self.log_dir, f"{latest + 1:020d}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentModificationError(
+                f"version {latest + 1} was committed concurrently; this "
+                f"RESTORE was computed against version {latest} — re-read "
+                "and retry"
+            )
+        with os.fdopen(fd, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        return latest + 1
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Delta VACUUM: delete data files and DV ``.bin`` files not
+        referenced by any of the last ``retain_last`` versions —
+        including orphaned staging debris from crashed writers.  Time
+        travel to a vacuumed version then FAILS LOUDLY on read
+        (missing file), exactly Delta's retention trade-off; the log
+        itself is untouched (that is :meth:`clean_log`'s job)."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        vs = self.all_versions()
+        if not vs:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        referenced: set[str] = set()
+        for v in vs[-retain_last:]:
+            _meta, live, _proto = self._replay(v)
+            for pth, a in live.items():
+                referenced.add(os.path.abspath(os.path.join(self.path, pth)))
+                dv = a.get("deletionVector")
+                if dv and dv.get("storageType") in ("u", "p"):
+                    referenced.add(
+                        os.path.abspath(self._dv_file_path(dv))
+                    )
+        removed: list[str] = []
+        for root, dirs, files in os.walk(self.path):
+            if os.path.abspath(root).startswith(
+                os.path.abspath(self.log_dir)
+            ):
+                dirs[:] = []
+                continue
+            for f in files:
+                full = os.path.abspath(os.path.join(root, f))
+                is_data = f.endswith(".parquet") or (
+                    f.startswith("deletion_vector_") and f.endswith(".bin")
+                )
+                if is_data and full not in referenced:
+                    os.remove(full)
+                    removed.append(full)
+        # drop now-empty staging directories
+        for root, dirs, files in os.walk(self.path, topdown=False):
+            if (
+                not dirs
+                and not files
+                and os.path.abspath(root)
+                != os.path.abspath(self.path)
+                and not os.path.abspath(root).startswith(
+                    os.path.abspath(self.log_dir)
+                )
+            ):
+                os.rmdir(root)
+        return sorted(removed)
+
+    def _dv_file_path(self, dv: dict) -> str:
+        """Filesystem path of an on-disk DV descriptor ('u' or 'p')."""
+        if dv["storageType"] == "p":
+            return dv["pathOrInlineDv"]
+        enc = dv["pathOrInlineDv"]
+        prefix, uuid_z85 = enc[:-20], enc[-20:]
+        dv_uuid = uuid.UUID(bytes=z85_decode(uuid_z85))
+        fname = f"deletion_vector_{dv_uuid}.bin"
+        return (
+            os.path.join(self.path, prefix, fname)
+            if prefix
+            else os.path.join(self.path, fname)
+        )
 
     # -- read -----------------------------------------------------------
 

@@ -906,3 +906,68 @@ def test_dv_serializer_matches_reference_layout():
         ref = _serialize_roaring_array(vals)
         assert ours == ref
         assert roaring_bitmap_array_values(ours) == sorted(set(vals))
+
+
+def test_restore_rewinds_state_preserving_history(spark, tmp_path):
+    """RESTORE commits the target version's file set as a NEW version:
+    post-overwrite restore resurrects the old rows, history keeps every
+    version, and restoring across a DV DELETE brings back exactly the
+    rows the target version could see."""
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))          # v0
+    t.write(_df(spark, [(9, "z")]).coalesce(1), mode="overwrite")  # v1
+    v = t.restore(0)                                               # v2
+    assert v == 2
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    assert sorted(r.id for r in t.read(spark, version=1).collect()) == [9]
+
+    t.delete(spark, "id = 1")                                      # v3
+    assert sorted(r.id for r in t.read(spark).collect()) == [2]
+    t.restore(2)                                                   # v4
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    assert t.latest_version() == 4
+    with pytest.raises(FileNotFoundError, match="version 99"):
+        t.restore(99)
+
+
+def test_vacuum_drops_unreferenced_files_and_orphans(spark, tmp_path):
+    """vacuum(retain_last=1) removes files only older versions (and
+    crashed-writer staging debris) reference — current reads keep
+    working, vacuumed-version time travel fails loudly."""
+    import os as _os
+
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]).coalesce(1))                    # v0
+    t.write(_df(spark, [(9, "z")]).coalesce(1), mode="overwrite")  # v1
+    # orphan staging debris from a "crashed" writer
+    _df(spark, [(99, "orphan")]).coalesce(1).write.parquet(
+        _os.path.join(t.path, "part-deadbeef0000")
+    )
+    removed = t.vacuum(retain_last=1)
+    assert removed  # v0's file + the orphan dir contents
+    assert [r.id for r in t.read(spark).collect()] == [9]
+    with pytest.raises(Exception):  # missing data file -> loud failure
+        t.read(spark, version=0).collect()
+    # retain_last=2 would have kept both: fresh table to prove it
+    t2 = DeltaLiteTable(str(tmp_path / "t2"))
+    t2.write(_df(spark, [(1, "a")]).coalesce(1))
+    t2.write(_df(spark, [(2, "b")]).coalesce(1), mode="overwrite")
+    assert t2.vacuum(retain_last=2) == []
+    assert [r.id for r in t2.read(spark, version=0).collect()] == [1]
+
+
+def test_vacuum_keeps_referenced_dv_bins(spark, tmp_path):
+    """A DV .bin referenced by the retained version survives vacuum;
+    reads still filter the deleted rows."""
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    t.delete(spark, "id = 2")
+    removed = t.vacuum(retain_last=1)
+    assert not any(p.endswith(".bin") for p in removed)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 3]
+    # restore past the delete, then vacuum the DV version away: the
+    # .bin is unreferenced by the retained (restored) version and goes
+    t.restore(0)
+    removed2 = t.vacuum(retain_last=1)
+    assert any(p.endswith(".bin") for p in removed2)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
