@@ -18,13 +18,18 @@ whose metadata is plain JSON + Avro, so a snapshot read needs no jar:
 * POSITION DELETES are parquet files of (file_path, pos) pairs —
   applied here via the same ``_metadata.row_index`` anti-join
   delta_lite uses for deletion vectors (both formats index 0-based
-  row positions within the named data file).
+  row positions within the named data file);
+* EQUALITY DELETES (v2) match rows on their ``equality_ids`` columns
+  and apply only to data files with sequence number STRICTLY BELOW
+  the delete's (spec sequencing, manifest-level inheritance honored):
+  per-row file sequences ride a bounded file->seq map and each delete
+  file becomes one null-safe anti-join.
 
 Avro decoding is writer-schema-driven (sources/avro_lite.py), so
 manifests written by any engine decode without this module hard-coding
 Iceberg's Avro schemas.  Capability boundary, refused loudly rather
-than misread: format-version > 2, equality deletes, and non-parquet
-data files.
+than misread: format-version > 2, non-parquet data files, equality
+deletes without equality_ids or referencing unknown field ids.
 
 WRITES (:meth:`IcebergLiteTable.write`) cover the migrate-OUT edge:
 unpartitioned v2 tables with append/overwrite snapshots — data parquet
@@ -186,23 +191,33 @@ class IcebergLiteTable:
 
     # -- snapshot read ---------------------------------------------------
 
-    def _manifest_paths(self, snap: dict) -> list[tuple[str, int]]:
-        """(manifest path, content) pairs — content 0 data, 1 deletes."""
+    def _manifest_paths(self, snap: dict) -> list[tuple[str, int, int]]:
+        """(manifest path, content, sequence_number) triples — content
+        0 data, 1 deletes; the manifest's sequence number is the
+        inheritance default for entries whose own is null (spec:
+        sequence-number inheritance)."""
         if "manifest-list" in snap:
             _, rows = read_container(_local_path(snap["manifest-list"]))
             return [
-                (_local_path(r["manifest_path"]), int(r.get("content") or 0))
+                (
+                    _local_path(r["manifest_path"]),
+                    int(r.get("content") or 0),
+                    int(r.get("sequence_number") or 0),
+                )
                 for r in rows
             ]
-        # v1 tables may embed the manifest list inline
-        return [(_local_path(p), 0) for p in snap.get("manifests", [])]
+        # v1 tables may embed the manifest list inline (no sequencing)
+        return [(_local_path(p), 0, 0) for p in snap.get("manifests", [])]
 
-    def _live_files(self, snap: dict) -> tuple[list[str], list[str]]:
-        """Replay the snapshot's manifests: returns (data file paths,
-        position-delete file paths); refuses equality deletes."""
-        data_files: list[str] = []
-        pos_deletes: list[str] = []
-        for mpath, mcontent in self._manifest_paths(snap):
+    def _live_files(
+        self, snap: dict
+    ) -> tuple[list[tuple[str, int]], list[dict]]:
+        """Replay the snapshot's manifests: returns
+        ((data file path, sequence) pairs, delete-file dicts with
+        {path, seq, kind, equality_ids})."""
+        data_files: list[tuple[str, int]] = []
+        deletes: list[dict] = []
+        for mpath, mcontent, mseq in self._manifest_paths(snap):
             _, entries = read_container(mpath)
             for e in entries:
                 if int(e.get("status") or 0) == 2:  # DELETED entry
@@ -210,24 +225,34 @@ class IcebergLiteTable:
                 df = e["data_file"]
                 content = int(df.get("content") or 0)
                 fmt = str(df.get("file_format", "")).upper()
-                if content == 2:
-                    raise IcebergProtocolError(
-                        "table has EQUALITY deletes; this reader applies "
-                        "position deletes only and refuses rather than "
-                        "resurrect deleted rows — compact the table "
-                        "(rewrite_position_delete_files / major "
-                        "compaction) or use an Iceberg runtime"
-                    )
                 if fmt != "PARQUET":
                     raise IcebergProtocolError(
                         f"data file format {fmt or '?'} not supported; "
                         "parquet only"
                     )
-                if content == 1 or mcontent == 1:
-                    pos_deletes.append(_local_path(df["file_path"]))
+                seq = e.get("sequence_number")
+                seq = mseq if seq is None else int(seq)
+                path = _local_path(df["file_path"])
+                if content == 2:
+                    eq_ids = df.get("equality_ids")
+                    if not eq_ids:
+                        raise IcebergProtocolError(
+                            f"equality delete file {path} carries no "
+                            "equality_ids — cannot determine the match "
+                            "columns; refusing rather than resurrect "
+                            "deleted rows"
+                        )
+                    deletes.append(
+                        {"path": path, "seq": seq, "kind": "eq",
+                         "equality_ids": [int(i) for i in eq_ids]}
+                    )
+                elif content == 1 or mcontent == 1:
+                    deletes.append(
+                        {"path": path, "seq": seq, "kind": "pos"}
+                    )
                 else:
-                    data_files.append(_local_path(df["file_path"]))
-        return data_files, pos_deletes
+                    data_files.append((path, seq))
+        return data_files, deletes
 
     def read(
         self, spark: SparkSession, snapshot_id: int | None = None
@@ -252,40 +277,96 @@ class IcebergLiteTable:
                 f"snapshot {snapshot_id} not in table (have "
                 f"{sorted(snaps)})"
             )
-        data_files, pos_deletes = self._live_files(snaps[snapshot_id])
+        data_files, deletes = self._live_files(snaps[snapshot_id])
         if not data_files:
             raise FileNotFoundError(
                 f"snapshot {snapshot_id} has no data files"
             )
-        df = spark.read.parquet(*data_files)
-        if pos_deletes:
+        df = spark.read.parquet(*[p for p, _ in data_files])
+        pos = [d for d in deletes if d["kind"] == "pos"]
+        eq = [d for d in deletes if d["kind"] == "eq"]
+        strip = lambda c: F.regexp_replace(  # noqa: E731
+            c, "^[a-zA-Z0-9+.-]+:/+", "/"
+        )
+        if pos or eq:
+            df = df.withColumn(
+                "__ib_path", strip(F.col("_metadata.file_path"))
+            ).withColumn("__ib_pos", F.col("_metadata.row_index"))
+        if pos:
             # Position-delete parquet: (file_path, pos[, row]).  Both
             # sides normalize to a scheme-less local path so the join
             # key matches _metadata.file_path regardless of URI
-            # spelling.
-            strip = lambda c: F.regexp_replace(  # noqa: E731
-                c, "^[a-zA-Z0-9+.-]+:/+", "/"
-            )
-            deletes = (
-                spark.read.parquet(*pos_deletes)
+            # spelling.  File paths are unique per Iceberg commit (uuid
+            # names), so the exact path match already scopes the delete
+            # to its target file generation.
+            pdel = (
+                spark.read.parquet(*[d["path"] for d in pos])
                 .select(
                     strip(F.col("file_path")).alias("__ib_path"),
                     F.col("pos").cast("long").alias("__ib_pos"),
                 )
             )
-            df = (
-                df.withColumn(
-                    "__ib_path", strip(F.col("_metadata.file_path"))
-                )
-                .withColumn("__ib_pos", F.col("_metadata.row_index"))
-                # No forced broadcast: delete files carry parquet size
-                # stats, so Spark broadcasts small ones on its own and
-                # a corpus-sized delete set degrades to a shuffled
-                # anti-join instead of a driver OOM.
-                .join(deletes, on=["__ib_path", "__ib_pos"], how="left_anti")
-                .drop("__ib_path", "__ib_pos")
+            # No forced broadcast: delete files carry parquet size
+            # stats, so Spark broadcasts small ones on its own and a
+            # corpus-sized delete set degrades to a shuffled anti-join
+            # instead of a driver OOM.
+            df = df.join(
+                pdel, on=["__ib_path", "__ib_pos"], how="left_anti"
             )
+        if eq:
+            # Equality deletes apply to rows of data files STRICTLY
+            # OLDER than the delete (data seq < delete seq, per spec) —
+            # attach each row's file sequence from the manifest
+            # metadata (bounded: one map entry per data file), then one
+            # null-safe anti-join per delete file on its equality_ids
+            # columns.  Delete-file count is bounded by compaction
+            # cadence, not data size.
+            id_to_name = self._field_names_by_id(meta)
+            seq_map = F.create_map(
+                *[
+                    x
+                    for p, s in data_files
+                    for x in (F.lit(os.path.abspath(p)), F.lit(s))
+                ]
+            )
+            df = df.withColumn("__ib_seq", seq_map[F.col("__ib_path")])
+            for d in sorted(eq, key=lambda d: (d["seq"], d["path"])):
+                try:
+                    cols = [id_to_name[i] for i in d["equality_ids"]]
+                except KeyError as ex:
+                    raise IcebergProtocolError(
+                        f"equality delete {d['path']} references unknown "
+                        f"field id {ex} — schema evolution beyond this "
+                        "reader; use an Iceberg runtime"
+                    )
+                edel = spark.read.parquet(d["path"]).select(
+                    *[F.col(c).alias(f"__ed_{c}") for c in cols]
+                )
+                cond = F.col("__ib_seq") < F.lit(d["seq"])
+                for c in cols:
+                    cond = cond & F.col(c).eqNullSafe(F.col(f"__ed_{c}"))
+                df = df.join(edel, on=cond, how="left_anti")
+            df = df.drop("__ib_seq")
+        if pos or eq:
+            df = df.drop("__ib_path", "__ib_pos")
         return df
+
+    @staticmethod
+    def _field_names_by_id(meta: dict) -> dict[int, str]:
+        """Top-level field id -> name for the current schema (v2
+        ``schemas`` list or v1 inline ``schema``)."""
+        schema = None
+        if "schemas" in meta:
+            sid = meta.get("current-schema-id", 0)
+            schema = next(
+                (s for s in meta["schemas"] if s.get("schema-id") == sid),
+                None,
+            )
+        if schema is None:
+            schema = meta.get("schema", {})
+        return {
+            int(f["id"]): f["name"] for f in schema.get("fields", [])
+        }
 
     def history(self) -> list[dict]:
         return self.metadata().get("snapshot-log", [])
@@ -439,13 +520,13 @@ class IcebergLiteTable:
                 (s for s in snaps if int(s["snapshot-id"]) == cur_id), None
             )
             if cur_snap is not None:
-                for p, content in self._manifest_paths(cur_snap):
+                for p, content, pseq in self._manifest_paths(cur_snap):
                     ml_rows.append(
                         {
                             "manifest_path": p,
                             "manifest_length": os.path.getsize(p),
                             "partition_spec_id": 0, "content": content,
-                            "sequence_number": seq,
+                            "sequence_number": pseq,
                             "min_sequence_number": 0,
                             "added_snapshot_id": snap_id,
                             "added_files_count": 0,

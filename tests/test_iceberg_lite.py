@@ -113,21 +113,25 @@ _MANIFEST_SCHEMA = {
                 {"name": "file_size_in_bytes", "type": "long"},
                 {"name": "column_sizes", "type": ["null", {
                     "type": "map", "values": "long"}], "default": None},
+                {"name": "equality_ids", "type": ["null", {
+                    "type": "array", "items": "int"}], "default": None},
             ]}},
     ],
 }
 
 
-def _entry(path, *, content=0, status=1, fmt="PARQUET"):
+def _entry(path, *, content=0, status=1, fmt="PARQUET", seq=1,
+           eq_ids=None):
     return {
-        "status": status, "snapshot_id": 1, "sequence_number": 1,
-        "file_sequence_number": 1,
+        "status": status, "snapshot_id": 1, "sequence_number": seq,
+        "file_sequence_number": seq,
         "data_file": {
             "content": content, "file_path": path, "file_format": fmt,
             "partition": {}, "record_count": 2,
             "file_size_in_bytes": os.path.getsize(path)
             if os.path.exists(path) else 0,
             "column_sizes": {"1": 64},
+            "equality_ids": eq_ids,
         },
     }
 
@@ -263,11 +267,52 @@ def test_iceberg_position_deletes_applied(spark, tmp_path):
     ]
 
 
-def test_iceberg_equality_deletes_refused(spark, tmp_path):
+def test_iceberg_equality_deletes_applied_with_seq_gating(spark, tmp_path):
+    """v2 equality deletes match on the equality_ids columns and apply
+    ONLY to data files with sequence < the delete's sequence: val 'A2'
+    (file A, seq 1) disappears, the same-valued row would not vanish
+    from a NEWER file — proven by deleting 'C5' (file C, seq 2) with a
+    seq-2 delete, which must survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "ice"
+    t = IcebergLiteTable(_build_table(tmp_path))
+    # C gets sequence 2 (rewrite m2 with seq=2); delete file at seq 2
+    # targets vals A2 and C5 by equality on 'val' (field id 2)
+    mdir = root / "metadata"
+    ddir = root / "data"
+    files_c = str(ddir / "C.parquet")
+    write_container(str(mdir / "m2.avro"), _MANIFEST_SCHEMA,
+                    [_entry(files_c, seq=2)])
+    epath = str(ddir / "eq-delete-0.parquet")
+    pq.write_table(pa.table({"val": pa.array(["A2", "C5"])}), epath)
+    md = str(mdir / "m-eqdel.avro")
+    write_container(md, _MANIFEST_SCHEMA,
+                    [_entry(epath, content=2, seq=2, eq_ids=[2])])
+    # rebuild snap-2 manifest list: m1 seq1, m2 seq2, delete seq2
+    ml2 = str(mdir / "snap-2-manifest-list.avro")
+    rows = [_manifest_list_row(str(mdir / "m1.avro"), 0),
+            {**_manifest_list_row(str(mdir / "m2.avro"), 0),
+             "sequence_number": 2},
+            {**_manifest_list_row(md, 1), "sequence_number": 2}]
+    write_container(ml2, _MANIFEST_LIST_SCHEMA, rows)
+
+    got = sorted((r.id, r.val) for r in t.read(spark).collect())
+    # A2 (seq 1 < 2) deleted; C5 (seq 2, NOT < 2) survives
+    assert got == [(1, "A1"), (3, "B3"), (4, "B4"),
+                   (5, "C5"), (6, "C6")]
+    # snapshot 1 predates the delete manifest entirely
+    assert sorted(r.id for r in t.read(spark, snapshot_id=1).collect()) == [
+        1, 2, 3, 4
+    ]
+
+
+def test_iceberg_equality_delete_without_ids_refused(spark, tmp_path):
     t = IcebergLiteTable(
         _build_table(tmp_path, with_deletes=True, delete_kind=2)
     )
-    with pytest.raises(IcebergProtocolError, match="EQUALITY deletes"):
+    with pytest.raises(IcebergProtocolError, match="no equality_ids"):
         t.read(spark)
 
 
