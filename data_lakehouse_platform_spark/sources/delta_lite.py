@@ -810,6 +810,64 @@ class DeltaLiteTable:
             "files": len(by_file),
         }
 
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+    ) -> dict:
+        """Copy-on-write MERGE (upsert): source rows matching on
+        ``keys`` replace the current rows, unmatched source rows
+        insert — the reference's ``DeltaTable.merge`` whenMatchedUpdate
+        / whenNotMatchedInsert shape (gold_dim_products.py:118-131) as
+        ONE atomic version.  The snapshot (including DV filtering) is
+        read, merged, and committed as a full rewrite — Delta's
+        copy-on-write merge; surgical row removal stays
+        :meth:`delete`'s DV path.  Duplicate keys in ``source`` are
+        refused (delta-spark raises the same multiple-source-rows-
+        matched error)."""
+        from pyspark.sql import functions as F
+
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        meta, _live, _proto = self._replay(latest)
+        current = self.read(spark, version=latest)
+        if sorted(source.columns) != sorted(current.columns):
+            raise ValueError(
+                "source schema differs from table schema; Delta-lite "
+                "does not evolve schemas implicitly — align the "
+                "DataFrame first"
+            )
+        dup = (
+            source.groupBy(*keys).count().filter(F.col("count") > 1)
+        )
+        if dup.limit(1).count() > 0:
+            raise ValueError(
+                f"source has duplicate keys on {keys}; MERGE requires "
+                "at most one source row per target row"
+            )
+        kept = current.join(
+            source.select(*keys), on=keys, how="left_anti"
+        )
+        merged = kept.unionByName(source.select(*current.columns))
+        part = meta.get("partitionColumns", [])
+        v = self.write(merged, mode="overwrite", partition_by=part or None)
+        # Re-tag the commit operation (write() stamped WRITE): the
+        # history should read MERGE, like delta-spark's.
+        log_file = os.path.join(self.log_dir, f"{v:020d}.json")
+        actions = [json.loads(ln) for ln in open(log_file)]
+        for a in actions:
+            if "commitInfo" in a:
+                a["commitInfo"]["operation"] = "MERGE"
+                a["commitInfo"]["operationParameters"] = {
+                    "matchedPredicates": "update", "keys": keys
+                }
+        with open(log_file, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        return {"version": v}
+
     # -- restore / vacuum ------------------------------------------------
 
     def restore(self, version: int) -> int:

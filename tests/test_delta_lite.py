@@ -971,3 +971,33 @@ def test_vacuum_keeps_referenced_dv_bins(spark, tmp_path):
     removed2 = t.vacuum(retain_last=1)
     assert any(p.endswith(".bin") for p in removed2)
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+
+
+def test_merge_upsert_one_atomic_version(spark, tmp_path):
+    """Copy-on-write MERGE: matched keys update, unmatched insert, one
+    new version, history reads MERGE; merging ON TOP of a DV delete
+    sees the filtered snapshot (deleted rows stay dead)."""
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    t.delete(spark, "id = 3")                                # v1 (DV)
+    res = t.merge(
+        spark, _df(spark, [(2, "B2"), (4, "d")]), keys=["id"]
+    )                                                        # v2
+    assert res == {"version": 2}
+    assert sorted((r.id, r.val) for r in t.read(spark).collect()) == [
+        (1, "a"), (2, "B2"), (4, "d")  # 3 stays deleted
+    ]
+    # one atomic version; history op is MERGE; time travel intact
+    ops = {h["version"]: h.get("operation") for h in t.history()}
+    assert ops[2] == "MERGE"
+    assert sorted(r.id for r in t.read(spark, version=0).collect()) == [
+        1, 2, 3
+    ]
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(spark, _df(spark, [(9, "x"), (9, "y")]), keys=["id"])
+    with pytest.raises(ValueError, match="schema differs"):
+        t.merge(
+            spark,
+            spark.createDataFrame([(1.5,)], "x double"),
+            keys=["x"],
+        )
