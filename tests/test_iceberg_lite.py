@@ -399,3 +399,47 @@ def test_iceberg_write_interop_with_snapshot_table(spark, tmp_path):
     assert sorted((r.id, r.val) for r in ice.read(spark).collect()) == [
         (1, "a"), (2, "b")
     ]
+
+
+def test_cross_format_triangle_capstone(spark, tmp_path):
+    """Migration capstone across all three table surfaces: engine-native
+    SnapshotTable content flows into a Delta table, survives a
+    deletion-vector DELETE and a copy-on-write MERGE there, exports to
+    an Iceberg v2 snapshot, and reads back identically everywhere —
+    the full escape hatch a reference user needs in either direction."""
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        DeltaLiteTable,
+    )
+    from data_lakehouse_platform_spark.sources.table_format import (
+        SnapshotTable,
+    )
+
+    def rows(df):
+        return sorted((r.id, r.val) for r in df.collect())
+
+    st = SnapshotTable(str(tmp_path / "native"))
+    st.write_snapshot(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate("abcdef", start=1)],
+            "id long, val string",
+        )
+    )
+
+    dl = DeltaLiteTable(str(tmp_path / "delta"))
+    dl.write(st.read(spark).coalesce(2))
+    dl.delete(spark, "id IN (2, 5)")          # DV path, no rewrite
+    dl.merge(
+        spark,
+        spark.createDataFrame([(6, "Z"), (7, "g")], "id long, val string"),
+        keys=["id"],
+    )
+    expect = [(1, "a"), (3, "c"), (4, "d"), (6, "Z"), (7, "g")]
+    assert rows(dl.read(spark)) == expect
+
+    ice = IcebergLiteTable(str(tmp_path / "ice"))
+    ice.write(dl.read(spark))
+    assert rows(ice.read(spark)) == expect
+
+    back = SnapshotTable(str(tmp_path / "roundtrip"))
+    back.write_snapshot(ice.read(spark))
+    assert rows(back.read(spark)) == expect
