@@ -680,3 +680,224 @@ def ir_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("dcg_micros").cast("double") / idcg)
         .alias("ndcg_at_k"),
     )
+
+
+# ----------------------------------------------------------------------------
+# Poisson rate anomaly (exact integer inequality, no sqrt)
+# ----------------------------------------------------------------------------
+
+_POISSON_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(SUM(n_events) AS BIGINT) AS t
+  FROM daily
+)
+SELECT day, n_events,
+       (CAST(d * n_events - t AS DOUBLE) * CAST(d * n_events - t AS DOUBLE))
+         / (d * t) AS z2,
+       CASE WHEN (CAST(d * n_events - t AS DOUBLE)
+                  * CAST(d * n_events - t AS DOUBLE)) > 9 * (d * t)
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM daily CROSS JOIN tot
+ORDER BY ABS(d * n_events - t) DESC, day
+LIMIT 10
+"""
+
+
+@register(
+    "poisson_rate_anomaly",
+    _POISSON_ORACLE,
+    "Ten most rate-deviant days against the 3-sigma Poisson band "
+    "around the global daily rate, WITHOUT sqrt or a float mean: the "
+    "test (n_d - T/D)^2 > 9*T/D is cross-multiplied to the exact-"
+    "integer deviation D*n_d - T, squared as one deterministic double "
+    "product, against the integer threshold 9*D*T (is_anomaly flag); "
+    "ranking by the exact |integer deviation| keeps the top-10 "
+    "engine-stable even when nothing crosses the band. The "
+    "statistically grounded form of dq_volume_anomaly's threshold "
+    "check; one tiny calendar-domain aggregate + a broadcast scalar.",
+)
+def poisson_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum("n_events").cast("bigint").alias("t"),
+    )
+    idiff = F.col("d") * F.col("n_events") - F.col("t")
+    diff = idiff.cast("double")
+    z2 = (diff * diff) / (F.col("d") * F.col("t"))
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .orderBy(F.abs(idiff).desc(), F.col("day"))
+        .limit(10)
+        .select(
+            "day",
+            "n_events",
+            z2.alias("z2"),
+            F.when(
+                (diff * diff) > 9 * (F.col("d") * F.col("t")), 1
+            )
+            .otherwise(0)
+            .alias("is_anomaly"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------------
+# Winsorized / trimmed mean (robust location via selection-rank fences)
+# ----------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+),
+stats AS (
+  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS total,
+         CAST(COUNT(*) // 20 AS BIGINT) AS k
+  FROM o GROUP BY priority
+),
+ranked AS (
+  SELECT priority, cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY priority ORDER BY cents, o_orderkey
+         ) AS rn
+  FROM o
+),
+fences AS (
+  SELECT r.priority,
+         CAST(MAX(CASE WHEN rn = s.k + 1 THEN cents END) AS BIGINT) AS lo,
+         CAST(MAX(CASE WHEN rn = s.n - s.k THEN cents END) AS BIGINT) AS hi
+  FROM ranked r JOIN stats s USING (priority)
+  GROUP BY r.priority
+),
+p2 AS (
+  SELECT o.priority,
+         CAST(SUM(LEAST(GREATEST(cents, lo), hi)) AS BIGINT) AS w_sum,
+         CAST(SUM(CASE WHEN cents < lo THEN cents ELSE 0 END) AS BIGINT)
+           AS sum_below,
+         CAST(SUM(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_below,
+         CAST(SUM(CASE WHEN cents > hi THEN cents ELSE 0 END) AS BIGINT)
+           AS sum_above,
+         CAST(SUM(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_above
+  FROM o JOIN fences USING (priority)
+  GROUP BY o.priority
+)
+SELECT s.priority, s.n, s.k,
+       CAST(f.lo AS DOUBLE) / 100 AS fence_lo,
+       CAST(f.hi AS DOUBLE) / 100 AS fence_hi,
+       CAST(p2.w_sum AS DOUBLE) / (s.n * 100) AS winsorized_mean,
+       CAST(s.total - p2.sum_below - (s.k - p2.cnt_below) * f.lo
+            - p2.sum_above - (s.k - p2.cnt_above) * f.hi AS DOUBLE)
+         / ((s.n - 2 * s.k) * 100) AS trimmed_mean
+FROM stats s JOIN fences f USING (priority) JOIN p2 USING (priority)
+"""
+
+
+@register(
+    "winsorized_stats",
+    _WINSOR_ORACLE,
+    "5% winsorized AND trimmed mean of order value per priority: fence "
+    "values come from TWO order statistics per group via "
+    "select_group_ranks (only buckets containing rank k+1 or n-k are "
+    "sorted — nothing persisted, task input bounded by bucket width at "
+    "any scale), then one clamp-sum pass. The trimmed sum avoids "
+    "ranking every row: total minus the strictly-outside mass minus "
+    "the tie-filling fence copies — exact integer cents throughout, "
+    "two divides at the end. The robust-location complement to "
+    "mad_order_values/iqr_outlier_fences.",
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.ranking import (
+        select_group_ranks,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+
+    def _fence_ranks(n: int) -> set[int]:
+        k = n // 20
+        return {k + 1, n - k}
+
+    sel = select_group_ranks(
+        o,
+        ["priority"],
+        [F.col("cents"), F.col("o_orderkey")],
+        bucket_key=F.col("cents"),
+        ranks_fn=_fence_ranks,
+        n_col="gn",
+    ).select("priority", "cents", "rn", "gn")
+    k_of = (F.col("gn") / 20).cast("bigint")
+    fences = sel.groupBy("priority").agg(
+        F.max(
+            F.when(F.col("rn") == k_of + 1, F.col("cents"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.col("gn") - k_of, F.col("cents"))
+        ).alias("hi"),
+        F.max("gn").cast("bigint").alias("n"),
+    ).withColumn("k", (F.col("n") / 20).cast("bigint"))
+    p2 = (
+        o.join(F.broadcast(fences), "priority")
+        .groupBy("priority")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("k").alias("k"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.sum("cents").cast("bigint").alias("total"),
+            F.sum(F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")))
+            .cast("bigint")
+            .alias("w_sum"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("sum_below"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_below"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("sum_above"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_above"),
+        )
+    )
+    trimmed_num = (
+        F.col("total")
+        - F.col("sum_below")
+        - (F.col("k") - F.col("cnt_below")) * F.col("lo")
+        - F.col("sum_above")
+        - (F.col("k") - F.col("cnt_above")) * F.col("hi")
+    )
+    return p2.select(
+        "priority",
+        "n",
+        "k",
+        (F.col("lo").cast("double") / 100).alias("fence_lo"),
+        (F.col("hi").cast("double") / 100).alias("fence_hi"),
+        (F.col("w_sum").cast("double") / (F.col("n") * 100)).alias(
+            "winsorized_mean"
+        ),
+        (
+            trimmed_num.cast("double")
+            / ((F.col("n") - 2 * F.col("k")) * 100)
+        ).alias("trimmed_mean"),
+    )
