@@ -868,6 +868,107 @@ class DeltaLiteTable:
                 fh.write(json.dumps(a) + "\n")
         return {"version": v}
 
+    def optimize(
+        self, spark: SparkSession, target_file_bytes: int = 128 << 20
+    ) -> dict:
+        """OPTIMIZE (bin-packing compaction): rewrite the current
+        snapshot's files into ~``target_file_bytes`` outputs as one
+        commit with ``dataChange: false`` adds (streaming readers of
+        the log know no rows changed).  Deletion vectors are PURGED —
+        deleted rows are physically dropped from the rewritten files,
+        exactly what Delta's OPTIMIZE does for DV tables — so the
+        table afterwards needs no DV support to read.  Old versions
+        stay time-travelable until :meth:`vacuum`."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        meta, live, _proto = self._replay(latest)
+        total = sum(int(a.get("size") or 0) for a in live.values())
+        n_out = max(1, -(-total // target_file_bytes))  # ceil division
+        part = meta.get("partitionColumns", [])
+        current = self.read(spark, version=latest)
+
+        stage = f"part-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, stage)
+        writer = current.coalesce(n_out).write.mode("errorifexists")
+        if part:
+            writer = writer.partitionBy(*part)
+        writer.parquet(out)
+
+        now_ms = int(time.time() * 1000)
+        adds = []
+        for root, _dirs, files in os.walk(out):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.path)
+                pvals: dict[str, str | None] = {}
+                for seg in os.path.relpath(root, out).split(os.sep):
+                    if "=" in seg:
+                        kcol, val = seg.split("=", 1)
+                        pvals[kcol] = (
+                            None
+                            if val == "__HIVE_DEFAULT_PARTITION__"
+                            else urllib.parse.unquote(val)
+                        )
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(full),
+                            "modificationTime": now_ms,
+                            "dataChange": False,
+                        }
+                    }
+                )
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "OPTIMIZE",
+                    "operationParameters": {
+                        "targetFileBytes": target_file_bytes
+                    },
+                    "engineInfo": "delta-lite/0.1",
+                }
+            }
+        ]
+        for pth in sorted(live):
+            actions.append(
+                {
+                    "remove": {
+                        "path": pth,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": False,
+                    }
+                }
+            )
+        actions.extend(adds)
+
+        from data_lakehouse_platform_spark.sources.table_format import (
+            ConcurrentModificationError,
+        )
+
+        target = os.path.join(self.log_dir, f"{latest + 1:020d}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentModificationError(
+                f"version {latest + 1} was committed concurrently; this "
+                f"OPTIMIZE was computed against version {latest} — "
+                "re-read and retry"
+            )
+        with os.fdopen(fd, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        return {
+            "version": latest + 1,
+            "files_before": len(live),
+            "files_after": len(adds),
+        }
+
     # -- restore / vacuum ------------------------------------------------
 
     def restore(self, version: int) -> int:

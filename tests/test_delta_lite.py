@@ -1001,3 +1001,33 @@ def test_merge_upsert_one_atomic_version(spark, tmp_path):
             spark.createDataFrame([(1.5,)], "x double"),
             keys=["x"],
         )
+
+
+def test_optimize_compacts_and_purges_dvs(spark, tmp_path):
+    """OPTIMIZE rewrites the small-file debris into one commit of
+    dataChange:false adds, physically drops DV-deleted rows (DV
+    purge), keeps old versions time-travelable, and vacuum then
+    reclaims the debris + the purged .bin."""
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    for i in range(4):  # four 1-row commits -> small-file debris
+        t.write(_df(spark, [(i, f"v{i}")]).coalesce(1), mode="append")
+    t.delete(spark, "id = 1")                                  # v4 (DV)
+    res = t.optimize(spark)                                    # v5
+    assert res["version"] == 5 and res["files_after"] == 1
+    assert res["files_before"] == 4
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 2, 3]
+    acts = [json.loads(l) for l in
+            open(os.path.join(t.log_dir, f"{5:020d}.json"))]
+    adds = [a["add"] for a in acts if "add" in a]
+    assert all(a["dataChange"] is False for a in adds)
+    assert all(not a.get("deletionVector") for a in adds)  # DV purged
+    ops = {h["version"]: h.get("operation") for h in t.history()}
+    assert ops[5] == "OPTIMIZE"
+    # pre-optimize version still readable until vacuum
+    assert sorted(r.id for r in t.read(spark, version=3).collect()) == [
+        0, 1, 2, 3
+    ]
+    removed = t.vacuum(retain_last=1)
+    assert sum(p.endswith(".parquet") for p in removed) == 4
+    assert any(p.endswith(".bin") for p in removed)
+    assert sorted(r.id for r in t.read(spark).collect()) == [0, 2, 3]
