@@ -32,14 +32,29 @@ than misread: format-version > 2, non-parquet data files, equality
 deletes without equality_ids or referencing unknown field ids.
 
 WRITES (:meth:`IcebergLiteTable.write`) cover the migrate-OUT edge:
-unpartitioned v2 tables with append/overwrite snapshots — data parquet
-under ``data/``, a spec-shaped manifest + manifest list per commit
+v2 tables with append/overwrite snapshots — data parquet under
+``data/``, a spec-shaped manifest + manifest list per commit
 (field-ids from the spec's manifest tables, ``schema`` /
 ``partition-spec`` / ``format-version`` Avro file metadata), a new
 ``v{N}.metadata.json`` + ``version-hint.text``, flat primitive
-columns only (nested types and partitioning refuse loudly — use
+columns only (nested types refuse loudly — use
 SnapshotTable/DeltaLiteTable for the engine's full-featured native
 formats).
+
+PARTITIONING (Iceberg's "hidden partitioning"): writes accept
+``partition_by=[("col", "identity"|"day"|"month"), ...]`` — the
+transform values are computed as derived columns and the stage write
+is ``partitionBy`` over them (one distributed pass, no driver loop;
+the SOURCE columns stay in the data files as the spec requires, only
+the derived transform columns land in directory names).  Each data
+file's partition tuple is recorded in its manifest entry's
+``partition`` record (avro field-ids from the table's partition
+spec), which is what makes SCAN PLANNING work at 100 TB: ``read(...,
+partition_filter=...)`` prunes data files from the MANIFEST alone —
+no parquet footer is opened for a pruned file.  File-level pruning on
+partition values is exact (every row in a data file shares the
+file's partition tuple).  Unsupported transforms (bucket/truncate/
+hour/...) refuse loudly on both read-plan and write paths.
 """
 
 from __future__ import annotations
@@ -66,14 +81,20 @@ _SEQFILE_RE = re.compile(r"^(\d+)-[0-9a-fA-F-]+(?:\.gz)?\.metadata\.json$")
 
 def _local_path(uri: str) -> str:
     """Iceberg metadata stores full URIs; strip the scheme for local
-    filesystem access (file:///x, file:/x -> /x)."""
+    filesystem access (file:///x, file:/x -> /x).  Percent-decoding
+    applies only to URI forms — a bare path is already the literal
+    on-disk name (hive-escaped partition dirs legitimately contain
+    ``%XX`` sequences that must NOT be decoded)."""
+    is_uri = False
     if "://" in uri:
+        is_uri = True
         uri = uri.split("://", 1)[1]
         if not uri.startswith("/"):
             uri = "/" + uri
     elif uri.startswith("file:"):
+        is_uri = True
         uri = uri[len("file:"):]
-    return urllib.parse.unquote(uri)
+    return urllib.parse.unquote(uri) if is_uri else uri
 
 
 # -- write-side Avro schemas (field-ids from the Iceberg spec's
@@ -98,30 +119,43 @@ _ML_SCHEMA = {
     ],
 }
 
-_MANIFEST_SCHEMA = {
-    "type": "record", "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"],
-         "default": None, "field-id": 1},
-        {"name": "sequence_number", "type": ["null", "long"],
-         "default": None, "field-id": 3},
-        {"name": "file_sequence_number", "type": ["null", "long"],
-         "default": None, "field-id": 4},
-        {"name": "data_file", "field-id": 2, "type": {
-            "type": "record", "name": "r2",
-            "fields": [
-                {"name": "content", "type": "int", "field-id": 134},
-                {"name": "file_path", "type": "string", "field-id": 100},
-                {"name": "file_format", "type": "string", "field-id": 101},
-                {"name": "partition", "field-id": 102, "type": {
-                    "type": "record", "name": "r102", "fields": []}},
-                {"name": "record_count", "type": "long", "field-id": 103},
-                {"name": "file_size_in_bytes", "type": "long",
-                 "field-id": 104},
-            ]}},
-    ],
-}
+def _manifest_schema(partition_fields: list[dict] | None = None) -> dict:
+    """manifest_entry Avro schema; ``partition_fields`` are the r102
+    partition-record fields ({"name", "type", "field-id"} each, nullable
+    unions added here) for the table's partition spec."""
+    part = [
+        {"name": pf["name"], "type": ["null", pf["type"]],
+         "default": None, "field-id": pf["field-id"]}
+        for pf in (partition_fields or [])
+    ]
+    return {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"],
+             "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"],
+             "default": None, "field-id": 4},
+            {"name": "data_file", "field-id": 2, "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string",
+                     "field-id": 100},
+                    {"name": "file_format", "type": "string",
+                     "field-id": 101},
+                    {"name": "partition", "field-id": 102, "type": {
+                        "type": "record", "name": "r102",
+                        "fields": part}},
+                    {"name": "record_count", "type": "long",
+                     "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long",
+                     "field-id": 104},
+                ]}},
+        ],
+    }
 
 # Spark -> Iceberg primitive type names (metadata.json schema)
 _SPARK_TO_ICEBERG = {
@@ -136,6 +170,77 @@ _SPARK_TO_ICEBERG = {
     "timestamp_ntz": "timestamp",
     "binary": "binary",
 }
+
+# -- partition transforms (spec §Partition Transforms) -------------------
+# Only exact, engine-portable transforms: identity on discrete types,
+# day/month on date-ish sources (int days / months since epoch, computed
+# in the engine's pinned-UTC session so the value is calendar-stable).
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# identity source type -> avro value type for the manifest partition
+# record (day -> int with the date logical type, month -> plain int)
+_IDENTITY_AVRO = {
+    "int": "int",
+    "long": "long",
+    "string": "string",
+    "date": {"type": "int", "logicalType": "date"},
+}
+
+
+def _transform_expr(col: str, transform: str, src_type: str):
+    """Spark expression computing the partition value for one field.
+    ``src_type`` is the ICEBERG source type (already mapped)."""
+    if transform == "identity":
+        if src_type not in _IDENTITY_AVRO:
+            raise IcebergProtocolError(
+                f"identity partitioning on {src_type} column {col!r} is "
+                "not supported here (timestamps are not directory-stable)"
+                " — use the day() or month() transform instead"
+            )
+        return F.col(col)
+    if transform == "day":
+        if src_type not in ("date", "timestamp", "timestamptz"):
+            raise IcebergProtocolError(
+                f"day() needs a date/timestamp source, got {src_type} "
+                f"for {col!r}"
+            )
+        return F.datediff(F.col(col).cast("date"), F.lit("1970-01-01"))
+    if transform == "month":
+        if src_type not in ("date", "timestamp", "timestamptz"):
+            raise IcebergProtocolError(
+                f"month() needs a date/timestamp source, got {src_type} "
+                f"for {col!r}"
+            )
+        d = F.col(col).cast("date")
+        return (F.year(d) - F.lit(1970)) * F.lit(12) + F.month(d) - F.lit(1)
+    raise IcebergProtocolError(
+        f"partition transform {transform!r} not supported here "
+        "(identity/day/month only) — use an Iceberg runtime"
+    )
+
+
+def _partition_avro_type(transform: str, src_type: str):
+    if transform == "identity":
+        return _IDENTITY_AVRO[src_type]
+    if transform == "day":
+        return {"type": "int", "logicalType": "date"}
+    return "int"  # month
+
+
+def _hive_dir_value(raw: str, transform: str, src_type: str):
+    """Directory-name string back to the typed partition value."""
+    if raw == _HIVE_NULL:
+        return None
+    if transform in ("day", "month"):
+        return int(raw)
+    if src_type in ("int", "long"):
+        return int(raw)
+    if src_type == "date":
+        import datetime as _dt
+
+        return (_dt.date.fromisoformat(raw) - _dt.date(1970, 1, 1)).days
+    return urllib.parse.unquote(raw)
 
 
 class IcebergLiteTable:
@@ -211,11 +316,11 @@ class IcebergLiteTable:
 
     def _live_files(
         self, snap: dict
-    ) -> tuple[list[tuple[str, int]], list[dict]]:
+    ) -> tuple[list[tuple[str, int, dict]], list[dict]]:
         """Replay the snapshot's manifests: returns
-        ((data file path, sequence) pairs, delete-file dicts with
-        {path, seq, kind, equality_ids})."""
-        data_files: list[tuple[str, int]] = []
+        ((data file path, sequence, partition dict) triples,
+        delete-file dicts with {path, seq, kind, equality_ids})."""
+        data_files: list[tuple[str, int, dict]] = []
         deletes: list[dict] = []
         for mpath, mcontent, mseq in self._manifest_paths(snap):
             _, entries = read_container(mpath)
@@ -251,19 +356,23 @@ class IcebergLiteTable:
                         {"path": path, "seq": seq, "kind": "pos"}
                     )
                 else:
-                    data_files.append((path, seq))
+                    part = df.get("partition")
+                    data_files.append(
+                        (path, seq, dict(part) if part else {})
+                    )
         return data_files, deletes
 
-    def read(
-        self, spark: SparkSession, snapshot_id: int | None = None
-    ) -> DataFrame:
-        """Snapshot read (current snapshot, or time travel by id).
-
-        Identity-partitioned source columns are PRESENT in Iceberg data
-        files (unlike hive layouts), so reading the parquet directly
-        yields complete rows; position deletes are applied by
-        (file, row-position) anti-join.
-        """
+    def plan_files(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter=None,
+    ) -> tuple[list[tuple[str, int, dict]], list[dict]]:
+        """Scan planning: the snapshot's live (data file, sequence,
+        partition) triples after MANIFEST-ONLY partition pruning, plus
+        its delete files.  ``partition_filter`` is either a dict of
+        {partition field name: value-or-collection} equality matches or
+        a callable over the partition dict; pruning never opens a
+        parquet footer, so at 100 TB this is metadata-sized work."""
         meta = self.metadata()
         snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
         if snapshot_id is None:
@@ -278,11 +387,58 @@ class IcebergLiteTable:
                 f"{sorted(snaps)})"
             )
         data_files, deletes = self._live_files(snaps[snapshot_id])
+        if partition_filter is not None:
+            if callable(partition_filter):
+                keep = partition_filter
+            else:
+                flt = dict(partition_filter)
+                known = {k for _, _, part in data_files for k in part}
+                unknown = set(flt) - known
+                if data_files and unknown:
+                    raise IcebergProtocolError(
+                        f"partition_filter names {sorted(unknown)} not in "
+                        f"the table's partition spec (have {sorted(known)})"
+                    )
+
+                def keep(part, _flt=flt):
+                    for k, want in _flt.items():
+                        have = part.get(k)
+                        if isinstance(want, (list, tuple, set, frozenset)):
+                            if have not in want:
+                                return False
+                        elif have != want:
+                            return False
+                    return True
+
+            data_files = [t for t in data_files if keep(t[2])]
+        return data_files, deletes
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        partition_filter=None,
+    ) -> DataFrame:
+        """Snapshot read (current snapshot, or time travel by id).
+
+        Identity-partitioned source columns are PRESENT in Iceberg data
+        files (unlike hive layouts), so reading the parquet directly
+        yields complete rows; position deletes are applied by
+        (file, row-position) anti-join.  ``partition_filter`` prunes
+        data files from manifest partition values (see
+        :meth:`plan_files`) — exact file-level filtering, since every
+        row in a data file shares the file's partition tuple.
+        """
+        meta = self.metadata()
+        data_files, deletes = self.plan_files(snapshot_id, partition_filter)
         if not data_files:
             raise FileNotFoundError(
-                f"snapshot {snapshot_id} has no data files"
+                f"snapshot {snapshot_id or self.current_snapshot_id()} "
+                "has no data files"
+                + (" matching the partition filter"
+                   if partition_filter is not None else "")
             )
-        df = spark.read.parquet(*[p for p, _ in data_files])
+        df = spark.read.parquet(*[p for p, _s, _pt in data_files])
         pos = [d for d in deletes if d["kind"] == "pos"]
         eq = [d for d in deletes if d["kind"] == "eq"]
         strip = lambda c: F.regexp_replace(  # noqa: E731
@@ -325,7 +481,7 @@ class IcebergLiteTable:
             seq_map = F.create_map(
                 *[
                     x
-                    for p, s in data_files
+                    for p, s, _pt in data_files
                     for x in (F.lit(os.path.abspath(p)), F.lit(s))
                 ]
             )
@@ -392,12 +548,24 @@ class IcebergLiteTable:
             )
         return fields
 
-    def write(self, df: DataFrame, mode: str = "append") -> int:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list | None = None,
+    ) -> int:
         """Commit ``df`` as a new v2 snapshot (returns its snapshot id).
         ``append`` keeps prior manifests in the new manifest list;
         ``overwrite`` starts the list fresh (full-table replace, the
-        prior snapshot stays time-travelable).  Unpartitioned, flat
-        primitive columns only — refused loudly otherwise."""
+        prior snapshot stays time-travelable).  Flat primitive columns
+        only — refused loudly otherwise.
+
+        ``partition_by`` (creation only; appends inherit the table's
+        spec) is a list of ``"col"`` (identity) or ``("col",
+        "identity"|"day"|"month")`` entries.  Partition values land in
+        each manifest entry so :meth:`read` can prune files without
+        touching parquet.
+        """
         import uuid as uuidlib
 
         from data_lakehouse_platform_spark.sources.avro_lite import (
@@ -407,6 +575,29 @@ class IcebergLiteTable:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         ice_fields = self._iceberg_schema(df)
+        id_to_name = {f["id"]: f["name"] for f in ice_fields}
+        id_to_type = {f["id"]: f["type"] for f in ice_fields}
+        name_to_id = {f["name"]: f["id"] for f in ice_fields}
+
+        want = [
+            (item, "identity") if isinstance(item, str) else tuple(item)
+            for item in (partition_by or [])
+        ]
+        for c, _tr in want:
+            if c not in name_to_id:
+                raise ValueError(
+                    f"partition column {c!r} not in the DataFrame "
+                    f"(have {sorted(name_to_id)})"
+                )
+        spec_fields = [
+            {
+                "name": c if tr == "identity" else f"{c}_{tr}",
+                "transform": tr,
+                "source-id": name_to_id[c],
+                "field-id": 1000 + i,
+            }
+            for i, (c, tr) in enumerate(want)
+        ]
 
         exists = True
         try:
@@ -424,8 +615,10 @@ class IcebergLiteTable:
                 "schemas": [{"type": "struct", "schema-id": 0,
                              "fields": ice_fields}],
                 "default-spec-id": 0,
-                "partition-specs": [{"spec-id": 0, "fields": []}],
-                "last-partition-id": 999,
+                "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+                "last-partition-id": max(
+                    [999] + [f["field-id"] for f in spec_fields]
+                ),
                 "default-sort-order-id": 0,
                 "sort-orders": [{"order-id": 0, "fields": []}],
                 "current-snapshot-id": -1,
@@ -446,10 +639,49 @@ class IcebergLiteTable:
                     "schema differs from table schema; align the "
                     "DataFrame first (no implicit evolution)"
                 )
-            if meta.get("partition-specs", [{}])[0].get("fields"):
-                raise IcebergProtocolError(
-                    "partitioned Iceberg writes not supported here"
+            if cur is not None:
+                # an external writer may number fields differently —
+                # the TABLE's ids are authoritative for spec source-ids
+                id_to_name = {int(f["id"]): f["name"] for f in cur}
+                id_to_type = {int(f["id"]): f["type"] for f in cur}
+                name_to_id = {f["name"]: int(f["id"]) for f in cur}
+                spec_fields = [
+                    {
+                        "name": c if tr == "identity" else f"{c}_{tr}",
+                        "transform": tr,
+                        "source-id": name_to_id[c],
+                        "field-id": 1000 + i,
+                    }
+                    for i, (c, tr) in enumerate(want)
+                ]
+            # appends follow the TABLE's default partition spec; an
+            # explicit partition_by must agree with it (spec evolution
+            # is an Iceberg-runtime feature, not this writer's)
+            table_spec = next(
+                (
+                    s
+                    for s in meta.get("partition-specs", [])
+                    if s.get("spec-id") == meta.get("default-spec-id", 0)
+                ),
+                {"fields": []},
+            )
+            existing = [
+                {
+                    "name": f["name"],
+                    "transform": f["transform"],
+                    "source-id": int(f["source-id"]),
+                    "field-id": int(f["field-id"]),
+                }
+                for f in table_spec.get("fields", [])
+            ]
+            if partition_by is not None and [
+                (f["source-id"], f["transform"]) for f in spec_fields
+            ] != [(f["source-id"], f["transform"]) for f in existing]:
+                raise ValueError(
+                    "partition_by differs from the table's partition "
+                    "spec; omit it on appends (the spec is inherited)"
                 )
+            spec_fields = existing
 
         mdir = self.metadata_dir
         ddir = os.path.join(self.path, "data")
@@ -460,16 +692,56 @@ class IcebergLiteTable:
         import pyarrow.parquet as pq
 
         stage = os.path.join(ddir, f"stage-{uuidlib.uuid4().hex[:12]}")
-        df.write.mode("errorifexists").parquet(stage)
-        data_files = []
+        # One distributed pass: the partition-transform values become
+        # derived __ip_* columns that partitionBy turns into directory
+        # names (and drops from the files) — the SOURCE columns stay in
+        # the data files, as the Iceberg spec expects.
+        stage_df = df
+        part_cols = []
+        for pf in spec_fields:
+            src = id_to_name[pf["source-id"]]
+            expr = _transform_expr(
+                src, pf["transform"], id_to_type[pf["source-id"]]
+            )
+            cname = f"__ip_{pf['name']}"
+            stage_df = stage_df.withColumn(cname, expr)
+            part_cols.append(cname)
+        writer = stage_df.write.mode("errorifexists")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(stage)
+        data_files = []  # (path, nrows, size, partition-value dict)
         for root, _d, files in os.walk(stage):
             for f in sorted(files):
-                if f.endswith(".parquet"):
-                    full = os.path.join(root, f)
-                    data_files.append(
-                        (full, pq.read_metadata(full).num_rows,
-                         os.path.getsize(full))
-                    )
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                part = {}
+                if part_cols:
+                    dirvals = {}
+                    rel = os.path.relpath(root, stage)
+                    for comp in ([] if rel == "." else rel.split(os.sep)):
+                        if "=" in comp:
+                            k, v = comp.split("=", 1)
+                            dirvals[k] = v
+                    for pf in spec_fields:
+                        key = f"__ip_{pf['name']}"
+                        if key not in dirvals:
+                            raise IcebergProtocolError(
+                                f"staged file {full} lacks the "
+                                f"{pf['name']} partition directory — "
+                                "refusing to commit a mis-partitioned "
+                                "snapshot"
+                            )
+                        part[pf["name"]] = _hive_dir_value(
+                            dirvals[key],
+                            pf["transform"],
+                            id_to_type[pf["source-id"]],
+                        )
+                data_files.append(
+                    (full, pq.read_metadata(full).num_rows,
+                     os.path.getsize(full), part)
+                )
 
         snaps = meta.get("snapshots", [])
         snap_id = max((int(s["snapshot-id"]) for s in snaps), default=0) + 1
@@ -482,25 +754,35 @@ class IcebergLiteTable:
                 "sequence_number": seq, "file_sequence_number": seq,
                 "data_file": {
                     "content": 0, "file_path": path,
-                    "file_format": "PARQUET", "partition": {},
+                    "file_format": "PARQUET", "partition": part,
                     "record_count": nrows, "file_size_in_bytes": size,
                 },
             }
-            for path, nrows, size in data_files
+            for path, nrows, size, part in data_files
+        ]
+        part_avro = [
+            {
+                "name": pf["name"],
+                "type": _partition_avro_type(
+                    pf["transform"], id_to_type[pf["source-id"]]
+                ),
+                "field-id": pf["field-id"],
+            }
+            for pf in spec_fields
         ]
         extra = {
             "schema": json.dumps(
                 {"type": "struct", "schema-id": 0, "fields": ice_fields}
             ).encode(),
-            "partition-spec": json.dumps([]).encode(),
+            "partition-spec": json.dumps(spec_fields).encode(),
             "partition-spec-id": b"0",
             "format-version": b"2",
             "content": b"data",
         }
         mpath = os.path.join(mdir, f"m-{uuidlib.uuid4().hex}.avro")
-        write_container(mpath, _MANIFEST_SCHEMA, entries,
+        write_container(mpath, _manifest_schema(part_avro), entries,
                         extra_metadata=extra)
-        n_rows = sum(n for _, n, _ in data_files)
+        n_rows = sum(n for _, n, _s, _p in data_files)
         ml_rows = [
             {
                 "manifest_path": mpath,

@@ -443,3 +443,140 @@ def test_cross_format_triangle_capstone(spark, tmp_path):
     back = SnapshotTable(str(tmp_path / "roundtrip"))
     back.write_snapshot(ice.read(spark))
     assert rows(back.read(spark)) == expect
+
+
+# -- partitioned writes + manifest-only partition pruning -----------------
+
+
+def test_iceberg_partitioned_day_write_prune_roundtrip(spark, tmp_path):
+    """day() hidden partitioning: one distributed partitionBy pass, the
+    source timestamp stays in the data files, manifest partition values
+    are epoch-day ints, and partition_filter prunes FILES (plan_files
+    shrinks) before any parquet is opened."""
+    import datetime
+
+    t = IcebergLiteTable(str(tmp_path / "pt"))
+    df = spark.createDataFrame(
+        [
+            (1, "a", "2024-03-01 10:00:00"),
+            (2, "b", "2024-03-01 23:59:59"),
+            (3, "c", "2024-03-02 00:00:01"),
+            (4, "d", "2024-03-03 12:00:00"),
+        ],
+        "id long, val string, ts string",
+    ).selectExpr("id", "val", "CAST(ts AS TIMESTAMP) AS ts")
+    t.write(df, partition_by=[("ts", "day")])
+
+    got = t.read(spark)
+    assert "ts" in got.columns  # source column present in data files
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3, 4]
+
+    files, _ = t.plan_files()
+    d0 = (datetime.date(2024, 3, 1) - datetime.date(1970, 1, 1)).days
+    assert {f[2]["ts_day"] for f in files} == {d0, d0 + 1, d0 + 2}
+
+    pruned, _ = t.plan_files(partition_filter={"ts_day": d0})
+    assert 0 < len(pruned) < len(files)
+    assert all(f[2]["ts_day"] == d0 for f in pruned)
+    assert sorted(
+        r.id
+        for r in t.read(spark, partition_filter={"ts_day": d0}).collect()
+    ) == [1, 2]
+    # collection match
+    assert sorted(
+        r.id
+        for r in t.read(
+            spark, partition_filter={"ts_day": [d0, d0 + 2]}
+        ).collect()
+    ) == [1, 2, 4]
+    # callable filter (range predicate over partition values)
+    assert sorted(
+        r.id
+        for r in t.read(
+            spark, partition_filter=lambda p: p["ts_day"] > d0
+        ).collect()
+    ) == [3, 4]
+
+
+def test_iceberg_partitioned_identity_escapes_and_null(spark, tmp_path):
+    """Identity string partitions survive hive-style directory escaping
+    (%, /, space) and the null-partition sentinel round-trips as None."""
+    t = IcebergLiteTable(str(tmp_path / "pt"))
+    df = spark.createDataFrame(
+        [(1, "plain"), (2, "with space"), (3, "100%"), (4, None),
+         (5, "a/b")],
+        "id long, src string",
+    )
+    t.write(df, partition_by=["src"])
+    files, _ = t.plan_files()
+    assert {f[2]["src"] for f in files} == {
+        "plain", "with space", "100%", None, "a/b"
+    }
+    assert [
+        r.id
+        for r in t.read(spark, partition_filter={"src": "a/b"}).collect()
+    ] == [5]
+    assert [
+        r.id
+        for r in t.read(spark, partition_filter={"src": None}).collect()
+    ] == [4]
+    got = t.read(spark)
+    assert sorted((r.id, r.src) for r in got.collect()
+                  if r.src is not None) == [
+        (1, "plain"), (2, "with space"), (3, "100%"), (5, "a/b")
+    ]
+
+
+def test_iceberg_partitioned_append_inherits_spec(spark, tmp_path):
+    """Appends inherit the table's partition spec; a conflicting
+    explicit partition_by and unknown filter fields refuse loudly."""
+    t = IcebergLiteTable(str(tmp_path / "pt"))
+    t.write(
+        spark.createDataFrame([(1, 10)], "id long, grp int"),
+        partition_by=["grp"],
+    )
+    t.write(spark.createDataFrame([(2, 20)], "id long, grp int"))
+    files, _ = t.plan_files()
+    assert {f[2]["grp"] for f in files} == {10, 20}
+    with pytest.raises(ValueError, match="partition spec"):
+        t.write(
+            spark.createDataFrame([(3, 30)], "id long, grp int"),
+            partition_by=["id"],
+        )
+    with pytest.raises(IcebergProtocolError, match="partition spec"):
+        t.plan_files(partition_filter={"nope": 1})
+
+
+def test_iceberg_month_transform(spark, tmp_path):
+    """month() partition values are months-since-epoch ints."""
+    t = IcebergLiteTable(str(tmp_path / "pt"))
+    df = spark.createDataFrame(
+        [(1, "2024-01-15"), (2, "2024-02-15"), (3, "2024-02-20")],
+        "id long, d string",
+    ).selectExpr("id", "CAST(d AS DATE) AS d")
+    t.write(df, partition_by=[("d", "month")])
+    files, _ = t.plan_files()
+    m_feb = (2024 - 1970) * 12 + 1
+    assert {f[2]["d_month"] for f in files} == {m_feb - 1, m_feb}
+    assert sorted(
+        r.id
+        for r in t.read(
+            spark, partition_filter={"d_month": m_feb}
+        ).collect()
+    ) == [2, 3]
+
+
+def test_iceberg_unsupported_transform_refused(spark, tmp_path):
+    """bucket[N]/hour/identity-on-timestamp refuse loudly instead of
+    writing a spec this module could not plan against."""
+    t = IcebergLiteTable(str(tmp_path / "pt"))
+    with pytest.raises(IcebergProtocolError, match="transform"):
+        t.write(
+            spark.createDataFrame([(1,)], "id long"),
+            partition_by=[("id", "bucket[4]")],
+        )
+    with pytest.raises(IcebergProtocolError, match="identity"):
+        t.write(
+            spark.sql("SELECT CAST('2024-01-01' AS TIMESTAMP) AS ts"),
+            partition_by=["ts"],
+        )
