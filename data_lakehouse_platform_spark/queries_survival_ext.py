@@ -1,0 +1,411 @@
+"""Survival analysis, corpus-policy filtering, and resampling-based
+stability statistics — round-4 additions (imported LAST in
+queries.all_queries(): the driver's first-50 set is pinned by
+registration order).
+
+Determinism strategy (the registry contract): every emitted number is
+either an exact integer count, ONE double divide of exact integers, or
+an ordered left-fold product of such divides (the Kaplan-Meier curve —
+same operand bits, same multiplication order on both engines, so the
+doubles are bit-identical; the technique proven by the HLL harmonic
+mean fold).
+
+Scale posture: the survival and stability statistics aggregate to
+calendar-bounded domains FIRST (distinct user-lifetime durations /
+distinct order days — a few thousand rows at any corpus size), so the
+windows, folds, and replicate cross-joins below never touch
+fact-table-sized data.  The blocklist filter is a pure map + bounded
+groupBy(source).
+
+Reference analog: the reference pipeline gates documents with ad-hoc
+quality WHERE clauses (scripts/batch/silver_*.py); blocklist rates,
+retention survival, and subsample stability are the corpus-governance
+statistics an LLM-data team layers on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.operators import text as T
+from data_lakehouse_platform_spark.operators.sketches import (
+    hash60,
+    sql_hash60,
+)
+from data_lakehouse_platform_spark.queries import _t, register
+
+# ----------------------------------------------------------------------------
+# Kaplan-Meier churn survival
+# ----------------------------------------------------------------------------
+
+_KM_WINDOW_DAYS = 90
+_KM_HORIZONS = (180, 365, 730, 1460)
+
+_KM_ORACLE = f"""
+WITH per_user AS (
+  SELECT o_custkey, CAST(MIN(o_orderdate) AS DATE) AS f,
+         CAST(MAX(o_orderdate) AS DATE) AS l
+  FROM orders GROUP BY 1
+),
+bounds AS (SELECT MAX(l) AS tend FROM per_user),
+u AS (
+  SELECT date_diff('day', f, l) AS dur,
+         (l <= tend - INTERVAL {_KM_WINDOW_DAYS} DAY) AS churned
+  FROM per_user, bounds
+),
+hist AS (
+  SELECT dur, COUNT(*) AS n_all,
+         CAST(COALESCE(SUM(CASE WHEN churned THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS d
+  FROM u GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS n_users FROM u),
+risk AS (
+  SELECT dur, d,
+         n_users - COALESCE(SUM(n_all) OVER (
+           ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS n_at
+  FROM hist, tot
+),
+factors AS (
+  SELECT dur, d, CAST(n_at - d AS DOUBLE) / n_at AS f
+  FROM risk WHERE d > 0
+),
+horizons AS (SELECT unnest({list(_KM_HORIZONS)}) AS horizon_days)
+SELECT horizon_days,
+  list_reduce(
+    list_prepend(CAST(1.0 AS DOUBLE),
+      COALESCE(list(f ORDER BY dur) FILTER (WHERE dur <= horizon_days),
+               [])),
+    (a, b) -> a * b) AS survival,
+  CAST(COALESCE(SUM(d) FILTER (WHERE dur <= horizon_days), 0) AS BIGINT)
+    AS deaths_within
+FROM horizons LEFT JOIN factors ON TRUE
+GROUP BY horizon_days
+ORDER BY horizon_days
+"""
+
+
+@register(
+    "kaplan_meier_churn",
+    _KM_ORACLE,
+    "Kaplan-Meier survival curve of customer lifetime (first->last "
+    f"order day; a customer whose last order predates the corpus end "
+    f"by > {_KM_WINDOW_DAYS} days is churned/'dead', later ones are "
+    "right-CENSORED — the estimator's whole point vs a naive retention "
+    "ratio, which silently treats censored customers as churned). "
+    "S(h) = prod over death times t<=h of (n_t - d_t)/n_t: each factor "
+    "is ONE double divide of exact at-risk/death counts and the product "
+    "is an ordered left-fold (ascending t, seeded 1.0) on BOTH engines, "
+    "so the emitted doubles are bit-identical. Scale: lifetimes "
+    "collapse to a duration histogram first (rows = distinct durations, "
+    "calendar-bounded), so the unpartitioned window and the fold run on "
+    "dozens of rows at any corpus size.",
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per_user = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("f"),
+        F.max(F.to_date("o_orderdate")).alias("l"),
+    )
+    tend = per_user.agg(F.max("l").alias("tend"))
+    u = per_user.crossJoin(F.broadcast(tend)).select(
+        F.datediff("l", "f").alias("dur"),
+        (F.col("l") <= F.date_sub("tend", _KM_WINDOW_DAYS)).alias(
+            "churned"
+        ),
+    )
+    hist = u.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("churned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    tot = u.agg(F.count(F.lit(1)).alias("n_users"))
+    # unpartitioned window: hist is the DURATION histogram — bounded by
+    # the observation span in days, never by user or event count
+    w = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = hist.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("n_all").over(w), F.lit(0))
+        ).alias("n_at"),
+    )
+    factors = risk.filter(F.col("d") > 0).select(
+        "dur",
+        "d",
+        ((F.col("n_at") - F.col("d")) / F.col("n_at")).alias("f"),
+    )
+    packed = factors.agg(
+        F.sort_array(F.collect_list(F.struct("dur", "d", "f"))).alias(
+            "xs"
+        )
+    )
+    horizons = F.array(*[F.lit(h) for h in _KM_HORIZONS])
+    return (
+        packed.select(
+            F.explode(horizons).alias("horizon_days"), "xs"
+        )
+        .select(
+            "horizon_days",
+            F.expr(
+                "aggregate(filter(xs, x -> x.dur <= horizon_days),"
+                " CAST(1.0 AS DOUBLE), (acc, x) -> acc * x.f)"
+            ).alias("survival"),
+            F.expr(
+                "CAST(aggregate(filter(xs, x -> x.dur <= horizon_days),"
+                " 0L, (acc, x) -> acc + x.d) AS BIGINT)"
+            ).alias("deaths_within"),
+        )
+        .orderBy("horizon_days")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Blocklist filter rate (corpus policy gate)
+# ----------------------------------------------------------------------------
+
+_BLOCKLIST = ("slow", "big", "vector")
+_BL_SQL = "[" + ", ".join(f"'{t}'" for t in _BLOCKLIST) + "]"
+
+_BLOCKLIST_ORACLE = f"""
+WITH toks AS (
+  SELECT source,
+         string_split({T.sql_normalize_ws('text')}, ' ') AS tk
+  FROM documents
+),
+per_doc AS (
+  SELECT source,
+         CAST(len(list_filter(tk,
+           t -> list_contains({_BL_SQL}, t))) AS BIGINT) AS n_hits
+  FROM toks
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(COALESCE(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_flagged,
+  CAST(COALESCE(SUM(n_hits), 0) AS BIGINT) AS blocked_tokens,
+  CAST(COALESCE(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END), 0)
+       AS DOUBLE) / COUNT(*) AS flag_rate
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "blocklist_filter_rate",
+    _BLOCKLIST_ORACLE,
+    "Per-source blocklist hit audit — the policy gate every training-"
+    "data pipeline runs before mixing sources: token-exact matches "
+    f"(terms {_BLOCKLIST}, no substring false-positives on e.g. "
+    "'bigger'), flagged-document share, and total blocked-token "
+    "volume. Pure map over the corpus + a groupBy bounded by source "
+    "count; the rate is one double divide of exact counts. Contrast "
+    "with pii_scrub (regex redaction) and text_quality (statistical "
+    "gates): this is the DENY-LIST surface.",
+)
+def blocklist_filter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(
+            F.filter(
+                T.ws_tokens("text"), lambda t: t.isin(*_BLOCKLIST)
+            )
+        )
+        .cast("bigint")
+        .alias("n_hits"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("n_hits").cast("bigint").alias("blocked_tokens"),
+            (
+                F.sum(
+                    F.when(F.col("n_hits") > 0, 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("flag_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Zipf rank-frequency audit
+# ----------------------------------------------------------------------------
+
+_ZIPF_TOPK = 20
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split({T.sql_normalize_ws('text')}, ' ')) AS token
+  FROM documents
+),
+freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+         FROM toks GROUP BY 1),
+top AS (
+  SELECT token, freq,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+           AS rank
+  FROM freq
+  QUALIFY rank <= {_ZIPF_TOPK}
+)
+SELECT rank, token, freq,
+  CAST(rank * freq AS BIGINT) AS rank_x_freq,
+  CAST(freq AS DOUBLE) / MAX(freq) OVER () AS share_of_top
+FROM top ORDER BY rank
+"""
+
+
+@register(
+    "zipf_rank_freq",
+    _ZIPF_ORACLE,
+    "Zipf rank-frequency audit of the corpus vocabulary: top-"
+    f"{_ZIPF_TOPK} tokens with rank x frequency (constant under an "
+    "ideal Zipf law — drift flags templated/machine-generated text) "
+    "and each token's share of the top frequency (one double divide "
+    "of exact counts; the log-log regression slope the textbook fits "
+    "is deliberately avoided — transcendentals don't reproduce across "
+    "engines, the rank*freq product does). Token counting shuffles on "
+    "the token with map-side combine (vocabulary-bounded), then "
+    "sort+limit keeps a per-task top-K heap; only the final "
+    f"{_ZIPF_TOPK} rows see a window.",
+)
+def zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(T.ws_tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(_ZIPF_TOPK)
+    )
+    w = Window.orderBy(F.desc("freq"), "token")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        freq.select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "token",
+            "freq",
+            (F.row_number().over(w).cast("bigint") * F.col("freq"))
+            .cast("bigint")
+            .alias("rank_x_freq"),
+            (F.col("freq").cast("double") / F.max("freq").over(wall))
+            .alias("share_of_top"),
+        )
+        .orderBy("rank")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Median stability under deterministic subsampling
+# ----------------------------------------------------------------------------
+
+_N_REPLICATES = 32
+
+_MEDSTAB_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 1000000) AS DECIMAL(28,0)))
+              AS BIGINT) AS micros
+  FROM orders GROUP BY 1
+),
+reps AS (SELECT unnest(range(0, {_N_REPLICATES})) AS b),
+included AS (
+  SELECT b, day, micros
+  FROM reps, daily
+  WHERE {sql_hash60("CAST(day AS VARCHAR) || '|' || CAST(b AS VARCHAR)")}
+        % 2 = 0
+),
+ranked AS (
+  SELECT b, micros,
+         ROW_NUMBER() OVER (PARTITION BY b ORDER BY micros, day) AS rn,
+         COUNT(*) OVER (PARTITION BY b) AS n_days
+  FROM included
+)
+SELECT CAST(b AS BIGINT) AS replicate,
+       CAST(n_days AS BIGINT) AS n_days,
+       micros / 1000000.0 AS median_daily_revenue
+FROM ranked
+WHERE rn = (n_days + 1) // 2
+ORDER BY replicate
+"""
+
+
+@register(
+    "median_stability_subsample",
+    _MEDSTAB_ORACLE,
+    f"Stability of the median daily revenue under {_N_REPLICATES} "
+    "deterministic half-subsamples: replicate b keeps day d iff the "
+    "engine-neutral 60-bit md5 hash of 'day|b' is even, then takes the "
+    "lower median — a subsampling confidence check (the resampling-"
+    "based uncertainty quantification pattern) with ZERO randomness: "
+    "any engine, any partitioning, any rerun reproduces the same "
+    f"{_N_REPLICATES} medians bit-for-bit. Scale: the fact table "
+    "collapses to per-day fixed-point sums first, so the replicate "
+    "cross-join and windows run on (days x replicates) calendar-"
+    "bounded rows.",
+)
+def median_stability_subsample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from data_lakehouse_platform_spark.functions.money import dec
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(dec("o_totalprice")).cast("bigint").alias("micros"))
+    reps = F.sequence(
+        F.lit(0).cast("long"),
+        F.lit(_N_REPLICATES - 1).cast("long"),
+    )
+    included = (
+        daily.select(
+            F.explode(reps).alias("b"), "day", "micros"
+        )
+        .filter(
+            hash60(
+                F.concat_ws(
+                    "|",
+                    F.col("day").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            )
+            % 2
+            == 0
+        )
+    )
+    w = Window.partitionBy("b").orderBy("micros", "day")
+    wb = Window.partitionBy("b")
+    ranked = included.select(
+        "b",
+        "micros",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wb).alias("n_days"),
+    )
+    return (
+        ranked.filter(
+            F.col("rn") == F.expr("(n_days + 1) div 2")
+        )
+        .select(
+            F.col("b").alias("replicate"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            (F.col("micros") / F.lit(1000000.0)).alias(
+                "median_daily_revenue"
+            ),
+        )
+        .orderBy("replicate")
+    )

@@ -41,6 +41,7 @@ CENT_SCALE_QUERIES = frozenset(
         "mann_kendall_trend",
         "cusum_changepoint",
         "ks_two_sample",
+        "holt_linear_forecast",
     }
 )
 
@@ -900,4 +901,109 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             trimmed_num.cast("double")
             / ((F.col("n") - 2 * F.col("k")) * 100)
         ).alias("trimmed_mean"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Holt linear (double-exponential) forecast as an integer recurrence
+# ----------------------------------------------------------------------------
+
+_HOLT_HORIZONS = (1, 7, 28)
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(28,0)))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+seq AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+),
+rec AS (
+  SELECT rn, cents AS l, CAST(0 AS BIGINT) AS b FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.rn,
+         (s.cents + r.l + r.b) // 2 AS l,
+         (((s.cents + r.l + r.b) // 2) - r.l + r.b) // 2 AS b
+  FROM rec r JOIN seq s ON s.rn = r.rn + 1
+),
+final AS (
+  SELECT l, b, CAST(rn AS BIGINT) AS n_days
+  FROM rec ORDER BY rn DESC LIMIT 1
+),
+horizons AS (SELECT unnest({list(_HOLT_HORIZONS)}) AS horizon_days)
+SELECT horizon_days, n_days,
+       l / 100.0 AS level,
+       b / 100.0 AS trend,
+       (l + horizon_days * b) / 100.0 AS forecast
+FROM horizons, final
+ORDER BY horizon_days
+"""
+
+
+@register(
+    "holt_linear_forecast",
+    _HOLT_ORACLE,
+    "Holt double-exponential (level + trend) forecast of daily revenue "
+    "at 1/7/28-day horizons, alpha = beta = 1/2 — the upgrade over "
+    "seasonal_naive_forecast when the series trends. Defined as the "
+    "INTEGER recurrence l_t = (x_t + l + b) div 2, b_t = (l_t - l + b) "
+    "div 2 on exact cents (truncating integer division agrees between "
+    "Spark's div and DuckDB's // for BOTH signs — the trend term goes "
+    "negative on downswings), so the state replays bit-identically on "
+    "any engine; doubles appear only in the final single divides. "
+    "Scale: orders collapse map-side to per-day cent sums, so the "
+    "ordered fold runs over a calendar-bounded array (Spark: one "
+    "aggregate() left fold; oracle: recursive CTE replay, the EWMA "
+    "pattern).",
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast(
+                    "decimal(28,0)"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    packed = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("xs")
+    )
+    state = packed.select(
+        F.size("xs").cast("bigint").alias("n_days"),
+        F.expr(
+            "aggregate(xs,"
+            " named_struct('l', CAST(NULL AS BIGINT),"
+            "              'b', CAST(NULL AS BIGINT)),"
+            " (acc, x) -> IF(acc.l IS NULL,"
+            "   named_struct('l', x.cents, 'b', 0L),"
+            "   named_struct("
+            "     'l', (x.cents + acc.l + acc.b) div 2,"
+            "     'b', (((x.cents + acc.l + acc.b) div 2)"
+            "           - acc.l + acc.b) div 2)),"
+            " acc -> acc)"
+        ).alias("st"),
+    )
+    horizons = F.array(*[F.lit(h) for h in _HOLT_HORIZONS])
+    return (
+        state.select(
+            F.explode(horizons).alias("horizon_days"), "n_days", "st"
+        )
+        .select(
+            "horizon_days",
+            "n_days",
+            (F.col("st.l") / F.lit(100.0)).alias("level"),
+            (F.col("st.b") / F.lit(100.0)).alias("trend"),
+            (
+                (F.col("st.l") + F.col("horizon_days") * F.col("st.b"))
+                / F.lit(100.0)
+            ).alias("forecast"),
+        )
+        .orderBy("horizon_days")
     )
