@@ -855,3 +855,193 @@ class IcebergLiteTable:
         with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
             fh.write(str(version))
         return snap_id
+
+    def delete(self, spark: SparkSession, predicate: str) -> dict:
+        """Delete rows matching ``predicate`` WITHOUT rewriting data
+        files: commits a v2 POSITION-DELETE file (file_path, pos) — the
+        Iceberg twin of delta_lite's deletion vectors.  Returns
+        {"snapshot_id", "rows_deleted", "files_touched"}.
+
+        The matched positions come from ``_metadata.row_index`` (the
+        same 0-based within-file row position the spec defines), with
+        already-deleted rows excluded so repeated deletes stay
+        idempotent in the manifests.  The delete manifest's entries
+        carry an EMPTY partition tuple — planner-pessimistic (an
+        external engine can't partition-prune the delete file) but
+        always correct, since application is by exact file path.
+        Scale: the anti-join and predicate run distributed; only
+        manifest metadata touches the driver.
+        """
+        import uuid as uuidlib
+
+        import pyarrow.parquet as pq
+
+        from data_lakehouse_platform_spark.sources.avro_lite import (
+            write_container,
+        )
+
+        meta = self.metadata()
+        cur_id = self.current_snapshot_id()
+        if cur_id is None:
+            raise FileNotFoundError(
+                f"table at {self.path} has no current snapshot"
+            )
+        data_files, deletes = self.plan_files()
+        strip = lambda c: F.regexp_replace(  # noqa: E731
+            c, "^[a-zA-Z0-9+.-]+:/+", "/"
+        )
+        df = (
+            spark.read.parquet(*[p for p, _s, _pt in data_files])
+            .withColumn("__ib_path", strip(F.col("_metadata.file_path")))
+            .withColumn("__ib_pos", F.col("_metadata.row_index"))
+        )
+        matched = df.filter(predicate).select(
+            F.col("__ib_path").alias("file_path"),
+            F.col("__ib_pos").cast("long").alias("pos"),
+        )
+        prior_pos = [d for d in deletes if d["kind"] == "pos"]
+        if prior_pos:
+            prior = spark.read.parquet(
+                *[d["path"] for d in prior_pos]
+            ).select(
+                strip(F.col("file_path")).alias("file_path"),
+                F.col("pos").cast("long").alias("pos"),
+            )
+            matched = matched.join(
+                prior, on=["file_path", "pos"], how="left_anti"
+            )
+
+        ddir = os.path.join(self.path, "data")
+        os.makedirs(ddir, exist_ok=True)
+        stage = os.path.join(ddir, f"del-{uuidlib.uuid4().hex[:12]}")
+        # one delete file per commit: (file, pos) pairs are a tiny
+        # fraction of the data; sorted for run-length-friendly encoding
+        matched.orderBy("file_path", "pos").coalesce(1).write.mode(
+            "errorifexists"
+        ).parquet(stage)
+        dfiles = [
+            os.path.join(root, f)
+            for root, _d, files in os.walk(stage)
+            for f in sorted(files)
+            if f.endswith(".parquet")
+        ]
+        pmeta = pq.read_metadata(dfiles[0])
+        n_del = pmeta.num_rows
+        n_files_touched = len(
+            set(
+                r.file_path
+                for r in spark.read.parquet(dfiles[0])
+                .select("file_path")
+                .distinct()
+                .collect()
+            )
+        ) if n_del else 0
+        if n_del == 0:
+            # nothing matched: no commit, leave the empty stage dir out
+            # of the manifests (vacuum-style cleanup is the caller's)
+            return {
+                "snapshot_id": cur_id,
+                "rows_deleted": 0,
+                "files_touched": 0,
+            }
+
+        snaps = meta.get("snapshots", [])
+        snap_id = max(int(s["snapshot-id"]) for s in snaps) + 1
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        now_ms = int(time.time() * 1000)
+        mdir = self.metadata_dir
+
+        entries = [
+            {
+                "status": 1, "snapshot_id": snap_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1, "file_path": dfiles[0],
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": n_del,
+                    "file_size_in_bytes": os.path.getsize(dfiles[0]),
+                },
+            }
+        ]
+        extra = {
+            "schema": json.dumps(
+                {"type": "struct", "schema-id": 0, "fields": [
+                    {"id": 2147483546, "name": "file_path",
+                     "required": True, "type": "string"},
+                    {"id": 2147483545, "name": "pos",
+                     "required": True, "type": "long"},
+                ]}
+            ).encode(),
+            "partition-spec": json.dumps([]).encode(),
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"deletes",
+        }
+        mpath = os.path.join(mdir, f"m-{uuidlib.uuid4().hex}.avro")
+        write_container(mpath, _manifest_schema([]), entries,
+                        extra_metadata=extra)
+
+        cur_snap = next(
+            s for s in snaps if int(s["snapshot-id"]) == cur_id
+        )
+        ml_rows = [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0, "content": 1,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": 1, "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_del,
+                "existing_rows_count": 0, "deleted_rows_count": 0,
+            }
+        ] + [
+            {
+                "manifest_path": p,
+                "manifest_length": os.path.getsize(p),
+                "partition_spec_id": 0, "content": content,
+                "sequence_number": pseq, "min_sequence_number": 0,
+                "added_snapshot_id": snap_id,
+                "added_files_count": 0, "existing_files_count": 0,
+                "deleted_files_count": 0, "added_rows_count": 0,
+                "existing_rows_count": 0, "deleted_rows_count": 0,
+            }
+            for p, content, pseq in self._manifest_paths(cur_snap)
+        ]
+        ml_path = os.path.join(
+            mdir, f"snap-{snap_id}-1-{uuidlib.uuid4().hex}.avro"
+        )
+        write_container(ml_path, _ML_SCHEMA, ml_rows,
+                        extra_metadata={"format-version": b"2"})
+
+        snap = {
+            "snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now_ms, "manifest-list": ml_path,
+            "summary": {"operation": "delete"},
+            "schema-id": 0,
+            "parent-snapshot-id": cur_id,
+        }
+        meta["snapshots"] = snaps + [snap]
+        meta["current-snapshot-id"] = snap_id
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta.setdefault("snapshot-log", []).append(
+            {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+        )
+        version = 1
+        for f in os.listdir(mdir):
+            m = _VFILE_RE.match(f)
+            if m:
+                version = max(version, int(m.group(1)) + 1)
+        target = os.path.join(mdir, f"v{version}.metadata.json")
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            json.dump(meta, fh)
+        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+        return {
+            "snapshot_id": snap_id,
+            "rows_deleted": n_del,
+            "files_touched": n_files_touched,
+        }

@@ -580,3 +580,65 @@ def test_iceberg_unsupported_transform_refused(spark, tmp_path):
             spark.sql("SELECT CAST('2024-01-01' AS TIMESTAMP) AS ts"),
             partition_by=["ts"],
         )
+
+
+def test_iceberg_position_delete_write_roundtrip(spark, tmp_path):
+    """delete(predicate) commits a position-delete file (no data-file
+    rewrite): deleted rows vanish, prior snapshots stay intact, a
+    second overlapping delete stays idempotent, and appends after a
+    delete are unaffected."""
+    t = IcebergLiteTable(str(tmp_path / "pd"))
+    s1 = t.write(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, val string"
+        )
+    )
+    res = t.delete(spark, "id IN (2, 5, 7)")
+    assert res["rows_deleted"] == 3
+    assert sorted(r.id for r in t.read(spark).collect()) == [
+        0, 1, 3, 4, 6, 8, 9
+    ]
+    # time travel to before the delete still sees all rows
+    assert len(t.read(spark, snapshot_id=s1).collect()) == 10
+    # no data file was rewritten
+    files, dels = t.plan_files()
+    assert len([d for d in dels if d["kind"] == "pos"]) == 1
+    # overlapping delete: already-dead rows are excluded from the new
+    # delete file, fresh ones land
+    res2 = t.delete(spark, "id IN (5, 6)")
+    assert res2["rows_deleted"] == 1
+    assert sorted(r.id for r in t.read(spark).collect()) == [
+        0, 1, 3, 4, 8, 9
+    ]
+    # delete matching nothing is a no-op commit-wise
+    res3 = t.delete(spark, "id = 999")
+    assert res3["rows_deleted"] == 0
+    assert res3["snapshot_id"] == res2["snapshot_id"]
+    # append after deletes: new rows visible, tombstones still applied
+    t.write(
+        spark.createDataFrame([(100, "x")], "id long, val string"),
+        mode="append",
+    )
+    assert sorted(r.id for r in t.read(spark).collect()) == [
+        0, 1, 3, 4, 8, 9, 100
+    ]
+
+
+def test_iceberg_delete_on_partitioned_table(spark, tmp_path):
+    """Position deletes compose with hidden partitioning: pruned reads
+    still apply the tombstones of surviving files."""
+    t = IcebergLiteTable(str(tmp_path / "pdp"))
+    t.write(
+        spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20)],
+            "id long, grp int",
+        ),
+        partition_by=["grp"],
+    )
+    res = t.delete(spark, "id IN (2, 4)")
+    assert res["rows_deleted"] == 2
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 3, 5]
+    assert sorted(
+        r.id
+        for r in t.read(spark, partition_filter={"grp": 10}).collect()
+    ) == [1, 3]
