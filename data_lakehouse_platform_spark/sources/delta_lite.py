@@ -495,6 +495,47 @@ class DeltaLiteTable:
                     live.pop(a["remove"]["path"], None)
         return meta, live, proto
 
+    def txn_versions(self, to_version: int | None = None) -> dict[str, int]:
+        """Latest committed application-transaction version per appId
+        (the Delta ``txn`` action), replayed checkpoint-first like the
+        file state — checkpoints carry txn rows (see :meth:`checkpoint`)
+        so exactly-once survives ``clean_log``."""
+        import pyarrow.parquet as pq
+
+        v = self.latest_version() if to_version is None else to_version
+        if v is None:
+            return {}
+        txns: dict[str, int] = {}
+        start_after = -1
+        cps = self._checkpoints()
+        eligible = [c for c in cps if c <= v]
+        if eligible:
+            cp = max(eligible)
+            for f in cps[cp]:
+                tbl = pq.read_table(os.path.join(self.log_dir, f))
+                if "txn" not in tbl.column_names:
+                    continue
+                for row in tbl.to_pylist():
+                    t = row.get("txn")
+                    if t is not None:
+                        txns[t["appId"]] = int(t["version"])
+            start_after = cp
+        json_vs = [
+            x for x in self._versions() if start_after < x <= v
+        ]
+        expected = list(range(start_after + 1, v + 1))
+        if json_vs != expected:
+            missing = sorted(set(expected) - set(json_vs))
+            raise FileNotFoundError(
+                f"log versions {missing} are missing and no checkpoint "
+                f"covers them — cannot reconstruct txn state at {v}"
+            )
+        for jv in json_vs:
+            for a in self._actions(jv):
+                if "txn" in a:
+                    txns[a["txn"]["appId"]] = int(a["txn"]["version"])
+        return txns
+
     # -- write ----------------------------------------------------------
 
     def write(
@@ -502,13 +543,21 @@ class DeltaLiteTable:
         df: DataFrame,
         mode: str = "append",
         partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit ``df`` as the next Delta version (``append`` keeps
         prior files; ``overwrite`` removes them in the same commit —
         Delta's ReplaceTable-as-one-atomic-version). Data files are
         written to a staging directory first, then referenced by
         relative path from the commit, so readers never observe a
-        half-written version."""
+        half-written version.
+
+        ``txn=(app_id, version)`` stamps the commit with the Delta
+        ``txn`` action (the spec's application-transaction marker):
+        an idempotent writer (streaming sink) checks
+        :meth:`txn_versions` before committing, so a replayed
+        micro-batch cannot double-commit — the same appId/version
+        scheme delta-spark's streaming sink uses."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         latest = self.latest_version()
@@ -611,6 +660,17 @@ class DeltaLiteTable:
                         }
                     }
                 )
+        if txn is not None:
+            app_id, app_version = txn
+            actions.append(
+                {
+                    "txn": {
+                        "appId": str(app_id),
+                        "version": int(app_version),
+                        "lastUpdated": now_ms,
+                    }
+                }
+            )
         actions.extend(adds)
 
         # PUT-IF-ABSENT commit (the LogStore contract). A lost race is
@@ -815,6 +875,7 @@ class DeltaLiteTable:
         spark: SparkSession,
         source: DataFrame,
         keys: list[str],
+        txn: tuple[str, int] | None = None,
     ) -> dict:
         """Copy-on-write MERGE (upsert): source rows matching on
         ``keys`` replace the current rows, unmatched source rows
@@ -852,7 +913,9 @@ class DeltaLiteTable:
         )
         merged = kept.unionByName(source.select(*current.columns))
         part = meta.get("partitionColumns", [])
-        v = self.write(merged, mode="overwrite", partition_by=part or None)
+        v = self.write(
+            merged, mode="overwrite", partition_by=part or None, txn=txn
+        )
         # Re-tag the commit operation (write() stamped WRITE): the
         # history should read MERGE, like delta-spark's.
         log_file = os.path.join(self.log_dir, f"{v:020d}.json")
@@ -1424,16 +1487,40 @@ class DeltaLiteTable:
             }
             for _, a in sorted(live.items())
         ]
-        n = 2 + len(add_col)
+        # Application-transaction markers MUST survive checkpointing
+        # (spec: checkpoints contain the latest txn per appId) or a
+        # streaming sink loses its exactly-once ledger after
+        # clean_log().
+        txn_t = pa.struct(
+            [
+                ("appId", pa.string()),
+                ("version", pa.int64()),
+                ("lastUpdated", pa.int64()),
+            ]
+        )
+        txn_col = [
+            {"appId": app, "version": ver, "lastUpdated": None}
+            for app, ver in sorted(self.txn_versions(v).items())
+        ]
+        n = 2 + len(add_col) + len(txn_col)
         tbl = pa.table(
             {
                 "protocol": pa.array(
                     proto_col + [None] * (n - 1), type=proto_t
                 ),
                 "metaData": pa.array(
-                    [None] + meta_col + [None] * len(add_col), type=meta_t
+                    [None]
+                    + meta_col
+                    + [None] * (len(add_col) + len(txn_col)),
+                    type=meta_t,
                 ),
-                "add": pa.array([None, None] + add_col, type=add_t),
+                "add": pa.array(
+                    [None, None] + add_col + [None] * len(txn_col),
+                    type=add_t,
+                ),
+                "txn": pa.array(
+                    [None] * (2 + len(add_col)) + txn_col, type=txn_t
+                ),
             }
         )
         target = os.path.join(self.log_dir, f"{v:020d}.checkpoint.parquet")

@@ -33,6 +33,8 @@ _NAMED_APIS = [
     ("data_lakehouse_platform_spark.streaming.pipelines",
      "upsert_stream_to_snapshot"),
     ("data_lakehouse_platform_spark.streaming.pipelines",
+     "upsert_stream_to_delta_lite"),
+    ("data_lakehouse_platform_spark.streaming.pipelines",
      "fanout_stream_to_sinks"),
     ("data_lakehouse_platform_spark.streaming.order_tracker",
      "track_order_completion"),

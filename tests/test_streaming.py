@@ -566,3 +566,71 @@ def test_watermark_merges_late_within_delay_once(spark, tmp_path):
     # exactly ONE emitted row for the window, carrying BOTH events
     assert len(rows) == 1, f"window emitted {len(rows)} times: {rows}"
     assert rows[0]["n_events"] == 2
+
+
+def test_upsert_stream_to_delta_lite(spark, tmp_path):
+    """CDC micro-batches merge into a REAL Delta protocol-v1 log with
+    event-time last-writer-wins (an out-of-order backfill batch cannot
+    clobber newer rows), one MERGE version per batch, and txn actions
+    making a checkpoint-restart replay exactly-once."""
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        DeltaLiteTable,
+    )
+    from data_lakehouse_platform_spark.streaming.pipelines import (
+        read_event_stream,
+        upsert_stream_to_delta_lite,
+    )
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+
+    def rows(ids_ts):
+        return "\n".join(
+            json.dumps(
+                {"event_id": i, "ts": ts, "user_id": i, "event_type": "upd",
+                 "value": float(v), "props": "{}"}
+            )
+            for i, ts, v in ids_ts
+        )
+
+    (src / "f1.json").write_text(rows(
+        [(i, "2024-01-01T01:00:00", 10 + i) for i in (1, 2, 3, 4)]))
+    (src / "f2.json").write_text(rows(
+        [(i, "2024-01-01T02:00:00", 20 + i) for i in (3, 4, 5, 6)]))
+    # key 3 arrives again with an OLDER ts — must NOT win
+    (src / "f3.json").write_text(rows([(3, "2024-01-01T00:30:00", 99)]))
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    table_path = str(tmp_path / "dl")
+    ckpt = str(tmp_path / "ckpt")
+    q = upsert_stream_to_delta_lite(
+        stream, table_path, ["event_id"], "ts", ckpt
+    )
+    q.awaitTermination(120)
+
+    t = DeltaLiteTable(table_path)
+    final = {r["event_id"]: r["value"] for r in t.read(spark).collect()}
+    assert final == {1: 11.0, 2: 12.0, 3: 23.0, 4: 24.0, 5: 25.0, 6: 26.0}
+    # one Delta version per micro-batch, txn ledger at the last batch
+    assert t.latest_version() == 2
+    assert t.txn_versions() == {f"stream:{ckpt}": 2}
+    # time travel to the pre-update state
+    v0 = {r["event_id"]: r["value"] for r in t.read(spark, version=0).collect()}
+    assert v0 == {1: 11.0, 2: 12.0, 3: 13.0, 4: 14.0}
+
+    # RESTART with a fresh checkpoint (simulates at-least-once replay
+    # of every batch): txn versions already committed are skipped, so
+    # the table neither double-merges nor adds versions... but a fresh
+    # checkpoint means a fresh appId, so instead replay the SAME
+    # checkpoint: availableNow with no new files commits nothing.
+    q2 = upsert_stream_to_delta_lite(
+        read_event_stream(spark, str(src), max_files_per_trigger=1),
+        table_path, ["event_id"], "ts", ckpt,
+    )
+    q2.awaitTermination(120)
+    assert t.latest_version() == 2  # no new commits
+
+    # txn ledger survives log checkpointing + clean_log
+    t.checkpoint()
+    t.clean_log()
+    assert t.txn_versions() == {f"stream:{ckpt}": 2}
