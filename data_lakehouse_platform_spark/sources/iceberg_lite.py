@@ -438,6 +438,18 @@ class IcebergLiteTable:
                 + (" matching the partition filter"
                    if partition_filter is not None else "")
             )
+        return self._read_files(spark, meta, data_files, deletes)
+
+    def _read_files(
+        self,
+        spark: SparkSession,
+        meta: dict,
+        data_files: list[tuple[str, int, dict]],
+        deletes: list[dict],
+    ) -> DataFrame:
+        """Read the given data files with all applicable position and
+        equality deletes applied (the shared core of :meth:`read` and
+        :meth:`rewrite_data_files`)."""
         df = spark.read.parquet(*[p for p, _s, _pt in data_files])
         pos = [d for d in deletes if d["kind"] == "pos"]
         eq = [d for d in deletes if d["kind"] == "eq"]
@@ -526,6 +538,57 @@ class IcebergLiteTable:
 
     def history(self) -> list[dict]:
         return self.metadata().get("snapshot-log", [])
+
+    def _table_spec(self, meta: dict) -> list[dict]:
+        """The table's default partition-spec fields, int-normalized."""
+        spec = next(
+            (
+                s
+                for s in meta.get("partition-specs", [])
+                if s.get("spec-id") == meta.get("default-spec-id", 0)
+            ),
+            {"fields": []},
+        )
+        return [
+            {
+                "name": f["name"],
+                "transform": f["transform"],
+                "source-id": int(f["source-id"]),
+                "field-id": int(f["field-id"]),
+            }
+            for f in spec.get("fields", [])
+        ]
+
+    def _field_types_by_id(self, meta: dict) -> dict[int, str]:
+        schema = None
+        if "schemas" in meta:
+            sid = meta.get("current-schema-id", 0)
+            schema = next(
+                (s for s in meta["schemas"] if s.get("schema-id") == sid),
+                None,
+            )
+        if schema is None:
+            schema = meta.get("schema", {})
+        return {
+            int(f["id"]): f["type"] for f in schema.get("fields", [])
+        }
+
+    def _commit_metadata_json(self, meta: dict) -> int:
+        """Write the next v{N}.metadata.json put-if-absent and point
+        version-hint.text at it (HadoopCatalog commit shape)."""
+        mdir = self.metadata_dir
+        version = 1
+        for f in os.listdir(mdir):
+            m = _VFILE_RE.match(f)
+            if m:
+                version = max(version, int(m.group(1)) + 1)
+        target = os.path.join(mdir, f"v{version}.metadata.json")
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            json.dump(meta, fh)
+        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+            fh.write(str(version))
+        return version
 
     # -- write (migrate-out edge) ---------------------------------------
 
@@ -1044,4 +1107,236 @@ class IcebergLiteTable:
             "snapshot_id": snap_id,
             "rows_deleted": n_del,
             "files_touched": n_files_touched,
+        }
+
+    def rewrite_data_files(
+        self, spark: SparkSession, target_file_bytes: int = 128 << 20
+    ) -> dict:
+        """Compaction (Iceberg's rewrite_data_files): bin-pack every
+        data file smaller than ``target_file_bytes`` — and every file
+        carrying position-delete tombstones — into ~target-sized
+        files, FOLDING the deletes in.  Compaction never crosses a
+        partition boundary (rewritten files keep their partition
+        tuple).  Pure-position-delete manifests are dropped from the
+        new snapshot (their targets no longer exist); equality-delete
+        manifests are kept for the untouched files, and rewritten
+        files escape re-application because their NEW sequence number
+        exceeds every existing delete's (spec gating).  Prior
+        snapshots stay time-travelable.  This is the small-file story
+        at 100 TB: a streaming/delete-heavy table converges back to
+        scan-efficient files without blocking writers.
+        """
+        import uuid as uuidlib
+
+        import pyarrow.parquet as pq
+
+        from data_lakehouse_platform_spark.sources.avro_lite import (
+            write_container,
+        )
+
+        meta = self.metadata()
+        cur_id = self.current_snapshot_id()
+        if cur_id is None:
+            raise FileNotFoundError(
+                f"table at {self.path} has no current snapshot"
+            )
+        data_files, deletes = self.plan_files()
+        pos = [d for d in deletes if d["kind"] == "pos"]
+        pos_paths: set[str] = set()
+        for d in pos:
+            for r in (
+                spark.read.parquet(d["path"])
+                .select("file_path")
+                .distinct()
+                .collect()
+            ):
+                pos_paths.add(
+                    os.path.abspath(
+                        re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", r.file_path)
+                    )
+                )
+
+        groups: dict[tuple, list] = {}
+        for t in data_files:
+            groups.setdefault(tuple(sorted(t[2].items())), []).append(t)
+
+        kept: list[tuple[str, int, dict]] = []
+        new_files: list[tuple[str, int, int, dict]] = []
+        n_rewritten = 0
+        for key, members in sorted(groups.items()):
+            cand = [
+                m
+                for m in members
+                if os.path.getsize(m[0]) < target_file_bytes
+                or os.path.abspath(m[0]) in pos_paths
+            ]
+            dirty = any(
+                os.path.abspath(m[0]) in pos_paths for m in cand
+            )
+            if len(cand) <= 1 and not dirty:
+                kept.extend(members)
+                continue
+            kept.extend(m for m in members if m not in cand)
+            total = sum(os.path.getsize(m[0]) for m in cand)
+            n_out = max(1, -(-total // target_file_bytes))
+            sub = self._read_files(spark, meta, cand, deletes)
+            stage = os.path.join(
+                self.path, "data", f"rw-{uuidlib.uuid4().hex[:12]}"
+            )
+            sub.coalesce(n_out).write.mode("errorifexists").parquet(stage)
+            part = dict(key)
+            for root, _d, files in os.walk(stage):
+                for f in sorted(files):
+                    if f.endswith(".parquet"):
+                        full = os.path.join(root, f)
+                        new_files.append(
+                            (
+                                full,
+                                pq.read_metadata(full).num_rows,
+                                os.path.getsize(full),
+                                part,
+                            )
+                        )
+            n_rewritten += len(cand)
+
+        if not new_files:
+            return {
+                "snapshot_id": cur_id,
+                "rewritten_files": 0,
+                "new_files": 0,
+            }
+
+        snaps = meta.get("snapshots", [])
+        snap_id = max(int(s["snapshot-id"]) for s in snaps) + 1
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        now_ms = int(time.time() * 1000)
+        mdir = self.metadata_dir
+
+        spec_fields = self._table_spec(meta)
+        id_to_type = self._field_types_by_id(meta)
+        part_avro = [
+            {
+                "name": pf["name"],
+                "type": _partition_avro_type(
+                    pf["transform"], id_to_type[pf["source-id"]]
+                ),
+                "field-id": pf["field-id"],
+            }
+            for pf in spec_fields
+        ]
+        entries = [
+            {
+                "status": 1, "snapshot_id": snap_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0, "file_path": path,
+                    "file_format": "PARQUET", "partition": part,
+                    "record_count": nrows, "file_size_in_bytes": size,
+                },
+            }
+            for path, nrows, size, part in new_files
+        ] + [
+            # untouched files ride along as EXISTING with their
+            # ORIGINAL sequence numbers (equality-delete gating intact)
+            {
+                "status": 0, "snapshot_id": snap_id,
+                "sequence_number": fseq, "file_sequence_number": fseq,
+                "data_file": {
+                    "content": 0, "file_path": path,
+                    "file_format": "PARQUET", "partition": part,
+                    "record_count": pq.read_metadata(path).num_rows,
+                    "file_size_in_bytes": os.path.getsize(path),
+                },
+            }
+            for path, fseq, part in kept
+        ]
+        extra = {
+            "schema": json.dumps(
+                next(
+                    (
+                        s
+                        for s in meta.get("schemas", [])
+                        if s.get("schema-id")
+                        == meta.get("current-schema-id", 0)
+                    ),
+                    meta.get("schema", {}),
+                )
+            ).encode(),
+            "partition-spec": json.dumps(spec_fields).encode(),
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        }
+        mpath = os.path.join(mdir, f"m-{uuidlib.uuid4().hex}.avro")
+        write_container(mpath, _manifest_schema(part_avro), entries,
+                        extra_metadata=extra)
+
+        min_seq = min([seq] + [fseq for _p, fseq, _pt in kept])
+        ml_rows = [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq, "min_sequence_number": min_seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(new_files),
+                "existing_files_count": len(kept),
+                "deleted_files_count": 0,
+                "added_rows_count": sum(n for _, n, _s, _pt in new_files),
+                "existing_rows_count": 0, "deleted_rows_count": 0,
+            }
+        ]
+        # keep delete manifests that still matter (any equality-delete
+        # entry); drop pure-position manifests — their targets are gone
+        cur_snap = next(
+            s for s in snaps if int(s["snapshot-id"]) == cur_id
+        )
+        for p, content, pseq in self._manifest_paths(cur_snap):
+            if content != 1:
+                continue
+            _, mrows = read_container(p)
+            has_eq = any(
+                int(e["data_file"].get("content") or 0) == 2
+                for e in mrows
+                if int(e.get("status") or 0) != 2
+            )
+            if not has_eq:
+                continue
+            ml_rows.append(
+                {
+                    "manifest_path": p,
+                    "manifest_length": os.path.getsize(p),
+                    "partition_spec_id": 0, "content": 1,
+                    "sequence_number": pseq, "min_sequence_number": 0,
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": 0, "existing_files_count": 0,
+                    "deleted_files_count": 0, "added_rows_count": 0,
+                    "existing_rows_count": 0, "deleted_rows_count": 0,
+                }
+            )
+        ml_path = os.path.join(
+            mdir, f"snap-{snap_id}-1-{uuidlib.uuid4().hex}.avro"
+        )
+        write_container(ml_path, _ML_SCHEMA, ml_rows,
+                        extra_metadata={"format-version": b"2"})
+
+        snap = {
+            "snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now_ms, "manifest-list": ml_path,
+            "summary": {"operation": "replace"},
+            "schema-id": 0,
+            "parent-snapshot-id": cur_id,
+        }
+        meta["snapshots"] = snaps + [snap]
+        meta["current-snapshot-id"] = snap_id
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta.setdefault("snapshot-log", []).append(
+            {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+        )
+        self._commit_metadata_json(meta)
+        return {
+            "snapshot_id": snap_id,
+            "rewritten_files": n_rewritten,
+            "new_files": len(new_files),
         }

@@ -642,3 +642,69 @@ def test_iceberg_delete_on_partitioned_table(spark, tmp_path):
         r.id
         for r in t.read(spark, partition_filter={"grp": 10}).collect()
     ) == [1, 3]
+
+
+def test_iceberg_rewrite_data_files_folds_deletes(spark, tmp_path):
+    """Compaction: small appends + position deletes converge to few
+    clean files — tombstones folded in, pure-pos delete manifests
+    dropped, row set identical, history time-travelable."""
+    t = IcebergLiteTable(str(tmp_path / "rw"))
+    for lo in (0, 10, 20):
+        t.write(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}") for i in range(5)],
+                "id long, val string",
+            ).coalesce(1),
+            mode="append",
+        )
+    t.delete(spark, "id IN (1, 11, 21)")
+    before = sorted(r.id for r in t.read(spark).collect())
+    files_before, dels_before = t.plan_files()
+    assert len(files_before) >= 3 and dels_before
+
+    res = t.rewrite_data_files(spark, target_file_bytes=128 << 20)
+    assert res["rewritten_files"] >= 3 and res["new_files"] < len(
+        files_before
+    )
+    files_after, dels_after = t.plan_files()
+    assert len(files_after) < len(files_before)
+    assert dels_after == []  # pos tombstones folded and dropped
+    assert sorted(r.id for r in t.read(spark).collect()) == before
+    # pre-compaction snapshots still read (with their tombstones)
+    assert sorted(
+        r.id for r in t.read(spark, snapshot_id=res["snapshot_id"] - 1)
+        .collect()
+    ) == before
+    # appends continue cleanly after compaction
+    t.write(
+        spark.createDataFrame([(99, "z")], "id long, val string"),
+        mode="append",
+    )
+    assert 99 in {r.id for r in t.read(spark).collect()}
+    # compaction with nothing to do is a no-op commit-wise
+    res2 = t.rewrite_data_files(spark, target_file_bytes=1)
+    assert res2["new_files"] == 0
+
+
+def test_iceberg_rewrite_respects_partitions(spark, tmp_path):
+    """Compaction never merges across partition tuples: partition
+    pruning still works afterwards."""
+    t = IcebergLiteTable(str(tmp_path / "rwp"))
+    for batch in range(3):
+        t.write(
+            spark.createDataFrame(
+                [(batch * 10 + i, 10 + i % 2) for i in range(4)],
+                "id long, grp int",
+            ),
+            mode="append",
+            partition_by=["grp"] if batch == 0 else None,
+        )
+    res = t.rewrite_data_files(spark, target_file_bytes=128 << 20)
+    assert res["new_files"] >= 2  # at least one file per partition
+    files, _ = t.plan_files()
+    assert {f[2]["grp"] for f in files} == {10, 11}
+    assert sorted(
+        r.id
+        for r in t.read(spark, partition_filter={"grp": 10}).collect()
+    ) == [0, 2, 10, 12, 20, 22]
+    assert len({f[2]["grp"] for f in files for _ in [f]}) == 2
