@@ -161,6 +161,7 @@ def all_queries() -> dict[str, Query]:
     from data_lakehouse_platform_spark import queries_sketch_ext  # noqa: F401
     from data_lakehouse_platform_spark import queries_trend_ext  # noqa: F401
     from data_lakehouse_platform_spark import queries_survival_ext  # noqa: F401
+    from data_lakehouse_platform_spark import queries_econ_ext  # noqa: F401
 
     return dict(_REGISTRY)
 

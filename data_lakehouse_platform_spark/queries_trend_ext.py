@@ -42,6 +42,7 @@ CENT_SCALE_QUERIES = frozenset(
         "cusum_changepoint",
         "ks_two_sample",
         "holt_linear_forecast",
+        "forecast_backtest_mae",
     }
 )
 
