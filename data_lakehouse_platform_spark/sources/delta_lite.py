@@ -932,7 +932,10 @@ class DeltaLiteTable:
         return {"version": v}
 
     def optimize(
-        self, spark: SparkSession, target_file_bytes: int = 128 << 20
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        zorder_by: list[str] | None = None,
     ) -> dict:
         """OPTIMIZE (bin-packing compaction): rewrite the current
         snapshot's files into ~``target_file_bytes`` outputs as one
@@ -941,7 +944,16 @@ class DeltaLiteTable:
         deleted rows are physically dropped from the rewritten files,
         exactly what Delta's OPTIMIZE does for DV tables — so the
         table afterwards needs no DV support to read.  Old versions
-        stay time-travelable until :meth:`vacuum`."""
+        stay time-travelable until :meth:`vacuum`.
+
+        ``zorder_by`` = Delta's ``OPTIMIZE ... ZORDER BY (cols)``:
+        rows are laid out along the Morton interleave of the listed
+        columns (sources/clustering.py — pure shift/or expressions, no
+        UDF), so every rewritten file covers a compact hyper-rectangle
+        of the value space and parquet footer min/max stats prune on
+        ANY of the clustered columns.  On a hive-partitioned table the
+        clustering applies within partitions (range keys lead with the
+        partition columns), matching delta-spark's semantics."""
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
@@ -953,7 +965,28 @@ class DeltaLiteTable:
 
         stage = f"part-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, stage)
-        writer = current.coalesce(n_out).write.mode("errorifexists")
+        if zorder_by:
+            from pyspark.sql import functions as F
+
+            from data_lakehouse_platform_spark.sources.clustering import (
+                zorder_key,
+            )
+
+            missing = [c for c in zorder_by if c not in current.columns]
+            if missing:
+                raise ValueError(
+                    f"zorder_by columns {missing} not in the table"
+                )
+            keyed = zorder_key(current, list(zorder_by))
+            range_cols = [F.col(c) for c in part] + [F.col("__zkey")]
+            staged = (
+                keyed.repartitionByRange(n_out, *range_cols)
+                .sortWithinPartitions(*range_cols)
+                .drop("__zkey")
+            )
+        else:
+            staged = current.coalesce(n_out)
+        writer = staged.write.mode("errorifexists")
         if part:
             writer = writer.partitionBy(*part)
         writer.parquet(out)
@@ -992,7 +1025,12 @@ class DeltaLiteTable:
                     "timestamp": now_ms,
                     "operation": "OPTIMIZE",
                     "operationParameters": {
-                        "targetFileBytes": target_file_bytes
+                        "targetFileBytes": target_file_bytes,
+                        **(
+                            {"zOrderBy": list(zorder_by)}
+                            if zorder_by
+                            else {}
+                        ),
                     },
                     "engineInfo": "delta-lite/0.1",
                 }

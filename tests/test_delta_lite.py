@@ -1031,3 +1031,69 @@ def test_optimize_compacts_and_purges_dvs(spark, tmp_path):
     assert sum(p.endswith(".parquet") for p in removed) == 4
     assert any(p.endswith(".bin") for p in removed)
     assert sorted(r.id for r in t.read(spark).collect()) == [0, 2, 3]
+
+
+def test_optimize_zorder_clusters_files(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: rewritten files cover compact ranges on
+    BOTH clustered columns (footer min/max prunable), row set
+    unchanged, commitInfo records the layout."""
+    import json as _json
+    import os as _os
+
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        DeltaLiteTable,
+    )
+    from pyspark.sql import functions as F
+
+    t = DeltaLiteTable(str(tmp_path / "zt"))
+    # 4k rows over a 64x64 grid, written hash-shuffled so every input
+    # file spans the full range of both dims
+    df = (
+        spark.range(4096)
+        .select(
+            F.col("id"),
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+        .repartition(8, "id")
+    )
+    t.write(df)
+    v = t.optimize(spark, target_file_bytes=5_000, zorder_by=["x", "y"])
+    assert sorted(r.id for r in t.read(spark).collect()) == list(
+        range(4096)
+    )
+    # every rewritten file's x-range AND y-range must be a small slice
+    # of the 0..63 domain — the multi-dim locality Z-order buys
+    _meta, live, _p = t._replay(t.latest_version())
+    paths = [str(tmp_path / "zt" / p) for p in live]
+    assert len(paths) >= 4
+    import pyarrow.parquet as _pq
+
+    def col_span(path, col):
+        md = _pq.ParquetFile(path).metadata
+        lo, hi = None, None
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema == col and c.statistics:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        return hi - lo
+
+    for col in ("x", "y"):
+        spans = [col_span(p, col) for p in paths]
+        assert sum(spans) / len(spans) <= 52, (col, spans)  # unclustered = 63
+    log_file = _os.path.join(
+        str(tmp_path / "zt"), "_delta_log",
+        f"{v['version']:020d}.json",
+    )
+    ci = next(
+        a["commitInfo"]
+        for a in map(_json.loads, open(log_file))
+        if "commitInfo" in a
+    )
+    assert ci["operationParameters"]["zOrderBy"] == ["x", "y"]
+    with pytest.raises(ValueError, match="zorder_by"):
+        t.optimize(spark, zorder_by=["nope"])
