@@ -1592,3 +1592,81 @@ class DeltaLiteTable:
                 if "commitInfo" in a:
                     out.append({"version": v, **a["commitInfo"]})
         return out
+
+    def table_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Change feed BY SNAPSHOT DIFF — ``table_changes`` for Delta
+        tables that never wrote change-data files (CDC off, or written
+        by delta_lite itself).  Returns the rows that differ between
+        the two versions with a ``_change_type`` column; with ``keys``
+        the diff is classified into ``insert`` / ``delete`` /
+        ``update_preimage`` / ``update_postimage`` (delta-spark's CDF
+        vocabulary), without keys it degrades honestly to
+        insert/delete pairs (an update IS a delete+insert when no
+        identity is known).
+
+        Scale posture: this reads and shuffles BOTH snapshots — it is
+        the interop/backfill fallback, not the hot path; a pipeline
+        that needs cheap per-commit changes should write through
+        SnapshotTable, whose CDF records changes at commit time.
+        Bag semantics via exceptAll: duplicate rows diff by
+        multiplicity, matching what a full-table compare means.
+        """
+        from pyspark.sql import functions as F
+
+        if to_version is None:
+            to_version = self.latest_version()
+        if to_version is None or from_version > to_version:
+            raise ValueError(
+                f"bad version range {from_version}..{to_version}"
+            )
+        old = self.read(spark, version=from_version)
+        new = self.read(spark, version=to_version)
+        if old.columns != new.columns:
+            raise ValueError(
+                "schema changed between versions; diff the columns "
+                f"first (v{from_version}: {old.columns}, "
+                f"v{to_version}: {new.columns})"
+            )
+        inserted = new.exceptAll(old)
+        deleted = old.exceptAll(new)
+        if not keys:
+            return inserted.withColumn(
+                "_change_type", F.lit("insert")
+            ).unionByName(
+                deleted.withColumn("_change_type", F.lit("delete"))
+            )
+        for k in keys:
+            if k not in old.columns:
+                raise ValueError(f"key column {k!r} not in the table")
+        upd_keys = (
+            inserted.select(*keys)
+            .intersect(deleted.select(*keys))
+        )
+        ins = inserted.join(upd_keys, on=keys, how="left_anti")
+        dele = deleted.join(upd_keys, on=keys, how="left_anti")
+        # no forced broadcast: an update-heavy diff makes upd_keys
+        # snapshot-sized, so AQE picks broadcast only when it fits
+        upd_post = inserted.join(upd_keys, on=keys, how="left_semi")
+        upd_pre = deleted.join(upd_keys, on=keys, how="left_semi")
+        return (
+            ins.withColumn("_change_type", F.lit("insert"))
+            .unionByName(
+                dele.withColumn("_change_type", F.lit("delete"))
+            )
+            .unionByName(
+                upd_pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+            )
+            .unionByName(
+                upd_post.withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+        )

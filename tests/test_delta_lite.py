@@ -1097,3 +1097,50 @@ def test_optimize_zorder_clusters_files(spark, tmp_path):
     assert ci["operationParameters"]["zOrderBy"] == ["x", "y"]
     with pytest.raises(ValueError, match="zorder_by"):
         t.optimize(spark, zorder_by=["nope"])
+
+
+def test_table_changes_snapshot_diff(spark, tmp_path):
+    """table_changes diffs two versions: keyed classification into
+    insert/delete/update pre+post images; unkeyed degrades to
+    insert/delete pairs; DV deletes and merges are reflected."""
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        DeltaLiteTable,
+    )
+
+    t = DeltaLiteTable(str(tmp_path / "cd"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+        )
+    )
+    t.delete(spark, "id = 2")                       # v1: DV delete
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [(3, "C"), (4, "d")], "id long, val string"
+        ),
+        keys=["id"],
+    )                                               # v2: update + insert
+
+    ch = t.table_changes(spark, 0, keys=["id"])
+    got = sorted(
+        (r.id, r.val, r._change_type) for r in ch.collect()
+    )
+    assert got == [
+        (2, "b", "delete"),
+        (3, "C", "update_postimage"),
+        (3, "c", "update_preimage"),
+        (4, "d", "insert"),
+    ]
+    # unkeyed: updates decompose into delete+insert
+    ch2 = t.table_changes(spark, 0)
+    kinds = sorted(
+        (r.id, r._change_type) for r in ch2.collect()
+    )
+    assert kinds == [
+        (2, "delete"), (3, "delete"), (3, "insert"), (4, "insert")
+    ]
+    # identical versions diff to empty
+    assert t.table_changes(spark, 2, 2, keys=["id"]).count() == 0
+    with pytest.raises(ValueError, match="version range"):
+        t.table_changes(spark, 2, 0)
