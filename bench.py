@@ -55,6 +55,13 @@ HEADLINE = [
     # substring dedup), baselined from their first bench run
     "hll_distinct_users",
     "exact_substr_dedup",
+    # round-4 flagships (ordered-fold recurrences, survival analysis,
+    # pairwise testing, deterministic resampling), baselined from
+    # their first bench run
+    "holt_linear_forecast",
+    "kaplan_meier_churn",
+    "conversion_ab_pairs",
+    "median_stability_subsample",
 ]
 
 
