@@ -409,3 +409,263 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ----------------------------------------------------------------------------
+# Difference-in-differences: promo-buyer revenue trend vs control
+# ----------------------------------------------------------------------------
+
+_DID_CUTOFF = "1998-01-01"
+
+_DID_ORACLE = f"""
+WITH treated AS (
+  SELECT DISTINCT o.o_custkey
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'PROMO'
+),
+scored AS (
+  SELECT CASE WHEN t.o_custkey IS NULL THEN 'control' ELSE 'treated' END
+           AS grp,
+         CASE WHEN o.o_orderdate >= TIMESTAMP '{_DID_CUTOFF} 00:00:00'
+              THEN 'post' ELSE 'pre' END AS period,
+         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o LEFT JOIN treated t ON o.o_custkey = t.o_custkey
+),
+cell AS (
+  SELECT grp, period,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS total
+  FROM scored GROUP BY grp, period
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN grp='treated' AND period='pre'  THEN total END) AS t1,
+    MAX(CASE WHEN grp='treated' AND period='pre'  THEN n END)     AS n1,
+    MAX(CASE WHEN grp='treated' AND period='post' THEN total END) AS t2,
+    MAX(CASE WHEN grp='treated' AND period='post' THEN n END)     AS n2,
+    MAX(CASE WHEN grp='control' AND period='pre'  THEN total END) AS t3,
+    MAX(CASE WHEN grp='control' AND period='pre'  THEN n END)     AS n3,
+    MAX(CASE WHEN grp='control' AND period='post' THEN total END) AS t4,
+    MAX(CASE WHEN grp='control' AND period='post' THEN n END)     AS n4
+  FROM cell
+)
+SELECT
+  CAST(t1 AS DOUBLE) / (n1 * 100) AS treated_pre,
+  CAST(t2 AS DOUBLE) / (n2 * 100) AS treated_post,
+  CAST(t3 AS DOUBLE) / (n3 * 100) AS control_pre,
+  CAST(t4 AS DOUBLE) / (n4 * 100) AS control_post,
+  (CAST(t2 AS DOUBLE) / (n2 * 100) - CAST(t1 AS DOUBLE) / (n1 * 100))
+    - (CAST(t4 AS DOUBLE) / (n4 * 100) - CAST(t3 AS DOUBLE) / (n3 * 100))
+    AS did_avg_order_value
+FROM wide
+"""
+
+
+@register(
+    "promotion_lift_did",
+    _DID_ORACLE,
+    "Difference-in-differences on average order value: customers who "
+    "ever bought a PROMO-type part (treated) vs the rest (control), "
+    f"before vs after {_DID_CUTOFF} — the causal-inference primitive "
+    "that removes the shared time trend a naive before/after would "
+    "swallow. The four cell means are single divides of exact "
+    "integer-cent totals; the DiD combines them in identical op order "
+    "on both engines. One lineitem⋈part pass (broadcast part) defines "
+    "the treated set, one orders scan fills the 2x2 grid.",
+)
+def promotion_lift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    treated = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey),
+            orders.o_orderkey == li.l_orderkey,
+        )
+        .select("o_custkey")
+        .distinct()
+        .withColumn("__t", F.lit(1))
+    )
+    scored = orders.join(
+        treated, orders.o_custkey == treated.o_custkey, "left"
+    ).select(
+        F.when(F.col("__t").isNull(), "control")
+        .otherwise("treated")
+        .alias("grp"),
+        F.when(
+            F.col("o_orderdate") >= F.lit(f"{_DID_CUTOFF} 00:00:00"),
+            "post",
+        )
+        .otherwise("pre")
+        .alias("period"),
+        F.floor(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cell = scored.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("total"),
+    )
+    wide = cell.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("grp") == g) & (F.col("period") == p),
+                    F.col(c),
+                )
+            ).alias(f"{a}{i}")
+            for i, (g, p) in enumerate(
+                [
+                    ("treated", "pre"),
+                    ("treated", "post"),
+                    ("control", "pre"),
+                    ("control", "post"),
+                ],
+                start=1,
+            )
+            for a, c in (("t", "total"), ("n", "n"))
+        ]
+    )
+    m = {
+        i: F.col(f"t{i}").cast("double") / (F.col(f"n{i}") * 100)
+        for i in (1, 2, 3, 4)
+    }
+    return wide.select(
+        m[1].alias("treated_pre"),
+        m[2].alias("treated_post"),
+        m[3].alias("control_pre"),
+        m[4].alias("control_post"),
+        ((m[2] - m[1]) - (m[4] - m[3])).alias("did_avg_order_value"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# CUPED variance reduction (pre-period covariate adjustment)
+# ----------------------------------------------------------------------------
+
+_CUPED_ORACLE = f"""
+WITH per_cust AS (
+  SELECT c.c_custkey, c.c_mktsegment AS seg,
+         CAST(COALESCE(SUM(CASE WHEN o.o_orderdate
+                < TIMESTAMP '{_DID_CUTOFF} 00:00:00'
+              THEN CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) END), 0)
+           AS BIGINT) AS xi,
+         CAST(COALESCE(SUM(CASE WHEN o.o_orderdate
+                >= TIMESTAMP '{_DID_CUTOFF} 00:00:00'
+              THEN CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) END), 0)
+           AS BIGINT) AS yi
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(yi AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(xi AS DECIMAL(38,0))
+                  * CAST(xi AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(yi AS DECIMAL(38,0))
+                  * CAST(yi AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(xi AS DECIMAL(38,0))
+                  * CAST(yi AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM per_cust
+),
+seg AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_cust,
+         CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) AS seg_sx,
+         CAST(SUM(CAST(yi AS DECIMAL(38,0))) AS DOUBLE) AS seg_sy
+  FROM per_cust GROUP BY seg
+)
+SELECT s.seg, s.n_cust,
+  s.seg_sy / s.n_cust / 100 AS mean_post,
+  (s.seg_sy / s.n_cust
+   - ((g.n * g.sxy - g.sx * g.sy) / (g.n * g.sxx - g.sx * g.sx))
+     * (s.seg_sx / s.n_cust - g.sx / g.n)) / 100 AS cuped_adjusted_post,
+  ((g.n * g.sxy - g.sx * g.sy) * (g.n * g.sxy - g.sx * g.sy))
+    / ((g.n * g.sxx - g.sx * g.sx) * (g.n * g.syy - g.sy * g.sy))
+    AS variance_reduction
+FROM seg s, g
+ORDER BY seg
+"""
+
+
+@register(
+    "cuped_adjusted_lift",
+    _CUPED_ORACLE,
+    "CUPED covariate adjustment of post-period customer spend by "
+    "segment: theta = cov(x,y)/var(x) over pre-period spend, adjusted "
+    "mean = mean_y - theta*(mean_x - global mean_x), plus the variance-"
+    "reduction factor rho^2 — the standard experimentation trick that "
+    "shrinks metric variance without biasing the contrast. All moments "
+    "are exact integer-cent sums (DECIMAL accumulation, the "
+    "corr_qty_price pattern) cast once to DOUBLE into a closed-form "
+    "expression with identical text on both engines. Per-customer "
+    "spends stay ~bounded as TPC-H scales customers, so the moments "
+    "hold far inside the exact range; one orders scan, one tiny "
+    "global-moments broadcast.",
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit(f"{_DID_CUTOFF} 00:00:00")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderdate") < cut, cents)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("xi"),
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderdate") >= cut, cents)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("yi"),
+        )
+    )
+    g = per_cust.selectExpr(
+        "CAST(COUNT(*) AS DOUBLE) AS n",
+        "CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) AS sx",
+        "CAST(SUM(CAST(yi AS DECIMAL(38,0))) AS DOUBLE) AS sy",
+        "CAST(SUM(CAST(xi AS DECIMAL(38,0))"
+        " * CAST(xi AS DECIMAL(38,0))) AS DOUBLE) AS sxx",
+        "CAST(SUM(CAST(yi AS DECIMAL(38,0))"
+        " * CAST(yi AS DECIMAL(38,0))) AS DOUBLE) AS syy",
+        "CAST(SUM(CAST(xi AS DECIMAL(38,0))"
+        " * CAST(yi AS DECIMAL(38,0))) AS DOUBLE) AS sxy",
+    )
+    seg = per_cust.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("xi").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("seg_sx"),
+        F.sum(F.col("yi").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("seg_sy"),
+    )
+    joined = seg.crossJoin(F.broadcast(g))
+    return joined.selectExpr(
+        "seg",
+        "n_cust",
+        "seg_sy / n_cust / 100 AS mean_post",
+        "(seg_sy / n_cust"
+        " - ((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+        "   * (seg_sx / n_cust - sx / n)) / 100 AS cuped_adjusted_post",
+        "((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+        " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+        " AS variance_reduction",
+    ).orderBy("seg")

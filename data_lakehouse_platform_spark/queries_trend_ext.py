@@ -43,6 +43,8 @@ CENT_SCALE_QUERIES = frozenset(
         "ks_two_sample",
         "holt_linear_forecast",
         "forecast_backtest_mae",
+        "promotion_lift_did",
+        "cuped_adjusted_lift",
     }
 )
 

@@ -609,3 +609,65 @@ def test_upsert_sink_equal_ts_deterministic_winner(spark, tmp_path):
     assert [(r.event_type, r.value) for r in got] == [
         (r.event_type, r.value) for r in got2
     ]
+
+
+def test_capstone_eventlog_to_delta_lite_sink(spark, tmp_path):
+    """Capstone: the Kafka-shaped eventlog source feeds the Delta
+    protocol-v1 CDC sink — segments stream in, land as MERGE commits
+    with txn exactly-once, and a restart replaying the log adds
+    nothing. The full reference flow (Kafka consumer -> DeltaTable
+    merge) with zero external services."""
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        DeltaLiteTable,
+    )
+    from data_lakehouse_platform_spark.streaming.pipelines import (
+        upsert_stream_to_delta_lite,
+    )
+
+    spark.dataSource.register(EventLogStreamDataSource)
+    log = str(tmp_path / "log")
+    table = str(tmp_path / "dl")
+    ckpt = str(tmp_path / "ckpt")
+
+    append_segment(log, _rows(0, 6))
+    append_segment(log, _rows(1, 6))  # event_ids 1000+: new keys
+
+    stream = (
+        spark.readStream.format("eventlog").option("path", log).load()
+    )
+    q = upsert_stream_to_delta_lite(
+        stream, table, ["event_id"], "ts", ckpt
+    )
+    q.awaitTermination(120)
+
+    t = DeltaLiteTable(table)
+    ids = sorted(r.event_id for r in t.read(spark).collect())
+    assert ids == [0, 1, 2, 3, 4, 5, 1000, 1001, 1002, 1003, 1004, 1005]
+    v_before = t.latest_version()
+
+    # restart on the same checkpoint with no new segments: nothing
+    # commits (txn ledger + checkpoint WAL both hold)
+    q2 = upsert_stream_to_delta_lite(
+        spark.readStream.format("eventlog").option("path", log).load(),
+        table, ["event_id"], "ts", ckpt,
+    )
+    q2.awaitTermination(120)
+    assert t.latest_version() == v_before
+
+    # a new segment UPDATES key 0 (later ts) and inserts 2000
+    append_segment(
+        log,
+        [
+            {"event_id": 0, "user_id": 0, "event_type": "upd",
+             "ts": "2024-02-01 00:00:00", "value": 999.0},
+            {"event_id": 2000, "user_id": 1, "event_type": "view",
+             "ts": "2024-02-01 00:00:01", "value": 1.0},
+        ],
+    )
+    q3 = upsert_stream_to_delta_lite(
+        spark.readStream.format("eventlog").option("path", log).load(),
+        table, ["event_id"], "ts", ckpt,
+    )
+    q3.awaitTermination(120)
+    rows = {r.event_id: r.value for r in t.read(spark).collect()}
+    assert rows[0] == 999.0 and rows[2000] == 1.0 and len(rows) == 13
