@@ -852,3 +852,195 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return time_decay_attribution(_t(spark, sf_dir, "events"))
+
+
+# ----------------------------------------------------------------------------
+# KMV (K-minimum-values) sketch: distinct counts AND set intersections
+# ----------------------------------------------------------------------------
+
+_KMV_K = 32
+# (k-1) * 2^60: the KMV estimator numerator, exact in a double
+# (5-significant-bit mantissa), spelled identically on both engines
+_KMV_NUM = "CAST(31 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)"
+
+_KMV_ORACLE = f"""
+WITH du AS (
+  SELECT DISTINCT event_type,
+         {{h}} AS h
+  FROM events
+),
+nt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM du GROUP BY 1
+),
+kmv AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM du
+  ) WHERE rn <= {_KMV_K}
+),
+arrs AS (
+  SELECT k.event_type, list(k.h ORDER BY k.h) AS arr, ANY_VALUE(n.n_exact) AS n_exact
+  FROM kmv k JOIN nt n ON k.event_type = n.event_type
+  GROUP BY k.event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.arr AS aa, b.arr AS ba,
+         a.n_exact AS n_a, b.n_exact AS n_b,
+         list_sort(list_distinct(list_concat(a.arr, b.arr))) AS u_all
+  FROM arrs a JOIN arrs b ON a.event_type < b.event_type
+),
+calc AS (
+  SELECT type_a, type_b, n_a, n_b,
+    CASE WHEN n_a <= {_KMV_K} THEN CAST(n_a AS DOUBLE)
+         ELSE ({_KMV_NUM}) / CAST(aa[{_KMV_K}] AS DOUBLE) END AS est_a,
+    CASE WHEN n_b <= {_KMV_K} THEN CAST(n_b AS DOUBLE)
+         ELSE ({_KMV_NUM}) / CAST(ba[{_KMV_K}] AS DOUBLE) END AS est_b,
+    CASE WHEN n_a <= {_KMV_K} AND n_b <= {_KMV_K}
+         THEN CAST(len(u_all) AS DOUBLE)
+         ELSE ({_KMV_NUM}) / CAST(u_all[{_KMV_K}] AS DOUBLE) END AS est_union,
+    CAST(len(list_intersect(u_all[1:{_KMV_K}],
+                            list_intersect(aa, ba))) AS DOUBLE)
+      / LEAST({_KMV_K}, len(u_all)) AS jaccard_est
+  FROM pairs
+),
+exact AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_intersection
+  FROM du a JOIN du b ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT c.type_a, c.type_b, c.n_a, c.n_b, c.est_a, c.est_b,
+       c.jaccard_est,
+       c.jaccard_est * c.est_union AS est_intersection,
+       COALESCE(e.exact_intersection, 0) AS exact_intersection
+FROM calc c LEFT JOIN exact e
+  ON c.type_a = e.type_a AND c.type_b = e.type_b
+ORDER BY c.type_a, c.type_b
+"""
+
+
+@register(
+    "kmv_distinct_intersection",
+    _KMV_ORACLE.format(h=SK.sql_hash60("CAST(user_id AS VARCHAR)")),
+    f"KMV (K-minimum-values, k={_KMV_K}) sketch over per-event-type "
+    "user sets: distinct estimates AND pairwise INTERSECTION estimates "
+    "— the set-operation capability HLL lacks (HLL unions losslessly "
+    "but cannot intersect; KMV's k smallest engine-neutral md5 hashes "
+    "estimate Jaccard from the combined sketch, est_inter = "
+    "jaccard * est_union). Small sets degrade to exact (sketch = "
+    "complete set). The k-th hash per type comes from the selection-"
+    "rank operator (no full per-type sort); every estimate is divides "
+    "of exact integers in identical op order, and the exact "
+    "intersection rides along as the audit column. Mergeable: union "
+    "of KMV sets re-topped to k IS the sketch of the union — the "
+    "shuffle carries k hashes per type, never user sets.",
+)
+def kmv_distinct_intersection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.ranking import (
+        select_group_ranks,
+    )
+
+    K = _KMV_K
+    du = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            SK.hash60(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    nt = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    theta = select_group_ranks(
+        du,
+        ["event_type"],
+        [F.col("h")],
+        bucket_key=F.col("h"),
+        ranks_fn=lambda n: {min(K, n)},
+    ).select("event_type", F.col("h").alias("__theta"))
+    arrs = (
+        du.join(F.broadcast(theta), "event_type")
+        .filter(F.col("h") <= F.col("__theta"))
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("h")).alias("arr"))
+        .join(nt, "event_type")
+    )
+    a = arrs.alias("a")
+    b = arrs.alias("b")
+    num = F.expr(_KMV_NUM)
+    u_all = F.array_sort(
+        F.array_union(F.col("a.arr"), F.col("b.arr"))
+    )
+    pairs = (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n_exact").alias("n_a"),
+            F.col("b.n_exact").alias("n_b"),
+            F.col("a.arr").alias("aa"),
+            F.col("b.arr").alias("ba"),
+            u_all.alias("u_all"),
+        )
+    )
+    est_a = F.when(
+        F.col("n_a") <= K, F.col("n_a").cast("double")
+    ).otherwise(num / F.element_at("aa", K).cast("double"))
+    est_b = F.when(
+        F.col("n_b") <= K, F.col("n_b").cast("double")
+    ).otherwise(num / F.element_at("ba", K).cast("double"))
+    est_union = F.when(
+        (F.col("n_a") <= K) & (F.col("n_b") <= K),
+        F.size("u_all").cast("double"),
+    ).otherwise(num / F.element_at("u_all", K).cast("double"))
+    jacc = F.size(
+        F.array_intersect(
+            F.slice("u_all", 1, K), F.array_intersect("aa", "ba")
+        )
+    ).cast("double") / F.least(F.lit(K), F.size("u_all"))
+    exact = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    calc = pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        jacc.alias("jaccard_est"),
+        (jacc * est_union).alias("est_intersection"),
+    )
+    return (
+        calc.join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "est_a",
+            "est_b",
+            "jaccard_est",
+            "est_intersection",
+            F.coalesce(F.col("exact_intersection"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_intersection"),
+        )
+        .orderBy("type_a", "type_b")
+    )
