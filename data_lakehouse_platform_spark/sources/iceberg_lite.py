@@ -27,9 +27,15 @@ whose metadata is plain JSON + Avro, so a snapshot read needs no jar:
 
 Avro decoding is writer-schema-driven (sources/avro_lite.py), so
 manifests written by any engine decode without this module hard-coding
-Iceberg's Avro schemas.  Capability boundary, refused loudly rather
-than misread: format-version > 2, non-parquet data files, equality
-deletes without equality_ids or referencing unknown field ids.
+Iceberg's Avro schemas.  COLUMN RESOLUTION IS BY FIELD-ID (the spec's
+schema-evolution rule) whenever data files carry parquet field-id
+metadata: renamed columns read their old physical names from
+pre-rename files, later-added columns read as NULL — never the silent
+all-NULL misread of a by-name projection.  Capability boundary,
+refused loudly rather than misread: format-version > 2, non-parquet
+data files, equality deletes without equality_ids or referencing
+unknown field ids, absent columns whose NULL type cannot be
+synthesized.
 
 WRITES (:meth:`IcebergLiteTable.write`) cover the migrate-OUT edge:
 v2 tables with append/overwrite snapshots — data parquet under
@@ -449,17 +455,30 @@ class IcebergLiteTable:
     ) -> DataFrame:
         """Read the given data files with all applicable position and
         equality deletes applied (the shared core of :meth:`read` and
-        :meth:`rewrite_data_files`)."""
-        df = spark.read.parquet(*[p for p, _s, _pt in data_files])
+        :meth:`rewrite_data_files`).
+
+        Column resolution is BY FIELD-ID when the parquet files carry
+        Iceberg field-id metadata (the spec's rule): a renamed column
+        still reads its old physical name from pre-rename files, and a
+        column added after a file was written reads as NULL — instead
+        of the silent all-NULL misread a by-name projection would
+        produce.  Files without field-id metadata (plain Spark/pandas
+        parquet, this module's own writes) fall back to by-name.
+        Footer schemas are read once per file at PLANNING time (Spark
+        reads the same footers at execution anyway); files sharing a
+        resolution group scan together.
+        """
         pos = [d for d in deletes if d["kind"] == "pos"]
         eq = [d for d in deletes if d["kind"] == "eq"]
         strip = lambda c: F.regexp_replace(  # noqa: E731
             c, "^[a-zA-Z0-9+.-]+:/+", "/"
         )
-        if pos or eq:
-            df = df.withColumn(
-                "__ib_path", strip(F.col("_metadata.file_path"))
-            ).withColumn("__ib_pos", F.col("_metadata.row_index"))
+        # __ib_path/__ib_pos are attached per scan group when deletes
+        # need them (metadata columns must be referenced pre-projection)
+        df = self._resolved_scan(
+            spark, meta, [p for p, _s, _pt in data_files],
+            with_meta=bool(pos or eq),
+        )
         if pos:
             # Position-delete parquet: (file_path, pos[, row]).  Both
             # sides normalize to a scheme-less local path so the join
@@ -518,6 +537,103 @@ class IcebergLiteTable:
         if pos or eq:
             df = df.drop("__ib_path", "__ib_pos")
         return df
+
+    # Iceberg primitive -> Spark cast target (for NULL synthesis of
+    # columns added after a data file was written)
+    _ICEBERG_TO_SPARK = {
+        "boolean": "boolean",
+        "int": "int",
+        "long": "long",
+        "float": "float",
+        "double": "double",
+        "string": "string",
+        "date": "date",
+        "timestamptz": "timestamp",
+        "timestamp": "timestamp_ntz",
+        "binary": "binary",
+    }
+
+    def _resolved_scan(
+        self,
+        spark: SparkSession,
+        meta: dict,
+        paths: list[str],
+        with_meta: bool,
+    ) -> DataFrame:
+        """Scan ``paths`` with field-id column resolution (see
+        :meth:`_read_files`); ``with_meta`` additionally attaches the
+        ``__ib_path`` / ``__ib_pos`` delete-join columns."""
+        import pyarrow.parquet as pq
+
+        strip = lambda c: F.regexp_replace(  # noqa: E731
+            c, "^[a-zA-Z0-9+.-]+:/+", "/"
+        )
+        id_to_name = self._field_names_by_id(meta)
+        id_to_type = self._field_types_by_id(meta)
+
+        def _with_meta(d: DataFrame) -> DataFrame:
+            if not with_meta:
+                return d
+            return d.withColumn(
+                "__ib_path", strip(F.col("_metadata.file_path"))
+            ).withColumn("__ib_pos", F.col("_metadata.row_index"))
+
+        if not id_to_name:
+            return _with_meta(spark.read.parquet(*paths))
+
+        groups: dict[tuple, list[str]] = {}
+        for p in paths:
+            sch = pq.read_schema(p)
+            fid_to_phys: dict[int, str] = {}
+            for f in sch:
+                fid = (f.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    fid_to_phys[int(fid)] = f.name
+            if fid_to_phys:
+                sig = tuple(
+                    (lname, fid_to_phys.get(fid))
+                    for fid, lname in sorted(id_to_name.items())
+                )
+            else:  # no field-id metadata: by-name fallback
+                sig = tuple(
+                    (lname, lname if lname in sch.names else None)
+                    for fid, lname in sorted(id_to_name.items())
+                )
+            groups.setdefault(sig, []).append(p)
+
+        parts = []
+        for sig, gpaths in sorted(groups.items()):
+            d = _with_meta(spark.read.parquet(*gpaths))
+            cols = []
+            for fid, lname in sorted(id_to_name.items()):
+                phys = dict(sig)[lname]
+                if phys is not None:
+                    cols.append(F.col(phys).alias(lname))
+                    continue
+                # column added to the table after these files were
+                # written: spec says read as NULL
+                itype = id_to_type.get(fid)
+                stype = (
+                    itype
+                    if isinstance(itype, str)
+                    and itype.startswith("decimal")
+                    else self._ICEBERG_TO_SPARK.get(itype)
+                )
+                if stype is None:
+                    raise IcebergProtocolError(
+                        f"column {lname!r} (field id {fid}, type "
+                        f"{itype!r}) is absent from data file(s) "
+                        f"{gpaths[:2]} and its NULL type cannot be "
+                        "synthesized here — use an Iceberg runtime"
+                    )
+                cols.append(F.lit(None).cast(stype).alias(lname))
+            if with_meta:
+                cols += [F.col("__ib_path"), F.col("__ib_pos")]
+            parts.append(d.select(*cols))
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        return out
 
     @staticmethod
     def _field_names_by_id(meta: dict) -> dict[int, str]:
@@ -953,10 +1069,8 @@ class IcebergLiteTable:
         strip = lambda c: F.regexp_replace(  # noqa: E731
             c, "^[a-zA-Z0-9+.-]+:/+", "/"
         )
-        df = (
-            spark.read.parquet(*[p for p, _s, _pt in data_files])
-            .withColumn("__ib_path", strip(F.col("_metadata.file_path")))
-            .withColumn("__ib_pos", F.col("_metadata.row_index"))
+        df = self._resolved_scan(
+            spark, meta, [p for p, _s, _pt in data_files], with_meta=True
         )
         matched = df.filter(predicate).select(
             F.col("__ib_path").alias("file_path"),

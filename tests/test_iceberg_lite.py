@@ -708,3 +708,106 @@ def test_iceberg_rewrite_respects_partitions(spark, tmp_path):
         for r in t.read(spark, partition_filter={"grp": 10}).collect()
     ) == [0, 2, 10, 12, 20, 22]
     assert len({f[2]["grp"] for f in files for _ in [f]}) == 2
+
+
+def test_iceberg_field_id_resolution_rename_and_add(spark, tmp_path):
+    """Schema evolution reads: a column RENAMED after old files were
+    written resolves by parquet field-id (old physical name, correct
+    data — not the all-NULL misread of a by-name projection), and a
+    column ADDED later reads as NULL from pre-add files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "ev"
+    mdir = root / "metadata"
+    ddir = root / "data"
+    mdir.mkdir(parents=True)
+    ddir.mkdir()
+
+    def fld(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    # old file: written BEFORE the rename (physical name "id") and
+    # BEFORE column 3 existed
+    old = str(ddir / "old.parquet")
+    pq.write_table(
+        pa.table(
+            [pa.array([1, 2], pa.int64()), pa.array(["a", "b"])],
+            schema=pa.schema(
+                [fld("id", pa.int64(), 1), fld("val", pa.string(), 2)]
+            ),
+        ),
+        old,
+    )
+    # new file: post-rename physical name, has the added column
+    new = str(ddir / "new.parquet")
+    pq.write_table(
+        pa.table(
+            [
+                pa.array([3], pa.int64()),
+                pa.array(["c"]),
+                pa.array([30], pa.int64()),
+            ],
+            schema=pa.schema(
+                [
+                    fld("ident", pa.int64(), 1),
+                    fld("val", pa.string(), 2),
+                    fld("score", pa.int64(), 3),
+                ]
+            ),
+        ),
+        new,
+    )
+
+    m1 = str(mdir / "m1.avro")
+    write_container(
+        m1, _MANIFEST_SCHEMA, [_entry(old), _entry(new)]
+    )
+    ml = str(mdir / "snap-1-manifest-list.avro")
+    write_container(
+        ml, _MANIFEST_LIST_SCHEMA, [_manifest_list_row(m1, 0)]
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-0000000000ff",
+        "location": str(root),
+        "last-sequence-number": 1,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 3,
+        "current-schema-id": 0,
+        # CURRENT schema: field 1 renamed to "ident", field 3 added
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "ident", "required": False, "type": "long"},
+            {"id": 2, "name": "val", "required": False, "type": "string"},
+            {"id": 3, "name": "score", "required": False, "type": "long"},
+        ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {"snapshot-id": 1, "sequence-number": 1,
+             "timestamp-ms": 1700000000000,
+             "manifest-list": ml,
+             "summary": {"operation": "append"}},
+        ],
+        "snapshot-log": [
+            {"timestamp-ms": 1700000000000, "snapshot-id": 1}
+        ],
+        "metadata-log": [],
+    }
+    with open(mdir / "v1.metadata.json", "w") as fh:
+        json.dump(meta, fh)
+    with open(mdir / "version-hint.text", "w") as fh:
+        fh.write("1")
+
+    t = IcebergLiteTable(str(root))
+    got = sorted(
+        (r.ident, r.val, r.score) for r in t.read(spark).collect()
+    )
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", 30)]
+    assert t.read(spark).columns == ["ident", "val", "score"]
