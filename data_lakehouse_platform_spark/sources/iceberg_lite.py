@@ -1454,3 +1454,68 @@ class IcebergLiteTable:
             "rewritten_files": n_rewritten,
             "new_files": len(new_files),
         }
+
+    def expire_snapshots(self, retain_last: int = 1) -> list[str]:
+        """Expire all but the newest ``retain_last`` snapshots and
+        physically delete the files ONLY they referenced (manifest
+        lists, manifests, data/delete files under this table's
+        directory) — Iceberg's expire_snapshots maintenance action,
+        the storage-reclaim companion to :meth:`rewrite_data_files`.
+        Reads at kept snapshots keep working; reads at expired ones
+        fail cleanly (snapshot no longer in the table).  Returns the
+        deleted paths."""
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        meta = self.metadata()
+        snaps = sorted(
+            meta.get("snapshots", []),
+            key=lambda s: int(s["snapshot-id"]),
+        )
+        if len(snaps) <= retain_last:
+            return []
+        kept, dropped = snaps[-retain_last:], snaps[:-retain_last]
+        cur = meta.get("current-snapshot-id")
+        if cur not in {int(s["snapshot-id"]) for s in kept}:
+            raise ValueError(
+                "retain_last would expire the current snapshot"
+            )
+
+        def _refs(snapshot: dict) -> set[str]:
+            out = set()
+            ml = snapshot.get("manifest-list")
+            if ml:
+                out.add(os.path.abspath(_local_path(ml)))
+            for mp, _c, _s in self._manifest_paths(snapshot):
+                out.add(os.path.abspath(mp))
+                _, entries = read_container(mp)
+                for e in entries:
+                    out.add(
+                        os.path.abspath(
+                            _local_path(e["data_file"]["file_path"])
+                        )
+                    )
+            return out
+
+        keep_files = set()
+        for s in kept:
+            keep_files |= _refs(s)
+        root = os.path.abspath(self.path) + os.sep
+        removed = []
+        for s in dropped:
+            for p in _refs(s):
+                # never touch anything outside the table directory
+                if p.startswith(root) and p not in keep_files and (
+                    os.path.exists(p)
+                ):
+                    os.remove(p)
+                    removed.append(p)
+                    keep_files.add(p)  # don't double-delete
+        kept_ids = {int(s["snapshot-id"]) for s in kept}
+        meta["snapshots"] = kept
+        meta["snapshot-log"] = [
+            x
+            for x in meta.get("snapshot-log", [])
+            if int(x["snapshot-id"]) in kept_ids
+        ]
+        self._commit_metadata_json(meta)
+        return sorted(removed)

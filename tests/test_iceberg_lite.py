@@ -811,3 +811,36 @@ def test_iceberg_field_id_resolution_rename_and_add(spark, tmp_path):
     )
     assert got == [(1, "a", None), (2, "b", None), (3, "c", 30)]
     assert t.read(spark).columns == ["ident", "val", "score"]
+
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    """expire_snapshots drops old snapshots and physically deletes
+    only THEIR files; kept snapshots still read, expired ones fail
+    cleanly, the current snapshot can't be expired."""
+    t = IcebergLiteTable(str(tmp_path / "ex"))
+    s1 = t.write(
+        spark.createDataFrame([(1, "a")], "id long, val string")
+    )
+    s2 = t.write(
+        spark.createDataFrame([(2, "b")], "id long, val string"),
+        mode="overwrite",
+    )
+    s3 = t.write(
+        spark.createDataFrame([(3, "c")], "id long, val string"),
+        mode="append",
+    )
+    removed = t.expire_snapshots(retain_last=2)
+    assert removed  # snapshot 1's manifest list at minimum
+    assert all(str(tmp_path / "ex") in p for p in removed)
+    # s2/s3 still read; s2's data file survives (s3 references it)
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 3]
+    assert [r.id for r in t.read(spark, snapshot_id=s2).collect()] == [2]
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, snapshot_id=s1)
+    assert [h["snapshot-id"] for h in t.history()] == [s2, s3]
+    # expiring everything but the tip still works; idempotent after
+    t.expire_snapshots(retain_last=1)
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 3]
+    assert t.expire_snapshots(retain_last=1) == []
+    with pytest.raises(ValueError, match="retain_last"):
+        t.expire_snapshots(retain_last=0)
