@@ -602,7 +602,8 @@ class IcebergLiteTable:
             groups.setdefault(sig, []).append(p)
 
         parts = []
-        for sig, gpaths in sorted(groups.items()):
+        # repr key: signatures mix str and None, which don't compare
+        for sig, gpaths in sorted(groups.items(), key=lambda kv: repr(kv)):
             d = _with_meta(spark.read.parquet(*gpaths))
             cols = []
             for fid, lname in sorted(id_to_name.items()):
