@@ -86,6 +86,19 @@ def max_task_records(spark, since_stage: int) -> int:
     return worst
 
 
+
+def total_input_records(spark, since_stage: int) -> int:
+    """Total scan-input records across all stages completed after
+    ``since_stage`` — the pruning metric (worst-task can't see file
+    skipping when every file is the same size)."""
+    total = 0
+    for s in _api(spark, "/stages?status=COMPLETE"):
+        if s["stageId"] <= since_stage:
+            continue
+        total += int(s.get("inputRecords") or 0)
+    return total
+
+
 def last_stage(spark) -> int:
     stages = _api(spark, "/stages")
     return max((s["stageId"] for s in stages), default=-1)
@@ -421,6 +434,72 @@ def main() -> None:
                 f"seen {total_keys:,}"
             )
 
+    # ------------------------------------------------------------------
+    # shape 6: Iceberg manifest pruning — a partition_filter read of a
+    # 200-partition table must touch ~1/200th of the records and plan
+    # ~1/200th of the files, from MANIFEST metadata alone.
+    # ------------------------------------------------------------------
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    from data_lakehouse_platform_spark.sources.iceberg_lite import (
+        IcebergLiteTable,
+    )
+
+    N_PART = 200
+    ROWS_PER = 10_000
+    ice_dir = tempfile.mkdtemp(prefix="stress_ice_")
+    shutil.rmtree(ice_dir)
+    ice = IcebergLiteTable(ice_dir)
+    ice.write(
+        spark.range(N_PART * ROWS_PER).select(
+            _F.col("id"),
+            (_F.col("id") % N_PART).cast("int").alias("bucket"),
+            (_F.col("id") * 7).alias("val"),
+        ),
+        partition_by=["bucket"],
+    )
+
+    files_full, _d0 = ice.plan_files()
+    files_pruned, _d1 = ice.plan_files(partition_filter={"bucket": 7})
+
+    mark6 = last_stage(spark)
+    n_full = ice.read(spark).count()
+    full_input = total_input_records(spark, mark6)
+
+    mark6b = last_stage(spark)
+    n_pruned = ice.read(
+        spark, partition_filter={"bucket": 7}
+    ).count()
+    pruned_input = total_input_records(spark, mark6b)
+    print(
+        f"[iceberg_prune] files {len(files_full):,}->"
+        f"{len(files_pruned):,} rows {n_full:,}->{n_pruned:,} "
+        f"scan records {full_input:,}->{pruned_input:,}", flush=True
+    )
+    if n_full != N_PART * ROWS_PER or n_pruned != ROWS_PER:
+        failures.append(
+            f"shape6 WRONG ANSWER: full={n_full:,} pruned={n_pruned:,}"
+        )
+    if len(files_pruned) * (N_PART // 2) > len(files_full):
+        failures.append(
+            f"shape6 BOUND: pruned plan {len(files_pruned):,} files vs "
+            f"{len(files_full):,} total — manifest pruning not engaged"
+        )
+    if pruned_input > 3 * ROWS_PER:
+        failures.append(
+            f"shape6 BOUND: pruned read scanned {pruned_input:,} records "
+            f"> 3x one partition ({ROWS_PER:,}) — files not skipped"
+        )
+    if full_input < N_PART * ROWS_PER:
+        failures.append(
+            f"shape6 SANITY: full read scanned {full_input:,} < table "
+            "rows — metric broken, bound meaningless"
+        )
+    shutil.rmtree(ice_dir, ignore_errors=True)
+
     print()
     if failures:
         for f in failures:
@@ -428,7 +507,7 @@ def main() -> None:
         sys.exit(1)
     print(f"ALL BOUNDS HOLD (stream={n_stream_events:,}, "
           f"events={n_events:,}, crowd={CROWD:,}, "
-          f"orders={N:,})")
+          f"orders={N:,}, iceberg={N_PART * ROWS_PER:,})")
 
 
 if __name__ == "__main__":
