@@ -1144,3 +1144,39 @@ def test_table_changes_snapshot_diff(spark, tmp_path):
     assert t.table_changes(spark, 2, 2, keys=["id"]).count() == 0
     with pytest.raises(ValueError, match="version range"):
         t.table_changes(spark, 2, 0)
+
+
+def test_dv_delete_on_partitioned_table(spark, tmp_path):
+    """DV deletes compose with hive partitioning: tombstones cross
+    partition boundaries, partition pruning still applies them, and a
+    subsequent OPTIMIZE purges the DVs while keeping the layout."""
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        DeltaLiteTable,
+    )
+
+    t = DeltaLiteTable(str(tmp_path / "pdv"))
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(10)],
+        "id long, k string",
+    )
+    t.write(df, partition_by=["k"])
+    res = t.delete(spark, "id IN (0, 1, 2)")
+    assert res["deleted_rows"] == 3
+    got = t.read(spark)
+    assert sorted(r.id for r in got.collect()) == [3, 4, 5, 6, 7, 8, 9]
+    # partition-filtered read applies the tombstones of its files
+    assert sorted(
+        r.id for r in got.filter("k = 'a'").collect()
+    ) == [4, 6, 8]
+    # time travel to before the delete
+    assert len(t.read(spark, version=0).collect()) == 10
+    # OPTIMIZE purges DVs, keeps the partition layout and the rows
+    t.optimize(spark)
+    meta, live, _p = t._replay(t.latest_version())
+    assert meta["partitionColumns"] == ["k"]
+    assert all("deletionVector" not in a for a in live.values())
+    assert all(a["partitionValues"].get("k") in ("a", "b")
+               for a in live.values())
+    assert sorted(r.id for r in t.read(spark).collect()) == [
+        3, 4, 5, 6, 7, 8, 9
+    ]
