@@ -72,6 +72,14 @@ def main() -> None:
     except ValueError:
         sf = -1.0  # path contains 'sf' without a trailing number
 
+    # Self-identification: a bench run on a loaded box is not evidence
+    # (round-4 lesson — its committed artifact failed its own guard
+    # purely from concurrent verification lanes saturating the cores).
+    # Sample the 1-minute loadavg BEFORE Spark spins up its own worker
+    # threads, so the number reflects EXTERNAL load; a polluted
+    # artifact then announces itself.
+    load_before = round(os.getloadavg()[0], 2)
+
     spark = get_spark("dlp-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
@@ -149,6 +157,8 @@ def main() -> None:
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
     )
+    guard_verdict = None
+    regressions: dict[str, tuple[float, float]] = {}
     if os.path.exists(baseline_path) and abs(sf - 0.1) < 1e-9:
         with open(baseline_path) as fh:
             base_doc = json.load(fh)
@@ -177,12 +187,16 @@ def main() -> None:
                     f"{b:.2f}s ({now / b:.2f}x)",
                     file=sys.stderr,
                 )
-        else:
-            print(
-                f"no >1.3x per-query {lane_name} regressions vs baseline "
-                f"({len(base)} tracked)",
-                file=sys.stderr,
+            guard_verdict = (
+                f"{len(regressions)} {lane_name} queries >1.3x baseline: "
+                + ", ".join(sorted(regressions))
             )
+        else:
+            guard_verdict = (
+                f"no >1.3x per-query {lane_name} regressions vs baseline "
+                f"({len(base)} tracked)"
+            )
+            print(guard_verdict, file=sys.stderr)
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -190,6 +204,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Self-identifying run conditions: loadavg sampled before/after
+        # the timed section plus the guard's own verdict.  An artifact
+        # whose loadavg exceeds the core budget or whose guard names
+        # regressions was benched on a busy box — rerun it quiet
+        # instead of committing it (round-4 verdict, What's wrong #1).
+        "loadavg_before": load_before,
+        "loadavg_after": round(os.getloadavg()[0], 2),
+        "cpus": os.cpu_count(),
+        "guard": guard_verdict,
     }
     if steady:
         out["queries_steady"] = steady

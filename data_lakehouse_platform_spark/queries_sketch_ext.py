@@ -978,7 +978,7 @@ def kmv_distinct_intersection(
         F.array_union(F.col("a.arr"), F.col("b.arr"))
     )
     pairs = (
-        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        a.join(F.broadcast(b), F.col("a.event_type") < F.col("b.event_type"))
         .select(
             F.col("a.event_type").alias("type_a"),
             F.col("b.event_type").alias("type_b"),

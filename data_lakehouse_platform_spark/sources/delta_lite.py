@@ -294,6 +294,24 @@ _LEGACY_WRITER_FEATURES = {
 MAX_DELETE_ROWS = 2_000_000
 
 
+def _encode_path(p: str) -> str:
+    """Relative on-disk path -> the URL-encoded spelling the Delta
+    protocol requires for ``add.path``/``remove.path`` (readers
+    decode).  Hive-escaped partition dirs contain literal ``%`` (e.g.
+    value ``x:y`` -> dir ``k=x%3Ay``), so writing the raw spelling
+    would make delta-spark decode to a nonexistent file; quoting here
+    (``%`` -> ``%25``) keeps the round trip exact."""
+    return urllib.parse.quote(p, safe="/=")
+
+
+def _decode_path(p: str) -> str:
+    """URL-encoded log path -> the on-disk relative path (the Delta
+    spec's reader-side decode).  All in-memory state (``live`` keys,
+    action dicts) holds DECODED paths; encoding happens only at
+    commit/checkpoint serialization."""
+    return urllib.parse.unquote(p)
+
+
 class DeleteTooLargeError(ValueError):
     """delete() matched more rows than the DV path should carry."""
 
@@ -451,6 +469,7 @@ class DeltaLiteTable:
                     meta = self._plain(row["metaData"])
                 if row.get("add") is not None:
                     add = self._plain(row["add"])
+                    add["path"] = _decode_path(add["path"])
                     live[add["path"]] = add
         return meta, live, proto
 
@@ -490,10 +509,57 @@ class DeltaLiteTable:
                 elif "metaData" in a:
                     meta = a["metaData"]
                 elif "add" in a:
-                    live[a["add"]["path"]] = a["add"]
+                    add = dict(a["add"])
+                    add["path"] = _decode_path(add["path"])
+                    live[add["path"]] = add
                 elif "remove" in a:
-                    live.pop(a["remove"]["path"], None)
+                    live.pop(_decode_path(a["remove"]["path"]), None)
         return meta, live, proto
+
+    def _tombstones(self, to_version: int) -> dict[str, dict]:
+        """Unexpired ``remove`` tombstones at a version — the Delta
+        spec requires checkpoints to RETAIN remove actions until
+        tombstone retention expires (default 1 week), so external
+        vacuum / conflict detection still sees recently removed files
+        after :meth:`clean_log`.  Replayed in commit order: a re-add
+        of the same path clears its tombstone; a prior checkpoint's
+        remove column seeds the state."""
+        import pyarrow.parquet as pq
+
+        tombs: dict[str, dict] = {}
+        start_after = -1
+        cps = self._checkpoints()
+        eligible = [c for c in cps if c <= to_version]
+        if eligible:
+            cp = max(eligible)
+            for f in cps[cp]:
+                tbl = pq.read_table(os.path.join(self.log_dir, f))
+                if "remove" in tbl.column_names:
+                    for row in tbl.to_pylist():
+                        rm = row.get("remove")
+                        if rm is not None:
+                            rm = self._plain(rm)
+                            rm["path"] = _decode_path(rm["path"])
+                            tombs[rm["path"]] = rm
+            start_after = cp
+        for v in self._versions():
+            if not (start_after < v <= to_version):
+                continue
+            for a in self._actions(v):
+                if "remove" in a:
+                    rm = dict(a["remove"])
+                    rm["path"] = _decode_path(rm["path"])
+                    tombs[rm["path"]] = rm
+                elif "add" in a:
+                    tombs.pop(_decode_path(a["add"]["path"]), None)
+        retention_ms = 7 * 24 * 3600 * 1000
+        floor = int(time.time() * 1000) - retention_ms
+        return {
+            p: rm
+            for p, rm in tombs.items()
+            if int(rm.get("deletionTimestamp") or 0) >= floor
+            or rm.get("deletionTimestamp") is None
+        }
 
     def txn_versions(self, to_version: int | None = None) -> dict[str, int]:
         """Latest committed application-transaction version per appId
@@ -538,12 +604,116 @@ class DeltaLiteTable:
 
     # -- write ----------------------------------------------------------
 
+    def _stage_adds(
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        data_change: bool = True,
+    ) -> list[dict]:
+        """Write ``df`` under a fresh staging directory and return the
+        ``add`` actions (DECODED on-disk relative paths; encoding
+        happens at commit serialization).  Per the Delta protocol,
+        partitionValues holds DECODED values (null for null), not the
+        hive-escaped directory segment Spark wrote (e.g. 'x:y' escapes
+        to 'x%3Ay' on disk, NULL to '__HIVE_DEFAULT_PARTITION__')."""
+        stage = f"part-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, stage)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
+
+        adds = []
+        now_ms = int(time.time() * 1000)
+        for root, _dirs, files in os.walk(out):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.path)
+                pvals: dict[str, str | None] = {}
+                for seg in os.path.relpath(root, out).split(os.sep):
+                    if "=" in seg:
+                        kcol, val = seg.split("=", 1)
+                        pvals[kcol] = (
+                            None
+                            if val == "__HIVE_DEFAULT_PARTITION__"
+                            else urllib.parse.unquote(val)
+                        )
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(full),
+                            "modificationTime": now_ms,
+                            "dataChange": data_change,
+                        }
+                    }
+                )
+        return adds
+
+    @staticmethod
+    def _encoded_action(a: dict) -> dict:
+        """Copy of an action with its file path URL-encoded for the
+        log (spec: add/remove paths are URL-encoded; in-memory state
+        is decoded)."""
+        for kind in ("add", "remove"):
+            if kind in a:
+                inner = dict(a[kind])
+                inner["path"] = _encode_path(inner["path"])
+                return {**a, kind: inner}
+        return a
+
+    def _commit(
+        self,
+        actions: list[dict],
+        version: int,
+        *,
+        stale_sensitive: bool,
+        computed_against,
+        op_desc: str,
+    ) -> int:
+        """PUT-IF-ABSENT commit (the LogStore contract).  A lost race
+        is only retryable when the action list does not depend on the
+        snapshot it was computed from: a pure APPEND adds files and
+        read nothing, so it may take the next slot.  Snapshot-derived
+        commits (overwrite/DELETE/MERGE/OPTIMIZE/RESTORE, first
+        commit's protocol/metaData) abort loudly instead — committing
+        them one slot later would silently miss the intervening
+        commit's files, the same conflict Delta raises on a concurrent
+        MERGE."""
+        from data_lakehouse_platform_spark.sources.table_format import (
+            ConcurrentModificationError,
+        )
+
+        os.makedirs(self.log_dir, exist_ok=True)
+        while True:
+            target = os.path.join(self.log_dir, f"{version:020d}.json")
+            try:
+                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                if stale_sensitive:
+                    raise ConcurrentModificationError(
+                        f"version {version} was committed concurrently; "
+                        f"this {op_desc} was computed against version "
+                        f"{computed_against} — re-read and retry"
+                    )
+                version += 1
+                continue
+            with os.fdopen(fd, "w") as fh:
+                for a in actions:
+                    fh.write(json.dumps(self._encoded_action(a)) + "\n")
+            return version
+
     def write(
         self,
         df: DataFrame,
         mode: str = "append",
         partition_by: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        operation: str = "WRITE",
+        operation_params: dict | None = None,
     ) -> int:
         """Commit ``df`` as the next Delta version (``append`` keeps
         prior files; ``overwrite`` removes them in the same commit —
@@ -557,7 +727,12 @@ class DeltaLiteTable:
         an idempotent writer (streaming sink) checks
         :meth:`txn_versions` before committing, so a replayed
         micro-batch cannot double-commit — the same appId/version
-        scheme delta-spark's streaming sink uses."""
+        scheme delta-spark's streaming sink uses.
+
+        ``operation``/``operation_params`` let composite verbs (MERGE)
+        stamp the correct commitInfo AT COMMIT TIME — never by
+        rewriting an already-committed log file, which would break the
+        put-if-absent immutability readers rely on."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         latest = self.latest_version()
@@ -581,54 +756,21 @@ class DeltaLiteTable:
             live = {}
 
         # Stage data under a unique directory; commit references the
-        # files relatively (spec: `path` is relative + URL-encoded; our
-        # names are [-A-Za-z0-9_/.] so encoding is the identity).
-        stage = f"part-{uuid.uuid4().hex[:12]}"
-        out = os.path.join(self.path, stage)
-        writer = df.write.mode("errorifexists")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(out)
-
-        adds = []
+        # files by relative path (URL-encoded at serialization per the
+        # spec — see _encoded_action).
+        adds = self._stage_adds(df, partition_by)
         now_ms = int(time.time() * 1000)
-        for root, _dirs, files in os.walk(out):
-            for f in files:
-                if not f.endswith(".parquet"):
-                    continue
-                full = os.path.join(root, f)
-                rel = os.path.relpath(full, self.path)
-                # Per the Delta protocol, partitionValues holds DECODED
-                # values (null for null) — not the hive-escaped directory
-                # segment Spark wrote (e.g. 'x:y' escapes to 'x%3Ay' on
-                # disk, and NULL to '__HIVE_DEFAULT_PARTITION__').
-                pvals: dict[str, str | None] = {}
-                for seg in os.path.relpath(root, out).split(os.sep):
-                    if "=" in seg:
-                        kcol, val = seg.split("=", 1)
-                        pvals[kcol] = (
-                            None
-                            if val == "__HIVE_DEFAULT_PARTITION__"
-                            else urllib.parse.unquote(val)
-                        )
-                adds.append(
-                    {
-                        "add": {
-                            "path": rel.replace(os.sep, "/"),
-                            "partitionValues": pvals,
-                            "size": os.path.getsize(full),
-                            "modificationTime": now_ms,
-                            "dataChange": True,
-                        }
-                    }
-                )
 
         actions: list[dict] = [
             {
                 "commitInfo": {
                     "timestamp": now_ms,
-                    "operation": "WRITE",
-                    "operationParameters": {"mode": mode.upper()},
+                    "operation": operation,
+                    "operationParameters": (
+                        {"mode": mode.upper()}
+                        if operation_params is None
+                        else operation_params
+                    ),
                     "engineInfo": "delta-lite/0.1 (protocol v1)",
                 }
             }
@@ -673,39 +815,18 @@ class DeltaLiteTable:
             )
         actions.extend(adds)
 
-        # PUT-IF-ABSENT commit (the LogStore contract). A lost race is
-        # only retryable when the action list does not depend on the
-        # snapshot it was computed from: a pure APPEND adds files and
-        # read nothing, so it may take the next slot. An OVERWRITE's
-        # remove list (and a first commit's protocol/metaData) were
-        # computed against `latest` — blindly committing them one slot
-        # later would fail to remove the intervening commit's files
-        # (silent corruption), so that race aborts loudly instead, the
-        # same conflict Delta raises on a concurrent MERGE.
-        from data_lakehouse_platform_spark.sources.table_format import (
-            ConcurrentModificationError,
-        )
-
+        # An OVERWRITE's remove list (and a first commit's protocol/
+        # metaData) were computed against `latest`; a pure APPEND may
+        # retry onto the next slot — see _commit.
         stale_sensitive = (mode == "overwrite") or (latest is None)
-        os.makedirs(self.log_dir, exist_ok=True)
         version = (latest or 0) + 1 if latest is not None else 0
-        while True:
-            target = os.path.join(self.log_dir, f"{version:020d}.json")
-            try:
-                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                if stale_sensitive:
-                    raise ConcurrentModificationError(
-                        f"version {version} was committed concurrently; "
-                        f"this {mode or 'initial'} commit was computed "
-                        f"against version {latest} — re-read and retry"
-                    )
-                version += 1
-                continue
-            with os.fdopen(fd, "w") as fh:
-                for a in actions:
-                    fh.write(json.dumps(a) + "\n")
-            return version
+        return self._commit(
+            actions,
+            version,
+            stale_sensitive=stale_sensitive,
+            computed_against=latest,
+            op_desc=f"{mode or 'initial'} commit",
+        )
 
     @staticmethod
     def _proto_with_dv(proto: dict) -> dict:
@@ -848,24 +969,15 @@ class DeltaLiteTable:
 
         # DELETE is computed against `latest` — a lost commit race
         # aborts (same stale-sensitive rule as overwrite).
-        from data_lakehouse_platform_spark.sources.table_format import (
-            ConcurrentModificationError,
+        v = self._commit(
+            actions,
+            latest + 1,
+            stale_sensitive=True,
+            computed_against=latest,
+            op_desc="DELETE",
         )
-
-        target = os.path.join(self.log_dir, f"{latest + 1:020d}.json")
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise ConcurrentModificationError(
-                f"version {latest + 1} was committed concurrently; this "
-                f"DELETE was computed against version {latest} — re-read "
-                "and retry"
-            )
-        with os.fdopen(fd, "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
         return {
-            "version": latest + 1,
+            "version": v,
             "deleted_rows": len(rows),
             "files": len(by_file),
         }
@@ -877,24 +989,34 @@ class DeltaLiteTable:
         keys: list[str],
         txn: tuple[str, int] | None = None,
     ) -> dict:
-        """Copy-on-write MERGE (upsert): source rows matching on
-        ``keys`` replace the current rows, unmatched source rows
-        insert — the reference's ``DeltaTable.merge`` whenMatchedUpdate
-        / whenNotMatchedInsert shape (gold_dim_products.py:118-131) as
-        ONE atomic version.  The snapshot (including DV filtering) is
-        read, merged, and committed as a full rewrite — Delta's
-        copy-on-write merge; surgical row removal stays
-        :meth:`delete`'s DV path.  Duplicate keys in ``source`` are
-        refused (delta-spark raises the same multiple-source-rows-
-        matched error)."""
+        """FILE-SCOPED copy-on-write MERGE (upsert): source rows
+        matching on ``keys`` replace the current rows, unmatched
+        source rows insert — the reference's ``DeltaTable.merge``
+        whenMatchedUpdate / whenNotMatchedInsert shape
+        (gold_dim_products.py:118-131) as ONE atomic version.
+
+        Like real Delta's COW merge, only the data files that actually
+        CONTAIN matched rows are rewritten: touched files are located
+        by a ``_metadata.file_path`` semi-join on the merge keys,
+        their surviving rows are rewritten together with every source
+        row, and every untouched file's add action (deletion-vector
+        descriptor included) stays live in the log untouched — a
+        100 TB fact upsert touching one partition rewrites that
+        partition's files, not the table.  Duplicate keys in
+        ``source`` are refused (delta-spark raises the same
+        multiple-source-rows-matched error)."""
         from pyspark.sql import functions as F
 
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
-        meta, _live, _proto = self._replay(latest)
-        current = self.read(spark, version=latest)
-        if sorted(source.columns) != sorted(current.columns):
+        meta, live, _proto = self._replay(latest)
+        current = self.read(spark, version=latest, _with_position=True)
+        data_cols = [
+            c for c in current.columns
+            if c not in ("__dv_path", "__dv_ridx")
+        ]
+        if sorted(source.columns) != sorted(data_cols):
             raise ValueError(
                 "source schema differs from table schema; Delta-lite "
                 "does not evolve schemas implicitly — align the "
@@ -908,28 +1030,95 @@ class DeltaLiteTable:
                 f"source has duplicate keys on {keys}; MERGE requires "
                 "at most one source row per target row"
             )
-        kept = current.join(
-            source.select(*keys), on=keys, how="left_anti"
-        )
-        merged = kept.unionByName(source.select(*current.columns))
+        # Touched files: every file holding >=1 matched row.  The
+        # collect is bounded by FILE count (log-sized metadata), never
+        # row count.
+        touched_uris = [
+            r["__dv_path"]
+            for r in current.join(
+                source.select(*keys).distinct(), on=keys, how="left_semi"
+            )
+            .select("__dv_path")
+            .distinct()
+            .collect()
+        ]
+        root = os.path.abspath(self.path)
+        touched_rels = set()
+        for u in touched_uris:
+            rel = os.path.relpath(
+                urllib.parse.unquote(u), root
+            ).replace(os.sep, "/")
+            if rel not in live:
+                raise DeltaProtocolError(
+                    f"matched file {rel} is not in the snapshot"
+                )
+            touched_rels.add(rel)
+
         part = meta.get("partitionColumns", [])
-        v = self.write(
-            merged, mode="overwrite", partition_by=part or None, txn=txn
-        )
-        # Re-tag the commit operation (write() stamped WRITE): the
-        # history should read MERGE, like delta-spark's.
-        log_file = os.path.join(self.log_dir, f"{v:020d}.json")
-        actions = [json.loads(ln) for ln in open(log_file)]
-        for a in actions:
-            if "commitInfo" in a:
-                a["commitInfo"]["operation"] = "MERGE"
-                a["commitInfo"]["operationParameters"] = {
-                    "matchedPredicates": "update", "keys": keys
+        if touched_uris:
+            tdf = F.broadcast(
+                spark.createDataFrame(
+                    [(u,) for u in touched_uris], "__dv_path string"
+                )
+            )
+            survivors = (
+                current.join(tdf, on="__dv_path", how="left_semi")
+                .join(source.select(*keys), on=keys, how="left_anti")
+                .select(*data_cols)
+            )
+            rewrite = survivors.unionByName(source.select(*data_cols))
+        else:
+            rewrite = source.select(*data_cols)
+        adds = self._stage_adds(rewrite, part)
+
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "MERGE",
+                    "operationParameters": {
+                        "matchedPredicates": "update",
+                        "keys": keys,
+                    },
+                    "engineInfo": "delta-lite/0.1 (protocol v1)",
                 }
-        with open(log_file, "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
-        return {"version": v}
+            }
+        ]
+        for rel in sorted(touched_rels):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        if txn is not None:
+            app_id, app_version = txn
+            actions.append(
+                {
+                    "txn": {
+                        "appId": str(app_id),
+                        "version": int(app_version),
+                        "lastUpdated": now_ms,
+                    }
+                }
+            )
+        actions.extend(adds)
+        v = self._commit(
+            actions,
+            latest + 1,
+            stale_sensitive=True,
+            computed_against=latest,
+            op_desc="MERGE",
+        )
+        return {
+            "version": v,
+            "files_rewritten": len(touched_rels),
+            "files_untouched": len(live) - len(touched_rels),
+        }
 
     def optimize(
         self,
@@ -963,8 +1152,6 @@ class DeltaLiteTable:
         part = meta.get("partitionColumns", [])
         current = self.read(spark, version=latest)
 
-        stage = f"part-{uuid.uuid4().hex[:12]}"
-        out = os.path.join(self.path, stage)
         if zorder_by:
             from pyspark.sql import functions as F
 
@@ -986,39 +1173,8 @@ class DeltaLiteTable:
             )
         else:
             staged = current.coalesce(n_out)
-        writer = staged.write.mode("errorifexists")
-        if part:
-            writer = writer.partitionBy(*part)
-        writer.parquet(out)
-
+        adds = self._stage_adds(staged, part, data_change=False)
         now_ms = int(time.time() * 1000)
-        adds = []
-        for root, _dirs, files in os.walk(out):
-            for f in files:
-                if not f.endswith(".parquet"):
-                    continue
-                full = os.path.join(root, f)
-                rel = os.path.relpath(full, self.path)
-                pvals: dict[str, str | None] = {}
-                for seg in os.path.relpath(root, out).split(os.sep):
-                    if "=" in seg:
-                        kcol, val = seg.split("=", 1)
-                        pvals[kcol] = (
-                            None
-                            if val == "__HIVE_DEFAULT_PARTITION__"
-                            else urllib.parse.unquote(val)
-                        )
-                adds.append(
-                    {
-                        "add": {
-                            "path": rel.replace(os.sep, "/"),
-                            "partitionValues": pvals,
-                            "size": os.path.getsize(full),
-                            "modificationTime": now_ms,
-                            "dataChange": False,
-                        }
-                    }
-                )
         actions: list[dict] = [
             {
                 "commitInfo": {
@@ -1048,24 +1204,15 @@ class DeltaLiteTable:
             )
         actions.extend(adds)
 
-        from data_lakehouse_platform_spark.sources.table_format import (
-            ConcurrentModificationError,
+        v = self._commit(
+            actions,
+            latest + 1,
+            stale_sensitive=True,
+            computed_against=latest,
+            op_desc="OPTIMIZE",
         )
-
-        target = os.path.join(self.log_dir, f"{latest + 1:020d}.json")
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise ConcurrentModificationError(
-                f"version {latest + 1} was committed concurrently; this "
-                f"OPTIMIZE was computed against version {latest} — "
-                "re-read and retry"
-            )
-        with os.fdopen(fd, "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
         return {
-            "version": latest + 1,
+            "version": v,
             "files_before": len(live),
             "files_after": len(adds),
         }
@@ -1128,23 +1275,13 @@ class DeltaLiteTable:
                     )
                 actions.append({"add": live_t[pth]})
 
-        from data_lakehouse_platform_spark.sources.table_format import (
-            ConcurrentModificationError,
+        return self._commit(
+            actions,
+            latest + 1,
+            stale_sensitive=True,
+            computed_against=latest,
+            op_desc="RESTORE",
         )
-
-        target = os.path.join(self.log_dir, f"{latest + 1:020d}.json")
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            raise ConcurrentModificationError(
-                f"version {latest + 1} was committed concurrently; this "
-                f"RESTORE was computed against version {latest} — re-read "
-                "and retry"
-            )
-        with os.fdopen(fd, "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
-        return latest + 1
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Delta VACUUM: delete data files and DV ``.bin`` files not
@@ -1390,7 +1527,12 @@ class DeltaLiteTable:
             deleted = []
             for p, dv in dv_map.items():
                 ap = os.path.abspath(os.path.join(self.path, p))
-                keys = {ap, urllib.parse.quote(ap, safe="/")}
+                # The URI spelling must match _metadata.file_path's
+                # encoding: file URIs leave '=' raw (hive partition
+                # dirs), so '=' stays in the safe set — quoting it
+                # would silently skip DV application on partitioned
+                # tables whose values needed hive escaping.
+                keys = {ap, urllib.parse.quote(ap, safe="/=")}
                 for ridx in self._dv_deleted_rows(dv):
                     for key in keys:
                         deleted.append((key, int(ridx)))
@@ -1414,7 +1556,8 @@ class DeltaLiteTable:
     def checkpoint(self, version: int | None = None) -> int:
         """Write a protocol-v1 checkpoint for ``version`` (default:
         latest): a single parquet file holding the replayed state —
-        protocol + metaData + every live ``add`` — plus the
+        protocol + metaData + every live ``add`` + txn markers +
+        unexpired ``remove`` tombstones — plus the
         ``_last_checkpoint`` pointer, exactly the layout delta-spark
         produces every 10 commits.  After a checkpoint, the JSON
         commits it covers may be dropped (:meth:`clean_log`) and every
@@ -1516,7 +1659,7 @@ class DeltaLiteTable:
 
         add_col = [
             {
-                "path": a["path"],
+                "path": _encode_path(a["path"]),
                 "partitionValues": _mapify(a.get("partitionValues")),
                 "size": a.get("size"),
                 "modificationTime": a.get("modificationTime"),
@@ -1524,6 +1667,25 @@ class DeltaLiteTable:
                 "deletionVector": _dv_struct(a),
             }
             for _, a in sorted(live.items())
+        ]
+        # Remove TOMBSTONES (spec: checkpoints retain removes until
+        # tombstone retention expires) — external vacuum / conflict
+        # detection keeps seeing recently removed files after
+        # clean_log().
+        rm_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("deletionTimestamp", pa.int64()),
+                ("dataChange", pa.bool_()),
+            ]
+        )
+        rm_col = [
+            {
+                "path": _encode_path(rm["path"]),
+                "deletionTimestamp": rm.get("deletionTimestamp"),
+                "dataChange": bool(rm.get("dataChange", True)),
+            }
+            for _, rm in sorted(self._tombstones(v).items())
         ]
         # Application-transaction markers MUST survive checkpointing
         # (spec: checkpoints contain the latest txn per appId) or a
@@ -1540,7 +1702,7 @@ class DeltaLiteTable:
             {"appId": app, "version": ver, "lastUpdated": None}
             for app, ver in sorted(self.txn_versions(v).items())
         ]
-        n = 2 + len(add_col) + len(txn_col)
+        n = 2 + len(add_col) + len(txn_col) + len(rm_col)
         tbl = pa.table(
             {
                 "protocol": pa.array(
@@ -1549,15 +1711,24 @@ class DeltaLiteTable:
                 "metaData": pa.array(
                     [None]
                     + meta_col
-                    + [None] * (len(add_col) + len(txn_col)),
+                    + [None] * (n - 2),
                     type=meta_t,
                 ),
                 "add": pa.array(
-                    [None, None] + add_col + [None] * len(txn_col),
+                    [None, None]
+                    + add_col
+                    + [None] * (len(txn_col) + len(rm_col)),
                     type=add_t,
                 ),
                 "txn": pa.array(
-                    [None] * (2 + len(add_col)) + txn_col, type=txn_t
+                    [None] * (2 + len(add_col))
+                    + txn_col
+                    + [None] * len(rm_col),
+                    type=txn_t,
+                ),
+                "remove": pa.array(
+                    [None] * (2 + len(add_col) + len(txn_col)) + rm_col,
+                    type=rm_t,
                 ),
             }
         )

@@ -178,9 +178,12 @@ _SPARK_TO_ICEBERG = {
 }
 
 # -- partition transforms (spec §Partition Transforms) -------------------
-# Only exact, engine-portable transforms: identity on discrete types,
+# Exact, engine-portable transforms: identity on discrete types,
 # day/month on date-ish sources (int days / months since epoch, computed
-# in the engine's pinned-UTC session so the value is calendar-stable).
+# in the engine's pinned-UTC session so the value is calendar-stable),
+# bucket[N] (murmur3_x86_32 per Appendix B, built from pure Spark
+# expressions so the hot path stays JVM-side), and truncate[W]
+# (integer floor-to-multiple / string prefix).
 
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -194,9 +197,291 @@ _IDENTITY_AVRO = {
 }
 
 
+# murmur3_x86_32 (seed 0) as PURE Spark expressions.  Every step is
+# 32-bit modular arithmetic carried in BIGINTs; the multiply is split
+# 16/16 so no intermediate exceeds 2^49 (ANSI-overflow-safe).
+_U32 = 0xFFFFFFFF
+
+
+def _mm_mul32(a, c: int):
+    lo = a.bitwiseAND(F.lit(0xFFFF)) * F.lit(c)
+    hi = (
+        (F.shiftright(a, 16) * F.lit(c)).bitwiseAND(F.lit(0xFFFF))
+        * F.lit(65536)
+    )
+    return (lo + hi).bitwiseAND(F.lit(_U32))
+
+
+def _mm_rotl(x, r: int):
+    return (
+        F.shiftleft(x, r).bitwiseAND(F.lit(_U32))
+    ).bitwiseOR(F.shiftright(x, 32 - r))
+
+
+def _mm_mix_k1(k1):
+    return _mm_mul32(_mm_rotl(_mm_mul32(k1, 0xCC9E2D51), 15), 0x1B873593)
+
+
+def _mm_mix_h1(h1, k1):
+    h1 = _mm_rotl(h1.bitwiseXOR(k1), 13)
+    return (_mm_mul32(h1, 5) + F.lit(0xE6546B64)).bitwiseAND(F.lit(_U32))
+
+
+def _mm_fmix(h1, length):
+    h1 = h1.bitwiseXOR(length)
+    h1 = h1.bitwiseXOR(F.shiftright(h1, 16))
+    h1 = _mm_mul32(h1, 0x85EBCA6B)
+    h1 = h1.bitwiseXOR(F.shiftright(h1, 13))
+    h1 = _mm_mul32(h1, 0xC2B2AE35)
+    return h1.bitwiseXOR(F.shiftright(h1, 16))
+
+
+# NOTE on tree size: every murmur step references its input several
+# times, so composing the whole hash as ONE Column multiplies subtrees
+# (fmix alone re-references its input ~72x) — the analyzed expression
+# explodes to ~10^5 nodes and the serialized task OOMs.  The hash is
+# therefore attached through a CHAIN of withColumn steps: each step's
+# input is a column leaf, so every expression stays a few dozen nodes
+# and the optimizer collapses the Projects.
+
+
+def _mm_fmix_chain(df, out: str, length):
+    for step in (
+        lambda h: h.bitwiseXOR(length),
+        lambda h: h.bitwiseXOR(F.shiftright(h, 16)),
+        lambda h: _mm_mul32(h, 0x85EBCA6B),
+        lambda h: h.bitwiseXOR(F.shiftright(h, 13)),
+        lambda h: _mm_mul32(h, 0xC2B2AE35),
+        lambda h: h.bitwiseXOR(F.shiftright(h, 16)),
+    ):
+        df = df.withColumn(out, step(F.col(out)))
+    return df
+
+
+def _mm_attach_hash_long(df, out: str, v):
+    """out <- murmur3_x86_32 of v's 8-byte little-endian form (two
+    32-bit blocks, low then high); sign-extending shift is fixed up by
+    the mask, so negatives hash exactly like Java's.  NULL in -> NULL
+    out (every step propagates)."""
+    lo, hi = f"{out}__lo", f"{out}__hi"
+    df = df.withColumn(lo, v.cast("long").bitwiseAND(F.lit(_U32)))
+    df = df.withColumn(
+        hi, F.shiftright(v.cast("long"), 32).bitwiseAND(F.lit(_U32))
+    )
+    df = df.withColumn(
+        out, _mm_mix_h1(F.lit(0).cast("long"), _mm_mix_k1(F.col(lo)))
+    )
+    df = df.withColumn(out, _mm_mix_h1(F.col(out), _mm_mix_k1(F.col(hi))))
+    return _mm_fmix_chain(df, out, F.lit(8)).drop(lo, hi)
+
+
+def _mm_attach_hash_utf8(df, out: str, col):
+    """out <- murmur3_x86_32 over the string's UTF-8 bytes: 4-byte
+    little-endian blocks folded with a higher-order aggregate, then
+    the (<=3-byte) tail — all expression-level, no Python in the
+    executor path.  Bytes are addressed through hex() + substring
+    (2 hex chars per byte), portable across JVMs."""
+    hxc, nc = f"{out}__hx", f"{out}__n"
+    raw = F.encode(col, "UTF-8")
+    df = df.withColumn(hxc, F.hex(raw))
+    df = df.withColumn(nc, F.octet_length(raw).cast("long"))
+    hx, n = F.col(hxc), F.col(nc)
+    nblocks = (n / F.lit(4)).cast("long")
+
+    def _byte(hex_pos):  # 1-based hex-char position -> byte value
+        return F.conv(F.substring(hx, hex_pos, 2), 16, 10).cast("long")
+
+    def _block(i):  # i: 0-based block index (Column)
+        base = (i.cast("long") * F.lit(8)) + F.lit(1)
+        return (
+            _byte(base)
+            + _byte(base + F.lit(2)) * F.lit(256)
+            + _byte(base + F.lit(4)) * F.lit(65536)
+            + _byte(base + F.lit(6)) * F.lit(16777216)
+        )
+
+    # sequence is always ascending (max guard); slice trims to the
+    # true block count so nblocks=0 folds over an empty array.
+    idx = F.slice(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.greatest(nblocks - F.lit(1), F.lit(0).cast("long")),
+        ),
+        1,
+        nblocks.cast("int"),
+    )
+    df = df.withColumn(
+        out,
+        F.aggregate(
+            idx,
+            F.lit(0).cast("long"),
+            lambda acc, i: _mm_mix_h1(acc, _mm_mix_k1(_block(i))),
+        ),
+    )
+    rem = n % F.lit(4)
+    tail_base = nblocks * F.lit(8) + F.lit(1)
+    tlc = f"{out}__tl"
+    df = df.withColumn(
+        tlc,
+        F.when(rem >= 1, _byte(tail_base)).otherwise(F.lit(0))
+        + F.when(
+            rem >= 2, _byte(tail_base + F.lit(2)) * F.lit(256)
+        ).otherwise(F.lit(0))
+        + F.when(
+            rem >= 3, _byte(tail_base + F.lit(4)) * F.lit(65536)
+        ).otherwise(F.lit(0)),
+    )
+    df = df.withColumn(
+        out,
+        F.when(
+            rem > 0, F.col(out).bitwiseXOR(_mm_mix_k1(F.col(tlc)))
+        ).otherwise(F.col(out)),
+    )
+    return _mm_fmix_chain(df, out, n).drop(hxc, nc, tlc)
+
+
+def murmur3_32(data: bytes) -> int:
+    """Pure-Python murmur3_x86_32 (seed 0) — the spec Appendix B
+    bucket hash.  Driver-side twin of the Spark expressions above:
+    used to compute partition_filter values for point lookups (prune
+    by bucket WITHOUT scanning) and as the cross-check oracle in
+    tests.  Returns the SIGNED int32 Java would."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = 0
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & _U32
+        k = ((k << 15) | (k >> 17)) & _U32
+        k = (k * c2) & _U32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _U32
+        h = (h * 5 + 0xE6546B64) & _U32
+    rem = n % 4
+    if rem:
+        k = int.from_bytes(data[n - rem:], "little")
+        k = (k * c1) & _U32
+        k = ((k << 15) | (k >> 17)) & _U32
+        k = (k * c2) & _U32
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _U32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _U32
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def bucket_partition_value(value, n: int, src_type: str) -> int | None:
+    """bucket[N] partition value of a LITERAL (spec: (murmur3 &
+    Integer.MAX_VALUE) % N) — build a ``partition_filter`` for a point
+    lookup so the manifest pruner skips every other bucket."""
+    if value is None:
+        return None
+    if src_type in ("int", "long"):
+        b = int(value).to_bytes(8, "little", signed=True)
+    elif src_type == "date":
+        import datetime as _dt
+
+        days = (
+            (value - _dt.date(1970, 1, 1)).days
+            if isinstance(value, _dt.date)
+            else int(value)
+        )
+        b = days.to_bytes(8, "little", signed=True)
+    elif src_type in ("timestamp", "timestamptz"):
+        import datetime as _dt
+
+        if isinstance(value, _dt.datetime):
+            epoch = _dt.datetime(
+                1970, 1, 1, tzinfo=value.tzinfo if value.tzinfo else None
+            )
+            micros = int((value - epoch).total_seconds() * 1_000_000)
+        else:
+            micros = int(value)
+        b = micros.to_bytes(8, "little", signed=True)
+    elif src_type == "string":
+        b = str(value).encode("utf-8")
+    else:
+        raise IcebergProtocolError(
+            f"bucket transform on {src_type} not supported here"
+        )
+    return (murmur3_32(b) & 0x7FFFFFFF) % n
+
+
+_BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
+_TRUNC_RE = re.compile(r"^truncate\[(\d+)\]$")
+
+_BUCKETABLE = ("int", "long", "date", "timestamp", "timestamptz", "string")
+
+
+def _spec_field_name(col: str, transform: str) -> str:
+    """Iceberg's conventional partition-field names."""
+    if transform == "identity":
+        return col
+    if _BUCKET_RE.match(transform):
+        return f"{col}_bucket"
+    if _TRUNC_RE.match(transform):
+        return f"{col}_trunc"
+    return f"{col}_{transform}"
+
+
+def _attach_transform(
+    df: DataFrame, cname: str, col: str, transform: str, src_type: str
+) -> DataFrame:
+    """Attach the partition-transform value as column ``cname``.
+    bucket[N] goes through the withColumn hash chain (see the tree-size
+    note above); every other transform is one small expression."""
+    m = _BUCKET_RE.match(transform)
+    if m:
+        nb = int(m.group(1))
+        if nb <= 0:
+            raise IcebergProtocolError(f"bucket[{nb}] needs N > 0")
+        if src_type not in _BUCKETABLE:
+            raise IcebergProtocolError(
+                f"bucket() on {src_type} column {col!r} is not "
+                "supported here (int/long/date/timestamp/string)"
+            )
+        if src_type in ("int", "long"):
+            df = _mm_attach_hash_long(df, cname, F.col(col))
+        elif src_type == "date":
+            df = _mm_attach_hash_long(
+                df, cname, F.datediff(F.col(col), F.lit("1970-01-01"))
+            )
+        elif src_type in ("timestamp", "timestamptz"):
+            df = _mm_attach_hash_long(df, cname, F.unix_micros(F.col(col)))
+        else:
+            df = _mm_attach_hash_utf8(df, cname, F.col(col))
+        return df.withColumn(
+            cname,
+            (
+                F.col(cname).bitwiseAND(F.lit(0x7FFFFFFF)) % F.lit(nb)
+            ).cast("int"),
+        )
+    return df.withColumn(cname, _transform_expr(col, transform, src_type))
+
+
 def _transform_expr(col: str, transform: str, src_type: str):
-    """Spark expression computing the partition value for one field.
+    """Spark expression computing the partition value for one field
+    (non-bucket transforms; bucket needs :func:`_attach_transform`).
     ``src_type`` is the ICEBERG source type (already mapped)."""
+    m = _TRUNC_RE.match(transform)
+    if m:
+        w = int(m.group(1))
+        if w <= 0:
+            raise IcebergProtocolError(f"truncate[{w}] needs W > 0")
+        if src_type in ("int", "long"):
+            c = F.col(col)
+            # floor-to-multiple: v - (((v % W) + W) % W), exact for
+            # negatives (Spark % truncates toward zero)
+            return c - (((c % w) + w) % w)
+        if src_type == "string":
+            return F.substring(F.col(col), 1, w)
+        raise IcebergProtocolError(
+            f"truncate() on {src_type} column {col!r} is not supported "
+            "here (int/long/string)"
+        )
     if transform == "identity":
         if src_type not in _IDENTITY_AVRO:
             raise IcebergProtocolError(
@@ -222,7 +507,8 @@ def _transform_expr(col: str, transform: str, src_type: str):
         return (F.year(d) - F.lit(1970)) * F.lit(12) + F.month(d) - F.lit(1)
     raise IcebergProtocolError(
         f"partition transform {transform!r} not supported here "
-        "(identity/day/month only) — use an Iceberg runtime"
+        "(identity/day/month/bucket[N]/truncate[W] only) — use an "
+        "Iceberg runtime"
     )
 
 
@@ -231,6 +517,10 @@ def _partition_avro_type(transform: str, src_type: str):
         return _IDENTITY_AVRO[src_type]
     if transform == "day":
         return {"type": "int", "logicalType": "date"}
+    if _BUCKET_RE.match(transform):
+        return "int"
+    if _TRUNC_RE.match(transform):
+        return {"int": "int", "long": "long", "string": "string"}[src_type]
     return "int"  # month
 
 
@@ -238,7 +528,7 @@ def _hive_dir_value(raw: str, transform: str, src_type: str):
     """Directory-name string back to the typed partition value."""
     if raw == _HIVE_NULL:
         return None
-    if transform in ("day", "month"):
+    if transform in ("day", "month") or _BUCKET_RE.match(transform):
         return int(raw)
     if src_type in ("int", "long"):
         return int(raw)
@@ -250,6 +540,12 @@ def _hive_dir_value(raw: str, transform: str, src_type: str):
 
 
 class IcebergLiteTable:
+    # One position-delete file per ~this many matched rows: a mass
+    # delete range-shards by (file_path, pos) instead of funneling
+    # every pair through one task (see :meth:`delete`).  Class-level
+    # so tests can shrink it to exercise the multi-shard path.
+    ROWS_PER_DELETE_FILE = 10_000_000
+
     def __init__(self, path: str, metadata_file: str | None = None):
         self.path = path
         self.metadata_dir = os.path.join(path, "metadata")
@@ -319,6 +615,43 @@ class IcebergLiteTable:
             ]
         # v1 tables may embed the manifest list inline (no sequencing)
         return [(_local_path(p), 0, 0) for p in snap.get("manifests", [])]
+
+    def _manifest_list_rows(self, snap: dict) -> list[dict]:
+        """A snapshot's manifest-list rows normalized to ``_ML_SCHEMA``
+        for carry-forward into a NEW snapshot's list — provenance
+        fields (``added_snapshot_id``, ``sequence_number``,
+        ``min_sequence_number``, file/row counts) PRESERVED VERBATIM:
+        external engines use added_snapshot_id for incremental /
+        changelog scans and min_sequence_number for delete-file
+        pruning, so re-stamping them on carry (as appends once did
+        here) misattributes files in history-derived scans."""
+        if "manifest-list" not in snap:
+            # v1 inline list: no sequencing/provenance to preserve
+            return [
+                {
+                    "manifest_path": _local_path(p),
+                    "manifest_length": os.path.getsize(_local_path(p)),
+                    "partition_spec_id": 0, "content": 0,
+                    "sequence_number": 0, "min_sequence_number": 0,
+                    "added_snapshot_id": int(snap.get("snapshot-id") or 0),
+                    "added_files_count": 0, "existing_files_count": 0,
+                    "deleted_files_count": 0, "added_rows_count": 0,
+                    "existing_rows_count": 0, "deleted_rows_count": 0,
+                }
+                for p in snap.get("manifests", [])
+            ]
+        _, rows = read_container(_local_path(snap["manifest-list"]))
+        out = []
+        for r in rows:
+            d = {f["name"]: r.get(f["name"]) for f in _ML_SCHEMA["fields"]}
+            d["manifest_path"] = _local_path(r["manifest_path"])
+            if d.get("manifest_length") is None:
+                d["manifest_length"] = os.path.getsize(d["manifest_path"])
+            for f in _ML_SCHEMA["fields"]:
+                if d[f["name"]] is None and f["name"] != "manifest_path":
+                    d[f["name"]] = 0
+            out.append(d)
+        return out
 
     def _live_files(
         self, snap: dict
@@ -503,20 +836,27 @@ class IcebergLiteTable:
         if eq:
             # Equality deletes apply to rows of data files STRICTLY
             # OLDER than the delete (data seq < delete seq, per spec) —
-            # attach each row's file sequence from the manifest
-            # metadata (bounded: one map entry per data file), then one
-            # null-safe anti-join per delete file on its equality_ids
-            # columns.  Delete-file count is bounded by compaction
-            # cadence, not data size.
+            # attach each row's file sequence via a BROADCAST join
+            # against a tiny (path, seq) DataFrame (one row per data
+            # file; plan size stays O(1) in file count, where a literal
+            # create_map would bloat the plan at millions of files).
+            # Each path is keyed under BOTH its raw and URL-encoded
+            # spelling: __ib_path comes from _metadata.file_path, whose
+            # URI form percent-encodes some characters — a raw-only key
+            # would NULL the lookup and the seq<delete-seq gate, and
+            # equality deletes would silently stop applying.
             id_to_name = self._field_names_by_id(meta)
-            seq_map = F.create_map(
-                *[
-                    x
-                    for p, s, _pt in data_files
-                    for x in (F.lit(os.path.abspath(p)), F.lit(s))
-                ]
+            seq_rows = []
+            for p, s, _pt in data_files:
+                ap = os.path.abspath(p)
+                for k in {ap, urllib.parse.quote(ap, safe="/=")}:
+                    seq_rows.append((k, int(s)))
+            sdf = F.broadcast(
+                spark.createDataFrame(
+                    seq_rows, "__ib_path string, __ib_seq long"
+                )
             )
-            df = df.withColumn("__ib_seq", seq_map[F.col("__ib_path")])
+            df = df.join(sdf, on="__ib_path", how="left")
             for d in sorted(eq, key=lambda d: (d["seq"], d["path"])):
                 try:
                     cols = [id_to_name[i] for i in d["equality_ids"]]
@@ -552,6 +892,34 @@ class IcebergLiteTable:
         "timestamp": "timestamp_ntz",
         "binary": "binary",
     }
+
+    def _iceberg_type_to_spark_ddl(self, t) -> str | None:
+        """Iceberg schema-JSON type -> Spark DDL string (for NULL
+        synthesis of columns added after a file was written), nested
+        types included; None when unmappable."""
+        if isinstance(t, str):
+            if t.startswith("decimal"):
+                return t
+            return self._ICEBERG_TO_SPARK.get(t)
+        if not isinstance(t, dict):
+            return None
+        tt = t.get("type")
+        if tt == "struct":
+            inner = []
+            for f in t.get("fields", []):
+                ft = self._iceberg_type_to_spark_ddl(f["type"])
+                if ft is None:
+                    return None
+                inner.append(f"`{f['name']}`:{ft}")
+            return f"struct<{','.join(inner)}>"
+        if tt == "list":
+            et = self._iceberg_type_to_spark_ddl(t.get("element"))
+            return None if et is None else f"array<{et}>"
+        if tt == "map":
+            kt = self._iceberg_type_to_spark_ddl(t.get("key"))
+            vt = self._iceberg_type_to_spark_ddl(t.get("value"))
+            return None if kt is None or vt is None else f"map<{kt},{vt}>"
+        return None
 
     def _resolved_scan(
         self,
@@ -614,12 +982,7 @@ class IcebergLiteTable:
                 # column added to the table after these files were
                 # written: spec says read as NULL
                 itype = id_to_type.get(fid)
-                stype = (
-                    itype
-                    if isinstance(itype, str)
-                    and itype.startswith("decimal")
-                    else self._ICEBERG_TO_SPARK.get(itype)
-                )
+                stype = self._iceberg_type_to_spark_ddl(itype)
                 if stype is None:
                     raise IcebergProtocolError(
                         f"column {lname!r} (field id {fid}, type "
@@ -710,23 +1073,110 @@ class IcebergLiteTable:
     # -- write (migrate-out edge) ---------------------------------------
 
     def _iceberg_schema(self, df: DataFrame) -> list[dict]:
-        fields = []
-        for i, f in enumerate(df.schema.fields, start=1):
-            tn = f.dataType.typeName()
+        """Spark schema -> Iceberg schema JSON fields, NESTED types
+        included: struct fields, list elements, and map keys/values
+        each get a unique field-id per the spec's schema JSON.
+        Top-level columns keep ids 1..n (the flat writer's historical
+        assignment, so appends to existing tables compare equal);
+        nested ids continue after n in traversal order — deterministic,
+        so re-deriving the schema from a same-shaped DataFrame
+        reproduces identical ids."""
+        n_top = len(df.schema.fields)
+        counter = [n_top]
+
+        def conv(dt, where: str):
+            tn = dt.typeName()
             it = _SPARK_TO_ICEBERG.get(tn)
-            if it is None and tn.startswith("decimal"):
-                it = tn  # decimal(p,s) spells identically
-            if it is None:
-                raise IcebergProtocolError(
-                    f"column {f.name}: Spark type {tn} has no flat "
-                    "Iceberg mapping here — this writer covers primitive "
-                    "columns; use SnapshotTable/DeltaLiteTable for "
-                    "nested data"
-                )
-            fields.append(
-                {"id": i, "name": f.name, "required": False, "type": it}
+            if it is not None:
+                return it
+            if tn.startswith("decimal"):
+                return tn  # decimal(p,s) spells identically
+            if tn == "struct":
+                out = []
+                for f in dt.fields:
+                    counter[0] += 1
+                    out.append(
+                        {
+                            "id": counter[0],
+                            "name": f.name,
+                            "required": False,
+                            "type": conv(f.dataType, f"{where}.{f.name}"),
+                        }
+                    )
+                return {"type": "struct", "fields": out}
+            if tn == "array":
+                counter[0] += 1
+                eid = counter[0]
+                return {
+                    "type": "list",
+                    "element-id": eid,
+                    "element": conv(dt.elementType, f"{where}.element"),
+                    "element-required": not dt.containsNull,
+                }
+            if tn == "map":
+                counter[0] += 1
+                kid = counter[0]
+                counter[0] += 1
+                vid = counter[0]
+                return {
+                    "type": "map",
+                    "key-id": kid,
+                    "key": conv(dt.keyType, f"{where}.key"),
+                    "value-id": vid,
+                    "value": conv(dt.valueType, f"{where}.value"),
+                    "value-required": not dt.valueContainsNull,
+                }
+            raise IcebergProtocolError(
+                f"column {where}: Spark type {tn} has no Iceberg "
+                "mapping here — use SnapshotTable/DeltaLiteTable for "
+                "such data"
             )
-        return fields
+
+        return [
+            {
+                "id": i,
+                "name": f.name,
+                "required": False,
+                "type": conv(f.dataType, f.name),
+            }
+            for i, f in enumerate(df.schema.fields, start=1)
+        ]
+
+    @staticmethod
+    def _max_field_id(fields: list[dict]) -> int:
+        """Largest field-id anywhere in a schema's field list (the
+        metadata's ``last-column-id`` must cover NESTED ids too)."""
+
+        def walk(t) -> int:
+            if isinstance(t, str):
+                return 0
+            tt = t.get("type")
+            if tt == "struct":
+                return max(
+                    (
+                        max(int(f["id"]), walk(f["type"]))
+                        for f in t["fields"]
+                    ),
+                    default=0,
+                )
+            if tt == "list":
+                return max(int(t["element-id"]), walk(t["element"]))
+            if tt == "map":
+                return max(
+                    int(t["key-id"]),
+                    int(t["value-id"]),
+                    walk(t["key"]),
+                    walk(t["value"]),
+                )
+            return 0
+
+        return max(
+            (
+                max(int(f["id"]), walk(f["type"]))
+                for f in fields
+            ),
+            default=0,
+        )
 
     def write(
         self,
@@ -771,7 +1221,7 @@ class IcebergLiteTable:
                 )
         spec_fields = [
             {
-                "name": c if tr == "identity" else f"{c}_{tr}",
+                "name": _spec_field_name(c, tr),
                 "transform": tr,
                 "source-id": name_to_id[c],
                 "field-id": 1000 + i,
@@ -790,7 +1240,7 @@ class IcebergLiteTable:
                 "location": os.path.abspath(self.path),
                 "last-sequence-number": 0,
                 "last-updated-ms": 0,
-                "last-column-id": len(ice_fields),
+                "last-column-id": self._max_field_id(ice_fields),
                 "current-schema-id": 0,
                 "schemas": [{"type": "struct", "schema-id": 0,
                              "fields": ice_fields}],
@@ -827,7 +1277,7 @@ class IcebergLiteTable:
                 name_to_id = {f["name"]: int(f["id"]) for f in cur}
                 spec_fields = [
                     {
-                        "name": c if tr == "identity" else f"{c}_{tr}",
+                        "name": _spec_field_name(c, tr),
                         "transform": tr,
                         "source-id": name_to_id[c],
                         "field-id": 1000 + i,
@@ -880,11 +1330,11 @@ class IcebergLiteTable:
         part_cols = []
         for pf in spec_fields:
             src = id_to_name[pf["source-id"]]
-            expr = _transform_expr(
-                src, pf["transform"], id_to_type[pf["source-id"]]
-            )
             cname = f"__ip_{pf['name']}"
-            stage_df = stage_df.withColumn(cname, expr)
+            stage_df = _attach_transform(
+                stage_df, cname, src, pf["transform"],
+                id_to_type[pf["source-id"]],
+            )
             part_cols.append(cname)
         writer = stage_df.write.mode("errorifexists")
         if part_cols:
@@ -982,23 +1432,9 @@ class IcebergLiteTable:
                 (s for s in snaps if int(s["snapshot-id"]) == cur_id), None
             )
             if cur_snap is not None:
-                for p, content, pseq in self._manifest_paths(cur_snap):
-                    ml_rows.append(
-                        {
-                            "manifest_path": p,
-                            "manifest_length": os.path.getsize(p),
-                            "partition_spec_id": 0, "content": content,
-                            "sequence_number": pseq,
-                            "min_sequence_number": 0,
-                            "added_snapshot_id": snap_id,
-                            "added_files_count": 0,
-                            "existing_files_count": 0,
-                            "deleted_files_count": 0,
-                            "added_rows_count": 0,
-                            "existing_rows_count": 0,
-                            "deleted_rows_count": 0,
-                        }
-                    )
+                # carried manifests keep their ORIGINAL provenance
+                # (added_snapshot_id / sequence numbers / counts)
+                ml_rows.extend(self._manifest_list_rows(cur_snap))
         ml_path = os.path.join(
             mdir, f"snap-{snap_id}-1-{uuidlib.uuid4().hex}.avro"
         )
@@ -1089,39 +1525,45 @@ class IcebergLiteTable:
                 prior, on=["file_path", "pos"], how="left_anti"
             )
 
+        # Bound the whale: a mass delete must not funnel every matched
+        # (file, pos) pair through one task/file.  Count first (cheap
+        # aggregate; also the no-match early exit), then range-shard by
+        # (file_path, pos) into ~rows_per_delete_file files — each
+        # shard sorted for run-length-friendly encoding, each file
+        # scoped to a contiguous file_path range so readers of one data
+        # file pull few delete files.
+        n_del = matched.count()
+        if n_del == 0:
+            # nothing matched: no commit, nothing staged
+            return {
+                "snapshot_id": cur_id,
+                "rows_deleted": 0,
+                "files_touched": 0,
+            }
         ddir = os.path.join(self.path, "data")
         os.makedirs(ddir, exist_ok=True)
         stage = os.path.join(ddir, f"del-{uuidlib.uuid4().hex[:12]}")
-        # one delete file per commit: (file, pos) pairs are a tiny
-        # fraction of the data; sorted for run-length-friendly encoding
-        matched.orderBy("file_path", "pos").coalesce(1).write.mode(
-            "errorifexists"
-        ).parquet(stage)
+        n_shards = max(1, -(-n_del // self.ROWS_PER_DELETE_FILE))
+        staged = (
+            matched.orderBy("file_path", "pos").coalesce(1)
+            if n_shards == 1
+            else matched.repartitionByRange(
+                n_shards, "file_path", "pos"
+            ).sortWithinPartitions("file_path", "pos")
+        )
+        staged.write.mode("errorifexists").parquet(stage)
         dfiles = [
             os.path.join(root, f)
             for root, _d, files in os.walk(stage)
             for f in sorted(files)
             if f.endswith(".parquet")
         ]
-        pmeta = pq.read_metadata(dfiles[0])
-        n_del = pmeta.num_rows
-        n_files_touched = len(
-            set(
-                r.file_path
-                for r in spark.read.parquet(dfiles[0])
-                .select("file_path")
-                .distinct()
-                .collect()
-            )
-        ) if n_del else 0
-        if n_del == 0:
-            # nothing matched: no commit, leave the empty stage dir out
-            # of the manifests (vacuum-style cleanup is the caller's)
-            return {
-                "snapshot_id": cur_id,
-                "rows_deleted": 0,
-                "files_touched": 0,
-            }
+        # touched-file count from the staged parquet (already
+        # materialized), not a third pass over the anti-join
+        n_files_touched = (
+            spark.read.parquet(*dfiles)
+            .select("file_path").distinct().count()
+        )
 
         snaps = meta.get("snapshots", [])
         snap_id = max(int(s["snapshot-id"]) for s in snaps) + 1
@@ -1134,12 +1576,13 @@ class IcebergLiteTable:
                 "status": 1, "snapshot_id": snap_id,
                 "sequence_number": seq, "file_sequence_number": seq,
                 "data_file": {
-                    "content": 1, "file_path": dfiles[0],
+                    "content": 1, "file_path": dpath,
                     "file_format": "PARQUET", "partition": {},
-                    "record_count": n_del,
-                    "file_size_in_bytes": os.path.getsize(dfiles[0]),
+                    "record_count": pq.read_metadata(dpath).num_rows,
+                    "file_size_in_bytes": os.path.getsize(dpath),
                 },
             }
+            for dpath in dfiles
         ]
         extra = {
             "schema": json.dumps(
@@ -1169,24 +1612,13 @@ class IcebergLiteTable:
                 "partition_spec_id": 0, "content": 1,
                 "sequence_number": seq, "min_sequence_number": seq,
                 "added_snapshot_id": snap_id,
-                "added_files_count": 1, "existing_files_count": 0,
+                "added_files_count": len(dfiles),
+                "existing_files_count": 0,
                 "deleted_files_count": 0,
                 "added_rows_count": n_del,
                 "existing_rows_count": 0, "deleted_rows_count": 0,
             }
-        ] + [
-            {
-                "manifest_path": p,
-                "manifest_length": os.path.getsize(p),
-                "partition_spec_id": 0, "content": content,
-                "sequence_number": pseq, "min_sequence_number": 0,
-                "added_snapshot_id": snap_id,
-                "added_files_count": 0, "existing_files_count": 0,
-                "deleted_files_count": 0, "added_rows_count": 0,
-                "existing_rows_count": 0, "deleted_rows_count": 0,
-            }
-            for p, content, pseq in self._manifest_paths(cur_snap)
-        ]
+        ] + self._manifest_list_rows(cur_snap)  # provenance verbatim
         ml_path = os.path.join(
             mdir, f"snap-{snap_id}-1-{uuidlib.uuid4().hex}.avro"
         )
@@ -1406,10 +1838,10 @@ class IcebergLiteTable:
         cur_snap = next(
             s for s in snaps if int(s["snapshot-id"]) == cur_id
         )
-        for p, content, pseq in self._manifest_paths(cur_snap):
-            if content != 1:
+        for row in self._manifest_list_rows(cur_snap):
+            if int(row.get("content") or 0) != 1:
                 continue
-            _, mrows = read_container(p)
+            _, mrows = read_container(row["manifest_path"])
             has_eq = any(
                 int(e["data_file"].get("content") or 0) == 2
                 for e in mrows
@@ -1417,18 +1849,7 @@ class IcebergLiteTable:
             )
             if not has_eq:
                 continue
-            ml_rows.append(
-                {
-                    "manifest_path": p,
-                    "manifest_length": os.path.getsize(p),
-                    "partition_spec_id": 0, "content": 1,
-                    "sequence_number": pseq, "min_sequence_number": 0,
-                    "added_snapshot_id": snap_id,
-                    "added_files_count": 0, "existing_files_count": 0,
-                    "deleted_files_count": 0, "added_rows_count": 0,
-                    "existing_rows_count": 0, "deleted_rows_count": 0,
-                }
-            )
+            ml_rows.append(row)  # provenance verbatim
         ml_path = os.path.join(
             mdir, f"snap-{snap_id}-1-{uuidlib.uuid4().hex}.avro"
         )

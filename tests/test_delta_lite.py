@@ -983,7 +983,7 @@ def test_merge_upsert_one_atomic_version(spark, tmp_path):
     res = t.merge(
         spark, _df(spark, [(2, "B2"), (4, "d")]), keys=["id"]
     )                                                        # v2
-    assert res == {"version": 2}
+    assert res["version"] == 2
     assert sorted((r.id, r.val) for r in t.read(spark).collect()) == [
         (1, "a"), (2, "B2"), (4, "d")  # 3 stays deleted
     ]
@@ -1180,3 +1180,158 @@ def test_dv_delete_on_partitioned_table(spark, tmp_path):
     assert sorted(r.id for r in t.read(spark).collect()) == [
         3, 4, 5, 6, 7, 8, 9
     ]
+
+
+def test_merge_is_file_scoped_cow(spark, tmp_path):
+    """Round-5 MERGE contract: only the data files that CONTAIN
+    matched rows are rewritten — an unmatched file's add action
+    survives the merge with its original path (real Delta's COW file
+    scoping; a 100 TB upsert touching one partition must not rewrite
+    the table)."""
+    t = DeltaLiteTable(str(tmp_path / "fs"))
+    # two single-file commits -> two distinct data files
+    t.write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.write(_df(spark, [(10, "x"), (11, "y")]).coalesce(1), mode="append")
+    _m, live_before, _p = t._replay(t.latest_version())
+    assert len(live_before) == 2
+    # keys 10/12 touch ONLY the second file
+    res = t.merge(spark, _df(spark, [(10, "X2"), (12, "new")]), keys=["id"])
+    assert res["files_rewritten"] == 1 and res["files_untouched"] == 1
+    _m, live_after, _p = t._replay(t.latest_version())
+    untouched = set(live_before) & set(live_after)
+    assert len(untouched) == 1  # file 1's add action carried unchanged
+    path = next(iter(untouched))
+    assert live_before[path] == live_after[path]
+    assert sorted((r.id, r.val) for r in t.read(spark).collect()) == [
+        (1, "a"), (2, "b"), (10, "X2"), (11, "y"), (12, "new")
+    ]
+    # the MERGE commit holds removes ONLY for touched files
+    actions = t._actions(t.latest_version())
+    removed = [a["remove"]["path"] for a in actions if "remove" in a]
+    assert len(removed) == 1 and path not in removed
+    ci = next(a["commitInfo"] for a in actions if "commitInfo" in a)
+    assert ci["operation"] == "MERGE"  # stamped at commit time, no retag
+
+
+def test_merge_pure_insert_touches_no_files(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "ins"))
+    t.write(_df(spark, [(1, "a")]).coalesce(1))
+    res = t.merge(spark, _df(spark, [(2, "b")]), keys=["id"])
+    assert res["files_rewritten"] == 0 and res["files_untouched"] == 1
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    # no remove actions in a pure-insert merge
+    assert not any("remove" in a for a in t._actions(res["version"]))
+
+
+def test_merge_file_scoped_preserves_other_files_dv(spark, tmp_path):
+    """An untouched file's deletion-vector descriptor rides through a
+    merge of OTHER files unchanged (deleted rows stay dead)."""
+    t = DeltaLiteTable(str(tmp_path / "dvk"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.write(_df(spark, [(10, "x"), (11, "y")]).coalesce(1), mode="append")
+    t.delete(spark, "id = 2")  # DV on file 1
+    res = t.merge(spark, _df(spark, [(11, "Y2")]), keys=["id"])  # file 2
+    assert res["files_rewritten"] == 1
+    _m, live, _p = t._replay(t.latest_version())
+    dvs = [a for a in live.values() if a.get("deletionVector")]
+    assert len(dvs) == 1  # file 1's DV survived the merge untouched
+    assert sorted((r.id, r.val) for r in t.read(spark).collect()) == [
+        (1, "a"), (10, "x"), (11, "Y2")
+    ]
+
+
+def test_add_paths_url_encoded_in_log(spark, tmp_path):
+    """Delta spec: add.path is URL-encoded; partition values needing
+    hive escaping ('x:y' -> dir 'k=x%3Ay') must land in the log with
+    the '%' itself encoded ('%25') so external readers decode to the
+    real on-disk file — and our reader must decode on read."""
+    t = DeltaLiteTable(str(tmp_path / "enc"))
+    df = spark.createDataFrame(
+        [(1, "x:y"), (2, "plain")], "id int, k string"
+    )
+    t.write(df, partition_by=["k"])
+    actions = t._actions(0)
+    raw_paths = [a["add"]["path"] for a in actions if "add" in a]
+    enc = [p for p in raw_paths if "x%253Ay" in p]
+    assert enc, f"hive-escaped dir must be %-encoded in the log: {raw_paths}"
+    # decoded path exists on disk; raw log spelling does not
+    import urllib.parse
+    dec = urllib.parse.unquote(enc[0])
+    assert os.path.exists(os.path.join(t.path, dec))
+    assert not os.path.exists(os.path.join(t.path, enc[0]))
+    got = sorted((r.id, r.k) for r in t.read(spark).collect())
+    assert got == [(1, "x:y"), (2, "plain")]
+    # overwrite must REMOVE by the same encoded spelling (replay pairs
+    # them after decoding)
+    t.write(spark.createDataFrame([(9, "z")], "id int, k string"),
+            mode="overwrite")
+    assert sorted((r.id, r.k) for r in t.read(spark).collect()) == [(9, "z")]
+    rm = [a["remove"]["path"] for a in t._actions(1) if "remove" in a]
+    assert any("x%253Ay" in p for p in rm)
+    # checkpoint round-trips the encoding, and DELETE still resolves
+    # file coordinates on the encoded table
+    t.write(df, mode="append")
+    t.delete(spark, "id = 1")
+    t.checkpoint()
+    t.clean_log()
+    got = sorted((r.id, r.k) for r in t.read(spark).collect())
+    assert got == [(2, "plain"), (9, "z")]
+
+
+def test_external_encoded_log_read(spark, tmp_path):
+    """A log written by ANOTHER engine with percent-encoded add.path
+    (e.g. a space in the file name) reads correctly — the reader
+    decodes before joining with the table root."""
+    import json as _json
+    root = tmp_path / "ext"
+    os.makedirs(root / "_delta_log")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, val string")
+    df.coalesce(1).write.parquet(str(root / "stage"))
+    part = next(
+        f for f in os.listdir(root / "stage") if f.endswith(".parquet")
+    )
+    os.rename(root / "stage" / part, root / "stage" / "my file.parquet")
+    schema = df.schema.json()
+    actions = [
+        {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet",
+         "options": {}}, "schemaString": schema, "partitionColumns": [],
+         "configuration": {}, "createdTime": 1}},
+        {"add": {"path": "stage/my%20file.parquet", "partitionValues": {},
+         "size": 1, "modificationTime": 1, "dataChange": True}},
+    ]
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+    t = DeltaLiteTable(str(root))
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_checkpoint_retains_remove_tombstones(spark, tmp_path):
+    """Delta spec: checkpoints retain remove tombstones until
+    retention expires — external vacuum / conflict detection must
+    still see recently removed files after clean_log()."""
+    import pyarrow.parquet as pq
+
+    t = DeltaLiteTable(str(tmp_path / "tomb"))
+    t.write(_df(spark, [(1, "a")]).coalesce(1))              # v0
+    t.write(_df(spark, [(2, "b")]).coalesce(1), "overwrite")  # v1 removes
+    removed = [
+        a["remove"]["path"] for a in t._actions(1) if "remove" in a
+    ]
+    assert len(removed) == 1
+    t.checkpoint()
+    cp = pq.read_table(
+        os.path.join(t.log_dir, f"{1:020d}.checkpoint.parquet")
+    ).to_pylist()
+    tombs = [r["remove"]["path"] for r in cp if r.get("remove")]
+    assert tombs == removed
+    # a re-added path clears its tombstone
+    t.write(_df(spark, [(3, "c")]).coalesce(1), mode="append")  # v2
+    assert set(t._tombstones(2)) == {
+        __import__("urllib.parse", fromlist=["unquote"]).unquote(removed[0])
+    }
+    # the tombstoned file is NOT resurrected by checkpoint replay
+    t.clean_log()
+    assert sorted(r.id for r in t.read(spark).collect()) == [2, 3]

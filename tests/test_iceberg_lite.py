@@ -374,13 +374,57 @@ def test_iceberg_write_schema_pinned(spark, tmp_path):
         t.write(spark.createDataFrame([(1.5,)], "x double"), mode="append")
 
 
-def test_iceberg_write_nested_refused(spark, tmp_path):
+def test_iceberg_write_nested_types_roundtrip(spark, tmp_path):
+    """Round 5: struct/list/map columns write with spec-conformant
+    nested field-ids (unique, last-column-id covers them) and read
+    back identically; a second same-shaped append re-derives IDENTICAL
+    ids so the schema pin holds."""
     t = IcebergLiteTable(str(tmp_path / "out"))
     nested = spark.createDataFrame(
-        [((1, 2),)], "s struct<a: int, b: int>"
+        [
+            (1, (10, "x"), [1, 2], {"k": 5}),
+            (2, (20, "y"), [], {}),
+        ],
+        "id long, s struct<a: int, b: string>, arr array<int>, "
+        "m map<string, long>",
     )
-    with pytest.raises(IcebergProtocolError, match="no flat Iceberg"):
-        t.write(nested)
+    t.write(nested)
+    fields = next(
+        s["fields"]
+        for s in t.metadata()["schemas"]
+        if s["schema-id"] == t.metadata()["current-schema-id"]
+    )
+    # nested ids are unique and last-column-id covers them
+    def all_ids(fs):
+        out = []
+        for f in fs:
+            out.append(int(f["id"]))
+            ty = f["type"]
+            if isinstance(ty, dict):
+                if ty["type"] == "struct":
+                    out += all_ids(ty["fields"])
+                elif ty["type"] == "list":
+                    out.append(int(ty["element-id"]))
+                elif ty["type"] == "map":
+                    out += [int(ty["key-id"]), int(ty["value-id"])]
+        return out
+
+    ids = all_ids(fields)
+    assert len(ids) == len(set(ids))
+    assert t.metadata()["last-column-id"] == max(ids)
+    got = sorted(
+        (r.id, (r.s.a, r.s.b), list(r.arr), dict(r.m))
+        for r in t.read(spark).collect()
+    )
+    assert got == [(1, (10, "x"), [1, 2], {"k": 5}),
+                   (2, (20, "y"), [], {})]
+    # append with the same shape: deterministic ids -> schema pin holds
+    t.write(nested, mode="append")
+    assert t.read(spark).count() == 4
+    # a DIFFERENT nested shape still refuses
+    other = spark.createDataFrame([((1.5,),)], "s struct<a: double>")
+    with pytest.raises(ValueError, match="schema differs"):
+        t.write(other, mode="append")
 
 
 def test_iceberg_write_interop_with_snapshot_table(spark, tmp_path):
@@ -567,13 +611,24 @@ def test_iceberg_month_transform(spark, tmp_path):
 
 
 def test_iceberg_unsupported_transform_refused(spark, tmp_path):
-    """bucket[N]/hour/identity-on-timestamp refuse loudly instead of
-    writing a spec this module could not plan against."""
+    """hour/identity-on-timestamp (and malformed bucket/truncate)
+    refuse loudly instead of writing a spec this module could not
+    plan against."""
     t = IcebergLiteTable(str(tmp_path / "pt"))
     with pytest.raises(IcebergProtocolError, match="transform"):
         t.write(
             spark.createDataFrame([(1,)], "id long"),
-            partition_by=[("id", "bucket[4]")],
+            partition_by=[("id", "hour")],
+        )
+    with pytest.raises(IcebergProtocolError, match="bucket"):
+        t.write(
+            spark.createDataFrame([(1.5,)], "x double"),
+            partition_by=[("x", "bucket[4]")],  # double not bucketable
+        )
+    with pytest.raises(IcebergProtocolError, match="truncate"):
+        t.write(
+            spark.createDataFrame([(1.5,)], "x double"),
+            partition_by=[("x", "truncate[2]")],
         )
     with pytest.raises(IcebergProtocolError, match="identity"):
         t.write(
@@ -844,3 +899,150 @@ def test_iceberg_expire_snapshots(spark, tmp_path):
     assert t.expire_snapshots(retain_last=1) == []
     with pytest.raises(ValueError, match="retain_last"):
         t.expire_snapshots(retain_last=0)
+
+
+def test_iceberg_bucket_transform_write_prune_roundtrip(spark, tmp_path):
+    """Round 5: bucket[N] hidden partitioning — partition values are
+    the spec's (murmur3 & Int.MAX) % N (validated against the
+    Appendix-B Python twin), manifest pruning serves a point lookup
+    from ONLY that bucket's files, and the source column stays in the
+    data files."""
+    from data_lakehouse_platform_spark.sources.iceberg_lite import (
+        bucket_partition_value,
+    )
+
+    t = IcebergLiteTable(str(tmp_path / "bt"))
+    rows = [(i, f"u{i % 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, u string")
+    t.write(df, partition_by=[("id", "bucket[4]")])
+    files, _ = t.plan_files()
+    # every manifest partition value matches the Python twin's bucket
+    assert {f[2]["id_bucket"] for f in files} <= {0, 1, 2, 3}
+    # point lookup: prune to one bucket, then filter exactly
+    target = 17
+    b = bucket_partition_value(target, 4, "long")
+    pruned, _ = t.plan_files(partition_filter={"id_bucket": b})
+    assert 0 < len(pruned) < len(files)
+    got = t.read(spark, partition_filter={"id_bucket": b}).filter(
+        f"id = {target}"
+    )
+    assert [r.u for r in got.collect()] == [f"u{target % 7}"]
+    # full read agrees with the source, and buckets are CORRECT:
+    # recompute each row's bucket and check it matches its file's
+    back = t.read(spark)
+    assert sorted((r.id, r.u) for r in back.collect()) == sorted(rows)
+    by_bucket = {}
+    for p, _s, part in files:
+        by_bucket.setdefault(part["id_bucket"], []).append(p)
+    for r in rows:
+        want = bucket_partition_value(r[0], 4, "long")
+        hit = t.read(
+            spark, partition_filter={"id_bucket": want}
+        ).filter(f"id = {r[0]}")
+        assert hit.count() == 1  # the row lives in its computed bucket
+
+
+def test_iceberg_bucket_string_and_append(spark, tmp_path):
+    from data_lakehouse_platform_spark.sources.iceberg_lite import (
+        bucket_partition_value,
+    )
+
+    t = IcebergLiteTable(str(tmp_path / "bs"))
+    df = spark.createDataFrame(
+        [(1, "iceberg"), (2, "spark"), (3, None)], "id long, s string"
+    )
+    t.write(df, partition_by=[("s", "bucket[16]")])
+    files, _ = t.plan_files()
+    vals = {f[2]["s_bucket"] for f in files}
+    assert bucket_partition_value("iceberg", 16, "string") in vals
+    assert None in vals  # NULL source -> NULL partition value
+    # appends inherit the bucket spec
+    t.write(
+        spark.createDataFrame([(4, "iceberg")], "id long, s string"),
+        mode="append",
+    )
+    b = bucket_partition_value("iceberg", 16, "string")
+    got = t.read(spark, partition_filter={"s_bucket": b}).filter(
+        "s = 'iceberg'"
+    )
+    assert sorted(r.id for r in got.collect()) == [1, 4]
+
+
+def test_iceberg_truncate_transform_write_prune(spark, tmp_path):
+    """truncate[W]: integer floor-to-multiple (negatives exact) and
+    string prefix, both pruneable from manifests."""
+    t = IcebergLiteTable(str(tmp_path / "tt"))
+    df = spark.createDataFrame(
+        [(-15, "apple"), (-10, "apricot"), (7, "banana"), (23, "berry")],
+        "v long, w string",
+    )
+    t.write(df, partition_by=[("v", "truncate[10]"), ("w", "truncate[2]")])
+    files, _ = t.plan_files()
+    parts = {(f[2]["v_trunc"], f[2]["w_trunc"]) for f in files}
+    assert parts == {(-20, "ap"), (-10, "ap"), (0, "ba"), (20, "be")}
+    got = t.read(spark, partition_filter={"w_trunc": "ap"})
+    assert sorted(r.v for r in got.collect()) == [-15, -10]
+    got = t.read(spark, partition_filter={"v_trunc": -20})
+    assert [r.w for r in got.collect()] == ["apple"]
+
+
+def test_iceberg_mass_delete_shards_delete_files(spark, tmp_path):
+    """Round 5: a mass delete range-shards its position-delete rows
+    into multiple files (no single-whale task), manifests carry every
+    shard, and the read applies them all."""
+    t = IcebergLiteTable(str(tmp_path / "md"))
+    df = spark.range(0, 1000).selectExpr("id", "id % 10 AS k")
+    t.write(df.repartition(4))
+    old = IcebergLiteTable.ROWS_PER_DELETE_FILE
+    IcebergLiteTable.ROWS_PER_DELETE_FILE = 100
+    try:
+        res = t.delete(spark, "k < 5")  # 500 rows -> 5 shards
+    finally:
+        IcebergLiteTable.ROWS_PER_DELETE_FILE = old
+    assert res["rows_deleted"] == 500
+    _files, deletes = t.plan_files()
+    pos = [d for d in deletes if d["kind"] == "pos"]
+    assert len(pos) >= 2, "mass delete must shard into multiple files"
+    got = t.read(spark)
+    assert got.count() == 500
+    assert got.filter("k < 5").count() == 0
+    # a second surgical delete still composes
+    t.delete(spark, "id = 998")
+    assert t.read(spark).count() == 499
+
+
+def test_iceberg_append_preserves_manifest_provenance(spark, tmp_path):
+    """Round 5 (ADVICE): carrying a manifest into a new snapshot's
+    list preserves its ORIGINAL added_snapshot_id / sequence numbers —
+    external incremental scans attribute files by these."""
+    from data_lakehouse_platform_spark.sources.avro_lite import (
+        read_container,
+    )
+    from data_lakehouse_platform_spark.sources.iceberg_lite import (
+        _local_path,
+    )
+
+    t = IcebergLiteTable(str(tmp_path / "prov"))
+    s1 = t.write(spark.createDataFrame([(1,)], "id long"))
+    s2 = t.write(
+        spark.createDataFrame([(2,)], "id long"), mode="append"
+    )
+    snap2 = next(
+        s for s in t.snapshots() if int(s["snapshot-id"]) == s2
+    )
+    _, rows = read_container(_local_path(snap2["manifest-list"]))
+    by_snap = {int(r["added_snapshot_id"]): r for r in rows}
+    assert set(by_snap) == {s1, s2}, (
+        "carried manifest must keep its ORIGINAL added_snapshot_id"
+    )
+    carried = by_snap[s1]
+    assert int(carried["sequence_number"]) == 1
+    assert int(carried["min_sequence_number"]) == 1  # not re-zeroed
+    assert int(carried["added_files_count"]) >= 1  # counts verbatim
+    # delete commits also carry provenance verbatim
+    t.delete(spark, "id = 1")
+    snap3 = t.snapshots()[-1]
+    _, rows3 = read_container(_local_path(snap3["manifest-list"]))
+    assert {int(r["added_snapshot_id"]) for r in rows3} == {
+        s1, s2, int(snap3["snapshot-id"])
+    }

@@ -110,9 +110,15 @@ def test_plan_audit_contract(spark):
         "cartesian": 0,
     }
 
-    # No query in the registry uses a row-at-a-time Python UDF.
+    # No query in the registry uses a row-at-a-time Python UDF, and
+    # none plans a CartesianProduct (PLANS.md contract, executable).
     for name, q in registry.items():
-        assert audit_plan(q.build(spark, SF_DIR)).python_free_hot_path, name
+        a = audit_plan(q.build(spark, SF_DIR))
+        assert a.python_free_hot_path, name
+        assert a.cartesian_products == 0, (
+            f"{name} plans a CartesianProduct — broadcast the small "
+            "side (inequality-only joins need an explicit F.broadcast)"
+        )
 
 
 def test_new_shape_plan_contracts(spark):
