@@ -62,6 +62,11 @@ HEADLINE = [
     "kaplan_meier_churn",
     "conversion_ab_pairs",
     "median_stability_subsample",
+    # round-5 flagships (blocked edit-distance entity resolution;
+    # iterative min-label graph components), baselined from their
+    # first bench run
+    "fuzzy_match_customers",
+    "graph_components_bipartite",
 ]
 
 

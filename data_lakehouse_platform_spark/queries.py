@@ -102,6 +102,7 @@ _ORACLE_INT_CASTS: dict[str, tuple[str, ...]] = {
     "rank_change_months": ("rnk", "prev_rnk", "rank_delta"),
     "rank_ties_leaderboard": ("rnk", "drnk"),
     "rfm_segments": ("r_score", "f_score", "m_score", "rfm_cell"),
+    "sample_bottomk": ("smp_rank",),
     "segment_migration": ("from_tier", "to_tier"),
     "silver_clean_documents": ("n_chars_clean",),
     "supplier_scorecard": ("min_lag_days", "max_lag_days"),
@@ -162,6 +163,7 @@ def all_queries() -> dict[str, Query]:
     from data_lakehouse_platform_spark import queries_trend_ext  # noqa: F401
     from data_lakehouse_platform_spark import queries_survival_ext  # noqa: F401
     from data_lakehouse_platform_spark import queries_econ_ext  # noqa: F401
+    from data_lakehouse_platform_spark import queries_ops_ext  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -1,0 +1,286 @@
+"""Entity resolution / journey mining / reproducible sampling / graph
+components — round-5 additions (imported LAST in
+queries.all_queries(); the driver's first-50 set is pinned by
+registration order, so new keys land after position 50).
+
+Determinism strategy: every emitted number is an exact integer count,
+an exact MIN label, or a builtin whose definition is identical across
+engines (classic Levenshtein distance; md5-derived 60-bit hashes via
+operators.sketches).  No floats at all in this module.
+
+Scale posture, per query, is documented on each docstring; the common
+thread is that nothing here is all-pairs over a fact table — fuzzy
+matching is BLOCKED, journeys are per-key windows, sampling is a
+selection rank, and components run the library's min-label operator
+(groupBy+join rounds, never a collect).
+
+Reference analog: the reference resolves entities with exact keys only
+(gold_dim_*.py xxhash64 equality) and tracks journeys in Redis per
+order (orders_consumer.py); these queries are the distributed,
+replayable versions of those jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.operators import sketches as SK
+from data_lakehouse_platform_spark.queries import _t, register
+
+# ----------------------------------------------------------------------------
+# Blocked fuzzy match (edit-distance entity resolution)
+# ----------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(CASE WHEN levenshtein(a.c_name, b.c_name) = 1
+                  THEN 1 END) AS BIGINT) AS pairs_d1,
+       CAST(COUNT(CASE WHEN levenshtein(a.c_name, b.c_name) = 2
+                  THEN 1 END) AS BIGINT) AS pairs_d2
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+GROUP BY a.c_nationkey, a.c_mktsegment
+ORDER BY nationkey, seg
+"""
+
+
+@register(
+    "fuzzy_match_customers",
+    _FUZZY_ORACLE,
+    "BLOCKED edit-distance entity resolution: candidate pairs are "
+    "generated only WITHIN (nation, segment) blocks, then scored with "
+    "the builtin Levenshtein (JVM codegen; identical definition in "
+    "DuckDB) — near-duplicate name detection without the all-pairs "
+    "cross join. Blocking is the classic record-linkage scale lever: "
+    "pair count is sum of block^2, not n^2, and a skewed block is "
+    "handled by tightening the blocking key (or the q-gram LSH family "
+    "this library already ships for text). The reference resolves "
+    "entities by exact xxhash64 equality only "
+    "(gold_dim_products.py:70-88); this is the fuzzy tier above it.",
+)
+def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    d = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .groupBy(
+            F.col("a.c_nationkey").alias("nationkey"),
+            F.col("a.c_mktsegment").alias("seg"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.when(d == 1, 1)).alias("pairs_d1"),
+            F.count(F.when(d == 2, 1)).alias("pairs_d2"),
+        )
+        .orderBy("nationkey", "seg")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Journey path mining (top first-k event paths)
+# ----------------------------------------------------------------------------
+
+_PATH_K = 5
+_PATH_TOP = 20
+
+_PATHS_ORACLE = f"""
+WITH firstk AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), paths AS (
+  SELECT user_id,
+         STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM firstk WHERE rn <= {_PATH_K} GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT {_PATH_TOP}
+"""
+
+
+@register(
+    "top_event_paths",
+    _PATHS_ORACLE,
+    f"Journey mining: each user's first {_PATH_K} events (event-time "
+    "order, event_id tiebreak) concatenated into a path string, then "
+    "the top paths by user count — the onboarding-flow report the "
+    "reference's Redis order tracker answers one key at a time "
+    "(orders_consumer.py), here as one replayable plan. Scale: the "
+    "window is per-user (shuffle by user_id, k rows kept per user), "
+    "path cardinality is bounded by |event_types|^k, and the final "
+    "top-N is a tiny ordered limit — no driver loops, no state store.",
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstk = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PATH_K)
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    paths = firstk.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(_PATH_TOP)
+    )
+
+
+# ----------------------------------------------------------------------------
+# Reproducible bottom-k-by-hash sampling
+# ----------------------------------------------------------------------------
+
+_BOTTOMK = 20
+
+_SAMPLE_ORACLE = f"""
+SELECT seg, c_custkey, smp_rank FROM (
+  SELECT c_mktsegment AS seg, c_custkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY {SK.sql_hash60("CAST(c_custkey AS VARCHAR)")},
+                    c_custkey) AS smp_rank
+  FROM customer) t
+WHERE smp_rank <= {_BOTTOMK}
+ORDER BY seg, smp_rank
+"""
+
+
+@register(
+    "sample_bottomk",
+    _SAMPLE_ORACLE,
+    f"Reproducible uniform sampling: the {_BOTTOMK} smallest md5-hash "
+    "keys per segment (bottom-k). Unlike rand()-based sampling this is "
+    "(a) identical on every engine and every rerun, (b) MERGEABLE — "
+    "the bottom-k of a union is the re-topped union of per-shard "
+    "bottom-ks, so shards sample independently and combine exactly "
+    "(the KMV property the sketch family already exploits), and (c) "
+    "consistent across tables sharing the key (hash-join-able "
+    "samples). Scale: map-side hash + per-group selection, k rows per "
+    "group survive the shuffle.",
+)
+def sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        SK.hash60(F.col("c_custkey").cast("string")).alias("__h"),
+    )
+    w = Window.partitionBy("seg").orderBy("__h", "c_custkey")
+    return (
+        c.withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= _BOTTOMK)
+        .select("seg", "c_custkey", "smp_rank")
+        .orderBy("seg", "smp_rank")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Connected components on the sparse customer-supplier graph
+# ----------------------------------------------------------------------------
+
+_SUPP_OFFSET = 1_000_000_000
+
+_CC_ORACLE = f"""
+WITH RECURSIVE
+edges0 AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_discount >= 0.10 AND l.l_quantity <= 2
+),
+edges AS (
+  SELECT c AS src, s + {_SUPP_OFFSET} AS dst FROM edges0
+  UNION ALL
+  SELECT s + {_SUPP_OFFSET}, c FROM edges0
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+),
+labels AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT component,
+  CAST(COUNT(*) AS BIGINT) AS size,
+  CAST(SUM(CASE WHEN node < {_SUPP_OFFSET} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_customers,
+  CAST(SUM(CASE WHEN node >= {_SUPP_OFFSET} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_suppliers
+FROM labels GROUP BY component
+ORDER BY size DESC, component
+"""
+
+
+@register(
+    "graph_components_bipartite",
+    _CC_ORACLE,
+    "Connected components over the SPARSE customer-supplier bipartite "
+    "graph (edges = deep-discount single-unit line items): per "
+    "component, its min-node label, size, and customer/supplier "
+    "counts — trading-ring / collusion-cluster discovery on a star "
+    "schema. Runs the library's min-label propagation operator "
+    "(operators/components.py: groupBy+join rounds on a materialized "
+    "symmetric edge list, convergence by a 2-scalar aggregate, never a "
+    "driver collect of nodes; the large-star/small-star twin covers "
+    "adversarial diameters). The DuckDB oracle is a recursive-CTE "
+    "transitive closure — exponentially more expensive, which is "
+    "exactly why the distributed operator exists; their agreement is "
+    "the equivalence proof.",
+)
+def graph_components_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.components import (
+        connected_components,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.filter((F.col("l_discount") >= 0.10) & (F.col("l_quantity") <= 2))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(_SUPP_OFFSET)).alias("dst"),
+        )
+        .distinct()
+    )
+    labeled = connected_components(edges, "src", "dst")
+    return (
+        labeled.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.count(F.when(F.col("node") < _SUPP_OFFSET, 1)).alias(
+                "n_customers"
+            ),
+            F.count(F.when(F.col("node") >= _SUPP_OFFSET, 1)).alias(
+                "n_suppliers"
+            ),
+        )
+        .orderBy(F.col("size").desc(), "component")
+    )
