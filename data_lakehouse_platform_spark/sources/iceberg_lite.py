@@ -505,10 +505,28 @@ def _transform_expr(col: str, transform: str, src_type: str):
             )
         d = F.col(col).cast("date")
         return (F.year(d) - F.lit(1970)) * F.lit(12) + F.month(d) - F.lit(1)
+    if transform == "year":
+        if src_type not in ("date", "timestamp", "timestamptz"):
+            raise IcebergProtocolError(
+                f"year() needs a date/timestamp source, got {src_type} "
+                f"for {col!r}"
+            )
+        return F.year(F.col(col).cast("date")) - F.lit(1970)
+    if transform == "hour":
+        if src_type not in ("timestamp", "timestamptz"):
+            raise IcebergProtocolError(
+                f"hour() needs a timestamp source, got {src_type} "
+                f"for {col!r}"
+            )
+        # hours from epoch as an exact integer FLOOR division (plain
+        # div truncates toward zero — wrong for pre-1970 instants)
+        m = F.unix_micros(F.col(col))
+        h = F.lit(3_600_000_000)
+        return ((m - (((m % h) + h) % h)) / h).cast("int")
     raise IcebergProtocolError(
         f"partition transform {transform!r} not supported here "
-        "(identity/day/month/bucket[N]/truncate[W] only) — use an "
-        "Iceberg runtime"
+        "(identity/year/month/day/hour/bucket[N]/truncate[W] only) — "
+        "use an Iceberg runtime"
     )
 
 
@@ -521,14 +539,16 @@ def _partition_avro_type(transform: str, src_type: str):
         return "int"
     if _TRUNC_RE.match(transform):
         return {"int": "int", "long": "long", "string": "string"}[src_type]
-    return "int"  # month
+    return "int"  # month / year / hour
 
 
 def _hive_dir_value(raw: str, transform: str, src_type: str):
     """Directory-name string back to the typed partition value."""
     if raw == _HIVE_NULL:
         return None
-    if transform in ("day", "month") or _BUCKET_RE.match(transform):
+    if transform in ("day", "month", "year", "hour") or _BUCKET_RE.match(
+        transform
+    ):
         return int(raw)
     if src_type in ("int", "long"):
         return int(raw)

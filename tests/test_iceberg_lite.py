@@ -611,14 +611,19 @@ def test_iceberg_month_transform(spark, tmp_path):
 
 
 def test_iceberg_unsupported_transform_refused(spark, tmp_path):
-    """hour/identity-on-timestamp (and malformed bucket/truncate)
-    refuse loudly instead of writing a spec this module could not
-    plan against."""
+    """Unknown transforms / type-mismatched transforms / identity-on-
+    timestamp refuse loudly instead of writing a spec this module
+    could not plan against."""
     t = IcebergLiteTable(str(tmp_path / "pt"))
     with pytest.raises(IcebergProtocolError, match="transform"):
         t.write(
             spark.createDataFrame([(1,)], "id long"),
-            partition_by=[("id", "hour")],
+            partition_by=[("id", "zorder")],
+        )
+    with pytest.raises(IcebergProtocolError, match="hour"):
+        t.write(
+            spark.createDataFrame([(1,)], "id long"),
+            partition_by=[("id", "hour")],  # hour needs a timestamp
         )
     with pytest.raises(IcebergProtocolError, match="bucket"):
         t.write(
@@ -1046,3 +1051,34 @@ def test_iceberg_append_preserves_manifest_provenance(spark, tmp_path):
     assert {int(r["added_snapshot_id"]) for r in rows3} == {
         s1, s2, int(snap3["snapshot-id"])
     }
+
+
+def test_iceberg_year_and_hour_transforms(spark, tmp_path):
+    """year()/hour() hidden partitioning: years from 1970 and hours
+    from epoch (exact integer floor division), both manifest-pruneable."""
+    t = IcebergLiteTable(str(tmp_path / "yh"))
+    df = spark.createDataFrame(
+        [
+            (1, "2023-12-31 23:30:00"),
+            (2, "2024-01-01 00:30:00"),
+            (3, "2024-01-01 01:30:00"),
+        ],
+        "id long, ts string",
+    ).selectExpr("id", "CAST(ts AS TIMESTAMP) AS ts")
+    t.write(df, partition_by=[("ts", "year"), ("ts", "hour")])
+    files, _ = t.plan_files()
+    years = {f[2]["ts_year"] for f in files}
+    assert years == {53, 54}  # 2023, 2024
+    import datetime as _dt
+
+    h0 = int(
+        _dt.datetime(
+            2024, 1, 1, 0, tzinfo=_dt.timezone.utc
+        ).timestamp() // 3600
+    )
+    hours = {f[2]["ts_hour"] for f in files}
+    assert h0 in hours and (h0 - 1) in hours and (h0 + 1) in hours
+    got = t.read(spark, partition_filter={"ts_year": 54})
+    assert sorted(r.id for r in got.collect()) == [2, 3]
+    got = t.read(spark, partition_filter={"ts_hour": h0})
+    assert [r.id for r in got.collect()] == [2]
