@@ -103,6 +103,7 @@ _ORACLE_INT_CASTS: dict[str, tuple[str, ...]] = {
     "rank_ties_leaderboard": ("rnk", "drnk"),
     "rfm_segments": ("r_score", "f_score", "m_score", "rfm_cell"),
     "sample_bottomk": ("smp_rank",),
+    "seasonal_decompose_daily": ("weekday",),
     "segment_migration": ("from_tier", "to_tier"),
     "silver_clean_documents": ("n_chars_clean",),
     "supplier_scorecard": ("min_lag_days", "max_lag_days"),

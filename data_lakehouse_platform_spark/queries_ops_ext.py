@@ -284,3 +284,186 @@ def graph_components_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("size").desc(), "component")
     )
+
+
+def _cents(col: str):
+    """Exact integer cents of a money sum (int64-safe to ~sf10000,
+    the queries_trend_ext precedent)."""
+    return F.sum(
+        F.floor(F.col(col) * 100).cast("decimal(28,0)")
+    ).cast("bigint")
+
+
+# ----------------------------------------------------------------------------
+# Classical additive seasonal decomposition (trend / seasonal / remainder)
+# ----------------------------------------------------------------------------
+
+# All three components are derived from EXACT integer cents:
+#   trend      = sum7 / 7                      (one divide)
+#   detrended  = cents*7 - sum7                (exact integer)
+#   seasonal_w = SUM_w(detrended) / n_w / 7    (two divides, fixed order)
+#   remainder  = detrended/7 - seasonal_w      (two deterministic doubles)
+# so no float ever enters an engine-reordered aggregation.
+
+_DECOMP_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(28,0)))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+framed AS (
+  SELECT day, cents,
+         SUM(cents) OVER w AS sum7,
+         COUNT(*) OVER w AS cnt7,
+         isodow(day) - 1 AS wd
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+full7 AS (
+  SELECT day, cents, sum7, wd, cents * 7 - sum7 AS det7
+  FROM framed WHERE cnt7 = 7
+),
+seas AS (
+  SELECT wd,
+         CAST(SUM(det7) AS DOUBLE) / COUNT(*) / 7.0 AS seasonal
+  FROM full7 GROUP BY wd
+)
+SELECT f.day, f.cents,
+       CAST(f.sum7 AS DOUBLE) / 7.0 AS trend,
+       f.wd AS weekday,
+       s.seasonal,
+       CAST(f.det7 AS DOUBLE) / 7.0 - s.seasonal AS remainder
+FROM full7 f JOIN seas s ON f.wd = s.wd
+ORDER BY f.day
+"""
+
+
+@register(
+    "seasonal_decompose_daily",
+    _DECOMP_ORACLE,
+    "Classical ADDITIVE decomposition of daily revenue: centered "
+    "7-day moving-average trend, per-weekday seasonal index from the "
+    "exact integer detrended series (detrended*7 stays an integer, so "
+    "the weekday average is a single divide — no engine-reordered "
+    "float summation anywhere), remainder as the residual. The "
+    "missing layer between the raw series and the anomaly gates "
+    "(dq_volume_anomaly flags deviations; this EXPLAINS them as "
+    "trend vs day-of-week vs genuinely unusual). Scale: one fact "
+    "scan to the calendar domain, then calendar-bounded windows.",
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(_cents("o_totalprice").alias("cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    framed = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("sum7"),
+        F.count(F.lit(1)).over(w).alias("cnt7"),
+        F.weekday("day").alias("wd"),
+    ).filter(F.col("cnt7") == 7)
+    full7 = framed.withColumn(
+        "det7", F.col("cents") * 7 - F.col("sum7")
+    )
+    seas = full7.groupBy("wd").agg(
+        (
+            F.sum("det7").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(7.0)
+        ).alias("seasonal")
+    )
+    return (
+        full7.join(F.broadcast(seas), "wd")
+        .select(
+            "day",
+            "cents",
+            (F.col("sum7").cast("double") / F.lit(7.0)).alias("trend"),
+            F.col("wd").alias("weekday"),
+            "seasonal",
+            (
+                F.col("det7").cast("double") / F.lit(7.0)
+                - F.col("seasonal")
+            ).alias("remainder"),
+        )
+        .orderBy("day")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Trailing percentile bands (rolling anomaly envelope)
+# ----------------------------------------------------------------------------
+
+_BAND_WIN = 28  # trailing window, rows
+
+_BANDS_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(28,0)))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+framed AS (
+  SELECT day, cents,
+         list_sort(list(cents) OVER w) AS win,
+         COUNT(*) OVER w AS n
+  FROM daily
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN {_BAND_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day, cents,
+       win[CAST(ceil(0.1 * n) AS INT)] AS p10,
+       win[CAST(ceil(0.9 * n) AS INT)] AS p90,
+       CASE WHEN cents < win[CAST(ceil(0.1 * n) AS INT)] THEN 1
+            WHEN cents > win[CAST(ceil(0.9 * n) AS INT)] THEN 1
+            ELSE 0 END AS breach
+FROM framed
+WHERE n = {_BAND_WIN}
+ORDER BY day
+"""
+
+
+@register(
+    "trailing_percentile_bands",
+    _BANDS_ORACLE,
+    f"Rolling anomaly envelope: discrete (no-interpolation) P10/P90 of "
+    f"the trailing {_BAND_WIN} days of revenue cents, plus a breach "
+    "flag when today leaves the band — the adaptive twin of the fixed "
+    "z-score gate (dq_volume_anomaly), robust to drift because the "
+    "band moves with the series. Exact integers end to end (discrete "
+    "order statistics, never an interpolated float). Scale: the "
+    "window carries only the calendar-bounded daily series; per-row "
+    "state is the sorted trailing array of that window.",
+)
+def trailing_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(_cents("o_totalprice").alias("cents"))
+    )
+    w = Window.orderBy("day").rowsBetween(-(_BAND_WIN - 1), 0)
+    framed = daily.select(
+        "day",
+        "cents",
+        F.sort_array(F.collect_list("cents").over(w)).alias("win"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter(F.col("n") == _BAND_WIN)
+    p10 = F.element_at(
+        "win", F.ceil(F.lit(0.1) * F.col("n")).cast("int")
+    )
+    p90 = F.element_at(
+        "win", F.ceil(F.lit(0.9) * F.col("n")).cast("int")
+    )
+    return framed.select(
+        "day",
+        "cents",
+        p10.alias("p10"),
+        p90.alias("p90"),
+        F.when(F.col("cents") < p10, 1)
+        .when(F.col("cents") > p90, 1)
+        .otherwise(0)
+        .alias("breach"),
+    ).orderBy("day")

@@ -45,6 +45,10 @@ CENT_SCALE_QUERIES = frozenset(
         "forecast_backtest_mae",
         "promotion_lift_did",
         "cuped_adjusted_lift",
+        # r5 (queries_ops_ext): detrended*7 / rolling order statistics
+        # must stay integral in int64 at large SF
+        "seasonal_decompose_daily",
+        "trailing_percentile_bands",
     }
 )
 
