@@ -988,12 +988,26 @@ class DeltaLiteTable:
         source: DataFrame,
         keys: list[str],
         txn: tuple[str, int] | None = None,
+        matched_update_condition: str | None = None,
+        matched_delete_condition: str | None = None,
     ) -> dict:
-        """FILE-SCOPED copy-on-write MERGE (upsert): source rows
-        matching on ``keys`` replace the current rows, unmatched
-        source rows insert — the reference's ``DeltaTable.merge``
+        """FILE-SCOPED copy-on-write MERGE: source rows matching on
+        ``keys`` update the current rows, unmatched source rows
+        insert — the reference's ``DeltaTable.merge``
         whenMatchedUpdate / whenNotMatchedInsert shape
         (gold_dim_products.py:118-131) as ONE atomic version.
+
+        Conditional clauses (delta-spark's optional conditions), both
+        SQL predicates over two struct columns ``t`` (the current
+        target row) and ``s`` (the matching source row), e.g.
+        ``"s.val <> t.val"``; a NULL result means not-satisfied:
+
+        * ``matched_delete_condition`` — whenMatchedDelete: matched
+          target rows satisfying it are REMOVED (evaluated first,
+          like a leading whenMatchedDelete clause);
+        * ``matched_update_condition`` — whenMatchedUpdate(condition):
+          remaining matched rows update only when it holds, else the
+          target row is kept unchanged.  Default: update every match.
 
         Like real Delta's COW merge, only the data files that actually
         CONTAIN matched rows are rewritten: touched files are located
@@ -1055,20 +1069,75 @@ class DeltaLiteTable:
             touched_rels.add(rel)
 
         part = meta.get("partitionColumns", [])
+        # Inserts: source rows matching NO target row (every match
+        # lives in a touched file by construction).
+        inserts = source.join(
+            current.select(*keys), on=keys, how="left_anti"
+        ).select(*data_cols)
         if touched_uris:
             tdf = F.broadcast(
                 spark.createDataFrame(
                     [(u,) for u in touched_uris], "__dv_path string"
                 )
             )
-            survivors = (
-                current.join(tdf, on="__dv_path", how="left_semi")
-                .join(source.select(*keys), on=keys, how="left_anti")
-                .select(*data_cols)
-            )
-            rewrite = survivors.unionByName(source.select(*data_cols))
+            touched_rows = current.join(
+                tdf, on="__dv_path", how="left_semi"
+            ).select(*data_cols)
+            if (
+                matched_update_condition is None
+                and matched_delete_condition is None
+            ):
+                # fast path: every match updates — survivors are the
+                # touched rows whose key has no source row
+                kept = touched_rows.join(
+                    source.select(*keys), on=keys, how="left_anti"
+                )
+                rewrite = kept.unionByName(
+                    source.join(
+                        current.select(*keys), on=keys, how="left_semi"
+                    ).select(*data_cols)
+                )
+            else:
+                # clause path: join matched pairs as (t, s) structs so
+                # the conditions read like delta-spark's ("s.x <> t.x")
+                t = touched_rows.select(
+                    F.struct(*data_cols).alias("t")
+                )
+                srows = source.select(*data_cols).select(
+                    F.struct(*data_cols).alias("s")
+                )
+                on = None
+                for k in keys:
+                    c = F.col("t")[k] == F.col("s")[k]
+                    on = c if on is None else (on & c)
+                joined = t.join(srows, on=on, how="left")
+                matched = F.col("s").isNotNull()
+                dele = (
+                    F.coalesce(
+                        F.expr(matched_delete_condition), F.lit(False)
+                    )
+                    if matched_delete_condition is not None
+                    else F.lit(False)
+                )
+                upd = (
+                    F.coalesce(
+                        F.expr(matched_update_condition), F.lit(False)
+                    )
+                    if matched_update_condition is not None
+                    else F.lit(True)
+                )
+                rewrite = (
+                    joined.filter(~(matched & dele))
+                    .select(
+                        F.when(matched & upd, F.col("s"))
+                        .otherwise(F.col("t"))
+                        .alias("r")
+                    )
+                    .select("r.*")
+                )
+            rewrite = rewrite.unionByName(inserts)
         else:
-            rewrite = source.select(*data_cols)
+            rewrite = inserts
         adds = self._stage_adds(rewrite, part)
 
         now_ms = int(time.time() * 1000)

@@ -1335,3 +1335,55 @@ def test_checkpoint_retains_remove_tombstones(spark, tmp_path):
     # the tombstoned file is NOT resurrected by checkpoint replay
     t.clean_log()
     assert sorted(r.id for r in t.read(spark).collect()) == [2, 3]
+
+
+def test_merge_conditional_clauses(spark, tmp_path):
+    """whenMatchedDelete / whenMatchedUpdate(condition): delete-marked
+    source rows remove their targets, the update condition gates
+    replacement (unchanged rows keep target values), unmatched source
+    rows insert — all one atomic file-scoped version."""
+    t = DeltaLiteTable(str(tmp_path / "mc"))
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]).coalesce(1))
+    src = _df(spark, [(1, "DEL"), (2, "b"), (3, "C2"), (9, "new")])
+    res = t.merge(
+        spark,
+        src,
+        keys=["id"],
+        matched_delete_condition="s.val = 'DEL'",
+        matched_update_condition="s.val <> t.val",
+    )
+    assert res["version"] == 1
+    got = sorted((r.id, r.val) for r in t.read(spark).collect())
+    # 1 deleted; 2 matched but equal -> kept; 3 updated; 9 inserted
+    assert got == [(2, "b"), (3, "C2"), (4, "d"), (9, "new")]
+    ops = {h["version"]: h.get("operation") for h in t.history()}
+    assert ops[1] == "MERGE"
+    # default behavior unchanged: no clauses -> update every match
+    t2 = DeltaLiteTable(str(tmp_path / "mc2"))
+    t2.write(_df(spark, [(1, "a")]).coalesce(1))
+    t2.merge(spark, _df(spark, [(1, "A2")]), keys=["id"])
+    assert [(r.id, r.val) for r in t2.read(spark).collect()] == [(1, "A2")]
+
+
+def test_merge_clauses_file_scoped_and_null_condition(spark, tmp_path):
+    """Clause merges stay file-scoped (untouched files carry), and a
+    NULL-evaluating condition means not-satisfied (delta semantics) —
+    the target row survives unchanged."""
+    t = DeltaLiteTable(str(tmp_path / "mcf"))
+    t.write(_df(spark, [(1, "a"), (2, None)]).coalesce(1))
+    t.write(_df(spark, [(10, "x")]).coalesce(1), mode="append")
+    _m, live_before, _p = t._replay(t.latest_version())
+    # s.val <> t.val is NULL when t.val is NULL -> row 2 kept as-is
+    res = t.merge(
+        spark,
+        _df(spark, [(1, "A2"), (2, "B2")]),
+        keys=["id"],
+        matched_update_condition="s.val <> t.val",
+    )
+    assert res["files_rewritten"] == 1 and res["files_untouched"] == 1
+    _m, live_after, _p = t._replay(t.latest_version())
+    assert len(set(live_before) & set(live_after)) == 1  # file 2 carried
+    got = sorted(
+        (r.id, r.val) for r in t.read(spark).collect()
+    )
+    assert got == [(1, "A2"), (2, None), (10, "x")]
