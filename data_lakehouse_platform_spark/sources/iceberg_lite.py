@@ -1677,7 +1677,10 @@ class IcebergLiteTable:
         }
 
     def rewrite_data_files(
-        self, spark: SparkSession, target_file_bytes: int = 128 << 20
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        zorder_by: list[str] | None = None,
     ) -> dict:
         """Compaction (Iceberg's rewrite_data_files): bin-pack every
         data file smaller than ``target_file_bytes`` — and every file
@@ -1740,7 +1743,12 @@ class IcebergLiteTable:
             dirty = any(
                 os.path.abspath(m[0]) in pos_paths for m in cand
             )
-            if len(cand) <= 1 and not dirty:
+            if zorder_by:
+                # a sort-order rewrite re-clusters EVERY file in the
+                # partition (Iceberg's rewrite_data_files sort
+                # strategy / delta OPTIMIZE ZORDER semantics)
+                cand = list(members)
+            elif len(cand) <= 1 and not dirty:
                 kept.extend(members)
                 continue
             kept.extend(m for m in members if m not in cand)
@@ -1750,7 +1758,25 @@ class IcebergLiteTable:
             stage = os.path.join(
                 self.path, "data", f"rw-{uuidlib.uuid4().hex[:12]}"
             )
-            sub.coalesce(n_out).write.mode("errorifexists").parquet(stage)
+            if zorder_by:
+                from data_lakehouse_platform_spark.sources.clustering import (
+                    zorder_key,
+                )
+
+                missing = [c for c in zorder_by if c not in sub.columns]
+                if missing:
+                    raise ValueError(
+                        f"zorder_by columns {missing} not in the table"
+                    )
+                staged = (
+                    zorder_key(sub, list(zorder_by))
+                    .repartitionByRange(n_out, F.col("__zkey"))
+                    .sortWithinPartitions("__zkey")
+                    .drop("__zkey")
+                )
+            else:
+                staged = sub.coalesce(n_out)
+            staged.write.mode("errorifexists").parquet(stage)
             part = dict(key)
             for root, _d, files in os.walk(stage):
                 for f in sorted(files):
@@ -1896,6 +1922,182 @@ class IcebergLiteTable:
             "rewritten_files": n_rewritten,
             "new_files": len(new_files),
         }
+
+    def metadata_table(
+        self,
+        spark: SparkSession,
+        kind: str,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Iceberg's queryable METADATA TABLES (the ``SELECT * FROM
+        tbl.files / .snapshots / .history / .manifests / .partitions``
+        surface) as DataFrames.  Everything here is derived from
+        manifests/metadata.json only — no data file is ever opened, so
+        at 100 TB these answer in metadata time (the whole point of
+        the spec's stats-in-manifests design).
+
+        kinds: ``files`` (live data+delete files with sequence and
+        stringified partition values), ``snapshots``, ``history``
+        (snapshot-log), ``manifests`` (manifest-list rows of the
+        current/pinned snapshot), ``partitions`` (per-partition-tuple
+        file/record totals).
+        """
+        meta = self.metadata()
+        snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
+
+        def _pinned() -> dict:
+            sid = (
+                self.current_snapshot_id()
+                if snapshot_id is None
+                else snapshot_id
+            )
+            if sid is None or sid not in snaps:
+                raise FileNotFoundError(
+                    f"snapshot {sid} not in table (have {sorted(snaps)})"
+                )
+            return snaps[sid]
+
+        if kind == "files":
+            rows = []
+            snap = _pinned()
+            for mpath, mcontent, mseq in self._manifest_paths(snap):
+                _, entries = read_container(mpath)
+                for e in entries:
+                    if int(e.get("status") or 0) == 2:
+                        continue
+                    d = e["data_file"]
+                    seq = e.get("sequence_number")
+                    part = d.get("partition") or {}
+                    rows.append(
+                        (
+                            int(d.get("content") or 0),
+                            _local_path(d["file_path"]),
+                            str(d.get("file_format", "")),
+                            int(d.get("record_count") or 0),
+                            int(d.get("file_size_in_bytes") or 0),
+                            mseq if seq is None else int(seq),
+                            {
+                                k: (None if v is None else str(v))
+                                for k, v in part.items()
+                            },
+                        )
+                    )
+            return spark.createDataFrame(
+                rows,
+                "content int, file_path string, file_format string, "
+                "record_count long, file_size_in_bytes long, "
+                "sequence_number long, partition map<string,string>",
+            )
+        if kind == "snapshots":
+            rows = [
+                (
+                    int(s.get("timestamp-ms") or 0),
+                    int(s["snapshot-id"]),
+                    (
+                        int(s["parent-snapshot-id"])
+                        if s.get("parent-snapshot-id") is not None
+                        else None
+                    ),
+                    str((s.get("summary") or {}).get("operation", "")),
+                    str(s.get("manifest-list", "")),
+                )
+                for s in meta.get("snapshots", [])
+            ]
+            return spark.createDataFrame(
+                rows,
+                "committed_at_ms long, snapshot_id long, parent_id long, "
+                "operation string, manifest_list string",
+            )
+        if kind == "history":
+            cur = meta.get("current-snapshot-id")
+            rows = [
+                (
+                    int(h.get("timestamp-ms") or 0),
+                    int(h["snapshot-id"]),
+                    int(h["snapshot-id"]) == cur,
+                )
+                for h in meta.get("snapshot-log", [])
+            ]
+            return spark.createDataFrame(
+                rows,
+                "made_current_at_ms long, snapshot_id long, "
+                "is_current boolean",
+            )
+        if kind == "manifests":
+            rows = [
+                (
+                    r["manifest_path"],
+                    int(r.get("manifest_length") or 0),
+                    int(r.get("partition_spec_id") or 0),
+                    int(r.get("content") or 0),
+                    int(r.get("sequence_number") or 0),
+                    int(r.get("min_sequence_number") or 0),
+                    int(r.get("added_snapshot_id") or 0),
+                    int(r.get("added_files_count") or 0),
+                    int(r.get("existing_files_count") or 0),
+                    int(r.get("deleted_files_count") or 0),
+                )
+                for r in self._manifest_list_rows(_pinned())
+            ]
+            return spark.createDataFrame(
+                rows,
+                "path string, length long, partition_spec_id int, "
+                "content int, sequence_number long, "
+                "min_sequence_number long, added_snapshot_id long, "
+                "added_files_count int, existing_files_count int, "
+                "deleted_files_count int",
+            )
+        if kind == "partitions":
+            data_files, _deletes = self.plan_files(
+                snapshot_id=(
+                    snapshot_id
+                    if snapshot_id is not None
+                    else self.current_snapshot_id()
+                )
+            )
+            agg: dict[tuple, list[int]] = {}
+            sizes = {}
+            for p, _seq, part in data_files:
+                key = tuple(sorted(part.items()))
+                agg.setdefault(key, [0, 0])
+                agg[key][0] += 1
+                sizes.setdefault(p, None)
+            # record counts come from the files listing (manifest
+            # record_count), still metadata-only
+            counts: dict[str, int] = {}
+            snap = _pinned()
+            for mpath, mcontent, _mseq in self._manifest_paths(snap):
+                if mcontent == 1:
+                    continue
+                _, entries = read_container(mpath)
+                for e in entries:
+                    if int(e.get("status") or 0) == 2:
+                        continue
+                    d = e["data_file"]
+                    if int(d.get("content") or 0) == 0:
+                        counts[_local_path(d["file_path"])] = int(
+                            d.get("record_count") or 0
+                        )
+            for p, _seq, part in data_files:
+                key = tuple(sorted(part.items()))
+                agg[key][1] += counts.get(p, 0)
+            rows = [
+                (
+                    {k: (None if v is None else str(v)) for k, v in key},
+                    n_files,
+                    n_records,
+                )
+                for key, (n_files, n_records) in sorted(agg.items())
+            ]
+            return spark.createDataFrame(
+                rows,
+                "partition map<string,string>, file_count long, "
+                "record_count long",
+            )
+        raise ValueError(
+            f"unknown metadata table {kind!r} "
+            "(files|snapshots|history|manifests|partitions)"
+        )
 
     def expire_snapshots(self, retain_last: int = 1) -> list[str]:
         """Expire all but the newest ``retain_last`` snapshots and

@@ -1082,3 +1082,105 @@ def test_iceberg_year_and_hour_transforms(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == [2, 3]
     got = t.read(spark, partition_filter={"ts_hour": h0})
     assert [r.id for r in got.collect()] == [2]
+
+
+def test_iceberg_metadata_tables(spark, tmp_path):
+    """The queryable metadata-table surface (tbl.files / .snapshots /
+    .history / .manifests / .partitions) — all derived from manifests
+    only, no data file opened."""
+    t = IcebergLiteTable(str(tmp_path / "mt"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, k string"
+    )
+    s1 = t.write(df, partition_by=["k"])
+    s2 = t.write(
+        spark.createDataFrame([(4, "b")], "id long, k string"),
+        mode="append",
+    )
+    t.delete(spark, "id = 1")
+
+    files = t.metadata_table(spark, "files")
+    by_content = {
+        r.content: r for r in files.collect()
+    }
+    assert 1 in by_content  # the position-delete file is listed
+    data = [r for r in files.collect() if r.content == 0]
+    assert sum(r.record_count for r in data) == 4  # manifest counts
+    assert {r.partition.get("k") for r in data} == {"a", "b"}
+    # pinned to the first snapshot: only the first write's files
+    f1 = t.metadata_table(spark, "files", snapshot_id=s1)
+    assert all(r.content == 0 for r in f1.collect())
+    assert sum(r.record_count for r in f1.collect()) == 3
+
+    snaps = t.metadata_table(spark, "snapshots")
+    got = {
+        r.snapshot_id: (r.parent_id, r.operation)
+        for r in snaps.collect()
+    }
+    assert got[s1] == (None, "append")
+    assert got[s2] == (s1, "append")
+    assert len(got) == 3
+
+    hist = t.metadata_table(spark, "history").collect()
+    assert [r.snapshot_id for r in hist] == sorted(
+        r.snapshot_id for r in hist
+    )
+    assert sum(1 for r in hist if r.is_current) == 1
+
+    man = t.metadata_table(spark, "manifests").collect()
+    assert {r.content for r in man} == {0, 1}
+    assert {r.added_snapshot_id for r in man} >= {s1, s2}
+
+    parts = {
+        tuple(sorted(r.partition.items())): (r.file_count, r.record_count)
+        for r in t.metadata_table(spark, "partitions").collect()
+    }
+    assert parts[(("k", "a"),)][1] == 2
+    assert parts[(("k", "b"),)][1] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown metadata table"):
+        t.metadata_table(spark, "refs")
+
+
+def test_iceberg_rewrite_zorder(spark, tmp_path):
+    """rewrite_data_files(zorder_by=...): every partition's files are
+    re-clustered along the Morton interleave; per-file footer min/max
+    spans on the clustered columns shrink vs the scattered layout, and
+    rows survive identically."""
+    import pyarrow.parquet as pq
+
+    t = IcebergLiteTable(str(tmp_path / "zo"))
+    # scatter: interleave x so each original file spans the whole range
+    rows = [(i, (i * 37) % 100, f"v{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x long, v string")
+    t.write(df.repartition(4))
+    res = t.rewrite_data_files(
+        spark, target_file_bytes=4 << 10, zorder_by=["x"]
+    )
+    assert res["new_files"] >= 2
+    files, _ = t.plan_files()
+
+    def spans(paths):
+        out = []
+        for p in paths:
+            md = pq.read_metadata(p)
+            lo = min(
+                md.row_group(i).column(1).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(1).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            out.append(hi - lo)
+        return out
+
+    new_spans = spans([p for p, _s, _pt in files])
+    # clustered: average x-span per file well below the full range
+    assert sum(new_spans) / len(new_spans) < 60, new_spans
+    got = sorted(
+        (r.id, r.x, r.v) for r in t.read(spark).collect()
+    )
+    assert got == sorted(rows)
