@@ -714,6 +714,7 @@ class DeltaLiteTable:
         txn: tuple[str, int] | None = None,
         operation: str = "WRITE",
         operation_params: dict | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Commit ``df`` as the next Delta version (``append`` keeps
         prior files; ``overwrite`` removes them in the same commit —
@@ -746,14 +747,45 @@ class DeltaLiteTable:
                 )
             partition_by = list(prev_part)
             existing_schema = meta.get("schemaString")
+            evolved_meta = None
             if existing_schema and existing_schema != df.schema.json():
-                raise ValueError(
-                    "schema differs from table schema; Delta-lite does not "
-                    "evolve schemas implicitly — align the DataFrame first"
-                )
+                if not merge_schema:
+                    raise ValueError(
+                        "schema differs from table schema; Delta-lite "
+                        "does not evolve schemas implicitly — pass "
+                        "merge_schema=True (Delta's mergeSchema) or "
+                        "align the DataFrame first"
+                    )
+                # mergeSchema: union of the table schema and the
+                # DataFrame schema — NEW columns append; a same-name
+                # column must keep its type (no widening/narrowing
+                # here, that is a protocol feature this writer refuses)
+                from pyspark.sql.types import StructType
+
+                cur_fields = StructType.fromJson(
+                    json.loads(existing_schema)
+                ).fields
+                cur_types = {f.name: f.dataType for f in cur_fields}
+                new_fields = list(cur_fields)
+                for f in df.schema.fields:
+                    if f.name not in cur_types:
+                        new_fields.append(f)
+                    elif cur_types[f.name] != f.dataType:
+                        raise ValueError(
+                            f"column {f.name!r}: type "
+                            f"{f.dataType.simpleString()} conflicts "
+                            f"with the table's "
+                            f"{cur_types[f.name].simpleString()} — "
+                            "mergeSchema only ADDS columns"
+                        )
+                merged = StructType(new_fields)
+                if merged.json() != existing_schema:
+                    evolved_meta = dict(meta)
+                    evolved_meta["schemaString"] = merged.json()
         else:
             partition_by = list(partition_by or [])
             live = {}
+            evolved_meta = None
 
         # Stage data under a unique directory; commit references the
         # files by relative path (URL-encoded at serialization per the
@@ -791,6 +823,10 @@ class DeltaLiteTable:
                     }
                 }
             )
+        elif evolved_meta is not None:
+            # mergeSchema evolution: the commit re-emits metaData with
+            # the union schema (exactly how delta-spark records it)
+            actions.append({"metaData": evolved_meta})
         if mode == "overwrite":
             for pth in sorted(live):
                 actions.append(
@@ -816,9 +852,14 @@ class DeltaLiteTable:
         actions.extend(adds)
 
         # An OVERWRITE's remove list (and a first commit's protocol/
-        # metaData) were computed against `latest`; a pure APPEND may
-        # retry onto the next slot — see _commit.
-        stale_sensitive = (mode == "overwrite") or (latest is None)
+        # metaData, and a schema-evolving metaData) were computed
+        # against `latest`; a pure APPEND may retry onto the next
+        # slot — see _commit.
+        stale_sensitive = (
+            (mode == "overwrite")
+            or (latest is None)
+            or (evolved_meta is not None)
+        )
         version = (latest or 0) + 1 if latest is not None else 0
         return self._commit(
             actions,
@@ -1182,6 +1223,137 @@ class DeltaLiteTable:
             stale_sensitive=True,
             computed_against=latest,
             op_desc="MERGE",
+        )
+        return {
+            "version": v,
+            "files_rewritten": len(touched_rels),
+            "files_untouched": len(live) - len(touched_rels),
+        }
+
+    def update(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        set: dict[str, str],
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """FILE-SCOPED copy-on-write UPDATE — the Delta ``UPDATE tbl
+        SET col = expr WHERE predicate`` verb.  ``set`` maps column
+        names to SQL expressions evaluated per matching row (they may
+        reference any column); non-matching rows in touched files are
+        rewritten byte-identical, untouched files (and their deletion
+        vectors) stay live in the log unchanged — same scoping as
+        :meth:`merge`.  Assignments cast back to the column's declared
+        type, so an UPDATE can never drift the table schema.  A NULL
+        predicate result means not-matched (SQL WHERE semantics)."""
+        from pyspark.sql import functions as F
+
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        meta, live, _proto = self._replay(latest)
+        current = self.read(spark, version=latest, _with_position=True)
+        data_cols = [
+            c for c in current.columns
+            if c not in ("__dv_path", "__dv_ridx")
+        ]
+        assignments = dict(set)  # param named for delta-spark parity
+        unknown = sorted(assignments.keys() - {*data_cols})
+        if unknown:
+            raise ValueError(
+                f"SET names unknown columns {unknown} "
+                f"(have {sorted(data_cols)})"
+            )
+        part = meta.get("partitionColumns", [])
+        touched_uris = [
+            r["__dv_path"]
+            for r in current.filter(predicate)
+            .select("__dv_path")
+            .distinct()
+            .collect()
+        ]
+        if not touched_uris:
+            return {
+                "version": latest,
+                "files_rewritten": 0,
+                "files_untouched": len(live),
+            }
+        root = os.path.abspath(self.path)
+        # NB: the `set` parameter (named for delta-spark parity)
+        # shadows the builtin in this scope — build via comprehension.
+        touched_rels = {
+            os.path.relpath(urllib.parse.unquote(u), root).replace(
+                os.sep, "/"
+            )
+            for u in touched_uris
+        }
+        missing_rels = sorted(touched_rels - live.keys())
+        if missing_rels:
+            raise DeltaProtocolError(
+                f"matched file {missing_rels[0]} is not in the snapshot"
+            )
+        tdf = F.broadcast(
+            spark.createDataFrame(
+                [(u,) for u in touched_uris], "__dv_path string"
+            )
+        )
+        touched_rows = current.join(
+            tdf, on="__dv_path", how="left_semi"
+        ).select(*data_cols)
+        hit = F.coalesce(F.expr(predicate), F.lit(False))
+        types = {f.name: f.dataType for f in touched_rows.schema.fields}
+        rewrite = touched_rows.select(
+            *[
+                (
+                    F.when(hit, F.expr(assignments[c]).cast(types[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in data_cols
+            ]
+        )
+        adds = self._stage_adds(rewrite, part)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "UPDATE",
+                    "operationParameters": {"predicate": predicate},
+                    "engineInfo": "delta-lite/0.1 (protocol v1)",
+                }
+            }
+        ]
+        for rel in sorted(touched_rels):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        if txn is not None:
+            app_id, app_version = txn
+            actions.append(
+                {
+                    "txn": {
+                        "appId": str(app_id),
+                        "version": int(app_version),
+                        "lastUpdated": now_ms,
+                    }
+                }
+            )
+        actions.extend(adds)
+        v = self._commit(
+            actions,
+            latest + 1,
+            stale_sensitive=True,
+            computed_against=latest,
+            op_desc="UPDATE",
         )
         return {
             "version": v,

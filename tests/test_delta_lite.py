@@ -1387,3 +1387,90 @@ def test_merge_clauses_file_scoped_and_null_condition(spark, tmp_path):
         (r.id, r.val) for r in t.read(spark).collect()
     )
     assert got == [(1, "A2"), (2, None), (10, "x")]
+
+
+def test_update_file_scoped(spark, tmp_path):
+    """UPDATE ... SET ... WHERE: matching rows get the SET expressions
+    (cast back to the column type), non-matching rows in touched files
+    rewrite byte-identical, untouched files carry, history reads
+    UPDATE, and time travel still sees the pre-update values."""
+    t = DeltaLiteTable(str(tmp_path / "up"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.write(_df(spark, [(10, "x")]).coalesce(1), mode="append")
+    _m, live_before, _p = t._replay(t.latest_version())
+    res = t.update(
+        spark, "id = 2", {"val": "upper(concat(val, '!'))"}
+    )
+    assert res["version"] == 2
+    assert res["files_rewritten"] == 1 and res["files_untouched"] == 1
+    _m, live_after, _p = t._replay(t.latest_version())
+    assert len(set(live_before) & set(live_after)) == 1
+    got = sorted((r.id, r.val) for r in t.read(spark).collect())
+    assert got == [(1, "a"), (2, "B!"), (10, "x")]
+    ops = {h["version"]: h.get("operation") for h in t.history()}
+    assert ops[2] == "UPDATE"
+    assert sorted(
+        (r.id, r.val) for r in t.read(spark, version=1).collect()
+    ) == [(1, "a"), (2, "b"), (10, "x")]
+    # no-match predicate: no new version
+    res = t.update(spark, "id = 999", {"val": "'zz'"})
+    assert res == {
+        "version": 2, "files_rewritten": 0, "files_untouched": 2
+    }
+    # unknown SET column refused
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update(spark, "id = 1", {"nope": "'x'"})
+    # NULL predicate result = not matched
+    t2 = DeltaLiteTable(str(tmp_path / "up2"))
+    t2.write(_df(spark, [(1, None), (2, "b")]).coalesce(1))
+    t2.update(spark, "val = 'b'", {"val": "'B'"})
+    assert sorted(
+        (r.id, r.val) for r in t2.read(spark).collect()
+    ) == [(1, None), (2, "B")]
+
+
+def test_update_composes_with_dv(spark, tmp_path):
+    """UPDATE over a DV-filtered snapshot: already-deleted rows stay
+    dead through the rewrite; the rewritten file needs no DV."""
+    t = DeltaLiteTable(str(tmp_path / "updv"))
+    t.write(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    t.delete(spark, "id = 1")
+    t.update(spark, "id >= 2", {"val": "concat(val, val)"})
+    got = sorted((r.id, r.val) for r in t.read(spark).collect())
+    assert got == [(2, "bb"), (3, "cc")]
+    _m, live, _p = t._replay(t.latest_version())
+    assert all(not a.get("deletionVector") for a in live.values())
+
+
+def test_write_merge_schema_evolution(spark, tmp_path):
+    """mergeSchema append: new columns evolve the table schema (one
+    metaData re-emit in the commit), old rows read NULL for them, time
+    travel keeps the old schema, and type conflicts refuse."""
+    t = DeltaLiteTable(str(tmp_path / "ms"))
+    t.write(_df(spark, [(1, "a")]).coalesce(1))
+    wide = spark.createDataFrame(
+        [(2, "b", 9.5)], "id int, val string, score double"
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.write(wide, mode="append")
+    v = t.write(wide, mode="append", merge_schema=True)
+    got = sorted(
+        (r.id, r.val, r.score) for r in t.read(spark).collect()
+    )
+    assert got == [(1, "a", None), (2, "b", 9.5)]
+    # the evolving commit carries a metaData action with the union
+    kinds = [next(iter(a)) for a in t._actions(v)]
+    assert "metaData" in kinds
+    # time travel: version 0 still has the narrow schema
+    assert t.read(spark, version=0).columns == ["id", "val"]
+    assert t.read(spark).columns == ["id", "val", "score"]
+    # a third append with the ORIGINAL narrow frame also needs
+    # mergeSchema=False to fail (schema now differs the other way)
+    t.write(_df(spark, [(3, "c")]).coalesce(1), mode="append",
+            merge_schema=True)
+    assert t.read(spark).filter("id = 3").collect()[0].score is None
+    # type conflict refused even under mergeSchema
+    bad = spark.createDataFrame([(4, 1.0, 1.0)],
+                                "id int, val double, score double")
+    with pytest.raises(ValueError, match="conflicts"):
+        t.write(bad, mode="append", merge_schema=True)
