@@ -1203,6 +1203,7 @@ class IcebergLiteTable:
         df: DataFrame,
         mode: str = "append",
         partition_by: list | None = None,
+        summary_extra: dict | None = None,
     ) -> int:
         """Commit ``df`` as a new v2 snapshot (returns its snapshot id).
         ``append`` keeps prior manifests in the new manifest list;
@@ -1464,8 +1465,16 @@ class IcebergLiteTable:
         snap = {
             "snapshot-id": snap_id, "sequence-number": seq,
             "timestamp-ms": now_ms, "manifest-list": ml_path,
-            "summary": {"operation":
-                        "append" if mode == "append" else "overwrite"},
+            "summary": {
+                "operation": "append" if mode == "append" else "overwrite",
+                # extra summary properties (spec: summary is a string
+                # map) — the streaming sink's exactly-once ledger rides
+                # here (see streaming/pipelines.append_stream_to_iceberg)
+                **{
+                    str(k): str(v)
+                    for k, v in (summary_extra or {}).items()
+                },
+            },
             "schema-id": 0,
         }
         if exists and meta.get("current-snapshot-id", -1) != -1:
@@ -1922,6 +1931,24 @@ class IcebergLiteTable:
             "rewritten_files": n_rewritten,
             "new_files": len(new_files),
         }
+
+    def committed_batches(self, app_id: str) -> int:
+        """Largest ``dlp.batch-id`` among snapshots whose summary is
+        stamped with this ``dlp.app-id`` — the streaming sink's
+        exactly-once ledger (the same place real Iceberg sinks record
+        their application properties; summaries live in metadata.json,
+        so this is a pure metadata scan).  Returns -1 when none.
+
+        Caveat (documented, matches real Iceberg): the ledger rides
+        snapshot summaries, so :meth:`expire_snapshots` must retain at
+        least the most recent stamped snapshot or a replay after
+        expiry could double-append."""
+        best = -1
+        for s in self.snapshots():
+            sm = s.get("summary") or {}
+            if sm.get("dlp.app-id") == app_id and "dlp.batch-id" in sm:
+                best = max(best, int(sm["dlp.batch-id"]))
+        return best
 
     def metadata_table(
         self,

@@ -411,3 +411,63 @@ def upsert_stream_to_delta_lite(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def append_stream_to_iceberg(
+    df: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    partition_by: list | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming append sink into an :class:`IcebergLiteTable` — the
+    open-table-format twin of :func:`upsert_stream_to_delta_lite` for
+    append-only streams (events, logs, CDC-after-images).
+
+    Exactly-once despite foreachBatch's at-least-once delivery: every
+    snapshot's summary is stamped with ``dlp.app-id`` (=
+    ``stream:<checkpoint>``) and ``dlp.batch-id`` (= the micro-batch
+    id), and a replayed batch whose id is already at or below
+    :meth:`IcebergLiteTable.committed_batches` is skipped before any
+    write — the snapshot-summary ledger real Iceberg sinks use (with
+    the same documented caveat: ``expire_snapshots`` must retain the
+    most recent stamped snapshot).
+
+    Scale: pure appends — each micro-batch stages its own files and
+    adds ONE manifest; no read-modify-write of existing data, so the
+    sink cost is proportional to the batch, never the table.
+    """
+    from data_lakehouse_platform_spark.sources.iceberg_lite import (
+        IcebergLiteTable,
+    )
+
+    table = IcebergLiteTable(table_path)
+    app_id = f"stream:{checkpoint_path}"
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            exists = table.current_snapshot_id() is not None
+        except FileNotFoundError:
+            exists = False
+        if exists and table.committed_batches(app_id) >= batch_id:
+            return  # replayed batch: already committed, exactly-once
+        table.write(
+            batch_df,
+            mode="append",
+            partition_by=None if exists else partition_by,
+            summary_extra={
+                "dlp.app-id": app_id,
+                "dlp.batch-id": int(batch_id),
+            },
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -634,3 +634,78 @@ def test_upsert_stream_to_delta_lite(spark, tmp_path):
     t.checkpoint()
     t.clean_log()
     assert t.txn_versions() == {f"stream:{ckpt}": 2}
+
+
+def test_append_stream_to_iceberg_exactly_once(spark, tmp_path):
+    """Streaming append into an Iceberg table: micro-batches land as
+    snapshots, a restart over the same checkpoint appends only new
+    input, and a full checkpoint LOSS + replay is deduplicated by the
+    snapshot-summary batch ledger (dlp.app-id/dlp.batch-id) — no
+    double-append."""
+    import shutil
+
+    from data_lakehouse_platform_spark.sources.iceberg_lite import (
+        IcebergLiteTable,
+    )
+    from data_lakehouse_platform_spark.streaming.pipelines import (
+        append_stream_to_iceberg,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    tbl = str(tmp_path / "ice")
+
+    def _feed(name, rows):
+        spark.createDataFrame(rows, "id long, k string").coalesce(
+            1
+        ).write.parquet(str(src / name))
+
+    _feed("b0", [(1, "a"), (2, "b")])
+    stream = (
+        spark.readStream.schema("id long, k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = append_stream_to_iceberg(
+        stream, tbl, ckpt, partition_by=["k"]
+    )
+    q.awaitTermination(120)
+    t = IcebergLiteTable(tbl)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+    sm = next(
+        s["summary"] for s in t.snapshots()
+    )
+    assert sm["dlp.app-id"] == f"stream:{ckpt}"
+    assert sm["dlp.batch-id"] == "0"
+    # partition spec applied on creation
+    files, _ = t.plan_files()
+    assert {f[2].get("k") for f in files} == {"a", "b"}
+
+    # restart over the SAME checkpoint with new input: only b1 lands
+    _feed("b1", [(3, "a")])
+    q = append_stream_to_iceberg(
+        spark.readStream.schema("id long, k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*")),
+        tbl,
+        ckpt,
+    )
+    q.awaitTermination(120)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+    n_snaps = len(t.snapshots())
+
+    # checkpoint LOSS: the source replays everything from batch 0; the
+    # summary ledger (committed_batches >= replayed ids) must skip all
+    shutil.rmtree(ckpt)
+    q = append_stream_to_iceberg(
+        spark.readStream.schema("id long, k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*")),
+        tbl,
+        ckpt,
+    )
+    q.awaitTermination(120)
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
+    assert len(t.snapshots()) == n_snaps  # nothing re-committed
+    assert t.committed_batches(f"stream:{ckpt}") >= 1
