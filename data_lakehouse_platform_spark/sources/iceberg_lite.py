@@ -777,8 +777,10 @@ class IcebergLiteTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         partition_filter=None,
+        ref: str | None = None,
     ) -> DataFrame:
-        """Snapshot read (current snapshot, or time travel by id).
+        """Snapshot read (current snapshot, time travel by id, or a
+        named ref — ``read(ref="audit-2024q1")``).
 
         Identity-partitioned source columns are PRESENT in Iceberg data
         files (unlike hive layouts), so reading the parquet directly
@@ -789,6 +791,10 @@ class IcebergLiteTable:
         row in a data file shares the file's partition tuple.
         """
         meta = self.metadata()
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR ref, not both")
+            snapshot_id = self.resolve_ref(ref)
         data_files, deletes = self.plan_files(snapshot_id, partition_filter)
         if not data_files:
             raise FileNotFoundError(
@@ -1950,6 +1956,71 @@ class IcebergLiteTable:
                 best = max(best, int(sm["dlp.batch-id"]))
         return best
 
+    # -- snapshot refs (spec: metadata.json `refs` map) -------------------
+
+    def refs(self) -> dict:
+        """The table's named refs (tags + branches).  ``main`` always
+        resolves — explicitly when present in metadata, implicitly to
+        the current snapshot otherwise (HadoopCatalog tables written
+        by this module don't materialize it)."""
+        out = dict(self.metadata().get("refs") or {})
+        if "main" not in out:
+            cur = self.current_snapshot_id()
+            if cur is not None:
+                out["main"] = {"snapshot-id": cur, "type": "branch"}
+        return out
+
+    def resolve_ref(self, name: str) -> int:
+        r = self.refs().get(name)
+        if r is None:
+            raise FileNotFoundError(
+                f"ref {name!r} not in table (have {sorted(self.refs())})"
+            )
+        return int(r["snapshot-id"])
+
+    def _set_ref(self, name: str, kind: str, snapshot_id: int | None):
+        meta = self.metadata()
+        sid = (
+            int(meta.get("current-snapshot-id"))
+            if snapshot_id is None
+            else int(snapshot_id)
+        )
+        known = {int(s["snapshot-id"]) for s in meta.get("snapshots", [])}
+        if sid not in known:
+            raise FileNotFoundError(
+                f"snapshot {sid} not in table (have {sorted(known)})"
+            )
+        refs = dict(meta.get("refs") or {})
+        refs[name] = {"snapshot-id": sid, "type": kind}
+        meta["refs"] = refs
+        self._commit_metadata_json(meta)
+        return sid
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a snapshot under an immutable name (Iceberg TAG): the
+        snapshot survives :meth:`expire_snapshots` until the tag is
+        dropped — reproducible reads for audits/backtests."""
+        return self._set_ref(name, "tag", snapshot_id)
+
+    def create_branch(
+        self, name: str, snapshot_id: int | None = None
+    ) -> int:
+        """Named branch POINTER (readable via ``read(ref=...)``;
+        branch WRITES are an Iceberg-runtime feature this module does
+        not provide — the pointer still pins expiry like a tag)."""
+        return self._set_ref(name, "branch", snapshot_id)
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop the main branch")
+        meta = self.metadata()
+        refs = dict(meta.get("refs") or {})
+        if name not in refs:
+            raise FileNotFoundError(f"ref {name!r} not in table")
+        del refs[name]
+        meta["refs"] = refs
+        self._commit_metadata_json(meta)
+
     def metadata_table(
         self,
         spark: SparkSession,
@@ -2144,9 +2215,26 @@ class IcebergLiteTable:
         )
         if len(snaps) <= retain_last:
             return []
-        kept, dropped = snaps[-retain_last:], snaps[:-retain_last]
+        # refs PIN their snapshots (spec: expire never removes a
+        # snapshot a tag/branch points at)
+        pinned = {
+            int(r["snapshot-id"])
+            for r in (meta.get("refs") or {}).values()
+        }
+        kept = [
+            s
+            for i, s in enumerate(snaps)
+            if i >= len(snaps) - retain_last
+            or int(s["snapshot-id"]) in pinned
+        ]
+        kept_set = {int(s["snapshot-id"]) for s in kept}
+        dropped = [
+            s for s in snaps if int(s["snapshot-id"]) not in kept_set
+        ]
+        if not dropped:
+            return []
         cur = meta.get("current-snapshot-id")
-        if cur not in {int(s["snapshot-id"]) for s in kept}:
+        if cur not in kept_set:
             raise ValueError(
                 "retain_last would expire the current snapshot"
             )

@@ -1184,3 +1184,48 @@ def test_iceberg_rewrite_zorder(spark, tmp_path):
         (r.id, r.x, r.v) for r in t.read(spark).collect()
     )
     assert got == sorted(rows)
+
+
+def test_iceberg_snapshot_refs(spark, tmp_path):
+    """Tags/branches: named refs resolve in read(ref=...), pin their
+    snapshots through expire_snapshots, and main always resolves."""
+    t = IcebergLiteTable(str(tmp_path / "refs"))
+    s1 = t.write(spark.createDataFrame([(1,)], "id long"))
+    t.create_tag("audit-q1")  # pins s1 (current at tag time)
+    s2 = t.write(spark.createDataFrame([(2,)], "id long"), mode="append")
+    s3 = t.write(spark.createDataFrame([(3,)], "id long"), mode="append")
+
+    assert t.resolve_ref("audit-q1") == s1
+    assert t.resolve_ref("main") == s3
+    assert sorted(
+        r.id for r in t.read(spark, ref="audit-q1").collect()
+    ) == [1]
+    assert sorted(r.id for r in t.read(spark, ref="main").collect()) == [
+        1, 2, 3
+    ]
+    with pytest.raises(FileNotFoundError, match="nope"):
+        t.read(spark, ref="nope")
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, snapshot_id=s1, ref="main")
+
+    # expire keeps the tag-pinned snapshot even beyond retain_last
+    removed = t.expire_snapshots(retain_last=1)
+    ids = {int(s["snapshot-id"]) for s in t.snapshots()}
+    assert ids == {s1, s3}  # s2 expired, s1 pinned by the tag
+    assert sorted(
+        r.id for r in t.read(spark, ref="audit-q1").collect()
+    ) == [1]
+    assert removed  # s2-only files reclaimed
+
+    # dropping the tag unpins; main is protected
+    t.drop_ref("audit-q1")
+    with pytest.raises(ValueError, match="main"):
+        t.drop_ref("main")
+    t.expire_snapshots(retain_last=1)
+    assert {int(s["snapshot-id"]) for s in t.snapshots()} == {s3}
+    # branch pointer reads too
+    t.create_branch("dev", snapshot_id=s3)
+    assert t.refs()["dev"]["type"] == "branch"
+    assert sorted(r.id for r in t.read(spark, ref="dev").collect()) == [
+        1, 2, 3
+    ]
