@@ -1116,13 +1116,13 @@ class DeltaLiteTable:
             current.select(*keys), on=keys, how="left_anti"
         ).select(*data_cols)
         if touched_uris:
-            tdf = F.broadcast(
-                spark.createDataFrame(
-                    [(u,) for u in touched_uris], "__dv_path string"
-                )
-            )
-            touched_rows = current.join(
-                tdf, on="__dv_path", how="left_semi"
+            # Rewrite pass reads ONLY the touched files (targeted scan
+            # via the log, not a full-snapshot read + filter): at
+            # 100 TB the rewrite I/O is proportional to the files
+            # being replaced, and only the match-location pass above
+            # scans the table.
+            touched_rows = self.read(
+                spark, version=latest, _only_paths=touched_rels
             ).select(*data_cols)
             if (
                 matched_update_condition is None
@@ -1292,13 +1292,10 @@ class DeltaLiteTable:
             raise DeltaProtocolError(
                 f"matched file {missing_rels[0]} is not in the snapshot"
             )
-        tdf = F.broadcast(
-            spark.createDataFrame(
-                [(u,) for u in touched_uris], "__dv_path string"
-            )
-        )
-        touched_rows = current.join(
-            tdf, on="__dv_path", how="left_semi"
+        # rewrite pass: targeted read of ONLY the touched files (see
+        # merge() — the same file-scoped I/O bound)
+        touched_rows = self.read(
+            spark, version=latest, _only_paths=touched_rels
         ).select(*data_cols)
         hit = F.coalesce(F.expr(predicate), F.lit(False))
         types = {f.name: f.dataType for f in touched_rows.schema.fields}
@@ -1597,11 +1594,16 @@ class DeltaLiteTable:
         version: int | None = None,
         as_of_ts_ms: int | None = None,
         _with_position: bool = False,
+        _only_paths: set | None = None,
     ) -> DataFrame:
         """Snapshot read with optional time travel (``version`` or
         Delta's timestampAsOf in unix millis).  ``_with_position``
         (internal, used by :meth:`delete`) keeps the ``__dv_path`` /
-        ``__dv_ridx`` file-coordinate columns on the result."""
+        ``__dv_ridx`` file-coordinate columns on the result.
+        ``_only_paths`` (internal, used by :meth:`merge` /
+        :meth:`update`) restricts the scan to the given relative data
+        file paths — the rewrite pass of a file-scoped operation reads
+        ONLY the touched files instead of the whole snapshot."""
         if version is not None and as_of_ts_ms is not None:
             raise ValueError("pass version OR as_of_ts_ms, not both")
         vs = self.all_versions()
@@ -1635,6 +1637,13 @@ class DeltaLiteTable:
         if v not in vs:
             raise FileNotFoundError(f"version {v} not in log (have {vs})")
         meta, live, proto = self._replay(v)
+        if _only_paths is not None:
+            missing = sorted(set(_only_paths) - live.keys())
+            if missing:
+                raise DeltaProtocolError(
+                    f"file {missing[0]} is not in the snapshot"
+                )
+            live = {p: a for p, a in live.items() if p in _only_paths}
 
         from pyspark.sql.types import StructField, StructType
 

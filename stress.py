@@ -500,6 +500,91 @@ def main() -> None:
         )
     shutil.rmtree(ice_dir, ignore_errors=True)
 
+    # ------------------------------------------------------------------
+    # shape 7: file-scoped Delta MERGE — an upsert touching ONE hive
+    # partition of a 64-partition table must rewrite only that
+    # partition's files (write volume ~1/64th of the table, untouched
+    # add actions carried verbatim) and its read amplification must
+    # stay bounded at ~two key scans + the touched files — never the
+    # full-table re-read-and-rewrite the naive COW merge does.
+    # ------------------------------------------------------------------
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        DeltaLiteTable,
+    )
+
+    N7, P7 = 2_000_000, 64
+    d_dir = tempfile.mkdtemp(prefix="stress_delta_")
+    shutil.rmtree(d_dir)
+    dt = DeltaLiteTable(d_dir)
+    dt.write(
+        spark.range(N7).select(
+            _F.col("id").alias("k"),
+            (_F.col("id") % P7).cast("int").alias("bucket"),
+            (_F.col("id") * 3).alias("val"),
+        ),
+        partition_by=["bucket"],
+    )
+    _m7, live7, _p7 = dt._replay(dt.latest_version())
+    files_before = len(live7)
+    total_bytes = sum(int(a.get("size") or 0) for a in live7.values())
+    bucket7_files = sum(
+        1
+        for a in live7.values()
+        if (a.get("partitionValues") or {}).get("bucket") == "7"
+    )
+    # 2,000 updates + 500 inserts, all landing in bucket 7
+    src = spark.range(2_000).select(
+        (_F.col("id") * P7 + 7).alias("k"),
+        _F.lit(7).cast("int").alias("bucket"),
+        _F.lit(-1).cast("long").alias("val"),
+    ).unionAll(
+        spark.range(500).select(
+            (N7 + _F.col("id") * P7 + 7).alias("k"),
+            _F.lit(7).cast("int").alias("bucket"),
+            _F.lit(-2).cast("long").alias("val"),
+        )
+    )
+    mark7 = last_stage(spark)
+    res7 = dt.merge(spark, src, keys=["k"])
+    merge_input = total_input_records(spark, mark7)
+    new_actions = dt._actions(dt.latest_version())
+    new_bytes = sum(
+        a["add"]["size"] for a in new_actions if "add" in a
+    )
+    print(
+        f"[delta_merge_scoped] files {files_before:,} -> rewrote "
+        f"{res7['files_rewritten']:,} (bucket7 has {bucket7_files:,}), "
+        f"bytes {total_bytes:,} -> wrote {new_bytes:,}, "
+        f"merge input records {merge_input:,} vs table {N7:,}",
+        flush=True,
+    )
+    n_after = dt.read(spark).count()
+    if n_after != N7 + 500:
+        failures.append(
+            f"shape7 WRONG ANSWER: {n_after:,} rows != {N7 + 500:,}"
+        )
+    if dt.read(spark).filter("val = -1").count() != 2_000:
+        failures.append("shape7 WRONG ANSWER: updates not applied")
+    if res7["files_rewritten"] > bucket7_files:
+        failures.append(
+            f"shape7 BOUND: rewrote {res7['files_rewritten']:,} files > "
+            f"the touched partition's {bucket7_files:,}"
+        )
+    if res7["files_untouched"] != files_before - res7["files_rewritten"]:
+        failures.append("shape7 BOUND: untouched-file accounting off")
+    if new_bytes > 0.10 * total_bytes:
+        failures.append(
+            f"shape7 BOUND: merge wrote {new_bytes:,} bytes > 10% of "
+            f"the {total_bytes:,}-byte table — not file-scoped"
+        )
+    if merge_input > 2.4 * N7 + 1_000_000:
+        failures.append(
+            f"shape7 BOUND: merge read {merge_input:,} records > "
+            f"~2 key scans + touched files of a {N7:,}-row table — "
+            "rewrite pass is re-reading the snapshot"
+        )
+    shutil.rmtree(d_dir, ignore_errors=True)
+
     print()
     if failures:
         for f in failures:
@@ -507,7 +592,8 @@ def main() -> None:
         sys.exit(1)
     print(f"ALL BOUNDS HOLD (stream={n_stream_events:,}, "
           f"events={n_events:,}, crowd={CROWD:,}, "
-          f"orders={N:,}, iceberg={N_PART * ROWS_PER:,})")
+          f"orders={N:,}, iceberg={N_PART * ROWS_PER:,}, "
+          f"delta_merge={N7:,})")
 
 
 if __name__ == "__main__":
