@@ -368,3 +368,226 @@ def time_decay_attribution(
             ).alias("decayed_value"),
         )
     )
+
+
+def position_attribution(
+    events: DataFrame,
+    *,
+    touch_types: tuple[str, str] = ("click", "view"),
+    conversion_type: str = "purchase",
+    lookback_days: int = 7,
+) -> DataFrame:
+    """Position-based (U-shaped) attribution, pair-free: per
+    conversion window the FIRST touch earns 400 millicredits, the LAST
+    400, the middles split 200 (integer ``200 div (n-2)`` each);
+    degenerate windows collapse deterministically (n=1 -> 1000,
+    n=2 -> 500/500).  Value credit per touch is
+    ``(value_micros * millis) div 1000`` — exact integers end to end.
+
+    Output: ``touch_type, n_touches, credit_millis, credited_value``.
+
+    Pair-free construction on top of :func:`linear_attribution`'s
+    probe machinery: touches carry a per-user RUNNING RANK (rows
+    frame — equal-ts peers must get distinct ranks, tiebroken by
+    event_id exactly like the oracle's ROW_NUMBER), probes read the
+    window's [lo, hi] rank bounds, and the first/last touch of each
+    conversion resolve by co-partitioned equi-joins on
+    (user, rank == lo+1) / (user, rank == hi) — never a pairwise
+    interval join.  Cost: O(|T| + 2|P|) rows through one sort per
+    user plus two hash joins on (user, rank).
+    """
+    ta, tb = touch_types
+    look_us = lookback_days * _DAY_US
+
+    purchases = events.filter(F.col("event_type") == conversion_type).select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("value_micros"),
+    )
+    touches = events.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+
+    t_rows = touches.select(
+        "user_id",
+        F.col("t_ts").alias("ts"),
+        F.lit(0).alias("is_probe"),
+        F.col("t_id"),
+        F.col("touch_type"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("string").alias("bound"),
+        F.lit(1).alias("is_t"),
+        F.lit(None).cast("bigint").alias("value_micros"),
+    )
+    p_rows = purchases.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("p_ts").alias("ts"), F.lit("hi").alias("bound")),
+                F.struct(
+                    F.timestamp_micros(
+                        F.unix_micros(F.col("p_ts")) - look_us
+                    ).alias("ts"),
+                    F.lit("lo").alias("bound"),
+                ),
+            )
+        ).alias("pr"),
+        "p_id",
+        "value_micros",
+    ).select(
+        "user_id",
+        F.col("pr.ts").alias("ts"),
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("long").alias("t_id"),
+        F.lit(None).cast("string").alias("touch_type"),
+        "p_id",
+        F.col("pr.bound").alias("bound"),
+        F.lit(0).alias("is_t"),
+        "value_micros",
+    )
+    # ROWS frame: equal-ts touches are peers under the default RANGE
+    # frame and would share a rank — the first/last joins need
+    # ROW_NUMBER semantics, tiebroken by t_id like the oracle.
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", "is_probe", "t_id", "p_id", "bound"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = t_rows.unionByName(p_rows).withColumn(
+        "r", F.sum("is_t").over(w)
+    )
+    touch_ranks = ranked.filter(F.col("is_probe") == 0).select(
+        "user_id", F.col("r"), "touch_type"
+    )
+    probes = ranked.filter(F.col("is_probe") == 1)
+    per_purchase = (
+        probes.groupBy("user_id", "p_id", "value_micros")
+        .agg(
+            F.max(F.when(F.col("bound") == "hi", F.col("r"))).alias("hi"),
+            F.max(F.when(F.col("bound") == "lo", F.col("r"))).alias("lo"),
+        )
+        .withColumn("n", (F.col("hi") - F.col("lo")).cast("bigint"))
+        .filter(F.col("n") > 0)
+    )
+    first = touch_ranks.select(
+        "user_id",
+        (F.col("r") - 1).alias("lo"),
+        F.col("touch_type").alias("first_type"),
+    )
+    last = touch_ranks.select(
+        "user_id",
+        F.col("r").alias("hi"),
+        F.col("touch_type").alias("last_type"),
+    )
+    pp = per_purchase.join(first, ["user_id", "lo"]).join(
+        last, ["user_id", "hi"]
+    )
+    # in-window per-type counts from the same rank bounds: count of
+    # type T with lo < r <= hi — one more co-partitioned aggregation
+    # (touch ranks joined to the conversion's rank interval via the
+    # first/last rows would under-count middles, so recompute by
+    # probe-difference on per-type running counts)
+    wr = Window.partitionBy("user_id").orderBy(
+        "ts", "is_probe", "t_id", "p_id", "bound"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    typed = (
+        t_rows.unionByName(p_rows)
+        .withColumn(
+            "c_a",
+            F.sum(
+                F.when(F.col("touch_type") == ta, 1).otherwise(0)
+            ).over(wr),
+        )
+        .withColumn(
+            "c_b",
+            F.sum(
+                F.when(F.col("touch_type") == tb, 1).otherwise(0)
+            ).over(wr),
+        )
+        .filter(F.col("is_probe") == 1)
+        .groupBy("p_id")
+        .agg(
+            F.sum(
+                F.when(F.col("bound") == "hi", F.col("c_a")).otherwise(
+                    -F.col("c_a")
+                )
+            )
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(
+                F.when(F.col("bound") == "hi", F.col("c_b")).otherwise(
+                    -F.col("c_b")
+                )
+            )
+            .cast("bigint")
+            .alias("n_b"),
+        )
+    )
+    pp = pp.join(typed, "p_id")
+
+    pp = pp.withColumn(
+        "mid_millis",
+        F.when(F.col("n") >= 3, F.expr("200 div (n - 2)")).otherwise(
+            F.lit(0)
+        ).cast("long"),
+    ).withColumn(
+        "first_millis",
+        F.when(F.col("n") == 1, 1000)
+        .when(F.col("n") == 2, 500)
+        .otherwise(400)
+        .cast("long"),
+    ).withColumn(
+        "last_millis",
+        F.when(F.col("n") == 1, 0)
+        .when(F.col("n") == 2, 500)
+        .otherwise(400)
+        .cast("long"),
+    )
+
+    # Per-type totals folded from exact integers: every touch in one
+    # positional class of one conversion carries the identical credit,
+    # so value credit is class_count * ((value_micros * millis) div
+    # 1000) — integer div on both engines, never a float divide.
+    def _fold(tname: str, cnt_col: str):
+        is_first = (F.col("first_type") == tname).cast("long")
+        # n=1: the single touch is both first and last; its full 1000
+        # rides first_millis, so last contributes 0 then.
+        is_last = F.when(F.col("n") == 1, F.lit(0)).otherwise(
+            (F.col("last_type") == tname).cast("long")
+        )
+        mid_cnt = F.col(cnt_col) - is_first - F.when(
+            F.col("n") == 1, F.lit(0)
+        ).otherwise((F.col("last_type") == tname).cast("long"))
+        millis = (
+            is_first * F.col("first_millis")
+            + is_last * F.col("last_millis")
+            + mid_cnt * F.col("mid_millis")
+        )
+        value = (
+            is_first * F.expr("(value_micros * first_millis) div 1000")
+            + is_last * F.expr("(value_micros * last_millis) div 1000")
+            + mid_cnt * F.expr("(value_micros * mid_millis) div 1000")
+        )
+        return F.struct(
+            F.lit(tname).alias("touch_type"),
+            F.col(cnt_col).alias("cnt"),
+            millis.cast("bigint").alias("millis"),
+            value.cast("bigint").alias("value_credit"),
+        )
+
+    long_form = pp.select(
+        F.explode(F.array(_fold(ta, "n_a"), _fold(tb, "n_b"))).alias("t")
+    ).select("t.*")
+    return (
+        long_form.filter(F.col("cnt") > 0)
+        .groupBy("touch_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_touches"),
+            F.sum("millis").cast("bigint").alias("credit_millis"),
+            (
+                F.sum("value_credit").cast("bigint") / F.lit(1000000.0)
+            ).alias("credited_value"),
+        )
+    )

@@ -467,3 +467,213 @@ def trailing_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("breach"),
     ).orderBy("day")
+
+
+# ----------------------------------------------------------------------------
+# Session-scoped strict funnel (sessionization x funnel composition)
+# ----------------------------------------------------------------------------
+
+_SFUN_GAP_MIN = 30
+
+_SFUNNEL_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL {_SFUN_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM seq
+),
+s1 AS (
+  SELECT user_id, session_no,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM sess GROUP BY user_id, session_no
+),
+s2 AS (
+  SELECT s1.user_id, s1.session_no,
+         MIN(e.ts) AS t_click
+  FROM s1 JOIN sess e
+    ON e.user_id = s1.user_id AND e.session_no = s1.session_no
+  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+  GROUP BY s1.user_id, s1.session_no
+),
+s3 AS (
+  SELECT s2.user_id, s2.session_no,
+         MIN(e.ts) AS t_purchase
+  FROM s2 JOIN sess e
+    ON e.user_id = s2.user_id AND e.session_no = s2.session_no
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY s2.user_id, s2.session_no
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(COUNT(s1.t_view) AS BIGINT) AS sessions_view,
+  CAST(COUNT(s2.t_click) AS BIGINT) AS sessions_view_click,
+  CAST(COUNT(s3.t_purchase) AS BIGINT) AS sessions_full_funnel,
+  CAST(SUM(s1.n_events) AS BIGINT) AS total_events,
+  CAST(SUM(s1.n_events) AS DOUBLE) / COUNT(*) AS avg_events_per_session
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id AND s1.session_no = s2.session_no
+LEFT JOIN s3 ON s1.user_id = s3.user_id AND s1.session_no = s3.session_no
+"""
+
+
+@register(
+    "session_funnel_strict",
+    _SFUNNEL_ORACLE,
+    f"Sessionization x funnel composition: gap-based sessions "
+    f"({_SFUN_GAP_MIN}-minute inactivity boundary), then a STRICTLY "
+    "ORDERED view -> click -> purchase funnel evaluated WITHIN each "
+    "session (each step's timestamp must exceed the previous step's "
+    "first occurrence — windowfunnel's semantics scoped to behavioral "
+    "sessions instead of a fixed interval). The reference's Redis "
+    "tracker correlates events per order key (orders_consumer.py); "
+    "this is the same correlation, replayable, per session. Scale: "
+    "one per-user window for session numbering, then (user, session)-"
+    "keyed grouped passes and co-partitioned joins — the session key "
+    "inherits the user shuffle, no pairwise blowup.",
+)
+def session_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _SFUN_GAP_MIN * 60 * 1_000_000
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > gap_us
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = seq.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"),
+    )
+    s1 = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+    )
+    s2 = (
+        s1.join(sess.alias("e"), ["user_id", "session_no"])
+        .filter(
+            (F.col("e.event_type") == "click")
+            & (F.col("e.ts") > F.col("t_view"))
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.min("e.ts").alias("t_click"))
+    )
+    s3 = (
+        s2.join(sess.alias("e"), ["user_id", "session_no"])
+        .filter(
+            (F.col("e.event_type") == "purchase")
+            & (F.col("e.ts") > F.col("t_click"))
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.min("e.ts").alias("t_purchase"))
+    )
+    joined = s1.join(s2, ["user_id", "session_no"], "left").join(
+        s3, ["user_id", "session_no"], "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("t_view").alias("sessions_view"),
+        F.count("t_click").alias("sessions_view_click"),
+        F.count("t_purchase").alias("sessions_full_funnel"),
+        F.sum("n_events").alias("total_events"),
+        (
+            F.sum("n_events").cast("double") / F.count(F.lit(1))
+        ).alias("avg_events_per_session"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution
+# ----------------------------------------------------------------------------
+
+_POS_ATTR_ORACLE = """
+WITH purchases AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS value_micros
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+),
+pairs AS (
+  SELECT p.p_id, p.value_micros, t.touch_type,
+         ROW_NUMBER() OVER (PARTITION BY p.p_id
+                            ORDER BY t.t_ts, t.t_id) AS pos,
+         COUNT(*) OVER (PARTITION BY p.p_id) AS n
+  FROM purchases p
+  JOIN touches t
+    ON p.user_id = t.user_id
+   AND t.t_ts > p.p_ts - INTERVAL 7 DAY
+   AND t.t_ts <= p.p_ts
+),
+credited AS (
+  SELECT touch_type, value_micros,
+         CASE WHEN n = 1 THEN 1000
+              WHEN n = 2 THEN 500
+              WHEN pos = 1 OR pos = n THEN 400
+              ELSE 200 // (n - 2) END AS millis
+  FROM pairs
+)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(millis) AS BIGINT) AS credit_millis,
+       CAST(SUM((value_micros * millis) // 1000) AS BIGINT) / 1000000.0
+         AS credited_value
+FROM credited
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
+@register(
+    "attribution_position_based",
+    _POS_ATTR_ORACLE,
+    "Position-based (U-shaped) attribution completing the family "
+    "(linear / last-touch / time-decay): first touch 400 millicredits, "
+    "last 400, middles split 200 by integer division; n=1 -> 1000, "
+    "n=2 -> 500/500. PAIR-FREE like its siblings: running touch RANKS "
+    "(rows frame, event_id tiebreak = the oracle's ROW_NUMBER) plus "
+    "two probes per conversion give each window's [lo, hi] rank "
+    "bounds, the first/last touch resolve by co-partitioned "
+    "(user, rank) equi-joins, and per-type totals fold as "
+    "class_count x identical-integer-credit — the pairwise interval "
+    "join survives only as this oracle, so the driver check is the "
+    "equivalence proof (the linear/time-decay precedent, "
+    "operators/attribution.py).",
+)
+def attribution_position_based(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from data_lakehouse_platform_spark.operators.attribution import (
+        position_attribution,
+    )
+
+    return position_attribution(
+        _t(spark, sf_dir, "events"), lookback_days=7
+    ).orderBy("touch_type")

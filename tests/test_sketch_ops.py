@@ -155,3 +155,96 @@ def test_attribution_pair_free_matches_pairwise_under_hot_user(spark, tmp_path):
 
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # pair-free: union + one window pass
+
+
+def test_position_attribution_matches_pairwise_under_hot_user(
+    spark, tmp_path
+):
+    """Position-based (U-shaped) credit on a hyperactive user: the
+    rank-probe construction must equal the pairwise ROW_NUMBER answer
+    exactly, with NO interval join in the plan (only the two
+    co-partitioned (user, rank) equi-joins)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    eid = 0
+    for i in range(2000):
+        rows.append((eid, base + dt.timedelta(hours=i % 168), 1,
+                     "click" if i % 2 else "view", 0.0, "{}")); eid += 1
+    for i in range(40):
+        rows.append((eid, base + dt.timedelta(hours=3 * i + 1), 1,
+                     "purchase", 10.0 + i, "{}")); eid += 1
+    # degenerate windows: n=1 and n=2 users, plus equal-ts tie user
+    rows.append((eid, base, 2, "view", 0.0, "{}")); eid += 1
+    rows.append((eid, base + dt.timedelta(hours=1), 2,
+                 "purchase", 7.0, "{}")); eid += 1
+    rows.append((eid, base, 3, "view", 0.0, "{}")); eid += 1
+    rows.append((eid, base + dt.timedelta(minutes=30), 3,
+                 "click", 0.0, "{}")); eid += 1
+    rows.append((eid, base + dt.timedelta(hours=1), 3,
+                 "purchase", 9.0, "{}")); eid += 1
+    rows.append((eid, base, 4, "view", 0.0, "{}")); eid += 1
+    rows.append((eid, base, 4, "click", 0.0, "{}")); eid += 1  # tie ts
+    rows.append((eid, base, 4, "click", 0.0, "{}")); eid += 1  # tie ts
+    rows.append((eid, base + dt.timedelta(hours=2), 4,
+                 "purchase", 11.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    import __spark_entry__ as e
+
+    got_df = e.queries()["attribution_position_based"](
+        spark, str(tmp_path)
+    )
+    got = {r.touch_type: (r.n_touches, r.credit_millis, r.credited_value)
+           for r in got_df.collect()}
+
+    # pairwise twin from the oracle definition
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "event_id p_id", "user_id", "ts p_ts",
+        "CAST(FLOOR(value * 1000000) AS BIGINT) value_micros")
+    t = ev.filter("event_type IN ('click','view')").selectExpr(
+        "user_id", "ts t_ts", "event_id t_id", "event_type touch_type")
+    j = p.join(t, (p.user_id == t.user_id)
+               & (t.t_ts > p.p_ts - F.expr("INTERVAL 7 DAYS"))
+               & (t.t_ts <= p.p_ts))
+    wp = Window.partitionBy("p_id")
+    jn = (
+        j.withColumn("pos", F.row_number().over(
+            wp.orderBy("t_ts", "t_id")))
+        .withColumn("n", F.count("*").over(wp))
+        .withColumn(
+            "millis",
+            F.when(F.col("n") == 1, 1000)
+            .when(F.col("n") == 2, 500)
+            .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 400)
+            .otherwise(F.expr("200 div (n - 2)")),
+        )
+    )
+    want = {r.touch_type: (r.n_touches, r.credit_millis, r.credited_value)
+            for r in jn.groupBy("touch_type").agg(
+                F.count("*").alias("n_touches"),
+                F.sum("millis").cast("bigint").alias("credit_millis"),
+                (F.sum(F.expr("(value_micros * millis) div 1000"))
+                 .cast("bigint") / F.lit(1000000.0))
+                .alias("credited_value"),
+            ).collect()}
+    assert got == want and set(got) == {"click", "view"}
+
+    # total credit conservation: every conversion with >=1 touch hands
+    # out exactly 1000 millis (up to integer-div remainder on middles)
+    n_convs = jn.select("p_id").distinct().count()
+    total = sum(v[1] for v in got.values())
+    assert total <= 1000 * n_convs
+    assert total >= 998 * n_convs - 200 * n_convs  # div remainders only
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # no interval join
