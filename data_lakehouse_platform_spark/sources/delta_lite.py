@@ -902,22 +902,47 @@ class DeltaLiteTable:
             "writerFeatures": sorted(wf),
         }
 
-    def delete(self, spark: SparkSession, predicate: str) -> dict:
-        """DELETE rows matching a SQL ``predicate`` WITHOUT rewriting
-        data files: matched (file, row-index) pairs are folded into
-        per-file deletion vectors (merged with any existing DV), the
-        bitmaps land in one ``deletion_vector_<uuid>.bin``, and the
-        commit remove+re-adds each touched file with the new
-        descriptor — the modern Delta DELETE shape
-        (reference gold flows rewrite whole partitions for this;
-        gold_dim_products.py:118-131 merge semantics).  First DV
-        commit upgrades the protocol to reader v3 / writer v7 with the
-        ``deletionVectors`` feature, preserving implied legacy
-        features.  Matches are resolved driver-side and capped at
-        ``MAX_DELETE_ROWS`` — mass deletes should rewrite files
-        (``write(mode='overwrite')``), and the cap turns that misuse
-        into a named error instead of a driver OOM."""
+    def delete(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        strategy: str = "auto",
+    ) -> dict:
+        """DELETE rows matching a SQL ``predicate``.
+
+        ``strategy``:
+
+        * ``"dv"`` — no data-file rewrites: matched (file, row-index)
+          pairs fold into per-file deletion vectors (merged with any
+          existing DV), the bitmaps land in one
+          ``deletion_vector_<uuid>.bin``, and the commit remove+re-adds
+          each touched file with the new descriptor — the modern Delta
+          DELETE shape (reference gold flows rewrite whole partitions
+          for this; gold_dim_products.py:118-131 merge semantics).
+          First DV commit upgrades the protocol to reader v3/writer v7
+          preserving implied legacy features.  Matches resolve
+          driver-side, so this path is capped at ``MAX_DELETE_ROWS``
+          (named :class:`DeleteTooLargeError` instead of a driver OOM).
+        * ``"rewrite"`` — FILE-SCOPED copy-on-write: touched files are
+          rewritten without the matching rows (the :meth:`update`
+          machinery with a filter), fully distributed — the mass-delete
+          path with no cap.
+        * ``"auto"`` (default) — DV for surgical deletes, falling back
+          to the rewrite path when the match count exceeds the DV cap.
+        """
         import zlib
+
+        if strategy not in ("auto", "dv", "rewrite"):
+            raise ValueError(
+                f"strategy must be auto|dv|rewrite, got {strategy!r}"
+            )
+        if strategy == "rewrite":
+            return self._delete_rewrite(spark, predicate)
+        if strategy == "auto":
+            try:
+                return self.delete(spark, predicate, strategy="dv")
+            except DeleteTooLargeError:
+                return self._delete_rewrite(spark, predicate)
 
         latest = self.latest_version()
         if latest is None:
@@ -934,8 +959,8 @@ class DeltaLiteTable:
             raise DeleteTooLargeError(
                 f"predicate matches more than {MAX_DELETE_ROWS:,} rows; "
                 "deletion vectors are for surgical deletes — rewrite the "
-                "table (write(mode='overwrite') with the rows filtered "
-                "out) for bulk removal"
+                "touched files instead (delete(strategy='rewrite'), which "
+                "the default 'auto' strategy falls back to)"
             )
         if not rows:
             return {"version": latest, "deleted_rows": 0, "files": 0}
@@ -1228,6 +1253,89 @@ class DeltaLiteTable:
             "version": v,
             "files_rewritten": len(touched_rels),
             "files_untouched": len(live) - len(touched_rels),
+        }
+
+    def _delete_rewrite(self, spark: SparkSession, predicate: str) -> dict:
+        """Uncapped DELETE by file-scoped copy-on-write (see
+        :meth:`delete` strategy="rewrite"): touched files rewritten
+        WITHOUT the matching rows, untouched files (and their DVs)
+        carried; a NULL predicate result keeps the row (SQL WHERE
+        semantics).  All row movement stays distributed — nothing but
+        file PATHS ever reaches the driver."""
+        from pyspark.sql import functions as F
+
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        meta, live, _proto = self._replay(latest)
+        current = self.read(spark, version=latest, _with_position=True)
+        data_cols = [
+            c for c in current.columns
+            if c not in ("__dv_path", "__dv_ridx")
+        ]
+        touched_uris = [
+            r["__dv_path"]
+            for r in current.filter(predicate)
+            .select("__dv_path")
+            .distinct()
+            .collect()
+        ]
+        if not touched_uris:
+            return {"version": latest, "deleted_rows": 0, "files": 0}
+        root = os.path.abspath(self.path)
+        touched_rels = {
+            os.path.relpath(urllib.parse.unquote(u), root).replace(
+                os.sep, "/"
+            )
+            for u in touched_uris
+        }
+        missing_rels = sorted(touched_rels - live.keys())
+        if missing_rels:
+            raise DeltaProtocolError(
+                f"matched file {missing_rels[0]} is not in the snapshot"
+            )
+        touched_rows = self.read(
+            spark, version=latest, _only_paths=touched_rels
+        ).select(*data_cols)
+        keep = ~F.coalesce(F.expr(predicate), F.lit(False))
+        part = meta.get("partitionColumns", [])
+        adds = self._stage_adds(touched_rows.filter(keep), part)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "DELETE",
+                    "operationParameters": {
+                        "predicate": predicate,
+                        "strategy": "rewrite",
+                    },
+                    "engineInfo": "delta-lite/0.1 (protocol v1)",
+                }
+            }
+        ]
+        for rel in sorted(touched_rels):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.extend(adds)
+        v = self._commit(
+            actions,
+            latest + 1,
+            stale_sensitive=True,
+            computed_against=latest,
+            op_desc="DELETE",
+        )
+        return {
+            "version": v,
+            "files": len(touched_rels),
+            "deleted_rows": None,  # not counted: no driver-side rows
         }
 
     def update(

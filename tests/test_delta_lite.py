@@ -883,8 +883,14 @@ def test_dv_delete_cap_is_loud(spark, tmp_path, monkeypatch):
     t = DeltaLiteTable(str(tmp_path / "t"))
     t.write(_df(spark, [(i, "x") for i in range(10)]))
     monkeypatch.setattr(dl, "MAX_DELETE_ROWS", 3)
+    # the DV path refuses loudly past the cap...
     with pytest.raises(dl.DeleteTooLargeError, match="rewrite the"):
-        t.delete(spark, "id >= 0")
+        t.delete(spark, "id >= 0", strategy="dv")
+    # ...and the default 'auto' strategy falls back to the uncapped
+    # file-rewrite path instead
+    res = t.delete(spark, "id >= 0")
+    assert res["deleted_rows"] is None and res["files"] >= 1
+    assert t.read(spark).count() == 0
 
 
 def test_dv_serializer_matches_reference_layout():
@@ -1474,3 +1480,44 @@ def test_write_merge_schema_evolution(spark, tmp_path):
                                 "id int, val double, score double")
     with pytest.raises(ValueError, match="conflicts"):
         t.write(bad, mode="append", merge_schema=True)
+
+
+def test_delete_rewrite_strategy_uncapped(spark, tmp_path):
+    """delete(strategy='rewrite'): mass deletes rewrite only the
+    touched files with matching rows dropped — no driver-side row
+    materialization, no cap; 'auto' falls back to it past the DV cap."""
+    t = DeltaLiteTable(str(tmp_path / "dr"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    t.write(_df(spark, [(10, "x"), (11, "y")]).coalesce(1), mode="append")
+    _m, live_before, _p = t._replay(t.latest_version())
+    res = t.delete(spark, "id = 10", strategy="rewrite")
+    assert res["files"] == 1
+    _m, live_after, _p = t._replay(t.latest_version())
+    assert len(set(live_before) & set(live_after)) == 1  # file 1 carried
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 11]
+    ops = {h["version"]: h.get("operation") for h in t.history()}
+    assert ops[2] == "DELETE"
+    # no DV anywhere (the rewrite purges, never tombstones)
+    _m, live, _p = t._replay(t.latest_version())
+    assert all(not a.get("deletionVector") for a in live.values())
+    # no-match: no new version
+    assert t.delete(spark, "id = 999", strategy="rewrite") == {
+        "version": 2, "deleted_rows": 0, "files": 0
+    }
+
+    # auto: surgical deletes still take the DV path...
+    r2 = t.delete(spark, "id = 1")  # auto
+    assert r2["deleted_rows"] == 1
+    _m, live, _p = t._replay(t.latest_version())
+    assert any(a.get("deletionVector") for a in live.values())
+    # ...and a match set past the cap falls back to the rewrite path
+    # (shrink the cap instead of building 2M rows)
+    import data_lakehouse_platform_spark.sources.delta_lite as dl
+    old = dl.MAX_DELETE_ROWS
+    dl.MAX_DELETE_ROWS = 1
+    try:
+        r3 = t.delete(spark, "id >= 2")  # matches 2 rows > cap
+    finally:
+        dl.MAX_DELETE_ROWS = old
+    assert r3["deleted_rows"] is None  # rewrite path took it
+    assert sorted(r.id for r in t.read(spark).collect()) == []
