@@ -2258,17 +2258,22 @@ class IcebergLiteTable:
         keep_files = set()
         for s in kept:
             keep_files |= _refs(s)
+        # Collect EVERY dropped snapshot's references BEFORE deleting
+        # anything: snapshots share manifest files (appends carry them
+        # forward), so deleting while iterating would try to re-read a
+        # manifest an earlier iteration already removed.
+        drop_files = set()
+        for s in dropped:
+            drop_files |= _refs(s)
         root = os.path.abspath(self.path) + os.sep
         removed = []
-        for s in dropped:
-            for p in _refs(s):
-                # never touch anything outside the table directory
-                if p.startswith(root) and p not in keep_files and (
-                    os.path.exists(p)
-                ):
-                    os.remove(p)
-                    removed.append(p)
-                    keep_files.add(p)  # don't double-delete
+        for p in sorted(drop_files):
+            # never touch anything outside the table directory
+            if p.startswith(root) and p not in keep_files and (
+                os.path.exists(p)
+            ):
+                os.remove(p)
+                removed.append(p)
         kept_ids = {int(s["snapshot-id"]) for s in kept}
         meta["snapshots"] = kept
         meta["snapshot-log"] = [

@@ -1,0 +1,252 @@
+"""Model-based verification of the delta_lite verb set: a seeded
+random sequence of append / mergeSchema-append / UPDATE / DELETE
+(both strategies) / MERGE (plain + conditional clauses) / OPTIMIZE /
+RESTORE runs against both the real table and a driver-side dict
+model; after every step the snapshot must equal the model exactly,
+and at the end every historical version must still time-travel to its
+recorded state.  This is the cheap end of the verification spectrum
+that catches cross-verb interactions no single-verb test sees
+(e.g. UPDATE over a DV left by DELETE, MERGE after mergeSchema)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from data_lakehouse_platform_spark.sources.delta_lite import (
+    DeltaLiteTable,
+)
+
+
+def _snapshot(spark, t):
+    return {
+        (r.id): (r.val, r.score if "score" in r.__fields__ else None)
+        for r in t.read(spark).collect()
+    }
+
+
+def _df(spark, rows, wide):
+    if wide:
+        return spark.createDataFrame(
+            [(k, v, s) for k, (v, s) in rows.items()],
+            "id int, val string, score double",
+        )
+    return spark.createDataFrame(
+        [(k, v) for k, (v, _s) in rows.items()], "id int, val string"
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_delta_verbs_against_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    t = DeltaLiteTable(str(tmp_path / f"m{seed}"))
+    wide = False  # becomes True after the mergeSchema step fires
+
+    model: dict[int, tuple[str, float | None]] = {}
+    next_id = 0
+
+    def fresh_rows(n):
+        nonlocal next_id
+        out = {}
+        for _ in range(n):
+            out[next_id] = (
+                f"v{rng.randrange(1000)}",
+                float(rng.randrange(100)) if wide else None,
+            )
+            next_id += 1
+        return out
+
+    # seed table
+    rows = fresh_rows(6)
+    t.write(_df(spark, rows, wide).coalesce(2))
+    model.update(rows)
+    history = {0: dict(model)}
+
+    for step in range(14):
+        op = rng.choice(
+            ["append", "update", "delete_dv", "delete_rw",
+             "merge", "merge_cond", "optimize", "evolve"]
+        )
+        if op == "append":
+            rows = fresh_rows(rng.randrange(1, 4))
+            t.write(_df(spark, rows, wide).coalesce(1), mode="append")
+            model.update(rows)
+        elif op == "evolve" and not wide:
+            wide = True
+            rows = fresh_rows(2)
+            t.write(
+                _df(spark, rows, wide).coalesce(1),
+                mode="append",
+                merge_schema=True,
+            )
+            model.update(rows)
+        elif op == "evolve":
+            continue  # already evolved; no version written
+        elif op == "update" and model:
+            pivot = rng.choice(sorted(model))
+            res = t.update(
+                spark, f"id >= {pivot}", {"val": "concat(val, '+')"}
+            )
+            for k, (v, s) in list(model.items()):
+                if k >= pivot:
+                    model[k] = (v + "+", s)
+            if res["files_rewritten"] == 0:
+                continue  # no version written
+        elif op in ("delete_dv", "delete_rw") and model:
+            victim = rng.choice(sorted(model))
+            strat = "dv" if op == "delete_dv" else "rewrite"
+            before = t.latest_version()
+            t.delete(spark, f"id = {victim}", strategy=strat)
+            model.pop(victim, None)
+            if t.latest_version() == before:
+                continue  # no-match: no version written
+        elif op == "merge" and model:
+            upd = {
+                k: (f"m{rng.randrange(1000)}",
+                    model[k][1] if wide else None)
+                for k in rng.sample(sorted(model),
+                                    min(2, len(model)))
+            }
+            ins = fresh_rows(1)
+            src = {**upd, **ins}
+            t.merge(spark, _df(spark, src, wide), keys=["id"])
+            model.update(src)
+        elif op == "merge_cond" and model:
+            k_del = rng.choice(sorted(model))
+            ins = fresh_rows(1)
+            src = {k_del: ("DEL", None), **ins}
+            t.merge(
+                spark,
+                _df(spark, src, wide),
+                keys=["id"],
+                matched_delete_condition="s.val = 'DEL'",
+                matched_update_condition="s.val <> t.val",
+            )
+            model.pop(k_del, None)
+            model.update(ins)
+        elif op == "optimize":
+            t.optimize(spark, target_file_bytes=1 << 20)
+        else:
+            continue
+        got = _snapshot(spark, t)
+        want = {
+            k: (v, s if wide else None) for k, (v, s) in model.items()
+        }
+        assert got == want, f"seed={seed} step={step} op={op}"
+        history[t.latest_version()] = dict(model)
+
+    # RESTORE to a mid-history version equals its recorded model state
+    mid = sorted(history)[len(history) // 2]
+    t.restore(mid)
+    got = _snapshot(spark, t)
+    mid_wide = any(s is not None for _v, s in history[mid].values())
+    want = {
+        k: (v, s)
+        for k, (v, s) in history[mid].items()
+    }
+    # columns present depend on the CURRENT schema; compare val only
+    assert {k: v for k, (v, _s) in got.items()} == {
+        k: v for k, (v, _s) in want.items()
+    }, f"restore to {mid}"
+
+    # every recorded version still time-travels to its model state
+    for ver, state in history.items():
+        got_v = {
+            r.id: r.val for r in t.read(spark, version=ver).collect()
+        }
+        assert got_v == {k: v for k, (v, _s) in state.items()}, (
+            f"time travel to {ver}"
+        )
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_iceberg_verbs_against_model(spark, tmp_path, seed):
+    """The Iceberg twin: seeded random append / position-delete (both
+    surgical and mass) / compaction / tag+expire sequence vs the dict
+    model; every surviving snapshot still time-travels to its recorded
+    state and the tagged snapshot survives expiry."""
+    import random as _random
+
+    from data_lakehouse_platform_spark.sources.iceberg_lite import (
+        IcebergLiteTable,
+    )
+
+    rng = _random.Random(seed)
+    t = IcebergLiteTable(str(tmp_path / f"im{seed}"))
+
+    model: dict[int, int] = {}
+    next_id = 0
+
+    def fresh(n):
+        nonlocal next_id
+        out = {}
+        for _ in range(n):
+            out[next_id] = rng.randrange(1000)
+            next_id += 1
+        return out
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(k, v) for k, v in rows.items()], "id long, v long"
+        )
+
+    rows = fresh(8)
+    sid = t.write(df(rows).coalesce(2))
+    model.update(rows)
+    history = {sid: dict(model)}
+    tagged = None
+
+    for step in range(10):
+        op = rng.choice(["append", "delete", "mass_delete",
+                         "compact", "tag"])
+        if op == "append":
+            rows = fresh(rng.randrange(1, 4))
+            sid = t.write(df(rows).coalesce(1), mode="append")
+            model.update(rows)
+        elif op == "delete" and model:
+            victim = rng.choice(sorted(model))
+            before = t.current_snapshot_id()
+            res = t.delete(spark, f"id = {victim}")
+            model.pop(victim, None)
+            sid = res["snapshot_id"]
+            if sid == before:
+                continue
+        elif op == "mass_delete" and len(model) > 4:
+            pivot = sorted(model)[len(model) // 2]
+            res = t.delete(spark, f"id >= {pivot}")
+            for k in [k for k in model if k >= pivot]:
+                model.pop(k)
+            sid = res["snapshot_id"]
+        elif op == "compact":
+            res = t.rewrite_data_files(spark, target_file_bytes=1 << 20)
+            sid = res["snapshot_id"]
+            if res["new_files"] == 0:
+                continue
+        elif op == "tag" and tagged is None:
+            t.create_tag("pin")
+            tagged = t.current_snapshot_id()
+            continue
+        else:
+            continue
+        got = {r.id: r.v for r in t.read(spark).collect()}
+        assert got == model, f"seed={seed} step={step} op={op}"
+        history[sid] = dict(model)
+
+    if tagged is None:
+        t.create_tag("pin")
+        tagged = t.current_snapshot_id()
+
+    # expire to the newest snapshot: the tag pins its snapshot too
+    t.expire_snapshots(retain_last=1)
+    surviving = {int(s["snapshot-id"]) for s in t.snapshots()}
+    assert tagged in surviving
+    for sid in surviving:
+        if sid in history:
+            got = {
+                r.id: r.v
+                for r in t.read(spark, snapshot_id=sid).collect()
+            }
+            assert got == history[sid], f"post-expire snapshot {sid}"
+    got = {r.id: r.v for r in t.read(spark, ref="pin").collect()}
+    assert got == history[tagged]
