@@ -709,3 +709,54 @@ def test_append_stream_to_iceberg_exactly_once(spark, tmp_path):
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 2, 3]
     assert len(t.snapshots()) == n_snaps  # nothing re-committed
     assert t.committed_batches(f"stream:{ckpt}") >= 1
+
+
+def test_eventlog_to_iceberg_capstone(spark, tmp_path):
+    """Kafka-twin transport -> Iceberg lakehouse, end to end: sealed
+    eventlog segments stream through append_stream_to_iceberg; a
+    second wave appends incrementally and the table's snapshot
+    summaries carry the exactly-once batch ledger."""
+    from data_lakehouse_platform_spark.sources.eventlog_stream import (
+        EventLogStreamDataSource,
+        append_segment,
+    )
+    from data_lakehouse_platform_spark.sources.iceberg_lite import (
+        IcebergLiteTable,
+    )
+    from data_lakehouse_platform_spark.streaming.pipelines import (
+        append_stream_to_iceberg,
+    )
+
+    spark.dataSource.register(EventLogStreamDataSource)
+    log = str(tmp_path / "elog")
+    ckpt = str(tmp_path / "ckpt")
+    tbl = str(tmp_path / "ice")
+    append_segment(log, [
+        {"event_id": 1, "user_id": 10, "event_type": "purchase",
+         "ts": "2024-01-01 00:00:01", "value": 5.0},
+        {"event_id": 2, "user_id": 11, "event_type": "view",
+         "ts": "2024-01-01 00:00:02", "value": 0.0},
+    ])
+
+    def _stream():
+        return (
+            spark.readStream.format("eventlog")
+            .option("path", log)
+            .load()
+        )
+
+    q = append_stream_to_iceberg(_stream(), tbl, ckpt)
+    q.awaitTermination(120)
+    t = IcebergLiteTable(tbl)
+    assert sorted(r.event_id for r in t.read(spark).collect()) == [1, 2]
+
+    append_segment(log, [
+        {"event_id": 3, "user_id": 10, "event_type": "purchase",
+         "ts": "2024-01-02 00:00:01", "value": 7.5},
+    ])
+    q = append_stream_to_iceberg(_stream(), tbl, ckpt)
+    q.awaitTermination(120)
+    assert sorted(r.event_id for r in t.read(spark).collect()) == [
+        1, 2, 3
+    ]
+    assert t.committed_batches(f"stream:{ckpt}") >= 1
