@@ -677,3 +677,96 @@ def attribution_position_based(
     return position_attribution(
         _t(spark, sf_dir, "events"), lookback_days=7
     ).orderBy("touch_type")
+
+
+# ----------------------------------------------------------------------------
+# Embedding subpopulation drift (fixed-point centroid cosine)
+# ----------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH f AS (
+  SELECT label,
+         UNNEST(list_transform(embedding,
+                x -> CAST(FLOOR(x * 1000) AS BIGINT))) AS val,
+         UNNEST(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+),
+bylab AS (
+  SELECT label, dim, CAST(SUM(val) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM f GROUP BY label, dim
+),
+gsum AS (
+  SELECT dim, CAST(SUM(s) AS BIGINT) AS g FROM bylab GROUP BY dim
+),
+parts AS (
+  SELECT b.label,
+         MAX(b.n) AS n_vecs,
+         CAST(SUM(b.s * u.g) AS BIGINT) AS dot,
+         CAST(SUM(b.s * b.s) AS BIGINT) AS n1,
+         CAST(SUM(u.g * u.g) AS BIGINT) AS n2
+  FROM bylab b JOIN gsum u ON b.dim = u.dim
+  GROUP BY b.label
+)
+SELECT label, n_vecs, dot, n1,
+       CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+            ELSE (CAST(dot AS DOUBLE) / n1) * (CAST(dot AS DOUBLE) / n2)
+       END AS cos2_vs_global
+FROM parts
+ORDER BY label
+"""
+
+
+@register(
+    "embedding_label_drift",
+    _DRIFT_ORACLE,
+    "Embedding-subpopulation drift monitor: per label, the SQUARED "
+    "cosine between the label's centroid and the corpus centroid "
+    "(cos^2 of fixed-point SUM vectors — scale-invariant, so means "
+    "never materialize). Per-dimension sums are exact integers "
+    "(FLOOR(x*1000)), the dot/norm reductions are integer products, "
+    "and cos^2 = (dot/n1)*(dot/n2) keeps every double operand exact "
+    "and the op order fixed — no sqrt, no reordered float sums. The "
+    "mixture-monitoring layer over the embedding table: a label whose "
+    "cos^2 sags is drifting away from the corpus (ingestion skew, "
+    "encoder change). Scale: posexplode to (label, dim) partial "
+    "aggregates — map-side combinable, shuffle bounded by "
+    "labels x dims, never vectors.",
+)
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    f = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x * F.lit(1000)).cast("long"),
+            )
+        ).alias("dim0", "val"),
+    )
+    bylab = f.groupBy("label", "dim0").agg(
+        F.sum("val").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    gsum = bylab.groupBy("dim0").agg(
+        F.sum("s").cast("bigint").alias("g")
+    )
+    parts = (
+        bylab.join(F.broadcast(gsum), "dim0")
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sum(F.col("s") * F.col("g")).cast("bigint").alias("dot"),
+            F.sum(F.col("s") * F.col("s")).cast("bigint").alias("n1"),
+            F.sum(F.col("g") * F.col("g")).cast("bigint").alias("n2"),
+        )
+    )
+    cos2 = F.when(
+        (F.col("n1") == 0) | (F.col("n2") == 0), F.lit(None)
+    ).otherwise(
+        (F.col("dot").cast("double") / F.col("n1"))
+        * (F.col("dot").cast("double") / F.col("n2"))
+    )
+    return parts.select(
+        "label", "n_vecs", "dot", "n1", cos2.alias("cos2_vs_global")
+    ).orderBy("label")
