@@ -604,6 +604,104 @@ class DeltaLiteTable:
 
     # -- write ----------------------------------------------------------
 
+    # Writer features this implementation can coexist with.  A feature
+    # is write-safe either because we IMPLEMENT it (deletionVectors),
+    # ENFORCE it (appendOnly), or can prove it is dormant on this
+    # table (constraints/invariants/generated/identity columns: safe
+    # unless the schema/config actually declares one — then we refuse
+    # rather than write rows no one validated).
+    _WRITE_SAFE_FEATURES = frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+            "identityColumns",
+            "columnMapping",
+            "deletionVectors",
+        }
+    )
+
+    def _check_write_protocol(
+        self, meta: dict, proto: dict, kind: str
+    ) -> None:
+        """Refuse writes the table's WRITER protocol makes unsafe —
+        the write-side twin of ``_check_protocol`` (spec: a writer
+        must not commit unless it supports every required writer
+        feature).  ``kind``: ``append`` (adds only), ``mutate``
+        (removes/updates data), ``compact`` (dataChange:false
+        rewrites, which appendOnly permits)."""
+        mwv = proto.get("minWriterVersion", 2)
+        if mwv >= 7:
+            if proto.get("writerFeatures") is None:
+                raise DeltaProtocolError(
+                    f"table advertises minWriterVersion={mwv} without "
+                    "a writerFeatures list — malformed protocol "
+                    "action; refusing rather than guess"
+                )
+            feats = set(proto["writerFeatures"])
+        elif mwv in _LEGACY_WRITER_FEATURES:
+            feats = set(_LEGACY_WRITER_FEATURES[mwv])
+        else:
+            raise DeltaProtocolError(
+                f"table requires minWriterVersion={mwv}; this writer "
+                "speaks legacy v1-6 and v7 feature tables and refuses "
+                "rather than corrupt (see JARS.md)"
+            )
+        unknown = feats - self._WRITE_SAFE_FEATURES
+        if unknown:
+            raise DeltaProtocolError(
+                f"table requires writer features {sorted(unknown)} "
+                "this writer does not implement — refusing to commit "
+                "(a write that ignores them corrupts the table for "
+                "engines that rely on them)"
+            )
+        conf = meta.get("configuration") or {}
+        schema_s = meta.get("schemaString") or ""
+        # Declared-state checks are UNCONDITIONAL (not gated on the
+        # feature list): a table whose config/schema declares a
+        # constraint expects it honored even if an engine under-
+        # stamped the protocol.
+        if conf.get("delta.columnMapping.mode", "none") != "none":
+            raise DeltaProtocolError(
+                "table uses column mapping; writes need physical-name "
+                "data files this writer does not produce"
+            )
+        if conf.get("delta.enableChangeDataFeed") == "true":
+            raise DeltaProtocolError(
+                "table has change data feed ENABLED; this writer does "
+                "not produce the required _change_data files — "
+                "refusing rather than silently break CDC consumers"
+            )
+        if any(k.startswith("delta.constraints.") for k in conf):
+            raise DeltaProtocolError(
+                "table declares CHECK constraints this writer cannot "
+                "validate — refusing to write unvalidated rows"
+            )
+        if "delta.invariants" in schema_s:
+            raise DeltaProtocolError(
+                "table schema declares column invariants this writer "
+                "cannot validate — refusing to write unvalidated rows"
+            )
+        if "delta.generationExpression" in schema_s:
+            raise DeltaProtocolError(
+                "table declares generated columns; this writer would "
+                "not recompute them — refusing"
+            )
+        if "delta.identity." in schema_s:
+            raise DeltaProtocolError(
+                "table declares identity columns; this writer would "
+                "not advance their high-water marks — refusing"
+            )
+        if conf.get("delta.appendOnly") == "true" and kind == "mutate":
+            raise DeltaProtocolError(
+                "table is append-only (delta.appendOnly=true): "
+                "overwrite/DELETE/UPDATE/MERGE/RESTORE are refused; "
+                "compaction (dataChange=false) and appends remain "
+                "allowed"
+            )
+
     def _stage_adds(
         self,
         df: DataFrame,
@@ -740,6 +838,10 @@ class DeltaLiteTable:
         first = latest is None
         if not first:
             meta, live, _proto = self._replay(latest)
+            self._check_write_protocol(
+                meta, _proto,
+                "append" if mode == "append" else "mutate",
+            )
             prev_part = meta.get("partitionColumns", [])
             if partition_by is not None and list(partition_by) != list(prev_part):
                 raise ValueError(
@@ -948,6 +1050,7 @@ class DeltaLiteTable:
         if latest is None:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
         meta, live, proto = self._replay(latest)
+        self._check_write_protocol(meta, proto, "mutate")
         rows = (
             self.read(spark, version=latest, _with_position=True)
             .filter(predicate)
@@ -1091,6 +1194,7 @@ class DeltaLiteTable:
         if latest is None:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
         meta, live, _proto = self._replay(latest)
+        self._check_write_protocol(meta, _proto, "mutate")
         current = self.read(spark, version=latest, _with_position=True)
         data_cols = [
             c for c in current.columns
@@ -1268,6 +1372,7 @@ class DeltaLiteTable:
         if latest is None:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
         meta, live, _proto = self._replay(latest)
+        self._check_write_protocol(meta, _proto, "mutate")
         current = self.read(spark, version=latest, _with_position=True)
         data_cols = [
             c for c in current.columns
@@ -1360,6 +1465,7 @@ class DeltaLiteTable:
         if latest is None:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
         meta, live, _proto = self._replay(latest)
+        self._check_write_protocol(meta, _proto, "mutate")
         current = self.read(spark, version=latest, _with_position=True)
         data_cols = [
             c for c in current.columns
@@ -1493,6 +1599,7 @@ class DeltaLiteTable:
         if latest is None:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
         meta, live, _proto = self._replay(latest)
+        self._check_write_protocol(meta, _proto, "compact")
         total = sum(int(a.get("size") or 0) for a in live.values())
         n_out = max(1, -(-total // target_file_bytes))  # ceil division
         part = meta.get("partitionColumns", [])
@@ -1582,6 +1689,7 @@ class DeltaLiteTable:
             )
         meta_t, live_t, _proto_t = self._replay(version)
         meta_c, live_c, _proto_c = self._replay(latest)
+        self._check_write_protocol(meta_c, _proto_c, "mutate")
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
             {

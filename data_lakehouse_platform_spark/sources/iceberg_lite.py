@@ -1258,6 +1258,9 @@ class IcebergLiteTable:
 
         exists = True
         try:
+            # metadata() refuses format-version >= 3, so a v3+ table
+            # cannot be written into either (row lineage / sequencing
+            # rules would be silently violated)
             meta = self.metadata()
         except FileNotFoundError:
             exists = False

@@ -1521,3 +1521,77 @@ def test_delete_rewrite_strategy_uncapped(spark, tmp_path):
         dl.MAX_DELETE_ROWS = old
     assert r3["deleted_rows"] is None  # rewrite path took it
     assert sorted(r.id for r in t.read(spark).collect()) == []
+
+
+def test_writer_protocol_guards(spark, tmp_path):
+    """Write-side protocol twin of the reader refusals: appendOnly
+    tables accept appends and compaction but refuse every mutating
+    verb; dormant declared-but-unused features pass; tables declaring
+    CHECK constraints / enabled CDF / unknown writer features refuse
+    all writes."""
+    t = DeltaLiteTable(str(tmp_path / "ao"))
+    t.write(_df(spark, [(1, "a")]).coalesce(1))
+
+    def _retag(config=None, writer_features=None, mwv=None):
+        # external engine flips table properties / protocol
+        actions = []
+        if config is not None:
+            meta, _l, _p = t._replay(t.latest_version())
+            meta = dict(meta)
+            meta["configuration"] = config
+            actions.append({"metaData": meta})
+        if writer_features is not None or mwv is not None:
+            actions.append({
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": mwv or 7,
+                    **({"writerFeatures": writer_features}
+                       if writer_features is not None else {}),
+                }
+            })
+        v = t.latest_version() + 1
+        with open(os.path.join(t.log_dir, f"{v:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"commitInfo": {"timestamp": 0}}) + "\n")
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    # appendOnly: appends + compaction OK, mutations refused
+    _retag(config={"delta.appendOnly": "true"})
+    t.write(_df(spark, [(2, "b")]).coalesce(1), mode="append")
+    t.optimize(spark)
+    for fn in (
+        lambda: t.write(_df(spark, [(9, "z")]), mode="overwrite"),
+        lambda: t.delete(spark, "id = 1"),
+        lambda: t.update(spark, "id = 1", {"val": "'x'"}),
+        lambda: t.merge(spark, _df(spark, [(1, "u")]), keys=["id"]),
+        lambda: t.restore(0),
+    ):
+        with pytest.raises(DeltaProtocolError, match="append-only"):
+            fn()
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+
+    # CHECK constraints declared -> every write refuses
+    _retag(config={"delta.constraints.c1": "id > 0"})
+    with pytest.raises(DeltaProtocolError, match="CHECK constraints"):
+        t.write(_df(spark, [(3, "c")]), mode="append")
+
+    # CDF enabled -> refuse (we would skip required _change_data)
+    _retag(config={"delta.enableChangeDataFeed": "true"})
+    with pytest.raises(DeltaProtocolError, match="change data feed"):
+        t.write(_df(spark, [(3, "c")]), mode="append")
+
+    # dormant features (declared, unused on this table) pass
+    _retag(config={}, writer_features=[
+        "appendOnly", "invariants", "checkConstraints",
+        "generatedColumns", "deletionVectors",
+    ])
+    t.write(_df(spark, [(3, "c")]).coalesce(1), mode="append")
+
+    # unknown writer feature -> refuse everything
+    _retag(writer_features=["icebergCompatV2", "appendOnly"])
+    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
+        t.write(_df(spark, [(4, "d")]), mode="append")
+    # v7+ without a feature list is malformed -> refuse
+    _retag(writer_features=None, mwv=9)
+    with pytest.raises(DeltaProtocolError, match="malformed"):
+        t.write(_df(spark, [(4, "d")]), mode="append")

@@ -1229,3 +1229,20 @@ def test_iceberg_snapshot_refs(spark, tmp_path):
     assert sorted(r.id for r in t.read(spark, ref="dev").collect()) == [
         1, 2, 3
     ]
+
+
+def test_iceberg_v3_write_refused(spark, tmp_path):
+    """A format-version 3 table refuses WRITES too (reads already
+    refuse) — committing v2-shaped snapshots into a v3 table would
+    silently violate row lineage."""
+    import json as _json
+
+    t = IcebergLiteTable(str(tmp_path / "v3w"))
+    t.write(spark.createDataFrame([(1,)], "id long"))
+    mf = t._resolve_metadata_file()
+    meta = _json.load(open(mf))
+    meta["format-version"] = 3
+    with open(mf, "w") as fh:
+        _json.dump(meta, fh)
+    with pytest.raises(IcebergProtocolError, match="format-version=3"):
+        t.write(spark.createDataFrame([(2,)], "id long"), mode="append")
