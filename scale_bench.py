@@ -82,6 +82,12 @@ QUERIES = [
     ("revenue_bridge", 13.0),
     ("oov_rate", 13.0),
     ("ann_pq_topk", 13.0),
+    # r6: the two heaviest headline queries (r5 VERDICT item 5).
+    # fuzzy_match runs the deletion-signature join over DISTINCT names,
+    # so the 10x verbatim-replica set collapses back to the 1x distinct
+    # set — near-flat ratio expected, but keep the standard bound.
+    ("fuzzy_match_customers", 13.0),
+    ("graph_components_bipartite", 13.0),
 ]
 
 

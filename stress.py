@@ -23,7 +23,14 @@ attribution rewrite; 5 proves the STREAMING bounded-state claims):
   5. eventlog source -> stateful order tracker at ~0.9M events with a
      500k-item hot key — asserts from the streaming query's
      stateOperators metrics (NOT wall time) that state rows track
-     orders-in-flight, not events seen.
+     orders-in-flight, not events seen;
+  6. Iceberg manifest pruning (files planned + records scanned);
+  7. file-scoped Delta MERGE on one hive bucket of a 2,048-file table;
+  8. entity-resolution whale block — 100k rows in ONE blocking key
+     through the deletion-signature edit-distance join: worst task
+     stays linear (<=30x input) where the blocked self-join would
+     build C(100k, 2) ~ 5e9 pairs, and 200 planted distance-1 dups
+     must ALL be found (the SymSpell completeness proof, executed).
 
 Run: python stress.py   (~3-5 min on local[32]; exit 0 = all bounds hold)
 """
@@ -584,6 +591,86 @@ def main() -> None:
             "rewrite pass is re-reading the snapshot"
         )
     shutil.rmtree(d_dir, ignore_errors=True)
+
+    # ------------------------------------------------------------------
+    # shape 8: entity-resolution whale block — EVERY row in one
+    # (nation, segment) block.  The round-5 blocked self-join would put
+    # the whole block on one task and build C(n, 2) pairs (~5e9 here —
+    # unrunnable, like shape 4's interval join); the deletion-signature
+    # join must stay linear per task (signature explosion is a per-row
+    # constant, buckets bounded by name geometry not block size) AND
+    # stay complete: 200 planted distance-1 dups must all be found.
+    # ------------------------------------------------------------------
+    from data_lakehouse_platform_spark.operators.editdist import (
+        edit_distance_pairs,
+    )
+
+    N8, PLANTED = 100_000, 200
+    # pseudo-random 9-digit suffixes (Knuth multiplicative hash) so the
+    # name space is spread like real ids, not sequential.
+    suffix = _F.lpad(
+        _F.pmod(_F.col("id") * 2654435761, _F.lit(1_000_000_000)).cast(
+            "string"
+        ),
+        9,
+        "0",
+    )
+    whale_base = spark.range(N8).select(
+        _F.col("id").alias("k"),
+        _F.lit(0).alias("nationkey"),
+        _F.lit("WHALE").alias("seg"),
+        _F.concat(_F.lit("Customer#"), suffix).alias("name"),
+    )
+    # planted near-dups: row N8+i = row i's name with the last char
+    # substituted (lev distance 1), the completeness canary.
+    whale_dups = spark.range(PLANTED).select(
+        (_F.col("id") + N8).alias("k"),
+        _F.lit(0).alias("nationkey"),
+        _F.lit("WHALE").alias("seg"),
+        _F.concat(
+            _F.lit("Customer#"), _F.substring(suffix, 1, 8), _F.lit("X")
+        ).alias("name"),
+    )
+    whale = whale_base.unionAll(whale_dups).repartition(32, "k").persist()
+    n_whale = whale.count()
+
+    pairs8 = edit_distance_pairs(
+        whale, "k", "name", block_cols=("nationkey", "seg"), threshold=2
+    ).persist()
+    out8 = {}
+    whale_max = run_shape(
+        spark,
+        "editdist_whale_block",
+        lambda: out8.setdefault("pairs", pairs8.count()),
+    )
+    planted_found = pairs8.where(
+        _F.col("b_key") - _F.col("a_key") == N8
+    ).count()
+    quad_pairs = N8 * (N8 - 1) // 2
+    print(
+        f"[editdist_whale] n={n_whale:,} pairs={out8['pairs']:,} "
+        f"planted={planted_found}/{PLANTED} "
+        f"(quadratic twin would build {quad_pairs:,} pairs)",
+        flush=True,
+    )
+    if planted_found != PLANTED:
+        failures.append(
+            f"shape8 COMPLETENESS: {planted_found}/{PLANTED} planted "
+            "distance-1 dups found — deletion neighborhood is missing pairs"
+        )
+    if out8["pairs"] < PLANTED:
+        failures.append("shape8 calibration: no pairs at all")
+    # linear bound: signature rows are a per-row constant (~100x for
+    # 18-char names) hash-split over 32 partitions; measured ~10x n per
+    # task.  30x n (~3M) keeps slack while sitting 2,000x below the
+    # quadratic twin's C(n,2)/32 per-task share.
+    if whale_max > 30 * n_whale:
+        failures.append(
+            f"shape8 BOUND: worst task {whale_max:,} > 30x input "
+            f"{n_whale:,} — signature join is not linear per task"
+        )
+    pairs8.unpersist()
+    whale.unpersist()
 
     print()
     if failures:
