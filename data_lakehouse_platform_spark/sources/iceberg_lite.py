@@ -803,6 +803,28 @@ class IcebergLiteTable:
                 + (" matching the partition filter"
                    if partition_filter is not None else "")
             )
+        # EXPLICIT time travel reads through the SNAPSHOT's schema
+        # (spec rule): a snapshot taken before a drop_column still
+        # shows the column.  Current-table reads always use the
+        # current schema — a metadata-only evolution applies to the
+        # latest snapshot immediately.
+        snap = None
+        if snapshot_id is not None:
+            snap = next(
+                (
+                    s
+                    for s in meta.get("snapshots", [])
+                    if int(s["snapshot-id"]) == snapshot_id
+                ),
+                None,
+            )
+        if snap is not None and "schema-id" in snap:
+            sid = int(snap["schema-id"])
+            if any(
+                int(s.get("schema-id", -1)) == sid
+                for s in meta.get("schemas", [])
+            ):
+                meta = {**meta, "current-schema-id": sid}
         return self._read_files(spark, meta, data_files, deletes)
 
     def _read_files(
@@ -978,6 +1000,12 @@ class IcebergLiteTable:
         groups: dict[tuple, list[str]] = {}
         for p in paths:
             sch = pq.read_schema(p)
+            # physical arrow type joins the signature: files written
+            # before and after a type promotion (int32 vs int64) must
+            # scan in SEPARATE groups — one mixed spark.read.parquet
+            # would fail on the footer-inferred narrow type — and then
+            # unify through the cast below.
+            phys_type = {f.name: str(f.type) for f in sch}
             fid_to_phys: dict[int, str] = {}
             for f in sch:
                 fid = (f.metadata or {}).get(b"PARQUET:field_id")
@@ -985,12 +1013,20 @@ class IcebergLiteTable:
                     fid_to_phys[int(fid)] = f.name
             if fid_to_phys:
                 sig = tuple(
-                    (lname, fid_to_phys.get(fid))
+                    (
+                        lname,
+                        fid_to_phys.get(fid),
+                        phys_type.get(fid_to_phys.get(fid)),
+                    )
                     for fid, lname in sorted(id_to_name.items())
                 )
             else:  # no field-id metadata: by-name fallback
                 sig = tuple(
-                    (lname, lname if lname in sch.names else None)
+                    (
+                        lname,
+                        lname if lname in sch.names else None,
+                        phys_type.get(lname),
+                    )
                     for fid, lname in sorted(id_to_name.items())
                 )
             groups.setdefault(sig, []).append(p)
@@ -999,11 +1035,23 @@ class IcebergLiteTable:
         # repr key: signatures mix str and None, which don't compare
         for sig, gpaths in sorted(groups.items(), key=lambda kv: repr(kv)):
             d = _with_meta(spark.read.parquet(*gpaths))
+            phys_by_lname = {s[0]: s[1] for s in sig}
             cols = []
             for fid, lname in sorted(id_to_name.items()):
-                phys = dict(sig)[lname]
+                phys = phys_by_lname[lname]
                 if phys is not None:
-                    cols.append(F.col(phys).alias(lname))
+                    # cast to the CURRENT schema type: after a safe
+                    # type promotion (update_column_type — int->long,
+                    # float->double, decimal widening) older files
+                    # still hold the narrower physical type; a no-op
+                    # for unevolved tables.
+                    stype = self._iceberg_type_to_spark_ddl(
+                        id_to_type.get(fid)
+                    )
+                    c = F.col(phys)
+                    if stype is not None:
+                        c = c.cast(stype)
+                    cols.append(c.alias(lname))
                     continue
                 # column added to the table after these files were
                 # written: spec says read as NULL
@@ -1024,6 +1072,11 @@ class IcebergLiteTable:
         for d in parts[1:]:
             out = out.unionByName(d)
         return out
+
+    def _field_names_by_id_inv(self, meta: dict) -> dict[str, int]:
+        """name -> field-id for the current schema (the field-id
+        stamping direction)."""
+        return {n: i for i, n in self._field_names_by_id(meta).items()}
 
     @staticmethod
     def _field_names_by_id(meta: dict) -> dict[int, str]:
@@ -1115,8 +1168,10 @@ class IcebergLiteTable:
             it = _SPARK_TO_ICEBERG.get(tn)
             if it is not None:
                 return it
-            if tn.startswith("decimal"):
-                return tn  # decimal(p,s) spells identically
+            if tn == "decimal":
+                # typeName() drops (p,s); simpleString() spells the
+                # Iceberg form decimal(p,s) exactly
+                return dt.simpleString()
             if tn == "struct":
                 out = []
                 for f in dt.fields:
@@ -1203,6 +1258,37 @@ class IcebergLiteTable:
             ),
             default=0,
         )
+
+    @staticmethod
+    def _stamp_field_ids(df: DataFrame, name_to_id: dict[str, int]):
+        """Attach ``parquet.field.id`` metadata to every top-level
+        column so Spark's parquet writer emits PARQUET:field_id
+        footers — the basis of by-id (evolution-safe) resolution.
+        Extra columns (staging helpers like __ip_*) pass through."""
+        return df.select(
+            *[
+                F.col(f.name).alias(
+                    f.name,
+                    metadata={"parquet.field.id": name_to_id[f.name]},
+                )
+                if f.name in name_to_id
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+
+    @staticmethod
+    def _parquet_with_field_ids(df_writer_fn, sess):
+        """Run a parquet-staging callback with fieldId.write pinned on
+        (session conf; default true, but a tuned-off session must not
+        silently produce evolution-opaque files)."""
+        key = "spark.sql.parquet.fieldId.write.enabled"
+        prev = sess.conf.get(key)
+        sess.conf.set(key, "true")
+        try:
+            df_writer_fn()
+        finally:
+            sess.conf.set(key, prev)
 
     def write(
         self,
@@ -1356,7 +1442,15 @@ class IcebergLiteTable:
         # derived __ip_* columns that partitionBy turns into directory
         # names (and drops from the files) — the SOURCE columns stay in
         # the data files, as the Iceberg spec expects.
-        stage_df = df
+        #
+        # Top-level columns carry their TABLE field-id as
+        # parquet.field.id metadata: Spark's parquet writer turns it
+        # into PARQUET:field_id on the footer (fieldId.write.enabled),
+        # which is what makes _resolved_scan's by-id resolution — and
+        # therefore rename/drop/re-add schema evolution — work on this
+        # module's own files.  (Nested ids stay footer-less: nested
+        # evolution is an Iceberg-runtime feature, not this writer's.)
+        stage_df = self._stamp_field_ids(df, name_to_id)
         part_cols = []
         for pf in spec_fields:
             src = id_to_name[pf["source-id"]]
@@ -1369,7 +1463,9 @@ class IcebergLiteTable:
         writer = stage_df.write.mode("errorifexists")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
-        writer.parquet(stage)
+        self._parquet_with_field_ids(
+            lambda: writer.parquet(stage), df.sparkSession
+        )
         data_files = []  # (path, nrows, size, partition-value dict)
         for root, _d, files in os.walk(stage):
             for f in sorted(files):
@@ -1430,9 +1526,25 @@ class IcebergLiteTable:
             }
             for pf in spec_fields
         ]
+        # the manifest embeds the TABLE's current schema (authoritative
+        # ids + schema-id) — after evolution the DataFrame-derived
+        # positional ids would be wrong
+        cur_sid = int(meta.get("current-schema-id", 0))
+        cur_fields = next(
+            (
+                s["fields"]
+                for s in meta.get("schemas", [])
+                if s.get("schema-id") == cur_sid
+            ),
+            ice_fields,
+        )
         extra = {
             "schema": json.dumps(
-                {"type": "struct", "schema-id": 0, "fields": ice_fields}
+                {
+                    "type": "struct",
+                    "schema-id": cur_sid,
+                    "fields": cur_fields,
+                }
             ).encode(),
             "partition-spec": json.dumps(spec_fields).encode(),
             "partition-spec-id": b"0",
@@ -1484,7 +1596,7 @@ class IcebergLiteTable:
                     for k, v in (summary_extra or {}).items()
                 },
             },
-            "schema-id": 0,
+            "schema-id": cur_sid,
         }
         if exists and meta.get("current-snapshot-id", -1) != -1:
             snap["parent-snapshot-id"] = meta["current-snapshot-id"]
@@ -1509,6 +1621,225 @@ class IcebergLiteTable:
         with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
             fh.write(str(version))
         return snap_id
+
+    # -- schema evolution (metadata-only commits) -----------------------
+    #
+    # The spec's evolution model (Iceberg spec "Schema Evolution"):
+    # every column has an immutable field-id; add assigns a NEVER-reused
+    # id (last-column-id high-water mark), rename/promote keep the id,
+    # drop removes the field from the current schema but old snapshots
+    # keep reading THEIR schema.  Each verb appends a new entry to
+    # `schemas` with a bumped schema-id and flips current-schema-id —
+    # one optimistic metadata commit, no data files touched.  The read
+    # side already resolves by field-id (see _resolved_scan); the write
+    # side stamps ids into parquet footers, so evolved tables stay
+    # self-consistent end-to-end.
+
+    #: safe primitive promotions per the spec (plus decimal widening,
+    #: handled separately): the physical narrower type casts up
+    #: losslessly at read time.
+    _TYPE_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+    def _current_schema(self, meta: dict) -> tuple[list[dict], int]:
+        sid = int(meta.get("current-schema-id", 0))
+        sch = next(
+            (
+                s
+                for s in meta.get("schemas", [])
+                if int(s.get("schema-id", -1)) == sid
+            ),
+            None,
+        )
+        if sch is None:
+            raise IcebergProtocolError(
+                f"current-schema-id {sid} not present in `schemas`"
+            )
+        return [dict(f) for f in sch["fields"]], sid
+
+    def _commit_schema(self, meta: dict, new_fields: list[dict]) -> int:
+        """Append ``new_fields`` as the next schema, flip
+        current-schema-id, advance last-column-id (a high-water mark:
+        it NEVER decreases, so dropped ids are never reassigned), and
+        commit the metadata file put-if-absent.  Returns the new
+        schema-id."""
+        new_sid = (
+            max(
+                (int(s.get("schema-id", 0)) for s in meta.get("schemas", [])),
+                default=-1,
+            )
+            + 1
+        )
+        meta.setdefault("schemas", []).append(
+            {"type": "struct", "schema-id": new_sid, "fields": new_fields}
+        )
+        meta["current-schema-id"] = new_sid
+        meta["last-column-id"] = max(
+            int(meta.get("last-column-id", 0)),
+            self._max_field_id(new_fields),
+        )
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata_json(meta)
+        return new_sid
+
+    def _live_idless_files(self, containing: str | None = None) -> list[str]:
+        """Live data files whose parquet footers carry NO field-id
+        metadata (pre-evolution writes of this module, plain Spark
+        files): those resolve BY NAME, so some evolution verbs would
+        silently corrupt their reads — the callers refuse instead.
+        ``containing`` restricts to files that physically contain that
+        column name."""
+        import pyarrow.parquet as pq
+
+        try:
+            files, _deletes = self.plan_files()
+        except (FileNotFoundError, IcebergProtocolError):
+            return []
+        bad = []
+        for p, _seq, _part in files:
+            sch = pq.read_schema(p)
+            has_ids = any(
+                (f.metadata or {}).get(b"PARQUET:field_id") is not None
+                for f in sch
+            )
+            if has_ids:
+                continue
+            if containing is None or containing in sch.names:
+                bad.append(p)
+        return bad
+
+    def _spec_source_ids(self, meta: dict) -> set[int]:
+        return {
+            int(f["source-id"])
+            for s in meta.get("partition-specs", [])
+            for f in s.get("fields", [])
+        }
+
+    def add_column(self, name: str, ice_type: str) -> int:
+        """ALTER TABLE ADD COLUMN as a metadata commit: assigns the
+        next never-reused field-id; existing files read the column as
+        NULL (by-id resolution), appends must then provide it.
+        ``ice_type`` is an Iceberg primitive (``long``, ``string``,
+        ``decimal(10,2)``, ...).  Returns the new schema-id.
+
+        Reference analog: the reference evolves its MySQL gold tables
+        with ALTER TABLE between loads (bronze_dimension_fact_load.py
+        full-vs-incremental schema drift); this is the table-format
+        equivalent."""
+        meta = self.metadata()
+        fields, _sid = self._current_schema(meta)
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"column {name!r} already exists")
+        if not isinstance(ice_type, str) or self._iceberg_type_to_spark_ddl(
+            ice_type
+        ) is None:
+            raise ValueError(
+                f"type {ice_type!r} is not a supported Iceberg primitive"
+            )
+        idless = self._live_idless_files(containing=name)
+        if idless:
+            raise IcebergProtocolError(
+                f"cannot add column {name!r}: {len(idless)} live data "
+                "file(s) without field-id footers physically contain "
+                f"that name (e.g. {idless[0]}) — by-name resolution "
+                "would read their OLD data into the new column. "
+                "rewrite_data_files() first."
+            )
+        next_id = (
+            max(
+                int(meta.get("last-column-id", 0)),
+                self._max_field_id(fields),
+            )
+            + 1
+        )
+        fields.append(
+            {
+                "id": next_id,
+                "name": name,
+                "required": False,
+                "type": ice_type,
+            }
+        )
+        return self._commit_schema(meta, fields)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN: same field-id, new name — old
+        files keep reading through the id.  Refused while live id-less
+        files exist (their by-name resolution would silently NULL the
+        renamed column).  Returns the new schema-id."""
+        meta = self.metadata()
+        fields, _sid = self._current_schema(meta)
+        if not any(f["name"] == old for f in fields):
+            raise ValueError(f"column {old!r} does not exist")
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"column {new!r} already exists")
+        idless = self._live_idless_files()
+        if idless:
+            raise IcebergProtocolError(
+                f"cannot rename {old!r}: {len(idless)} live data "
+                f"file(s) lack field-id footers (e.g. {idless[0]}) — "
+                "they resolve by name and would read NULL after the "
+                "rename. rewrite_data_files() first."
+            )
+        for f in fields:
+            if f["name"] == old:
+                f["name"] = new
+        # partition spec field names are immutable in the spec; the
+        # spec references the column by source-id, so it follows the
+        # rename automatically at write time.
+        return self._commit_schema(meta, fields)
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN: removes the field from the current
+        schema (old snapshots keep their schema; the id is never
+        reused, so a later re-add of the same name reads old files as
+        NULL — by-id — not as the old data).  Partition-spec source
+        columns are refused.  Returns the new schema-id."""
+        meta = self.metadata()
+        fields, _sid = self._current_schema(meta)
+        victim = next((f for f in fields if f["name"] == name), None)
+        if victim is None:
+            raise ValueError(f"column {name!r} does not exist")
+        if int(victim["id"]) in self._spec_source_ids(meta):
+            raise IcebergProtocolError(
+                f"column {name!r} is a partition-spec source — "
+                "dropping it would orphan the spec"
+            )
+        if len(fields) == 1:
+            raise ValueError("cannot drop the only column")
+        return self._commit_schema(
+            meta, [f for f in fields if f["name"] != name]
+        )
+
+    def update_column_type(self, name: str, new_type: str) -> int:
+        """ALTER TABLE ALTER COLUMN TYPE, safe promotions only
+        (int->long, float->double, decimal(P,S)->decimal(P'>=P,S)):
+        same field-id; older files' narrower physical values cast up
+        at read time (_resolved_scan).  Returns the new schema-id."""
+        meta = self.metadata()
+        fields, _sid = self._current_schema(meta)
+        victim = next((f for f in fields if f["name"] == name), None)
+        if victim is None:
+            raise ValueError(f"column {name!r} does not exist")
+        old_type = victim["type"]
+        ok = (old_type, new_type) in self._TYPE_PROMOTIONS
+        if (
+            not ok
+            and isinstance(old_type, str)
+            and isinstance(new_type, str)
+            and old_type.startswith("decimal(")
+            and new_type.startswith("decimal(")
+        ):
+            op, os_ = old_type[8:-1].split(",")
+            np_, ns = new_type[8:-1].split(",")
+            ok = int(ns) == int(os_) and int(np_) >= int(op)
+        if not ok:
+            raise IcebergProtocolError(
+                f"{old_type!r} -> {new_type!r} is not a safe promotion "
+                "(int->long, float->double, decimal widening at equal "
+                "scale)"
+            )
+        victim["type"] = new_type
+        return self._commit_schema(meta, fields)
 
     def delete(self, spark: SparkSession, predicate: str) -> dict:
         """Delete rows matching ``predicate`` WITHOUT rewriting data
@@ -1667,7 +1998,7 @@ class IcebergLiteTable:
             "snapshot-id": snap_id, "sequence-number": seq,
             "timestamp-ms": now_ms, "manifest-list": ml_path,
             "summary": {"operation": "delete"},
-            "schema-id": 0,
+            "schema-id": int(meta.get("current-schema-id", 0)),
             "parent-snapshot-id": cur_id,
         }
         meta["snapshots"] = snaps + [snap]
@@ -1794,7 +2125,18 @@ class IcebergLiteTable:
                 )
             else:
                 staged = sub.coalesce(n_out)
-            staged.write.mode("errorifexists").parquet(stage)
+            # compacted files must keep their field-id footers, or one
+            # rewrite_data_files would turn an evolution-safe table
+            # back into an id-less (rename-refusing) one
+            staged = self._stamp_field_ids(
+                staged, self._field_names_by_id_inv(meta)
+            )
+            self._parquet_with_field_ids(
+                lambda s=staged, p=stage: s.write.mode(
+                    "errorifexists"
+                ).parquet(p),
+                spark,
+            )
             part = dict(key)
             for root, _d, files in os.walk(stage):
                 for f in sorted(files):
@@ -1924,7 +2266,7 @@ class IcebergLiteTable:
             "snapshot-id": snap_id, "sequence-number": seq,
             "timestamp-ms": now_ms, "manifest-list": ml_path,
             "summary": {"operation": "replace"},
-            "schema-id": 0,
+            "schema-id": int(meta.get("current-schema-id", 0)),
             "parent-snapshot-id": cur_id,
         }
         meta["snapshots"] = snaps + [snap]

@@ -160,12 +160,16 @@ def test_delta_verbs_against_model(spark, tmp_path, seed):
         )
 
 
-@pytest.mark.parametrize("seed", [11])
+@pytest.mark.parametrize("seed", [11, 31])
 def test_iceberg_verbs_against_model(spark, tmp_path, seed):
     """The Iceberg twin: seeded random append / position-delete (both
-    surgical and mass) / compaction / tag+expire sequence vs the dict
-    model; every surviving snapshot still time-travels to its recorded
-    state and the tagged snapshot survives expiry."""
+    surgical and mass) / compaction / ZORDER rewrite / tag+expire /
+    SCHEMA EVOLUTION (add, rename, drop, int->long promotion) sequence
+    vs the dict model; every surviving snapshot still time-travels to
+    its recorded state READ THROUGH ITS OWN SCHEMA, and the tagged
+    snapshot survives expiry.  (The round-5 lesson: this layer caught
+    a real expire_snapshots bug on first run — every new verb joins
+    the sequence.)"""
     import random as _random
 
     from data_lakehouse_platform_spark.sources.iceberg_lite import (
@@ -175,31 +179,45 @@ def test_iceberg_verbs_against_model(spark, tmp_path, seed):
     rng = _random.Random(seed)
     t = IcebergLiteTable(str(tmp_path / f"im{seed}"))
 
-    model: dict[int, int] = {}
+    # model: row id -> {col: value}; cols is the CURRENT value-column
+    # list (id is fixed).  v starts int to leave a promotion available.
+    cols: list[tuple[str, str]] = [("v", "int")]
+    model: dict[int, dict[str, int | None]] = {}
     next_id = 0
+    n_added = 0
 
     def fresh(n):
         nonlocal next_id
         out = {}
         for _ in range(n):
-            out[next_id] = rng.randrange(1000)
+            out[next_id] = {c: rng.randrange(1000) for c, _ty in cols}
             next_id += 1
         return out
 
     def df(rows):
+        ddl = "id long, " + ", ".join(f"{c} {ty}" for c, ty in cols)
         return spark.createDataFrame(
-            [(k, v) for k, v in rows.items()], "id long, v long"
+            [tuple([k] + [r[c] for c, _ty in cols])
+             for k, r in rows.items()],
+            ddl,
         )
+
+    def snap_state():
+        return {
+            k: tuple(r.get(c) for c, _ty in cols) for k, r in model.items()
+        }
 
     rows = fresh(8)
     sid = t.write(df(rows).coalesce(2))
     model.update(rows)
-    history = {sid: dict(model)}
+    history = {sid: ([c for c, _ty in cols], snap_state())}
     tagged = None
 
-    for step in range(10):
-        op = rng.choice(["append", "delete", "mass_delete",
-                         "compact", "tag"])
+    for step in range(16):
+        op = rng.choice(
+            ["append", "delete", "mass_delete", "compact", "zorder",
+             "tag", "add_col", "rename_col", "drop_col", "promote"]
+        )
         if op == "append":
             rows = fresh(rng.randrange(1, 4))
             sid = t.write(df(rows).coalesce(1), mode="append")
@@ -223,19 +241,95 @@ def test_iceberg_verbs_against_model(spark, tmp_path, seed):
             sid = res["snapshot_id"]
             if res["new_files"] == 0:
                 continue
+        elif op == "zorder":
+            res = t.rewrite_data_files(
+                spark, target_file_bytes=1 << 20, zorder_by=["id"]
+            )
+            sid = res["snapshot_id"]
+            if res["new_files"] == 0:
+                continue
         elif op == "tag" and tagged is None:
             t.create_tag("pin")
             tagged = t.current_snapshot_id()
             continue
+        elif op == "add_col":
+            n_added += 1
+            name = f"c{n_added}"
+            t.add_column(name, "long")
+            cols.append((name, "long"))
+            for r in model.values():
+                r[name] = None
+            # metadata-only: the CURRENT read must show the new column
+            got = {
+                r.id: tuple(r[c] for c, _ty in cols)
+                for r in t.read(spark).collect()
+            }
+            assert got == snap_state(), f"seed={seed} step={step} add"
+            continue
+        elif op == "rename_col" and len(cols) >= 1:
+            old = rng.choice([c for c, _ty in cols])
+            new = f"{old}_r"
+            t.rename_column(old, new)
+            cols[:] = [
+                (new, ty) if c == old else (c, ty) for c, ty in cols
+            ]
+            for r in model.values():
+                r[new] = r.pop(old)
+            got = {
+                r.id: tuple(r[c] for c, _ty in cols)
+                for r in t.read(spark).collect()
+            }
+            assert got == snap_state(), f"seed={seed} step={step} rename"
+            continue
+        elif op == "drop_col" and len(cols) >= 2:
+            victim_c = rng.choice([c for c, _ty in cols])
+            t.drop_column(victim_c)
+            cols[:] = [(c, ty) for c, ty in cols if c != victim_c]
+            for r in model.values():
+                r.pop(victim_c, None)
+            got = {
+                r.id: tuple(r[c] for c, _ty in cols)
+                for r in t.read(spark).collect()
+            }
+            assert got == snap_state(), f"seed={seed} step={step} drop"
+            continue
+        elif op == "promote":
+            cand = [c for c, ty in cols if ty == "int"]
+            if not cand:
+                continue
+            c = cand[0]
+            t.update_column_type(c, "long")
+            cols[:] = [
+                (c2, "long") if c2 == c else (c2, ty)
+                for c2, ty in cols
+            ]
+            got = {
+                r.id: tuple(r[c2] for c2, _ty in cols)
+                for r in t.read(spark).collect()
+            }
+            assert got == snap_state(), f"seed={seed} step={step} promote"
+            continue
         else:
             continue
-        got = {r.id: r.v for r in t.read(spark).collect()}
-        assert got == model, f"seed={seed} step={step} op={op}"
-        history[sid] = dict(model)
+        got = {
+            r.id: tuple(r[c] for c, _ty in cols)
+            for r in t.read(spark).collect()
+        }
+        assert got == snap_state(), f"seed={seed} step={step} op={op}"
+        history[sid] = ([c for c, _ty in cols], snap_state())
 
     if tagged is None:
         t.create_tag("pin")
         tagged = t.current_snapshot_id()
+
+    # every recorded snapshot time-travels to its state through the
+    # schema it was taken under (post-drop snapshots don't resurrect
+    # the dropped column; pre-add snapshots don't show the added one)
+    for sid, (scols, state) in history.items():
+        tdf = t.read(spark, snapshot_id=sid)
+        assert tdf.columns == ["id"] + scols, f"snapshot {sid} schema"
+        got = {r.id: tuple(r[c] for c in scols) for r in tdf.collect()}
+        assert got == state, f"time travel to {sid}"
 
     # expire to the newest snapshot: the tag pins its snapshot too
     t.expire_snapshots(retain_last=1)
@@ -243,10 +337,15 @@ def test_iceberg_verbs_against_model(spark, tmp_path, seed):
     assert tagged in surviving
     for sid in surviving:
         if sid in history:
+            scols, state = history[sid]
             got = {
-                r.id: r.v
+                r.id: tuple(r[c] for c in scols)
                 for r in t.read(spark, snapshot_id=sid).collect()
             }
-            assert got == history[sid], f"post-expire snapshot {sid}"
-    got = {r.id: r.v for r in t.read(spark, ref="pin").collect()}
-    assert got == history[tagged]
+            assert got == state, f"post-expire snapshot {sid}"
+    scols, state = history[tagged]
+    got = {
+        r.id: tuple(r[c] for c in scols)
+        for r in t.read(spark, ref="pin").collect()
+    }
+    assert got == state
