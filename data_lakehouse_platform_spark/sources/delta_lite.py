@@ -48,6 +48,25 @@ v1 parquet + JSON log + spec-shaped checkpoint).
 
 SnapshotTable remains the engine's native format; DeltaLiteTable is
 the interchange edge for Delta tables a user already has.
+
+STORAGE BOUNDARY — single POSIX filesystem ONLY.  Commits rely on
+``os.open(..., O_CREAT | O_EXCL)`` put-if-absent and ``os.replace``
+atomic renames; both primitives exist on local/NFS/HDFS-mounted paths
+but NOT on S3-family object stores, where a bare PUT is
+last-writer-wins: two writers racing the same ``{version:020d}.json``
+would both "succeed" and one commit would be silently lost — the
+exact failure Delta's LogStore abstraction exists to prevent.  The
+reference runs against MinIO (``s3a://gold-layer``,
+gold_fact_orders.py:137; docker-compose provisions the bucket), so a
+migrating user WILL hit this first: running this module against an
+object store needs (a) an S3 LogStore equivalent (DynamoDB-style
+put-if-absent coordination, as delta-spark's S3DynamoDBLogStore
+provides), or (b) a single-writer guarantee enforced outside the
+engine.  The same boundary applies to iceberg_lite's
+``version-hint.text`` rename commit.  This is a deliberate seam, not
+an oversight — the commit primitive is isolated in
+:meth:`DeltaLiteTable._commit` so a LogStore-style backend can
+replace it without touching any verb.
 """
 
 from __future__ import annotations
@@ -668,12 +687,9 @@ class DeltaLiteTable:
                 "table uses column mapping; writes need physical-name "
                 "data files this writer does not produce"
             )
-        if conf.get("delta.enableChangeDataFeed") == "true":
-            raise DeltaProtocolError(
-                "table has change data feed ENABLED; this writer does "
-                "not produce the required _change_data files — "
-                "refusing rather than silently break CDC consumers"
-            )
+        # delta.enableChangeDataFeed=true is SUPPORTED: every mutating
+        # verb emits _change_data files + cdc actions (see _stage_cdc),
+        # so the round-4 loud refusal is gone.
         if any(k.startswith("delta.constraints.") for k in conf):
             raise DeltaProtocolError(
                 "table declares CHECK constraints this writer cannot "
@@ -752,11 +768,84 @@ class DeltaLiteTable:
         return adds
 
     @staticmethod
+    def _cdf_enabled(meta: dict) -> bool:
+        return (
+            (meta.get("configuration") or {}).get(
+                "delta.enableChangeDataFeed"
+            )
+            == "true"
+        )
+
+    def _stage_cdc(
+        self, df: DataFrame, partition_by: list[str]
+    ) -> list[dict]:
+        """Write change rows (table columns + ``_change_type``) under
+        ``_change_data/`` and return the ``cdc`` actions (the spec's
+        AddCDCFile: path, partitionValues, size).  Change files mirror
+        the table's hive partitioning so delta-spark's CDF reader
+        resolves partition columns the same way it does for data
+        files.  When a commit carries cdc actions, CDF readers use
+        THEM exclusively for that commit — add/remove files are
+        ignored for change computation — which is why mutating verbs
+        must write the complete change set."""
+        stage = os.path.join("_change_data", f"cdc-{uuid.uuid4().hex[:12]}")
+        out = os.path.join(self.path, stage)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
+        actions = []
+        for root, _dirs, files in os.walk(out):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.path)
+                pvals: dict[str, str | None] = {}
+                for seg in os.path.relpath(root, out).split(os.sep):
+                    if "=" in seg:
+                        kcol, val = seg.split("=", 1)
+                        pvals[kcol] = (
+                            None
+                            if val == "__HIVE_DEFAULT_PARTITION__"
+                            else urllib.parse.unquote(val)
+                        )
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(full),
+                            "dataChange": False,
+                        }
+                    }
+                )
+        return actions
+
+    @staticmethod
+    def _proto_with_cdf(proto: dict) -> dict:
+        """Upgrade a protocol action to advertise changeDataFeed (the
+        writer feature CDF commits require), preserving what the old
+        version implied — the _proto_with_dv pattern."""
+        mwv = proto.get("minWriterVersion", 2)
+        if mwv >= 7:
+            wf = set(proto.get("writerFeatures") or ())
+            if "changeDataFeed" in wf:
+                return proto
+            return {**proto, "writerFeatures": sorted(wf | {"changeDataFeed"})}
+        if mwv >= 4:  # legacy v4+ implies changeDataFeed
+            return proto
+        return {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": 4,
+        }
+
+    @staticmethod
     def _encoded_action(a: dict) -> dict:
         """Copy of an action with its file path URL-encoded for the
-        log (spec: add/remove paths are URL-encoded; in-memory state
-        is decoded)."""
-        for kind in ("add", "remove"):
+        log (spec: add/remove/cdc paths are URL-encoded; in-memory
+        state is decoded)."""
+        for kind in ("add", "remove", "cdc"):
             if kind in a:
                 inner = dict(a[kind])
                 inner["path"] = _encode_path(inner["path"])
@@ -813,6 +902,7 @@ class DeltaLiteTable:
         operation: str = "WRITE",
         operation_params: dict | None = None,
         merge_schema: bool = False,
+        configuration: dict[str, str] | None = None,
     ) -> int:
         """Commit ``df`` as the next Delta version (``append`` keeps
         prior files; ``overwrite`` removes them in the same commit —
@@ -836,6 +926,11 @@ class DeltaLiteTable:
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         latest = self.latest_version()
         first = latest is None
+        if configuration is not None and not first:
+            raise ValueError(
+                "configuration is a table-creation option; the table "
+                "already exists"
+            )
         if not first:
             meta, live, _proto = self._replay(latest)
             self._check_write_protocol(
@@ -910,9 +1005,15 @@ class DeltaLiteTable:
             }
         ]
         if first:
-            actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-            )
+            conf0 = {
+                str(k): str(v) for k, v in (configuration or {}).items()
+            }
+            proto0 = {"minReaderVersion": 1, "minWriterVersion": 2}
+            if conf0.get("delta.enableChangeDataFeed") == "true":
+                # CDF requires the changeDataFeed writer feature;
+                # legacy v4 implies it (delta-spark stamps the same)
+                proto0 = self._proto_with_cdf(proto0)
+            actions.append({"protocol": proto0})
             actions.append(
                 {
                     "metaData": {
@@ -920,7 +1021,7 @@ class DeltaLiteTable:
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": df.schema.json(),
                         "partitionColumns": partition_by,
-                        "configuration": {},
+                        "configuration": conf0,
                         "createdTime": now_ms,
                     }
                 }
@@ -940,6 +1041,20 @@ class DeltaLiteTable:
                         }
                     }
                 )
+            if not first and live and self._cdf_enabled(meta):
+                # a commit with BOTH adds and removes is not
+                # CDF-inferable — write the full change set: every old
+                # row deletes, every new row inserts
+                from pyspark.sql import functions as F
+
+                old_rows = self.read(df.sparkSession, version=latest)
+                change = old_rows.withColumn(
+                    "_change_type", F.lit("delete")
+                ).unionByName(
+                    df.withColumn("_change_type", F.lit("insert")),
+                    allowMissingColumns=True,
+                )
+                actions.extend(self._stage_cdc(change, partition_by))
         if txn is not None:
             app_id, app_version = txn
             actions.append(
@@ -1118,8 +1233,23 @@ class DeltaLiteTable:
             }
         ]
         new_proto = self._proto_with_dv(proto)
+        if self._cdf_enabled(meta):
+            new_proto = self._proto_with_cdf(new_proto)
+            from pyspark.sql import functions as F
+
+            deleted_rows = (
+                self.read(spark, version=latest)
+                .filter(predicate)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            cdc_actions = self._stage_cdc(
+                deleted_rows, meta.get("partitionColumns", [])
+            )
+        else:
+            cdc_actions = []
         if new_proto != proto:
             actions.append({"protocol": new_proto})
+        actions.extend(cdc_actions)
         for rel in sorted(by_file):
             actions.append(
                 {
@@ -1239,11 +1369,15 @@ class DeltaLiteTable:
             touched_rels.add(rel)
 
         part = meta.get("partitionColumns", [])
+        cdf = self._cdf_enabled(meta)
+        change = None  # CDF change frame (rows + _change_type)
         # Inserts: source rows matching NO target row (every match
         # lives in a touched file by construction).
         inserts = source.join(
             current.select(*keys), on=keys, how="left_anti"
         ).select(*data_cols)
+        if cdf:
+            change = inserts.withColumn("_change_type", F.lit("insert"))
         if touched_uris:
             # Rewrite pass reads ONLY the touched files (targeted scan
             # via the log, not a full-snapshot read + filter): at
@@ -1262,11 +1396,20 @@ class DeltaLiteTable:
                 kept = touched_rows.join(
                     source.select(*keys), on=keys, how="left_anti"
                 )
-                rewrite = kept.unionByName(
-                    source.join(
-                        current.select(*keys), on=keys, how="left_semi"
-                    ).select(*data_cols)
-                )
+                updated_src = source.join(
+                    current.select(*keys), on=keys, how="left_semi"
+                ).select(*data_cols)
+                rewrite = kept.unionByName(updated_src)
+                if cdf:
+                    pre = touched_rows.join(
+                        source.select(*keys), on=keys, how="left_semi"
+                    ).withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    post = updated_src.withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                    change = change.unionByName(pre).unionByName(post)
             else:
                 # clause path: join matched pairs as (t, s) structs so
                 # the conditions read like delta-spark's ("s.x <> t.x")
@@ -1305,6 +1448,28 @@ class DeltaLiteTable:
                     )
                     .select("r.*")
                 )
+                if cdf:
+                    change = (
+                        change.unionByName(
+                            joined.filter(matched & dele)
+                            .select("t.*")
+                            .withColumn("_change_type", F.lit("delete"))
+                        )
+                        .unionByName(
+                            joined.filter(matched & ~dele & upd)
+                            .select("t.*")
+                            .withColumn(
+                                "_change_type", F.lit("update_preimage")
+                            )
+                        )
+                        .unionByName(
+                            joined.filter(matched & ~dele & upd)
+                            .select("s.*")
+                            .withColumn(
+                                "_change_type", F.lit("update_postimage")
+                            )
+                        )
+                    )
             rewrite = rewrite.unionByName(inserts)
         else:
             rewrite = inserts
@@ -1324,6 +1489,11 @@ class DeltaLiteTable:
                 }
             }
         ]
+        if cdf:
+            new_proto = self._proto_with_cdf(_proto)
+            if new_proto != _proto:
+                actions.append({"protocol": new_proto})
+            actions.extend(self._stage_cdc(change, part))
         for rel in sorted(touched_rels):
             actions.append(
                 {
@@ -1419,6 +1589,18 @@ class DeltaLiteTable:
                 }
             }
         ]
+        if self._cdf_enabled(meta):
+            new_proto = self._proto_with_cdf(_proto)
+            if new_proto != _proto:
+                actions.append({"protocol": new_proto})
+            actions.extend(
+                self._stage_cdc(
+                    touched_rows.filter(~keep).withColumn(
+                        "_change_type", F.lit("delete")
+                    ),
+                    part,
+                )
+            )
         for rel in sorted(touched_rels):
             actions.append(
                 {
@@ -1537,6 +1719,28 @@ class DeltaLiteTable:
                 }
             }
         ]
+        if self._cdf_enabled(meta):
+            new_proto = self._proto_with_cdf(_proto)
+            if new_proto != _proto:
+                actions.append({"protocol": new_proto})
+            pre = touched_rows.filter(hit).withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = (
+                touched_rows.filter(hit)
+                .select(
+                    *[
+                        (
+                            F.expr(assignments[c]).cast(types[c]).alias(c)
+                            if c in assignments
+                            else F.col(c)
+                        )
+                        for c in data_cols
+                    ]
+                )
+                .withColumn("_change_type", F.lit("update_postimage"))
+            )
+            actions.extend(self._stage_cdc(pre.unionByName(post), part))
         for rel in sorted(touched_rels):
             actions.append(
                 {
@@ -1759,6 +1963,22 @@ class DeltaLiteTable:
                     referenced.add(
                         os.path.abspath(self._dv_file_path(dv))
                     )
+            # change-data files of retained commits stay readable
+            # (table_changes over the retained range); older cdc files
+            # are vacuum-eligible like any unreferenced data file
+            if os.path.exists(
+                os.path.join(self.log_dir, f"{v:020d}.json")
+            ):
+                for a in self._actions(v):
+                    if "cdc" in a:
+                        referenced.add(
+                            os.path.abspath(
+                                os.path.join(
+                                    self.path,
+                                    _decode_path(a["cdc"]["path"]),
+                                )
+                            )
+                        )
         removed: list[str] = []
         for root, dirs, files in os.walk(self.path):
             if os.path.abspath(root).startswith(
@@ -2237,22 +2457,30 @@ class DeltaLiteTable:
         to_version: int | None = None,
         keys: list[str] | None = None,
     ) -> DataFrame:
-        """Change feed BY SNAPSHOT DIFF — ``table_changes`` for Delta
-        tables that never wrote change-data files (CDC off, or written
-        by delta_lite itself).  Returns the rows that differ between
-        the two versions with a ``_change_type`` column; with ``keys``
-        the diff is classified into ``insert`` / ``delete`` /
-        ``update_preimage`` / ``update_postimage`` (delta-spark's CDF
-        vocabulary), without keys it degrades honestly to
-        insert/delete pairs (an update IS a delete+insert when no
-        identity is known).
+        """Change feed.  When every commit in ``(from_version,
+        to_version]`` is CDF-derivable from the log — it carries real
+        ``cdc`` actions (written by delta-spark or by this module's
+        mutating verbs on a ``delta.enableChangeDataFeed=true`` table),
+        is a pure dataChange append (adds infer as inserts, the spec's
+        reader rule), or changed no data — the result is the
+        delta-spark CDF shape: table columns + ``_change_type`` +
+        ``_commit_version`` + ``_commit_timestamp``, one row per
+        change, reading the ``_change_data/`` files for mutating
+        commits.  ``keys`` is ignored there (cdc files already carry
+        the classification).
 
-        Scale posture: this reads and shuffles BOTH snapshots — it is
-        the interop/backfill fallback, not the hot path; a pipeline
-        that needs cheap per-commit changes should write through
-        SnapshotTable, whose CDF records changes at commit time.
-        Bag semantics via exceptAll: duplicate rows diff by
-        multiplicity, matching what a full-table compare means.
+        Otherwise it falls back to the SNAPSHOT DIFF: rows differing
+        between the two versions with a ``_change_type`` column; with
+        ``keys`` the diff classifies into insert / delete /
+        update_preimage / update_postimage, without keys it degrades
+        honestly to insert/delete pairs (an update IS a delete+insert
+        when no identity is known).
+
+        Scale posture: CDF mode reads only the change/add files of the
+        range (proportional to what changed); the diff fallback reads
+        and shuffles BOTH snapshots — interop/backfill, not the hot
+        path.  Bag semantics via exceptAll in the fallback: duplicate
+        rows diff by multiplicity.
         """
         from pyspark.sql import functions as F
 
@@ -2262,6 +2490,10 @@ class DeltaLiteTable:
             raise ValueError(
                 f"bad version range {from_version}..{to_version}"
             )
+
+        cdf_df = self._table_changes_cdf(spark, from_version, to_version)
+        if cdf_df is not None:
+            return cdf_df
         old = self.read(spark, version=from_version)
         new = self.read(spark, version=to_version)
         if old.columns != new.columns:
@@ -2307,3 +2539,125 @@ class DeltaLiteTable:
                 )
             )
         )
+
+    def _table_changes_cdf(
+        self, spark: SparkSession, from_version: int, to_version: int
+    ) -> DataFrame | None:
+        """Per-commit change feed from real ``cdc`` actions (plus the
+        spec's add-only inference).  Returns None when any commit in
+        the range is not CDF-derivable — the caller falls back to the
+        snapshot diff."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        commits = list(range(from_version + 1, to_version + 1))
+        if not commits:
+            return None
+        vs = set(self.all_versions())
+        plans: list[tuple[int, int, str, list[dict]]] = []
+        any_cdc = False
+        for v in commits:
+            if v not in vs or not os.path.exists(
+                os.path.join(self.log_dir, f"{v:020d}.json")
+            ):
+                return None  # log cleaned: per-commit actions gone
+            acts = self._actions(v)
+            ts = next(
+                (
+                    int(a["commitInfo"]["timestamp"])
+                    for a in acts
+                    if "commitInfo" in a and "timestamp" in a["commitInfo"]
+                ),
+                int(
+                    os.path.getmtime(
+                        os.path.join(self.log_dir, f"{v:020d}.json")
+                    )
+                    * 1000
+                ),
+            )
+            cdc = [dict(a["cdc"]) for a in acts if "cdc" in a]
+            adds = [
+                dict(a["add"])
+                for a in acts
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]
+                for a in acts
+                if "remove" in a
+                and a["remove"].get("dataChange", True)
+            ]
+            if cdc:
+                any_cdc = True
+                plans.append((v, ts, "cdc", cdc))
+            elif adds and not removes:
+                plans.append((v, ts, "insert", adds))
+            elif not adds and not removes:
+                continue  # metadata-only / compaction commit
+            else:
+                return None  # mixed dataChange commit without cdc
+        meta, _live, _proto = self._replay(to_version)
+        if not any_cdc and not self._cdf_enabled(meta):
+            # a plain table whose range never wrote change files —
+            # keep the legacy snapshot-diff shape
+            return None
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = meta.get("partitionColumns", [])
+        file_schema = StructType(
+            [f for f in schema.fields if f.name not in part_cols]
+        )
+        cdc_schema = StructType(
+            list(file_schema.fields)
+            + [StructField("_change_type", StringType())]
+        )
+
+        parts: list[DataFrame] = []
+        for v, ts, kind, actions in plans:
+            groups: dict[tuple, list[str]] = {}
+            for a in actions:
+                pv = a.get("partitionValues") or {}
+                key = tuple(sorted(pv.items()))
+                groups.setdefault(key, []).append(
+                    os.path.join(self.path, _decode_path(a["path"]))
+                )
+            for key, paths in sorted(groups.items()):
+                pv = dict(key)
+                d = spark.read.schema(
+                    cdc_schema if kind == "cdc" else file_schema
+                ).parquet(*paths)
+                if kind == "insert":
+                    d = d.withColumn("_change_type", F.lit("insert"))
+                for c in part_cols:
+                    d = d.withColumn(
+                        c,
+                        F.lit(pv.get(c)).cast(schema[c].dataType),
+                    )
+                parts.append(
+                    d.withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    ).withColumn(
+                        "_commit_timestamp",
+                        F.timestamp_millis(F.lit(ts)),
+                    )
+                )
+        if not parts:
+            # derivable range with zero data changes: empty CDF frame
+            empty = StructType(
+                list(schema.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+            return spark.createDataFrame([], empty).withColumn(
+                "_commit_timestamp", F.timestamp_millis(F.lit(None))
+            )
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out

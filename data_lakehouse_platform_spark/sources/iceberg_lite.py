@@ -61,6 +61,18 @@ no parquet footer is opened for a pruned file.  File-level pruning on
 partition values is exact (every row in a data file shares the
 file's partition tuple).  Unsupported transforms (bucket/truncate/
 hour/...) refuse loudly on both read-plan and write paths.
+
+STORAGE BOUNDARY — single POSIX filesystem ONLY (same boundary as
+delta_lite, same reason): the optimistic commit writes
+``v{N}.metadata.json`` with ``O_CREAT | O_EXCL`` put-if-absent and
+repoints ``version-hint.text``; object stores have no compare-and-set
+PUT, so two racing writers would silently drop a commit.  The
+reference runs on MinIO (``s3a://``), so migrating users need a real
+Iceberg catalog (REST/Hive/Glue — the catalog IS Iceberg's answer to
+this) or an external single-writer guarantee before pointing this
+module at s3a paths.  The commit primitive is isolated in
+:meth:`IcebergLiteTable._commit_metadata_json` as the seam a
+catalog-backed implementation would replace.
 """
 
 from __future__ import annotations
@@ -1011,8 +1023,13 @@ class IcebergLiteTable:
                 fid = (f.metadata or {}).get(b"PARQUET:field_id")
                 if fid is not None:
                     fid_to_phys[int(fid)] = f.name
+            # the leading bool keeps id-stamped and id-less files in
+            # SEPARATE scan groups even when their column projections
+            # agree: a mixed group would let Spark infer a read schema
+            # carrying parquet field-ids from one footer and then
+            # refuse the id-less file ("read schema expects field Ids")
             if fid_to_phys:
-                sig = tuple(
+                sig = (True,) + tuple(
                     (
                         lname,
                         fid_to_phys.get(fid),
@@ -1021,7 +1038,7 @@ class IcebergLiteTable:
                     for fid, lname in sorted(id_to_name.items())
                 )
             else:  # no field-id metadata: by-name fallback
-                sig = tuple(
+                sig = (False,) + tuple(
                     (
                         lname,
                         lname if lname in sch.names else None,
@@ -1035,7 +1052,7 @@ class IcebergLiteTable:
         # repr key: signatures mix str and None, which don't compare
         for sig, gpaths in sorted(groups.items(), key=lambda kv: repr(kv)):
             d = _with_meta(spark.read.parquet(*gpaths))
-            phys_by_lname = {s[0]: s[1] for s in sig}
+            phys_by_lname = {s[0]: s[1] for s in sig[1:]}
             cols = []
             for fid, lname in sorted(id_to_name.items()):
                 phys = phys_by_lname[lname]
@@ -1608,18 +1625,7 @@ class IcebergLiteTable:
             {"timestamp-ms": now_ms, "snapshot-id": snap_id}
         )
 
-        # version the metadata file put-if-absent (HadoopCatalog shape)
-        version = 1
-        for f in os.listdir(mdir):
-            m = _VFILE_RE.match(f)
-            if m:
-                version = max(version, int(m.group(1)) + 1)
-        target = os.path.join(mdir, f"v{version}.metadata.json")
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as fh:
-            json.dump(meta, fh)
-        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
-            fh.write(str(version))
+        self._commit_metadata_json(meta)
         return snap_id
 
     # -- schema evolution (metadata-only commits) -----------------------
@@ -2008,17 +2014,7 @@ class IcebergLiteTable:
         meta.setdefault("snapshot-log", []).append(
             {"timestamp-ms": now_ms, "snapshot-id": snap_id}
         )
-        version = 1
-        for f in os.listdir(mdir):
-            m = _VFILE_RE.match(f)
-            if m:
-                version = max(version, int(m.group(1)) + 1)
-        target = os.path.join(mdir, f"v{version}.metadata.json")
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as fh:
-            json.dump(meta, fh)
-        with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
-            fh.write(str(version))
+        self._commit_metadata_json(meta)
         return {
             "snapshot_id": snap_id,
             "rows_deleted": n_del,

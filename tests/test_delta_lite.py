@@ -1575,10 +1575,14 @@ def test_writer_protocol_guards(spark, tmp_path):
     with pytest.raises(DeltaProtocolError, match="CHECK constraints"):
         t.write(_df(spark, [(3, "c")]), mode="append")
 
-    # CDF enabled -> refuse (we would skip required _change_data)
+    # CDF enabled -> SUPPORTED since r6 (appends infer as inserts, no
+    # change files needed; mutating verbs write cdc — test_delta_cdf)
     _retag(config={"delta.enableChangeDataFeed": "true"})
-    with pytest.raises(DeltaProtocolError, match="change data feed"):
-        t.write(_df(spark, [(3, "c")]), mode="append")
+    v_cdf = t.write(_df(spark, [(3, "c")]), mode="append")
+    ch = t.table_changes(spark, v_cdf - 1, v_cdf)
+    assert [(r.id, r._change_type) for r in ch.collect()] == [
+        (3, "insert")
+    ]
 
     # dormant features (declared, unused on this table) pass
     _retag(config={}, writer_features=[

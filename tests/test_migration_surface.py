@@ -108,6 +108,35 @@ def test_named_queries_registered_with_oracles():
         assert f"`{name}`" in doc, f"MIGRATION.md dropped query {name}"
 
 
+def test_storage_boundary_documented_and_seams_exist():
+    """The single-filesystem commit boundary (VERDICT r5 item 5) must
+    stay loudly documented — in MIGRATION.md AND both module
+    docstrings — and the named commit seams must exist, since the doc
+    tells object-store users those are the replacement points."""
+    doc = _doc_text()
+    assert "Storage boundary" in doc
+    for phrase in ("put-if-absent", "last-writer-wins",
+                   "`DeltaLiteTable._commit`",
+                   "`IcebergLiteTable._commit_metadata_json`"):
+        assert phrase in doc, f"MIGRATION.md lost {phrase!r}"
+
+    from data_lakehouse_platform_spark.sources import delta_lite
+    from data_lakehouse_platform_spark.sources import iceberg_lite
+
+    for mod in (delta_lite, iceberg_lite):
+        ds = mod.__doc__ or ""
+        assert "STORAGE BOUNDARY" in ds, mod.__name__
+        assert "O_" in ds or "put-if-absent" in ds, mod.__name__
+    assert callable(delta_lite.DeltaLiteTable._commit)
+    assert callable(iceberg_lite.IcebergLiteTable._commit_metadata_json)
+    # every iceberg metadata commit routes through the one seam (the
+    # doc's claim): no other O_EXCL site in the module
+    import inspect
+
+    src = inspect.getsource(iceberg_lite)
+    assert src.count("os.O_EXCL") == 1
+
+
 def test_medallion_pipeline_stage_surface():
     """The doc sells MedallionPipeline by its stages; pin the stage
     methods by name so a refactor keeps the documented surface."""
