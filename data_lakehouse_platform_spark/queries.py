@@ -102,6 +102,7 @@ _ORACLE_INT_CASTS: dict[str, tuple[str, ...]] = {
     "rank_change_months": ("rnk", "prev_rnk", "rank_delta"),
     "rank_ties_leaderboard": ("rnk", "drnk"),
     "rfm_segments": ("r_score", "f_score", "m_score", "rfm_cell"),
+    "editdist_pairs_customers": ("dist",),
     "sample_bottomk": ("smp_rank",),
     "seasonal_decompose_daily": ("weekday",),
     "segment_migration": ("from_tier", "to_tier"),
@@ -165,6 +166,7 @@ def all_queries() -> dict[str, Query]:
     from data_lakehouse_platform_spark import queries_survival_ext  # noqa: F401
     from data_lakehouse_platform_spark import queries_econ_ext  # noqa: F401
     from data_lakehouse_platform_spark import queries_ops_ext  # noqa: F401
+    from data_lakehouse_platform_spark import queries_resolution_ext  # noqa: F401,E501
 
     return dict(_REGISTRY)
 

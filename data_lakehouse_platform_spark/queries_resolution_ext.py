@@ -1,0 +1,367 @@
+"""Round-6 registry extensions: entity-resolution pair output, corpus
+fingerprint grouping, a randomness test, embedding-norm outliers, and
+two governance ratios.
+
+Registered LAST in ``queries.all_queries()`` — the external driver
+grades the first 50 registry keys by registration order, so new
+modules only ever append (tests/test_oracle_parity.py pins the set).
+
+Every query keeps the repo's two disciplines: (a) a DuckDB oracle that
+is the NAIVE form (quadratic joins, whole-list SQL) so the driver
+compare doubles as an equivalence proof for the scale-safe Spark plan,
+and (b) cross-engine exactness via the proven tricks (ordered float
+folds, single divides of exact integers, selection ranks instead of
+interpolated percentiles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.operators.editdist import (
+    edit_distance_pairs,
+)
+from data_lakehouse_platform_spark.queries import _t, register
+
+# ----------------------------------------------------------------------------
+# Entity resolution: the PAIRS, not just the counts
+# ----------------------------------------------------------------------------
+
+_EDITDIST_PAIRS_ORACLE = """
+SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a
+JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY a_key, b_key
+"""
+
+
+@register(
+    "editdist_pairs_customers",
+    _EDITDIST_PAIRS_ORACLE,
+    "Global (unblocked) edit-distance similarity self-join emitting the "
+    "matched PAIRS: every customer-name pair at Levenshtein distance "
+    "<= 1, via operators.editdist.edit_distance_pairs — deletion-"
+    "neighborhood signatures (SymSpell/FastSS), complete at the "
+    "threshold, candidates bounded by signature-bucket density. The "
+    "oracle is the O(n^2) pairwise join the plan avoids, making the "
+    "driver compare the equivalence proof (~1.1M Levenshtein calls at "
+    "sf0.01 vs the plan's signature buckets). fuzzy_match_customers "
+    "reports blocked pair COUNTS; this emits the resolution pairs a "
+    "downstream golden-record merge consumes. Reference analog: exact "
+    "xxhash64 identity only (gold_dim_products.py:70-88).",
+)
+def editdist_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return edit_distance_pairs(
+        c, key="c_custkey", text="c_name", threshold=1
+    ).select("a_key", "b_key", "dist")
+
+
+_FINGERPRINT_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         array_to_string(
+           list_sort(list_distinct(string_split(text, ' '))), ' '
+         ) AS f
+  FROM documents
+)
+SELECT MIN(doc_id) AS rep_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM fp
+GROUP BY f
+HAVING COUNT(*) > 1
+ORDER BY n_docs DESC, rep_doc
+"""
+
+
+@register(
+    "dedup_fingerprint",
+    _FINGERPRINT_ORACLE,
+    "OpenRefine-style FINGERPRINT clustering: canonical key = sorted "
+    "distinct whitespace tokens, so token-order and repetition "
+    "variants collapse into one group — the classic first pass of "
+    "interactive entity resolution, here as one hash aggregation "
+    "(shuffle keyed on the fingerprint, no pair materialization at "
+    "all; contrast dedup_ngram_jaccard's candidate join). Emits each "
+    "multi-member group's representative (min doc_id) and size. "
+    "sort_array(array_distinct(split(...))) is expression-level on "
+    "both engines, so the group keys agree byte-for-byte.",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = d.select(
+        "doc_id",
+        F.array_join(
+            F.sort_array(F.array_distinct(F.split(F.col("text"), " "))),
+            " ",
+        ).alias("f"),
+    )
+    return (
+        fp.groupBy("f")
+        .agg(
+            F.min("doc_id").alias("rep_doc"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select("rep_doc", "n_docs")
+        .orderBy(F.desc("n_docs"), "rep_doc")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (randomness of the daily revenue walk)
+# ----------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+         CAST(SUM(FLOOR(o_totalprice * 100)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+), diffs AS (
+  SELECT day,
+         CASE WHEN rev_c > LAG(rev_c) OVER (ORDER BY day)
+              THEN 1 ELSE 0 END AS up,
+         CASE WHEN LAG(rev_c) OVER (ORDER BY day) IS NULL
+              THEN NULL ELSE 1 END AS has_prev
+  FROM daily
+), runs AS (
+  SELECT up,
+         CASE WHEN up = LAG(up) OVER (ORDER BY day)
+              THEN 0 ELSE 1 END AS boundary
+  FROM diffs WHERE has_prev = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT)            AS n_steps,
+       CAST(SUM(up) AS BIGINT)             AS n_up,
+       CAST(COUNT(*) - SUM(up) AS BIGINT)  AS n_down,
+       CAST(SUM(boundary) AS BIGINT)       AS n_runs
+FROM runs
+"""
+
+
+@register(
+    "runs_test_daily_revenue",
+    _RUNS_ORACLE,
+    "Wald-Wolfowitz RUNS TEST statistics over the daily-revenue walk: "
+    "each day classifies up (revenue cents strictly above the prior "
+    "day) or down, and n_runs counts the maximal same-direction "
+    "stretches — the classic nonparametric randomness check (too few "
+    "runs = trend, too many = oscillation); the z-score is one "
+    "plug-in away and deliberately left to the caller (sqrt is not "
+    "cross-engine exact). Daily revenue sums in integer CENTS (the "
+    "fixed-point discipline), so every comparison is exact. The "
+    "calendar-bounded daily series makes the single-task ordered "
+    "window the documented rolling_median_7d posture — thousands of "
+    "rows regardless of fact size.",
+)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("day")
+    diffs = daily.select(
+        "day",
+        F.when(F.col("rev_c") > F.lag("rev_c").over(w), 1)
+        .otherwise(0)
+        .alias("up"),
+        F.lag("rev_c").over(w).isNotNull().alias("has_prev"),
+    ).where("has_prev")
+    runs = diffs.select(
+        "up",
+        F.when(F.col("up") == F.lag("up").over(w), 0)
+        .otherwise(1)
+        .alias("boundary"),
+    )
+    return runs.agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum("up").cast("long").alias("n_up"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("long").alias("n_down"),
+        F.sum("boundary").cast("long").alias("n_runs"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Embedding-norm outliers (corrupt-vector screen before ANN indexing)
+# ----------------------------------------------------------------------------
+
+_NORM_OUTLIER_ORACLE = """
+WITH norms AS (
+  SELECT vec_id,
+         list_reduce(
+           list_prepend(
+             0.0,
+             list_transform(
+               embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+             )
+           ),
+           (a, b) -> a + b
+         ) AS norm2
+  FROM embeddings
+), med AS (
+  SELECT norm2 AS med2
+  FROM (SELECT norm2,
+               ROW_NUMBER() OVER (ORDER BY norm2, vec_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM norms)
+  WHERE rn = (n + 1) // 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       MIN(med.med2)            AS median_norm2,
+       CAST(COUNT(CASE WHEN norms.norm2 > 4.0 * med.med2 THEN 1 END)
+            AS BIGINT)          AS n_high,
+       CAST(COUNT(CASE WHEN norms.norm2 * 4.0 < med.med2 THEN 1 END)
+            AS BIGINT)          AS n_low
+FROM norms, med
+"""
+
+
+@register(
+    "embedding_norm_outliers",
+    _NORM_OUTLIER_ORACLE,
+    "Corrupt-vector screen before ANN indexing: squared L2 norm per "
+    "embedding as an ORDERED left fold (Spark aggregate() == DuckDB "
+    "list_reduce over the same element order -> bit-identical "
+    "doubles, the HLL-fold trick), lower median chosen by SELECTION "
+    "RANK (row_number at (n+1)/2 with vec_id tiebreak — exact in both "
+    "engines, no interpolation), and vectors beyond 2x / below 0.5x "
+    "the median norm flagged. A zero-norm or double-scaled vector — "
+    "the classic embedding-pipeline corruption — lands in n_low / "
+    "n_high. Shuffle: one sort for the rank + scalar broadcast of the "
+    "median; never pairs.",
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    norms = e.select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * "
+            "CAST(x AS DOUBLE)), 0.0D, (a, b) -> a + b)"
+        ).alias("norm2"),
+    )
+    w = Window.orderBy("norm2", "vec_id")
+    ranked = norms.select(
+        "norm2",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.where(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select(F.col("norm2").alias("med2"))
+    return norms.crossJoin(F.broadcast(med)).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("med2").alias("median_norm2"),
+        F.count(F.when(F.col("norm2") > 4.0 * F.col("med2"), 1))
+        .cast("long")
+        .alias("n_high"),
+        F.count(F.when(F.col("norm2") * 4.0 < F.col("med2"), 1))
+        .cast("long")
+        .alias("n_low"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Governance ratios
+# ----------------------------------------------------------------------------
+
+_TOKENS_PER_BYTE_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+         / SUM(strlen(text)) AS tokens_per_byte
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "tokens_per_byte",
+    _TOKENS_PER_BYTE_ORACLE,
+    "Tokenizer-economics datacard column: whitespace tokens per UTF-8 "
+    "byte by source — the storage-cost side of tokenizer_fertility "
+    "(which measures subword inflation). One map-side-combinable "
+    "aggregation; the ratio is a SINGLE DIVIDE of two exact integer "
+    "sums (never a mean of per-doc ratios), so the double is "
+    "bit-identical cross-engine.",
+)
+def tokens_per_byte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("n_tokens"),
+            F.sum(F.octet_length("text").cast("long")).alias("n_bytes"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_bytes",
+            (
+                F.col("n_tokens").cast("double") / F.col("n_bytes")
+            ).alias("tokens_per_byte"),
+        )
+        .orderBy("source")
+    )
+
+
+_PRICE_DISPERSION_ORACLE = """
+SELECT l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       MIN(l_extendedprice / l_quantity) AS min_unit,
+       MAX(l_extendedprice / l_quantity) AS max_unit,
+       MAX(l_extendedprice / l_quantity)
+         - MIN(l_extendedprice / l_quantity) AS spread
+FROM lineitem
+GROUP BY l_partkey
+HAVING COUNT(*) >= 5
+ORDER BY spread DESC, l_partkey
+LIMIT 20
+"""
+
+
+@register(
+    "unit_price_dispersion",
+    _PRICE_DISPERSION_ORACLE,
+    "Pricing-consistency screen: per part sold on >= 5 line items, "
+    "the spread between the best and worst realized unit price "
+    "(extendedprice/quantity), top 20 — the governance question "
+    "behind discount-leakage audits. Determinism: the per-row divide "
+    "and the min/max/subtract chain are IEEE-identical on identical "
+    "inputs (no accumulation ordering anywhere), and the top-k "
+    "carries the l_partkey tiebreak. One partial-aggregated shuffle "
+    "on l_partkey, then a 20-row limit.",
+)
+def unit_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    )
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min(unit).alias("min_unit"),
+            F.max(unit).alias("max_unit"),
+        )
+        .where(F.col("n_lines") >= 5)
+        .select(
+            "l_partkey",
+            "n_lines",
+            "min_unit",
+            "max_unit",
+            (F.col("max_unit") - F.col("min_unit")).alias("spread"),
+        )
+        .orderBy(F.desc("spread"), "l_partkey")
+        .limit(20)
+    )
