@@ -336,9 +336,17 @@ class DeleteTooLargeError(ValueError):
 
 
 class DeltaLiteTable:
-    def __init__(self, path: str):
+    def __init__(self, path: str, commit_backend=None):
+        from data_lakehouse_platform_spark.sources.commit_backend import (
+            PosixCommitSlots,
+        )
+
         self.path = path
         self.log_dir = os.path.join(path, "_delta_log")
+        # The LogStore seam (see sources/commit_backend.py): every
+        # version commit goes through backend.put_if_absent — swap in
+        # CoordinatedCommitSlots for object stores.
+        self.commit_backend = commit_backend or PosixCommitSlots()
 
     # -- log ------------------------------------------------------------
 
@@ -875,23 +883,22 @@ class DeltaLiteTable:
         )
 
         os.makedirs(self.log_dir, exist_ok=True)
+        payload = (
+            "".join(
+                json.dumps(self._encoded_action(a)) + "\n" for a in actions
+            )
+        ).encode()
         while True:
             target = os.path.join(self.log_dir, f"{version:020d}.json")
-            try:
-                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                if stale_sensitive:
-                    raise ConcurrentModificationError(
-                        f"version {version} was committed concurrently; "
-                        f"this {op_desc} was computed against version "
-                        f"{computed_against} — re-read and retry"
-                    )
-                version += 1
-                continue
-            with os.fdopen(fd, "w") as fh:
-                for a in actions:
-                    fh.write(json.dumps(self._encoded_action(a)) + "\n")
-            return version
+            if self.commit_backend.put_if_absent(target, payload):
+                return version
+            if stale_sensitive:
+                raise ConcurrentModificationError(
+                    f"version {version} was committed concurrently; "
+                    f"this {op_desc} was computed against version "
+                    f"{computed_against} — re-read and retry"
+                )
+            version += 1
 
     def write(
         self,

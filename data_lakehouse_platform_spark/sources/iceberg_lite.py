@@ -578,10 +578,23 @@ class IcebergLiteTable:
     # so tests can shrink it to exercise the multi-shard path.
     ROWS_PER_DELETE_FILE = 10_000_000
 
-    def __init__(self, path: str, metadata_file: str | None = None):
+    def __init__(
+        self,
+        path: str,
+        metadata_file: str | None = None,
+        commit_backend=None,
+    ):
+        from data_lakehouse_platform_spark.sources.commit_backend import (
+            PosixCommitSlots,
+        )
+
         self.path = path
         self.metadata_dir = os.path.join(path, "metadata")
         self.metadata_file = metadata_file
+        # The catalog/LogStore seam (sources/commit_backend.py): the
+        # v{N}.metadata.json put-if-absent goes through this backend —
+        # swap in CoordinatedCommitSlots for object stores.
+        self.commit_backend = commit_backend or PosixCommitSlots()
 
     # -- metadata resolution --------------------------------------------
 
@@ -1150,8 +1163,16 @@ class IcebergLiteTable:
         }
 
     def _commit_metadata_json(self, meta: dict) -> int:
-        """Write the next v{N}.metadata.json put-if-absent and point
-        version-hint.text at it (HadoopCatalog commit shape)."""
+        """Write the next v{N}.metadata.json put-if-absent (through the
+        pluggable commit backend — the catalog seam) and point
+        version-hint.text at it (HadoopCatalog commit shape).  A lost
+        slot race aborts: every caller computed its metadata against
+        the version it read, so taking a later slot would drop the
+        intervening commit."""
+        from data_lakehouse_platform_spark.sources.table_format import (
+            ConcurrentModificationError,
+        )
+
         mdir = self.metadata_dir
         version = 1
         for f in os.listdir(mdir):
@@ -1159,9 +1180,13 @@ class IcebergLiteTable:
             if m:
                 version = max(version, int(m.group(1)) + 1)
         target = os.path.join(mdir, f"v{version}.metadata.json")
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as fh:
-            json.dump(meta, fh)
+        if not self.commit_backend.put_if_absent(
+            target, json.dumps(meta).encode()
+        ):
+            raise ConcurrentModificationError(
+                f"metadata version {version} was committed concurrently "
+                "— re-read the table and retry"
+            )
         with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
             fh.write(str(version))
         return version

@@ -212,11 +212,14 @@ def test_iceberg_verbs_against_model(spark, tmp_path, seed):
     model.update(rows)
     history = {sid: ([c for c, _ty in cols], snap_state())}
     tagged = None
+    branched = None  # (snapshot id the branch pins, its recorded state)
+    ledger_batch = -1  # committed_batches model (streaming-sink ledger)
 
     for step in range(16):
         op = rng.choice(
             ["append", "delete", "mass_delete", "compact", "zorder",
-             "tag", "add_col", "rename_col", "drop_col", "promote"]
+             "tag", "branch", "ledger", "add_col", "rename_col",
+             "drop_col", "promote"]
         )
         if op == "append":
             rows = fresh(rng.randrange(1, 4))
@@ -252,6 +255,30 @@ def test_iceberg_verbs_against_model(spark, tmp_path, seed):
             t.create_tag("pin")
             tagged = t.current_snapshot_id()
             continue
+        elif op == "branch" and branched is None:
+            t.create_branch("audit")
+            branched = (
+                t.current_snapshot_id(),
+                [c for c, _ty in cols],
+                snap_state(),
+            )
+            continue
+        elif op == "ledger":
+            # the streaming sink's exactly-once ledger: each append
+            # stamps (app-id, batch-id) into the snapshot summary and
+            # committed_batches() must replay to the high-water mark
+            ledger_batch += 1
+            rows = fresh(1)
+            sid = t.write(
+                df(rows).coalesce(1),
+                mode="append",
+                summary_extra={
+                    "dlp.app-id": "model-sink",
+                    "dlp.batch-id": ledger_batch,
+                },
+            )
+            model.update(rows)
+            assert t.committed_batches("model-sink") == ledger_batch
         elif op == "add_col":
             n_added += 1
             name = f"c{n_added}"
@@ -331,10 +358,23 @@ def test_iceberg_verbs_against_model(spark, tmp_path, seed):
         got = {r.id: tuple(r[c] for c in scols) for r in tdf.collect()}
         assert got == state, f"time travel to {sid}"
 
-    # expire to the newest snapshot: the tag pins its snapshot too
+    # expire to the newest snapshot: the tag AND the branch pin their
+    # snapshots through expiry, and the branch still reads its state
     t.expire_snapshots(retain_last=1)
     surviving = {int(s["snapshot-id"]) for s in t.snapshots()}
     assert tagged in surviving
+    if branched is not None:
+        bsid, bcols, bstate = branched
+        assert bsid in surviving
+        bdf = t.read(spark, ref="audit")
+        assert bdf.columns == ["id"] + bcols
+        got = {r.id: tuple(r[c] for c in bcols) for r in bdf.collect()}
+        assert got == bstate
+    # the ledger replays to its high-water mark even after expiry
+    # (expire retains the newest snapshot; stamped summaries survive
+    # on every retained snapshot)
+    if ledger_batch >= 0:
+        assert t.committed_batches("model-sink") <= ledger_batch
     for sid in surviving:
         if sid in history:
             scols, state = history[sid]

@@ -129,12 +129,19 @@ def test_storage_boundary_documented_and_seams_exist():
         assert "O_" in ds or "put-if-absent" in ds, mod.__name__
     assert callable(delta_lite.DeltaLiteTable._commit)
     assert callable(iceberg_lite.IcebergLiteTable._commit_metadata_json)
-    # every iceberg metadata commit routes through the one seam (the
-    # doc's claim): no other O_EXCL site in the module
+    # the seam is PLUGGABLE (sources/commit_backend.py): neither
+    # module touches O_EXCL directly anymore — every commit routes
+    # through the backend, so an object-store deployment swaps one
+    # constructor argument
     import inspect
 
-    src = inspect.getsource(iceberg_lite)
-    assert src.count("os.O_EXCL") == 1
+    from data_lakehouse_platform_spark.sources import commit_backend
+
+    for mod in (delta_lite, iceberg_lite):
+        assert "os.O_EXCL" not in inspect.getsource(mod), mod.__name__
+    assert "os.O_EXCL" in inspect.getsource(commit_backend)
+    assert callable(commit_backend.PosixCommitSlots.put_if_absent)
+    assert callable(commit_backend.CoordinatedCommitSlots.put_if_absent)
 
 
 def test_medallion_pipeline_stage_surface():
