@@ -1,6 +1,8 @@
 """Round-6 registry extensions: entity-resolution pair output, corpus
-fingerprint grouping, a randomness test, embedding-norm outliers, and
-two governance ratios.
+fingerprint/prefix dedup tiers, a randomness test, embedding-norm
+outliers, a matched-basket price index, exact lead-time quartiles, and
+governance audits (tokens-per-byte, unit-price dispersion,
+k-anonymity).
 
 Registered LAST in ``queries.all_queries()`` — the external driver
 grades the first 50 registry keys by registration order, so new
@@ -364,4 +366,287 @@ def unit_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("spread"), "l_partkey")
         .limit(20)
+    )
+
+
+# ----------------------------------------------------------------------------
+# Price index (matched-basket Laspeyres, integer-exact)
+# ----------------------------------------------------------------------------
+
+_LASPEYRES_ORACLE = """
+WITH pm AS (
+  SELECT date_trunc('month', o.o_orderdate) AS mon,
+         l.l_partkey AS part,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(FLOOR(l.l_extendedprice * 100)) AS BIGINT) AS rev_c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), base AS (
+  SELECT part, qty AS q0, rev_c AS rev0_c
+  FROM pm WHERE mon = (SELECT MIN(mon) FROM pm)
+)
+SELECT pm.mon AS mon,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM((pm.rev_c * 1000 * base.q0) // pm.qty) AS BIGINT)
+         AS num_microc,
+       CAST(SUM(base.rev0_c * 1000) AS BIGINT) AS den_microc,
+       CAST(SUM((pm.rev_c * 1000 * base.q0) // pm.qty) AS DOUBLE)
+         / SUM(base.rev0_c * 1000) AS laspeyres
+FROM pm JOIN base ON pm.part = base.part
+GROUP BY pm.mon
+ORDER BY mon
+"""
+
+
+@register(
+    "laspeyres_price_index",
+    _LASPEYRES_ORACLE,
+    "Matched-basket LASPEYRES price index per month vs the first month "
+    "(base): each part's month-t unit value is priced at the BASE "
+    "month's quantity, so the index isolates price movement from "
+    "volume mix — the standard CPI construction, restricted to parts "
+    "traded in both periods (the practical matched-sample handling). "
+    "Exactness: per-part terms are FLOOR((rev_cents * 1000 * q0) / "
+    "qty_t) BIGINT divisions (Spark DIV and DuckDB // both truncate "
+    "toward zero), summed as integers; the index is one final divide. "
+    "Plan: one fact->orders join pre-aggregated to (month, part), a "
+    "broadcast-sized base-month basket, one grouped sum — no window, "
+    "no pairs.",
+)
+def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    pm = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+            F.col("l_partkey").alias("part"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100))
+            .cast("long")
+            .alias("rev_c"),
+        )
+    )
+    base_mon = pm.agg(F.min("mon").alias("m0"))
+    base = (
+        pm.join(F.broadcast(base_mon), pm.mon == F.col("m0"))
+        .select(
+            "part",
+            F.col("qty").alias("q0"),
+            F.col("rev_c").alias("rev0_c"),
+        )
+    )
+    term = F.expr("rev_c * 1000 * q0 DIV qty")
+    return (
+        pm.join(F.broadcast(base), "part")
+        .groupBy("mon")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(term).cast("long").alias("num_microc"),
+            F.sum(F.col("rev0_c") * 1000).cast("long").alias("den_microc"),
+        )
+        .select(
+            # DuckDB date_trunc('month', ts) yields DATE (memory:
+            # round-4 gotcha) — Spark yields timestamp, so wrap
+            F.to_date("mon").alias("mon"),
+            "n_parts",
+            "num_microc",
+            "den_microc",
+            (
+                F.col("num_microc").cast("double") / F.col("den_microc")
+            ).alias("laspeyres"),
+        )
+        .orderBy("mon")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Fulfillment lead time: exact discrete quartiles by priority
+# ----------------------------------------------------------------------------
+
+_LEADTIME_ORACLE = """
+WITH lag AS (
+  SELECT o.o_orderpriority AS priority,
+         date_diff('day', o.o_orderdate,
+                   CAST(l.l_shipdate AS DATE)) AS lead_days,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), ranked AS (
+  SELECT priority, lead_days,
+         ROW_NUMBER() OVER (
+           PARTITION BY priority
+           ORDER BY lead_days, l_orderkey, l_linenumber
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM lag
+)
+SELECT priority,
+       CAST(MIN(n) AS BIGINT) AS n_lines,
+       CAST(MIN(CASE WHEN rn = (n + 1) // 4 THEN lead_days END)
+            AS BIGINT) AS q1_days,
+       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN lead_days END)
+            AS BIGINT) AS median_days,
+       CAST(MIN(CASE WHEN rn = (3 * (n + 1)) // 4 THEN lead_days END)
+            AS BIGINT) AS q3_days
+FROM ranked
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@register(
+    "lead_time_quartiles",
+    _LEADTIME_ORACLE,
+    "Fulfillment lead time (order date -> line ship date, days) as "
+    "EXACT discrete quartiles per order priority — the SLA question "
+    "behind sla_attainment, answered distribution-wide. Quartiles are "
+    "SELECTION RANKS at (n+1)/4, (n+1)/2, 3(n+1)/4 with a total "
+    "(lead, orderkey, linenumber) tiebreak — order statistics both "
+    "engines compute identically, never interpolated floats. Five "
+    "priority groups, so the per-group sort is a balanced grouped "
+    "window.",
+)
+def lead_time_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.to_date("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("lead_days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("priority").orderBy(
+        "lead_days", "l_orderkey", "l_linenumber"
+    )
+    ranked = lag.select(
+        "priority",
+        "lead_days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("priority"))
+        .alias("n"),
+    )
+    pick = lambda expr: F.min(  # noqa: E731
+        F.when(expr, F.col("lead_days"))
+    ).cast("long")
+    return (
+        ranked.groupBy("priority")
+        .agg(
+            F.min("n").cast("long").alias("n_lines"),
+            pick(F.col("rn") == F.floor((F.col("n") + 1) / 4)).alias(
+                "q1_days"
+            ),
+            pick(F.col("rn") == F.floor((F.col("n") + 1) / 2)).alias(
+                "median_days"
+            ),
+            pick(
+                F.col("rn") == F.floor((3 * (F.col("n") + 1)) / 4)
+            ).alias("q3_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Privacy: k-anonymity audit of a quasi-identifier
+# ----------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS grp
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT)  AS n_groups,
+       CAST(MIN(grp) AS BIGINT) AS k_anonymity,
+       CAST(COUNT(CASE WHEN grp < 5 THEN 1 END) AS BIGINT)
+         AS groups_below_5,
+       CAST(COALESCE(SUM(CASE WHEN grp < 5 THEN grp END), 0) AS BIGINT)
+         AS customers_below_5
+FROM g
+"""
+
+
+@register(
+    "k_anonymity_audit",
+    _KANON_ORACLE,
+    "Privacy-release audit: k-anonymity of the (nation, segment) "
+    "quasi-identifier — the smallest equivalence class is the k any "
+    "release of this projection provides, and the below-threshold "
+    "groups/customers are what a suppression pass would have to "
+    "generalize (k < 5 is the classic disclosure-risk line). The "
+    "governance sibling of pii_scrub: that removes direct "
+    "identifiers, this measures re-identification risk of the "
+    "remaining quasi-identifiers. One map-combinable groupBy + a "
+    "4-scalar fold.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("grp").cast("long").alias("k_anonymity"),
+        F.count(F.when(F.col("grp") < 5, 1))
+        .cast("long")
+        .alias("groups_below_5"),
+        F.coalesce(F.sum(F.when(F.col("grp") < 5, F.col("grp"))), F.lit(0))
+        .cast("long")
+        .alias("customers_below_5"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Prefix-collision dedup (template detection)
+# ----------------------------------------------------------------------------
+
+_PREFIX_ORACLE = """
+SELECT MIN(doc_id) AS rep_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM (SELECT doc_id, source, substr(text, 1, 100) AS p FROM documents)
+GROUP BY p
+HAVING COUNT(*) > 1
+ORDER BY n_docs DESC, rep_doc
+"""
+
+
+@register(
+    "dedup_prefix_collision",
+    _PREFIX_ORACLE,
+    "Template/boilerplate detection by IDENTICAL 100-char prefix: "
+    "documents opening with the same bytes are near-certain template "
+    "siblings even when their tails diverge — the cheap complement to "
+    "dedup_fingerprint (bag-of-words) and exact_substr_dedup (any-"
+    "offset windows): prefix equality needs ONE substring + hash "
+    "aggregation, no shingles, no pair join. n_sources reveals "
+    "whether a template crossed source boundaries (cross-source "
+    "contamination signal). Shuffle keyed on the prefix; group count "
+    "bounded by distinct templates.",
+)
+def dedup_prefix_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return (
+        d.select(
+            "doc_id", "source", F.substring("text", 1, 100).alias("p")
+        )
+        .groupBy("p")
+        .agg(
+            F.min("doc_id").alias("rep_doc"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select("rep_doc", "n_docs", "n_sources")
+        .orderBy(F.desc("n_docs"), "rep_doc")
     )
