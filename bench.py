@@ -67,6 +67,10 @@ HEADLINE = [
     # first bench run
     "fuzzy_match_customers",
     "graph_components_bipartite",
+    # round-6 flagships (deletion-signature resolution pairs; matched-
+    # basket price index), baselined from their first quiet-box run
+    "editdist_pairs_customers",
+    "laspeyres_price_index",
 ]
 
 
