@@ -1883,14 +1883,20 @@ class DeltaLiteTable:
 
     # -- restore / vacuum ------------------------------------------------
 
-    def restore(self, version: int) -> int:
+    def restore(self, version: int, spark: SparkSession | None = None) -> int:
         """Delta RESTORE: re-commit ``version``'s state as a NEW
         version (history preserved, nothing rewound) — removes files
         the current snapshot has that the target lacks, re-adds what
         the target has (including its deletion-vector descriptors, so
         restoring to a pre-DELETE version resurrects exactly the rows
         that version could see).  metaData is re-emitted when the
-        target's differs; the protocol is never downgraded."""
+        target's differs; the protocol is never downgraded.
+
+        On a CDF-enabled table, pass ``spark`` to emit the restore's
+        change files (old-state deletes + target-state inserts, what
+        delta-spark's RESTORE writes); without it the commit carries
+        no cdc actions and ``table_changes`` over a range containing
+        it falls back to the snapshot diff — documented, not silent."""
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
@@ -1939,6 +1945,30 @@ class DeltaLiteTable:
                         }
                     )
                 actions.append({"add": live_t[pth]})
+
+        if spark is not None and self._cdf_enabled(meta_c):
+            from pyspark.sql import functions as F
+
+            new_proto = self._proto_with_cdf(_proto_c)
+            if new_proto != _proto_c:
+                actions.append({"protocol": new_proto})
+            cur_rows = self.read(spark, version=latest)
+            tgt_rows = self.read(spark, version=version)
+            if cur_rows.columns == tgt_rows.columns:
+                change = (
+                    cur_rows.exceptAll(tgt_rows)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .unionByName(
+                        tgt_rows.exceptAll(cur_rows).withColumn(
+                            "_change_type", F.lit("insert")
+                        )
+                    )
+                )
+                actions.extend(
+                    self._stage_cdc(
+                        change, meta_c.get("partitionColumns", [])
+                    )
+                )
 
         return self._commit(
             actions,

@@ -279,3 +279,33 @@ def test_change_feed_folds_to_snapshot(spark, tmp_path, seed):
                 state[r.id] = r.val
         got = {r.id: r.val for r in t.read(spark).collect()}
         assert got == state
+
+
+def test_restore_emits_change_set_when_spark_given(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="restore")
+    t.delete(spark, "id = 2")                                   # v1
+    t.write(
+        spark.createDataFrame([(9, "z", "y")],
+                              "id long, val string, grp string"),
+        mode="append",
+    )                                                           # v2
+    v = t.restore(0, spark=spark)                               # v3
+    assert v == 3
+    # the restore commit's own feed: 9 disappears, 2 comes back
+    assert _changes(t, spark, 2, 3) == [
+        (3, 2, "b", "insert"),
+        (3, 9, "z", "delete"),
+    ]
+    # and the whole range still reads in CDF mode
+    assert _changes(t, spark, 0, 3) == [
+        (1, 2, "b", "delete"),
+        (2, 9, "z", "insert"),
+        (3, 2, "b", "insert"),
+        (3, 9, "z", "delete"),
+    ]
+    # without spark the commit is cdc-less: the range falls back
+    t2 = _mk(spark, tmp_path, name="restore2")
+    t2.delete(spark, "id = 1")
+    t2.restore(0)
+    ch = t2.table_changes(spark, 0)
+    assert "_commit_version" not in ch.columns  # diff fallback engaged

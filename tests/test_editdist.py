@@ -194,3 +194,58 @@ def test_whale_block_completeness_small(spark):
     )
     found = pairs.where(F.col("b_key") - F.col("a_key") == n).count()
     assert found == planted
+
+
+# -- hypothesis property layer ------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_H_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+
+# tiny alphabets maximize near-collisions; the unicode strategy mixes
+# multi-byte codepoints (umlauts, CJK, an astral-plane emoji) to pin
+# CHARACTER-level (not byte-level) edit semantics in both engines
+_ascii_texts = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=7),
+    min_size=2,
+    max_size=24,
+)
+_unicode_texts = st.lists(
+    st.text(alphabet="aä日本\U0001F600", min_size=0, max_size=6),
+    min_size=2,
+    max_size=16,
+)
+
+
+@given(_ascii_texts)
+@settings(**_H_SETTINGS)
+def test_property_matches_model_ascii(spark, texts):
+    rows = [(k, 0, t) for k, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "k long, blk int, t string")
+    got = {
+        (r.a_key, r.b_key, r.dist)
+        for r in edit_distance_pairs(df, "k", "t", threshold=2).collect()
+    }
+    assert got == {(a, b, d) for _, a, b, d in _model_pairs(rows, 2)}
+
+
+@given(_unicode_texts)
+@settings(**_H_SETTINGS)
+def test_property_matches_model_unicode(spark, texts):
+    """Deletion variants are built from substr slices — CHARACTER
+    positions — so multi-byte text must behave exactly like ascii."""
+    rows = [(k, 0, t) for k, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "k long, blk int, t string")
+    got = {
+        (r.a_key, r.b_key, r.dist)
+        for r in edit_distance_pairs(df, "k", "t", threshold=2).collect()
+    }
+    assert got == {(a, b, d) for _, a, b, d in _model_pairs(rows, 2)}
