@@ -650,3 +650,170 @@ def dedup_prefix_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rep_doc", "n_docs", "n_sources")
         .orderBy(F.desc("n_docs"), "rep_doc")
     )
+
+
+# ----------------------------------------------------------------------------
+# Supplier dependency risk: top-customer revenue concentration
+# ----------------------------------------------------------------------------
+
+_SUPP_CONC_ORACLE = """
+WITH sc AS (
+  SELECT l.l_suppkey AS suppkey, o.o_custkey AS custkey,
+         CAST(SUM(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100))
+              AS BIGINT) AS rev_c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT suppkey, custkey, rev_c,
+         SUM(rev_c) OVER (PARTITION BY suppkey) AS total_c,
+         ROW_NUMBER() OVER (
+           PARTITION BY suppkey ORDER BY rev_c DESC, custkey
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY suppkey) AS n_customers
+  FROM sc
+)
+SELECT suppkey,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(total_c AS BIGINT) AS total_rev_c,
+       custkey AS top_custkey,
+       CAST(rev_c AS BIGINT) AS top_rev_c,
+       CAST(rev_c AS DOUBLE) / total_c AS top_share
+FROM ranked WHERE rn = 1
+ORDER BY top_share DESC, suppkey
+LIMIT 25
+"""
+
+
+@register(
+    "supplier_customer_concentration",
+    _SUPP_CONC_ORACLE,
+    "Supplier dependency risk: per supplier, the revenue share of its "
+    "single largest customer — the concentration question procurement "
+    "and credit teams ask (a supplier earning 80% from one buyer is "
+    "one churn away from distress); top 25 most-concentrated "
+    "suppliers. Exactness: discounted revenue in integer CENTS, the "
+    "top customer by (rev DESC, custkey) selection rank, the share "
+    "one divide of two exact integers. Plan: fact->orders join "
+    "pre-aggregated to (supplier, customer), then one balanced "
+    "grouped window over ~customers-per-supplier rows — never the "
+    "raw fact through a window.",
+)
+def supplier_customer_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                )
+            )
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    wsupp = Window.partitionBy("suppkey")
+    worder = wsupp.orderBy(F.desc("rev_c"), "custkey")
+    ranked = sc.select(
+        "suppkey",
+        "custkey",
+        "rev_c",
+        F.sum("rev_c").over(wsupp).alias("total_c"),
+        F.row_number().over(worder).alias("rn"),
+        F.count(F.lit(1)).over(wsupp).alias("n_customers"),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            "suppkey",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("total_c").cast("long").alias("total_rev_c"),
+            F.col("custkey").alias("top_custkey"),
+            F.col("rev_c").cast("long").alias("top_rev_c"),
+            (F.col("rev_c").cast("double") / F.col("total_c")).alias(
+                "top_share"
+            ),
+        )
+        .orderBy(F.desc("top_share"), "suppkey")
+        .limit(25)
+    )
+
+
+# ----------------------------------------------------------------------------
+# Embedding per-dimension variance (dead-feature screen, exact moments)
+# ----------------------------------------------------------------------------
+
+_DIM_VAR_ORACLE = """
+WITH e AS (
+  SELECT generate_subscripts(embedding, 1) AS d,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS xm
+  FROM embeddings
+), m AS (
+  SELECT CAST(d - 1 AS INT) AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xm) AS BIGINT) AS sum_m,
+         CAST(SUM(xm * xm) AS BIGINT) AS sumsq_m2
+  FROM e GROUP BY d
+)
+SELECT dim, n, sum_m, sumsq_m2,
+       CAST(n * sumsq_m2 - sum_m * sum_m AS DOUBLE) / (n * n)
+         AS var_micro2
+FROM m
+ORDER BY var_micro2, dim
+"""
+
+
+@register(
+    "embedding_dim_variance",
+    _DIM_VAR_ORACLE,
+    "Per-dimension embedding VARIANCE from exact fixed-point moments "
+    "(values floored to integer micros; var = (n*Sxx - Sx^2)/n^2, "
+    "cross-multiplied integers, ONE final divide — the corr_qty_price "
+    "discipline applied per dimension), ordered ascending so dead / "
+    "near-constant dimensions (quantization or projection bugs; "
+    "candidates for pruning before PQ) lead the result. Complements "
+    "embedding_dim_stats (count/min/max/mean — no spread measure). "
+    "posexplode -> d-group partial-combined aggregate: d groups hit "
+    "the shuffle, never n x d rows.",
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select("embedding")
+    x = e.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim",
+        F.floor(F.col("x").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("xm"),
+    )
+    m = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xm").cast("long").alias("sum_m"),
+        F.sum(F.col("xm") * F.col("xm")).cast("long").alias("sumsq_m2"),
+    )
+    return (
+        m.select(
+            "dim",
+            "n",
+            "sum_m",
+            "sumsq_m2",
+            (
+                (
+                    F.col("n") * F.col("sumsq_m2")
+                    - F.col("sum_m") * F.col("sum_m")
+                ).cast("double")
+                / (F.col("n") * F.col("n"))
+            ).alias("var_micro2"),
+        )
+        .orderBy("var_micro2", "dim")
+    )
