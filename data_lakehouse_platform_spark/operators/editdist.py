@@ -107,12 +107,27 @@ def edit_distance_pairs(
     block_cols: Sequence[str] = (),
     threshold: int = 2,
     include_zero: bool = True,
+    eager: bool = False,
 ) -> DataFrame:
     """All pairs (a, b), ``a.key < b.key``, with ``lev(a.text, b.text)
     <= threshold`` (and equal ``block_cols``, if given) — WITHOUT a
     blocked self-join.
 
     Returns columns: ``*block_cols, a_key, b_key, dist``.
+
+    Cache lifecycle: the operator persists two intermediates (the
+    distinct-text groups and the exploded signatures) because each is
+    read more than once.  With the default ``eager=False`` the result
+    is LAZY and those persisted blocks are released only when the
+    returned DataFrame is garbage-collected (Spark's ContextCleaner) —
+    one action's worth of storage, fine for run-once queries, but a
+    long session that calls this in a loop and keeps results alive
+    accumulates pinned blocks.  Pass ``eager=True`` to materialize the
+    (small) pair result via ``localCheckpoint`` and unpersist both
+    intermediates deterministically before returning; the returned
+    frame is then backed by checkpoint blocks, not a re-runnable plan
+    (so plan introspection sees a scan, and a lost executor fails the
+    job instead of recomputing).
 
     Plan: group identical texts (dedup lever #1 above) -> explode
     deletion variants of each distinct text -> self-join on
@@ -240,4 +255,8 @@ def edit_distance_pairs(
             .withColumn("dist", F.lit(0))
         )
         out = out.unionByName(zeros)
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        groups.unpersist()
+        sigs.unpersist()
     return out

@@ -76,7 +76,31 @@ class CoordinatedCommitSlots:
     (thread-safe under the GIL) or a managed dict in tests.  The
     winner writes the payload with a PLAIN write: the claim table, not
     the filesystem, is the serialization point, which is exactly why
-    this shape survives object stores."""
+    this shape survives object stores.
+
+    Failure atomicity (the S3DynamoDBLogStore recovery protocol): a
+    naive claim-then-write leaves a WEDGED slot if the winner crashes
+    between the two steps — the claim exists, the file does not, every
+    retry sees False, and the log grows a permanent hole.  This
+    implementation closes that window the way the real LogStore does:
+
+    1. the payload is STAGED durably first, under a writer-unique temp
+       name (a plain PUT; unique name, so no race);
+    2. the claim records the temp path and a ``pending`` state — the
+       atomic ``setdefault`` is the only serialization point;
+    3. the winner promotes temp -> final (``os.replace``; an atomic
+       object-store PUT/copy in production) and marks the claim
+       ``complete``.
+
+    Any later caller that loses the claim first RECOVERS a pending
+    entry: if the final file is missing it re-promotes the recorded
+    temp payload, then marks the claim complete — so a crash at ANY
+    point leaves the slot either recoverable or already durable, never
+    wedged, and the loser's ``False`` return always means "this slot
+    is (now) occupied by a real commit"."""
+
+    _PENDING = "pending"
+    _COMPLETE = "complete"
 
     def __init__(self, claims: MutableMapping[str, str]):
         self._claims = claims
@@ -88,9 +112,63 @@ class CoordinatedCommitSlots:
         # one token per CALL: two racers through the same handle must
         # still resolve to a single winner
         token = f"pid:{os.getpid()}:call:{uuid.uuid4().hex}"
-        won = self._claims.setdefault(key, token) == token
-        if not won:
-            return False  # claimed by another writer
-        with open(path, "wb") as fh:  # plain PUT; claim already won
+        tmp = f"{key}.{token.rsplit(':', 1)[-1]}.staged"
+        with open(tmp, "wb") as fh:  # stage BEFORE claiming (step 1)
             fh.write(payload)
+        claim = f"{self._PENDING}|{token}|{tmp}"
+        won = self._claims.setdefault(key, claim) == claim
+        if not won:
+            # claimed by another writer — heal a crashed winner's
+            # pending slot before reporting it occupied, then drop our
+            # unused staging payload
+            self._recover(key)
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+            return False
+        try:
+            os.replace(tmp, key)  # promote (step 3); atomic, consumes tmp
+        except FileNotFoundError:
+            # a slow-winner race: a concurrent loser recovered OUR
+            # pending claim (promoting our staged payload) before we
+            # got here — the slot holds our bytes, so we still won
+            if not os.path.exists(key):
+                raise
+        self._claims[key] = f"{self._COMPLETE}|{token}"
         return True
+
+    def _recover(self, key: str) -> None:
+        """Finish a pending claim whose winner crashed: promote its
+        staged payload to the final path (idempotent — concurrent
+        recoverers replace with identical bytes) and mark complete.
+        Raises if the slot is genuinely unrecoverable (claim pending,
+        no staged payload, no final file) — fail loudly rather than
+        let replay see a hole."""
+        entry = self._claims.get(key)
+        if entry is None or not entry.startswith(f"{self._PENDING}|"):
+            return  # complete, or a legacy token-only claim
+        _state, _token, tmp = entry.split("|", 2)
+        if not os.path.exists(key):
+            try:
+                # copy-promote via a recovery-unique temp so a crash
+                # mid-recovery never leaves a truncated final file
+                rtmp = f"{tmp}.recover"
+                with open(tmp, "rb") as src, open(rtmp, "wb") as dst:
+                    dst.write(src.read())
+                os.replace(rtmp, key)
+            except FileNotFoundError:
+                # a concurrent recoverer (or the winner itself) beat
+                # us to the promotion and consumed the staged payload
+                if not os.path.exists(key):
+                    raise RuntimeError(
+                        f"commit slot {key!r} is wedged: claim is "
+                        "pending but neither the final file nor its "
+                        f"staged payload ({tmp!r}) exists — manual "
+                        "repair required"
+                    )
+        self._claims[key] = f"{self._COMPLETE}|{_token}"
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass

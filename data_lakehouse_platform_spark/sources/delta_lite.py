@@ -731,13 +731,17 @@ class DeltaLiteTable:
         df: DataFrame,
         partition_by: list[str],
         data_change: bool = True,
-    ) -> list[dict]:
-        """Write ``df`` under a fresh staging directory and return the
-        ``add`` actions (DECODED on-disk relative paths; encoding
-        happens at commit serialization).  Per the Delta protocol,
-        partitionValues holds DECODED values (null for null), not the
-        hive-escaped directory segment Spark wrote (e.g. 'x:y' escapes
-        to 'x%3Ay' on disk, NULL to '__HIVE_DEFAULT_PARTITION__')."""
+    ) -> tuple[list[dict], str]:
+        """Write ``df`` under a fresh staging directory and return
+        ``(add actions, staging dir)`` (DECODED on-disk relative paths
+        in the actions; encoding happens at commit serialization).
+        Per the Delta protocol, partitionValues holds DECODED values
+        (null for null), not the hive-escaped directory segment Spark
+        wrote (e.g. 'x:y' escapes to 'x%3Ay' on disk, NULL to
+        '__HIVE_DEFAULT_PARTITION__').  The staging dir is returned so
+        CDF verbs can derive their change rows from the STAGED files
+        (one evaluation of the input) instead of re-evaluating the
+        caller's DataFrame — see :meth:`_read_staged`."""
         stage = f"part-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, stage)
         writer = df.write.mode("errorifexists")
@@ -773,7 +777,7 @@ class DeltaLiteTable:
                         }
                     }
                 )
-        return adds
+        return adds, out
 
     @staticmethod
     def _cdf_enabled(meta: dict) -> bool:
@@ -786,10 +790,10 @@ class DeltaLiteTable:
 
     def _stage_cdc(
         self, df: DataFrame, partition_by: list[str]
-    ) -> list[dict]:
+    ) -> tuple[list[dict], str]:
         """Write change rows (table columns + ``_change_type``) under
-        ``_change_data/`` and return the ``cdc`` actions (the spec's
-        AddCDCFile: path, partitionValues, size).  Change files mirror
+        ``_change_data/`` and return ``(cdc actions, staging dir)``
+        (the spec's AddCDCFile: path, partitionValues, size).  Change files mirror
         the table's hive partitioning so delta-spark's CDF reader
         resolves partition columns the same way it does for data
         files.  When a commit carries cdc actions, CDF readers use
@@ -828,7 +832,25 @@ class DeltaLiteTable:
                         }
                     }
                 )
-        return actions
+        return actions, out
+
+    @staticmethod
+    def _read_staged(
+        spark: SparkSession, stage_dir: str, schema
+    ) -> DataFrame:
+        """Read a staging directory (written by :meth:`_stage_adds` /
+        :meth:`_stage_cdc`) back as a DataFrame with ``schema`` —
+        hive-partition columns are restored by Spark's own partition
+        discovery (``basePath``), the exact inverse of the partitioned
+        write.  This is the single-evaluation seam for CDF: once an
+        input has been staged to durable files, every other frame the
+        commit needs (change rows, rewrite rows) is derived from THOSE
+        files, so a non-deterministic input (rand(), a re-read of a
+        mutating source) can never make the data files and the change
+        files disagree."""
+        return spark.read.schema(schema).option(
+            "basePath", stage_dir
+        ).parquet(stage_dir).select(*schema.fieldNames())
 
     @staticmethod
     def _proto_with_cdf(proto: dict) -> dict:
@@ -994,7 +1016,7 @@ class DeltaLiteTable:
         # Stage data under a unique directory; commit references the
         # files by relative path (URL-encoded at serialization per the
         # spec — see _encoded_action).
-        adds = self._stage_adds(df, partition_by)
+        adds, stage_dir = self._stage_adds(df, partition_by)
         now_ms = int(time.time() * 1000)
 
         actions: list[dict] = [
@@ -1051,17 +1073,27 @@ class DeltaLiteTable:
             if not first and live and self._cdf_enabled(meta):
                 # a commit with BOTH adds and removes is not
                 # CDF-inferable — write the full change set: every old
-                # row deletes, every new row inserts
+                # row deletes, every new row inserts.  The insert side
+                # is read back from the files _stage_adds just wrote
+                # (NOT from `df` again): a non-deterministic input
+                # must not produce change rows that disagree with the
+                # committed data files.
                 from pyspark.sql import functions as F
 
                 old_rows = self.read(df.sparkSession, version=latest)
+                new_rows = self._read_staged(
+                    df.sparkSession, stage_dir, df.schema
+                )
                 change = old_rows.withColumn(
                     "_change_type", F.lit("delete")
                 ).unionByName(
-                    df.withColumn("_change_type", F.lit("insert")),
+                    new_rows.withColumn("_change_type", F.lit("insert")),
                     allowMissingColumns=True,
                 )
-                actions.extend(self._stage_cdc(change, partition_by))
+                cdc_acts, _cdc_dir = self._stage_cdc(
+                    change, partition_by
+                )
+                actions.extend(cdc_acts)
         if txn is not None:
             app_id, app_version = txn
             actions.append(
@@ -1249,7 +1281,7 @@ class DeltaLiteTable:
                 .filter(predicate)
                 .withColumn("_change_type", F.lit("delete"))
             )
-            cdc_actions = self._stage_cdc(
+            cdc_actions, _cdc_dir = self._stage_cdc(
                 deleted_rows, meta.get("partitionColumns", [])
             )
         else:
@@ -1343,6 +1375,18 @@ class DeltaLiteTable:
                 "does not evolve schemas implicitly — align the "
                 "DataFrame first"
             )
+        if self._cdf_enabled(meta):
+            # Pin ONE evaluation of the source (delta-spark's
+            # materializeSource): the merge evaluates `source` several
+            # times — the touched-file location pass, the rewrite, and
+            # the CDF change frame — and a non-deterministic input
+            # (rand(), a re-read of a mutating table) would otherwise
+            # let the _change_data rows disagree with the committed
+            # add files.  localCheckpoint truncates lineage, so a lost
+            # block FAILS the job instead of silently recomputing
+            # different rows; the blocks are source-sized and freed by
+            # the ContextCleaner when the frame goes out of scope.
+            source = source.localCheckpoint(eager=True)
         dup = (
             source.groupBy(*keys).count().filter(F.col("count") > 1)
         )
@@ -1480,7 +1524,7 @@ class DeltaLiteTable:
             rewrite = rewrite.unionByName(inserts)
         else:
             rewrite = inserts
-        adds = self._stage_adds(rewrite, part)
+        adds, _stage_dir = self._stage_adds(rewrite, part)
 
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
@@ -1500,7 +1544,8 @@ class DeltaLiteTable:
             new_proto = self._proto_with_cdf(_proto)
             if new_proto != _proto:
                 actions.append({"protocol": new_proto})
-            actions.extend(self._stage_cdc(change, part))
+            cdc_acts, _cdc_dir = self._stage_cdc(change, part)
+            actions.extend(cdc_acts)
         for rel in sorted(touched_rels):
             actions.append(
                 {
@@ -1581,7 +1626,9 @@ class DeltaLiteTable:
         ).select(*data_cols)
         keep = ~F.coalesce(F.expr(predicate), F.lit(False))
         part = meta.get("partitionColumns", [])
-        adds = self._stage_adds(touched_rows.filter(keep), part)
+        adds, _stage_dir = self._stage_adds(
+            touched_rows.filter(keep), part
+        )
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
             {
@@ -1600,14 +1647,13 @@ class DeltaLiteTable:
             new_proto = self._proto_with_cdf(_proto)
             if new_proto != _proto:
                 actions.append({"protocol": new_proto})
-            actions.extend(
-                self._stage_cdc(
-                    touched_rows.filter(~keep).withColumn(
-                        "_change_type", F.lit("delete")
-                    ),
-                    part,
-                )
+            cdc_acts, _cdc_dir = self._stage_cdc(
+                touched_rows.filter(~keep).withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                part,
             )
+            actions.extend(cdc_acts)
         for rel in sorted(touched_rels):
             actions.append(
                 {
@@ -1702,34 +1748,19 @@ class DeltaLiteTable:
         ).select(*data_cols)
         hit = F.coalesce(F.expr(predicate), F.lit(False))
         types = {f.name: f.dataType for f in touched_rows.schema.fields}
-        rewrite = touched_rows.select(
-            *[
-                (
-                    F.when(hit, F.expr(assignments[c]).cast(types[c]))
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    if c in assignments
-                    else F.col(c)
-                )
-                for c in data_cols
-            ]
-        )
-        adds = self._stage_adds(rewrite, part)
-        now_ms = int(time.time() * 1000)
-        actions: list[dict] = [
-            {
-                "commitInfo": {
-                    "timestamp": now_ms,
-                    "operation": "UPDATE",
-                    "operationParameters": {"predicate": predicate},
-                    "engineInfo": "delta-lite/0.1 (protocol v1)",
-                }
-            }
-        ]
+        cdc_acts: list[dict] | None = None
         if self._cdf_enabled(meta):
-            new_proto = self._proto_with_cdf(_proto)
-            if new_proto != _proto:
-                actions.append({"protocol": new_proto})
+            # CDF ordering: stage the change rows FIRST (this is the
+            # single evaluation of the SET expressions), then derive
+            # the rewritten data files from the STAGED postimages —
+            # a non-deterministic assignment (rand(), current_
+            # timestamp()) therefore cannot make the _change_data rows
+            # disagree with the committed add files.  The predicate
+            # itself must be deterministic (same contract as
+            # delta-spark's COW update, which also evaluates it more
+            # than once).
+            from pyspark.sql.types import StringType, StructField, StructType
+
             pre = touched_rows.filter(hit).withColumn(
                 "_change_type", F.lit("update_preimage")
             )
@@ -1747,7 +1778,49 @@ class DeltaLiteTable:
                 )
                 .withColumn("_change_type", F.lit("update_postimage"))
             )
-            actions.extend(self._stage_cdc(pre.unionByName(post), part))
+            cdc_acts, cdc_dir = self._stage_cdc(
+                pre.unionByName(post), part
+            )
+            change_schema = StructType(
+                list(touched_rows.schema.fields)
+                + [StructField("_change_type", StringType())]
+            )
+            post_rb = (
+                self._read_staged(spark, cdc_dir, change_schema)
+                .filter(F.col("_change_type") == "update_postimage")
+                .select(*data_cols)
+            )
+            rewrite = touched_rows.filter(~hit).unionByName(post_rb)
+        else:
+            rewrite = touched_rows.select(
+                *[
+                    (
+                        F.when(hit, F.expr(assignments[c]).cast(types[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in assignments
+                        else F.col(c)
+                    )
+                    for c in data_cols
+                ]
+            )
+        adds, _stage_dir = self._stage_adds(rewrite, part)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "UPDATE",
+                    "operationParameters": {"predicate": predicate},
+                    "engineInfo": "delta-lite/0.1 (protocol v1)",
+                }
+            }
+        ]
+        if cdc_acts is not None:
+            new_proto = self._proto_with_cdf(_proto)
+            if new_proto != _proto:
+                actions.append({"protocol": new_proto})
+            actions.extend(cdc_acts)
         for rel in sorted(touched_rels):
             actions.append(
                 {
@@ -1837,7 +1910,9 @@ class DeltaLiteTable:
             )
         else:
             staged = current.coalesce(n_out)
-        adds = self._stage_adds(staged, part, data_change=False)
+        adds, _stage_dir = self._stage_adds(
+            staged, part, data_change=False
+        )
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
             {
@@ -1892,11 +1967,15 @@ class DeltaLiteTable:
         that version could see).  metaData is re-emitted when the
         target's differs; the protocol is never downgraded.
 
-        On a CDF-enabled table, pass ``spark`` to emit the restore's
-        change files (old-state deletes + target-state inserts, what
-        delta-spark's RESTORE writes); without it the commit carries
-        no cdc actions and ``table_changes`` over a range containing
-        it falls back to the snapshot diff — documented, not silent."""
+        On a CDF-enabled table a data-changing restore REQUIRES
+        ``spark``: the change files (old-state deletes + target-state
+        inserts, what delta-spark's RESTORE writes) can only be
+        computed by reading both snapshots.  Committing a mixed
+        add/remove version without cdc actions would silently poison
+        every ``table_changes`` range containing it (CDF readers
+        cannot infer mixed commits), so ``spark=None`` raises instead
+        — the module's loud-refusal discipline.  A no-op restore
+        (target state == current state) commits fine without spark."""
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"no Delta log at {self.log_dir}")
@@ -1946,6 +2025,16 @@ class DeltaLiteTable:
                     )
                 actions.append({"add": live_t[pth]})
 
+        data_changing = any(
+            ("remove" in a) or ("add" in a) for a in actions
+        )
+        if spark is None and data_changing and self._cdf_enabled(meta_c):
+            raise DeltaProtocolError(
+                "RESTORE on a delta.enableChangeDataFeed=true table "
+                "changes data files, so it must write cdc actions — "
+                "pass spark=... (a commit with mixed adds/removes and "
+                "no cdc poisons every table_changes range covering it)"
+            )
         if spark is not None and self._cdf_enabled(meta_c):
             from pyspark.sql import functions as F
 
@@ -1964,11 +2053,10 @@ class DeltaLiteTable:
                         )
                     )
                 )
-                actions.extend(
-                    self._stage_cdc(
-                        change, meta_c.get("partitionColumns", [])
-                    )
+                cdc_acts, _cdc_dir = self._stage_cdc(
+                    change, meta_c.get("partitionColumns", [])
                 )
+                actions.extend(cdc_acts)
 
         return self._commit(
             actions,
@@ -2493,6 +2581,7 @@ class DeltaLiteTable:
         from_version: int,
         to_version: int | None = None,
         keys: list[str] | None = None,
+        allow_diff_fallback: bool = False,
     ) -> DataFrame:
         """Change feed.  When every commit in ``(from_version,
         to_version]`` is CDF-derivable from the log — it carries real
@@ -2506,12 +2595,21 @@ class DeltaLiteTable:
         commits.  ``keys`` is ignored there (cdc files already carry
         the classification).
 
-        Otherwise it falls back to the SNAPSHOT DIFF: rows differing
-        between the two versions with a ``_change_type`` column; with
-        ``keys`` the diff classifies into insert / delete /
-        update_preimage / update_postimage, without keys it degrades
+        Otherwise the behavior depends on whether the table has CDF
+        enabled.  A PLAIN table falls back to the SNAPSHOT DIFF: rows
+        differing between the two versions with a ``_change_type``
+        column; with ``keys`` the diff classifies into insert / delete
+        / update_preimage / update_postimage, without keys it degrades
         honestly to insert/delete pairs (an update IS a delete+insert
-        when no identity is known).
+        when no identity is known).  A CDF-ENABLED table whose range
+        is no longer derivable (its json commits were cleaned after
+        checkpointing, or the range contains a pre-CDF mixed commit)
+        RAISES instead of silently returning the diff shape — the two
+        shapes have different columns (the diff has no
+        ``_commit_version`` / ``_commit_timestamp``), and a caller
+        folding a change feed must not discover the flip from a
+        missing column.  Pass ``allow_diff_fallback=True`` to opt into
+        the degradation explicitly.
 
         Scale posture: CDF mode reads only the change/add files of the
         range (proportional to what changed); the diff fallback reads
@@ -2528,9 +2626,22 @@ class DeltaLiteTable:
                 f"bad version range {from_version}..{to_version}"
             )
 
-        cdf_df = self._table_changes_cdf(spark, from_version, to_version)
+        cdf_df, not_derivable = self._table_changes_cdf(
+            spark, from_version, to_version
+        )
         if cdf_df is not None:
             return cdf_df
+        if not_derivable is not None and not allow_diff_fallback:
+            meta_to, _l, _p = self._replay(to_version)
+            if self._cdf_enabled(meta_to):
+                raise DeltaProtocolError(
+                    "table_changes: CDF is enabled but the range "
+                    f"{from_version}..{to_version} is not derivable "
+                    f"from the log ({not_derivable}); the snapshot-"
+                    "diff fallback has a DIFFERENT result schema (no "
+                    "_commit_version/_commit_timestamp) — pass "
+                    "allow_diff_fallback=True to accept it"
+                )
         old = self.read(spark, version=from_version)
         new = self.read(spark, version=to_version)
         if old.columns != new.columns:
@@ -2579,11 +2690,14 @@ class DeltaLiteTable:
 
     def _table_changes_cdf(
         self, spark: SparkSession, from_version: int, to_version: int
-    ) -> DataFrame | None:
+    ) -> tuple[DataFrame | None, str | None]:
         """Per-commit change feed from real ``cdc`` actions (plus the
-        spec's add-only inference).  Returns None when any commit in
-        the range is not CDF-derivable — the caller falls back to the
-        snapshot diff."""
+        spec's add-only inference).  Returns ``(df, None)`` when the
+        range is derivable; ``(None, reason)`` when a commit in the
+        range is not CDF-derivable (the caller decides whether the
+        snapshot-diff fallback is acceptable); ``(None, None)`` when
+        the per-commit shape simply does not apply (empty range, or a
+        plain table that never wrote change files)."""
         from pyspark.sql import functions as F
         from pyspark.sql.types import (
             LongType,
@@ -2594,7 +2708,7 @@ class DeltaLiteTable:
 
         commits = list(range(from_version + 1, to_version + 1))
         if not commits:
-            return None
+            return None, None
         vs = set(self.all_versions())
         plans: list[tuple[int, int, str, list[dict]]] = []
         any_cdc = False
@@ -2602,7 +2716,8 @@ class DeltaLiteTable:
             if v not in vs or not os.path.exists(
                 os.path.join(self.log_dir, f"{v:020d}.json")
             ):
-                return None  # log cleaned: per-commit actions gone
+                # log cleaned: per-commit actions gone
+                return None, f"version {v}'s json commit was cleaned"
             acts = self._actions(v)
             ts = next(
                 (
@@ -2610,13 +2725,30 @@ class DeltaLiteTable:
                     for a in acts
                     if "commitInfo" in a and "timestamp" in a["commitInfo"]
                 ),
-                int(
+                None,
+            )
+            if ts is None:
+                # Foreign writer without commitInfo.timestamp: fall
+                # back to the log file's mtime — what delta-spark
+                # itself uses for non-ICT tables — but WARN, because
+                # mtime is not stable across copies/rsyncs of the
+                # table, so _commit_timestamp may differ between two
+                # replicas of the same log.
+                import warnings
+
+                warnings.warn(
+                    f"table_changes: version {v} lacks "
+                    "commitInfo.timestamp; using the log file's "
+                    "mtime for _commit_timestamp, which is not "
+                    "stable across copies of the table",
+                    stacklevel=3,
+                )
+                ts = int(
                     os.path.getmtime(
                         os.path.join(self.log_dir, f"{v:020d}.json")
                     )
                     * 1000
-                ),
-            )
+                )
             cdc = [dict(a["cdc"]) for a in acts if "cdc" in a]
             adds = [
                 dict(a["add"])
@@ -2637,12 +2769,16 @@ class DeltaLiteTable:
             elif not adds and not removes:
                 continue  # metadata-only / compaction commit
             else:
-                return None  # mixed dataChange commit without cdc
+                # mixed dataChange commit without cdc
+                return None, (
+                    f"version {v} mixes dataChange adds and removes "
+                    "without cdc actions"
+                )
         meta, _live, _proto = self._replay(to_version)
         if not any_cdc and not self._cdf_enabled(meta):
             # a plain table whose range never wrote change files —
             # keep the legacy snapshot-diff shape
-            return None
+            return None, None
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = meta.get("partitionColumns", [])
         file_schema = StructType(
@@ -2691,10 +2827,13 @@ class DeltaLiteTable:
                     StructField("_commit_version", LongType()),
                 ]
             )
-            return spark.createDataFrame([], empty).withColumn(
-                "_commit_timestamp", F.timestamp_millis(F.lit(None))
+            return (
+                spark.createDataFrame([], empty).withColumn(
+                    "_commit_timestamp", F.timestamp_millis(F.lit(None))
+                ),
+                None,
             )
         out = parts[0]
         for d in parts[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
-        return out
+        return out, None

@@ -105,3 +105,111 @@ def test_posix_is_the_default(tmp_path):
     assert isinstance(t.commit_backend, PosixCommitSlots)
     i = IcebergLiteTable(str(tmp_path / "y"))
     assert isinstance(i.commit_backend, PosixCommitSlots)
+
+
+# -- failure atomicity (the S3DynamoDBLogStore recovery protocol) -----
+
+
+class _CrashAfterClaim(CoordinatedCommitSlots):
+    """A winner that dies between winning the claim and promoting the
+    staged payload — the exact window a naive claim-then-write backend
+    wedges on."""
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        import uuid
+
+        key = os.path.abspath(path)
+        token = f"pid:{os.getpid()}:call:{uuid.uuid4().hex}"
+        tmp = f"{key}.{token.rsplit(':', 1)[-1]}.staged"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        won = self._claims.setdefault(key, f"pending|{token}|{tmp}") == (
+            f"pending|{token}|{tmp}"
+        )
+        if won:
+            raise RuntimeError("simulated crash after claim")
+        return False
+
+
+def test_crashed_winner_is_recovered_by_next_caller(tmp_path):
+    """Crash between claim and write must NOT wedge the slot: the next
+    caller promotes the crashed winner's staged payload, returns False
+    (the slot belongs to the crashed commit), and the log has no hole."""
+    claims: dict = {}
+    slot = str(tmp_path / "00000000000000000001.json")
+    crasher = _CrashAfterClaim(claims)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        crasher.put_if_absent(slot, b"crashed-winner-payload")
+    assert not os.path.exists(slot)  # the wedge window is open
+
+    be = CoordinatedCommitSlots(claims)
+    assert be.put_if_absent(slot, b"late-loser-payload") is False
+    # the slot now holds the CRASHED WINNER's bytes — its claim won
+    with open(slot, "rb") as fh:
+        assert fh.read() == b"crashed-winner-payload"
+    assert claims[os.path.abspath(slot)].startswith("complete|")
+    # no staging debris
+    assert not [
+        p for p in os.listdir(tmp_path) if p.endswith(".staged")
+    ]
+
+
+def test_recovery_is_idempotent_across_callers(tmp_path):
+    claims: dict = {}
+    slot = str(tmp_path / "00000000000000000001.json")
+    with pytest.raises(RuntimeError):
+        _CrashAfterClaim(claims).put_if_absent(slot, b"P")
+    be = CoordinatedCommitSlots(claims)
+    for _ in range(3):  # repeated losers all see a healed slot
+        assert be.put_if_absent(slot, b"other") is False
+    with open(slot, "rb") as fh:
+        assert fh.read() == b"P"
+
+
+def test_wedged_slot_without_staged_payload_raises(tmp_path):
+    """Pending claim, no staged payload, no final file: genuinely
+    unrecoverable — fail loudly, never return a False that would make
+    the retry loop skip the slot and leave a hole."""
+    claims: dict = {}
+    slot = str(tmp_path / "00000000000000000001.json")
+    claims[os.path.abspath(slot)] = (
+        f"pending|pid:1:call:dead|{slot}.dead.staged"
+    )
+    be = CoordinatedCommitSlots(claims)
+    with pytest.raises(RuntimeError, match="wedged"):
+        be.put_if_absent(slot, b"x")
+
+
+def test_delta_log_stays_contiguous_through_a_crashed_writer(
+    spark, tmp_path
+):
+    """End-to-end: writer A crashes mid-commit on version 1's slot;
+    writer B's append then recovers A's commit and lands at version 2
+    — replay sees 0,1,2 with no hole and BOTH payloads."""
+    claims: dict = {}
+    t = DeltaLiteTable(
+        str(tmp_path / "d"),
+        commit_backend=CoordinatedCommitSlots(claims),
+    )
+    t.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    ta = DeltaLiteTable(
+        str(tmp_path / "d"), commit_backend=_CrashAfterClaim(claims)
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ta.write(
+            spark.createDataFrame([(2, "b")], "id long, v string"),
+            mode="append",
+        )
+    tb = DeltaLiteTable(
+        str(tmp_path / "d"),
+        commit_backend=CoordinatedCommitSlots(claims),
+    )
+    tb.write(
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        mode="append",
+    )
+    assert tb.all_versions() == [0, 1, 2]
+    got = sorted(
+        (r.id, r.v) for r in tb.read(spark).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]

@@ -17,6 +17,7 @@ import pytest
 
 from data_lakehouse_platform_spark.sources.delta_lite import (
     DeltaLiteTable,
+    DeltaProtocolError,
 )
 
 CDF = {"delta.enableChangeDataFeed": "true"}
@@ -179,8 +180,15 @@ def test_checkpoint_then_clean_log(spark, tmp_path):
     assert len(_changes(t, spark, 0)) == 2
     t.checkpoint()
     t.clean_log()
-    with pytest.raises(FileNotFoundError):
+    # the cleaned range no longer derives per-commit changes — a
+    # CDF-enabled table REFUSES loudly instead of silently flipping to
+    # the (different-schema) snapshot-diff shape ...
+    with pytest.raises(DeltaProtocolError, match="not derivable"):
         t.table_changes(spark, 0).collect()
+    # ... and the explicit opt-in then fails honestly on the missing
+    # version itself (v0's snapshot is gone with the cleaned log)
+    with pytest.raises(FileNotFoundError):
+        t.table_changes(spark, 0, allow_diff_fallback=True).collect()
     # new commits after the checkpoint still produce the real feed
     t.update(spark, "id = 5", {"val": "'E'"})
     assert _changes(t, spark, 2) == [
@@ -303,9 +311,106 @@ def test_restore_emits_change_set_when_spark_given(spark, tmp_path):
         (3, 2, "b", "insert"),
         (3, 9, "z", "delete"),
     ]
-    # without spark the commit is cdc-less: the range falls back
+    # without spark a data-changing restore on a CDF table REFUSES —
+    # committing a mixed add/remove version with no cdc would poison
+    # every table_changes range covering it
     t2 = _mk(spark, tmp_path, name="restore2")
     t2.delete(spark, "id = 1")
-    t2.restore(0)
-    ch = t2.table_changes(spark, 0)
-    assert "_commit_version" not in ch.columns  # diff fallback engaged
+    with pytest.raises(DeltaProtocolError, match="cdc"):
+        t2.restore(0)
+    # a NO-OP restore (target state == current state) needs no change
+    # set and commits fine without spark
+    v2 = t2.restore(1)
+    assert v2 == 2
+    assert len(_changes(t2, spark, 0)) == 1  # still just the delete
+
+
+# -- single-evaluation guarantee: change files vs data files ----------
+# A non-deterministic input (rand()) must not make the _change_data
+# rows disagree with the committed add files — each verb derives both
+# from ONE evaluation (staged files read back / localCheckpoint).
+
+
+def test_update_nondeterministic_set_agrees_with_snapshot(
+    spark, tmp_path
+):
+    t = _mk(spark, tmp_path, name="ndet_upd")
+    t.update(
+        spark,
+        "grp = 'x'",
+        {"val": "cast(cast(rand() * 1e15 as long) as string)"},
+    )
+    post = sorted(
+        (r.id, r.val)
+        for r in t.table_changes(spark, 0)
+        .filter("_change_type = 'update_postimage'")
+        .collect()
+    )
+    snap = sorted(
+        (r.id, r.val)
+        for r in t.read(spark).filter("grp = 'x'").collect()
+    )
+    assert post == snap  # random values, but the SAME random values
+
+
+def test_overwrite_nondeterministic_input_agrees_with_snapshot(
+    spark, tmp_path
+):
+    t = _mk(spark, tmp_path, name="ndet_ow")
+    # the if() keeps every column nullable so the frame matches the
+    # table schema exactly (overwrite compares schemas strictly)
+    nd = spark.createDataFrame(
+        [(i, "", "w") for i in range(5)],
+        "id long, val string, grp string",
+    ).selectExpr(
+        "id",
+        "if(id >= 0, cast(cast(rand() * 1e15 as long) as string), "
+        "val) AS val",
+        "grp",
+    )
+    t.write(nd, mode="overwrite")
+    ins = sorted(
+        (r.id, r.val)
+        for r in t.table_changes(spark, 0, keys=None)
+        .filter("_change_type = 'insert' AND _commit_version = 1")
+        .collect()
+    )
+    snap = sorted((r.id, r.val) for r in t.read(spark).collect())
+    assert ins == snap
+
+
+def test_merge_nondeterministic_source_agrees_with_snapshot(
+    spark, tmp_path
+):
+    t = _mk(spark, tmp_path, name="ndet_mrg")
+    src = spark.createDataFrame(
+        [(2,), (9,)], "id long"
+    ).selectExpr(
+        "id",
+        "cast(cast(rand() * 1e15 as long) as string) AS val",
+        "'m' AS grp",
+    )
+    t.merge(spark, src, keys=["id"])
+    feed = t.table_changes(spark, 0, keys=None).filter(
+        "_commit_version = 1"
+    )
+    post_and_ins = sorted(
+        (r.id, r.val)
+        for r in feed.filter(
+            "_change_type IN ('insert', 'update_postimage')"
+        ).collect()
+    )
+    snap = sorted(
+        (r.id, r.val)
+        for r in t.read(spark).filter("id IN (2, 9)").collect()
+    )
+    assert post_and_ins == snap
+    # and the feed still folds: pre/post pair for 2, insert for 9
+    kinds = sorted(
+        (r.id, r._change_type) for r in feed.collect()
+    )
+    assert kinds == [
+        (2, "update_postimage"),
+        (2, "update_preimage"),
+        (9, "insert"),
+    ]

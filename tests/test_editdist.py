@@ -249,3 +249,35 @@ def test_property_matches_model_unicode(spark, texts):
         for r in edit_distance_pairs(df, "k", "t", threshold=2).collect()
     }
     assert got == {(a, b, d) for _, a, b, d in _model_pairs(rows, 2)}
+
+
+def test_eager_mode_matches_lazy_and_unpersists(spark):
+    """eager=True returns the same pairs and deterministically
+    releases the two persisted intermediates (lazy mode leaves them to
+    the ContextCleaner — the documented trade)."""
+    df = spark.createDataFrame(
+        [(1, "smith"), (2, "smyth"), (3, "smith"), (4, "jones")],
+        "k long, t string",
+    )
+    lazy = sorted(
+        (r.a_key, r.b_key, r.dist)
+        for r in edit_distance_pairs(df, "k", "t", threshold=2).collect()
+    )
+    before = {
+        r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    eager = sorted(
+        (r.a_key, r.b_key, r.dist)
+        for r in edit_distance_pairs(
+            df, "k", "t", threshold=2, eager=True
+        ).collect()
+    )
+    assert eager == lazy == [(1, 2, 1), (1, 3, 0), (2, 3, 1)]
+    after = [
+        r
+        for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if r.id() not in before
+    ]
+    # the only surviving new storage is the (small) localCheckpoint of
+    # the RESULT; the groups/sigs persists were released
+    assert len(after) <= 1
