@@ -1,0 +1,951 @@
+"""Round-7 registry extensions: the Paasche/Fisher price-index twins,
+a Nelson-Aalen cumulative-hazard curve, an exact Pareto 80/20
+concentration point, purchase-regularity segmentation, a Fano-factor
+burstiness screen, order-backlog aging, a majority-Markov next-event
+accuracy eval, Wilson confidence bounds for return rates, and a
+per-label embedding-centroid cosine audit.
+
+Registered LAST in ``queries.all_queries()`` — the external driver
+grades the first 50 registry keys by registration order, so new
+modules only ever append (tests/test_oracle_parity.py pins the set).
+
+Every query keeps the registry's two disciplines: (a) the DuckDB
+oracle is the NAIVE form (per-customer cumulative sorts, per-row
+recomputation) so the driver compare doubles as an equivalence proof
+for the scale-safe Spark plan, and (b) cross-engine exactness via the
+proven tricks — exact integer moments with ONE final divide,
+truncating integer division (Spark ``DIV`` == DuckDB ``//``), ordered
+float folds (``aggregate`` == ``list_reduce(list_prepend(...))``), and
+IEEE-exact ``sqrt`` of identically-derived doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.queries import _t, register
+
+# ----------------------------------------------------------------------------
+# Paasche + Fisher price indexes (the Laspeyres twins)
+# ----------------------------------------------------------------------------
+
+_PAASCHE_FISHER_ORACLE = """
+WITH pm AS (
+  SELECT date_trunc('month', o.o_orderdate) AS mon,
+         l.l_partkey AS part,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(FLOOR(l.l_extendedprice * 100)) AS BIGINT) AS rev_c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT part, qty AS q0, rev_c AS rev0_c
+  FROM pm WHERE mon = (SELECT MIN(mon) FROM pm)
+),
+j AS (
+  SELECT pm.mon, pm.qty, pm.rev_c, base.q0, base.rev0_c
+  FROM pm JOIN base ON pm.part = base.part
+),
+agg AS (
+  SELECT mon,
+         CAST(COUNT(*) AS BIGINT)                          AS n_parts,
+         CAST(SUM(rev_c * 1000 * q0 // qty) AS BIGINT)     AS lasp_num,
+         CAST(SUM(rev0_c * 1000) AS BIGINT)                AS lasp_den,
+         CAST(SUM(rev_c * 1000) AS BIGINT)                 AS paas_num,
+         CAST(SUM(rev0_c * 1000 * qty // q0) AS BIGINT)    AS paas_den
+  FROM j GROUP BY mon
+)
+SELECT CAST(mon AS DATE) AS mon, n_parts,
+       CAST(lasp_num AS DOUBLE) / lasp_den AS laspeyres,
+       CAST(paas_num AS DOUBLE) / paas_den AS paasche,
+       sqrt((CAST(lasp_num AS DOUBLE) / lasp_den)
+            * (CAST(paas_num AS DOUBLE) / paas_den)) AS fisher
+FROM agg
+ORDER BY mon
+"""
+
+
+@register(
+    "paasche_fisher_price_index",
+    _PAASCHE_FISHER_ORACLE,
+    "PAASCHE and FISHER price indexes per month vs the first month — "
+    "the laspeyres_price_index twins that complete the classic index "
+    "triple: Paasche prices the CURRENT month's basket at base-month "
+    "unit values (sum(p_t q_t) / sum(p_0 q_t)), Fisher is the "
+    "geometric mean sqrt(L * P) (the 'ideal' index — it alone passes "
+    "the time-reversal test). Exactness: both numerators/denominators "
+    "are sums of truncating BIGINT divisions (Spark DIV == DuckDB //), "
+    "each index is ONE double divide, and Fisher is sqrt of the "
+    "product of those two doubles — sqrt is correctly rounded in IEEE "
+    "754, so identical operand bits give identical results on both "
+    "engines. Plan: one fact join pre-aggregated to (month, part), a "
+    "broadcast base-month basket, one grouped sum — no window, no "
+    "pairs; scales as the Laspeyres plan does.",
+)
+def paasche_fisher_price_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    pm = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+            F.col("l_partkey").alias("part"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100))
+            .cast("long")
+            .alias("rev_c"),
+        )
+    )
+    base_mon = pm.agg(F.min("mon").alias("m0"))
+    base = pm.join(F.broadcast(base_mon), pm.mon == F.col("m0")).select(
+        "part",
+        F.col("qty").alias("q0"),
+        F.col("rev_c").alias("rev0_c"),
+    )
+    lasp = F.col("lasp_num").cast("double") / F.col("lasp_den")
+    paas = F.col("paas_num").cast("double") / F.col("paas_den")
+    return (
+        pm.join(F.broadcast(base), "part")
+        .groupBy("mon")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.expr("rev_c * 1000 * q0 DIV qty"))
+            .cast("long")
+            .alias("lasp_num"),
+            F.sum(F.col("rev0_c") * 1000).cast("long").alias("lasp_den"),
+            F.sum(F.col("rev_c") * 1000).cast("long").alias("paas_num"),
+            F.sum(F.expr("rev0_c * 1000 * qty DIV q0"))
+            .cast("long")
+            .alias("paas_den"),
+        )
+        .select(
+            F.to_date("mon").alias("mon"),
+            "n_parts",
+            lasp.alias("laspeyres"),
+            paas.alias("paasche"),
+            F.sqrt(lasp * paas).alias("fisher"),
+        )
+        .orderBy("mon")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (the Kaplan-Meier dual)
+# ----------------------------------------------------------------------------
+
+_NA_WINDOW_DAYS = 90
+_NA_HORIZONS = (180, 365, 730, 1460)
+
+_NA_ORACLE = f"""
+WITH per_user AS (
+  SELECT o_custkey, CAST(MIN(o_orderdate) AS DATE) AS f,
+         CAST(MAX(o_orderdate) AS DATE) AS l
+  FROM orders GROUP BY 1
+),
+bounds AS (SELECT MAX(l) AS tend FROM per_user),
+u AS (
+  SELECT date_diff('day', f, l) AS dur,
+         (l <= tend - INTERVAL {_NA_WINDOW_DAYS} DAY) AS churned
+  FROM per_user, bounds
+),
+hist AS (
+  SELECT dur, COUNT(*) AS n_all,
+         CAST(COALESCE(SUM(CASE WHEN churned THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS d
+  FROM u GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS n_users FROM u),
+risk AS (
+  SELECT dur, d,
+         n_users - COALESCE(SUM(n_all) OVER (
+           ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS n_at
+  FROM hist, tot
+),
+increments AS (
+  SELECT dur, d, CAST(d AS DOUBLE) / n_at AS h
+  FROM risk WHERE d > 0
+),
+horizons AS (SELECT unnest({list(_NA_HORIZONS)}) AS horizon_days)
+SELECT horizon_days,
+  list_reduce(
+    list_prepend(CAST(0.0 AS DOUBLE),
+      COALESCE(list(h ORDER BY dur) FILTER (WHERE dur <= horizon_days),
+               [])),
+    (a, b) -> a + b) AS cum_hazard,
+  CAST(COALESCE(SUM(d) FILTER (WHERE dur <= horizon_days), 0) AS BIGINT)
+    AS deaths_within
+FROM horizons LEFT JOIN increments ON TRUE
+GROUP BY horizon_days
+ORDER BY horizon_days
+"""
+
+
+@register(
+    "nelson_aalen_hazard",
+    _NA_ORACLE,
+    "Nelson-Aalen cumulative-hazard curve of customer lifetime — the "
+    "estimator dual of kaplan_meier_churn (H(t) = sum of d_i/n_i over "
+    "death times; S ~ exp(-H)), preferred when hazard INCREMENTS are "
+    "the decision quantity (e.g. comparing churn pressure between "
+    "periods). Same censoring rule as the KM query. Exactness: each "
+    "increment is ONE double divide of exact death/at-risk counts, "
+    "and the cumulative sum is an ordered left-fold (ascending "
+    "duration, seeded 0.0) on BOTH engines — identical operand bits, "
+    "identical addition order, bit-identical doubles. Scale: "
+    "lifetimes collapse to a duration histogram first (rows = "
+    "distinct durations, calendar-bounded), so the unpartitioned "
+    "window and the fold run on dozens of rows at any corpus size.",
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per_user = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("f"),
+        F.max(F.to_date("o_orderdate")).alias("l"),
+    )
+    tend = per_user.agg(F.max("l").alias("tend"))
+    u = per_user.crossJoin(F.broadcast(tend)).select(
+        F.datediff("l", "f").alias("dur"),
+        (F.col("l") <= F.date_sub("tend", _NA_WINDOW_DAYS)).alias(
+            "churned"
+        ),
+    )
+    hist = u.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("churned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    tot = u.agg(F.count(F.lit(1)).alias("n_users"))
+    w = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = hist.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("n_all").over(w), F.lit(0))
+        ).alias("n_at"),
+    )
+    incs = risk.filter(F.col("d") > 0).select(
+        "dur",
+        "d",
+        (F.col("d").cast("double") / F.col("n_at")).alias("h"),
+    )
+    packed = incs.agg(
+        F.sort_array(F.collect_list(F.struct("dur", "d", "h"))).alias(
+            "xs"
+        )
+    )
+    horizons = F.array(*[F.lit(h) for h in _NA_HORIZONS])
+    return (
+        packed.select(
+            F.explode(horizons).alias("horizon_days"), "xs"
+        )
+        .select(
+            "horizon_days",
+            F.expr(
+                "aggregate(filter(xs, x -> x.dur <= horizon_days),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.h)"
+            ).alias("cum_hazard"),
+            F.expr(
+                "CAST(aggregate(filter(xs, x -> x.dur <= horizon_days),"
+                " 0L, (acc, x) -> acc + x.d) AS BIGINT)"
+            ).alias("deaths_within"),
+        )
+        .orderBy("horizon_days")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Pareto 80/20 concentration point (exact, histogram-based)
+# ----------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(FLOOR(o_totalprice * 100)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT rev_c,
+         SUM(rev_c) OVER (
+           ORDER BY rev_c DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_c,
+         ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey) AS rn
+  FROM per_cust
+),
+tot AS (
+  SELECT CAST(SUM(rev_c) AS BIGINT) AS tot_c,
+         CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM per_cust
+)
+SELECT CAST(MIN(rn) AS BIGINT) AS n_top,
+       MIN(n_cust) AS n_customers,
+       CAST(MIN(rn) AS DOUBLE) / MIN(n_cust) AS top_share
+FROM ranked, tot
+WHERE 5 * cum_c >= 4 * tot_c
+"""
+
+
+@register(
+    "pareto_8020_customers",
+    _PARETO_ORACLE,
+    "Exact Pareto concentration point: the MINIMUM number of customers "
+    "(by descending revenue) whose cumulative revenue reaches 80% of "
+    "the total — the single-number sharpening of lorenz_curve_deciles. "
+    "The Spark plan never sorts customers: revenue collapses to a "
+    "histogram of distinct revenue-cent levels (equal-revenue "
+    "customers are interchangeable for a cumulative-revenue threshold), "
+    "a level-ordered running sum finds the boundary level, and the "
+    "partial take inside it is an exact integer ceiling "
+    "((4*tot - 5*cum_before + 5*rev - 1) DIV (5*rev)) — all-integer "
+    "arithmetic, the 80% test is 5*cum >= 4*tot with no floats at "
+    "all until the final share divide. The oracle is the NAIVE "
+    "per-customer cumulative sort, so the driver compare proves the "
+    "histogram plan equivalent. Scale: the window runs over DISTINCT "
+    "revenue levels, not customers.",
+)
+def pareto_8020_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("rev_c")
+    )
+    levels = per_cust.groupBy("rev_c").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    tot = per_cust.agg(
+        F.sum("rev_c").cast("long").alias("tot_c"),
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+    )
+    w = Window.orderBy(F.desc("rev_c")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lev = levels.crossJoin(F.broadcast(tot)).select(
+        "rev_c",
+        "k",
+        "tot_c",
+        "n_cust",
+        F.coalesce(F.sum(F.col("rev_c") * F.col("k")).over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_before_c"),
+        F.coalesce(F.sum("k").over(w), F.lit(0))
+        .cast("long")
+        .alias("cnt_before"),
+    )
+    # boundary level: the first (highest-revenue-first) level whose
+    # full take crosses 80%; inside it the exact minimum extra
+    # customers is an integer ceiling
+    boundary = lev.filter(
+        (5 * (F.col("cum_before_c") + F.col("rev_c") * F.col("k")))
+        >= 4 * F.col("tot_c")
+    ).orderBy(F.desc("rev_c")).limit(1)
+    need = (
+        4 * F.col("tot_c") - 5 * F.col("cum_before_c")
+    )  # remaining fifths of cents
+    extra = F.expr(
+        "CAST((4 * tot_c - 5 * cum_before_c + 5 * rev_c - 1) "
+        "DIV (5 * rev_c) AS BIGINT)"
+    )
+    return boundary.select(
+        F.when(need <= 0, F.col("cnt_before"))
+        .otherwise(F.col("cnt_before") + extra)
+        .cast("long")
+        .alias("n_top"),
+        F.col("n_cust").alias("n_customers"),
+        (
+            F.when(need <= 0, F.col("cnt_before"))
+            .otherwise(F.col("cnt_before") + extra)
+            .cast("double")
+            / F.col("n_cust")
+        ).alias("top_share"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Purchase-regularity segmentation (inter-order gap discipline)
+# ----------------------------------------------------------------------------
+
+_REGULARITY_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+           lag(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+),
+per_cust AS (
+  SELECT o_custkey,
+         CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+         CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap,
+         CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap
+  FROM gaps GROUP BY 1
+),
+labeled AS (
+  SELECT CASE
+           WHEN n_gaps = 0 THEN 'one_time'
+           WHEN n_gaps >= 3 AND max_gap * n_gaps <= 2 * sum_gap
+             THEN 'regular'
+           ELSE 'sporadic'
+         END AS segment,
+         n_gaps, sum_gap
+  FROM per_cust
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_gaps) AS BIGINT) AS total_gaps,
+       CASE WHEN SUM(n_gaps) > 0
+            THEN CAST(SUM(sum_gap) AS DOUBLE) / SUM(n_gaps)
+       END AS avg_gap_days
+FROM labeled
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register(
+    "purchase_regularity_segments",
+    _REGULARITY_ORACLE,
+    "Purchase-cadence segmentation: per customer, the inter-order gap "
+    "series (lag window keyed by customer — fully partition-parallel) "
+    "classifies into one_time (no repeat), regular (>= 3 gaps and the "
+    "LONGEST gap at most twice the mean — stated as the all-integer "
+    "rule max_gap * n_gaps <= 2 * sum_gap, no float compare), or "
+    "sporadic. The subscription-detection primitive behind replenish "
+    "reminders and churn risk tiers. Output: per segment, customer "
+    "count, gap count, mean gap (ONE double divide of exact integer "
+    "sums, NULL-guarded for the one_time segment — Spark ANSI raises "
+    "on 0/0, the conversion_ab_pairs pattern).",
+)
+def purchase_regularity_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = o.select(
+        "o_custkey", F.datediff("d", F.lag("d").over(w)).alias("gap")
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.coalesce(F.sum("gap"), F.lit(0)).cast("long").alias("sum_gap"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap"),
+    )
+    seg = F.when(F.col("n_gaps") == 0, F.lit("one_time")).when(
+        (F.col("n_gaps") >= 3)
+        & (F.col("max_gap") * F.col("n_gaps") <= 2 * F.col("sum_gap")),
+        F.lit("regular"),
+    ).otherwise(F.lit("sporadic"))
+    return (
+        per_cust.select(
+            seg.alias("segment"), "n_gaps", "sum_gap"
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("n_gaps").cast("long").alias("total_gaps"),
+            F.when(
+                F.sum("n_gaps") > 0,
+                F.sum("sum_gap").cast("double") / F.sum("n_gaps"),
+            ).alias("avg_gap_days"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Fano-factor burstiness screen (events table)
+# ----------------------------------------------------------------------------
+
+_FANO_MIN_DAYS = 5
+
+_FANO_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+mom AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT user_id, d AS active_days, sx AS n_events,
+       CAST(d * sxx - sx * sx AS DOUBLE) / (d * sx) AS fano
+FROM mom
+WHERE d >= {_FANO_MIN_DAYS}
+ORDER BY fano DESC, user_id
+"""
+
+
+@register(
+    "user_burstiness_fano",
+    _FANO_ORACLE,
+    "Fano factor (variance-to-mean ratio of the user's ACTIVE-day "
+    "event counts) — the burstiness screen: ~1 is Poisson-like "
+    "organic traffic, >> 1 is bursty (campaign spikes, scripted "
+    "replays), << 1 is metronomic automation. Exactness: population "
+    "variance / mean collapses algebraically to (d*Sxx - Sx^2) / "
+    "(d*Sx) — exact BIGINT moments, ONE double divide (the ols "
+    "integer-moment pattern). Plan: two hash aggregations (user-day, "
+    "then user), no window, no collect; output bounded by users with "
+    f">= {_FANO_MIN_DAYS} active days.",
+)
+def user_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    mom = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return (
+        mom.filter(F.col("d") >= _FANO_MIN_DAYS)
+        .select(
+            "user_id",
+            F.col("d").alias("active_days"),
+            F.col("sx").alias("n_events"),
+            (
+                (
+                    F.col("d") * F.col("sxx")
+                    - F.col("sx") * F.col("sx")
+                ).cast("double")
+                / (F.col("d") * F.col("sx"))
+            ).alias("fano"),
+        )
+        .orderBy(F.desc("fano"), "user_id")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Order-backlog aging (open orders by age bucket)
+# ----------------------------------------------------------------------------
+
+_BACKLOG_ORACLE = """
+WITH bounds AS (
+  SELECT MAX(CAST(o_orderdate AS DATE)) AS as_of_day FROM orders
+),
+open_orders AS (
+  SELECT date_diff('day', CAST(o_orderdate AS DATE), as_of_day) AS age,
+         FLOOR(o_totalprice * 100) AS price_c
+  FROM orders, bounds
+  WHERE o_orderstatus <> 'F'
+)
+SELECT CASE
+         WHEN age <= 30 THEN '0-30'
+         WHEN age <= 90 THEN '31-90'
+         WHEN age <= 365 THEN '91-365'
+         ELSE '365+'
+       END AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(price_c) AS BIGINT) AS value_cents,
+       CAST(MAX(age) AS BIGINT) AS oldest_days
+FROM open_orders
+GROUP BY 1
+ORDER BY MIN(age)
+"""
+
+
+@register(
+    "order_backlog_aging",
+    _BACKLOG_ORACLE,
+    "Open-order backlog aging: every non-finalized order "
+    "(o_orderstatus <> 'F') bucketed by days outstanding relative to "
+    "the corpus as-of date (0-30 / 31-90 / 91-365 / 365+), with order "
+    "count, exact value in cents, and the oldest age per bucket — the "
+    "working-capital report every fulfillment team runs daily. "
+    "Deterministic bucket ordering via ORDER BY MIN(age) (bucket "
+    "labels don't sort chronologically as strings). Plan: one scan, "
+    "broadcast 1-row as-of date, one hash aggregation — map-side "
+    "partials, no window.",
+)
+def order_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    asof = o.agg(F.max(F.to_date("o_orderdate")).alias("asof"))
+    aged = (
+        o.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            F.datediff("asof", F.to_date("o_orderdate")).alias("age"),
+            F.floor(F.col("o_totalprice") * 100).alias("price_c"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age") <= 30, "0-30")
+        .when(F.col("age") <= 90, "31-90")
+        .when(F.col("age") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return (
+        aged.select(bucket.alias("age_bucket"), "age", "price_c")
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_c").cast("long").alias("value_cents"),
+            F.max("age").cast("long").alias("oldest_days"),
+            F.min("age").alias("__min_age"),
+        )
+        .orderBy("__min_age")
+        .drop("__min_age")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Majority-Markov next-event accuracy (sequence-model baseline eval)
+# ----------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+),
+trans AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE nxt IS NOT NULL
+  GROUP BY 1, 2
+),
+majority AS (
+  SELECT cur, nxt AS pred, n AS n_pred
+  FROM (
+    SELECT cur, nxt, n,
+           ROW_NUMBER() OVER (
+             PARTITION BY cur ORDER BY n DESC, nxt
+           ) AS rn
+    FROM trans
+  ) r WHERE rn = 1
+)
+SELECT t.cur AS from_type, m.pred AS predicted_next,
+       CAST(SUM(t.n) AS BIGINT) AS n_transitions,
+       CAST(SUM(CASE WHEN t.nxt = m.pred THEN t.n ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN t.nxt = m.pred THEN t.n ELSE 0 END)
+            AS DOUBLE) / SUM(t.n) AS accuracy
+FROM trans t JOIN majority m ON t.cur = m.cur
+GROUP BY 1, 2
+ORDER BY 1
+"""
+
+
+@register(
+    "markov_next_event_accuracy",
+    _MARKOV_ORACLE,
+    "First-order majority-Markov baseline eval: per event type, the "
+    "majority next event (argmax of the transition counts, "
+    "lexicographic tiebreak) and the accuracy that predictor achieves "
+    "over the observed transitions — THE baseline any sequence model "
+    "must beat before it earns a deploy, computed entirely from the "
+    "transition histogram (no second pass over events). Plan: one "
+    "user-partitioned lead() window (parallel by user), transitions "
+    "aggregate to event_type^2 rows (domain-bounded), the argmax is a "
+    "MAX_BY over that tiny frame, accuracy is ONE double divide of "
+    "exact counts. Ties broken by event-type name on both engines.",
+)
+def markov_next_event_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # argmax with a deterministic tiebreak — min_by over the struct
+    # (-count, name) is expression-level (no window) and matches the
+    # oracle's ROW_NUMBER(ORDER BY n DESC, nxt) exactly
+    majority = trans.groupBy("cur").agg(
+        F.expr("min_by(nxt, struct(-n, nxt))").alias("pred")
+    )
+    return (
+        trans.join(F.broadcast(majority), "cur")
+        .groupBy(
+            F.col("cur").alias("from_type"),
+            F.col("pred").alias("predicted_next"),
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_transitions"),
+            F.sum(
+                F.when(F.col("nxt") == F.col("pred"), F.col("n"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "from_type",
+            "predicted_next",
+            "n_transitions",
+            "n_correct",
+            (
+                F.col("n_correct").cast("double")
+                / F.col("n_transitions")
+            ).alias("accuracy"),
+        )
+        .orderBy("from_type")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Wilson confidence bounds for part-brand return rates
+# ----------------------------------------------------------------------------
+
+_WILSON_Z2_NUM = 96  # z^2 expressed as the exact rational 96/25 ~ 1.96^2
+_WILSON_Z2_DEN = 25
+
+_WILSON_ORACLE = f"""
+WITH counts AS (
+  SELECT p.p_brand AS brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT brand, n, r,
+       CAST(r AS DOUBLE) / n AS p_hat,
+       (CAST(25 * r + 48 AS DOUBLE) / (25 * n + 96))
+         - sqrt(CAST(2304 * n * n
+                     + 2400 * n * r * (n - r) AS DOUBLE))
+           / (25 * n + 96) / n AS wilson_lo,
+       (CAST(25 * r + 48 AS DOUBLE) / (25 * n + 96))
+         + sqrt(CAST(2304 * n * n
+                     + 2400 * n * r * (n - r) AS DOUBLE))
+           / (25 * n + 96) / n AS wilson_hi
+FROM counts
+ORDER BY brand
+"""
+
+
+@register(
+    "wilson_ci_return_rate",
+    _WILSON_ORACLE,
+    "Wilson 95% score interval for each part brand's line return rate "
+    "— the small-sample-safe bound (never leaves [0,1], no normality "
+    "assumption at the tails) that ranks brands for QA attention by "
+    "wilson_lo, not by the noisy point estimate. Exactness: with "
+    "z^2 = 96/25 (1.96^2 exactly), the interval algebra clears "
+    "denominators to INTEGER forms — center (25r+48)/(25n+96) and "
+    "half-width sqrt(2304n^2 + 2400nr(n-r)) / (25n+96) / n — so both "
+    "engines evaluate identical integer operands through one divide, "
+    "one IEEE-exact sqrt, and two more divides in the same order; no "
+    "epsilon anywhere. Plan: broadcast-able dim join, one hash "
+    "aggregation over brand (bounded domain).",
+)
+def wilson_ci_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    counts = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    center = (25 * F.col("r") + 48).cast("double") / (
+        25 * F.col("n") + 96
+    )
+    half = (
+        F.sqrt(
+            (
+                2304 * F.col("n") * F.col("n")
+                + 2400 * F.col("n") * F.col("r") * (F.col("n") - F.col("r"))
+            ).cast("double")
+        )
+        / (25 * F.col("n") + 96)
+        / F.col("n")
+    )
+    return counts.select(
+        "brand",
+        "n",
+        "r",
+        (F.col("r").cast("double") / F.col("n")).alias("p_hat"),
+        (center - half).alias("wilson_lo"),
+        (center + half).alias("wilson_hi"),
+    ).orderBy("brand")
+
+
+# ----------------------------------------------------------------------------
+# Embedding-centroid cosine audit (per-label cluster tightness)
+# ----------------------------------------------------------------------------
+
+_CENTROID_COS_ORACLE = """
+WITH dims AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS vd
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(vd ORDER BY vec_id)), (a, b) -> a + b)
+           / COUNT(*) AS c
+  FROM dims GROUP BY 1, 2
+),
+nc AS (
+  SELECT label,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(c * c ORDER BY dim)), (a, b) -> a + b) AS ncs
+  FROM cent GROUP BY 1
+),
+per_vec AS (
+  SELECT d.vec_id, d.label,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(d.vd * c.c ORDER BY d.dim)), (a, b) -> a + b) AS dot,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(d.vd * d.vd ORDER BY d.dim)), (a, b) -> a + b) AS nv
+  FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+  GROUP BY 1, 2
+),
+cosv AS (
+  SELECT p.label,
+         CASE WHEN p.nv = 0 OR n.ncs = 0 THEN NULL
+              ELSE p.dot / (sqrt(p.nv) * sqrt(n.ncs)) END AS cosim
+  FROM per_vec p JOIN nc n ON p.label = n.label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(cosim) AS min_cos,
+       MAX(cosim) AS max_cos,
+       CAST(SUM(CASE WHEN cosim < 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below
+FROM cosv
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register(
+    "embedding_centroid_cosine",
+    _CENTROID_COS_ORACLE,
+    "Per-label cluster-tightness audit: each label's centroid (per-"
+    "dimension mean) and, for every member, its cosine to that "
+    "centroid — emitting member count, the loosest and tightest "
+    "member (min/max cosine) and how many members fall below 0.9, the "
+    "screen that catches mislabeled vectors and split clusters before "
+    "they poison a semantic-dedup or ANN-recall run. Exactness: every "
+    "float is cast to double FIRST (exact), all sums — centroid "
+    "accumulation (by vec_id), dot products and norms (by dimension) "
+    "— are ordered left-folds seeded 0.0 on BOTH engines, sqrt is "
+    "IEEE-exact, and zero-norm members yield NULL (guarded on both "
+    "sides; Spark ANSI raises on double 0/0). Only order-independent "
+    "label aggregates (count/min/max) touch the cosines. Plan: "
+    "posexplode to (label, dim) partial aggregates — shuffle bounded "
+    "by vectors x dims (linear), centroid and norm frames are "
+    "labels x dims (broadcast), no pairwise joins anywhere.",
+)
+def embedding_centroid_cosine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select("label", "vec_id", "dim", F.col("v").cast("double").alias("vd"))
+    # centroid per (label, dim): ordered fold over members (vec_id
+    # order) so the double sum is bit-stable, then ONE divide
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "vd"))
+            ).alias("xs"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .select(
+            "label",
+            "dim",
+            (
+                F.expr(
+                    "aggregate(xs, CAST(0.0 AS DOUBLE),"
+                    " (a, x) -> a + x.vd)"
+                )
+                / F.col("k")
+            ).alias("c"),
+        )
+    )
+    nc = (
+        cent.groupBy("label")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("dim", "c"))).alias(
+                "cs"
+            )
+        )
+        .select(
+            "label",
+            F.expr(
+                "aggregate(cs, CAST(0.0 AS DOUBLE),"
+                " (a, x) -> a + x.c * x.c)"
+            ).alias("ncs"),
+        )
+    )
+    per_vec = (
+        dims.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("dim", "vd", "c"))
+            ).alias("xs")
+        )
+        .select(
+            "label",
+            "vec_id",
+            F.expr(
+                "aggregate(xs, CAST(0.0 AS DOUBLE),"
+                " (a, x) -> a + x.vd * x.c)"
+            ).alias("dot"),
+            F.expr(
+                "aggregate(xs, CAST(0.0 AS DOUBLE),"
+                " (a, x) -> a + x.vd * x.vd)"
+            ).alias("nv"),
+        )
+    )
+    cosim = F.when(
+        (F.col("nv") == 0) | (F.col("ncs") == 0), F.lit(None)
+    ).otherwise(
+        F.col("dot") / (F.sqrt("nv") * F.sqrt("ncs"))
+    )
+    return (
+        per_vec.join(F.broadcast(nc), "label")
+        .select("label", cosim.alias("cosim"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("cosim").alias("min_cos"),
+            F.max("cosim").alias("max_cos"),
+            F.sum(F.when(F.col("cosim") < 0.9, 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+        )
+        .orderBy("label")
+    )
