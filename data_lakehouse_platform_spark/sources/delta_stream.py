@@ -1,0 +1,286 @@
+"""Structured-Streaming SOURCE over delta_lite tables (Spark 4 Python
+DataSource stream API) — the delta-spark ``readStream.format("delta")``
+surface for this engine's own log format.
+
+delta-spark's DeltaSource turns a Delta table into an exactly-once
+stream: the offset is the table VERSION (checkpointed by Spark's WAL),
+the first batch serves the table's current snapshot, and every later
+micro-batch serves the ``add`` files of the commits that landed since
+the last offset.  This module implements the same contract against
+delta_lite's log with the public ``pyspark.sql.datasource`` API
+(pattern proven by sources/eventlog_stream.py):
+
+* **offset** = ``{"version": N}`` — every commit ``<= N`` consumed.
+  The log is immutable per version, so replaying a checkpointed range
+  after a crash serves byte-identical rows: exactly-once end to end.
+* **initial batch** = the SNAPSHOT at the start version (live files
+  after replay, deletion vectors applied) — never the raw per-commit
+  adds, which would double-count rows rewritten by compaction.
+  ``startingVersion`` (int) starts the per-commit tail at that version
+  with no snapshot; ``startingVersion=latest`` serves only commits
+  that land after the stream starts (Kafka's ``latest`` analog).
+* **later batches** serve each commit's ``dataChange: true`` adds, one
+  input partition per file — parsed executor-side with pyarrow, never
+  on the driver.  ``dataChange: false`` adds (OPTIMIZE output) are
+  always skipped, exactly as delta-spark does.
+* **non-append commits** (a commit that also REMOVES data files:
+  overwrite/merge/update/delete) FAIL LOUDLY by default — a stream of
+  appends cannot represent them.  ``ignoreChanges=true`` serves such a
+  commit's add files anyway (delta-spark's semantics: rewritten rows
+  re-emit, consumers must dedup), ``skipChangeCommits=true`` skips
+  them entirely.  For a true row-level change stream use
+  ``DeltaLiteTable.table_changes`` (the CDF reader) over micro-batch
+  version ranges.
+
+Refusals: column-mapping tables and unknown reader features are
+refused at plan time (the module's loud-refusal discipline);
+deletion vectors are APPLIED in the snapshot batch (deleted row
+indexes resolved driver-side from the log-sized bitmaps and shipped
+in the partition descriptor) and cannot appear on fresh appends.
+
+Usage::
+
+    spark.dataSource.register(DeltaLiteStreamDataSource)
+    stream = (spark.readStream.format("delta_lite")
+              .option("path", table_dir).load())
+
+Reference analog: the reference's real-time path consumes Kafka
+(scripts/real-time/orders_consumer.py) and lands batches into Delta;
+this source closes the reverse direction — the lakehouse table itself
+as a replayable stream, which is how medallion silver/gold layers
+tail bronze without an external broker.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import urllib.parse
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from data_lakehouse_platform_spark.sources.delta_lite import (
+    DeltaLiteTable,
+    DeltaProtocolError,
+)
+
+__all__ = ["DeltaLiteStreamDataSource"]
+
+
+class _FilePartition(InputPartition):
+    """One data file to serve: absolute path, the table's partition-
+    column values for it (decoded, from the LOG — the source of truth,
+    never directory inference), and the row indexes its deletion
+    vector masks (empty for appends)."""
+
+    def __init__(
+        self,
+        path: str,
+        partition_values: dict,
+        deleted_rows: list[int],
+    ):
+        self.path = path
+        self.partition_values = partition_values
+        self.deleted_rows = deleted_rows
+
+
+def _pv_cast(raw: str | None, dt_name: str):
+    """Decode one partitionValues string to the column's Python value
+    (the same serialization delta_lite's batch reader casts in SQL)."""
+    if raw is None:
+        return None
+    if dt_name in ("byte", "short", "integer", "long"):
+        return int(raw)
+    if dt_name in ("float", "double"):
+        return float(raw)
+    if dt_name == "boolean":
+        return raw == "true"
+    if dt_name == "date":
+        return _dt.date.fromisoformat(raw)
+    if dt_name.startswith("decimal"):
+        from decimal import Decimal
+
+        return Decimal(raw)
+    return raw  # string et al.
+
+
+class _DeltaStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("delta_lite stream requires .option('path', ...)")
+        self._schema = schema
+        self._ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        self._skip_change_commits = (
+            str(options.get("skipchangecommits", "false")).lower()
+            == "true"
+        )
+        self._starting = options.get("startingversion")
+        self._table = DeltaLiteTable(self._path)
+        latest = self._table.latest_version()
+        if latest is None:
+            raise FileNotFoundError(
+                f"no Delta log at {self._table.log_dir}"
+            )
+        meta, _live, proto = self._table._replay(latest)
+        mode = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode != "none":
+            raise DeltaProtocolError(
+                "delta_lite streaming source does not support "
+                f"column mapping (mode={mode!r}) — read in batch mode"
+            )
+        self._part_cols = meta.get("partitionColumns", [])
+
+    # -- offsets -------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        if self._starting is None:
+            # snapshot bootstrap: the first batch serves the CURRENT
+            # snapshot; the per-commit tail starts after it
+            return {"version": -1}
+        if str(self._starting).lower() == "latest":
+            return {"version": int(self._table.latest_version())}
+        v = int(self._starting)
+        if v < 0:
+            raise ValueError("startingVersion must be >= 0 or 'latest'")
+        return {"version": v - 1, "no_snapshot": True}
+
+    def latestOffset(self) -> dict:
+        return {"version": int(self._table.latest_version())}
+
+    def commit(self, end: dict) -> None:
+        pass  # the log is the durable store; nothing to acknowledge
+
+    # -- planning (driver-side, log-sized metadata only) ---------------
+
+    def _snapshot_partitions(self, version: int) -> list[_FilePartition]:
+        _meta, live, _proto = self._table._replay(version)
+        parts = []
+        for rel in sorted(live):
+            a = live[rel]
+            dv = a.get("deletionVector")
+            deleted = self._table._dv_deleted_rows(dv) if dv else []
+            parts.append(
+                _FilePartition(
+                    os.path.join(self._table.path, rel),
+                    a.get("partitionValues") or {},
+                    deleted,
+                )
+            )
+        return parts
+
+    def _commit_partitions(self, version: int) -> list[_FilePartition]:
+        acts = self._table._actions(version)
+        removes = [
+            a["remove"]
+            for a in acts
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        adds = [
+            a["add"]
+            for a in acts
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        if removes:
+            if self._skip_change_commits:
+                return []
+            if not self._ignore_changes:
+                raise DeltaProtocolError(
+                    f"version {version} is not an append (it removes "
+                    "data files) — a streaming read of appends cannot "
+                    "represent it; set ignoreChanges=true to re-emit "
+                    "its rewritten rows, skipChangeCommits=true to "
+                    "skip it, or consume table_changes() instead"
+                )
+        return [
+            _FilePartition(
+                os.path.join(
+                    self._table.path,
+                    urllib.parse.unquote(a["path"]),
+                ),
+                a.get("partitionValues") or {},
+                [],
+            )
+            for a in adds
+        ]
+
+    def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[_FilePartition] = []
+        if lo < 0 and not start.get("no_snapshot"):
+            # bootstrap batch: snapshot at `hi`, nothing per-commit
+            return self._snapshot_partitions(hi) or [
+                _FilePartition("", {}, [])
+            ]
+        for v in range(lo + 1, hi + 1):
+            parts.extend(self._commit_partitions(v))
+        # Spark requires >= 1 partition per batch; an empty range
+        # (metadata-only commits) serves one empty partition
+        return parts or [_FilePartition("", {}, [])]
+
+    # -- executor-side read --------------------------------------------
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        cols = set(tbl.column_names)
+        data = {
+            c: tbl.column(c).to_pylist() for c in tbl.column_names
+        }
+        n = tbl.num_rows
+        deleted = set(partition.deleted_rows)
+        fields = self._schema.fields
+        pvals = {
+            f.name: _pv_cast(
+                partition.partition_values.get(f.name),
+                f.dataType.typeName(),
+            )
+            for f in fields
+            if f.name not in cols
+        }
+        out = []
+        for i in range(n):
+            if i in deleted:
+                continue
+            out.append(
+                tuple(
+                    data[f.name][i] if f.name in cols else pvals[f.name]
+                    for f in fields
+                )
+            )
+        return iter(out)
+
+
+class DeltaLiteStreamDataSource(DataSource):
+    """``spark.readStream.format("delta_lite")`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_lite"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_lite source requires .option('path', ...)")
+        t = DeltaLiteTable(path)
+        latest = t.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no Delta log at {t.log_dir}")
+        meta, _live, _proto = t._replay(latest)
+        return StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def streamReader(self, schema: StructType) -> _DeltaStreamReader:
+        return _DeltaStreamReader(schema, dict(self.options))

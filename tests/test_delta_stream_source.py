@@ -1,0 +1,231 @@
+"""Streaming SOURCE over delta_lite tables (sources/delta_stream.py):
+version-offset exactly-once tailing, snapshot bootstrap, partition
+columns from the log, deletion vectors applied in the bootstrap,
+OPTIMIZE commits skipped, non-append commits refused/ignored/skipped
+per option — the delta-spark DeltaSource contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_lakehouse_platform_spark.sources.delta_lite import (
+    DeltaLiteTable,
+)
+from data_lakehouse_platform_spark.sources.delta_stream import (
+    DeltaLiteStreamDataSource,
+)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(DeltaLiteStreamDataSource)
+    return spark
+
+
+def _mk(spark, tmp_path, rows, partition_by=None, name="t"):
+    t = DeltaLiteTable(str(tmp_path / name))
+    df = spark.createDataFrame(rows, "id long, val string, grp string")
+    t.write(df, partition_by=partition_by)
+    return t
+
+
+def _drain(spark, table_dir, out_dir, ckpt, **options):
+    """One availableNow wave into a parquet sink (memory sinks cannot
+    recover checkpoints) — returns the cumulative sink rows."""
+    reader = spark.readStream.format("delta_lite").option(
+        "path", table_dir
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sorted(
+        (r.id, r.val, r.grp)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+
+
+def test_snapshot_bootstrap_then_append_tail(registered, tmp_path):
+    spark = registered
+    t = _mk(
+        spark,
+        tmp_path,
+        [(1, "a", "x"), (2, "b", "y")],
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # wave 1: the snapshot
+    got = _drain(spark, t.path, out, ckpt)
+    assert got == [(1, "a", "x"), (2, "b", "y")]
+    # wave 2: nothing new -> no duplicates (exactly-once on replay)
+    got = _drain(spark, t.path, out, ckpt)
+    assert got == [(1, "a", "x"), (2, "b", "y")]
+    # two appends while the stream is down
+    t.write(
+        spark.createDataFrame([(3, "c", "x")],
+                              "id long, val string, grp string"),
+        mode="append",
+    )
+    t.write(
+        spark.createDataFrame([(4, "d", "y")],
+                              "id long, val string, grp string"),
+        mode="append",
+    )
+    got = _drain(spark, t.path, out, ckpt)
+    assert got == [
+        (1, "a", "x"), (2, "b", "y"), (3, "c", "x"), (4, "d", "y")
+    ]
+
+
+def test_partition_columns_come_from_the_log(registered, tmp_path):
+    spark = registered
+    t = _mk(
+        spark,
+        tmp_path,
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", None)],
+        partition_by=["grp"],
+    )
+    got = _drain(
+        spark, t.path, str(tmp_path / "o"), str(tmp_path / "c")
+    )
+    # NULL partition value round-trips (__HIVE_DEFAULT_PARTITION__)
+    assert got == [(1, "a", "x"), (2, "b", "y"), (3, "c", None)]
+
+
+def test_bootstrap_applies_deletion_vectors(registered, tmp_path):
+    spark = registered
+    t = _mk(
+        spark,
+        tmp_path,
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "y")],
+    )
+    t.delete(spark, "id = 2", strategy="dv")
+    got = _drain(
+        spark, t.path, str(tmp_path / "o"), str(tmp_path / "c")
+    )
+    assert got == [(1, "a", "x"), (3, "c", "y")]
+
+
+def test_non_append_commit_refused_then_option_paths(
+    registered, tmp_path
+):
+    spark = registered
+    t = _mk(
+        spark,
+        tmp_path,
+        [(1, "a", "x"), (2, "b", "y")],
+    )
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    assert len(_drain(spark, t.path, out, ckpt)) == 2
+    # a rewrite DELETE removes a data file -> not an append
+    t.delete(spark, "id = 1", strategy="rewrite")
+    with pytest.raises(Exception, match="not an append"):
+        _drain(spark, t.path, out, ckpt)
+    # skipChangeCommits: the change commit is skipped entirely
+    got = _drain(
+        spark,
+        t.path,
+        str(tmp_path / "o2"),
+        str(tmp_path / "c2"),
+        skipChangeCommits="true",
+    )
+    # bootstrap snapshot (post-delete state); later change commits
+    # would be skipped
+    assert got == [(2, "b", "y")]
+    # ignoreChanges: the rewrite's add files re-emit.  ONE data file,
+    # so the delete's rewrite carries the surviving row (with separate
+    # files the touched file's rewrite would be empty).
+    t2 = DeltaLiteTable(str(tmp_path / "t2"))
+    t2.write(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")],
+            "id long, val string, grp string",
+        ).coalesce(1)
+    )
+    o3, c3 = str(tmp_path / "o3"), str(tmp_path / "c3")
+    _drain(spark, t2.path, o3, c3, ignoreChanges="true")
+    t2.delete(spark, "id = 1", strategy="rewrite")
+    got = _drain(spark, t2.path, o3, c3, ignoreChanges="true")
+    # the surviving row re-emits (rewritten file served again):
+    # delta-spark's documented ignoreChanges duplication
+    assert got == [(1, "a", "x"), (2, "b", "y"), (2, "b", "y")]
+
+
+def test_optimize_commits_are_skipped(registered, tmp_path):
+    spark = registered
+    t = _mk(spark, tmp_path, [(1, "a", "x")])
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    assert len(_drain(spark, t.path, out, ckpt)) == 1
+    t.write(
+        spark.createDataFrame([(2, "b", "y")],
+                              "id long, val string, grp string"),
+        mode="append",
+    )
+    t.optimize(spark)  # dataChange=false adds + removes
+    got = _drain(spark, t.path, out, ckpt)
+    # the append arrives once; OPTIMIZE contributes nothing
+    assert got == [(1, "a", "x"), (2, "b", "y")]
+
+
+def test_starting_version_latest_tails_only_new_commits(
+    registered, tmp_path
+):
+    spark = registered
+    t = _mk(spark, tmp_path, [(1, "a", "x")])
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    got = _drain(
+        spark, t.path, out, ckpt, startingVersion="latest"
+    )
+    assert got == []  # the existing snapshot is NOT served
+    t.write(
+        spark.createDataFrame([(2, "b", "y")],
+                              "id long, val string, grp string"),
+        mode="append",
+    )
+    got = _drain(
+        spark, t.path, out, ckpt, startingVersion="latest"
+    )
+    assert got == [(2, "b", "y")]
+
+
+def test_starting_version_integer(registered, tmp_path):
+    spark = registered
+    t = _mk(spark, tmp_path, [(1, "a", "x")])
+    t.write(
+        spark.createDataFrame([(2, "b", "y")],
+                              "id long, val string, grp string"),
+        mode="append",
+    )
+    t.write(
+        spark.createDataFrame([(3, "c", "y")],
+                              "id long, val string, grp string"),
+        mode="append",
+    )
+    got = _drain(
+        spark,
+        t.path,
+        str(tmp_path / "o"),
+        str(tmp_path / "c"),
+        startingVersion="1",
+    )
+    # versions 1 and 2 as per-commit adds; version 0's snapshot skipped
+    assert got == [(2, "b", "y"), (3, "c", "y")]
+
+
+def test_schema_inferred_from_the_log(registered, tmp_path):
+    spark = registered
+    t = _mk(spark, tmp_path, [(1, "a", "x")])
+    df = spark.readStream.format("delta_lite").option(
+        "path", t.path
+    ).load()
+    assert [f.name for f in df.schema.fields] == ["id", "val", "grp"]
+    assert df.isStreaming
