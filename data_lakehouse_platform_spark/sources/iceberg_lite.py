@@ -1128,6 +1128,159 @@ class IcebergLiteTable:
     def history(self) -> list[dict]:
         return self.metadata().get("snapshot-log", [])
 
+    # -- incremental (between-snapshot) append scan ----------------------
+
+    def _snapshot_chain(
+        self, from_snapshot_id: int | None, to_snapshot_id: int
+    ) -> list[dict]:
+        """Snapshots strictly after ``from_snapshot_id`` up to and
+        including ``to_snapshot_id``, oldest first, following
+        parent-snapshot-id links.  Raises when the chain is broken
+        (an intermediate snapshot was expired — the incremental range
+        is then honestly unrecoverable, same posture as delta_lite's
+        cleaned-log refusal) or when ``from`` is not an ancestor of
+        ``to``."""
+        meta = self.metadata()
+        snaps = {
+            int(s["snapshot-id"]): s for s in meta.get("snapshots", [])
+        }
+        if to_snapshot_id not in snaps:
+            raise FileNotFoundError(
+                f"snapshot {to_snapshot_id} not in table "
+                f"(have {sorted(snaps)})"
+            )
+        chain: list[dict] = []
+        cur: int | None = to_snapshot_id
+        while cur is not None and cur != from_snapshot_id:
+            s = snaps.get(cur)
+            if s is None:
+                raise IcebergProtocolError(
+                    f"snapshot {cur} was expired — the incremental "
+                    f"range ..{to_snapshot_id} no longer derives from "
+                    "the table's snapshot lineage"
+                )
+            chain.append(s)
+            p = s.get("parent-snapshot-id")
+            cur = int(p) if p is not None else None
+        if from_snapshot_id is not None and cur != from_snapshot_id:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{to_snapshot_id}"
+            )
+        chain.reverse()
+        return chain
+
+    def incremental_append_files(
+        self,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+        on_change: str = "error",
+    ) -> list[tuple[int, str, int, dict]]:
+        """The data files APPENDED in ``(from_snapshot_id,
+        to_snapshot_id]`` as ``(snapshot_id, path, sequence,
+        partition)`` tuples, oldest snapshot first — Iceberg's
+        incremental append scan (Spark's ``start-snapshot-id`` /
+        ``end-snapshot-id`` read options), the primitive a changelog
+        consumer or streaming tail rides.
+
+        Per snapshot: ``append`` contributes the files its commit
+        added (live-set difference vs the parent — exact, metadata-
+        sized); ``replace`` (compaction) contributes NOTHING (no
+        logical data change, the delta-source dataChange=false rule);
+        ``delete``/``overwrite`` are not representable as appends —
+        ``on_change='error'`` (default) refuses loudly,
+        ``'skip'`` skips the snapshot, ``'emit_added'`` emits the
+        files it added anyway (the ignoreChanges analog: rewritten
+        rows re-emit, consumers must dedup)."""
+        if on_change not in ("error", "skip", "emit_added"):
+            raise ValueError(
+                "on_change must be error|skip|emit_added, got "
+                f"{on_change!r}"
+            )
+        if to_snapshot_id is None:
+            to_snapshot_id = self.current_snapshot_id()
+            if to_snapshot_id is None:
+                raise FileNotFoundError(
+                    f"table at {self.path} has no current snapshot"
+                )
+        meta = self.metadata()
+        snaps = {
+            int(s["snapshot-id"]): s for s in meta.get("snapshots", [])
+        }
+        out: list[tuple[int, str, int, dict]] = []
+        for s in self._snapshot_chain(from_snapshot_id, to_snapshot_id):
+            sid = int(s["snapshot-id"])
+            op = str((s.get("summary") or {}).get("operation", ""))
+            if op == "replace":
+                continue  # compaction: no logical rows changed
+            if op not in ("append",) and on_change == "error":
+                raise IcebergProtocolError(
+                    f"snapshot {sid} is a {op or 'unknown'!s} commit — "
+                    "an incremental APPEND scan cannot represent it; "
+                    "pass on_change='skip' or 'emit_added', or diff "
+                    "the snapshots instead"
+                )
+            if op not in ("append",) and on_change == "skip":
+                continue
+            live, _dels = self._live_files(s)
+            parent = s.get("parent-snapshot-id")
+            before: set[str] = set()
+            if parent is not None:
+                psnap = snaps.get(int(parent))
+                if psnap is None:
+                    raise IcebergProtocolError(
+                        f"snapshot {sid}'s parent {parent} was expired "
+                        "— added-file attribution is unrecoverable"
+                    )
+                plive, _pdels = self._live_files(psnap)
+                before = {p for p, _seq, _part in plive}
+            out.extend(
+                (sid, p, seq, part)
+                for p, seq, part in live
+                if p not in before
+            )
+        return out
+
+    def incremental_read(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+        on_change: str = "error",
+    ) -> DataFrame:
+        """Read the rows appended in ``(from, to]`` — the files from
+        :meth:`incremental_append_files`, resolved through the TO
+        snapshot's schema (field-id resolution, so renames/drops
+        between the range's snapshots read correctly), with NO delete
+        files applied: the scan serves rows as they were appended,
+        exactly like Iceberg's incremental append scan."""
+        if to_snapshot_id is None:
+            to_snapshot_id = self.current_snapshot_id()
+        files = self.incremental_append_files(
+            from_snapshot_id, to_snapshot_id, on_change=on_change
+        )
+        if not files:
+            return self.read(
+                spark, snapshot_id=to_snapshot_id
+            ).limit(0)
+        meta = self.metadata()
+        snap = next(
+            s
+            for s in meta.get("snapshots", [])
+            if int(s["snapshot-id"]) == to_snapshot_id
+        )
+        if "schema-id" in snap and any(
+            int(s.get("schema-id", -1)) == int(snap["schema-id"])
+            for s in meta.get("schemas", [])
+        ):
+            meta = {**meta, "current-schema-id": int(snap["schema-id"])}
+        return self._read_files(
+            spark,
+            meta,
+            [(p, seq, part) for _sid, p, seq, part in files],
+            deletes=[],
+        )
+
     def _table_spec(self, meta: dict) -> list[dict]:
         """The table's default partition-spec fields, int-normalized."""
         spec = next(
