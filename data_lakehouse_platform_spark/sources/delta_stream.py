@@ -28,9 +28,18 @@ delta_lite's log with the public ``pyspark.sql.datasource`` API
   appends cannot represent them.  ``ignoreChanges=true`` serves such a
   commit's add files anyway (delta-spark's semantics: rewritten rows
   re-emit, consumers must dedup), ``skipChangeCommits=true`` skips
-  them entirely.  For a true row-level change stream use
-  ``DeltaLiteTable.table_changes`` (the CDF reader) over micro-batch
-  version ranges.
+  them entirely.  For a true row-level change stream set
+  ``readChangeFeed=true`` (below) or use
+  ``DeltaLiteTable.table_changes`` in batch.
+* **CDF mode** (``readChangeFeed=true``, delta-spark's streaming CDF):
+  the result schema gains ``_change_type`` / ``_commit_version`` /
+  ``_commit_timestamp``; each micro-batch serves the commits' real
+  ``_change_data`` files (insert / delete / update_preimage /
+  update_postimage), add-only commits infer as inserts, the bootstrap
+  snapshot arrives as inserts at the starting version, and a mixed
+  commit without cdc actions refuses loudly (enable
+  ``delta.enableChangeDataFeed`` so mutating verbs write change
+  files).
 
 Refusals: column-mapping tables and unknown reader features are
 refused at plan time (the module's loud-refusal discipline);
@@ -77,17 +86,26 @@ class _FilePartition(InputPartition):
     """One data file to serve: absolute path, the table's partition-
     column values for it (decoded, from the LOG — the source of truth,
     never directory inference), and the row indexes its deletion
-    vector masks (empty for appends)."""
+    vector masks (empty for appends).  In CDF mode (``kind`` set) the
+    partition also carries the commit coordinates: ``kind='cdc'``
+    means the file itself stores ``_change_type``; ``kind='insert'``
+    stamps every row as an insert (the spec's add-only inference)."""
 
     def __init__(
         self,
         path: str,
         partition_values: dict,
         deleted_rows: list[int],
+        kind: str | None = None,
+        version: int | None = None,
+        ts_ms: int | None = None,
     ):
         self.path = path
         self.partition_values = partition_values
         self.deleted_rows = deleted_rows
+        self.kind = kind
+        self.version = version
+        self.ts_ms = ts_ms
 
 
 def _pv_cast(raw: str | None, dt_name: str):
@@ -124,6 +142,10 @@ class _DeltaStreamReader(DataSourceStreamReader):
             == "true"
         )
         self._starting = options.get("startingversion")
+        self._read_cdf = (
+            str(options.get("readchangefeed", "false")).lower()
+            == "true"
+        )
         self._table = DeltaLiteTable(self._path)
         latest = self._table.latest_version()
         if latest is None:
@@ -179,6 +201,66 @@ class _DeltaStreamReader(DataSourceStreamReader):
             )
         return parts
 
+    def _commit_ts(self, version: int) -> int:
+        for a in self._table._actions(version):
+            if "commitInfo" in a and "timestamp" in a["commitInfo"]:
+                return int(a["commitInfo"]["timestamp"])
+        return int(
+            os.path.getmtime(
+                os.path.join(
+                    self._table.log_dir, f"{version:020d}.json"
+                )
+            )
+            * 1000
+        )
+
+    def _cdf_commit_partitions(
+        self, version: int
+    ) -> list[_FilePartition]:
+        """CDF mode: a commit's change files (or add-only inference) as
+        partitions stamped with the commit coordinates — the streaming
+        twin of DeltaLiteTable._table_changes_cdf."""
+        acts = self._table._actions(version)
+        ts = self._commit_ts(version)
+        cdc = [a["cdc"] for a in acts if "cdc" in a]
+        adds = [
+            a["add"]
+            for a in acts
+            if "add" in a and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a["remove"]
+            for a in acts
+            if "remove" in a and a["remove"].get("dataChange", True)
+        ]
+        if cdc:
+            src, kind = cdc, "cdc"
+        elif adds and not removes:
+            src, kind = adds, "insert"
+        elif not adds and not removes:
+            return []
+        else:
+            raise DeltaProtocolError(
+                f"version {version} mixes dataChange adds and removes "
+                "without cdc actions — its change set is not "
+                "derivable; enable delta.enableChangeDataFeed so "
+                "mutating commits write change files"
+            )
+        return [
+            _FilePartition(
+                os.path.join(
+                    self._table.path,
+                    urllib.parse.unquote(a["path"]),
+                ),
+                a.get("partitionValues") or {},
+                [],
+                kind=kind,
+                version=version,
+                ts_ms=ts,
+            )
+            for a in src
+        ]
+
     def _commit_partitions(self, version: int) -> list[_FilePartition]:
         acts = self._table._actions(version)
         removes = [
@@ -218,12 +300,26 @@ class _DeltaStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         parts: list[_FilePartition] = []
         if lo < 0 and not start.get("no_snapshot"):
-            # bootstrap batch: snapshot at `hi`, nothing per-commit
-            return self._snapshot_partitions(hi) or [
-                _FilePartition("", {}, [])
-            ]
+            # bootstrap batch: snapshot at `hi`, nothing per-commit.
+            # CDF mode stamps every snapshot row as an insert at the
+            # bootstrap version (delta-spark's readChangeFeed start).
+            parts = self._snapshot_partitions(hi)
+            if self._read_cdf:
+                ts = self._commit_ts(hi)
+                for p in parts:
+                    p.kind, p.version, p.ts_ms = "insert", hi, ts
+                    if p.deleted_rows:
+                        # a snapshot-with-DV row set is still served
+                        # (deletions applied); the surviving rows are
+                        # the snapshot's inserts
+                        pass
+            return parts or [_FilePartition("", {}, [])]
         for v in range(lo + 1, hi + 1):
-            parts.extend(self._commit_partitions(v))
+            parts.extend(
+                self._cdf_commit_partitions(v)
+                if self._read_cdf
+                else self._commit_partitions(v)
+            )
         # Spark requires >= 1 partition per batch; an empty range
         # (metadata-only commits) serves one empty partition
         return parts or [_FilePartition("", {}, [])]
@@ -242,6 +338,18 @@ class _DeltaStreamReader(DataSourceStreamReader):
         }
         n = tbl.num_rows
         deleted = set(partition.deleted_rows)
+        cdf = partition.kind is not None
+        ts = (
+            _dt.datetime.fromtimestamp(
+                partition.ts_ms / 1000.0, tz=_dt.timezone.utc
+            )
+            if cdf
+            else None
+        )
+        meta_vals = {
+            "_commit_version": partition.version,
+            "_commit_timestamp": ts,
+        }
         fields = self._schema.fields
         pvals = {
             f.name: _pv_cast(
@@ -249,19 +357,29 @@ class _DeltaStreamReader(DataSourceStreamReader):
                 f.dataType.typeName(),
             )
             for f in fields
-            if f.name not in cols
+            if f.name not in cols and f.name not in meta_vals
+            and f.name != "_change_type"
         }
-        out = []
-        for i in range(n):
-            if i in deleted:
-                continue
-            out.append(
-                tuple(
-                    data[f.name][i] if f.name in cols else pvals[f.name]
-                    for f in fields
+
+        def _cell(f, i):
+            if cdf and f.name == "_change_type":
+                # cdc files store it; add-only inference stamps it
+                return (
+                    data["_change_type"][i]
+                    if partition.kind == "cdc"
+                    else "insert"
                 )
-            )
-        return iter(out)
+            if cdf and f.name in meta_vals:
+                return meta_vals[f.name]
+            if f.name in cols:
+                return data[f.name][i]
+            return pvals[f.name]
+
+        return iter(
+            tuple(_cell(f, i) for f in fields)
+            for i in range(n)
+            if i not in deleted
+        )
 
 
 class DeltaLiteStreamDataSource(DataSource):
@@ -280,7 +398,27 @@ class DeltaLiteStreamDataSource(DataSource):
         if latest is None:
             raise FileNotFoundError(f"no Delta log at {t.log_dir}")
         meta, _live, _proto = t._replay(latest)
-        return StructType.fromJson(json.loads(meta["schemaString"]))
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        if (
+            str(self.options.get("readchangefeed", "false")).lower()
+            == "true"
+        ):
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                TimestampType,
+            )
+
+            schema = StructType(
+                list(schema.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                    StructField("_commit_timestamp", TimestampType()),
+                ]
+            )
+        return schema
 
     def streamReader(self, schema: StructType) -> _DeltaStreamReader:
         return _DeltaStreamReader(schema, dict(self.options))

@@ -229,3 +229,112 @@ def test_schema_inferred_from_the_log(registered, tmp_path):
     ).load()
     assert [f.name for f in df.schema.fields] == ["id", "val", "grp"]
     assert df.isStreaming
+
+
+# -- CDF streaming mode (readChangeFeed=true) ---------------------------
+
+
+def _mk_cdf(spark, tmp_path, name="cdft"):
+    t = DeltaLiteTable(str(tmp_path / name))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")],
+            "id long, val string, grp string",
+        ).coalesce(1),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    return t
+
+
+def _drain_cdf(spark, table_dir, out_dir, ckpt):
+    q = (
+        spark.readStream.format("delta_lite")
+        .option("path", table_dir)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sorted(
+        (r._commit_version, r.id, r.val, r._change_type)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+
+
+def test_cdf_stream_schema_and_bootstrap(registered, tmp_path):
+    spark = registered
+    t = _mk_cdf(spark, tmp_path)
+    df = (
+        spark.readStream.format("delta_lite")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    assert df.columns[-3:] == [
+        "_change_type", "_commit_version", "_commit_timestamp"
+    ]
+    got = _drain_cdf(
+        spark, t.path, str(tmp_path / "o"), str(tmp_path / "c")
+    )
+    # bootstrap snapshot = inserts at the bootstrap version
+    assert got == [(0, 1, "a", "insert"), (0, 2, "b", "insert")]
+
+
+def test_cdf_stream_serves_update_delete_merge_changes(
+    registered, tmp_path
+):
+    spark = registered
+    t = _mk_cdf(spark, tmp_path)
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    _drain_cdf(spark, t.path, out, ckpt)  # bootstrap
+    t.update(spark, "id = 2", {"val": "'B'"})            # v1
+    t.delete(spark, "id = 1", strategy="rewrite")        # v2
+    t.write(
+        spark.createDataFrame([(3, "c", "y")],
+                              "id long, val string, grp string"),
+        mode="append",
+    )                                                    # v3 (inferred)
+    got = _drain_cdf(spark, t.path, out, ckpt)
+    assert got == [
+        (0, 1, "a", "insert"),
+        (0, 2, "b", "insert"),
+        (1, 2, "B", "update_postimage"),
+        (1, 2, "b", "update_preimage"),
+        (2, 1, "a", "delete"),
+        (3, 3, "c", "insert"),
+    ]
+    # replay adds nothing (exactly-once)
+    assert _drain_cdf(spark, t.path, out, ckpt) == got
+    # _commit_timestamp is populated and non-decreasing per version
+    rows = spark.read.parquet(out).collect()
+    by_v = {}
+    for r in rows:
+        assert r._commit_timestamp is not None
+        by_v.setdefault(r._commit_version, set()).add(
+            r._commit_timestamp
+        )
+    assert all(len(s) == 1 for s in by_v.values())
+
+
+def test_cdf_stream_refuses_underivable_mixed_commit(
+    registered, tmp_path
+):
+    spark = registered
+    # PLAIN table (no CDF): a rewrite delete mixes adds+removes with
+    # no cdc actions -> the CDF stream refuses loudly
+    t = DeltaLiteTable(str(tmp_path / "plain"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")],
+            "id long, val string, grp string",
+        ).coalesce(1)
+    )
+    out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    _drain_cdf(spark, t.path, out, ckpt)
+    t.delete(spark, "id = 1", strategy="rewrite")
+    with pytest.raises(Exception, match="enableChangeDataFeed"):
+        _drain_cdf(spark, t.path, out, ckpt)
