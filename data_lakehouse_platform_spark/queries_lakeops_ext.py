@@ -949,3 +949,535 @@ def embedding_centroid_cosine(
         )
         .orderBy("label")
     )
+
+
+# ----------------------------------------------------------------------------
+# Tail latency per ship mode (exact order statistics)
+# ----------------------------------------------------------------------------
+
+_TAIL_ORACLE = """
+WITH lat AS (
+  SELECT n.n_name AS nation,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS days,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+ranked AS (
+  SELECT nation, days,
+         ROW_NUMBER() OVER (
+           PARTITION BY nation
+           ORDER BY days, l_orderkey, l_linenumber
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY nation) AS n
+  FROM lat
+)
+SELECT nation,
+       CAST(MIN(n) AS BIGINT) AS n_lines,
+       CAST(MIN(CASE WHEN 100 * rn >= 90 * n THEN days END)
+            AS BIGINT) AS p90_days,
+       CAST(MIN(CASE WHEN 100 * rn >= 99 * n THEN days END)
+            AS BIGINT) AS p99_days,
+       CAST(MAX(days) AS BIGINT) AS max_days
+FROM ranked
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@register(
+    "nation_tail_latency",
+    _TAIL_ORACLE,
+    "Tail fulfillment latency (order-to-ship delay) per customer "
+    "nation: exact discrete p90/p99 as SELECTION order statistics — "
+    "the smallest value whose rank covers the quantile (100*rn >= "
+    "q*n, integer compare, no interpolation, so both engines pick the "
+    "identical row) — plus max; the geographic-SLA view that "
+    "lead_time_quartiles' priority split does not give. Scale: the "
+    "Spark plan collapses to a (nation, days) HISTOGRAM first — the "
+    "rank scan then runs over distinct delay values per nation "
+    "(calendar-bounded), not lines, and the dims broadcast; the "
+    "oracle ranks every line naively, making the compare the "
+    "equivalence proof.",
+)
+def nation_tail_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).alias("days"),
+        )
+    )
+    hist = lat.groupBy("nation", "days").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    w = Window.partitionBy("nation").orderBy("days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("nation")
+    ranked = hist.select(
+        "nation",
+        "days",
+        F.sum("k").over(w).alias("cum"),
+        F.sum("k").over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            F.min("n").cast("long").alias("n_lines"),
+            F.min(
+                F.when(100 * F.col("cum") >= 90 * F.col("n"), F.col("days"))
+            )
+            .cast("long")
+            .alias("p90_days"),
+            F.min(
+                F.when(100 * F.col("cum") >= 99 * F.col("n"), F.col("days"))
+            )
+            .cast("long")
+            .alias("p99_days"),
+            F.max("days").cast("long").alias("max_days"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Event-rate anomaly days via median/MAD (robust, all-integer gate)
+# ----------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type,
+         CAST(2 * median(x) AS BIGINT) AS med2
+  FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT d.event_type, d.day, d.x, m.med2,
+         abs(2 * d.x - m.med2) AS adev2
+  FROM daily d JOIN med m ON d.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type,
+         CAST(2 * median(adev2) AS BIGINT) AS mad4
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, d.day, d.x, d.med2, m.mad4
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE m.mad4 > 0 AND 4 * d.adev2 > 7 * m.mad4
+ORDER BY d.event_type, d.day
+"""
+
+
+@register(
+    "event_rate_mad_anomalies",
+    _MAD_ORACLE,
+    "Robust event-rate anomaly days: per event type, daily counts "
+    "whose deviation from the type's MEDIAN exceeds 3.5 MADs — the "
+    "outlier gate that, unlike the z-score, is not dragged by the "
+    "anomalies themselves (poisson_rate_anomaly's parametric "
+    "complement). Exactness: medians of integers are half-integral, "
+    "so 2*median and 2*median(|2x - 2*med|) are exact BIGINTs (both "
+    "engines interpolate p50 as the midpoint of the two middle "
+    "values, exact in doubles), and the 3.5-MAD gate clears to the "
+    "ALL-INTEGER comparison 4*|2x - med2| > 7*mad4 — no float "
+    "threshold anywhere. Scale: everything after the first "
+    "aggregation runs on (type, day) rows — calendar-bounded.",
+)
+def event_rate_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    med = daily.groupBy("event_type").agg(
+        (2 * F.expr("percentile(x, 0.5)")).cast("long").alias("med2")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "x",
+        "med2",
+        F.abs(2 * F.col("x") - F.col("med2")).alias("adev2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.expr("percentile(adev2, 0.5)"))
+        .cast("long")
+        .alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad4") > 0)
+            & (4 * F.col("adev2") > 7 * F.col("mad4"))
+        )
+        .select("event_type", "day", "x", "med2", "mad4")
+        .orderBy("event_type", "day")
+    )
+
+
+# ----------------------------------------------------------------------------
+# ABC x XYZ inventory matrix (revenue concentration x demand stability)
+# ----------------------------------------------------------------------------
+
+_ABC_XYZ_ORACLE = """
+WITH per_part AS (
+  SELECT l.l_partkey AS part,
+         CAST(SUM(FLOOR(l.l_extendedprice * 100)) AS BIGINT) AS rev_c
+  FROM lineitem l GROUP BY 1
+),
+ranked AS (
+  SELECT part, rev_c,
+         SUM(rev_c) OVER (
+           ORDER BY rev_c DESC, part
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_c
+  FROM per_part
+),
+tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot_c FROM per_part),
+abc AS (
+  SELECT part, rev_c,
+         CASE WHEN 10 * cum_c <= 8 * tot_c THEN 'A'
+              WHEN 100 * cum_c <= 95 * tot_c THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked, tot
+),
+monthly AS (
+  SELECT l.l_partkey AS part,
+         date_trunc('month', o.o_orderdate) AS mon,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+xyz AS (
+  SELECT part,
+         CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(q) AS BIGINT) AS sq,
+         CAST(SUM(q * q) AS BIGINT) AS sqq
+  FROM monthly GROUP BY 1
+),
+labeled AS (
+  SELECT a.abc_class,
+         CASE WHEN 4 * (x.m * x.sqq - x.sq * x.sq) <= x.sq * x.sq
+                THEN 'X'
+              WHEN x.m * x.sqq - x.sq * x.sq <= x.sq * x.sq
+                THEN 'Y'
+              ELSE 'Z' END AS xyz_class,
+         a.rev_c
+  FROM abc a JOIN xyz x ON a.part = x.part
+)
+SELECT abc_class, xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev_c) AS BIGINT) AS revenue_cents
+FROM labeled
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "abc_xyz_matrix",
+    _ABC_XYZ_ORACLE,
+    "The ABC x XYZ inventory planning matrix: ABC = cumulative-revenue "
+    "class (A = first 80% of revenue by descending part revenue, B = "
+    "next 15%, C = tail; all-integer threshold compares 10*cum <= "
+    "8*tot / 100*cum <= 95*tot with (revenue, partkey) tiebreak), XYZ "
+    "= demand stability over the part's active months via the "
+    "coefficient of variation, cleared of floats entirely: cv^2 <= "
+    "1/4 <=> 4*(m*Sqq - Sq^2) <= Sq^2 ('X'), cv^2 <= 1 ('Y'), else "
+    "'Z'. Nine cells with part counts and exact revenue. Scale: the "
+    "Spark ABC pass rides the revenue-LEVEL histogram (running sums "
+    "over distinct revenue values; within a level, parts rank by key "
+    "inside that level's tie group only — exact same classes as the "
+    "oracle's naive per-part cumulative sort), XYZ is two hash "
+    "aggregations; no table-sized window anywhere.",
+)
+def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    per_part = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100))
+        .cast("long")
+        .alias("rev_c")
+    )
+    # ABC via the level histogram: running revenue BEFORE each level,
+    # plus each part's rank inside its own tie level (tiny windows)
+    levels = per_part.groupBy("rev_c").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    wlev = Window.orderBy(F.desc("rev_c")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lev = levels.select(
+        "rev_c",
+        F.coalesce(
+            F.sum(F.col("rev_c") * F.col("k")).over(wlev), F.lit(0)
+        )
+        .cast("long")
+        .alias("cum_before_c"),
+    )
+    wtie = Window.partitionBy("rev_c").orderBy("part")
+    tot = per_part.agg(F.sum("rev_c").cast("long").alias("tot_c"))
+    abc = (
+        per_part.join(lev, "rev_c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part",
+            "rev_c",
+            (
+                F.col("cum_before_c")
+                + F.col("rev_c") * F.row_number().over(wtie)
+            ).alias("cum_c"),
+            "tot_c",
+        )
+        .select(
+            "part",
+            "rev_c",
+            F.when(
+                10 * F.col("cum_c") <= 8 * F.col("tot_c"), "A"
+            )
+            .when(100 * F.col("cum_c") <= 95 * F.col("tot_c"), "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    monthly = (
+        li.select("l_orderkey", "l_partkey", "l_quantity")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    xyz = monthly.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    var_num = F.col("m") * F.col("sqq") - F.col("sq") * F.col("sq")
+    labeled = abc.join(xyz, "part").select(
+        "abc_class",
+        F.when(4 * var_num <= F.col("sq") * F.col("sq"), "X")
+        .when(var_num <= F.col("sq") * F.col("sq"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+        "rev_c",
+    )
+    return (
+        labeled.groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev_c").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Character-diversity (Gini impurity) per language
+# ----------------------------------------------------------------------------
+
+_CHAR_GINI_ORACLE = """
+WITH chars AS (
+  SELECT lang, unnest(string_split(text, '')) AS ch
+  FROM documents
+),
+counts AS (
+  SELECT lang, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM chars GROUP BY 1, 2
+),
+agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+         CAST(SUM(c) AS BIGINT) AS total_chars,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM counts GROUP BY 1
+)
+SELECT lang, distinct_chars, total_chars,
+       CAST(total_chars * total_chars - sum_c2 AS DOUBLE)
+         / (total_chars * total_chars) AS gini_impurity
+FROM agg
+ORDER BY lang
+"""
+
+
+@register(
+    "char_gini_by_lang",
+    _CHAR_GINI_ORACLE,
+    "Character-diversity screen per language: Gini impurity of the "
+    "corpus character distribution (1 - sum p_i^2 — the log-free "
+    "entropy stand-in, like token_diversity_simpson at token level) "
+    "plus alphabet size — near-zero impurity flags degenerate or "
+    "template-flooded slices, an unexpectedly small alphabet flags "
+    "mojibake or wrong-language routing. Exactness: impurity "
+    "collapses to (N^2 - sum c^2) / N^2 — exact BIGINT character "
+    "counts, ONE double divide. Scale: explode is linear in corpus "
+    "characters and aggregates immediately to (lang, char) — the "
+    "downstream frames are alphabet-bounded.",
+)
+def char_gini_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("lang", "text")
+    counts = (
+        d.select("lang", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("lang", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+        F.sum("c").cast("long").alias("total_chars"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    n2 = F.col("total_chars") * F.col("total_chars")
+    return agg.select(
+        "lang",
+        "distinct_chars",
+        "total_chars",
+        ((n2 - F.col("sum_c2")).cast("double") / n2).alias(
+            "gini_impurity"
+        ),
+    ).orderBy("lang")
+
+
+# ----------------------------------------------------------------------------
+# Supplier lead-time trend (Mann-Kendall S on monthly means, all-integer)
+# ----------------------------------------------------------------------------
+
+_SUPP_TREND_ORACLE = """
+WITH monthly AS (
+  SELECT l.l_suppkey AS supp,
+         date_trunc('month', o.o_orderdate) AS mon,
+         CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE))) AS BIGINT)
+           AS sum_days,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.supp,
+         CASE WHEN b.sum_days * a.n > a.sum_days * b.n THEN 1
+              WHEN b.sum_days * a.n < a.sum_days * b.n THEN -1
+              ELSE 0 END AS sgn
+  FROM monthly a JOIN monthly b
+    ON a.supp = b.supp AND a.mon < b.mon
+),
+stat AS (
+  SELECT supp, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY 1
+),
+m AS (
+  SELECT supp, CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly
+  GROUP BY 1
+)
+SELECT s.supp AS suppkey, m.n_months, s.n_pairs, s.s_stat,
+       CASE WHEN s.s_stat < 0 THEN 'improving'
+            WHEN s.s_stat > 0 THEN 'worsening'
+            ELSE 'flat' END AS trend
+FROM stat s JOIN m ON s.supp = m.supp
+WHERE m.n_months >= 6
+ORDER BY suppkey
+"""
+
+
+@register(
+    "supplier_leadtime_trend_counts",
+    _SUPP_TREND_ORACLE,
+    "Per-supplier lead-time trend: the Mann-Kendall S statistic over "
+    "the supplier's MONTHLY MEAN order-to-ship delay — negative S = "
+    "lead times improving, positive = worsening — the vendor-"
+    "management scorecard row that mann_kendall_trend's single global "
+    "series does not give. Exactness: mean comparisons between months "
+    "cross-multiply exact integer (sum, count) pairs (sum_i * n_j vs "
+    "sum_j * n_i — never a float mean), so S is an exact integer. "
+    "Scale: pairs form within (supplier, month-pair) only — months^2 "
+    "per supplier is calendar-bounded, the pair count is LINEAR in "
+    "suppliers; the oracle is the same naive pairwise join, proving "
+    "the Spark plan (a self-join partitioned by supplier) equivalent.",
+)
+def supplier_leadtime_trend_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    monthly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_suppkey").alias("supp"),
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .agg(
+            F.sum(
+                F.datediff(
+                    F.to_date("l_shipdate"), F.to_date("o_orderdate")
+                )
+            )
+            .cast("long")
+            .alias("sum_days"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.supp") == F.col("b.supp"))
+        & (F.col("a.mon") < F.col("b.mon")),
+    ).select(
+        F.col("a.supp").alias("supp"),
+        F.when(
+            F.col("b.sum_days") * F.col("a.n")
+            > F.col("a.sum_days") * F.col("b.n"),
+            1,
+        )
+        .when(
+            F.col("b.sum_days") * F.col("a.n")
+            < F.col("a.sum_days") * F.col("b.n"),
+            -1,
+        )
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    stat = pairs.groupBy("supp").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    months = monthly.groupBy("supp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months")
+    )
+    return (
+        stat.join(months, "supp")
+        .filter(F.col("n_months") >= 6)
+        .select(
+            F.col("supp").alias("suppkey"),
+            "n_months",
+            "n_pairs",
+            "s_stat",
+            F.when(F.col("s_stat") < 0, "improving")
+            .when(F.col("s_stat") > 0, "worsening")
+            .otherwise("flat")
+            .alias("trend"),
+        )
+        .orderBy("suppkey")
+    )
