@@ -67,6 +67,11 @@ HEADLINE = [
     # first bench run
     "fuzzy_match_customers",
     "graph_components_bipartite",
+    # round-7 flagships (level-histogram ABC x integer-moment XYZ;
+    # corpus character explode), baselined from their first quiet-box
+    # run
+    "abc_xyz_matrix",
+    "char_gini_by_lang",
     # round-6 flagships (deletion-signature resolution pairs; matched-
     # basket price index), baselined from their first quiet-box run
     "editdist_pairs_customers",

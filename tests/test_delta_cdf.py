@@ -414,3 +414,83 @@ def test_merge_nondeterministic_source_agrees_with_snapshot(
         (2, "update_preimage"),
         (9, "insert"),
     ]
+
+
+def test_seeded_verbs_with_restore_stream_matches_batch(
+    spark, tmp_path
+):
+    """Round-7 verb-model extension: RESTORE joins the random verb mix
+    (its change set must fold like any other commit), and the
+    STREAMING CDF source (readChangeFeed=true, startingVersion=0)
+    must serve exactly the batch table_changes feed — stream and
+    batch are two readers of the same change files."""
+    from data_lakehouse_platform_spark.sources.delta_stream import (
+        DeltaLiteStreamDataSource,
+    )
+
+    spark.dataSource.register(DeltaLiteStreamDataSource)
+    rng = random.Random(777)
+    t = _mk(spark, tmp_path, name="model_restore")
+    next_id = 10
+    for _step in range(8):
+        op = rng.choice(["append", "update", "delete", "restore"])
+        live = {r.id for r in t.read(spark).collect()}
+        if op == "append":
+            t.write(
+                spark.createDataFrame(
+                    [(next_id, f"n{next_id}", "x")],
+                    "id long, val string, grp string",
+                ),
+                mode="append",
+            )
+            next_id += 1
+        elif op == "update" and live:
+            pivot = rng.choice(sorted(live))
+            t.update(
+                spark, f"id = {pivot}", {"val": "concat(val,'+')"}
+            )
+        elif op == "delete" and live:
+            victim = rng.choice(sorted(live))
+            t.delete(spark, f"id = {victim}", strategy="rewrite")
+        elif op == "restore":
+            target = rng.choice(t.all_versions())
+            t.restore(target, spark=spark)
+    # 1) the full feed folds to the final snapshot (restore included)
+    feed = t.table_changes(spark, 0)
+    state = {1: "a", 2: "b", 3: "c"}
+    for r in sorted(
+        feed.collect(),
+        key=lambda r: (r._commit_version, r._change_type),
+    ):
+        if r._change_type in ("insert", "update_postimage"):
+            state[r.id] = r.val
+        elif r._change_type == "delete":
+            state.pop(r.id, None)
+    got = {r.id: r.val for r in t.read(spark).collect()}
+    assert got == state
+    # 2) the streaming CDF source serves the SAME feed (tail from v0;
+    # drop v0 itself — batch table_changes(0) starts at v1)
+    out, ckpt = str(tmp_path / "so"), str(tmp_path / "sc")
+    q = (
+        spark.readStream.format("delta_lite")
+        .option("path", t.path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        (r._commit_version, r.id, r.val, r._change_type)
+        for r in spark.read.parquet(out).collect()
+        if r._commit_version >= 1
+    )
+    batch = sorted(
+        (r._commit_version, r.id, r.val, r._change_type)
+        for r in feed.collect()
+    )
+    assert streamed == batch
