@@ -70,7 +70,9 @@ import urllib.parse
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -382,6 +384,224 @@ class _DeltaStreamReader(DataSourceStreamReader):
         )
 
 
+_ARROW_BY_SPARK = {
+    "byte": "int8",
+    "short": "int16",
+    "integer": "int32",
+    "long": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool",
+    "date": "date32",
+    "timestamp": "us",  # resolved specially below
+}
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, staged_path: str, rows: int):
+        self.staged_path = staged_path
+        self.rows = rows
+
+
+class _DeltaStreamWriter(DataSourceStreamWriter):
+    """Transactional STREAMING SINK into a delta_lite table — the
+    delta-spark ``writeStream.format("delta")`` contract:
+
+    * every task stages its rows as a hidden parquet file (pyarrow,
+      executor-side);
+    * the DRIVER commit publishes the batch as ONE Delta version:
+      staged files renamed to visible names, ``add`` actions plus a
+      ``txn {appId, version: batchId}`` action in a single
+      put-if-absent commit — so a replayed micro-batch (Spark retries
+      commit after a crash) finds its batchId already recorded in
+      :meth:`DeltaLiteTable.txn_versions` and drops the staged files
+      instead of double-committing: exactly-once end to end;
+    * a first commit CREATES the table from the stream's schema
+      (protocol + metaData actions, delta-spark's sink behavior).
+
+    ``txnAppId`` (option) names the idempotence ledger; the default is
+    derived from the table path, correct for the common one-query-per-
+    table case — set it explicitly when several queries append to the
+    same table.  Unpartitioned appends only (atomic top-level columns);
+    partitioned or nested sinks go through foreachBatch +
+    ``DeltaLiteTable.write``."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError(
+                "delta_lite sink requires .option('path', ...)"
+            )
+        self._schema = schema
+        self._app_id = options.get(
+            "txnappid",
+            f"delta-lite-stream-sink:{os.path.basename(os.path.abspath(self._path))}",
+        )
+        for f in schema.fields:
+            t = f.dataType.typeName()
+            if t not in _ARROW_BY_SPARK and not t.startswith("decimal"):
+                raise ValueError(
+                    f"column {f.name!r} has type {t!r} — the streaming "
+                    "sink writes atomic top-level columns only; use "
+                    "foreachBatch + DeltaLiteTable.write for nested or "
+                    "partitioned appends"
+                )
+
+    def _arrow_schema(self):
+        import pyarrow as pa
+
+        fields = []
+        for f in self._schema.fields:
+            t = f.dataType.typeName()
+            if t == "timestamp":
+                pt = pa.timestamp("us")
+            elif t.startswith("decimal"):
+                pt = pa.decimal128(
+                    f.dataType.precision, f.dataType.scale
+                )
+            else:
+                pt = pa.type_for_alias(_ARROW_BY_SPARK[t])
+            fields.append(pa.field(f.name, pt, nullable=True))
+        return pa.schema(fields)
+
+    def write(self, iterator) -> _StagedFile:
+        import uuid as uuidlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        names = [f.name for f in self._schema.fields]
+        cols: dict[str, list] = {n: [] for n in names}
+        n = 0
+        for row in iterator:
+            for name in names:
+                cols[name].append(row[name])
+            n += 1
+        if n == 0:
+            return _StagedFile("", 0)
+        tbl = pa.table(
+            {name: cols[name] for name in names},
+            schema=self._arrow_schema(),
+        )
+        # hidden while staged: Spark's file listings skip dot-files,
+        # and delta readers only ever open files the LOG references
+        staged = os.path.join(
+            self._path, f".stream-stage-{uuidlib.uuid4().hex}.parquet"
+        )
+        os.makedirs(self._path, exist_ok=True)
+        pq.write_table(tbl, staged)
+        return _StagedFile(staged, n)
+
+    # -- driver-side commit protocol ------------------------------------
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as jsonlib
+        import time
+        import uuid as uuidlib
+
+        staged = [
+            m for m in messages
+            if m is not None and getattr(m, "staged_path", "")
+        ]
+        t = DeltaLiteTable(self._path)
+        latest = t.latest_version()
+        if latest is not None:
+            done = t.txn_versions().get(self._app_id, -1)
+            if batchId <= done:
+                for m in staged:  # replayed batch: already published
+                    try:
+                        os.remove(m.staged_path)
+                    except FileNotFoundError:
+                        pass
+                return
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "STREAMING UPDATE",
+                    "operationParameters": {
+                        "outputMode": "Append",
+                        "epochId": batchId,
+                    },
+                    "engineInfo": "delta-lite/0.1 (stream sink)",
+                }
+            }
+        ]
+        if latest is None:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(uuidlib.uuid4()),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": self._schema.json(),
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": now_ms,
+                    }
+                }
+            )
+        else:
+            meta, _live, proto = t._replay(latest)
+            t._check_write_protocol(meta, proto, "append")
+            if jsonlib.loads(meta["schemaString"]) != jsonlib.loads(
+                self._schema.json()
+            ):
+                raise ValueError(
+                    "stream schema differs from the table schema; "
+                    "delta_lite does not evolve schemas implicitly"
+                )
+        for i, m in enumerate(sorted(staged, key=lambda m: m.staged_path)):
+            final = os.path.join(
+                self._path,
+                f"part-stream-{batchId:012d}-{i:05d}-"
+                f"{uuidlib.uuid4().hex[:12]}.parquet",
+            )
+            os.replace(m.staged_path, final)  # visible at publish
+            actions.append(
+                {
+                    "add": {
+                        "path": os.path.basename(final),
+                        "partitionValues": {},
+                        "size": os.path.getsize(final),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.append(
+            {
+                "txn": {
+                    "appId": self._app_id,
+                    "version": int(batchId),
+                    "lastUpdated": now_ms,
+                }
+            }
+        )
+        # pure append: a lost slot race retries onto the next version
+        # (the txn action still guards against double-commit)
+        t._commit(
+            actions,
+            (latest + 1) if latest is not None else 0,
+            stale_sensitive=(latest is None),
+            computed_against=latest,
+            op_desc=f"streaming batch {batchId}",
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            p = getattr(m, "staged_path", "") if m is not None else ""
+            if p:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+
+
 class DeltaLiteStreamDataSource(DataSource):
     """``spark.readStream.format("delta_lite")`` — see module doc."""
 
@@ -422,3 +642,12 @@ class DeltaLiteStreamDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> _DeltaStreamReader:
         return _DeltaStreamReader(schema, dict(self.options))
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> _DeltaStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "delta_lite sink supports append output mode only"
+            )
+        return _DeltaStreamWriter(schema, dict(self.options))

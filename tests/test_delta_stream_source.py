@@ -338,3 +338,137 @@ def test_cdf_stream_refuses_underivable_mixed_commit(
     t.delete(spark, "id = 1", strategy="rewrite")
     with pytest.raises(Exception, match="enableChangeDataFeed"):
         _drain_cdf(spark, t.path, out, ckpt)
+
+
+# -- transactional streaming SINK (writeStream.format('delta_lite')) ----
+
+
+def test_sink_creates_table_and_appends_exactly_once(
+    registered, tmp_path
+):
+    """Table-to-table streaming replication: delta source -> delta
+    sink, availableNow waves on a shared checkpoint — the sink table
+    must track the source exactly (no loss, no duplicates) and carry
+    txn actions for idempotent replay."""
+    spark = registered
+    src = _mk(spark, tmp_path, [(1, "a", "x"), (2, "b", "y")],
+              name="src")
+    sink_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ck")
+
+    def wave():
+        q = (
+            spark.readStream.format("delta_lite")
+            .option("path", src.path)
+            .load()
+            .writeStream.format("delta_lite")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r.id, r.val, r.grp)
+            for r in DeltaLiteTable(sink_dir).read(spark).collect()
+        )
+
+    assert wave() == [(1, "a", "x"), (2, "b", "y")]
+    assert wave() == [(1, "a", "x"), (2, "b", "y")]  # no duplicates
+    src.write(
+        spark.createDataFrame([(3, "c", "x")],
+                              "id long, val string, grp string"),
+        mode="append",
+    )
+    assert wave() == [(1, "a", "x"), (2, "b", "y"), (3, "c", "x")]
+    # the sink's commits carry the exactly-once txn ledger
+    t = DeltaLiteTable(sink_dir)
+    vers = t.txn_versions()
+    assert len(vers) == 1 and list(vers.values())[0] >= 1
+    # schema was created from the stream
+    assert t.read(spark).columns == ["id", "val", "grp"]
+
+
+def test_sink_commit_is_idempotent_per_batch(registered, tmp_path):
+    """A replayed commit (same batchId) must drop its staged files and
+    leave the table unchanged — the txn-action guard, exercised
+    directly on the writer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_lakehouse_platform_spark.sources.delta_stream import (
+        _DeltaStreamWriter,
+        _StagedFile,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    spark = registered
+    sink_dir = str(tmp_path / "s2")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("val", StringType()),
+        ]
+    )
+    w = _DeltaStreamWriter(schema, {"path": sink_dir})
+
+    def staged(rows):
+        os.makedirs(sink_dir, exist_ok=True)
+        p = os.path.join(sink_dir, f".stream-stage-{len(rows)}.parquet")
+        pq.write_table(
+            pa.table(
+                {"id": [r[0] for r in rows],
+                 "val": [r[1] for r in rows]},
+                schema=w._arrow_schema(),
+            ),
+            p,
+        )
+        return _StagedFile(p, len(rows))
+
+    w.commit([staged([(1, "a"), (2, "b")])], batchId=0)
+    t = DeltaLiteTable(sink_dir)
+    assert t.latest_version() == 0
+    # replay of batch 0 with fresh staged files: dropped, no commit
+    w.commit([staged([(1, "a"), (2, "b")])], batchId=0)
+    assert t.latest_version() == 0
+    assert sorted(
+        (r.id, r.val) for r in t.read(spark).collect()
+    ) == [(1, "a"), (2, "b")]
+    # no staged debris left behind
+    assert not [
+        f for f in os.listdir(sink_dir) if f.startswith(".stream-stage")
+    ]
+    # next batch commits normally
+    w.commit([staged([(3, "c")])], batchId=1)
+    assert t.latest_version() == 1
+    assert t.txn_versions()[w._app_id] == 1
+
+
+def test_sink_refuses_schema_drift_and_overwrite_mode(
+    registered, tmp_path
+):
+    spark = registered
+    src = _mk(spark, tmp_path, [(1, "a", "x")], name="src3")
+    sink_dir = str(tmp_path / "s3")
+    # pre-create the sink with a DIFFERENT schema
+    DeltaLiteTable(sink_dir).write(
+        spark.createDataFrame([(1,)], "only long")
+    )
+    q = (
+        spark.readStream.format("delta_lite")
+        .option("path", src.path)
+        .load()
+        .writeStream.format("delta_lite")
+        .option("path", sink_dir)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="schema"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
