@@ -1481,3 +1481,371 @@ def supplier_leadtime_trend_counts(
         )
         .orderBy("suppkey")
     )
+
+
+# ----------------------------------------------------------------------------
+# Holt-Winters additive forecast (level + trend + weekly season, integers)
+# ----------------------------------------------------------------------------
+
+_HW_HORIZONS = (1, 7, 14)
+
+# the recurrence, spelled once and inlined into both engines' replays
+_HW_SI_SQL = "r.s[((q.rn - 1) % 7) + 1]"
+_HW_LT_SQL = f"(q.cents - {_HW_SI_SQL} + r.l + r.b) // 2"
+_HW_BT_SQL = f"(({_HW_LT_SQL}) - r.l + r.b) // 2"
+
+_HW_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(28,0)))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+q AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+),
+r AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS l,
+         CAST(0 AS BIGINT) AS b,
+         [0, 0, 0, 0, 0, 0, 0]::BIGINT[] AS s
+  UNION ALL
+  SELECT q.rn,
+         {_HW_LT_SQL} AS l,
+         {_HW_BT_SQL} AS b,
+         list_transform(r.s, (v, j) ->
+           CASE WHEN j = ((q.rn - 1) % 7) + 1
+                THEN (q.cents - ({_HW_LT_SQL}) + {_HW_SI_SQL}) // 2
+                ELSE v END) AS s
+  FROM r JOIN q ON q.rn = r.rn + 1
+),
+final AS (
+  SELECT l, b, s, rn AS n_days FROM r ORDER BY rn DESC LIMIT 1
+),
+horizons AS (SELECT unnest({list(_HW_HORIZONS)}) AS horizon_days)
+SELECT horizon_days, CAST(n_days AS BIGINT) AS n_days,
+       l / 100.0 AS level,
+       b / 100.0 AS trend,
+       s[CAST((n_days - 1 + horizon_days) % 7 AS INT) + 1] / 100.0
+         AS season,
+       (l + horizon_days * b
+          + s[CAST((n_days - 1 + horizon_days) % 7 AS INT) + 1])
+         / 100.0 AS forecast
+FROM horizons, final
+ORDER BY horizon_days
+"""
+
+_HW_SI = "element_at(acc.s, CAST(acc.i % 7 AS INT) + 1)"
+_HW_LT = f"(x.cents - {_HW_SI} + acc.l + acc.b) div 2"
+_HW_BT = f"(({_HW_LT}) - acc.l + acc.b) div 2"
+_HW_FOLD = (
+    "aggregate(xs,"
+    " named_struct('l', 0L, 'b', 0L,"
+    "              's', array_repeat(0L, 7), 'i', 0L),"
+    " (acc, x) -> named_struct("
+    f"   'l', {_HW_LT},"
+    f"   'b', {_HW_BT},"
+    "    's', transform(acc.s, (v, j) ->"
+    "           IF(CAST(j AS BIGINT) = acc.i % 7,"
+    f"             (x.cents - ({_HW_LT}) + {_HW_SI}) div 2, v)),"
+    "    'i', acc.i + 1L),"
+    " acc -> acc)"
+)
+
+
+@register(
+    "holt_winters_forecast",
+    _HW_ORACLE,
+    "Holt-Winters ADDITIVE triple-exponential forecast of daily "
+    "revenue (level + trend + weekly season, alpha = beta = gamma = "
+    "1/2) at 1/7/14-day horizons — the seasonal upgrade over "
+    "holt_linear_forecast when weekday structure dominates. The whole "
+    "state (level, trend, the 7 seasonal terms) is an INTEGER "
+    "recurrence on exact cents: l' = (x - s_i + l + b) div 2, b' = "
+    "(l' - l + b) div 2, s_i' = (x - l' + s_i) div 2 — truncating "
+    "integer division agrees between Spark div and DuckDB // for both "
+    "signs, so the state replays bit-identically (Spark: one "
+    "aggregate() left fold carrying a struct with the season array; "
+    "oracle: recursive CTE with BIGINT[] list state); doubles appear "
+    "only in the final display divides. Scale: orders collapse "
+    "map-side to per-day cents, the fold runs over a calendar-bounded "
+    "array.",
+)
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast(
+                    "decimal(28,0)"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    packed = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias(
+            "xs"
+        )
+    )
+    state = packed.select(
+        F.size("xs").cast("bigint").alias("n_days"),
+        F.expr(_HW_FOLD).alias("st"),
+    )
+    horizons = F.array(*[F.lit(h) for h in _HW_HORIZONS])
+    season = F.expr(
+        "element_at(st.s,"
+        " CAST((n_days - 1 + horizon_days) % 7 AS INT) + 1)"
+    )
+    return (
+        state.select(F.explode(horizons).alias("horizon_days"),
+                     "n_days", "st")
+        .select(
+            "horizon_days",
+            "n_days",
+            (F.col("st.l") / F.lit(100.0)).alias("level"),
+            (F.col("st.b") / F.lit(100.0)).alias("trend"),
+            (season / F.lit(100.0)).alias("season"),
+            (
+                (
+                    F.col("st.l")
+                    + F.col("horizon_days") * F.col("st.b")
+                    + season
+                )
+                / F.lit(100.0)
+            ).alias("forecast"),
+        )
+        .orderBy("horizon_days")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Stationary event mix: in-engine power iteration on the Markov matrix
+# ----------------------------------------------------------------------------
+
+_STATIONARY_ITERS = 20
+
+_STATIONARY_ORACLE = f"""
+WITH RECURSIVE seq AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+),
+trans AS (
+  SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+types AS (
+  SELECT event_type AS t,
+         CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT event_type FROM events) d
+),
+dense AS (
+  SELECT ti.tid AS i, tj.tid AS j,
+         CAST(COALESCE(tr.n, 0) AS BIGINT) AS cnt
+  FROM types ti
+  CROSS JOIN types tj
+  LEFT JOIN trans tr ON tr.cur = ti.t AND tr.nxt = tj.t
+),
+rowtot AS (
+  SELECT i, CAST(SUM(cnt) AS BIGINT) AS tot FROM dense GROUP BY 1
+),
+probs AS (
+  SELECT d.i, d.j,
+         CASE WHEN r.tot = 0
+              THEN CASE WHEN d.i = d.j THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END
+              ELSE CAST(d.cnt AS DOUBLE) / r.tot END AS p
+  FROM dense d JOIN rowtot r ON d.i = r.i
+),
+packed AS (
+  SELECT list(p ORDER BY i, j) AS pm,
+         CAST((SELECT COUNT(*) FROM types) AS BIGINT) AS m
+  FROM probs
+),
+go AS (
+  SELECT 0 AS k, m, pm,
+         list_transform(generate_series(1, m), x -> 1.0 / m) AS v
+  FROM packed
+  UNION ALL
+  SELECT k + 1, m, pm,
+         list_transform(generate_series(1, m), j ->
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(generate_series(1, m),
+               i -> v[i] * pm[(i - 1) * m + j])),
+             (a, b) -> a + b))
+  FROM go WHERE k < {_STATIONARY_ITERS}
+),
+fin AS (SELECT v FROM go ORDER BY k DESC LIMIT 1)
+SELECT t.t AS event_type,
+       f.v[CAST(t.tid AS INT)] AS stationary_share
+FROM types t, fin f
+ORDER BY event_type
+"""
+
+
+@register(
+    "stationary_event_mix",
+    _STATIONARY_ORACLE,
+    "Long-run stationary distribution of the user-journey Markov "
+    f"chain: {_STATIONARY_ITERS} power-iteration steps of v' = P^T v "
+    "on the dense event-type transition matrix (rows with no observed "
+    "exit get a self-loop, the standard absorbing fix) — where the "
+    "journey settles, vs where it starts; the steady-state companion "
+    "of event_transitions and markov_next_event_accuracy. ENTIRELY "
+    "in-engine: the matrix packs into ONE row-major array (domain-"
+    "bounded, event_types^2 entries) and the iteration is a pure "
+    "expression fold — Spark aggregate(sequence(1, k)) over nested "
+    "transform/aggregate, DuckDB a recursive CTE over the same nested "
+    "list folds; every inner product folds i ascending with identical "
+    "operands (probabilities are single divides of exact counts, v0 = "
+    "1.0/m), so all doubles are bit-identical. No driver loop, no "
+    "collect.",
+)
+def stationary_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wt = Window.orderBy("t")  # domain-bounded: distinct event types
+    types = (
+        e.select(F.col("event_type").alias("t"))
+        .distinct()
+        .select("t", F.row_number().over(wt).cast("long").alias("tid"))
+    )
+    ti = types.select(F.col("t").alias("ct"), F.col("tid").alias("i"))
+    tj = types.select(F.col("t").alias("nt"), F.col("tid").alias("j"))
+    dense = (
+        ti.crossJoin(F.broadcast(tj))
+        .join(
+            F.broadcast(trans),
+            (F.col("ct") == F.col("cur")) & (F.col("nt") == F.col("nxt")),
+            "left",
+        )
+        .select(
+            "i", "j", F.coalesce(F.col("n"), F.lit(0)).alias("cnt")
+        )
+    )
+    wrow = Window.partitionBy("i")
+    probs = dense.select(
+        "i",
+        "j",
+        F.when(
+            F.sum("cnt").over(wrow) == 0,
+            F.when(F.col("i") == F.col("j"), F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .otherwise(
+            F.col("cnt").cast("double") / F.sum("cnt").over(wrow)
+        )
+        .alias("p"),
+    )
+    packed = probs.agg(
+        F.sort_array(F.collect_list(F.struct("i", "j", "p"))).alias(
+            "pj"
+        ),
+        F.max("i").cast("int").alias("m"),
+    ).select(
+        F.expr("transform(pj, x -> x.p)").alias("pm"), "m"
+    )
+    iterate = (
+        "aggregate(sequence(1, {k}),"
+        " transform(sequence(1, m), x -> 1.0D / m),"
+        " (v, kk) -> transform(sequence(1, m), j ->"
+        "   aggregate(sequence(1, m), CAST(0.0 AS DOUBLE),"
+        "     (a, i) -> a + element_at(v, i)"
+        "       * element_at(pm, (i - 1) * m + j))),"
+        " v -> v)"
+    ).format(k=_STATIONARY_ITERS)
+    v = packed.select(F.expr(iterate).alias("v"))
+    return (
+        types.crossJoin(F.broadcast(v))
+        .select(
+            F.col("t").alias("event_type"),
+            F.expr(
+                "element_at(v, CAST(tid AS INT))"
+            ).alias("stationary_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Brand reorder rate (repeat-purchase loyalty per brand)
+# ----------------------------------------------------------------------------
+
+_REORDER_ORACLE = """
+WITH cb AS (
+  SELECT p.p_brand AS brand, o.o_custkey AS cust,
+         CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS n_buyers,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS reorder_rate
+FROM cb
+GROUP BY brand
+ORDER BY brand
+"""
+
+
+@register(
+    "brand_reorder_rate",
+    _REORDER_ORACLE,
+    "Repeat-purchase loyalty per part brand: of the customers who "
+    "ever bought the brand, the share who bought it in 2+ DISTINCT "
+    "orders — the retention-quality signal behind assortment and "
+    "promo decisions (a high-revenue brand with a low reorder rate is "
+    "promo-driven, not loved). Exactness: counts + ONE divide. "
+    "Scale: broadcast part dim, (brand, customer) pre-aggregation "
+    "with COUNT(DISTINCT orderkey) expanded by Spark's own "
+    "partial-distinct rewrite, then a brand-bounded rollup.",
+)
+def brand_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .agg(F.countDistinct("o_orderkey").cast("long").alias("n_orders"))
+    )
+    return (
+        cb.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buyers"),
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_repeat"),
+        )
+        .select(
+            "brand",
+            "n_buyers",
+            "n_repeat",
+            (
+                F.col("n_repeat").cast("double") / F.col("n_buyers")
+            ).alias("reorder_rate"),
+        )
+        .orderBy("brand")
+    )

@@ -49,6 +49,10 @@ CENT_SCALE_QUERIES = frozenset(
         # must stay integral in int64 at large SF
         "seasonal_decompose_daily",
         "trailing_percentile_bands",
+        # r7 (queries_lakeops_ext): the Holt-Winters state recurrence
+        # replays per-day cent sums through integer divisions — the
+        # holt_linear_forecast scale argument verbatim
+        "holt_winters_forecast",
     }
 )
 
