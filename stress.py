@@ -30,7 +30,14 @@ attribution rewrite; 5 proves the STREAMING bounded-state claims):
      through the deletion-signature edit-distance join: worst task
      stays linear (<=30x input) where the blocked self-join would
      build C(100k, 2) ~ 5e9 pairs, and 200 planted distance-1 dups
-     must ALL be found (the SymSpell completeness proof, executed).
+     must ALL be found (the SymSpell completeness proof, executed);
+  9. delta_lite STREAMING SOURCE incrementality — a 1M-row table plus
+     20 appends, drained in availableNow waves on one checkpoint:
+     wave 2 must deliver EXACTLY the 20k appended rows (never
+     re-serving the million-row bootstrap), and an OPTIMIZE between
+     waves must contribute ZERO rows (dataChange=false invisibility)
+     — the per-batch work ∝ new data claim, executed at a size where
+     re-serving the snapshot would be a 50x blowup.
 
 Run: python stress.py   (~3-5 min on local[32]; exit 0 = all bounds hold)
 """
@@ -38,6 +45,7 @@ Run: python stress.py   (~3-5 min on local[32]; exit 0 = all bounds hold)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import urllib.request
@@ -672,6 +680,78 @@ def main() -> None:
     pairs8.unpersist()
     whale.unpersist()
 
+    # ------------------------------------------------------------------
+    # shape 9: delta_lite streaming source — per-batch work must be
+    # proportional to NEW data, never the table.  1M-row bootstrap +
+    # 20 x 1k appends; wave 2 must deliver exactly the appends, and an
+    # OPTIMIZE between waves must contribute zero rows.
+    # ------------------------------------------------------------------
+    import tempfile
+
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        DeltaLiteTable,
+    )
+    from data_lakehouse_platform_spark.sources.delta_stream import (
+        DeltaLiteStreamDataSource,
+    )
+
+    spark.dataSource.register(DeltaLiteStreamDataSource)
+    N9, APPENDS9, PER9 = 1_000_000, 20, 1_000
+    s9 = tempfile.mkdtemp(prefix="stress9-")
+    t9 = DeltaLiteTable(os.path.join(s9, "t"))
+    t9.write(
+        spark.range(N9)
+        .selectExpr("id", "CAST(id % 97 AS STRING) AS v")
+        .coalesce(8)
+    )
+    out9 = os.path.join(s9, "out")
+    ck9 = os.path.join(s9, "ck")
+
+    def _wave9() -> int:
+        q = (
+            spark.readStream.format("delta_lite")
+            .option("path", t9.path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out9)
+            .option("checkpointLocation", ck9)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out9).count()
+
+    wave1 = _wave9()
+    if wave1 != N9:
+        failures.append(
+            f"shape9 BOOTSTRAP: wave 1 delivered {wave1:,} rows, "
+            f"expected the {N9:,}-row snapshot"
+        )
+    for i in range(APPENDS9):
+        t9.write(
+            spark.range(N9 + i * PER9, N9 + (i + 1) * PER9)
+            .selectExpr("id", "CAST(id % 97 AS STRING) AS v")
+            .coalesce(1),
+            mode="append",
+        )
+    t9.optimize(spark)  # dataChange=false: must be invisible
+    t0 = time.perf_counter()
+    wave2 = _wave9()
+    w9_wall = time.perf_counter() - t0
+    appended = APPENDS9 * PER9
+    print(
+        f"[delta_stream_tail] bootstrap={wave1:,} wave2_delta="
+        f"{wave2 - wave1:,} (appended={appended:,}, table={N9 + appended:,},"
+        f" OPTIMIZE between waves) wall={w9_wall:.1f}s",
+        flush=True,
+    )
+    if wave2 - wave1 != appended:
+        failures.append(
+            f"shape9 INCREMENTALITY: wave 2 delivered {wave2 - wave1:,} "
+            f"rows, expected exactly the {appended:,} appended rows — "
+            "the source re-served snapshot/compaction files"
+        )
+
     print()
     if failures:
         for f in failures:
@@ -680,7 +760,7 @@ def main() -> None:
     print(f"ALL BOUNDS HOLD (stream={n_stream_events:,}, "
           f"events={n_events:,}, crowd={CROWD:,}, "
           f"orders={N:,}, iceberg={N_PART * ROWS_PER:,}, "
-          f"delta_merge={N7:,})")
+          f"delta_merge={N7:,}, stream_tail={N9 + APPENDS9 * PER9:,})")
 
 
 if __name__ == "__main__":
