@@ -1849,3 +1849,386 @@ def brand_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ----------------------------------------------------------------------------
+# kNN label agreement (embedding-space label-consistency eval)
+# ----------------------------------------------------------------------------
+
+_KNN_PROBES = 64
+_KNN_K = 5
+
+_KNN_ORACLE = f"""
+WITH probes AS (
+  SELECT vec_id, embedding, label
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_KNN_PROBES}
+),
+pairs AS (
+  SELECT p.vec_id AS probe_id, p.label AS probe_label,
+         e.vec_id AS cand_id, e.label AS cand_label,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, len(p.embedding)),
+             i -> CAST(p.embedding[i] AS DOUBLE)
+                  * CAST(e.embedding[i] AS DOUBLE))),
+           (a, b) -> a + b) AS dot
+  FROM probes p JOIN embeddings e ON e.vec_id <> p.vec_id
+),
+ranked AS (
+  SELECT probe_id, probe_label, cand_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY probe_id ORDER BY dot DESC, cand_id
+         ) AS rn
+  FROM pairs
+),
+per_probe AS (
+  SELECT probe_id, probe_label,
+         CAST(SUM(CASE WHEN cand_label = probe_label THEN 1 ELSE 0 END)
+              AS BIGINT) AS agree
+  FROM ranked WHERE rn <= {_KNN_K}
+  GROUP BY 1, 2
+)
+SELECT probe_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(agree) AS BIGINT) AS n_agree,
+       CAST(SUM(agree) AS DOUBLE) / ({_KNN_K} * COUNT(*))
+         AS agreement_rate
+FROM per_probe
+GROUP BY probe_label
+ORDER BY label
+"""
+
+
+@register(
+    "knn_label_agreement",
+    _KNN_ORACLE,
+    f"Embedding-space label-consistency eval: for {_KNN_PROBES} "
+    "deterministic probe vectors (md5 bottom-k — engine-neutral "
+    "sampling), the exact {k}-nearest neighbors by dot product over "
+    "the WHOLE corpus, and the share of neighbors sharing the probe's "
+    "label — low agreement flags noisy labels or an embedding that "
+    "does not separate the classes, the go/no-go check before "
+    "dedup_semantic or a kNN classifier. Exactness: dot products fold "
+    "dimensions ascending with float->double casts (identical "
+    "operand bits both engines), neighbor ranks break ties by "
+    "candidate id. Scale: probe set is CONSTANT-bounded, so the "
+    "similarity pass is probes x corpus = linear; the rank windows "
+    "partition by probe.".format(k=_KNN_K),
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    wp = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    probes = (
+        e.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pv"),
+            F.col("label").alias("probe_label"),
+            F.row_number().over(wp).alias("pr"),
+        )
+        .filter(F.col("pr") <= _KNN_PROBES)
+        .drop("pr")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(pv, embedding,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(e, F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "probe_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            dot.alias("dot"),
+        )
+    )
+    wr = Window.partitionBy("probe_id").orderBy(
+        F.desc("dot"), "cand_id"
+    )
+    per_probe = (
+        pairs.select(
+            "probe_id",
+            "probe_label",
+            "cand_label",
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") <= _KNN_K)
+        .groupBy("probe_id", "probe_label")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("cand_label") == F.col("probe_label"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("agree")
+        )
+    )
+    return (
+        per_probe.groupBy(F.col("probe_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum("agree").cast("long").alias("n_agree"),
+        )
+        .select(
+            "label",
+            "n_probes",
+            "n_agree",
+            (
+                F.col("n_agree").cast("double")
+                / (_KNN_K * F.col("n_probes"))
+            ).alias("agreement_rate"),
+        )
+        .orderBy("label")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Discriminative terms per language (chi-square keyness)
+# ----------------------------------------------------------------------------
+
+_CHI2_TOPK = 10
+_CHI2_MIN_COUNT = 5
+
+_CHI2_ORACLE = f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tk
+  FROM documents
+),
+tok2 AS (SELECT lang, tk FROM tok WHERE tk <> ''),
+lt AS (
+  SELECT lang, tk, CAST(COUNT(*) AS BIGINT) AS a
+  FROM tok2 GROUP BY 1, 2
+),
+ltot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS lsum FROM tok2 GROUP BY 1),
+ttot AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS tsum FROM tok2 GROUP BY 1),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok2),
+cells AS (
+  SELECT lt.lang, lt.tk, lt.a,
+         ttot.tsum - lt.a AS b,
+         ltot.lsum - lt.a AS c,
+         g.n - ttot.tsum - ltot.lsum + lt.a AS d,
+         g.n AS n
+  FROM lt JOIN ltot ON lt.lang = ltot.lang
+  JOIN ttot ON lt.tk = ttot.tk
+  CROSS JOIN g
+),
+scored AS (
+  SELECT lang, tk, a,
+         CAST(n AS DOUBLE)
+           * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+              - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+           * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+              - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+           / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+              * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))
+           AS chi2
+  FROM cells
+  WHERE a >= {_CHI2_MIN_COUNT}
+    AND CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+        > CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+),
+ranked AS (
+  SELECT lang, tk, a, chi2,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY chi2 DESC, tk
+         ) AS rn
+  FROM scored
+)
+SELECT lang, tk AS term, a AS n_in_lang, chi2, CAST(rn AS BIGINT) AS rnk
+FROM ranked WHERE rn <= {_CHI2_TOPK}
+ORDER BY lang, rnk
+"""
+
+
+@register(
+    "discriminative_terms_chi2",
+    _CHI2_ORACLE,
+    "Keyness analysis: the top tokens most DISCRIMINATIVE of each "
+    "language by chi-square over the (in-lang, out-lang) x (term, "
+    "not-term) contingency cells, positive-association side only (ad "
+    "> bc) with a min-count floor — the screen that surfaces "
+    "language-routing contamination (an English stopword ranking high "
+    "for 'de' means mislabeled docs). Exactness: the cells are exact "
+    "BIGINT counts; chi2 = n*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) is "
+    "evaluated with every operand cast to double FIRST and the same "
+    "operation order on both engines (int64 products would overflow "
+    "at corpus scale; identical double operands + identical op order "
+    "= identical doubles). Ranks tie-break by term. Scale: everything "
+    "aggregates to (lang, token) — vocabulary-bounded; the rank "
+    "window partitions by language.",
+)
+def discriminative_terms_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("lang", "text")
+    tok = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("tk")
+    ).filter(F.col("tk") != "")
+    lt = tok.groupBy("lang", "tk").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    ltot = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("lsum")
+    )
+    ttot = tok.groupBy("tk").agg(
+        F.count(F.lit(1)).cast("long").alias("tsum")
+    )
+    g = tok.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cells = (
+        lt.join(F.broadcast(ltot), "lang")
+        .join(ttot, "tk")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "lang",
+            "tk",
+            "a",
+            (F.col("tsum") - F.col("a")).alias("b"),
+            (F.col("lsum") - F.col("a")).alias("c"),
+            (
+                F.col("n") - F.col("tsum") - F.col("lsum") + F.col("a")
+            ).alias("d"),
+            "n",
+        )
+    )
+    ad = F.col("a").cast("double") * F.col("d").cast("double")
+    bc = F.col("b").cast("double") * F.col("c").cast("double")
+    chi2 = (
+        F.col("n").cast("double")
+        * (ad - bc)
+        * (ad - bc)
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d")).cast("double")
+            * (F.col("a") + F.col("c")).cast("double")
+            * (F.col("b") + F.col("d")).cast("double")
+        )
+    )
+    scored = cells.filter(
+        (F.col("a") >= _CHI2_MIN_COUNT) & (ad > bc)
+    ).select("lang", "tk", "a", chi2.alias("chi2"))
+    wr = Window.partitionBy("lang").orderBy(F.desc("chi2"), "tk")
+    return (
+        scored.select(
+            "lang", "tk", "a", "chi2",
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") <= _CHI2_TOPK)
+        .select(
+            "lang",
+            F.col("tk").alias("term"),
+            F.col("a").alias("n_in_lang"),
+            "chi2",
+            F.col("rn").cast("long").alias("rnk"),
+        )
+        .orderBy("lang", "rnk")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Ship-delay percentiles by order-size band (exact selection ranks)
+# ----------------------------------------------------------------------------
+
+_DELAY_BAND_ORACLE = """
+WITH lines AS (
+  SELECT CASE WHEN CAST(l.l_quantity AS BIGINT) <= 10 THEN 'small'
+              WHEN CAST(l.l_quantity AS BIGINT) <= 30 THEN 'medium'
+              ELSE 'large' END AS band,
+         CAST(l.l_quantity AS BIGINT) AS q,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS days,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+ranked AS (
+  SELECT band, days,
+         ROW_NUMBER() OVER (
+           PARTITION BY band
+           ORDER BY days, l_orderkey, l_linenumber
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY band) AS n
+  FROM lines
+)
+SELECT band,
+       CAST(MIN(n) AS BIGINT) AS n_lines,
+       CAST(MIN(CASE WHEN 2 * rn >= n THEN days END) AS BIGINT)
+         AS p50_days,
+       CAST(MIN(CASE WHEN 100 * rn >= 95 * n THEN days END) AS BIGINT)
+         AS p95_days,
+       CAST(MAX(days) AS BIGINT) AS max_days
+FROM ranked
+GROUP BY band
+ORDER BY MIN(CASE WHEN band = 'small' THEN 1
+                  WHEN band = 'medium' THEN 2 ELSE 3 END)
+"""
+
+
+@register(
+    "delay_by_quantity_band",
+    _DELAY_BAND_ORACLE,
+    "Does order size slow fulfillment? Exact discrete p50/p95/max "
+    "order-to-ship delay per quantity band (small <= 10, medium <= "
+    "30, large) — selection order statistics (2*rn >= n and 100*rn >= "
+    "95*n integer compares, no interpolation), bands ordered "
+    "small/medium/large. Scale: the Spark plan collapses to a (band, "
+    "days) histogram before ranking (distinct delay values, calendar-"
+    "bounded), the oracle ranks every line naively — the equivalence "
+    "proof, same as nation_tail_latency.",
+)
+def delay_by_quantity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    band = (
+        F.when(F.col("l_quantity").cast("long") <= 10, "small")
+        .when(F.col("l_quantity").cast("long") <= 30, "medium")
+        .otherwise("large")
+    )
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        band.alias("band"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("days"),
+    )
+    hist = lines.groupBy("band", "days").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    w = Window.partitionBy("band").orderBy("days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("band")
+    ranked = hist.select(
+        "band",
+        "days",
+        F.sum("k").over(w).alias("cum"),
+        F.sum("k").over(wn).alias("n"),
+    )
+    order_key = (
+        F.when(F.col("band") == "small", 1)
+        .when(F.col("band") == "medium", 2)
+        .otherwise(3)
+    )
+    return (
+        ranked.groupBy("band")
+        .agg(
+            F.min("n").cast("long").alias("n_lines"),
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("n"), F.col("days"))
+            )
+            .cast("long")
+            .alias("p50_days"),
+            F.min(
+                F.when(100 * F.col("cum") >= 95 * F.col("n"), F.col("days"))
+            )
+            .cast("long")
+            .alias("p95_days"),
+            F.max("days").cast("long").alias("max_days"),
+            F.min(order_key).alias("__ok"),
+        )
+        .orderBy("__ok")
+        .drop("__ok")
+    )
