@@ -2232,3 +2232,124 @@ def delay_by_quantity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("__ok")
         .drop("__ok")
     )
+
+
+# ----------------------------------------------------------------------------
+# Domain-rule DQ audit (expectations-style constraint sweep)
+# ----------------------------------------------------------------------------
+
+_DQ_RULES_ORACLE = """
+WITH j AS (
+  SELECT l.l_discount, l.l_tax, CAST(l.l_quantity AS BIGINT) AS q,
+         l.l_extendedprice,
+         CAST(l.l_shipdate AS DATE) AS ship,
+         CAST(o.o_orderdate AS DATE) AS ordd
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j),
+rules AS (
+  SELECT 'discount_in_0_10pct' AS rule,
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS viol
+  FROM j
+  UNION ALL
+  SELECT 'tax_in_0_8pct',
+         CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM j
+  UNION ALL
+  SELECT 'quantity_1_to_50',
+         CAST(SUM(CASE WHEN q < 1 OR q > 50 THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM j
+  UNION ALL
+  SELECT 'extendedprice_positive',
+         CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM j
+  UNION ALL
+  SELECT 'ship_not_before_order',
+         CAST(SUM(CASE WHEN ship < ordd THEN 1 ELSE 0 END) AS BIGINT)
+  FROM j
+)
+SELECT rule, viol AS n_violations, tot.n AS n_rows,
+       CAST(1000000 * viol AS DOUBLE) / tot.n AS violation_ppm
+FROM rules, tot
+ORDER BY rule
+"""
+
+
+@register(
+    "dq_domain_rules",
+    _DQ_RULES_ORACLE,
+    "Expectations-style domain-rule sweep over the fact join: five "
+    "declarative constraints (discount in [0, 0.1], tax in [0, 0.08], "
+    "quantity in [1, 50], positive price, ship date not before order "
+    "date) with violation counts and exact ppm — the DLT/Great-"
+    "Expectations-shaped audit that complements dq_metrics' "
+    "null/dupe profile and dq_referential's FK sweep; the cross-field "
+    "temporal rule is why the scan joins orders. ONE pass: all five "
+    "rules are conditional sums in a single aggregation (map-side "
+    "partials, no per-rule scan), the ppm is one double divide of "
+    "exact counts.",
+)
+def dq_domain_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_discount", "l_tax", "l_quantity",
+        "l_extendedprice", "l_shipdate",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_discount",
+        "l_tax",
+        F.col("l_quantity").cast("long").alias("q"),
+        "l_extendedprice",
+        F.to_date("l_shipdate").alias("ship"),
+        F.to_date("o_orderdate").alias("ordd"),
+    )
+    def _viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    one = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _viol(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("discount_in_0_10pct"),
+        _viol((F.col("l_tax") < 0) | (F.col("l_tax") > 0.08)).alias(
+            "tax_in_0_8pct"
+        ),
+        _viol((F.col("q") < 1) | (F.col("q") > 50)).alias(
+            "quantity_1_to_50"
+        ),
+        _viol(F.col("l_extendedprice") <= 0).alias(
+            "extendedprice_positive"
+        ),
+        _viol(F.col("ship") < F.col("ordd")).alias(
+            "ship_not_before_order"
+        ),
+    )
+    rules = [
+        "discount_in_0_10pct",
+        "extendedprice_positive",
+        "quantity_1_to_50",
+        "ship_not_before_order",
+        "tax_in_0_8pct",
+    ]
+    stacked = one.select(
+        F.expr(
+            "stack({n}, {args}) AS (rule, n_violations)".format(
+                n=len(rules),
+                args=", ".join(f"'{r}', {r}" for r in rules),
+            )
+        ),
+        F.col("n").alias("n_rows"),
+    )
+    return stacked.select(
+        "rule",
+        "n_violations",
+        "n_rows",
+        (
+            (1000000 * F.col("n_violations")).cast("double")
+            / F.col("n_rows")
+        ).alias("violation_ppm"),
+    ).orderBy("rule")
