@@ -222,9 +222,22 @@ def test_iceberg_verbs_against_model(spark, tmp_path, seed):
              "drop_col", "promote"]
         )
         if op == "append":
+            prev_sid = t.current_snapshot_id()
             rows = fresh(rng.randrange(1, 4))
             sid = t.write(df(rows).coalesce(1), mode="append")
             model.update(rows)
+            # r7 verb: the incremental append scan over exactly this
+            # commit must serve exactly these rows (current schema)
+            inc = {
+                r.id: tuple(r[c] for c, _ty in cols)
+                for r in t.incremental_read(
+                    spark, prev_sid, sid
+                ).collect()
+            }
+            assert inc == {
+                k: tuple(r[c] for c, _ty in cols)
+                for k, r in rows.items()
+            }, f"seed={seed} step={step} incremental append"
         elif op == "delete" and model:
             victim = rng.choice(sorted(model))
             before = t.current_snapshot_id()
@@ -233,6 +246,22 @@ def test_iceberg_verbs_against_model(spark, tmp_path, seed):
             sid = res["snapshot_id"]
             if sid == before:
                 continue
+            # a delete snapshot is not representable as appends:
+            # refuse loudly by default, contribute nothing when skipped
+            import pytest as _pytest
+
+            from data_lakehouse_platform_spark.sources.iceberg_lite import (
+                IcebergProtocolError as _IPE,
+            )
+
+            with _pytest.raises(_IPE, match="delete"):
+                t.incremental_append_files(before, sid)
+            assert (
+                t.incremental_append_files(
+                    before, sid, on_change="skip"
+                )
+                == []
+            ), f"seed={seed} step={step} skipped delete leaked"
         elif op == "mass_delete" and len(model) > 4:
             pivot = sorted(model)[len(model) // 2]
             res = t.delete(spark, f"id >= {pivot}")
@@ -240,10 +269,15 @@ def test_iceberg_verbs_against_model(spark, tmp_path, seed):
                 model.pop(k)
             sid = res["snapshot_id"]
         elif op == "compact":
+            prev_sid = t.current_snapshot_id()
             res = t.rewrite_data_files(spark, target_file_bytes=1 << 20)
             sid = res["snapshot_id"]
             if res["new_files"] == 0:
                 continue
+            # replace snapshots are INVISIBLE to the incremental scan
+            assert (
+                t.incremental_append_files(prev_sid, sid) == []
+            ), f"seed={seed} step={step} compaction leaked into scan"
         elif op == "zorder":
             res = t.rewrite_data_files(
                 spark, target_file_bytes=1 << 20, zorder_by=["id"]
