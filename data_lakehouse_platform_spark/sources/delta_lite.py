@@ -335,6 +335,542 @@ class DeleteTooLargeError(ValueError):
     """delete() matched more rows than the DV path should carry."""
 
 
+# -- per-file column statistics & data skipping ------------------------------
+#
+# The Delta protocol's ``add.stats`` JSON ({numRecords, minValues,
+# maxValues, nullCount}) is what makes a 100 TB table queryable with a
+# selective predicate: delta-spark writes it on every file and prunes
+# the file list BEFORE the scan.  The write side here computes the
+# same stats with one distributed pass over the just-staged files
+# (grouped by ``_metadata.file_path`` — never a per-file driver loop);
+# the read side prunes with a conservative min/max interval evaluator
+# over a predicate parsed by SPARK'S OWN SQL PARSER, so the grammar is
+# exactly Spark's.  Anything the evaluator does not understand keeps
+# the file — skipping is an optimization, never a filter: ``read``
+# still applies the full predicate to the surviving rows.
+#
+# Bounds are CONSERVATIVE by construction: string bounds are dropped
+# for a file when any value exceeds _STATS_MAX_STRING chars (a
+# truncated max is not an upper bound under binary collation);
+# float/double bounds are dropped when NaN/Inf appears; decimal bounds
+# widen outward to the enclosing floats.  Files with deletion vectors
+# keep their original stats — a superset bound stays valid when rows
+# are removed (numRecords then overcounts, which only disables
+# all-null reasoning, never admits a wrong skip).
+
+_STATS_MAX_STRING = 64
+_EPOCH_DATE = None  # lazily: datetime.date(1970, 1, 1)
+
+
+def _stats_skippable(dt) -> bool:
+    """Leaf Spark types whose min/max order matches Delta's stats
+    semantics (numbers, strings, date/timestamp, boolean)."""
+    from pyspark.sql.types import (
+        BooleanType, ByteType, DateType, DecimalType, DoubleType,
+        FloatType, IntegerType, LongType, ShortType, StringType,
+        TimestampNTZType, TimestampType,
+    )
+
+    return isinstance(
+        dt,
+        (
+            BooleanType, ByteType, ShortType, IntegerType, LongType,
+            FloatType, DoubleType, DecimalType, StringType, DateType,
+            TimestampType, TimestampNTZType,
+        ),
+    )
+
+
+def _stats_to_json_value(v):
+    """Python stat value -> JSON-serializable, widening where exact
+    representation is impossible (decimal -> enclosing floats is done
+    by the caller, which knows min vs max direction)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _stat_from_json(v, dt, tz_name: str | None):
+    """JSON stat value -> a Python comparable for the column's Spark
+    type.  Returns None when the value cannot be interpreted (callers
+    treat None bounds as 'keep the file')."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql.types import (
+        BooleanType, DateType, DecimalType, DoubleType, FloatType,
+        StringType, TimestampNTZType, TimestampType,
+    )
+
+    if v is None:
+        return None
+    try:
+        if isinstance(dt, StringType):
+            return str(v)
+        if isinstance(dt, BooleanType):
+            if isinstance(v, bool):
+                return v
+            return str(v).lower() == "true"
+        if isinstance(dt, DateType):
+            return datetime.date.fromisoformat(str(v)[:10])
+        if isinstance(dt, (TimestampType, TimestampNTZType)):
+            s = str(v).replace("Z", "+00:00")
+            ts = datetime.datetime.fromisoformat(s)
+            if ts.tzinfo is not None:
+                ts = _to_session_naive(ts, tz_name)
+            return ts
+        if isinstance(dt, DecimalType):
+            # External writers serialize decimals as JSON numbers;
+            # json.loads gave a float whose rounding direction is
+            # unknown — widening happens in the caller (it knows
+            # whether this is a lower or an upper bound).
+            if isinstance(v, str):
+                return Decimal(v)
+            return float(v)
+        if isinstance(dt, (FloatType, DoubleType)):
+            return float(v)
+        return int(v) if not isinstance(v, float) else v
+    except (ValueError, TypeError, ArithmeticError):
+        return None
+
+
+def _to_session_naive(ts, tz_name: str | None):
+    """tz-aware datetime -> naive wall-clock in the session timezone
+    (the coordinate system collected TimestampType stats live in)."""
+    import datetime
+
+    if tz_name:
+        try:
+            from zoneinfo import ZoneInfo
+
+            return ts.astimezone(ZoneInfo(tz_name)).replace(tzinfo=None)
+        except Exception:
+            pass
+    return ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+
+
+def _predicate_tree(spark: SparkSession, predicate: str):
+    """Parse ``predicate`` with Spark's own SQL parser and fold the
+    Catalyst expression into a small Python tree the skipping
+    evaluator understands:
+
+      ("and"|"or", left, right) | ("not", child)
+      ("cmp", op, col, value)   op in == != < <= > >=
+      ("in", col, [values]) | ("isnull", col) | ("isnotnull", col)
+      ("unknown",)  — any node we refuse to reason about
+      ("false",)    — a comparison against NULL (never TRUE in SQL)
+
+    Column names are lower-cased (Spark's default case-insensitive
+    resolution).  Literal sides may be any FOLDABLE expression — the
+    JVM evaluates them (``CAST('2020-01-01' AS DATE)`` etc.), so the
+    constant-folding semantics are exactly Spark's.  Returns None when
+    the predicate does not parse (callers then skip nothing)."""
+    try:
+        jexpr = (
+            spark._jsparkSession.sessionState()
+            .sqlParser()
+            .parseExpression(predicate)
+        )
+        empty_row = (
+            spark._jvm.org.apache.spark.sql.catalyst.InternalRow.empty()
+        )
+        return _fold_jexpr(jexpr, empty_row, _session_tz(spark))
+    except Exception:
+        return None
+
+
+def _session_tz(spark: SparkSession) -> str | None:
+    """The session timezone TimestampType wall-clocks live in —
+    spark.sql.session.timeZone, falling back to the JVM default."""
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz:
+            return tz
+    except Exception:
+        pass
+    try:
+        return spark._jvm.java.util.TimeZone.getDefault().getID()
+    except Exception:
+        return None
+
+
+_CMP_NODES = {
+    "EqualTo": "==",
+    "LessThan": "<",
+    "LessThanOrEqual": "<=",
+    "GreaterThan": ">",
+    "GreaterThanOrEqual": ">=",
+}
+_CMP_FLIP = {
+    "==": "==", "!=": "!=", "<": ">", "<=": ">=", ">": "<", ">=": "<=",
+    "==ns": "==ns", "!=ns": "!=ns",
+}
+# NB: negating <=> is NOT "!=": NULL rows satisfy NOT(col <=> lit), so
+# "!=ns" keeps any file that may hold NULLs — see _skip_possible.
+_CMP_NEGATE = {
+    "==": "!=", "!=": "==", "<": ">=", "<=": ">", ">": "<=", ">=": "<",
+    "==ns": "!=ns", "!=ns": "==ns",
+}
+
+
+def _j_attr_name(jx) -> str | None:
+    if jx.getClass().getSimpleName() != "UnresolvedAttribute":
+        return None
+    name = jx.name()
+    if "." in name:  # nested fields carry no top-level stats
+        return None
+    return name.strip("`").lower()
+
+
+def _j_literal_value(jx, empty_row, tz_name):
+    """Foldable java expression -> (True, python value) or (False, _).
+    A null literal returns (True, None)."""
+    import datetime
+    from decimal import Decimal
+
+    try:
+        if not jx.foldable():
+            return False, None
+        raw = jx.eval(empty_row)
+        tn = jx.dataType().typeName()
+    except Exception:
+        return False, None
+    if raw is None:
+        return True, None
+    if tn == "string":
+        return True, str(raw)
+    if tn == "date":
+        return True, datetime.date(1970, 1, 1) + datetime.timedelta(
+            days=int(str(raw))
+        )
+    if tn in ("timestamp", "timestamp_ntz"):
+        micros = int(str(raw))
+        base = datetime.datetime(
+            1970, 1, 1, tzinfo=datetime.timezone.utc
+        ) + datetime.timedelta(microseconds=micros)
+        if tn == "timestamp":
+            return True, _to_session_naive(base, tz_name)
+        return True, base.replace(tzinfo=None)
+    if tn.startswith("decimal"):
+        return True, Decimal(str(raw))
+    if tn == "boolean":
+        return True, bool(raw)
+    if tn in ("integer", "long", "short", "byte"):
+        return True, int(str(raw))
+    if tn in ("double", "float"):
+        return True, float(str(raw))
+    return False, None
+
+
+def _fold_jexpr(jx, empty_row, tz_name):
+    n = jx.getClass().getSimpleName()
+    if n == "And" or n == "Or":
+        return (
+            n.lower(),
+            _fold_jexpr(jx.left(), empty_row, tz_name),
+            _fold_jexpr(jx.right(), empty_row, tz_name),
+        )
+    if n == "Not":
+        return ("not", _fold_jexpr(jx.child(), empty_row, tz_name))
+    if n in _CMP_NODES or n == "EqualNullSafe":
+        op = _CMP_NODES.get(n, "==")
+        col = _j_attr_name(jx.left())
+        lit_side = jx.right()
+        flipped = False
+        if col is None:
+            col = _j_attr_name(jx.right())
+            lit_side = jx.left()
+            flipped = True
+        if col is None:
+            return ("unknown",)
+        ok, val = _j_literal_value(lit_side, empty_row, tz_name)
+        if not ok:
+            return ("unknown",)
+        if val is None:
+            # `col <op> NULL` is never TRUE; `col <=> NULL` is IS NULL
+            return ("isnull", col) if n == "EqualNullSafe" else ("false",)
+        if n == "EqualNullSafe":
+            op = "==ns"
+        return ("cmp", _CMP_FLIP[op] if flipped else op, col, val)
+    if n == "In":
+        col = _j_attr_name(jx.value())
+        if col is None:
+            return ("unknown",)
+        vals = []
+        it = jx.list().iterator()
+        while it.hasNext():
+            ok, v = _j_literal_value(it.next(), empty_row, tz_name)
+            if not ok:
+                return ("unknown",)
+            if v is not None:  # a NULL member can never equal col
+                vals.append(v)
+        return ("in", col, vals)
+    if n == "IsNull":
+        col = _j_attr_name(jx.child())
+        return ("isnull", col) if col else ("unknown",)
+    if n == "IsNotNull":
+        col = _j_attr_name(jx.child())
+        return ("isnotnull", col) if col else ("unknown",)
+    if n == "UnresolvedFunction":
+        try:
+            if str(jx.nameParts().last()).lower() != "between":
+                return ("unknown",)
+            args = jx.arguments()
+            if args.size() != 3:
+                return ("unknown",)
+            col = _j_attr_name(args.apply(0))
+            ok_lo, lo = _j_literal_value(args.apply(1), empty_row, tz_name)
+            ok_hi, hi = _j_literal_value(args.apply(2), empty_row, tz_name)
+        except Exception:
+            return ("unknown",)
+        if col is None or not (ok_lo and ok_hi):
+            return ("unknown",)
+        if lo is None or hi is None:
+            return ("false",)  # BETWEEN with a NULL bound is never TRUE
+        return (
+            "and",
+            ("cmp", ">=", col, lo),
+            ("cmp", "<=", col, hi),
+        )
+    if n == "Like":
+        col = _j_attr_name(jx.left())
+        ok, pat = _j_literal_value(jx.right(), empty_row, tz_name)
+        if col is None or not ok or not isinstance(pat, str):
+            return ("unknown",)
+        # Only the pure-prefix shape is range-reasonable: 'abc%' with
+        # no other wildcards and the default escape char.
+        if (
+            pat.endswith("%")
+            and "%" not in pat[:-1]
+            and "_" not in pat
+            and "\\" not in pat
+            and str(jx.escapeChar()) in ("\\", "\\\\")
+        ):
+            return ("startswith", col, pat[:-1])
+        return ("unknown",)
+    return ("unknown",)
+
+
+def _skip_possible(node, domain, pos: bool = True) -> bool:
+    """Could any row of a file with stat ``domain`` satisfy the
+    predicate ``node`` (or its negation when ``pos`` is False)?
+    ``domain``: {col: (lo, hi, null_count, num_records)} — None means
+    unknown.  Conservative: unknown anything -> True."""
+    k = node[0]
+    if k == "unknown":
+        return True
+    if k == "false":
+        return not pos
+    if k == "not":
+        return _skip_possible(node[1], domain, not pos)
+    if k == "and":
+        if pos:
+            return _skip_possible(node[1], domain) and _skip_possible(
+                node[2], domain
+            )
+        return _skip_possible(node[1], domain, False) or _skip_possible(
+            node[2], domain, False
+        )
+    if k == "or":
+        if pos:
+            return _skip_possible(node[1], domain) or _skip_possible(
+                node[2], domain
+            )
+        return _skip_possible(node[1], domain, False) and _skip_possible(
+            node[2], domain, False
+        )
+    if k == "in":
+        if not pos:
+            # NOT IN: TRUE only when col is non-null and differs from
+            # every member; conservative unless every member pins the
+            # whole file (all handled by the != rule).
+            return any(
+                _skip_possible(("cmp", "!=", node[1], v), domain)
+                for v in node[2]
+            ) or not node[2]
+        return any(
+            _skip_possible(("cmp", "==", node[1], v), domain)
+            for v in node[2]
+        )
+    if k in ("isnull", "isnotnull"):
+        col = node[1]
+        if pos is False:
+            k = "isnotnull" if k == "isnull" else "isnull"
+        st = domain.get(col)
+        if st is None:
+            return True
+        lo, hi, nc, nr = st
+        if k == "isnull":
+            return True if nc is None else nc > 0
+        return True if (nc is None or nr is None) else nc < nr
+    if k == "startswith":
+        col, pfx = node[1], node[2]
+        st = domain.get(col)
+        if st is None:
+            return True
+        lo, hi, nc, nr = st
+        if nc is not None and nr is not None and nc >= nr:
+            return False  # all NULL: LIKE and NOT LIKE are both never TRUE
+        if (
+            lo is None
+            or hi is None
+            or not isinstance(lo, str)
+            or not isinstance(hi, str)
+        ):
+            return True
+        n_p = len(pfx)
+        if pos:
+            # lo <= s <= hi and s.startswith(p) force lo[:n] <= p <= hi[:n]
+            return lo[:n_p] <= pfx <= hi[:n_p]
+        # negation impossible only when EVERY value starts with pfx
+        return not (lo[:n_p] == pfx == hi[:n_p])
+    # k == "cmp"
+    op, col, val = node[1], node[2], node[3]
+    if not pos:
+        op = _CMP_NEGATE[op]
+    st = domain.get(col)
+    if st is None:
+        return True
+    lo, hi, nc, nr = st
+    if op == "!=ns" and (nc is None or nc > 0):
+        return True  # NULL rows satisfy NOT(col <=> lit)
+    if nc is not None and nr is not None and nc >= nr:
+        return False  # every value NULL -> no comparison is ever TRUE
+    if lo is None or hi is None:
+        return True
+    try:
+        if op in ("==", "==ns"):
+            return lo <= val <= hi
+        if op in ("!=", "!=ns"):
+            return not (lo == val == hi)
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        return hi >= val
+    except TypeError:
+        return True
+
+
+def _partition_stat_value(raw: str, dt, tz_name: str | None):
+    """A decoded ``add.partitionValues`` string -> a typed comparable
+    (partition values are exact: min == max == value)."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql.types import (
+        BooleanType, DateType, DecimalType, DoubleType, FloatType,
+        StringType, TimestampNTZType, TimestampType,
+    )
+
+    try:
+        if isinstance(dt, StringType):
+            return raw
+        if isinstance(dt, BooleanType):
+            return raw.lower() == "true"
+        if isinstance(dt, DateType):
+            return datetime.date.fromisoformat(raw[:10])
+        if isinstance(dt, (TimestampType, TimestampNTZType)):
+            ts = datetime.datetime.fromisoformat(
+                raw.replace(" ", "T").replace("Z", "+00:00")
+            )
+            if ts.tzinfo is not None:
+                ts = _to_session_naive(ts, tz_name)
+            return ts
+        if isinstance(dt, DecimalType):
+            return Decimal(raw)
+        if isinstance(dt, (FloatType, DoubleType)):
+            return float(raw)
+        return int(raw)
+    except (ValueError, TypeError, ArithmeticError):
+        return None
+
+
+def _stat_domain(
+    add: dict, schema, part_cols: list[str], phys: dict, tz_name
+) -> dict:
+    """One file's skipping domain: {lowercase column -> (lo, hi,
+    null_count, num_records)}.  Data-column bounds come from the
+    add action's ``stats`` JSON (keyed by PHYSICAL name under column
+    mapping, with a logical-name fallback for lenient writers);
+    partition columns are exact from ``partitionValues``.  Decimal
+    bounds parsed from JSON numbers widen outward one float ulp — an
+    external writer's serializer may have rounded either way."""
+    import math
+
+    from pyspark.sql.types import DecimalType
+
+    dom: dict = {}
+    stats = add.get("stats")
+    parsed = None
+    if isinstance(stats, str) and stats:
+        try:
+            parsed = json.loads(stats)
+        except ValueError:
+            parsed = None
+    elif isinstance(stats, dict):
+        parsed = stats
+    nr = None
+    if parsed is not None:
+        try:
+            nr = int(parsed.get("numRecords"))
+        except (TypeError, ValueError):
+            nr = None
+    mins = (parsed or {}).get("minValues") or {}
+    maxs = (parsed or {}).get("maxValues") or {}
+    ncs = (parsed or {}).get("nullCount") or {}
+    part_set = set(part_cols)
+    for f in schema.fields:
+        if f.name in part_set:
+            continue
+        pn = phys.get(f.name, f.name)
+        lo = _stat_from_json(
+            mins.get(pn, mins.get(f.name)), f.dataType, tz_name
+        )
+        hi = _stat_from_json(
+            maxs.get(pn, maxs.get(f.name)), f.dataType, tz_name
+        )
+        nc = ncs.get(pn, ncs.get(f.name))
+        nc = int(nc) if isinstance(nc, (int, float)) else None
+        if isinstance(f.dataType, DecimalType):
+            if isinstance(lo, float):
+                lo = (
+                    math.nextafter(lo, -math.inf)
+                    if not (math.isnan(lo) or math.isinf(lo))
+                    else None
+                )
+            if isinstance(hi, float):
+                hi = (
+                    math.nextafter(hi, math.inf)
+                    if not (math.isnan(hi) or math.isinf(hi))
+                    else None
+                )
+        if lo is None and hi is None and nc is None and nr is None:
+            continue
+        dom[f.name.lower()] = (lo, hi, nc, nr)
+    pv = add.get("partitionValues") or {}
+    for c in part_cols:
+        pn = phys.get(c, c)
+        present = pn in pv or c in pv
+        if not present:
+            continue
+        raw = pv.get(pn, pv.get(c))
+        if raw is None:
+            dom[c.lower()] = (None, None, 1, 1)  # every row NULL here
+            continue
+        val = _partition_stat_value(raw, schema[c].dataType, tz_name)
+        if val is None:
+            continue
+        dom[c.lower()] = (val, val, 0, nr)
+    return dom
+
+
 class DeltaLiteTable:
     def __init__(self, path: str, commit_backend=None):
         from data_lakehouse_platform_spark.sources.commit_backend import (
@@ -726,11 +1262,124 @@ class DeltaLiteTable:
                 "allowed"
             )
 
+    def _compute_add_stats(
+        self,
+        df: DataFrame,
+        stage_dir: str,
+        partition_by: list[str],
+        table_conf: dict | None,
+    ) -> dict[str, str]:
+        """Per-file Delta ``add.stats`` JSON for every parquet file a
+        stage write produced: {numRecords, minValues, maxValues,
+        nullCount} over the first ``delta.dataSkippingNumIndexedCols``
+        schema columns (default 32, -1 = all — delta-spark's knob).
+        ONE distributed aggregation grouped by ``_metadata.file_path``
+        computes every file's stats; the collect is bounded by files ×
+        columns (metadata-sized, like the log itself).  Bounds that
+        cannot be trusted are OMITTED, never approximated: strings
+        longer than _STATS_MAX_STRING (a truncated max under-bounds),
+        NaN/Inf floats, decimals widen outward to enclosing floats."""
+        import math
+        from decimal import Decimal
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            DecimalType, DoubleType, FloatType, StringType, StructType,
+        )
+
+        conf = table_conf or {}
+        try:
+            n_indexed = int(
+                conf.get("delta.dataSkippingNumIndexedCols", "32")
+            )
+        except (TypeError, ValueError):
+            n_indexed = 32
+        if n_indexed == 0:
+            return {}
+        indexed = (
+            df.schema.fields
+            if n_indexed < 0
+            else df.schema.fields[:n_indexed]
+        )
+        stat_fields = [
+            f
+            for f in indexed
+            if f.name not in partition_by and _stats_skippable(f.dataType)
+        ]
+        data_fields = [
+            f for f in df.schema.fields if f.name not in partition_by
+        ]
+        if not data_fields:
+            return {}
+        spark = df.sparkSession
+        raw = (
+            spark.read.schema(StructType(data_fields))
+            .option("basePath", stage_dir)
+            .parquet(stage_dir)
+        )
+        aggs = [F.count(F.lit(1)).alias("__nr")]
+        for i, f in enumerate(stat_fields):
+            c = F.col(f.name)
+            aggs.append(F.min(c).alias(f"__min_{i}"))
+            aggs.append(F.max(c).alias(f"__max_{i}"))
+            aggs.append(F.sum(c.isNull().cast("long")).alias(f"__nc_{i}"))
+            if isinstance(f.dataType, StringType):
+                aggs.append(F.max(F.length(c)).alias(f"__len_{i}"))
+        rows = (
+            raw.groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(*aggs)
+            .collect()
+        )
+        root = os.path.abspath(self.path)
+        out: dict[str, str] = {}
+        for r in rows:
+            ap = urllib.parse.unquote(
+                re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", r["__fp"])
+            )
+            rel = os.path.relpath(ap, root).replace(os.sep, "/")
+            minv: dict = {}
+            maxv: dict = {}
+            nullc: dict = {}
+            for i, f in enumerate(stat_fields):
+                lo, hi, nc = r[f"__min_{i}"], r[f"__max_{i}"], r[f"__nc_{i}"]
+                nullc[f.name] = int(nc or 0)
+                if lo is None or hi is None:
+                    continue  # all-null column: nullCount says it all
+                if isinstance(f.dataType, StringType):
+                    if (r[f"__len_{i}"] or 0) > _STATS_MAX_STRING:
+                        continue
+                if isinstance(f.dataType, (FloatType, DoubleType)) and (
+                    any(
+                        math.isnan(x) or math.isinf(x)
+                        for x in (float(lo), float(hi))
+                    )
+                ):
+                    continue
+                if isinstance(f.dataType, DecimalType):
+                    flo, fhi = float(lo), float(hi)
+                    if Decimal(flo) > lo:
+                        flo = math.nextafter(flo, -math.inf)
+                    if Decimal(fhi) < hi:
+                        fhi = math.nextafter(fhi, math.inf)
+                    lo, hi = flo, fhi
+                minv[f.name] = _stats_to_json_value(lo)
+                maxv[f.name] = _stats_to_json_value(hi)
+            out[rel] = json.dumps(
+                {
+                    "numRecords": int(r["__nr"]),
+                    "minValues": minv,
+                    "maxValues": maxv,
+                    "nullCount": nullc,
+                }
+            )
+        return out
+
     def _stage_adds(
         self,
         df: DataFrame,
         partition_by: list[str],
         data_change: bool = True,
+        table_conf: dict | None = None,
     ) -> tuple[list[dict], str]:
         """Write ``df`` under a fresh staging directory and return
         ``(add actions, staging dir)`` (DECODED on-disk relative paths
@@ -777,6 +1426,13 @@ class DeltaLiteTable:
                         }
                     }
                 )
+        stats_by_rel = self._compute_add_stats(
+            df, out, partition_by, table_conf
+        )
+        for a in adds:
+            s = stats_by_rel.get(a["add"]["path"])
+            if s is not None:
+                a["add"]["stats"] = s
         return adds, out
 
     @staticmethod
@@ -1016,7 +1672,14 @@ class DeltaLiteTable:
         # Stage data under a unique directory; commit references the
         # files by relative path (URL-encoded at serialization per the
         # spec — see _encoded_action).
-        adds, stage_dir = self._stage_adds(df, partition_by)
+        tconf = (
+            {str(k): str(v) for k, v in (configuration or {}).items()}
+            if first
+            else (meta.get("configuration") or {})
+        )
+        adds, stage_dir = self._stage_adds(
+            df, partition_by, table_conf=tconf
+        )
         now_ms = int(time.time() * 1000)
 
         actions: list[dict] = [
@@ -1206,8 +1869,13 @@ class DeltaLiteTable:
         meta, live, proto = self._replay(latest)
         self._check_write_protocol(meta, proto, "mutate")
         rows = (
-            self.read(spark, version=latest, _with_position=True)
-            .filter(predicate)
+            # predicate= both filters AND stats-prunes the scan: a
+            # surgical DELETE against a selective predicate reads only
+            # the files whose min/max bounds can match.
+            self.read(
+                spark, version=latest, predicate=predicate,
+                _with_position=True,
+            )
             .select("__dv_path", "__dv_ridx")
             .limit(MAX_DELETE_ROWS + 1)
             .collect()
@@ -1277,8 +1945,7 @@ class DeltaLiteTable:
             from pyspark.sql import functions as F
 
             deleted_rows = (
-                self.read(spark, version=latest)
-                .filter(predicate)
+                self.read(spark, version=latest, predicate=predicate)
                 .withColumn("_change_type", F.lit("delete"))
             )
             cdc_actions, _cdc_dir = self._stage_cdc(
@@ -1524,7 +2191,9 @@ class DeltaLiteTable:
             rewrite = rewrite.unionByName(inserts)
         else:
             rewrite = inserts
-        adds, _stage_dir = self._stage_adds(rewrite, part)
+        adds, _stage_dir = self._stage_adds(
+            rewrite, part, table_conf=meta.get("configuration")
+        )
 
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
@@ -1602,7 +2271,10 @@ class DeltaLiteTable:
         ]
         touched_uris = [
             r["__dv_path"]
-            for r in current.filter(predicate)
+            for r in self.read(
+                spark, version=latest, predicate=predicate,
+                _with_position=True,
+            )
             .select("__dv_path")
             .distinct()
             .collect()
@@ -1627,7 +2299,8 @@ class DeltaLiteTable:
         keep = ~F.coalesce(F.expr(predicate), F.lit(False))
         part = meta.get("partitionColumns", [])
         adds, _stage_dir = self._stage_adds(
-            touched_rows.filter(keep), part
+            touched_rows.filter(keep), part,
+            table_conf=meta.get("configuration"),
         )
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
@@ -1716,7 +2389,10 @@ class DeltaLiteTable:
         part = meta.get("partitionColumns", [])
         touched_uris = [
             r["__dv_path"]
-            for r in current.filter(predicate)
+            for r in self.read(
+                spark, version=latest, predicate=predicate,
+                _with_position=True,
+            )
             .select("__dv_path")
             .distinct()
             .collect()
@@ -1804,7 +2480,9 @@ class DeltaLiteTable:
                     for c in data_cols
                 ]
             )
-        adds, _stage_dir = self._stage_adds(rewrite, part)
+        adds, _stage_dir = self._stage_adds(
+            rewrite, part, table_conf=meta.get("configuration")
+        )
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
             {
@@ -1911,7 +2589,8 @@ class DeltaLiteTable:
         else:
             staged = current.coalesce(n_out)
         adds, _stage_dir = self._stage_adds(
-            staged, part, data_change=False
+            staged, part, data_change=False,
+            table_conf=meta.get("configuration"),
         )
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
@@ -2154,11 +2833,18 @@ class DeltaLiteTable:
         spark: SparkSession,
         version: int | None = None,
         as_of_ts_ms: int | None = None,
+        predicate: str | None = None,
         _with_position: bool = False,
         _only_paths: set | None = None,
     ) -> DataFrame:
         """Snapshot read with optional time travel (``version`` or
-        Delta's timestampAsOf in unix millis).  ``_with_position``
+        Delta's timestampAsOf in unix millis).  ``predicate`` (a SQL
+        boolean expression) is BOTH a filter and a scan-pruning hint:
+        files whose ``add.stats`` min/max bounds / partition values
+        prove no row can match are dropped from the scan before Spark
+        ever lists them (Delta's data skipping), and the predicate is
+        then applied to the surviving rows, so the result is exact
+        whether or not any file was skippable.  ``_with_position``
         (internal, used by :meth:`delete`) keeps the ``__dv_path`` /
         ``__dv_ridx`` file-coordinate columns on the result.
         ``_only_paths`` (internal, used by :meth:`merge` /
@@ -2206,7 +2892,9 @@ class DeltaLiteTable:
                 )
             live = {p: a for p, a in live.items() if p in _only_paths}
 
-        from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
 
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = meta.get("partitionColumns", [])
@@ -2242,6 +2930,29 @@ class DeltaLiteTable:
             raise DeltaProtocolError(
                 f"unknown delta.columnMapping.mode {mode!r}"
             )
+        if predicate is not None and live:
+            tree = _predicate_tree(spark, predicate)
+            if tree is not None:
+                tz = _session_tz(spark)
+                live = {
+                    p: a
+                    for p, a in live.items()
+                    if _skip_possible(
+                        tree,
+                        _stat_domain(a, schema, part_cols, phys, tz),
+                    )
+                }
+            if not live:
+                empty_schema = schema
+                if _with_position:
+                    empty_schema = StructType(
+                        list(schema.fields)
+                        + [
+                            StructField("__dv_path", StringType()),
+                            StructField("__dv_ridx", LongType()),
+                        ]
+                    )
+                return spark.createDataFrame([], empty_schema)
         paths = [os.path.join(self.path, p) for p in sorted(live)]
         from pyspark.sql import functions as F
 
@@ -2360,7 +3071,56 @@ class DeltaLiteTable:
         cols = [f.name for f in schema.fields]
         if _with_position:
             cols += ["__dv_path", "__dv_ridx"]
-        return df.select(*cols)
+        df = df.select(*cols)
+        if predicate is not None:
+            df = df.filter(predicate)
+        return df
+
+    def files_matching(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """(files a predicate-scoped read scans, total live files) —
+        the data-skipping observability hook (delta-spark's
+        filesScanned / filesSkipped scan metrics).  Purely
+        metadata-side: nothing is read but the log."""
+        from pyspark.sql.types import StructType
+
+        vs = self.all_versions()
+        if not vs:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        v = vs[-1] if version is None else version
+        meta, live, _proto = self._replay(v)
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = meta.get("partitionColumns", [])
+        mapped = (meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) in ("name", "id")
+        phys = {
+            f.name: (
+                (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                if mapped
+                else f.name
+            )
+            for f in schema.fields
+        }
+        total = len(live)
+        tree = _predicate_tree(spark, predicate)
+        if tree is None:
+            return sorted(live), total
+        tz = _session_tz(spark)
+        kept = [
+            p
+            for p, a in sorted(live.items())
+            if _skip_possible(
+                tree, _stat_domain(a, schema, part_cols, phys, tz)
+            )
+        ]
+        return kept, total
 
     # -- checkpoints ------------------------------------------------------
 
@@ -2425,6 +3185,9 @@ class DeltaLiteTable:
                 # Checkpoints MUST carry the DV descriptor: dropping it
                 # would resurrect deleted rows after clean_log().
                 ("deletionVector", dv_t),
+                # ... and the stats JSON, or data skipping dies the
+                # moment clean_log() drops the JSON commits.
+                ("stats", pa.string()),
             ]
         )
 
@@ -2476,6 +3239,7 @@ class DeltaLiteTable:
                 "modificationTime": a.get("modificationTime"),
                 "dataChange": bool(a.get("dataChange", True)),
                 "deletionVector": _dv_struct(a),
+                "stats": a.get("stats"),
             }
             for _, a in sorted(live.items())
         ]
