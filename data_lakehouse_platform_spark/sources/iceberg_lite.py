@@ -1485,6 +1485,87 @@ class IcebergLiteTable:
         finally:
             sess.conf.set(key, prev)
 
+    def _stage_data_files(
+        self,
+        df: DataFrame,
+        spec_fields: list[dict],
+        name_to_id: dict[str, int],
+        id_to_name: dict[int, str],
+        id_to_type: dict[int, str],
+    ) -> list[tuple]:
+        """Stage ``df`` as parquet data files under ``data/stage-*``
+        and return (path, nrows, size, partition-value dict) tuples —
+        the shared staging pass of :meth:`write` and :meth:`merge`.
+
+        One distributed pass: the partition-transform values become
+        derived ``__ip_*`` columns that partitionBy turns into
+        directory names (and drops from the files) — the SOURCE
+        columns stay in the data files, as the Iceberg spec expects.
+
+        Top-level columns carry their TABLE field-id as
+        ``parquet.field.id`` metadata: Spark's parquet writer turns it
+        into PARQUET:field_id on the footer (fieldId.write.enabled),
+        which is what makes _resolved_scan's by-id resolution — and
+        therefore rename/drop/re-add schema evolution — work on this
+        module's own files.  (Nested ids stay footer-less: nested
+        evolution is an Iceberg-runtime feature, not this writer's.)"""
+        import uuid as uuidlib
+
+        import pyarrow.parquet as pq
+
+        ddir = os.path.join(self.path, "data")
+        os.makedirs(ddir, exist_ok=True)
+        stage = os.path.join(ddir, f"stage-{uuidlib.uuid4().hex[:12]}")
+        stage_df = self._stamp_field_ids(df, name_to_id)
+        part_cols = []
+        for pf in spec_fields:
+            src = id_to_name[pf["source-id"]]
+            cname = f"__ip_{pf['name']}"
+            stage_df = _attach_transform(
+                stage_df, cname, src, pf["transform"],
+                id_to_type[pf["source-id"]],
+            )
+            part_cols.append(cname)
+        writer = stage_df.write.mode("errorifexists")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        self._parquet_with_field_ids(
+            lambda: writer.parquet(stage), df.sparkSession
+        )
+        data_files = []  # (path, nrows, size, partition-value dict)
+        for root, _d, files in os.walk(stage):
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                part = {}
+                if part_cols:
+                    dirvals = {}
+                    rel = os.path.relpath(root, stage)
+                    for comp in ([] if rel == "." else rel.split(os.sep)):
+                        if "=" in comp:
+                            k, v = comp.split("=", 1)
+                            dirvals[k] = v
+                    for pf in spec_fields:
+                        key = f"__ip_{pf['name']}"
+                        if key not in dirvals:
+                            raise IcebergProtocolError(
+                                f"staged file {full} lacks the "
+                                f"{pf['name']} partition directory — "
+                                "refusing to commit a mis-partitioned "
+                                "snapshot"
+                            )
+                        part[pf["name"]] = _hive_dir_value(
+                            dirvals[key],
+                            pf["transform"],
+                            id_to_type[pf["source-id"]],
+                        )
+                data_files.append(
+                    (full, pq.read_metadata(full).num_rows,
+                     os.path.getsize(full), part)
+                )
+        return data_files
+
     def write(
         self,
         df: DataFrame,
@@ -1625,74 +1706,10 @@ class IcebergLiteTable:
             spec_fields = existing
 
         mdir = self.metadata_dir
-        ddir = os.path.join(self.path, "data")
         os.makedirs(mdir, exist_ok=True)
-        os.makedirs(ddir, exist_ok=True)
-
-        # stage data files
-        import pyarrow.parquet as pq
-
-        stage = os.path.join(ddir, f"stage-{uuidlib.uuid4().hex[:12]}")
-        # One distributed pass: the partition-transform values become
-        # derived __ip_* columns that partitionBy turns into directory
-        # names (and drops from the files) — the SOURCE columns stay in
-        # the data files, as the Iceberg spec expects.
-        #
-        # Top-level columns carry their TABLE field-id as
-        # parquet.field.id metadata: Spark's parquet writer turns it
-        # into PARQUET:field_id on the footer (fieldId.write.enabled),
-        # which is what makes _resolved_scan's by-id resolution — and
-        # therefore rename/drop/re-add schema evolution — work on this
-        # module's own files.  (Nested ids stay footer-less: nested
-        # evolution is an Iceberg-runtime feature, not this writer's.)
-        stage_df = self._stamp_field_ids(df, name_to_id)
-        part_cols = []
-        for pf in spec_fields:
-            src = id_to_name[pf["source-id"]]
-            cname = f"__ip_{pf['name']}"
-            stage_df = _attach_transform(
-                stage_df, cname, src, pf["transform"],
-                id_to_type[pf["source-id"]],
-            )
-            part_cols.append(cname)
-        writer = stage_df.write.mode("errorifexists")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        self._parquet_with_field_ids(
-            lambda: writer.parquet(stage), df.sparkSession
+        data_files = self._stage_data_files(
+            df, spec_fields, name_to_id, id_to_name, id_to_type
         )
-        data_files = []  # (path, nrows, size, partition-value dict)
-        for root, _d, files in os.walk(stage):
-            for f in sorted(files):
-                if not f.endswith(".parquet"):
-                    continue
-                full = os.path.join(root, f)
-                part = {}
-                if part_cols:
-                    dirvals = {}
-                    rel = os.path.relpath(root, stage)
-                    for comp in ([] if rel == "." else rel.split(os.sep)):
-                        if "=" in comp:
-                            k, v = comp.split("=", 1)
-                            dirvals[k] = v
-                    for pf in spec_fields:
-                        key = f"__ip_{pf['name']}"
-                        if key not in dirvals:
-                            raise IcebergProtocolError(
-                                f"staged file {full} lacks the "
-                                f"{pf['name']} partition directory — "
-                                "refusing to commit a mis-partitioned "
-                                "snapshot"
-                            )
-                        part[pf["name"]] = _hive_dir_value(
-                            dirvals[key],
-                            pf["transform"],
-                            id_to_type[pf["source-id"]],
-                        )
-                data_files.append(
-                    (full, pq.read_metadata(full).num_rows,
-                     os.path.getsize(full), part)
-                )
 
         snaps = meta.get("snapshots", [])
         snap_id = max((int(s["snapshot-id"]) for s in snaps), default=0) + 1
@@ -2197,6 +2214,399 @@ class IcebergLiteTable:
             "snapshot_id": snap_id,
             "rows_deleted": n_del,
             "files_touched": n_files_touched,
+        }
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        matched_update_condition: str | None = None,
+        matched_delete_condition: str | None = None,
+    ) -> dict:
+        """FILE-SCOPED copy-on-write MERGE (Iceberg's ``MERGE INTO``
+        with write.merge.mode=copy-on-write, the delta_lite.merge
+        twin): source rows matching on ``keys`` update the current
+        rows, unmatched source rows insert — ONE atomic overwrite
+        snapshot.  Conditional clauses take SQL predicates over the
+        ``t``/``s`` struct pair exactly like delta_lite.merge
+        (``matched_delete_condition`` evaluates first; a NULL result
+        means not-satisfied).
+
+        Scale shape: only the data files that CONTAIN matched rows are
+        rewritten — matches are located by an ``_metadata``-path
+        semi-join on the keys, the rewrite pass re-reads just those
+        files, and every untouched file survives via manifest surgery:
+        manifests holding a touched file are rewritten with the
+        touched entries marked DELETED (status 2, this snapshot) and
+        the rest carried as EXISTING (status 0) with their ORIGINAL
+        snapshot/sequence provenance, while manifests with no touched
+        file (and all position-delete manifests) are carried verbatim
+        in the new manifest list.  A 100 TB fact upsert confined to
+        one partition rewrites that partition's files, not the table.
+
+        Duplicate keys in ``source`` are refused (iceberg-spark raises
+        the same cardinality violation).  Tables carrying EQUALITY
+        deletes are refused (their sequence-number application
+        semantics belong to the engines that write them — compact with
+        :meth:`rewrite_data_files` first); position deletes are
+        applied to the rewritten rows and their manifests carry
+        forward untouched."""
+        import uuid as uuidlib
+
+        from data_lakehouse_platform_spark.sources.avro_lite import (
+            read_container, write_container,
+        )
+
+        meta = self.metadata()
+        cur_id = self.current_snapshot_id()
+        if cur_id is None:
+            raise FileNotFoundError(
+                f"table at {self.path} has no current snapshot"
+            )
+        cur_fields, cur_sid = self._current_schema(meta)
+        tcols = [f["name"] for f in cur_fields]
+        if sorted(source.columns) != sorted(tcols):
+            raise ValueError(
+                "source schema differs from table schema; align the "
+                "DataFrame first (no implicit evolution)"
+            )
+        bad = [k for k in keys if k not in tcols]
+        if bad:
+            raise ValueError(f"merge keys {bad} not in table columns")
+        data_files, deletes = self.plan_files()
+        if any(d["kind"] == "eq" for d in deletes):
+            raise IcebergProtocolError(
+                "table carries equality-delete files; their sequence-"
+                "number application semantics belong to the engine that "
+                "wrote them — compact with rewrite_data_files() before "
+                "merging"
+            )
+        name_to_id = {f["name"]: int(f["id"]) for f in cur_fields}
+        id_to_name = {v: k for k, v in name_to_id.items()}
+        id_to_type = {int(f["id"]): f["type"] for f in cur_fields}
+        spec_fields = self._table_spec(meta)
+        snaps = meta.get("snapshots", [])
+        cur_snap = next(
+            s for s in snaps if int(s["snapshot-id"]) == cur_id
+        )
+        ml_rows = self._manifest_list_rows(cur_snap)
+        if any(int(r.get("partition_spec_id") or 0) != 0 for r in ml_rows):
+            raise IcebergProtocolError(
+                "table has manifests under a non-default partition "
+                "spec; this writer speaks spec-id 0 only"
+            )
+
+        # ONE evaluation of the source across the location, insert and
+        # rewrite passes (iceberg-spark materializes the source the
+        # same way); lineage truncated, so block loss fails loudly.
+        source = source.localCheckpoint(eager=True)
+        dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
+        if dup.limit(1).count() > 0:
+            raise ValueError(
+                f"source has duplicate keys on {keys}; MERGE requires "
+                "at most one source row per target row"
+            )
+
+        strip = lambda c: F.regexp_replace(  # noqa: E731
+            c, "^[a-zA-Z0-9+.-]+:/+", "/"
+        )
+        prior_pos = [d for d in deletes if d["kind"] == "pos"]
+
+        def _minus_pos(df):
+            if not prior_pos:
+                return df
+            prior = spark.read.parquet(
+                *[d["path"] for d in prior_pos]
+            ).select(
+                strip(F.col("file_path")).alias("__ib_path"),
+                F.col("pos").cast("long").alias("__ib_pos"),
+            )
+            return df.join(
+                prior, on=["__ib_path", "__ib_pos"], how="left_anti"
+            )
+
+        touched_abs: set[str] = set()
+        touched_paths: list[str] = []
+        if data_files:
+            scan = _minus_pos(
+                self._resolved_scan(
+                    spark, meta, [p for p, _s, _pt in data_files],
+                    with_meta=True,
+                )
+            )
+            touched_raw = [
+                r["__ib_path"]
+                for r in scan.join(
+                    source.select(*keys).distinct(), on=keys,
+                    how="left_semi",
+                )
+                .select("__ib_path")
+                .distinct()
+                .collect()
+            ]
+            hit = {os.path.abspath(u) for u in touched_raw} | {
+                os.path.abspath(urllib.parse.unquote(u))
+                for u in touched_raw
+            }
+            for p, _s, _pt in data_files:
+                if os.path.abspath(p) in hit:
+                    touched_abs.add(os.path.abspath(p))
+                    touched_paths.append(p)
+            if len(touched_paths) != len(touched_raw):
+                raise IcebergProtocolError(
+                    "matched a file path that is not in the snapshot"
+                )
+            inserts = source.join(
+                scan.select(*keys), on=keys, how="left_anti"
+            ).select(*tcols)
+        else:
+            inserts = source.select(*tcols)
+
+        rewrite = None
+        if touched_paths:
+            trows = _minus_pos(
+                self._resolved_scan(
+                    spark, meta, touched_paths, with_meta=True
+                )
+            ).select(*tcols)
+            if (
+                matched_update_condition is None
+                and matched_delete_condition is None
+            ):
+                kept = trows.join(
+                    source.select(*keys), on=keys, how="left_anti"
+                )
+                updated_src = source.join(
+                    trows.select(*keys), on=keys, how="left_semi"
+                ).select(*tcols)
+                rewrite = kept.unionByName(updated_src)
+            else:
+                t = trows.select(F.struct(*tcols).alias("t"))
+                srows = source.select(*tcols).select(
+                    F.struct(*tcols).alias("s")
+                )
+                on = None
+                for k in keys:
+                    c = F.col("t")[k] == F.col("s")[k]
+                    on = c if on is None else (on & c)
+                joined = t.join(srows, on=on, how="left")
+                matched = F.col("s").isNotNull()
+                dele = (
+                    F.coalesce(
+                        F.expr(matched_delete_condition), F.lit(False)
+                    )
+                    if matched_delete_condition is not None
+                    else F.lit(False)
+                )
+                upd = (
+                    F.coalesce(
+                        F.expr(matched_update_condition), F.lit(False)
+                    )
+                    if matched_update_condition is not None
+                    else F.lit(True)
+                )
+                rewrite = (
+                    joined.filter(~(matched & dele))
+                    .select(
+                        F.when(matched & upd, F.col("s"))
+                        .otherwise(F.col("t"))
+                        .alias("r")
+                    )
+                    .select("r.*")
+                )
+        new_df = (
+            inserts
+            if rewrite is None
+            else rewrite.unionByName(inserts)
+        )
+        if not touched_paths and inserts.limit(1).count() == 0:
+            return {
+                "snapshot_id": cur_id,
+                "files_rewritten": 0,
+                "files_added": 0,
+            }
+
+        staged = self._stage_data_files(
+            new_df, spec_fields, name_to_id, id_to_name, id_to_type
+        )
+        snap_id = max(int(s["snapshot-id"]) for s in snaps) + 1
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        now_ms = int(time.time() * 1000)
+        mdir = self.metadata_dir
+
+        part_avro = [
+            {
+                "name": pf["name"],
+                "type": _partition_avro_type(
+                    pf["transform"], id_to_type[pf["source-id"]]
+                ),
+                "field-id": pf["field-id"],
+            }
+            for pf in spec_fields
+        ]
+        man_extra = {
+            "schema": json.dumps(
+                {
+                    "type": "struct",
+                    "schema-id": cur_sid,
+                    "fields": cur_fields,
+                }
+            ).encode(),
+            "partition-spec": json.dumps(spec_fields).encode(),
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        }
+        add_entries = [
+            {
+                "status": 1, "snapshot_id": snap_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0, "file_path": path,
+                    "file_format": "PARQUET", "partition": part,
+                    "record_count": nrows, "file_size_in_bytes": size,
+                },
+            }
+            for path, nrows, size, part in staged
+        ]
+        new_ml_rows: list[dict] = []
+        if add_entries:
+            mpath = os.path.join(mdir, f"m-{uuidlib.uuid4().hex}.avro")
+            write_container(
+                mpath, _manifest_schema(part_avro), add_entries,
+                extra_metadata=man_extra,
+            )
+            new_ml_rows.append(
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": 0, "content": 0,
+                    "sequence_number": seq, "min_sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": len(staged),
+                    "existing_files_count": 0, "deleted_files_count": 0,
+                    "added_rows_count": sum(n for _, n, _s, _p in staged),
+                    "existing_rows_count": 0, "deleted_rows_count": 0,
+                }
+            )
+        # Manifest surgery: rewrite only the manifests that reference a
+        # touched file; carry every other manifest row verbatim.
+        for r in ml_rows:
+            if int(r.get("content") or 0) == 1:
+                new_ml_rows.append(r)  # delete manifests carry forward
+                continue
+            _sch, entries = read_container(r["manifest_path"])
+            live_entries = [
+                e for e in entries if int(e.get("status") or 0) != 2
+            ]
+            hits = [
+                e
+                for e in live_entries
+                if os.path.abspath(
+                    _local_path(e["data_file"]["file_path"])
+                )
+                in touched_abs
+            ]
+            if not hits:
+                new_ml_rows.append(r)
+                continue
+            out_entries = []
+            n_exist = n_dead = rows_exist = rows_dead = 0
+            min_seq = seq
+            for e in live_entries:
+                dfile = e["data_file"]
+                eseq = (
+                    int(e["sequence_number"])
+                    if e.get("sequence_number") is not None
+                    else int(r.get("sequence_number") or 0)
+                )
+                fseq = (
+                    int(e["file_sequence_number"])
+                    if e.get("file_sequence_number") is not None
+                    else eseq
+                )
+                esnap = (
+                    int(e["snapshot_id"])
+                    if e.get("snapshot_id") is not None
+                    else int(r.get("added_snapshot_id") or 0)
+                )
+                dead = (
+                    os.path.abspath(_local_path(dfile["file_path"]))
+                    in touched_abs
+                )
+                nrec = int(dfile.get("record_count") or 0)
+                if dead:
+                    n_dead += 1
+                    rows_dead += nrec
+                else:
+                    n_exist += 1
+                    rows_exist += nrec
+                    min_seq = min(min_seq, eseq)
+                part = dfile.get("partition")
+                out_entries.append(
+                    {
+                        "status": 2 if dead else 0,
+                        "snapshot_id": snap_id if dead else esnap,
+                        "sequence_number": eseq,
+                        "file_sequence_number": fseq,
+                        "data_file": {
+                            "content": int(dfile.get("content") or 0),
+                            "file_path": _local_path(dfile["file_path"]),
+                            "file_format": "PARQUET",
+                            "partition": dict(part) if part else {},
+                            "record_count": nrec,
+                            "file_size_in_bytes": int(
+                                dfile.get("file_size_in_bytes") or 0
+                            ),
+                        },
+                    }
+                )
+            m2 = os.path.join(mdir, f"m-{uuidlib.uuid4().hex}.avro")
+            write_container(
+                m2, _manifest_schema(part_avro), out_entries,
+                extra_metadata=man_extra,
+            )
+            new_ml_rows.append(
+                {
+                    "manifest_path": m2,
+                    "manifest_length": os.path.getsize(m2),
+                    "partition_spec_id": 0, "content": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": min_seq,
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": 0,
+                    "existing_files_count": n_exist,
+                    "deleted_files_count": n_dead,
+                    "added_rows_count": 0,
+                    "existing_rows_count": rows_exist,
+                    "deleted_rows_count": rows_dead,
+                }
+            )
+        ml_path = os.path.join(
+            mdir, f"snap-{snap_id}-1-{uuidlib.uuid4().hex}.avro"
+        )
+        write_container(ml_path, _ML_SCHEMA, new_ml_rows,
+                        extra_metadata={"format-version": b"2"})
+        snap = {
+            "snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now_ms, "manifest-list": ml_path,
+            "summary": {"operation": "overwrite"},
+            "schema-id": cur_sid,
+            "parent-snapshot-id": cur_id,
+        }
+        meta["snapshots"] = snaps + [snap]
+        meta["current-snapshot-id"] = snap_id
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta.setdefault("snapshot-log", []).append(
+            {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+        )
+        self._commit_metadata_json(meta)
+        return {
+            "snapshot_id": snap_id,
+            "files_rewritten": len(touched_paths),
+            "files_added": len(staged),
         }
 
     def rewrite_data_files(
