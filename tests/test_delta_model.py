@@ -219,7 +219,7 @@ def test_iceberg_verbs_against_model(spark, tmp_path, seed):
         op = rng.choice(
             ["append", "delete", "mass_delete", "compact", "zorder",
              "tag", "branch", "ledger", "add_col", "rename_col",
-             "drop_col", "promote"]
+             "drop_col", "promote", "merge"]
         )
         if op == "append":
             prev_sid = t.current_snapshot_id()
@@ -268,6 +268,28 @@ def test_iceberg_verbs_against_model(spark, tmp_path, seed):
             for k in [k for k in model if k >= pivot]:
                 model.pop(k)
             sid = res["snapshot_id"]
+        elif op == "merge" and model:
+            # r7 verb: copy-on-write upsert — random existing ids
+            # update, fresh ids insert; an overwrite snapshot, so the
+            # incremental append scan must refuse it (like delete)
+            upd = rng.sample(sorted(model), rng.randrange(1, min(4, len(model)) + 1))
+            src = {
+                k: {c: rng.randrange(1000) for c, _ty in cols}
+                for k in upd
+            }
+            src.update(fresh(rng.randrange(0, 3)))
+            before = t.current_snapshot_id()
+            res = t.merge(spark, df(src), keys=["id"])
+            model.update(src)
+            sid = res["snapshot_id"]
+            import pytest as _pytest
+
+            from data_lakehouse_platform_spark.sources.iceberg_lite import (
+                IcebergProtocolError as _IPE,
+            )
+
+            with _pytest.raises(_IPE, match="overwrite"):
+                t.incremental_append_files(before, sid)
         elif op == "compact":
             prev_sid = t.current_snapshot_id()
             res = t.rewrite_data_files(spark, target_file_bytes=1 << 20)
