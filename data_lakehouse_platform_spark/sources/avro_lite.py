@@ -209,9 +209,14 @@ class _Codec:
             _write_long(out, s["symbols"].index(v))
         elif t == "record":
             for f in s["fields"]:
-                try:
+                if f["name"] in v:
                     self.encode(out, f["type"], v[f["name"]])
-                except KeyError:
+                elif "default" in f:
+                    # Avro writer-schema default (spec §Schema Record):
+                    # lets optional fields (e.g. manifest column stats)
+                    # be omitted by builders that have nothing to say
+                    self.encode(out, f["type"], f["default"])
+                else:
                     raise AvroFormatError(
                         f"record {s.get('name')}: missing field {f['name']}"
                     )

@@ -171,7 +171,45 @@ def _manifest_schema(partition_fields: list[dict] | None = None) -> dict:
                      "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long",
                      "field-id": 104},
+                    # per-column stats (spec data_file fields 109/110/
+                    # 125/128), avro-encoded the way Iceberg encodes
+                    # maps in manifests: arrays of key/value records
+                    # keyed by FIELD ID.  Bounds are the spec's
+                    # single-value binary serialization.
+                    _kv_map_field("value_counts", 109, 119, 120, "long"),
+                    _kv_map_field(
+                        "null_value_counts", 110, 121, 122, "long"
+                    ),
+                    _kv_map_field("lower_bounds", 125, 126, 127, "bytes"),
+                    _kv_map_field("upper_bounds", 128, 129, 130, "bytes"),
                 ]}},
+        ],
+    }
+
+
+def _kv_map_field(
+    name: str, fid: int, kid: int, vid: int, vtype: str
+) -> dict:
+    """A nullable Iceberg manifest 'map' field: Avro array of
+    key/value records (key = column field-id)."""
+    return {
+        "name": name,
+        "field-id": fid,
+        "default": None,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "logicalType": "map",
+                "items": {
+                    "type": "record",
+                    "name": f"k{kid}_v{vid}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": kid},
+                        {"name": "value", "type": vtype, "field-id": vid},
+                    ],
+                },
+            },
         ],
     }
 
@@ -571,6 +609,81 @@ def _hive_dir_value(raw: str, transform: str, src_type: str):
     return urllib.parse.unquote(raw)
 
 
+def _decode_bound(b, ice_type: str, tz_name):
+    """Iceberg single-value binary (spec Appendix D) -> a Python
+    comparable for the skipping domain; None when absent or
+    undecodable (callers then keep the file).  NaN/Inf float bounds
+    decode to None — a NaN lower bound would make every comparison
+    False and wrongly SKIP.  External engines truncate string bounds
+    (lower rounded down, upper's last char incremented), which stays
+    conservative after decoding."""
+    import datetime
+    import math
+    import struct
+    from decimal import Decimal
+
+    from data_lakehouse_platform_spark.sources.skipping import (
+        _to_session_naive,
+    )
+
+    if b is None:
+        return None
+    try:
+        if ice_type == "int":
+            return struct.unpack("<i", b)[0]
+        if ice_type == "date":
+            return datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=struct.unpack("<i", b)[0]
+            )
+        if ice_type == "long":
+            return struct.unpack("<q", b)[0]
+        if ice_type in ("timestamptz", "timestamp"):
+            micros = struct.unpack("<q", b)[0]
+            base = datetime.datetime(
+                1970, 1, 1, tzinfo=datetime.timezone.utc
+            ) + datetime.timedelta(microseconds=micros)
+            if ice_type == "timestamptz":
+                return _to_session_naive(base, tz_name)
+            return base.replace(tzinfo=None)
+        if ice_type in ("float", "double"):
+            v = struct.unpack(
+                "<f" if ice_type == "float" else "<d", b
+            )[0]
+            return None if (math.isnan(v) or math.isinf(v)) else v
+        if ice_type == "string":
+            return b.decode("utf-8")
+        if ice_type == "boolean":
+            return b[0] != 0
+        if ice_type.startswith("decimal("):
+            scale = int(ice_type[:-1].split(",")[1])
+            unscaled = int.from_bytes(b, "big", signed=True)
+            return Decimal(unscaled).scaleb(-scale)
+    except Exception:
+        return None
+    return None
+
+
+def _partition_domain_value(raw, ice_type: str, tz_name):
+    """A typed identity-partition value from a manifest entry -> a
+    Python comparable (identity values are exact: min == max)."""
+    import datetime
+
+    try:
+        if ice_type == "date":
+            return datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=int(raw)
+            )
+        if ice_type in ("int", "long"):
+            return int(raw)
+        if ice_type == "string":
+            return str(raw)
+        if ice_type in ("float", "double"):
+            return float(raw)
+    except (TypeError, ValueError):
+        return None
+    return None
+
+
 class IcebergLiteTable:
     # One position-delete file per ~this many matched rows: a mass
     # delete range-shards by (file_path, pos) instead of funneling
@@ -797,12 +910,166 @@ class IcebergLiteTable:
             data_files = [t for t in data_files if keep(t[2])]
         return data_files, deletes
 
+    def _live_file_stats(self, snap: dict) -> dict[str, dict]:
+        """{abs data-file path: raw manifest stats} for a snapshot's
+        live files — record_count plus the avro map-arrays
+        (null_value_counts / lower_bounds / upper_bounds) folded to
+        {field id: value} dicts.  A second metadata-only manifest pass,
+        read only when a predicate asks for skipping."""
+        out: dict[str, dict] = {}
+        for mpath, mcontent, _mseq in self._manifest_paths(snap):
+            if mcontent == 1:
+                continue
+            _, entries = read_container(mpath)
+            for e in entries:
+                if int(e.get("status") or 0) == 2:
+                    continue
+                dfile = e["data_file"]
+                if int(dfile.get("content") or 0) != 0:
+                    continue
+
+                def _fold(key):
+                    arr = dfile.get(key)
+                    if not arr:
+                        return {}
+                    return {
+                        int(kv["key"]): kv["value"] for kv in arr
+                    }
+
+                out[os.path.abspath(_local_path(dfile["file_path"]))] = {
+                    "record_count": int(dfile.get("record_count") or 0),
+                    "null_value_counts": _fold("null_value_counts"),
+                    "lower_bounds": _fold("lower_bounds"),
+                    "upper_bounds": _fold("upper_bounds"),
+                }
+        return out
+
+    def _file_skip_domain(
+        self,
+        path: str,
+        part: dict,
+        stats_by_path: dict[str, dict],
+        fields: list[dict],
+        identity_cols: dict[str, str],
+        tz_name,
+    ) -> dict:
+        """One data file's skipping domain {lowercase column ->
+        (lo, hi, null_count, num_records)} from manifest bounds plus
+        exact identity-partition values (see sources/skipping.py)."""
+        st = stats_by_path.get(os.path.abspath(path)) or {}
+        nr = st.get("record_count")
+        ncs = st.get("null_value_counts") or {}
+        lobs = st.get("lower_bounds") or {}
+        upbs = st.get("upper_bounds") or {}
+        dom: dict = {}
+        for f in fields:
+            fid = int(f["id"])
+            ity = f["type"]
+            if not isinstance(ity, str):
+                continue
+            lo = _decode_bound(lobs.get(fid), ity, tz_name)
+            hi = _decode_bound(upbs.get(fid), ity, tz_name)
+            nc = ncs.get(fid)
+            nc = int(nc) if isinstance(nc, int) else None
+            if lo is None and hi is None and nc is None and nr is None:
+                continue
+            dom[str(f["name"]).lower()] = (lo, hi, nc, nr)
+        # identity partition values are EXACT (min == max == value) and
+        # win over (looser or absent) column bounds
+        for pname, colname in identity_cols.items():
+            if pname not in part:
+                continue
+            fld = next(
+                (f for f in fields if f["name"] == colname), None
+            )
+            if fld is None or not isinstance(fld["type"], str):
+                continue
+            raw = part[pname]
+            if raw is None:
+                dom[colname.lower()] = (None, None, 1, 1)
+                continue
+            val = _partition_domain_value(raw, fld["type"], tz_name)
+            if val is not None:
+                dom[colname.lower()] = (val, val, 0, nr)
+        return dom
+
+    def _prune_by_predicate(
+        self,
+        spark: SparkSession,
+        meta: dict,
+        data_files: list[tuple[str, int, dict]],
+        predicate: str,
+        snapshot_id: int | None,
+    ) -> list[tuple[str, int, dict]]:
+        """Drop data files whose manifest bounds / null counts /
+        identity-partition values prove no row can satisfy
+        ``predicate`` — conservative (anything not understood keeps
+        the file), metadata-only.  Shared by :meth:`read`,
+        :meth:`files_matching` and :meth:`delete`."""
+        from data_lakehouse_platform_spark.sources.skipping import (
+            _predicate_tree, _session_tz, _skip_possible,
+        )
+
+        if not data_files:
+            return data_files
+        tree = _predicate_tree(spark, predicate)
+        if tree is None:
+            return data_files
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else self.current_snapshot_id()
+        )
+        snap = next(
+            s
+            for s in meta.get("snapshots", [])
+            if int(s["snapshot-id"]) == sid
+        )
+        fields, _csid = self._current_schema(meta)
+        stats = self._live_file_stats(snap)
+        identity_cols = {
+            pf["name"]: self._field_names_by_id(meta).get(
+                int(pf["source-id"]), pf["name"]
+            )
+            for pf in self._table_spec(meta)
+            if pf["transform"] == "identity"
+        }
+        tz = _session_tz(spark)
+        return [
+            (p, s, part)
+            for p, s, part in data_files
+            if _skip_possible(
+                tree,
+                self._file_skip_domain(
+                    p, part, stats, fields, identity_cols, tz
+                ),
+            )
+        ]
+
+    def files_matching(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        snapshot_id: int | None = None,
+    ) -> tuple[list[str], int]:
+        """(data files a predicate-scoped read scans, total live) —
+        manifest-bounds skipping observability, the iceberg twin of
+        DeltaLiteTable.files_matching.  Metadata-only."""
+        meta = self.metadata()
+        data_files, _deletes = self.plan_files(snapshot_id)
+        total = len(data_files)
+        kept = self._prune_by_predicate(
+            spark, meta, data_files, predicate, snapshot_id
+        )
+        return sorted(p for p, _s, _pt in kept), total
+
     def read(
         self,
         spark: SparkSession,
         snapshot_id: int | None = None,
         partition_filter=None,
         ref: str | None = None,
+        predicate: str | None = None,
     ) -> DataFrame:
         """Snapshot read (current snapshot, time travel by id, or a
         named ref — ``read(ref="audit-2024q1")``).
@@ -814,6 +1081,14 @@ class IcebergLiteTable:
         data files from manifest partition values (see
         :meth:`plan_files`) — exact file-level filtering, since every
         row in a data file shares the file's partition tuple.
+
+        ``predicate`` (a SQL boolean expression) is BOTH a filter and
+        a scan-pruning hint: files whose manifest lower/upper bounds,
+        null counts, or identity-partition values prove no row can
+        match are dropped before Spark lists them (Iceberg's scan
+        filtering), and the predicate is then applied to the surviving
+        rows — the result is exact whether or not anything was
+        skippable.
         """
         meta = self.metadata()
         if ref is not None:
@@ -821,6 +1096,20 @@ class IcebergLiteTable:
                 raise ValueError("pass snapshot_id OR ref, not both")
             snapshot_id = self.resolve_ref(ref)
         data_files, deletes = self.plan_files(snapshot_id, partition_filter)
+        if predicate is not None and data_files:
+            data_files = self._prune_by_predicate(
+                spark, meta, data_files, predicate, snapshot_id
+            )
+            if not data_files:
+                # every file provably unmatched: an EMPTY result in the
+                # snapshot's schema (the read below raises on no files)
+                fields, _csid = self._current_schema(meta)
+                ddl = ", ".join(
+                    f"`{f['name']}` "
+                    f"{self._iceberg_type_to_spark_ddl(f['type'])}"
+                    for f in fields
+                )
+                return spark.createDataFrame([], ddl)
         if not data_files:
             raise FileNotFoundError(
                 f"snapshot {snapshot_id or self.current_snapshot_id()} "
@@ -850,7 +1139,10 @@ class IcebergLiteTable:
                 for s in meta.get("schemas", [])
             ):
                 meta = {**meta, "current-schema-id": sid}
-        return self._read_files(spark, meta, data_files, deletes)
+        out = self._read_files(spark, meta, data_files, deletes)
+        if predicate is not None:
+            out = out.filter(predicate)
+        return out
 
     def _read_files(
         self,
@@ -1485,6 +1777,120 @@ class IcebergLiteTable:
         finally:
             sess.conf.set(key, prev)
 
+    #: iceberg primitive types whose manifest bounds this writer emits
+    #: (and the read-side pruner decodes); timestamptz min/max are
+    #: aggregated as unix_micros SERVER-SIDE so no tz-naive collect can
+    #: shift them.
+    _BOUNDS_TYPES = frozenset(
+        {"int", "long", "float", "double", "string", "date",
+         "timestamptz"}
+    )
+    _BOUNDS_MAX_STRING = 64
+
+    def _collect_file_stats(
+        self,
+        df: DataFrame,
+        stage: str,
+        name_to_id: dict[str, int],
+        id_to_type: dict[int, str],
+    ) -> dict[str, dict]:
+        """Per-staged-file column stats for the manifest entry:
+        {abs path: {value_counts, null_value_counts, lower_bounds,
+        upper_bounds}} in the avro map-array shape, bounds in the
+        spec's single-value binary serialization.  ONE distributed
+        aggregation grouped by ``_metadata.file_path`` — metadata-sized
+        collect (files × columns), the iceberg twin of delta_lite's
+        _compute_add_stats.  Untrustworthy bounds are OMITTED, never
+        approximated: strings over _BOUNDS_MAX_STRING chars (a
+        truncated upper bound under-bounds), NaN/Inf floats."""
+        import math
+        import struct
+
+        stat_cols = [
+            (f.name, id_to_type[name_to_id[f.name]])
+            for f in df.schema.fields
+            if f.name in name_to_id
+            and isinstance(id_to_type[name_to_id[f.name]], str)
+            and id_to_type[name_to_id[f.name]] in self._BOUNDS_TYPES
+        ]
+        raw = (
+            df.sparkSession.read.schema(df.schema)
+            .option("basePath", stage)
+            .parquet(stage)
+        )
+        aggs = [F.count(F.lit(1)).alias("__nr")]
+        for i, (c, ity) in enumerate(stat_cols):
+            col = F.col(c)
+            if ity == "timestamptz":
+                col = F.unix_micros(col)
+            elif ity == "date":
+                col = F.datediff(col, F.lit("1970-01-01"))
+            aggs.append(F.min(col).alias(f"__min_{i}"))
+            aggs.append(F.max(col).alias(f"__max_{i}"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{i}")
+            )
+            if ity == "string":
+                aggs.append(F.max(F.length(col)).alias(f"__len_{i}"))
+        rows = (
+            raw.groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(*aggs)
+            .collect()
+        )
+
+        def _enc(v, ity: str) -> bytes | None:
+            if ity in ("int", "date"):
+                return struct.pack("<i", int(v))
+            if ity in ("long", "timestamptz"):
+                return struct.pack("<q", int(v))
+            if ity == "float":
+                return struct.pack("<f", float(v))
+            if ity == "double":
+                return struct.pack("<d", float(v))
+            if ity == "string":
+                return str(v).encode("utf-8")
+            return None
+
+        out: dict[str, dict] = {}
+        for r in rows:
+            ap = os.path.abspath(
+                urllib.parse.unquote(
+                    re.sub(r"^[a-zA-Z0-9+.-]+:/+", "/", r["__fp"])
+                )
+            )
+            vc, nc_arr, lob, upb = [], [], [], []
+            nr = int(r["__nr"])
+            for i, (c, ity) in enumerate(stat_cols):
+                fid = name_to_id[c]
+                vc.append({"key": fid, "value": nr})
+                nc_arr.append(
+                    {"key": fid, "value": int(r[f"__nc_{i}"] or 0)}
+                )
+                lo, hi = r[f"__min_{i}"], r[f"__max_{i}"]
+                if lo is None or hi is None:
+                    continue
+                if ity == "string" and (
+                    (r[f"__len_{i}"] or 0) > self._BOUNDS_MAX_STRING
+                ):
+                    continue
+                if ity in ("float", "double") and any(
+                    math.isnan(float(x)) or math.isinf(float(x))
+                    for x in (lo, hi)
+                ):
+                    continue
+                blo, bhi = _enc(lo, ity), _enc(hi, ity)
+                if blo is None or bhi is None:
+                    continue
+                lob.append({"key": fid, "value": blo})
+                upb.append({"key": fid, "value": bhi})
+            out[ap] = {
+                "value_counts": vc or None,
+                "null_value_counts": nc_arr or None,
+                "lower_bounds": lob or None,
+                "upper_bounds": upb or None,
+            }
+        return out
+
     def _stage_data_files(
         self,
         df: DataFrame,
@@ -1494,8 +1900,9 @@ class IcebergLiteTable:
         id_to_type: dict[int, str],
     ) -> list[tuple]:
         """Stage ``df`` as parquet data files under ``data/stage-*``
-        and return (path, nrows, size, partition-value dict) tuples —
-        the shared staging pass of :meth:`write` and :meth:`merge`.
+        and return (path, nrows, size, partition-value dict,
+        column-stats dict) tuples — the shared staging pass of
+        :meth:`write` and :meth:`merge`.
 
         One distributed pass: the partition-transform values become
         derived ``__ip_*`` columns that partitionBy turns into
@@ -1532,7 +1939,10 @@ class IcebergLiteTable:
         self._parquet_with_field_ids(
             lambda: writer.parquet(stage), df.sparkSession
         )
-        data_files = []  # (path, nrows, size, partition-value dict)
+        stats_by_path = self._collect_file_stats(
+            df, stage, name_to_id, id_to_type
+        )
+        data_files = []  # (path, nrows, size, partition dict, stats)
         for root, _d, files in os.walk(stage):
             for f in sorted(files):
                 if not f.endswith(".parquet"):
@@ -1562,7 +1972,8 @@ class IcebergLiteTable:
                         )
                 data_files.append(
                     (full, pq.read_metadata(full).num_rows,
-                     os.path.getsize(full), part)
+                     os.path.getsize(full), part,
+                     stats_by_path.get(os.path.abspath(full), {}))
                 )
         return data_files
 
@@ -1724,9 +2135,10 @@ class IcebergLiteTable:
                     "content": 0, "file_path": path,
                     "file_format": "PARQUET", "partition": part,
                     "record_count": nrows, "file_size_in_bytes": size,
+                    **fstats,
                 },
             }
-            for path, nrows, size, part in data_files
+            for path, nrows, size, part, fstats in data_files
         ]
         part_avro = [
             {
@@ -1766,7 +2178,7 @@ class IcebergLiteTable:
         mpath = os.path.join(mdir, f"m-{uuidlib.uuid4().hex}.avro")
         write_container(mpath, _manifest_schema(part_avro), entries,
                         extra_metadata=extra)
-        n_rows = sum(n for _, n, _s, _p in data_files)
+        n_rows = sum(n for _, n, _s, _p, _st in data_files)
         ml_rows = [
             {
                 "manifest_path": mpath,
@@ -2073,6 +2485,18 @@ class IcebergLiteTable:
                 f"table at {self.path} has no current snapshot"
             )
         data_files, deletes = self.plan_files()
+        # manifest-bounds pruning: a surgical DELETE against a
+        # selective predicate opens only the files whose stats admit a
+        # match (rows in skipped files cannot satisfy the predicate)
+        data_files = self._prune_by_predicate(
+            spark, meta, data_files, predicate, cur_id
+        )
+        if not data_files:
+            return {
+                "snapshot_id": cur_id,
+                "rows_deleted": 0,
+                "files_touched": 0,
+            }
         strip = lambda c: F.regexp_replace(  # noqa: E731
             c, "^[a-zA-Z0-9+.-]+:/+", "/"
         )
@@ -2466,9 +2890,10 @@ class IcebergLiteTable:
                     "content": 0, "file_path": path,
                     "file_format": "PARQUET", "partition": part,
                     "record_count": nrows, "file_size_in_bytes": size,
+                    **fstats,
                 },
             }
-            for path, nrows, size, part in staged
+            for path, nrows, size, part, fstats in staged
         ]
         new_ml_rows: list[dict] = []
         if add_entries:
@@ -2486,7 +2911,7 @@ class IcebergLiteTable:
                     "added_snapshot_id": snap_id,
                     "added_files_count": len(staged),
                     "existing_files_count": 0, "deleted_files_count": 0,
-                    "added_rows_count": sum(n for _, n, _s, _p in staged),
+                    "added_rows_count": sum(n for _, n, _s, _p, _st in staged),
                     "existing_rows_count": 0, "deleted_rows_count": 0,
                 }
             )
@@ -2559,6 +2984,18 @@ class IcebergLiteTable:
                             "file_size_in_bytes": int(
                                 dfile.get("file_size_in_bytes") or 0
                             ),
+                            # column stats carry VERBATIM: a surviving
+                            # file's bounds are unchanged by the merge
+                            **{
+                                k: dfile.get(k)
+                                for k in (
+                                    "value_counts",
+                                    "null_value_counts",
+                                    "lower_bounds",
+                                    "upper_bounds",
+                                )
+                                if dfile.get(k) is not None
+                            },
                         },
                     }
                 )
