@@ -438,324 +438,13 @@ def _stat_from_json(v, dt, tz_name: str | None):
         return None
 
 
-def _to_session_naive(ts, tz_name: str | None):
-    """tz-aware datetime -> naive wall-clock in the session timezone
-    (the coordinate system collected TimestampType stats live in)."""
-    import datetime
+from data_lakehouse_platform_spark.sources.skipping import (
+    _predicate_tree,
+    _session_tz,
+    _skip_possible,
+    _to_session_naive,
+)
 
-    if tz_name:
-        try:
-            from zoneinfo import ZoneInfo
-
-            return ts.astimezone(ZoneInfo(tz_name)).replace(tzinfo=None)
-        except Exception:
-            pass
-    return ts.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-
-
-def _predicate_tree(spark: SparkSession, predicate: str):
-    """Parse ``predicate`` with Spark's own SQL parser and fold the
-    Catalyst expression into a small Python tree the skipping
-    evaluator understands:
-
-      ("and"|"or", left, right) | ("not", child)
-      ("cmp", op, col, value)   op in == != < <= > >=
-      ("in", col, [values]) | ("isnull", col) | ("isnotnull", col)
-      ("unknown",)  — any node we refuse to reason about
-      ("false",)    — a comparison against NULL (never TRUE in SQL)
-
-    Column names are lower-cased (Spark's default case-insensitive
-    resolution).  Literal sides may be any FOLDABLE expression — the
-    JVM evaluates them (``CAST('2020-01-01' AS DATE)`` etc.), so the
-    constant-folding semantics are exactly Spark's.  Returns None when
-    the predicate does not parse (callers then skip nothing)."""
-    try:
-        jexpr = (
-            spark._jsparkSession.sessionState()
-            .sqlParser()
-            .parseExpression(predicate)
-        )
-        empty_row = (
-            spark._jvm.org.apache.spark.sql.catalyst.InternalRow.empty()
-        )
-        return _fold_jexpr(jexpr, empty_row, _session_tz(spark))
-    except Exception:
-        return None
-
-
-def _session_tz(spark: SparkSession) -> str | None:
-    """The session timezone TimestampType wall-clocks live in —
-    spark.sql.session.timeZone, falling back to the JVM default."""
-    try:
-        tz = spark.conf.get("spark.sql.session.timeZone")
-        if tz:
-            return tz
-    except Exception:
-        pass
-    try:
-        return spark._jvm.java.util.TimeZone.getDefault().getID()
-    except Exception:
-        return None
-
-
-_CMP_NODES = {
-    "EqualTo": "==",
-    "LessThan": "<",
-    "LessThanOrEqual": "<=",
-    "GreaterThan": ">",
-    "GreaterThanOrEqual": ">=",
-}
-_CMP_FLIP = {
-    "==": "==", "!=": "!=", "<": ">", "<=": ">=", ">": "<", ">=": "<=",
-    "==ns": "==ns", "!=ns": "!=ns",
-}
-# NB: negating <=> is NOT "!=": NULL rows satisfy NOT(col <=> lit), so
-# "!=ns" keeps any file that may hold NULLs — see _skip_possible.
-_CMP_NEGATE = {
-    "==": "!=", "!=": "==", "<": ">=", "<=": ">", ">": "<=", ">=": "<",
-    "==ns": "!=ns", "!=ns": "==ns",
-}
-
-
-def _j_attr_name(jx) -> str | None:
-    if jx.getClass().getSimpleName() != "UnresolvedAttribute":
-        return None
-    name = jx.name()
-    if "." in name:  # nested fields carry no top-level stats
-        return None
-    return name.strip("`").lower()
-
-
-def _j_literal_value(jx, empty_row, tz_name):
-    """Foldable java expression -> (True, python value) or (False, _).
-    A null literal returns (True, None)."""
-    import datetime
-    from decimal import Decimal
-
-    try:
-        if not jx.foldable():
-            return False, None
-        raw = jx.eval(empty_row)
-        tn = jx.dataType().typeName()
-    except Exception:
-        return False, None
-    if raw is None:
-        return True, None
-    if tn == "string":
-        return True, str(raw)
-    if tn == "date":
-        return True, datetime.date(1970, 1, 1) + datetime.timedelta(
-            days=int(str(raw))
-        )
-    if tn in ("timestamp", "timestamp_ntz"):
-        micros = int(str(raw))
-        base = datetime.datetime(
-            1970, 1, 1, tzinfo=datetime.timezone.utc
-        ) + datetime.timedelta(microseconds=micros)
-        if tn == "timestamp":
-            return True, _to_session_naive(base, tz_name)
-        return True, base.replace(tzinfo=None)
-    if tn.startswith("decimal"):
-        return True, Decimal(str(raw))
-    if tn == "boolean":
-        return True, bool(raw)
-    if tn in ("integer", "long", "short", "byte"):
-        return True, int(str(raw))
-    if tn in ("double", "float"):
-        return True, float(str(raw))
-    return False, None
-
-
-def _fold_jexpr(jx, empty_row, tz_name):
-    n = jx.getClass().getSimpleName()
-    if n == "And" or n == "Or":
-        return (
-            n.lower(),
-            _fold_jexpr(jx.left(), empty_row, tz_name),
-            _fold_jexpr(jx.right(), empty_row, tz_name),
-        )
-    if n == "Not":
-        return ("not", _fold_jexpr(jx.child(), empty_row, tz_name))
-    if n in _CMP_NODES or n == "EqualNullSafe":
-        op = _CMP_NODES.get(n, "==")
-        col = _j_attr_name(jx.left())
-        lit_side = jx.right()
-        flipped = False
-        if col is None:
-            col = _j_attr_name(jx.right())
-            lit_side = jx.left()
-            flipped = True
-        if col is None:
-            return ("unknown",)
-        ok, val = _j_literal_value(lit_side, empty_row, tz_name)
-        if not ok:
-            return ("unknown",)
-        if val is None:
-            # `col <op> NULL` is never TRUE; `col <=> NULL` is IS NULL
-            return ("isnull", col) if n == "EqualNullSafe" else ("false",)
-        if n == "EqualNullSafe":
-            op = "==ns"
-        return ("cmp", _CMP_FLIP[op] if flipped else op, col, val)
-    if n == "In":
-        col = _j_attr_name(jx.value())
-        if col is None:
-            return ("unknown",)
-        vals = []
-        it = jx.list().iterator()
-        while it.hasNext():
-            ok, v = _j_literal_value(it.next(), empty_row, tz_name)
-            if not ok:
-                return ("unknown",)
-            if v is not None:  # a NULL member can never equal col
-                vals.append(v)
-        return ("in", col, vals)
-    if n == "IsNull":
-        col = _j_attr_name(jx.child())
-        return ("isnull", col) if col else ("unknown",)
-    if n == "IsNotNull":
-        col = _j_attr_name(jx.child())
-        return ("isnotnull", col) if col else ("unknown",)
-    if n == "UnresolvedFunction":
-        try:
-            if str(jx.nameParts().last()).lower() != "between":
-                return ("unknown",)
-            args = jx.arguments()
-            if args.size() != 3:
-                return ("unknown",)
-            col = _j_attr_name(args.apply(0))
-            ok_lo, lo = _j_literal_value(args.apply(1), empty_row, tz_name)
-            ok_hi, hi = _j_literal_value(args.apply(2), empty_row, tz_name)
-        except Exception:
-            return ("unknown",)
-        if col is None or not (ok_lo and ok_hi):
-            return ("unknown",)
-        if lo is None or hi is None:
-            return ("false",)  # BETWEEN with a NULL bound is never TRUE
-        return (
-            "and",
-            ("cmp", ">=", col, lo),
-            ("cmp", "<=", col, hi),
-        )
-    if n == "Like":
-        col = _j_attr_name(jx.left())
-        ok, pat = _j_literal_value(jx.right(), empty_row, tz_name)
-        if col is None or not ok or not isinstance(pat, str):
-            return ("unknown",)
-        # Only the pure-prefix shape is range-reasonable: 'abc%' with
-        # no other wildcards and the default escape char.
-        if (
-            pat.endswith("%")
-            and "%" not in pat[:-1]
-            and "_" not in pat
-            and "\\" not in pat
-            and str(jx.escapeChar()) in ("\\", "\\\\")
-        ):
-            return ("startswith", col, pat[:-1])
-        return ("unknown",)
-    return ("unknown",)
-
-
-def _skip_possible(node, domain, pos: bool = True) -> bool:
-    """Could any row of a file with stat ``domain`` satisfy the
-    predicate ``node`` (or its negation when ``pos`` is False)?
-    ``domain``: {col: (lo, hi, null_count, num_records)} — None means
-    unknown.  Conservative: unknown anything -> True."""
-    k = node[0]
-    if k == "unknown":
-        return True
-    if k == "false":
-        return not pos
-    if k == "not":
-        return _skip_possible(node[1], domain, not pos)
-    if k == "and":
-        if pos:
-            return _skip_possible(node[1], domain) and _skip_possible(
-                node[2], domain
-            )
-        return _skip_possible(node[1], domain, False) or _skip_possible(
-            node[2], domain, False
-        )
-    if k == "or":
-        if pos:
-            return _skip_possible(node[1], domain) or _skip_possible(
-                node[2], domain
-            )
-        return _skip_possible(node[1], domain, False) and _skip_possible(
-            node[2], domain, False
-        )
-    if k == "in":
-        if not pos:
-            # NOT IN: TRUE only when col is non-null and differs from
-            # every member; conservative unless every member pins the
-            # whole file (all handled by the != rule).
-            return any(
-                _skip_possible(("cmp", "!=", node[1], v), domain)
-                for v in node[2]
-            ) or not node[2]
-        return any(
-            _skip_possible(("cmp", "==", node[1], v), domain)
-            for v in node[2]
-        )
-    if k in ("isnull", "isnotnull"):
-        col = node[1]
-        if pos is False:
-            k = "isnotnull" if k == "isnull" else "isnull"
-        st = domain.get(col)
-        if st is None:
-            return True
-        lo, hi, nc, nr = st
-        if k == "isnull":
-            return True if nc is None else nc > 0
-        return True if (nc is None or nr is None) else nc < nr
-    if k == "startswith":
-        col, pfx = node[1], node[2]
-        st = domain.get(col)
-        if st is None:
-            return True
-        lo, hi, nc, nr = st
-        if nc is not None and nr is not None and nc >= nr:
-            return False  # all NULL: LIKE and NOT LIKE are both never TRUE
-        if (
-            lo is None
-            or hi is None
-            or not isinstance(lo, str)
-            or not isinstance(hi, str)
-        ):
-            return True
-        n_p = len(pfx)
-        if pos:
-            # lo <= s <= hi and s.startswith(p) force lo[:n] <= p <= hi[:n]
-            return lo[:n_p] <= pfx <= hi[:n_p]
-        # negation impossible only when EVERY value starts with pfx
-        return not (lo[:n_p] == pfx == hi[:n_p])
-    # k == "cmp"
-    op, col, val = node[1], node[2], node[3]
-    if not pos:
-        op = _CMP_NEGATE[op]
-    st = domain.get(col)
-    if st is None:
-        return True
-    lo, hi, nc, nr = st
-    if op == "!=ns" and (nc is None or nc > 0):
-        return True  # NULL rows satisfy NOT(col <=> lit)
-    if nc is not None and nr is not None and nc >= nr:
-        return False  # every value NULL -> no comparison is ever TRUE
-    if lo is None or hi is None:
-        return True
-    try:
-        if op in ("==", "==ns"):
-            return lo <= val <= hi
-        if op in ("!=", "!=ns"):
-            return not (lo == val == hi)
-        if op == "<":
-            return lo < val
-        if op == "<=":
-            return lo <= val
-        if op == ">":
-            return hi > val
-        return hi >= val
-    except TypeError:
-        return True
 
 
 def _partition_stat_value(raw: str, dt, tz_name: str | None):
@@ -1226,10 +915,15 @@ class DeltaLiteTable:
         # feature list): a table whose config/schema declares a
         # constraint expects it honored even if an engine under-
         # stamped the protocol.
-        if conf.get("delta.columnMapping.mode", "none") != "none":
+        cm_mode = conf.get("delta.columnMapping.mode", "none")
+        if cm_mode not in ("none", "name"):
+            # 'name' mode writes are produced here (physical-name data
+            # files via _stage_adds' phys_map); 'id' mode would also
+            # need parquet field-id footers this writer does not stamp
             raise DeltaProtocolError(
-                "table uses column mapping; writes need physical-name "
-                "data files this writer does not produce"
+                f"table uses column mapping mode {cm_mode!r}; this "
+                "writer produces physical-name files for 'name' mode "
+                "only"
             )
         # delta.enableChangeDataFeed=true is SUPPORTED: every mutating
         # verb emits _change_data files + cdc actions (see _stage_cdc),
@@ -1380,6 +1074,7 @@ class DeltaLiteTable:
         partition_by: list[str],
         data_change: bool = True,
         table_conf: dict | None = None,
+        phys_map: dict[str, str] | None = None,
     ) -> tuple[list[dict], str]:
         """Write ``df`` under a fresh staging directory and return
         ``(add actions, staging dir)`` (DECODED on-disk relative paths
@@ -1390,7 +1085,21 @@ class DeltaLiteTable:
         '__HIVE_DEFAULT_PARTITION__').  The staging dir is returned so
         CDF verbs can derive their change rows from the STAGED files
         (one evaluation of the input) instead of re-evaluating the
-        caller's DataFrame — see :meth:`_read_staged`."""
+        caller's DataFrame — see :meth:`_read_staged`.
+
+        ``phys_map`` (column-mapping tables): logical -> physical
+        column names; the staged parquet carries PHYSICAL names and
+        partitionValues/stats keys are physical, per spec."""
+        if phys_map:
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[
+                    F.col(c).alias(phys_map.get(c, c))
+                    for c in df.columns
+                ]
+            )
+            partition_by = [phys_map.get(c, c) for c in partition_by]
         stage = f"part-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self.path, stage)
         writer = df.write.mode("errorifexists")
@@ -1436,6 +1145,24 @@ class DeltaLiteTable:
         return adds, out
 
     @staticmethod
+    def _write_phys_map(meta: dict) -> dict[str, str] | None:
+        """logical -> physical top-level column map for STAGING writes
+        on a column-mapping table (files carry physical names per
+        spec); None when the table is unmapped."""
+        conf = meta.get("configuration") or {}
+        if conf.get("delta.columnMapping.mode", "none") == "none":
+            return None
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        return {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+            for f in schema.fields
+        }
+
+    @staticmethod
     def _cdf_enabled(meta: dict) -> bool:
         return (
             (meta.get("configuration") or {}).get(
@@ -1445,7 +1172,10 @@ class DeltaLiteTable:
         )
 
     def _stage_cdc(
-        self, df: DataFrame, partition_by: list[str]
+        self,
+        df: DataFrame,
+        partition_by: list[str],
+        phys_map: dict[str, str] | None = None,
     ) -> tuple[list[dict], str]:
         """Write change rows (table columns + ``_change_type``) under
         ``_change_data/`` and return ``(cdc actions, staging dir)``
@@ -1455,7 +1185,18 @@ class DeltaLiteTable:
         files.  When a commit carries cdc actions, CDF readers use
         THEM exclusively for that commit — add/remove files are
         ignored for change computation — which is why mutating verbs
-        must write the complete change set."""
+        must write the complete change set.  ``phys_map``: change
+        files on column-mapping tables carry PHYSICAL names too."""
+        if phys_map:
+            from pyspark.sql import functions as F
+
+            df = df.select(
+                *[
+                    F.col(c).alias(phys_map.get(c, c))
+                    for c in df.columns
+                ]
+            )
+            partition_by = [phys_map.get(c, c) for c in partition_by]
         stage = os.path.join("_change_data", f"cdc-{uuid.uuid4().hex[:12]}")
         out = os.path.join(self.path, stage)
         writer = df.write.mode("errorifexists")
@@ -1492,7 +1233,10 @@ class DeltaLiteTable:
 
     @staticmethod
     def _read_staged(
-        spark: SparkSession, stage_dir: str, schema
+        spark: SparkSession,
+        stage_dir: str,
+        schema,
+        phys_map: dict[str, str] | None = None,
     ) -> DataFrame:
         """Read a staging directory (written by :meth:`_stage_adds` /
         :meth:`_stage_cdc`) back as a DataFrame with ``schema`` —
@@ -1503,7 +1247,33 @@ class DeltaLiteTable:
         commit needs (change rows, rewrite rows) is derived from THOSE
         files, so a non-deterministic input (rand(), a re-read of a
         mutating source) can never make the data files and the change
-        files disagree."""
+        files disagree.  ``phys_map``: staged files on column-mapping
+        tables carry PHYSICAL names — read them physically, surface
+        logically (a logical-schema read would silently yield NULLs)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructField, StructType
+
+        if phys_map:
+            phys_schema = StructType(
+                [
+                    StructField(
+                        phys_map.get(f.name, f.name), f.dataType,
+                        f.nullable,
+                    )
+                    for f in schema.fields
+                ]
+            )
+            return (
+                spark.read.schema(phys_schema)
+                .option("basePath", stage_dir)
+                .parquet(stage_dir)
+                .select(
+                    *[
+                        F.col(phys_map.get(f.name, f.name)).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+            )
         return spark.read.schema(schema).option(
             "basePath", stage_dir
         ).parquet(stage_dir).select(*schema.fieldNames())
@@ -1630,13 +1400,36 @@ class DeltaLiteTable:
             partition_by = list(prev_part)
             existing_schema = meta.get("schemaString")
             evolved_meta = None
-            if existing_schema and existing_schema != df.schema.json():
+            # Compare by (name, type) shape, not raw JSON: a column-
+            # mapping table's schemaString carries physicalName/id
+            # metadata the caller's plain DataFrame never has.
+            if existing_schema:
+                from pyspark.sql.types import StructType as _ST
+
+                cur_shape = [
+                    (f.name, f.dataType)
+                    for f in _ST.fromJson(
+                        json.loads(existing_schema)
+                    ).fields
+                ]
+                same_shape = cur_shape == [
+                    (f.name, f.dataType) for f in df.schema.fields
+                ]
+            else:
+                same_shape = True
+            if existing_schema and not same_shape:
                 if not merge_schema:
                     raise ValueError(
                         "schema differs from table schema; Delta-lite "
                         "does not evolve schemas implicitly — pass "
                         "merge_schema=True (Delta's mergeSchema) or "
                         "align the DataFrame first"
+                    )
+                if self._write_phys_map(meta) is not None:
+                    raise ValueError(
+                        "mergeSchema on a column-mapping table would "
+                        "append fields without columnMapping ids — "
+                        "use add_column() instead"
                     )
                 # mergeSchema: union of the table schema and the
                 # DataFrame schema — NEW columns append; a same-name
@@ -1677,8 +1470,16 @@ class DeltaLiteTable:
             if first
             else (meta.get("configuration") or {})
         )
+        if first and tconf.get("delta.columnMapping.mode", "none") != "none":
+            raise ValueError(
+                "create the table unmapped, then call "
+                "upgrade_column_mapping() — creation-time column "
+                "mapping would need physicalName annotations this "
+                "writer assigns during the upgrade commit"
+            )
+        pmap = None if first else self._write_phys_map(meta)
         adds, stage_dir = self._stage_adds(
-            df, partition_by, table_conf=tconf
+            df, partition_by, table_conf=tconf, phys_map=pmap
         )
         now_ms = int(time.time() * 1000)
 
@@ -1745,7 +1546,8 @@ class DeltaLiteTable:
 
                 old_rows = self.read(df.sparkSession, version=latest)
                 new_rows = self._read_staged(
-                    df.sparkSession, stage_dir, df.schema
+                    df.sparkSession, stage_dir, df.schema,
+                    phys_map=pmap,
                 )
                 change = old_rows.withColumn(
                     "_change_type", F.lit("delete")
@@ -1754,7 +1556,7 @@ class DeltaLiteTable:
                     allowMissingColumns=True,
                 )
                 cdc_acts, _cdc_dir = self._stage_cdc(
-                    change, partition_by
+                    change, partition_by, phys_map=pmap
                 )
                 actions.extend(cdc_acts)
         if txn is not None:
@@ -1949,7 +1751,8 @@ class DeltaLiteTable:
                 .withColumn("_change_type", F.lit("delete"))
             )
             cdc_actions, _cdc_dir = self._stage_cdc(
-                deleted_rows, meta.get("partitionColumns", [])
+                deleted_rows, meta.get("partitionColumns", []),
+                phys_map=self._write_phys_map(meta),
             )
         else:
             cdc_actions = []
@@ -2192,7 +1995,8 @@ class DeltaLiteTable:
         else:
             rewrite = inserts
         adds, _stage_dir = self._stage_adds(
-            rewrite, part, table_conf=meta.get("configuration")
+            rewrite, part, table_conf=meta.get("configuration"),
+            phys_map=self._write_phys_map(meta),
         )
 
         now_ms = int(time.time() * 1000)
@@ -2213,7 +2017,9 @@ class DeltaLiteTable:
             new_proto = self._proto_with_cdf(_proto)
             if new_proto != _proto:
                 actions.append({"protocol": new_proto})
-            cdc_acts, _cdc_dir = self._stage_cdc(change, part)
+            cdc_acts, _cdc_dir = self._stage_cdc(
+                change, part, phys_map=self._write_phys_map(meta)
+            )
             actions.extend(cdc_acts)
         for rel in sorted(touched_rels):
             actions.append(
@@ -2301,6 +2107,7 @@ class DeltaLiteTable:
         adds, _stage_dir = self._stage_adds(
             touched_rows.filter(keep), part,
             table_conf=meta.get("configuration"),
+            phys_map=self._write_phys_map(meta),
         )
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
@@ -2325,6 +2132,7 @@ class DeltaLiteTable:
                     "_change_type", F.lit("delete")
                 ),
                 part,
+                phys_map=self._write_phys_map(meta),
             )
             actions.extend(cdc_acts)
         for rel in sorted(touched_rels):
@@ -2455,14 +2263,18 @@ class DeltaLiteTable:
                 .withColumn("_change_type", F.lit("update_postimage"))
             )
             cdc_acts, cdc_dir = self._stage_cdc(
-                pre.unionByName(post), part
+                pre.unionByName(post), part,
+                phys_map=self._write_phys_map(meta),
             )
             change_schema = StructType(
                 list(touched_rows.schema.fields)
                 + [StructField("_change_type", StringType())]
             )
             post_rb = (
-                self._read_staged(spark, cdc_dir, change_schema)
+                self._read_staged(
+                    spark, cdc_dir, change_schema,
+                    phys_map=self._write_phys_map(meta),
+                )
                 .filter(F.col("_change_type") == "update_postimage")
                 .select(*data_cols)
             )
@@ -2481,7 +2293,8 @@ class DeltaLiteTable:
                 ]
             )
         adds, _stage_dir = self._stage_adds(
-            rewrite, part, table_conf=meta.get("configuration")
+            rewrite, part, table_conf=meta.get("configuration"),
+            phys_map=self._write_phys_map(meta),
         )
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
@@ -2591,6 +2404,7 @@ class DeltaLiteTable:
         adds, _stage_dir = self._stage_adds(
             staged, part, data_change=False,
             table_conf=meta.get("configuration"),
+            phys_map=self._write_phys_map(meta),
         )
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
@@ -2733,7 +2547,8 @@ class DeltaLiteTable:
                     )
                 )
                 cdc_acts, _cdc_dir = self._stage_cdc(
-                    change, meta_c.get("partitionColumns", [])
+                    change, meta_c.get("partitionColumns", []),
+                    phys_map=self._write_phys_map(meta_c),
                 )
                 actions.extend(cdc_acts)
 
@@ -2743,6 +2558,236 @@ class DeltaLiteTable:
             stale_sensitive=True,
             computed_against=latest,
             op_desc="RESTORE",
+        )
+
+    # -- schema evolution (metadata-only commits) -----------------------
+    #
+    # Delta's rename/drop model (PROTOCOL.md "Column Mapping"): logical
+    # names live only in schemaString metadata; data files address
+    # columns by PHYSICAL name.  Upgrading assigns every field (all
+    # nesting levels) a never-reused columnMapping.id and a
+    # physicalName equal to its current name — existing plain-named
+    # files keep reading.  rename_column then changes ONLY the logical
+    # name; drop_column removes the field (files keep the bytes,
+    # readers project them away); add_column assigns a fresh id and a
+    # col-<uuid> physicalName so a re-added name can never collide with
+    # dropped data.  Writes stage physical-name files via _stage_adds'
+    # phys_map; reads already resolve physical -> logical.
+
+    @staticmethod
+    def _proto_with_cm(proto: dict) -> dict:
+        """Protocol advertising columnMapping (reader 2 / writer 5
+        legacy, or the feature names on v7 feature tables),
+        preserving what the old version implied."""
+        mrv = proto.get("minReaderVersion", 1)
+        mwv = proto.get("minWriterVersion", 2)
+        if mwv >= 7:
+            wf = set(proto.get("writerFeatures") or ())
+            out = dict(proto)
+            out["writerFeatures"] = sorted(wf | {"columnMapping"})
+            if mrv >= 3:
+                rf = set(proto.get("readerFeatures") or ())
+                out["readerFeatures"] = sorted(rf | {"columnMapping"})
+            else:
+                out["minReaderVersion"] = max(mrv, 2)
+            return out
+        return {
+            "minReaderVersion": max(mrv, 2),
+            "minWriterVersion": max(mwv, 5),
+        }
+
+    def _evolve_commit(
+        self, latest: int, new_meta: dict, op: str, params: dict,
+        new_proto: dict | None = None,
+    ) -> int:
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": op,
+                    "operationParameters": params,
+                    "engineInfo": "delta-lite/0.1 (column mapping)",
+                }
+            }
+        ]
+        if new_proto is not None:
+            actions.append({"protocol": new_proto})
+        actions.append({"metaData": new_meta})
+        return self._commit(
+            actions, latest + 1, stale_sensitive=True,
+            computed_against=latest, op_desc=op,
+        )
+
+    def upgrade_column_mapping(self) -> int:
+        """Upgrade the table to ``delta.columnMapping.mode = 'name'``
+        — ONE metadata commit annotating every schema field (all
+        nesting levels) with a columnMapping id + physicalName equal
+        to its current name, stamping maxColumnId, and raising the
+        protocol (reader 2 / writer 5, or feature names on v7).
+        Existing data files keep reading (their column names ARE the
+        physical names); this is the delta-spark upgrade shape and the
+        prerequisite for :meth:`rename_column` / :meth:`drop_column`."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        meta, _live, proto = self._replay(latest)
+        self._check_write_protocol(meta, proto, "append")
+        conf = dict(meta.get("configuration") or {})
+        if conf.get("delta.columnMapping.mode", "none") != "none":
+            raise ValueError("table already uses column mapping")
+        schema = json.loads(meta["schemaString"])
+        counter = {"n": 0}
+
+        def annotate_struct(struct: dict) -> None:
+            for f in struct.get("fields", []):
+                md = dict(f.get("metadata") or {})
+                counter["n"] += 1
+                md["delta.columnMapping.id"] = counter["n"]
+                md["delta.columnMapping.physicalName"] = f["name"]
+                f["metadata"] = md
+                annotate_type(f.get("type"))
+
+        def annotate_type(t) -> None:
+            if not isinstance(t, dict):
+                return
+            tt = t.get("type")
+            if tt == "struct":
+                annotate_struct(t)
+            elif tt == "array":
+                annotate_type(t.get("elementType"))
+            elif tt == "map":
+                annotate_type(t.get("keyType"))
+                annotate_type(t.get("valueType"))
+
+        annotate_struct(schema)
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(counter["n"])
+        new_meta = {
+            **meta,
+            "schemaString": json.dumps(schema),
+            "configuration": conf,
+        }
+        new_proto = self._proto_with_cm(proto)
+        return self._evolve_commit(
+            latest, new_meta,
+            "UPGRADE COLUMN MAPPING",
+            {"mode": "name"},
+            new_proto if new_proto != proto else None,
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a top-level column — metadata-only (the physicalName
+        and id are untouched, so every existing data file keeps
+        reading).  Requires column mapping; partition columns rename
+        along with their metaData entry."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        meta, _live, proto = self._replay(latest)
+        self._check_write_protocol(meta, proto, "append")
+        if self._write_phys_map(meta) is None:
+            raise ValueError(
+                "rename needs column mapping — call "
+                "upgrade_column_mapping() first (Delta's own rule)"
+            )
+        schema = json.loads(meta["schemaString"])
+        names = [f["name"] for f in schema["fields"]]
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        for f in schema["fields"]:
+            if f["name"] == old:
+                f["name"] = new
+        part = [
+            new if c == old else c
+            for c in meta.get("partitionColumns", [])
+        ]
+        new_meta = {
+            **meta,
+            "schemaString": json.dumps(schema),
+            "partitionColumns": part,
+        }
+        return self._evolve_commit(
+            latest, new_meta, "RENAME COLUMN",
+            {"oldName": old, "newName": new},
+        )
+
+    def drop_column(self, name: str) -> int:
+        """Drop a top-level column — metadata-only (data files keep
+        the bytes; readers project them away).  Requires column
+        mapping; partition columns and the last remaining column are
+        refused."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        meta, _live, proto = self._replay(latest)
+        self._check_write_protocol(meta, proto, "append")
+        if self._write_phys_map(meta) is None:
+            raise ValueError(
+                "drop needs column mapping — call "
+                "upgrade_column_mapping() first (Delta's own rule)"
+            )
+        if name in meta.get("partitionColumns", []):
+            raise ValueError(
+                f"{name!r} is a partition column — repartition the "
+                "table instead of dropping its key"
+            )
+        schema = json.loads(meta["schemaString"])
+        names = [f["name"] for f in schema["fields"]]
+        if name not in names:
+            raise ValueError(f"no column {name!r} (have {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        schema["fields"] = [
+            f for f in schema["fields"] if f["name"] != name
+        ]
+        new_meta = {**meta, "schemaString": json.dumps(schema)}
+        return self._evolve_commit(
+            latest, new_meta, "DROP COLUMNS", {"columns": [name]}
+        )
+
+    def add_column(self, name: str, ddl_type: str) -> int:
+        """Append a nullable top-level column (reads NULL from every
+        existing file).  On a column-mapping table the new field gets
+        a fresh never-reused id and a ``col-<uuid>`` physicalName, so
+        re-adding a dropped name can never resurrect old bytes."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        meta, _live, proto = self._replay(latest)
+        self._check_write_protocol(meta, proto, "append")
+        dt = _parse_datatype_string(ddl_type)
+        schema = json.loads(meta["schemaString"])
+        names = [f["name"] for f in schema["fields"]]
+        if name in names:
+            raise ValueError(f"column {name!r} already exists")
+        field = {
+            "name": name,
+            "type": json.loads(dt.json()),
+            "nullable": True,
+            "metadata": {},
+        }
+        conf = dict(meta.get("configuration") or {})
+        mapped = conf.get("delta.columnMapping.mode", "none") != "none"
+        if mapped:
+            next_id = int(conf.get("delta.columnMapping.maxColumnId", 0)) + 1
+            field["metadata"] = {
+                "delta.columnMapping.id": next_id,
+                "delta.columnMapping.physicalName": f"col-{uuid.uuid4()}",
+            }
+            conf["delta.columnMapping.maxColumnId"] = str(next_id)
+        schema["fields"].append(field)
+        new_meta = {
+            **meta,
+            "schemaString": json.dumps(schema),
+            "configuration": conf,
+        }
+        return self._evolve_commit(
+            latest, new_meta, "ADD COLUMNS",
+            {"columns": [{"name": name, "type": ddl_type}]},
         )
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
@@ -3545,8 +3590,18 @@ class DeltaLiteTable:
             return None, None
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = meta.get("partitionColumns", [])
+        # Column-mapping tables: change/data files carry PHYSICAL
+        # names and partitionValues are physically keyed — read
+        # physically, surface logically (same rule as read()).
+        phys = self._write_phys_map(meta) or {
+            f.name: f.name for f in schema.fields
+        }
+        file_fields = [f for f in schema.fields if f.name not in part_cols]
         file_schema = StructType(
-            [f for f in schema.fields if f.name not in part_cols]
+            [
+                StructField(phys[f.name], f.dataType, f.nullable)
+                for f in file_fields
+            ]
         )
         cdc_schema = StructType(
             list(file_schema.fields)
@@ -3567,12 +3622,21 @@ class DeltaLiteTable:
                 d = spark.read.schema(
                     cdc_schema if kind == "cdc" else file_schema
                 ).parquet(*paths)
+                d = d.select(
+                    *[
+                        F.col(phys[f.name]).alias(f.name)
+                        for f in file_fields
+                    ],
+                    *([F.col("_change_type")] if kind == "cdc" else []),
+                )
                 if kind == "insert":
                     d = d.withColumn("_change_type", F.lit("insert"))
                 for c in part_cols:
                     d = d.withColumn(
                         c,
-                        F.lit(pv.get(c)).cast(schema[c].dataType),
+                        F.lit(pv.get(phys.get(c, c), pv.get(c))).cast(
+                            schema[c].dataType
+                        ),
                     )
                 parts.append(
                     d.withColumn(

@@ -1,0 +1,253 @@
+"""Delta column mapping WRITES + schema evolution verbs: upgrade
+(annotate every nesting level, bump protocol), rename/drop as
+metadata-only commits, add_column with never-reused ids, physical-name
+staging for every mutating verb, CDF under mapping, and the
+no-resurrection rule for re-added names."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_lakehouse_platform_spark.sources.delta_lite import (
+    DeltaLiteTable,
+    DeltaProtocolError,
+)
+
+
+def _mk(spark, tmp_path, conf=None):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id int, name string, v double"
+    )
+    t.write(df.coalesce(1), configuration=conf)
+    return t
+
+
+def _meta(t):
+    meta, _live, proto = t._replay(t.latest_version())
+    return meta, proto
+
+
+def test_upgrade_annotates_and_bumps_protocol(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before = sorted(map(tuple, t.read(spark).collect()))
+    t.upgrade_column_mapping()
+    meta, proto = _meta(t)
+    conf = meta["configuration"]
+    assert conf["delta.columnMapping.mode"] == "name"
+    assert conf["delta.columnMapping.maxColumnId"] == "3"
+    fields = json.loads(meta["schemaString"])["fields"]
+    ids = [f["metadata"]["delta.columnMapping.id"] for f in fields]
+    assert ids == [1, 2, 3]
+    assert all(
+        f["metadata"]["delta.columnMapping.physicalName"] == f["name"]
+        for f in fields
+    )
+    assert proto["minReaderVersion"] >= 2
+    assert proto["minWriterVersion"] >= 5
+    # reads unchanged across the upgrade
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+
+
+def test_upgrade_annotates_nested_levels(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, ("x", [1, 2]))],
+        "id int, s struct<a:string, bs:array<int>>",
+    )
+    t.write(df)
+    t.upgrade_column_mapping()
+    meta, _ = _meta(t)
+    sfield = json.loads(meta["schemaString"])["fields"][1]
+    inner = sfield["type"]["fields"]
+    assert all(
+        "delta.columnMapping.physicalName" in f["metadata"] for f in inner
+    )
+    # 4 fields total: id, s, s.a, s.bs
+    assert meta["configuration"]["delta.columnMapping.maxColumnId"] == "4"
+
+
+def test_rename_is_metadata_only_and_reads_back(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    files_before = {a for a in os.listdir(t.path) if a != "_delta_log"}
+    t.upgrade_column_mapping()
+    t.rename_column("name", "label")
+    assert {a for a in os.listdir(t.path) if a != "_delta_log"} == (
+        files_before
+    )  # no data files touched
+    got = sorted(map(tuple, t.read(spark).select("id", "label").collect()))
+    assert got == [(1, "a"), (2, "b")]
+    # time travel BEFORE the rename still shows the old name
+    old = t.read(spark, version=0)
+    assert "name" in old.columns and "label" not in old.columns
+
+
+def test_write_after_rename_stages_physical_names(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.upgrade_column_mapping()
+    t.rename_column("name", "label")
+    t.write(
+        spark.createDataFrame(
+            [(3, "c", 30.0)], "id int, label string, v double"
+        ),
+        mode="append",
+    )
+    got = sorted(map(tuple, t.read(spark).collect()))
+    assert (3, "c", 30.0) in got and len(got) == 3
+    # the NEW data file physically stores the ORIGINAL column name
+    # (physicalName survives the rename)
+    meta, _ = _meta(t)
+    v = t.latest_version()
+    acts = [json.loads(line) for line in open(
+        os.path.join(t.log_dir, f"{v:020d}.json"))]
+    rel = next(a["add"]["path"] for a in acts if "add" in a)
+    raw = spark.read.parquet(os.path.join(t.path, rel))
+    assert "name" in raw.columns and "label" not in raw.columns
+    # stats keys are physical too -> skipping still prunes on the
+    # LOGICAL name in predicates
+    kept, total = t.files_matching(spark, "label = 'zzz'")
+    assert len(kept) < total
+
+
+def test_partition_column_rename(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(i, ["eu", "us"][i % 2]) for i in range(6)],
+        "id int, region string",
+    )
+    t.write(df, partition_by=["region"])
+    t.upgrade_column_mapping()
+    t.rename_column("region", "zone")
+    meta, _ = _meta(t)
+    assert meta["partitionColumns"] == ["zone"]
+    got = sorted(
+        (r.id, r.zone) for r in t.read(spark).collect()
+    )
+    assert got == [(i, ["eu", "us"][i % 2]) for i in range(6)]
+    # appends after the rename partition correctly
+    t.write(
+        spark.createDataFrame([(10, "ap")], "id int, zone string"),
+        mode="append",
+    )
+    assert (
+        t.read(spark, predicate="zone = 'ap'").count() == 1
+    )
+
+
+def test_drop_then_readd_does_not_resurrect(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.upgrade_column_mapping()
+    t.drop_column("name")
+    assert t.read(spark).columns == ["id", "v"]
+    t.add_column("name", "string")
+    got = {r.id: r.name for r in t.read(spark).collect()}
+    # the re-added column reads NULL — old bytes stay buried under the
+    # old physicalName
+    assert got == {1: None, 2: None}
+    meta, _ = _meta(t)
+    f = json.loads(meta["schemaString"])["fields"][-1]
+    assert f["metadata"]["delta.columnMapping.physicalName"].startswith(
+        "col-"
+    )
+    assert f["metadata"]["delta.columnMapping.id"] == 4
+
+
+def test_add_column_on_unmapped_table(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.add_column("extra", "bigint")
+    assert t.read(spark).columns == ["id", "name", "v", "extra"]
+    t.write(
+        spark.createDataFrame(
+            [(9, "z", 0.5, 99)], "id int, name string, v double, extra bigint"
+        ),
+        mode="append",
+    )
+    got = {r.id: r.extra for r in t.read(spark).collect()}
+    assert got == {1: None, 2: None, 9: 99}
+
+
+def test_evolution_refusals(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "eu")], "id int, region string"
+        ),
+        partition_by=["region"],
+    )
+    with pytest.raises(ValueError, match="column mapping"):
+        t.rename_column("id", "id2")
+    with pytest.raises(ValueError, match="column mapping"):
+        t.drop_column("id")
+    t.upgrade_column_mapping()
+    with pytest.raises(ValueError, match="partition column"):
+        t.drop_column("region")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("id", "int")
+    with pytest.raises(ValueError, match="already"):
+        t.upgrade_column_mapping()
+    # mergeSchema is the unmapped path; mapped tables use add_column
+    with pytest.raises(ValueError, match="add_column"):
+        t.write(
+            spark.createDataFrame(
+                [(1, "eu", 5)], "id int, region string, x int"
+            ),
+            mode="append",
+            merge_schema=True,
+        )
+    # creation-time mapping is refused toward the upgrade verb
+    with pytest.raises(ValueError, match="upgrade_column_mapping"):
+        DeltaLiteTable(str(tmp_path / "t2")).write(
+            spark.createDataFrame([(1,)], "id int"),
+            configuration={"delta.columnMapping.mode": "name"},
+        )
+
+
+def test_mutating_verbs_on_mapped_table(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.upgrade_column_mapping()
+    t.rename_column("v", "score")
+    t.write(
+        spark.createDataFrame(
+            [(3, "c", 30.0), (4, "d", 40.0)],
+            "id int, name string, score double",
+        ),
+        mode="append",
+    )
+    t.delete(spark, "id = 1", strategy="dv")
+    t.update(spark, "id = 2", {"score": "99.0"})
+    src = spark.createDataFrame(
+        [(4, "dd", 44.0), (5, "e", 50.0)],
+        "id int, name string, score double",
+    )
+    t.merge(spark, src, keys=["id"])
+    t.optimize(spark)
+    got = sorted(map(tuple, t.read(spark).collect()))
+    assert got == [
+        (2, "b", 99.0), (3, "c", 30.0), (4, "dd", 44.0), (5, "e", 50.0),
+    ]
+    # checkpoint + clean_log keep the mapped schema readable
+    t.checkpoint()
+    t.clean_log()
+    assert sorted(map(tuple, t.read(spark).collect())) == got
+
+
+def test_cdf_roundtrip_on_mapped_table(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string"),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    t.upgrade_column_mapping()
+    t.rename_column("name", "label")
+    v_before = t.latest_version()
+    t.update(spark, "id = 1", {"label": "'aa'"})
+    feed = t.table_changes(spark, from_version=v_before)
+    rows = {
+        (r._change_type, r.id, r.label) for r in feed.collect()
+    }
+    assert ("update_preimage", 1, "a") in rows
+    assert ("update_postimage", 1, "aa") in rows
