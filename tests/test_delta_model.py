@@ -63,26 +63,47 @@ def test_delta_verbs_against_model(spark, tmp_path, seed):
     model.update(rows)
     history = {0: dict(model)}
 
+    mapped = False  # becomes True after the cm_upgrade verb fires
     for step in range(14):
         op = rng.choice(
             ["append", "update", "delete_dv", "delete_rw",
-             "merge", "merge_cond", "optimize", "evolve"]
+             "merge", "merge_cond", "optimize", "evolve",
+             "cm_upgrade", "rename_flip"]
         )
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 4))
             t.write(_df(spark, rows, wide).coalesce(1), mode="append")
             model.update(rows)
+        elif op == "cm_upgrade" and not mapped:
+            # r7 verb: flip the table into column mapping mid-history;
+            # every later verb then stages physical-name files
+            t.upgrade_column_mapping()
+            mapped = True
+        elif op == "rename_flip" and mapped:
+            # two metadata-only renames netting the same logical name
+            # (physicalName pinned throughout) — the snapshot must be
+            # bit-identical after the round trip
+            t.rename_column("val", "val_tmp")
+            t.rename_column("val_tmp", "val")
         elif op == "evolve" and not wide:
             wide = True
             rows = fresh_rows(2)
-            t.write(
-                _df(spark, rows, wide).coalesce(1),
-                mode="append",
-                merge_schema=True,
-            )
+            if mapped:
+                # mapped tables refuse mergeSchema; the evolution verb
+                # is add_column, then a plain wide append
+                t.add_column("score", "double")
+                t.write(
+                    _df(spark, rows, wide).coalesce(1), mode="append"
+                )
+            else:
+                t.write(
+                    _df(spark, rows, wide).coalesce(1),
+                    mode="append",
+                    merge_schema=True,
+                )
             model.update(rows)
-        elif op == "evolve":
-            continue  # already evolved; no version written
+        elif op in ("evolve", "cm_upgrade", "rename_flip"):
+            continue  # already applied; no version written
         elif op == "update" and model:
             pivot = rng.choice(sorted(model))
             res = t.update(
@@ -135,6 +156,18 @@ def test_delta_verbs_against_model(spark, tmp_path, seed):
         }
         assert got == want, f"seed={seed} step={step} op={op}"
         history[t.latest_version()] = dict(model)
+        if model:
+            # r7 invariant: a stats-pruned point read equals the model
+            # row at EVERY mutation state (DVs, mapped files, post-
+            # optimize bounds) — a wrong skip would drop the row
+            k = rng.choice(sorted(model))
+            got_k = {
+                r.id: r.val
+                for r in t.read(spark, predicate=f"id = {k}").collect()
+            }
+            assert got_k == {k: model[k][0]}, (
+                f"seed={seed} step={step} op={op} skipping id={k}"
+            )
 
     # RESTORE to a mid-history version equals its recorded model state
     mid = sorted(history)[len(history) // 2]
