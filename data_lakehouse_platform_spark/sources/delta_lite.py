@@ -335,6 +335,12 @@ class DeleteTooLargeError(ValueError):
     """delete() matched more rows than the DV path should carry."""
 
 
+class DeltaConstraintViolation(RuntimeError):
+    """A write staged rows violating a declared CHECK constraint
+    (delta-spark's DeltaInvariantViolationException analog); nothing
+    was committed."""
+
+
 # -- per-file column statistics & data skipping ------------------------------
 #
 # The Delta protocol's ``add.stats`` JSON ({numRecords, minValues,
@@ -928,11 +934,9 @@ class DeltaLiteTable:
         # delta.enableChangeDataFeed=true is SUPPORTED: every mutating
         # verb emits _change_data files + cdc actions (see _stage_cdc),
         # so the round-4 loud refusal is gone.
-        if any(k.startswith("delta.constraints.") for k in conf):
-            raise DeltaProtocolError(
-                "table declares CHECK constraints this writer cannot "
-                "validate — refusing to write unvalidated rows"
-            )
+        # delta.constraints.* are SUPPORTED: every staged add is
+        # validated against each declared CHECK expression before the
+        # commit (see _stage_adds), so declared-state refusal is gone.
         if "delta.invariants" in schema_s:
             raise DeltaProtocolError(
                 "table schema declares column invariants this writer "
@@ -1089,7 +1093,15 @@ class DeltaLiteTable:
 
         ``phys_map`` (column-mapping tables): logical -> physical
         column names; the staged parquet carries PHYSICAL names and
-        partitionValues/stats keys are physical, per spec."""
+        partitionValues/stats keys are physical, per spec.
+
+        Declared CHECK constraints (``delta.constraints.*`` in
+        ``table_conf``) are validated against the STAGED rows before
+        any action is returned — a violation raises
+        :class:`DeltaConstraintViolation` and nothing commits (the
+        orphaned staging directory is vacuum fodder, same as any
+        aborted write)."""
+        logical_schema = df.schema
         if phys_map:
             from pyspark.sql import functions as F
 
@@ -1142,6 +1154,31 @@ class DeltaLiteTable:
             s = stats_by_rel.get(a["add"]["path"])
             if s is not None:
                 a["add"]["stats"] = s
+        cons = {
+            k[len("delta.constraints."):]: v
+            for k, v in (table_conf or {}).items()
+            if k.startswith("delta.constraints.")
+        }
+        if cons and adds:
+            from pyspark.sql import functions as F
+
+            staged = self._read_staged(
+                df.sparkSession, out, logical_schema, phys_map=phys_map
+            )
+            for cname in sorted(cons):
+                expr = cons[cname]
+                if (
+                    staged.filter(
+                        ~F.coalesce(F.expr(expr), F.lit(False))
+                    )
+                    .limit(1)
+                    .count()
+                ):
+                    raise DeltaConstraintViolation(
+                        f"CHECK constraint {cname!r} ({expr}) is "
+                        "violated by rows this write would add — "
+                        "nothing was committed"
+                    )
         return adds, out
 
     @staticmethod
@@ -2788,6 +2825,86 @@ class DeltaLiteTable:
         return self._evolve_commit(
             latest, new_meta, "ADD COLUMNS",
             {"columns": [{"name": name, "type": ddl_type}]},
+        )
+
+    @staticmethod
+    def _proto_with_check(proto: dict) -> dict:
+        """Protocol advertising checkConstraints (legacy writer 3, or
+        the feature name on v7 tables)."""
+        mwv = proto.get("minWriterVersion", 2)
+        if mwv >= 7:
+            wf = set(proto.get("writerFeatures") or ())
+            if "checkConstraints" in wf:
+                return proto
+            return {
+                **proto,
+                "writerFeatures": sorted(wf | {"checkConstraints"}),
+            }
+        if mwv >= 3:  # legacy v3+ implies checkConstraints
+            return proto
+        return {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": 3,
+        }
+
+    def add_constraint(
+        self, spark: SparkSession, name: str, expr: str
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT (CHECK): validates every
+        EXISTING row first (delta-spark scans the same way), then
+        commits ``delta.constraints.<name>`` with a protocol raised to
+        checkConstraints.  Every later write validates its staged rows
+        against the expression before committing."""
+        name = name.strip().lower()
+        if not re.fullmatch(r"[a-z][a-z0-9_]*", name):
+            raise ValueError(
+                f"constraint name {name!r} must be [a-z][a-z0-9_]*"
+            )
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        meta, _live, proto = self._replay(latest)
+        self._check_write_protocol(meta, proto, "append")
+        conf = dict(meta.get("configuration") or {})
+        key = f"delta.constraints.{name}"
+        if key in conf:
+            raise ValueError(f"constraint {name!r} already exists")
+        from pyspark.sql import functions as F
+
+        if (
+            self.read(spark, version=latest)
+            .filter(~F.coalesce(F.expr(expr), F.lit(False)))
+            .limit(1)
+            .count()
+        ):
+            raise DeltaConstraintViolation(
+                f"existing rows violate CHECK ({expr}) — constraint "
+                "not added"
+            )
+        conf[key] = expr
+        new_meta = {**meta, "configuration": conf}
+        new_proto = self._proto_with_check(proto)
+        return self._evolve_commit(
+            latest, new_meta, "ADD CONSTRAINT",
+            {"name": name, "expr": expr},
+            new_proto if new_proto != proto else None,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT — metadata-only commit."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        meta, _live, proto = self._replay(latest)
+        self._check_write_protocol(meta, proto, "append")
+        conf = dict(meta.get("configuration") or {})
+        key = f"delta.constraints.{name.strip().lower()}"
+        if key not in conf:
+            raise ValueError(f"no constraint {name!r}")
+        conf.pop(key)
+        new_meta = {**meta, "configuration": conf}
+        return self._evolve_commit(
+            latest, new_meta, "DROP CONSTRAINT", {"name": name}
         )
 
     def vacuum(self, retain_last: int = 1) -> list[str]:

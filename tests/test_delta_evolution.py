@@ -251,3 +251,95 @@ def test_cdf_roundtrip_on_mapped_table(spark, tmp_path):
     }
     assert ("update_preimage", 1, "a") in rows
     assert ("update_postimage", 1, "aa") in rows
+
+
+# -- CHECK constraints ----------------------------------------------------
+
+from data_lakehouse_platform_spark.sources.delta_lite import (  # noqa: E402
+    DeltaConstraintViolation,
+)
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(DeltaConstraintViolation, match="existing rows"):
+        t.add_constraint(spark, "pos", "v > 15.0")
+    t.add_constraint(spark, "pos", "v > 0.0")
+    meta, proto = _meta(t)
+    assert meta["configuration"]["delta.constraints.pos"] == "v > 0.0"
+    assert proto["minWriterVersion"] >= 3
+
+
+def test_writes_validate_constraints(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.add_constraint(spark, "pos", "v > 0.0")
+    v = t.latest_version()
+    bad = spark.createDataFrame(
+        [(3, "c", -1.0)], "id int, name string, v double"
+    )
+    with pytest.raises(DeltaConstraintViolation, match="pos"):
+        t.write(bad, mode="append")
+    assert t.latest_version() == v  # nothing committed
+    # NULL results count as violations (Delta's CHECK semantics)
+    nullish = spark.createDataFrame(
+        [(4, "d", None)], "id int, name string, v double"
+    )
+    with pytest.raises(DeltaConstraintViolation):
+        t.write(nullish, mode="append")
+    t.write(
+        spark.createDataFrame(
+            [(3, "c", 5.0)], "id int, name string, v double"
+        ),
+        mode="append",
+    )
+    assert t.read(spark).count() == 3
+    # UPDATE rewrites violating the constraint are refused pre-commit
+    with pytest.raises(DeltaConstraintViolation):
+        t.update(spark, "id = 3", {"v": "-9.0"})
+    assert t.read(spark, predicate="id = 3").collect()[0].v == 5.0
+    # MERGE too
+    src = spark.createDataFrame(
+        [(3, "c", -3.0)], "id int, name string, v double"
+    )
+    with pytest.raises(DeltaConstraintViolation):
+        t.merge(spark, src, keys=["id"])
+    # drop lifts the gate
+    t.drop_constraint("pos")
+    t.update(spark, "id = 3", {"v": "-9.0"})
+    assert t.read(spark, predicate="id = 3").collect()[0].v == -9.0
+
+
+def test_constraint_on_first_commit_configuration(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    with pytest.raises(DeltaConstraintViolation):
+        t.write(
+            spark.createDataFrame([(0,)], "id int"),
+            configuration={"delta.constraints.idpos": "id > 0"},
+        )
+    assert t.latest_version() is None
+    t.write(
+        spark.createDataFrame([(1,)], "id int"),
+        configuration={"delta.constraints.idpos": "id > 0"},
+    )
+    assert t.read(spark).count() == 1
+
+
+def test_constraints_compose_with_column_mapping(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.upgrade_column_mapping()
+    t.rename_column("v", "score")
+    t.add_constraint(spark, "pos", "score > 0.0")
+    with pytest.raises(DeltaConstraintViolation):
+        t.write(
+            spark.createDataFrame(
+                [(7, "g", -1.0)], "id int, name string, score double"
+            ),
+            mode="append",
+        )
+    t.write(
+        spark.createDataFrame(
+            [(7, "g", 1.0)], "id int, name string, score double"
+        ),
+        mode="append",
+    )
+    assert t.read(spark, predicate="id = 7").collect()[0].score == 1.0

@@ -1570,10 +1570,16 @@ def test_writer_protocol_guards(spark, tmp_path):
             fn()
     assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
 
-    # CHECK constraints declared -> every write refuses
-    _retag(config={"delta.constraints.c1": "id > 0"})
-    with pytest.raises(DeltaProtocolError, match="CHECK constraints"):
+    # CHECK constraints declared -> ENFORCED since r7 (staged rows
+    # validated pre-commit; tests/test_delta_evolution.py drills this)
+    _retag(config={"delta.constraints.c1": "id > 100"})
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        DeltaConstraintViolation,
+    )
+
+    with pytest.raises(DeltaConstraintViolation, match="c1"):
         t.write(_df(spark, [(3, "c")]), mode="append")
+    _retag(config={})
 
     # CDF enabled -> SUPPORTED since r6 (appends infer as inserts, no
     # change files needed; mutating verbs write cdc — test_delta_cdf)
