@@ -752,6 +752,80 @@ def main() -> None:
             "the source re-served snapshot/compaction files"
         )
 
+    # ------------------------------------------------------------------
+    # shape 10: data skipping — a point predicate on a 256-file delta
+    # table must SCAN ~one file, not the table (add.stats pruning),
+    # and the DV delete's locate scan rides the same path.  Iceberg
+    # twin: manifest bounds prune to one file, metadata-only.
+    # ------------------------------------------------------------------
+    from data_lakehouse_platform_spark.sources.iceberg_lite import (
+        IcebergLiteTable,
+    )
+
+    N10, FILES10 = 1_048_576, 256
+    s10 = tempfile.mkdtemp(prefix="stress10-")
+    t10 = DeltaLiteTable(os.path.join(s10, "t"))
+    t10.write(
+        spark.range(N10)
+        .selectExpr("id", "CAST(id % 1009 AS STRING) AS v")
+        .repartitionByRange(FILES10, "id")
+    )
+    kept10, total10 = t10.files_matching(spark, "id = 777777")
+    mark10 = last_stage(spark)
+    got10 = t10.read(spark, predicate="id = 777777").count()
+    scan10 = total_input_records(spark, mark10)
+    per_file = N10 // FILES10
+    print(
+        f"[delta_skip_point] files={len(kept10)}/{total10} rows={got10} "
+        f"scan_input={scan10:,} (full scan would read {N10:,})",
+        flush=True,
+    )
+    if got10 != 1:
+        failures.append(f"shape10 CORRECTNESS: point read got {got10} rows")
+    if len(kept10) > 2:
+        failures.append(
+            f"shape10 PRUNING: {len(kept10)}/{total10} files kept for a "
+            "point predicate — stats bounds are not pruning"
+        )
+    if scan10 > 4 * per_file:
+        failures.append(
+            f"shape10 SCAN BOUND: {scan10:,} input records > 4x one "
+            f"file ({per_file:,}) — the read ignored the kept-file list"
+        )
+    mark10b = last_stage(spark)
+    res10 = t10.delete(spark, "id = 900000", strategy="dv")
+    del_scan10 = total_input_records(spark, mark10b)
+    print(
+        f"[delta_skip_delete] deleted={res10['deleted_rows']} "
+        f"files={res10['files']} locate_scan_input={del_scan10:,}",
+        flush=True,
+    )
+    if res10["deleted_rows"] != 1:
+        failures.append("shape10 DELETE: wrong match count")
+    if del_scan10 > 6 * per_file:
+        failures.append(
+            f"shape10 DELETE BOUND: locate scan read {del_scan10:,} "
+            f"records > 6x one file ({per_file:,})"
+        )
+    t10i = IcebergLiteTable(os.path.join(s10, "ti"))
+    t10i.write(
+        spark.range(262_144)
+        .selectExpr("id", "CAST(id % 101 AS STRING) AS v")
+        .repartitionByRange(64, "id")
+    )
+    kept10i, total10i = t10i.files_matching(spark, "id = 123456")
+    got10i = t10i.read(spark, predicate="id = 123456").count()
+    print(
+        f"[iceberg_skip_point] files={len(kept10i)}/{total10i} "
+        f"rows={got10i}",
+        flush=True,
+    )
+    if got10i != 1 or len(kept10i) > 2:
+        failures.append(
+            f"shape10 ICEBERG: kept {len(kept10i)}/{total10i}, "
+            f"rows {got10i} — manifest bounds are not pruning"
+        )
+
     print()
     if failures:
         for f in failures:
