@@ -168,6 +168,7 @@ def all_queries() -> dict[str, Query]:
     from data_lakehouse_platform_spark import queries_ops_ext  # noqa: F401
     from data_lakehouse_platform_spark import queries_resolution_ext  # noqa: F401,E501
     from data_lakehouse_platform_spark import queries_lakeops_ext  # noqa: F401,E501
+    from data_lakehouse_platform_spark import queries_stattests_ext  # noqa: F401,E501
 
     return dict(_REGISTRY)
 
