@@ -896,6 +896,23 @@ class IcebergLiteTable:
                         f"partition_filter names {sorted(unknown)} not in "
                         f"the table's partition spec (have {sorted(known)})"
                     )
+                # spec evolution: a key absent from SOME live file makes
+                # an equality partition filter unsound (that file may
+                # hold matching rows under another layout) — refuse
+                # instead of silently dropping rows
+                partial = {
+                    k
+                    for k in flt
+                    if any(k not in part for _, _, part in data_files)
+                }
+                if partial:
+                    raise IcebergProtocolError(
+                        f"partition key(s) {sorted(partial)} are not "
+                        "present on every live data file (the partition "
+                        "spec evolved) — use read(predicate=...) for "
+                        "exact pruning, or rewrite_data_files() to "
+                        "migrate the layout"
+                    )
 
                 def keep(part, _flt=flt):
                     for k, want in _flt.items():
@@ -2162,6 +2179,7 @@ class IcebergLiteTable:
             ),
             ice_fields,
         )
+        default_spec_id = int(meta.get("default-spec-id", 0))
         extra = {
             "schema": json.dumps(
                 {
@@ -2171,7 +2189,7 @@ class IcebergLiteTable:
                 }
             ).encode(),
             "partition-spec": json.dumps(spec_fields).encode(),
-            "partition-spec-id": b"0",
+            "partition-spec-id": str(default_spec_id).encode(),
             "format-version": b"2",
             "content": b"data",
         }
@@ -2183,7 +2201,7 @@ class IcebergLiteTable:
             {
                 "manifest_path": mpath,
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0, "content": 0,
+                "partition_spec_id": default_spec_id, "content": 0,
                 "sequence_number": seq, "min_sequence_number": seq,
                 "added_snapshot_id": snap_id,
                 "added_files_count": len(data_files),
@@ -2454,6 +2472,71 @@ class IcebergLiteTable:
         victim["type"] = new_type
         return self._commit_schema(meta, fields)
 
+    def update_spec(self, partition_by: list) -> int:
+        """PARTITION EVOLUTION (spec §Partition Evolution): append a
+        new partition spec and flip ``default-spec-id`` — ONE
+        metadata-only commit, no data files touched.  Existing files
+        keep their original spec (every manifest records its
+        partition-spec-id; reads, merge surgery and pruning resolve
+        per manifest), new writes lay out under the new spec — the
+        iceberg answer to "we partitioned by month and the query
+        pattern changed to day".  ``partition_by`` uses write()'s
+        grammar ("col" identity or (col, transform)); pass [] to stop
+        partitioning new data.  Spec field-ids continue from
+        last-partition-id and are never reused.  Returns the new
+        spec id."""
+        meta = self.metadata()
+        fields, _sid = self._current_schema(meta)
+        name_to_id = {f["name"]: int(f["id"]) for f in fields}
+        want = [
+            (item, "identity") if isinstance(item, str) else tuple(item)
+            for item in (partition_by or [])
+        ]
+        for c, _tr in want:
+            if c not in name_to_id:
+                raise ValueError(
+                    f"partition column {c!r} not in the current schema "
+                    f"(have {sorted(name_to_id)})"
+                )
+        specs = meta.get("partition-specs", [])
+        cur_default = next(
+            (
+                s
+                for s in specs
+                if int(s["spec-id"]) == int(meta.get("default-spec-id", 0))
+            ),
+            {"fields": []},
+        )
+        want_shape = [(name_to_id[c], tr) for c, tr in want]
+        if want_shape == [
+            (int(f["source-id"]), f["transform"])
+            for f in cur_default.get("fields", [])
+        ]:
+            raise ValueError(
+                "new spec is identical to the current default"
+            )
+        last_pid = int(meta.get("last-partition-id", 999))
+        new_id = max((int(s["spec-id"]) for s in specs), default=-1) + 1
+        spec_fields = [
+            {
+                "name": _spec_field_name(c, tr),
+                "transform": tr,
+                "source-id": name_to_id[c],
+                "field-id": last_pid + 1 + i,
+            }
+            for i, (c, tr) in enumerate(want)
+        ]
+        meta["partition-specs"] = specs + [
+            {"spec-id": new_id, "fields": spec_fields}
+        ]
+        meta["default-spec-id"] = new_id
+        meta["last-partition-id"] = max(
+            [last_pid] + [f["field-id"] for f in spec_fields]
+        )
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata_json(meta)
+        return new_id
+
     def delete(self, spark: SparkSession, predicate: str) -> dict:
         """Delete rows matching ``predicate`` WITHOUT rewriting data
         files: commits a v2 POSITION-DELETE file (file_path, pos) — the
@@ -2715,10 +2798,25 @@ class IcebergLiteTable:
             s for s in snaps if int(s["snapshot-id"]) == cur_id
         )
         ml_rows = self._manifest_list_rows(cur_snap)
-        if any(int(r.get("partition_spec_id") or 0) != 0 for r in ml_rows):
+        specs_by_id = {
+            int(sp["spec-id"]): [
+                {
+                    "name": f["name"],
+                    "transform": f["transform"],
+                    "source-id": int(f["source-id"]),
+                    "field-id": int(f["field-id"]),
+                }
+                for f in sp.get("fields", [])
+            ]
+            for sp in meta.get("partition-specs", [])
+        }
+        unknown_specs = {
+            int(r.get("partition_spec_id") or 0) for r in ml_rows
+        } - set(specs_by_id)
+        if unknown_specs:
             raise IcebergProtocolError(
-                "table has manifests under a non-default partition "
-                "spec; this writer speaks spec-id 0 only"
+                f"manifests reference partition specs {sorted(unknown_specs)} "
+                "absent from table metadata — refusing to rewrite them"
             )
 
         # ONE evaluation of the source across the location, insert and
@@ -2859,29 +2957,37 @@ class IcebergLiteTable:
         now_ms = int(time.time() * 1000)
         mdir = self.metadata_dir
 
-        part_avro = [
-            {
-                "name": pf["name"],
-                "type": _partition_avro_type(
-                    pf["transform"], id_to_type[pf["source-id"]]
-                ),
-                "field-id": pf["field-id"],
-            }
-            for pf in spec_fields
-        ]
-        man_extra = {
-            "schema": json.dumps(
+        default_spec_id = int(meta.get("default-spec-id", 0))
+
+        def _avro_fields(sfields: list[dict]) -> list[dict]:
+            return [
                 {
-                    "type": "struct",
-                    "schema-id": cur_sid,
-                    "fields": cur_fields,
+                    "name": pf["name"],
+                    "type": _partition_avro_type(
+                        pf["transform"], id_to_type[pf["source-id"]]
+                    ),
+                    "field-id": pf["field-id"],
                 }
-            ).encode(),
-            "partition-spec": json.dumps(spec_fields).encode(),
-            "partition-spec-id": b"0",
-            "format-version": b"2",
-            "content": b"data",
-        }
+                for pf in sfields
+            ]
+
+        def _man_extra(sfields: list[dict], sid: int) -> dict:
+            return {
+                "schema": json.dumps(
+                    {
+                        "type": "struct",
+                        "schema-id": cur_sid,
+                        "fields": cur_fields,
+                    }
+                ).encode(),
+                "partition-spec": json.dumps(sfields).encode(),
+                "partition-spec-id": str(sid).encode(),
+                "format-version": b"2",
+                "content": b"data",
+            }
+
+        part_avro = _avro_fields(spec_fields)
+        man_extra = _man_extra(spec_fields, default_spec_id)
         add_entries = [
             {
                 "status": 1, "snapshot_id": snap_id,
@@ -2906,7 +3012,7 @@ class IcebergLiteTable:
                 {
                     "manifest_path": mpath,
                     "manifest_length": os.path.getsize(mpath),
-                    "partition_spec_id": 0, "content": 0,
+                    "partition_spec_id": default_spec_id, "content": 0,
                     "sequence_number": seq, "min_sequence_number": seq,
                     "added_snapshot_id": snap_id,
                     "added_files_count": len(staged),
@@ -2999,16 +3105,18 @@ class IcebergLiteTable:
                         },
                     }
                 )
+            r_spec_id = int(r.get("partition_spec_id") or 0)
+            r_spec = specs_by_id[r_spec_id]
             m2 = os.path.join(mdir, f"m-{uuidlib.uuid4().hex}.avro")
             write_container(
-                m2, _manifest_schema(part_avro), out_entries,
-                extra_metadata=man_extra,
+                m2, _manifest_schema(_avro_fields(r_spec)), out_entries,
+                extra_metadata=_man_extra(r_spec, r_spec_id),
             )
             new_ml_rows.append(
                 {
                     "manifest_path": m2,
                     "manifest_length": os.path.getsize(m2),
-                    "partition_spec_id": 0, "content": 0,
+                    "partition_spec_id": r_spec_id, "content": 0,
                     "sequence_number": seq,
                     "min_sequence_number": min_seq,
                     "added_snapshot_id": snap_id,
@@ -3096,82 +3204,116 @@ class IcebergLiteTable:
                     )
                 )
 
-        groups: dict[tuple, list] = {}
-        for t in data_files:
-            groups.setdefault(tuple(sorted(t[2].items())), []).append(t)
-
+        default_spec_id = int(meta.get("default-spec-id", 0))
+        cur_snap_pre = next(
+            s
+            for s in meta.get("snapshots", [])
+            if int(s["snapshot-id"]) == cur_id
+        )
+        data_spec_ids = {
+            int(r.get("partition_spec_id") or 0)
+            for r in self._manifest_list_rows(cur_snap_pre)
+            if int(r.get("content") or 0) == 0
+        }
+        migrate = bool(data_spec_ids - {default_spec_id})
         kept: list[tuple[str, int, dict]] = []
         new_files: list[tuple[str, int, int, dict]] = []
         n_rewritten = 0
-        for key, members in sorted(groups.items()):
-            cand = [
-                m
-                for m in members
-                if os.path.getsize(m[0]) < target_file_bytes
-                or os.path.abspath(m[0]) in pos_paths
+        if migrate:
+            # SPEC MIGRATION: the table holds manifests under evolved
+            # (non-default) partition specs — one compaction rewrites
+            # EVERY row under the current default spec, the Iceberg
+            # way to converge the layout after update_spec().  All
+            # deletes are applied during the read, so no delete
+            # manifest carries forward.  (zorder_by ordering does not
+            # apply here — the partition transform drives the layout;
+            # re-run with zorder_by afterwards for in-file clustering.)
+            fields_m, _csid = self._current_schema(meta)
+            name_to_id = {f["name"]: int(f["id"]) for f in fields_m}
+            id_to_name = {v: k for k, v in name_to_id.items()}
+            id_types = {int(f["id"]): f["type"] for f in fields_m}
+            sub_all = self._read_files(spark, meta, data_files, deletes)
+            staged5 = self._stage_data_files(
+                sub_all, self._table_spec(meta), name_to_id,
+                id_to_name, id_types,
+            )
+            new_files = [
+                (pth, n, sz, part) for pth, n, sz, part, _st in staged5
             ]
-            dirty = any(
-                os.path.abspath(m[0]) in pos_paths for m in cand
-            )
-            if zorder_by:
-                # a sort-order rewrite re-clusters EVERY file in the
-                # partition (Iceberg's rewrite_data_files sort
-                # strategy / delta OPTIMIZE ZORDER semantics)
-                cand = list(members)
-            elif len(cand) <= 1 and not dirty:
-                kept.extend(members)
-                continue
-            kept.extend(m for m in members if m not in cand)
-            total = sum(os.path.getsize(m[0]) for m in cand)
-            n_out = max(1, -(-total // target_file_bytes))
-            sub = self._read_files(spark, meta, cand, deletes)
-            stage = os.path.join(
-                self.path, "data", f"rw-{uuidlib.uuid4().hex[:12]}"
-            )
-            if zorder_by:
-                from data_lakehouse_platform_spark.sources.clustering import (
-                    zorder_key,
+            n_rewritten = len(data_files)
+        else:
+            groups: dict[tuple, list] = {}
+            for t in data_files:
+                groups.setdefault(tuple(sorted(t[2].items())), []).append(t)
+            for key, members in sorted(groups.items()):
+                cand = [
+                    m
+                    for m in members
+                    if os.path.getsize(m[0]) < target_file_bytes
+                    or os.path.abspath(m[0]) in pos_paths
+                ]
+                dirty = any(
+                    os.path.abspath(m[0]) in pos_paths for m in cand
                 )
-
-                missing = [c for c in zorder_by if c not in sub.columns]
-                if missing:
-                    raise ValueError(
-                        f"zorder_by columns {missing} not in the table"
+                if zorder_by:
+                    # a sort-order rewrite re-clusters EVERY file in the
+                    # partition (Iceberg's rewrite_data_files sort
+                    # strategy / delta OPTIMIZE ZORDER semantics)
+                    cand = list(members)
+                elif len(cand) <= 1 and not dirty:
+                    kept.extend(members)
+                    continue
+                kept.extend(m for m in members if m not in cand)
+                total = sum(os.path.getsize(m[0]) for m in cand)
+                n_out = max(1, -(-total // target_file_bytes))
+                sub = self._read_files(spark, meta, cand, deletes)
+                stage = os.path.join(
+                    self.path, "data", f"rw-{uuidlib.uuid4().hex[:12]}"
+                )
+                if zorder_by:
+                    from data_lakehouse_platform_spark.sources.clustering import (
+                        zorder_key,
                     )
-                staged = (
-                    zorder_key(sub, list(zorder_by))
-                    .repartitionByRange(n_out, F.col("__zkey"))
-                    .sortWithinPartitions("__zkey")
-                    .drop("__zkey")
-                )
-            else:
-                staged = sub.coalesce(n_out)
-            # compacted files must keep their field-id footers, or one
-            # rewrite_data_files would turn an evolution-safe table
-            # back into an id-less (rename-refusing) one
-            staged = self._stamp_field_ids(
-                staged, self._field_names_by_id_inv(meta)
-            )
-            self._parquet_with_field_ids(
-                lambda s=staged, p=stage: s.write.mode(
-                    "errorifexists"
-                ).parquet(p),
-                spark,
-            )
-            part = dict(key)
-            for root, _d, files in os.walk(stage):
-                for f in sorted(files):
-                    if f.endswith(".parquet"):
-                        full = os.path.join(root, f)
-                        new_files.append(
-                            (
-                                full,
-                                pq.read_metadata(full).num_rows,
-                                os.path.getsize(full),
-                                part,
-                            )
+
+                    missing = [c for c in zorder_by if c not in sub.columns]
+                    if missing:
+                        raise ValueError(
+                            f"zorder_by columns {missing} not in the table"
                         )
-            n_rewritten += len(cand)
+                    staged = (
+                        zorder_key(sub, list(zorder_by))
+                        .repartitionByRange(n_out, F.col("__zkey"))
+                        .sortWithinPartitions("__zkey")
+                        .drop("__zkey")
+                    )
+                else:
+                    staged = sub.coalesce(n_out)
+                # compacted files must keep their field-id footers, or one
+                # rewrite_data_files would turn an evolution-safe table
+                # back into an id-less (rename-refusing) one
+                staged = self._stamp_field_ids(
+                    staged, self._field_names_by_id_inv(meta)
+                )
+                self._parquet_with_field_ids(
+                    lambda s=staged, p=stage: s.write.mode(
+                        "errorifexists"
+                    ).parquet(p),
+                    spark,
+                )
+                part = dict(key)
+                for root, _d, files in os.walk(stage):
+                    for f in sorted(files):
+                        if f.endswith(".parquet"):
+                            full = os.path.join(root, f)
+                            new_files.append(
+                                (
+                                    full,
+                                    pq.read_metadata(full).num_rows,
+                                    os.path.getsize(full),
+                                    part,
+                                )
+                            )
+                n_rewritten += len(cand)
 
         if not new_files:
             return {
@@ -3237,7 +3379,7 @@ class IcebergLiteTable:
                 )
             ).encode(),
             "partition-spec": json.dumps(spec_fields).encode(),
-            "partition-spec-id": b"0",
+            "partition-spec-id": str(default_spec_id).encode(),
             "format-version": b"2",
             "content": b"data",
         }
@@ -3250,7 +3392,7 @@ class IcebergLiteTable:
             {
                 "manifest_path": mpath,
                 "manifest_length": os.path.getsize(mpath),
-                "partition_spec_id": 0, "content": 0,
+                "partition_spec_id": default_spec_id, "content": 0,
                 "sequence_number": seq, "min_sequence_number": min_seq,
                 "added_snapshot_id": snap_id,
                 "added_files_count": len(new_files),
@@ -3266,6 +3408,8 @@ class IcebergLiteTable:
             s for s in snaps if int(s["snapshot-id"]) == cur_id
         )
         for row in self._manifest_list_rows(cur_snap):
+            if migrate:
+                break  # every delete was applied during the migration read
             if int(row.get("content") or 0) != 1:
                 continue
             _, mrows = read_container(row["manifest_path"])
