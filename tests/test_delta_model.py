@@ -248,12 +248,27 @@ def test_iceberg_verbs_against_model(spark, tmp_path, seed):
     branched = None  # (snapshot id the branch pins, its recorded state)
     ledger_batch = -1  # committed_batches model (streaming-sink ledger)
 
+    spec_evolved = False
     for step in range(16):
         op = rng.choice(
             ["append", "delete", "mass_delete", "compact", "zorder",
              "tag", "branch", "ledger", "add_col", "rename_col",
-             "drop_col", "promote", "merge"]
+             "drop_col", "promote", "merge", "evolve_spec"]
         )
+        if op == "evolve_spec" and not spec_evolved:
+            # r7 verb: partition evolution mid-history — a metadata-only
+            # commit; later appends/merges land under identity(id),
+            # earlier files keep their (empty) spec, reads stay exact
+            t.update_spec(["id"])
+            spec_evolved = True
+            got = {
+                r.id: tuple(r[c] for c, _ty in cols)
+                for r in t.read(spark).collect()
+            }
+            assert got == snap_state(), f"seed={seed} step={step} spec"
+            continue
+        if op == "evolve_spec":
+            continue
         if op == "append":
             prev_sid = t.current_snapshot_id()
             rows = fresh(rng.randrange(1, 4))
