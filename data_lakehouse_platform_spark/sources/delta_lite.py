@@ -942,11 +942,11 @@ class DeltaLiteTable:
                 "table schema declares column invariants this writer "
                 "cannot validate — refusing to write unvalidated rows"
             )
-        if "delta.generationExpression" in schema_s:
-            raise DeltaProtocolError(
-                "table declares generated columns; this writer would "
-                "not recompute them — refusing"
-            )
+        # delta.generationExpression is SUPPORTED: appends compute a
+        # missing generated column from its expression, and EVERY verb
+        # validates staged rows against each expression before commit
+        # (see _stage_adds) — a SET that contradicts a generation
+        # expression raises instead of committing drift.
         if "delta.identity." in schema_s:
             raise DeltaProtocolError(
                 "table declares identity columns; this writer would "
@@ -1079,6 +1079,7 @@ class DeltaLiteTable:
         data_change: bool = True,
         table_conf: dict | None = None,
         phys_map: dict[str, str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> tuple[list[dict], str]:
         """Write ``df`` under a fresh staging directory and return
         ``(add actions, staging dir)`` (DECODED on-disk relative paths
@@ -1159,7 +1160,8 @@ class DeltaLiteTable:
             for k, v in (table_conf or {}).items()
             if k.startswith("delta.constraints.")
         }
-        if cons and adds:
+        gen = generated or {}
+        if (cons or gen) and adds:
             from pyspark.sql import functions as F
 
             staged = self._read_staged(
@@ -1178,6 +1180,23 @@ class DeltaLiteTable:
                         f"CHECK constraint {cname!r} ({expr}) is "
                         "violated by rows this write would add — "
                         "nothing was committed"
+                    )
+            for col in sorted(gen):
+                # generated columns are implicit constraints: the
+                # stored value must null-safe-equal its expression
+                # (delta-spark recomputes on UPDATE; this writer
+                # REFUSES contradictory values instead of drifting)
+                if (
+                    staged.filter(
+                        ~F.expr(f"`{col}` <=> ({gen[col]})")
+                    )
+                    .limit(1)
+                    .count()
+                ):
+                    raise DeltaConstraintViolation(
+                        f"generated column {col!r} disagrees with its "
+                        f"generation expression ({gen[col]}) in rows "
+                        "this write would add — nothing was committed"
                     )
         return adds, out
 
@@ -1198,6 +1217,23 @@ class DeltaLiteTable:
             )
             for f in schema.fields
         }
+
+    @staticmethod
+    def _generated_exprs(meta: dict) -> dict[str, str]:
+        """{column: generation expression} from the schema's
+        delta.generationExpression metadata (PROTOCOL.md "Generated
+        Columns"); empty when none are declared."""
+        out: dict[str, str] = {}
+        schema_s = meta.get("schemaString")
+        if not schema_s or "delta.generationExpression" not in schema_s:
+            return out
+        for f in json.loads(schema_s).get("fields", []):
+            ge = (f.get("metadata") or {}).get(
+                "delta.generationExpression"
+            )
+            if ge is not None:
+                out[f["name"]] = str(ge)
+        return out
 
     @staticmethod
     def _cdf_enabled(meta: dict) -> bool:
@@ -1395,6 +1431,7 @@ class DeltaLiteTable:
         operation_params: dict | None = None,
         merge_schema: bool = False,
         configuration: dict[str, str] | None = None,
+        generated_columns: dict[str, tuple[str, str]] | None = None,
     ) -> int:
         """Commit ``df`` as the next Delta version (``append`` keeps
         prior files; ``overwrite`` removes them in the same commit —
@@ -1413,7 +1450,18 @@ class DeltaLiteTable:
         ``operation``/``operation_params`` let composite verbs (MERGE)
         stamp the correct commitInfo AT COMMIT TIME — never by
         rewriting an already-committed log file, which would break the
-        put-if-absent immutability readers rely on."""
+        put-if-absent immutability readers rely on.
+
+        ``generated_columns`` (table CREATION only, like delta-spark):
+        ``{name: (ddl_type, sql_expr)}`` — the columns are computed
+        onto this first write and stamped into the schema as
+        ``delta.generationExpression`` metadata.  On APPENDS to a
+        table declaring generated columns, a missing generated column
+        is computed from its expression; a provided one is validated
+        against it at staging (every verb validates — a contradictory
+        value raises instead of committing drift)."""
+        from pyspark.sql import functions as F
+
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         latest = self.latest_version()
@@ -1423,6 +1471,23 @@ class DeltaLiteTable:
                 "configuration is a table-creation option; the table "
                 "already exists"
             )
+        if generated_columns is not None and not first:
+            raise ValueError(
+                "generated_columns is a table-creation option (Delta "
+                "declares them at CREATE); the table already exists"
+            )
+        gen_meta: dict[str, str] = {}
+        if first and generated_columns:
+            for gname, (gtype, gexpr) in generated_columns.items():
+                if gname in df.columns:
+                    raise ValueError(
+                        f"generated column {gname!r} must not be in "
+                        "the DataFrame — it is computed"
+                    )
+                df = df.withColumn(
+                    gname, F.expr(gexpr).cast(gtype)
+                )
+                gen_meta[gname] = gexpr
         if not first:
             meta, live, _proto = self._replay(latest)
             self._check_write_protocol(
@@ -1437,6 +1502,22 @@ class DeltaLiteTable:
             partition_by = list(prev_part)
             existing_schema = meta.get("schemaString")
             evolved_meta = None
+            gexprs = self._generated_exprs(meta)
+            if gexprs and existing_schema:
+                from pyspark.sql.types import StructType as _GST
+
+                tbl_fields = _GST.fromJson(
+                    json.loads(existing_schema)
+                ).fields
+                ttypes = {f.name: f.dataType for f in tbl_fields}
+                for gname in sorted(gexprs):
+                    if gname not in df.columns and gname in ttypes:
+                        df = df.withColumn(
+                            gname,
+                            F.expr(gexprs[gname]).cast(ttypes[gname]),
+                        )
+                if set(df.columns) == {f.name for f in tbl_fields}:
+                    df = df.select(*[f.name for f in tbl_fields])
             # Compare by (name, type) shape, not raw JSON: a column-
             # mapping table's schemaString carries physicalName/id
             # metadata the caller's plain DataFrame never has.
@@ -1516,7 +1597,8 @@ class DeltaLiteTable:
             )
         pmap = None if first else self._write_phys_map(meta)
         adds, stage_dir = self._stage_adds(
-            df, partition_by, table_conf=tconf, phys_map=pmap
+            df, partition_by, table_conf=tconf, phys_map=pmap,
+            generated=(gen_meta if first else self._generated_exprs(meta)),
         )
         now_ms = int(time.time() * 1000)
 
@@ -1539,17 +1621,28 @@ class DeltaLiteTable:
                 str(k): str(v) for k, v in (configuration or {}).items()
             }
             proto0 = {"minReaderVersion": 1, "minWriterVersion": 2}
+            if gen_meta:
+                # legacy writer v4 implies generatedColumns (spec)
+                proto0 = {"minReaderVersion": 1, "minWriterVersion": 4}
             if conf0.get("delta.enableChangeDataFeed") == "true":
                 # CDF requires the changeDataFeed writer feature;
                 # legacy v4 implies it (delta-spark stamps the same)
                 proto0 = self._proto_with_cdf(proto0)
             actions.append({"protocol": proto0})
+            schema_json = json.loads(df.schema.json())
+            for f_ in schema_json.get("fields", []):
+                if f_["name"] in gen_meta:
+                    md = dict(f_.get("metadata") or {})
+                    md["delta.generationExpression"] = gen_meta[
+                        f_["name"]
+                    ]
+                    f_["metadata"] = md
             actions.append(
                 {
                     "metaData": {
                         "id": str(uuid.uuid4()),
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": df.schema.json(),
+                        "schemaString": json.dumps(schema_json),
                         "partitionColumns": partition_by,
                         "configuration": conf0,
                         "createdTime": now_ms,
@@ -2034,6 +2127,7 @@ class DeltaLiteTable:
         adds, _stage_dir = self._stage_adds(
             rewrite, part, table_conf=meta.get("configuration"),
             phys_map=self._write_phys_map(meta),
+            generated=self._generated_exprs(meta),
         )
 
         now_ms = int(time.time() * 1000)
@@ -2145,6 +2239,7 @@ class DeltaLiteTable:
             touched_rows.filter(keep), part,
             table_conf=meta.get("configuration"),
             phys_map=self._write_phys_map(meta),
+            generated=self._generated_exprs(meta),
         )
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
@@ -2332,6 +2427,7 @@ class DeltaLiteTable:
         adds, _stage_dir = self._stage_adds(
             rewrite, part, table_conf=meta.get("configuration"),
             phys_map=self._write_phys_map(meta),
+            generated=self._generated_exprs(meta),
         )
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
@@ -2442,6 +2538,7 @@ class DeltaLiteTable:
             staged, part, data_change=False,
             table_conf=meta.get("configuration"),
             phys_map=self._write_phys_map(meta),
+            generated=self._generated_exprs(meta),
         )
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [

@@ -343,3 +343,86 @@ def test_constraints_compose_with_column_mapping(spark, tmp_path):
         mode="append",
     )
     assert t.read(spark, predicate="id = 7").collect()[0].score == 1.0
+
+
+# -- generated columns ------------------------------------------------------
+
+
+def test_generated_columns_at_creation(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "2024-03-15"), (2, "2024-07-01")], "id int, d string"
+        ).select("id", F.col("d").cast("date").alias("d")),
+        generated_columns={"d_month": ("int", "month(d)")},
+    )
+    got = {r.id: r.d_month for r in t.read(spark).collect()}
+    assert got == {1: 3, 2: 7}
+    meta, proto = _meta(t)
+    f = json.loads(meta["schemaString"])["fields"][-1]
+    assert f["metadata"]["delta.generationExpression"] == "month(d)"
+    assert proto["minWriterVersion"] >= 4  # generatedColumns implied
+
+
+def test_generated_column_computed_on_append(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "2024-03-15")], "id int, d string"
+        ).select("id", F.col("d").cast("date").alias("d")),
+        generated_columns={"d_month": ("int", "month(d)")},
+    )
+    # append WITHOUT the generated column: computed
+    t.write(
+        spark.createDataFrame(
+            [(2, "2024-09-09")], "id int, d string"
+        ).select("id", F.col("d").cast("date").alias("d")),
+        mode="append",
+    )
+    got = {r.id: r.d_month for r in t.read(spark).collect()}
+    assert got == {1: 3, 2: 9}
+
+
+def test_generated_column_contradiction_refused(spark, tmp_path):
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        DeltaConstraintViolation,
+    )
+
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "2024-03-15")], "id int, d string"
+        ).select("id", F.col("d").cast("date").alias("d")),
+        generated_columns={"d_month": ("int", "month(d)")},
+    )
+    v = t.latest_version()
+    # append with a WRONG provided value
+    bad = spark.createDataFrame(
+        [(2, "2024-09-09", 1)], "id int, d string, d_month int"
+    ).select("id", F.col("d").cast("date").alias("d"), "d_month")
+    with pytest.raises(DeltaConstraintViolation, match="d_month"):
+        t.write(bad, mode="append")
+    assert t.latest_version() == v
+    # UPDATE that changes the source but not the generated column
+    # refuses (delta-spark would recompute; this writer refuses drift)
+    with pytest.raises(DeltaConstraintViolation, match="d_month"):
+        t.update(spark, "id = 1", {"d": "DATE '2024-12-25'"})
+    # a CONSISTENT update passes
+    t.update(
+        spark, "id = 1",
+        {"d": "DATE '2024-12-25'", "d_month": "12"},
+    )
+    got = {r.id: r.d_month for r in t.read(spark).collect()}
+    assert got == {1: 12}
+
+
+def test_generated_columns_creation_only(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="creation"):
+        t.write(
+            spark.createDataFrame(
+                [(9, "z", 1.0)], "id int, name string, v double"
+            ),
+            mode="append",
+            generated_columns={"x": ("int", "id + 1")},
+        )
