@@ -947,11 +947,23 @@ class DeltaLiteTable:
         # validates staged rows against each expression before commit
         # (see _stage_adds) — a SET that contradicts a generation
         # expression raises instead of committing drift.
+        # delta.identity.* is SUPPORTED for positive steps: appends
+        # GENERATE missing identity values past the high-water mark and
+        # the same commit re-emits metaData with the advanced mark;
+        # explicit values are honored per allowExplicitInsert.  A
+        # NEGATIVE step still refuses (descending allocation is not
+        # implemented — better loud than wrong).
         if "delta.identity." in schema_s:
-            raise DeltaProtocolError(
-                "table declares identity columns; this writer would "
-                "not advance their high-water marks — refusing"
-            )
+            for f in json.loads(schema_s).get("fields", []):
+                md = f.get("metadata") or {}
+                if "delta.identity.start" in md and int(
+                    md.get("delta.identity.step", 1)
+                ) <= 0:
+                    raise DeltaProtocolError(
+                        f"identity column {f['name']!r} has a non-"
+                        "positive step; this writer allocates ascending "
+                        "values only — refusing"
+                    )
         if conf.get("delta.appendOnly") == "true" and kind == "mutate":
             raise DeltaProtocolError(
                 "table is append-only (delta.appendOnly=true): "
@@ -1219,6 +1231,44 @@ class DeltaLiteTable:
         }
 
     @staticmethod
+    def _identity_cols(meta: dict) -> dict[str, dict]:
+        """{column: {start, step, high (None until first value),
+        allow_explicit}} from the schema's delta.identity.* metadata
+        (PROTOCOL.md "Identity Columns")."""
+        out: dict[str, dict] = {}
+        schema_s = meta.get("schemaString")
+        if not schema_s or "delta.identity." not in schema_s:
+            return out
+        for f in json.loads(schema_s).get("fields", []):
+            md = f.get("metadata") or {}
+            if "delta.identity.start" not in md:
+                continue
+            hw = md.get("delta.identity.highWaterMark")
+            out[f["name"]] = {
+                "start": int(md["delta.identity.start"]),
+                "step": int(md.get("delta.identity.step", 1)),
+                "high": int(hw) if hw is not None else None,
+                "allow_explicit": bool(
+                    md.get("delta.identity.allowExplicitInsert", False)
+                ),
+            }
+        return out
+
+    @staticmethod
+    def _schema_with_high_water(schema_s: str, marks: dict[str, int]) -> str:
+        """schemaString with delta.identity.highWaterMark advanced for
+        the given columns."""
+        schema = json.loads(schema_s)
+        for f in schema.get("fields", []):
+            if f["name"] in marks:
+                md = dict(f.get("metadata") or {})
+                md["delta.identity.highWaterMark"] = int(
+                    marks[f["name"]]
+                )
+                f["metadata"] = md
+        return json.dumps(schema)
+
+    @staticmethod
     def _generated_exprs(meta: dict) -> dict[str, str]:
         """{column: generation expression} from the schema's
         delta.generationExpression metadata (PROTOCOL.md "Generated
@@ -1432,6 +1482,7 @@ class DeltaLiteTable:
         merge_schema: bool = False,
         configuration: dict[str, str] | None = None,
         generated_columns: dict[str, tuple[str, str]] | None = None,
+        identity_columns: dict[str, tuple[int, int]] | None = None,
     ) -> int:
         """Commit ``df`` as the next Delta version (``append`` keeps
         prior files; ``overwrite`` removes them in the same commit —
@@ -1451,6 +1502,16 @@ class DeltaLiteTable:
         stamp the correct commitInfo AT COMMIT TIME — never by
         rewriting an already-committed log file, which would break the
         put-if-absent immutability readers rely on.
+
+        ``identity_columns`` (table CREATION only):
+        ``{name: (start, step)}`` with step > 0 — a BIGINT column the
+        writer allocates: this first write and every later append
+        missing the column get monotonically increasing values past
+        the high-water mark (sparse, like delta-spark's per-task
+        ranges: uniqueness and monotonicity are guaranteed, contiguity
+        is not), and the SAME commit re-emits metaData with
+        ``delta.identity.highWaterMark`` advanced.  Explicit values
+        are refused (GENERATED ALWAYS; allowExplicitInsert=false).
 
         ``generated_columns`` (table CREATION only, like delta-spark):
         ``{name: (ddl_type, sql_expr)}`` — the columns are computed
@@ -1476,6 +1537,33 @@ class DeltaLiteTable:
                 "generated_columns is a table-creation option (Delta "
                 "declares them at CREATE); the table already exists"
             )
+        if identity_columns is not None and not first:
+            raise ValueError(
+                "identity_columns is a table-creation option (Delta "
+                "declares them at CREATE); the table already exists"
+            )
+        ident_spec: dict[str, tuple[int, int]] = {}
+        pinned = False
+        if first and identity_columns:
+            for iname, (istart, istep) in identity_columns.items():
+                if istep <= 0:
+                    raise ValueError(
+                        f"identity column {iname!r}: step must be > 0"
+                    )
+                if iname in df.columns:
+                    raise ValueError(
+                        f"identity column {iname!r} must not be in "
+                        "the DataFrame — it is GENERATED ALWAYS"
+                    )
+                df = df.withColumn(
+                    iname,
+                    (
+                        F.lit(int(istart))
+                        + F.lit(int(istep))
+                        * F.monotonically_increasing_id()
+                    ).cast("long"),
+                )
+                ident_spec[iname] = (int(istart), int(istep))
         gen_meta: dict[str, str] = {}
         if first and generated_columns:
             for gname, (gtype, gexpr) in generated_columns.items():
@@ -1518,6 +1606,41 @@ class DeltaLiteTable:
                         )
                 if set(df.columns) == {f.name for f in tbl_fields}:
                     df = df.select(*[f.name for f in tbl_fields])
+            idents = self._identity_cols(meta)
+            if idents and existing_schema:
+                from pyspark.sql.types import StructType as _IST
+
+                tbl_names = [
+                    f.name
+                    for f in _IST.fromJson(
+                        json.loads(existing_schema)
+                    ).fields
+                ]
+                for iname in sorted(idents):
+                    spec = idents[iname]
+                    if iname in df.columns:
+                        if not spec["allow_explicit"]:
+                            raise ValueError(
+                                f"identity column {iname!r} is "
+                                "GENERATED ALWAYS — remove it from "
+                                "the DataFrame"
+                            )
+                        continue
+                    base = (
+                        spec["high"]
+                        if spec["high"] is not None
+                        else spec["start"] - spec["step"]
+                    )
+                    df = df.withColumn(
+                        iname,
+                        (
+                            F.lit(int(base))
+                            + F.lit(int(spec["step"]))
+                            * (1 + F.monotonically_increasing_id())
+                        ).cast("long"),
+                    )
+                if set(df.columns) == set(tbl_names):
+                    df = df.select(*tbl_names)
             # Compare by (name, type) shape, not raw JSON: a column-
             # mapping table's schemaString carries physicalName/id
             # metadata the caller's plain DataFrame never has.
@@ -1596,10 +1719,39 @@ class DeltaLiteTable:
                 "writer assigns during the upgrade commit"
             )
         pmap = None if first else self._write_phys_map(meta)
+        id_written = sorted(
+            (
+                set(ident_spec)
+                if first
+                else set(self._identity_cols(meta))
+            )
+            & set(df.columns)
+        )
+        if id_written:
+            # identity values ride monotonically_increasing_id — pin
+            # ONE evaluation before staging (lineage truncated: block
+            # loss fails loudly instead of silently re-allocating)
+            df = df.localCheckpoint(eager=True)
         adds, stage_dir = self._stage_adds(
             df, partition_by, table_conf=tconf, phys_map=pmap,
             generated=(gen_meta if first else self._generated_exprs(meta)),
         )
+        id_marks: dict[str, int] = {}
+        if id_written and adds:
+            staged_rows = self._read_staged(
+                df.sparkSession, stage_dir, df.schema, phys_map=pmap
+            )
+            row0 = staged_rows.agg(
+                *[F.max(c).alias(c) for c in id_written]
+            ).collect()[0]
+            prior = {} if first else self._identity_cols(meta)
+            for c in id_written:
+                mx = row0[c]
+                if mx is None:
+                    continue
+                old_h = (prior.get(c) or {}).get("high")
+                if old_h is None or int(mx) > int(old_h):
+                    id_marks[c] = int(mx)
         now_ms = int(time.time() * 1000)
 
         actions: list[dict] = [
@@ -1624,6 +1776,9 @@ class DeltaLiteTable:
             if gen_meta:
                 # legacy writer v4 implies generatedColumns (spec)
                 proto0 = {"minReaderVersion": 1, "minWriterVersion": 4}
+            if ident_spec:
+                # legacy writer v6 implies identityColumns (spec)
+                proto0 = {"minReaderVersion": 1, "minWriterVersion": 6}
             if conf0.get("delta.enableChangeDataFeed") == "true":
                 # CDF requires the changeDataFeed writer feature;
                 # legacy v4 implies it (delta-spark stamps the same)
@@ -1637,6 +1792,18 @@ class DeltaLiteTable:
                         f_["name"]
                     ]
                     f_["metadata"] = md
+                if f_["name"] in ident_spec:
+                    istart, istep = ident_spec[f_["name"]]
+                    md = dict(f_.get("metadata") or {})
+                    md["delta.identity.start"] = istart
+                    md["delta.identity.step"] = istep
+                    md["delta.identity.allowExplicitInsert"] = False
+                    if f_["name"] in id_marks:
+                        md["delta.identity.highWaterMark"] = id_marks[
+                            f_["name"]
+                        ]
+                    f_["metadata"] = md
+            id_marks = {}  # folded into the creation schema above
             actions.append(
                 {
                     "metaData": {
@@ -1649,10 +1816,18 @@ class DeltaLiteTable:
                     }
                 }
             )
-        elif evolved_meta is not None:
-            # mergeSchema evolution: the commit re-emits metaData with
-            # the union schema (exactly how delta-spark records it)
-            actions.append({"metaData": evolved_meta})
+        elif evolved_meta is not None or id_marks:
+            # mergeSchema evolution and/or identity high-water advance:
+            # the commit re-emits metaData (delta-spark records both
+            # the same way)
+            out_meta = dict(
+                evolved_meta if evolved_meta is not None else meta
+            )
+            if id_marks:
+                out_meta["schemaString"] = self._schema_with_high_water(
+                    out_meta["schemaString"], id_marks
+                )
+            actions.append({"metaData": out_meta})
         if mode == "overwrite":
             for pth in sorted(live):
                 actions.append(
@@ -1710,6 +1885,7 @@ class DeltaLiteTable:
             (mode == "overwrite")
             or (latest is None)
             or (evolved_meta is not None)
+            or bool(id_marks)
         )
         version = (latest or 0) + 1 if latest is not None else 0
         return self._commit(
@@ -2027,6 +2203,17 @@ class DeltaLiteTable:
         inserts = source.join(
             current.select(*keys), on=keys, how="left_anti"
         ).select(*data_cols)
+        strict_ids = [
+            c
+            for c, sp in self._identity_cols(meta).items()
+            if not sp["allow_explicit"]
+        ]
+        if strict_ids and inserts.limit(1).count() > 0:
+            raise ValueError(
+                f"table has GENERATED ALWAYS identity columns "
+                f"{strict_ids}; MERGE inserts would write explicit "
+                "values — write(mode='append') generates them instead"
+            )
         if cdf:
             change = inserts.withColumn("_change_type", F.lit("insert"))
         if touched_uris:

@@ -426,3 +426,81 @@ def test_generated_columns_creation_only(spark, tmp_path):
             mode="append",
             generated_columns={"x": ("int", "id + 1")},
         )
+
+
+# -- identity columns -------------------------------------------------------
+
+
+def test_identity_column_generation_and_high_water(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([("a",), ("b",), ("c",)], "name string"),
+        identity_columns={"uid": (100, 10)},
+    )
+    rows = {r.name: r.uid for r in t.read(spark).collect()}
+    assert len(set(rows.values())) == 3          # unique
+    assert all(v >= 100 and (v - 100) % 10 == 0 for v in rows.values())
+    meta, proto = _meta(t)
+    f = next(
+        f for f in json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "uid"
+    )
+    md = f["metadata"]
+    assert md["delta.identity.start"] == 100
+    assert md["delta.identity.step"] == 10
+    assert md["delta.identity.highWaterMark"] == max(rows.values())
+    assert proto["minWriterVersion"] >= 6
+    # append WITHOUT the column: values continue past the mark and the
+    # commit advances it
+    t.write(
+        spark.createDataFrame([("d",), ("e",)], "name string"),
+        mode="append",
+    )
+    rows2 = {r.name: r.uid for r in t.read(spark).collect()}
+    assert len(set(rows2.values())) == 5
+    assert min(rows2[n] for n in ("d", "e")) > max(rows.values())
+    meta2, _ = _meta(t)
+    f2 = next(
+        f for f in json.loads(meta2["schemaString"])["fields"]
+        if f["name"] == "uid"
+    )
+    assert f2["metadata"]["delta.identity.highWaterMark"] == max(
+        rows2.values()
+    )
+
+
+def test_identity_explicit_insert_refused(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([("a",)], "name string"),
+        identity_columns={"uid": (1, 1)},
+    )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.write(
+            spark.createDataFrame(
+                [("x", 999)], "name string, uid long"
+            ),
+            mode="append",
+        )
+    # merge inserts would also write explicit values -> refused
+    src = spark.createDataFrame(
+        [("new", 5)], "name string, uid long"
+    )
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.merge(spark, src, keys=["uid"])
+    # mutating verbs that only REWRITE existing rows still work
+    t.write(
+        spark.createDataFrame([("b",)], "name string"), mode="append"
+    )
+    t.update(spark, "name = 'b'", {"name": "'bb'"})
+    got = {r.name for r in t.read(spark).collect()}
+    assert got == {"a", "bb"}
+
+
+def test_identity_negative_step_refused(spark, tmp_path):
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="step"):
+        t.write(
+            spark.createDataFrame([("a",)], "name string"),
+            identity_columns={"uid": (0, -1)},
+        )
