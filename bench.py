@@ -76,6 +76,11 @@ HEADLINE = [
     # basket price index), baselined from their first quiet-box run
     "editdist_pairs_customers",
     "laspeyres_price_index",
+    # round-7 part-2 flagships (doubled-rank spine over the distinct-
+    # price histogram; densified token-pair grid), baselined from
+    # their first quiet-box run
+    "spearman_qty_price",
+    "tv_distance_sources",
 ]
 
 

@@ -1420,6 +1420,17 @@ class DeltaLiteTable:
         }
 
     @staticmethod
+    def _live_key(ap: str, root: str) -> tuple[str, str]:
+        """Both spellings a scanned absolute path may have in the log:
+        its table-relative form (normal adds) and its absolute form
+        (shallow-CLONE adds reference the source's files by absolute
+        path).  Callers try relative first, then absolute."""
+        return (
+            os.path.relpath(ap, root).replace(os.sep, "/"),
+            ap.replace(os.sep, "/"),
+        )
+
+    @staticmethod
     def _encoded_action(a: dict) -> dict:
         """Copy of an action with its file path URL-encoded for the
         log (spec: add/remove/cdc paths are URL-encoded; in-memory
@@ -2002,8 +2013,9 @@ class DeltaLiteTable:
         by_file: dict[str, set[int]] = {}
         for r in rows:
             ap = urllib.parse.unquote(r["__dv_path"])
-            rel = os.path.relpath(ap, root).replace(os.sep, "/")
-            by_file.setdefault(rel, set()).add(int(r["__dv_ridx"]))
+            rel, absk = self._live_key(ap, root)
+            key = rel if rel in live else absk
+            by_file.setdefault(key, set()).add(int(r["__dv_ridx"]))
         for rel, ridxs in by_file.items():
             if rel not in live:
                 raise DeltaProtocolError(
@@ -2186,9 +2198,8 @@ class DeltaLiteTable:
         root = os.path.abspath(self.path)
         touched_rels = set()
         for u in touched_uris:
-            rel = os.path.relpath(
-                urllib.parse.unquote(u), root
-            ).replace(os.sep, "/")
+            rel, absk = self._live_key(urllib.parse.unquote(u), root)
+            rel = rel if rel in live else absk
             if rel not in live:
                 raise DeltaProtocolError(
                     f"matched file {rel} is not in the snapshot"
@@ -2406,12 +2417,10 @@ class DeltaLiteTable:
         if not touched_uris:
             return {"version": latest, "deleted_rows": 0, "files": 0}
         root = os.path.abspath(self.path)
-        touched_rels = {
-            os.path.relpath(urllib.parse.unquote(u), root).replace(
-                os.sep, "/"
-            )
-            for u in touched_uris
-        }
+        touched_rels = set()
+        for u in touched_uris:
+            rel, absk = self._live_key(urllib.parse.unquote(u), root)
+            touched_rels.add(rel if rel in live else absk)
         missing_rels = sorted(touched_rels - live.keys())
         if missing_rels:
             raise DeltaProtocolError(
@@ -2534,8 +2543,8 @@ class DeltaLiteTable:
         # NB: the `set` parameter (named for delta-spark parity)
         # shadows the builtin in this scope — build via comprehension.
         touched_rels = {
-            os.path.relpath(urllib.parse.unquote(u), root).replace(
-                os.sep, "/"
+            (lambda rk: rk[0] if rk[0] in live else rk[1])(
+                self._live_key(urllib.parse.unquote(u), root)
             )
             for u in touched_uris
         }
@@ -3190,6 +3199,79 @@ class DeltaLiteTable:
         return self._evolve_commit(
             latest, new_meta, "DROP CONSTRAINT", {"name": name}
         )
+
+    def clone_to(
+        self,
+        target_path: str,
+        version: int | None = None,
+    ) -> "DeltaLiteTable":
+        """SHALLOW CLONE (delta-spark's ``CREATE TABLE ... SHALLOW
+        CLONE``): create a NEW table at ``target_path`` whose version-0
+        commit references this table's data files by ABSOLUTE path —
+        zero data copied, protocol/schema/configuration carried, stats
+        and deletion vectors preserved (DV descriptors rewritten to
+        absolute 'p' storage so they resolve from the clone).  The
+        clone then evolves independently: its appends/rewrites stage
+        files under ITS root, its mutating verbs resolve source files
+        through the absolute add paths, and its VACUUM only ever walks
+        the clone's own directory — the source's files are never
+        deleted by the clone.  Time travel on the clone starts at its
+        own version 0 (Delta's clone semantics)."""
+        vs = self.all_versions()
+        if not vs:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        v = vs[-1] if version is None else version
+        meta, live, proto = self._replay(v)
+        tgt = DeltaLiteTable(target_path)
+        if tgt.latest_version() is not None:
+            raise ValueError(
+                f"target {target_path} already holds a Delta table"
+            )
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CLONE",
+                    "operationParameters": {
+                        "source": os.path.abspath(self.path),
+                        "sourceVersion": v,
+                    },
+                    "engineInfo": "delta-lite/0.1 (shallow clone)",
+                }
+            },
+            {"protocol": dict(proto)},
+            {
+                "metaData": {
+                    **meta,
+                    "id": str(uuid.uuid4()),
+                    "createdTime": now_ms,
+                }
+            },
+        ]
+        for p in sorted(live):
+            add = dict(live[p])
+            add["path"] = os.path.abspath(
+                os.path.join(self.path, p)
+            ).replace(os.sep, "/")
+            dv = add.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                add["deletionVector"] = {
+                    **dv,
+                    "storageType": "p",
+                    "pathOrInlineDv": os.path.abspath(
+                        self._dv_file_path(dv)
+                    ),
+                }
+            add["dataChange"] = True
+            actions.append({"add": add})
+        tgt._commit(
+            actions, 0,
+            stale_sensitive=True,
+            computed_against=None,
+            op_desc="CLONE",
+        )
+        return tgt
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Delta VACUUM: delete data files and DV ``.bin`` files not

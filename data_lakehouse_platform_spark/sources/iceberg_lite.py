@@ -2472,6 +2472,45 @@ class IcebergLiteTable:
         victim["type"] = new_type
         return self._commit_schema(meta, fields)
 
+    def rollback_to(self, snapshot_id: int) -> int:
+        """Iceberg's ``rollback_to_snapshot``: flip
+        ``current-snapshot-id`` back to an ANCESTOR of the current
+        snapshot — one metadata commit, no snapshots added or removed
+        (the abandoned ones stay time-travelable until expiry; a later
+        write parents off the rolled-back snapshot).  Refuses a
+        snapshot that is not on the current ancestry chain
+        (``set_current_snapshot`` semantics are deliberately NOT
+        offered — jumping across branches silently orphans history)."""
+        meta = self.metadata()
+        snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
+        if snapshot_id not in snaps:
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} not in table (have "
+                f"{sorted(snaps)})"
+            )
+        cur = self.current_snapshot_id()
+        if cur == snapshot_id:
+            return snapshot_id
+        ancestors = set()
+        walk = cur
+        while walk is not None:
+            ancestors.add(int(walk))
+            walk = snaps.get(int(walk), {}).get("parent-snapshot-id")
+        if snapshot_id not in ancestors:
+            raise IcebergProtocolError(
+                f"snapshot {snapshot_id} is not an ancestor of the "
+                f"current snapshot {cur} — rollback_to only rewinds "
+                "the current lineage"
+            )
+        now_ms = int(time.time() * 1000)
+        meta["current-snapshot-id"] = int(snapshot_id)
+        meta["last-updated-ms"] = now_ms
+        meta.setdefault("snapshot-log", []).append(
+            {"timestamp-ms": now_ms, "snapshot-id": int(snapshot_id)}
+        )
+        self._commit_metadata_json(meta)
+        return int(snapshot_id)
+
     def update_spec(self, partition_by: list) -> int:
         """PARTITION EVOLUTION (spec §Partition Evolution): append a
         new partition spec and flip ``default-spec-id`` — ONE

@@ -182,3 +182,38 @@ def test_skipping_still_prunes_after_evolution(spark, tmp_path):
         r.id for r in t.read(spark, predicate="id >= 1000").collect()
     )
     assert got == [1000, 1001, 1002, 1003, 1004]
+
+
+def test_rollback_to_ancestor(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v0 = t.current_snapshot_id()
+    pre = _rows(t, spark)
+    t.write(
+        spark.createDataFrame(
+            [(100, "ap", "2024-06-15", 1.5)],
+            "id int, region string, d string, v double",
+        ).select("id", "region", F.col("d").cast("date").alias("d"), "v"),
+        mode="append",
+    )
+    v1 = t.current_snapshot_id()
+    t.rollback_to(v0)
+    assert t.current_snapshot_id() == v0
+    assert _rows(t, spark) == pre
+    # abandoned snapshot still time-travels until expiry
+    assert len(_rows(t, spark, snapshot_id=v1)) == 21
+    # a later write parents off the rolled-back snapshot
+    t.write(
+        spark.createDataFrame(
+            [(200, "eu", "2024-07-01", 2.0)],
+            "id int, region string, d string, v double",
+        ).select("id", "region", F.col("d").cast("date").alias("d"), "v"),
+        mode="append",
+    )
+    snaps = {int(s["snapshot-id"]): s for s in t.snapshots()}
+    assert snaps[t.current_snapshot_id()]["parent-snapshot-id"] == v0
+    # non-ancestor rollback refused (v1 is now off the current lineage)
+    from data_lakehouse_platform_spark.sources.iceberg_lite import (
+        IcebergProtocolError as _IPE,
+    )
+    with pytest.raises(_IPE, match="ancestor"):
+        t.rollback_to(v1)
