@@ -64,12 +64,25 @@ def test_delta_verbs_against_model(spark, tmp_path, seed):
     history = {0: dict(model)}
 
     mapped = False  # becomes True after the cm_upgrade verb fires
+    fork = None  # (clone table, model state at fork) — isolation probe
     for step in range(14):
         op = rng.choice(
             ["append", "update", "delete_dv", "delete_rw",
              "merge", "merge_cond", "optimize", "evolve",
-             "cm_upgrade", "rename_flip"]
+             "cm_upgrade", "rename_flip", "clone_fork"]
         )
+        if op == "clone_fork" and fork is None:
+            # r7 verb: shallow-clone mid-history; the ORIGINAL keeps
+            # mutating below while the clone must stay frozen at the
+            # fork state (checked at the end) — the isolation proof
+            fork = (
+                t.clone_to(str(tmp_path / f"m{seed}-fork{step}")),
+                dict(model),
+                wide,
+            )
+            continue
+        if op == "clone_fork":
+            continue
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 4))
             t.write(_df(spark, rows, wide).coalesce(1), mode="append")
@@ -168,6 +181,17 @@ def test_delta_verbs_against_model(spark, tmp_path, seed):
             assert got_k == {k: model[k][0]}, (
                 f"seed={seed} step={step} op={op} skipping id={k}"
             )
+
+    if fork is not None:
+        ct, fstate, fwide = fork
+        got_f = {
+            r.id: (r.val, r.score if "score" in r.__fields__ else None)
+            for r in ct.read(spark).collect()
+        }
+        want_f = {
+            k: (v, s if fwide else None) for k, (v, s) in fstate.items()
+        }
+        assert got_f == want_f, f"seed={seed} clone drifted from fork"
 
     # RESTORE to a mid-history version equals its recorded model state
     mid = sorted(history)[len(history) // 2]
