@@ -88,6 +88,13 @@ QUERIES = [
     # set — near-flat ratio expected, but keep the standard bound.
     ("fuzzy_match_customers", 13.0),
     ("graph_components_bipartite", 13.0),
+    # r7 session 2: the two new heaviest headline queries.  Spearman's
+    # distinct-price spine is IDENTICAL at 10x (verbatim price values,
+    # keys shifted), so only the moment join scales; tv_distance's
+    # vocabulary and pair grid are likewise replica-invariant — both
+    # should ratio well under the standard linear bound.
+    ("spearman_qty_price", 13.0),
+    ("tv_distance_sources", 13.0),
 ]
 
 
