@@ -1382,3 +1382,718 @@ def hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ----------------------------------------------------------------------------
+# Cohort net revenue retention (NRR triangle)
+# ----------------------------------------------------------------------------
+
+_NRR_ORACLE = """
+WITH first_m AS (
+  SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+rev AS (
+  SELECT f.cohort, date_diff('month', f.cohort,
+                             date_trunc('month', o.o_orderdate)) AS k,
+         CAST(SUM(FLOOR(o.o_totalprice * 100)) AS BIGINT) AS rev_c
+  FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT cohort, rev_c AS base_c FROM rev WHERE k = 0
+)
+SELECT CAST(r.cohort AS DATE) AS cohort, CAST(r.k AS INT) AS k,
+       r.rev_c, CAST(1000000 * r.rev_c // b.base_c AS BIGINT) AS nrr_ppm
+FROM rev r JOIN base b ON r.cohort = b.cohort
+WHERE r.k BETWEEN 1 AND 6
+ORDER BY r.cohort, r.k
+"""
+
+
+@register(
+    "cohort_nrr",
+    _NRR_ORACLE,
+    "Net revenue retention triangle: each acquisition cohort's revenue "
+    "in months +1..+6 as a ppm share of its first-month revenue — the "
+    "SaaS-style expansion/contraction readout retention_cohorts (user "
+    "counts) cannot give.  All integer cents + one truncating DIV.  "
+    "Scale: first-touch groupBy + (cohort, offset) aggregation, base "
+    "month broadcast; output is calendar-bounded.",
+)
+def cohort_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    first_m = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    rev = (
+        o.join(first_m, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            ).cast("int").alias("k"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    base = rev.filter(F.col("k") == 0).select(
+        "cohort", F.col("rev_c").alias("base_c")
+    )
+    return (
+        rev.filter((F.col("k") >= 1) & (F.col("k") <= 6))
+        .join(F.broadcast(base), "cohort")
+        .select(
+            F.to_date("cohort").alias("cohort"),
+            "k",
+            "rev_c",
+            F.expr(
+                "CAST(1000000 * rev_c DIV base_c AS BIGINT)"
+            ).alias("nrr_ppm"),
+        )
+        .orderBy("cohort", "k")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Price dispersion: top parts by relative price spread
+# ----------------------------------------------------------------------------
+
+_DISPERSION_ORACLE = """
+WITH px AS (
+  SELECT l_partkey AS part,
+         CAST(FLOOR(l_extendedprice * 100 / l_quantity) AS BIGINT)
+           AS unit_c
+  FROM lineitem WHERE l_quantity > 0
+),
+m AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(unit_c) AS s, SUM(unit_c * unit_c) AS ss
+  FROM px GROUP BY part HAVING COUNT(*) >= 5
+),
+scored AS (
+  SELECT part, n,
+         CAST(s // n AS BIGINT) AS mean_unit_c,
+         (CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+         / (CAST(s AS DOUBLE) * s) AS cv2
+  FROM m
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cv2 DESC, part) AS rnk
+  FROM scored
+)
+SELECT CAST(rnk AS INT) AS rnk, part, n, mean_unit_c, cv2
+FROM ranked WHERE rnk <= 15 ORDER BY rnk
+"""
+
+
+@register(
+    "price_dispersion_parts",
+    _DISPERSION_ORACLE,
+    "Top-15 parts by relative unit-price dispersion CV^2 = "
+    "(n*Sxx - Sx^2)/Sx^2 over integer unit cents (floored "
+    "extendedprice/quantity) with a >=5-observation floor — the "
+    "pricing-consistency audit (high dispersion = discount chaos or "
+    "data errors).  Moments exact in HUGEINT/DECIMAL; CV^2 is one "
+    "double expression per part; ranking tiebroken by part key.  "
+    "Scale: one grouped aggregation, 15 rows surface.",
+)
+def price_dispersion_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.floor(
+                F.col("l_extendedprice") * 100 / F.col("l_quantity")
+            )
+            .cast("long")
+            .alias("unit_c"),
+        )
+    )
+    m = (
+        px.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("unit_c").cast(_DEC)).alias("s"),
+            F.sum((F.col("unit_c") * F.col("unit_c")).cast(_DEC)).alias(
+                "ss"
+            ),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    sd = F.col("s").cast("double")
+    scored = m.select(
+        "part",
+        "n",
+        F.expr("CAST(s DIV n AS BIGINT)").alias("mean_unit_c"),
+        (
+            (F.col("n").cast("double") * F.col("ss").cast("double") - sd * F.col("s").cast("double"))
+            / (sd * F.col("s").cast("double"))
+        ).alias("cv2"),
+    )
+    wr = Window.orderBy(F.desc("cv2"), F.asc("part"))
+    return (
+        scored.select(
+            F.row_number().over(wr).cast("int").alias("rnk"),
+            "part",
+            "n",
+            "mean_unit_c",
+            "cv2",
+        )
+        .filter(F.col("rnk") <= 15)
+        .orderBy("rnk")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Monthly order-size mix shift (chi-square vs the overall mix)
+# ----------------------------------------------------------------------------
+
+_MIXSHIFT_ORACLE = """
+WITH sizes AS (
+  SELECT o.o_orderkey, date_trunc('month', o.o_orderdate) AS mon,
+         least(CAST(COUNT(*) AS BIGINT), 7) AS sz
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+cell AS (
+  SELECT mon, sz, CAST(COUNT(*) AS BIGINT) AS o_cnt
+  FROM sizes GROUP BY 1, 2
+),
+tot AS (
+  SELECT sz, CAST(SUM(o_cnt) AS BIGINT) AS sz_tot FROM cell GROUP BY sz
+),
+mtot AS (
+  SELECT mon, CAST(SUM(o_cnt) AS BIGINT) AS mon_tot FROM cell GROUP BY mon
+),
+n_all AS (SELECT CAST(SUM(o_cnt) AS BIGINT) AS n FROM cell),
+terms AS (
+  SELECT c.mon, c.sz,
+         (CAST(c.o_cnt AS DOUBLE)
+          - CAST(m.mon_tot AS DOUBLE) * t.sz_tot / a.n)
+         * (CAST(c.o_cnt AS DOUBLE)
+            - CAST(m.mon_tot AS DOUBLE) * t.sz_tot / a.n)
+         / (CAST(m.mon_tot AS DOUBLE) * t.sz_tot / a.n) AS term,
+         m.mon_tot
+  FROM cell c
+  JOIN tot t ON t.sz = c.sz
+  JOIN mtot m ON m.mon = c.mon
+  CROSS JOIN n_all a
+)
+SELECT CAST(mon AS DATE) AS mon, CAST(MAX(mon_tot) AS BIGINT) AS n_orders,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list(term ORDER BY sz)), (a, b) -> a + b) AS chi2_vs_overall
+FROM terms GROUP BY mon ORDER BY mon
+"""
+
+
+@register(
+    "order_size_mix_shift",
+    _MIXSHIFT_ORACLE,
+    "Per month, the chi-square distance between that month's order-"
+    "size mix (line counts, capped at 7+) and the overall mix — the "
+    "basket-composition drift monitor next to basket_size_hist's "
+    "static view.  Cell terms are scalar doubles from exact counts, "
+    "folded per month in size order.  Scale: one size histogram, two "
+    "broadcast margins, a 7-term fold per month.",
+)
+def order_size_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    sizes = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .agg(F.least(F.count(F.lit(1)), F.lit(7)).alias("sz"))
+    )
+    cell = sizes.groupBy("mon", "sz").agg(
+        F.count(F.lit(1)).alias("o_cnt")
+    )
+    tot = cell.groupBy("sz").agg(
+        F.sum("o_cnt").cast("long").alias("sz_tot")
+    )
+    mtot = cell.groupBy("mon").agg(
+        F.sum("o_cnt").cast("long").alias("mon_tot")
+    )
+    n_all = cell.agg(F.sum("o_cnt").cast("long").alias("n"))
+    e = (
+        F.col("mon_tot").cast("double") * F.col("sz_tot") / F.col("n")
+    )
+    terms = (
+        cell.join(F.broadcast(tot), "sz")
+        .join(F.broadcast(mtot), "mon")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "mon",
+            "sz",
+            "mon_tot",
+            (
+                (F.col("o_cnt").cast("double") - e)
+                * (F.col("o_cnt").cast("double") - e)
+                / e
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("mon")
+        .agg(
+            F.max("mon_tot").cast("long").alias("n_orders"),
+            F.sort_array(F.collect_list(F.struct("sz", "term"))).alias(
+                "xs"
+            ),
+        )
+        .select(
+            F.to_date("mon").alias("mon"),
+            "n_orders",
+            F.expr(
+                "aggregate(xs, CAST(0.0 AS DOUBLE),"
+                " (a, x) -> a + x.term)"
+            ).alias("chi2_vs_overall"),
+        )
+        .orderBy("mon")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Supplier concentration: CR3 per nation
+# ----------------------------------------------------------------------------
+
+_CR3_ORACLE = """
+WITH srev AS (
+  SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+         CAST(SUM(FLOOR(l.l_extendedprice * 100)) AS BIGINT) AS rev_c
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nation, supp, rev_c,
+         ROW_NUMBER() OVER (PARTITION BY nation
+                            ORDER BY rev_c DESC, supp) AS rnk
+  FROM srev
+)
+SELECT n.n_name AS nation_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
+       CAST(SUM(rev_c) FILTER (WHERE rnk <= 3) AS BIGINT) AS top3_rev_c,
+       CAST(1000000 * SUM(rev_c) FILTER (WHERE rnk <= 3)
+            // SUM(rev_c) AS BIGINT) AS cr3_ppm
+FROM ranked r JOIN nation n ON r.nation = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
+@register(
+    "supplier_cr3_by_nation",
+    _CR3_ORACLE,
+    "CR3 supplier concentration per nation: the top-3 suppliers' share "
+    "of national lineitem revenue (ppm) — the antitrust-style "
+    "complement to gini_hhi_concentration's single-number HHI.  All "
+    "integer cents, per-nation rank windows (bounded by suppliers per "
+    "nation), one truncating DIV.",
+)
+def supplier_cr3_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    srev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nation"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100))
+            .cast("long")
+            .alias("rev_c")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.desc("rev_c"), F.asc("supp")
+    )
+    ranked = srev.select(
+        "nation", "rev_c", F.row_number().over(w).alias("rnk")
+    )
+    return (
+        ranked.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("rev_c").cast("long").alias("total_rev_c"),
+            F.sum(F.when(F.col("rnk") <= 3, F.col("rev_c")).otherwise(0))
+            .cast("long")
+            .alias("top3_rev_c"),
+        )
+        .join(F.broadcast(n), F.col("nation") == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation_name"),
+            "n_suppliers",
+            "total_rev_c",
+            "top3_rev_c",
+            F.expr(
+                "CAST(1000000 * top3_rev_c DIV total_rev_c AS BIGINT)"
+            ).alias("cr3_ppm"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Word-length profile per language
+# ----------------------------------------------------------------------------
+
+_WLEN_ORACLE = """
+WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+m AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(tok)) AS BIGINT) AS total_chars,
+         CAST(COUNT(*) FILTER (WHERE length(tok) >= 7) AS BIGINT)
+           AS long_tokens
+  FROM toks GROUP BY lang
+)
+SELECT lang, n_tokens, total_chars,
+       CAST(1000000 * total_chars // n_tokens AS BIGINT)
+         AS mean_len_micro,
+       CAST(1000000 * long_tokens // n_tokens AS BIGINT) AS long_ppm
+FROM m ORDER BY lang
+"""
+
+
+@register(
+    "word_length_profile",
+    _WLEN_ORACLE,
+    "Mean token length (micro-units) and the 7+-char long-word share "
+    "(ppm) per language — the morphology fingerprint that separates "
+    "agglutinative from analytic corpora and flags mis-tagged "
+    "languages next to langid_confusion.  All integers + truncating "
+    "DIVs.  Scale: one distributed token aggregation per language.",
+)
+def word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.length("tok")).cast("long").alias("total_chars"),
+            F.sum(
+                F.when(F.length("tok") >= 7, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("long_tokens"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "total_chars",
+            F.expr(
+                "CAST(1000000 * total_chars DIV n_tokens AS BIGINT)"
+            ).alias("mean_len_micro"),
+            F.expr(
+                "CAST(1000000 * long_tokens DIV n_tokens AS BIGINT)"
+            ).alias("long_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Weekday x day-part residuals (where does traffic deviate?)
+# ----------------------------------------------------------------------------
+
+_DOWHOUR_ORACLE = """
+WITH cell AS (
+  -- DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday - align to Spark
+  SELECT dayofweek(ts) + 1 AS dow, CAST(hour(ts) // 6 AS INT) AS part_,
+         CAST(COUNT(*) AS BIGINT) AS o_cnt
+  FROM events GROUP BY 1, 2
+),
+margins AS (
+  SELECT dow, part_, o_cnt,
+         SUM(o_cnt) OVER (PARTITION BY dow) AS row_tot,
+         SUM(o_cnt) OVER (PARTITION BY part_) AS col_tot,
+         SUM(o_cnt) OVER () AS n
+  FROM cell
+),
+scored AS (
+  SELECT dow, part_, o_cnt,
+         (CAST(o_cnt AS DOUBLE)
+          - CAST(row_tot AS DOUBLE) * col_tot / n)
+         / sqrt(CAST(row_tot AS DOUBLE) * col_tot / n) AS residual
+  FROM margins
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY abs(residual) DESC, dow, part_) AS rnk
+  FROM scored
+)
+SELECT CAST(rnk AS INT) AS rnk, CAST(dow AS INT) AS dow, part_,
+       o_cnt, residual
+FROM ranked WHERE rnk <= 10 ORDER BY rnk
+"""
+
+
+@register(
+    "dow_daypart_residuals",
+    _DOWHOUR_ORACLE,
+    "Top-10 (weekday x 6h day-part) cells by |Pearson residual| "
+    "(o - e)/sqrt(e) against independence — WHERE the traffic "
+    "calendar deviates, not just whether (hourly_heatmap shows raw "
+    "volume; this normalizes out both margins).  Residuals are scalar "
+    "doubles from exact counts; ranking tiebroken by (dow, part).  "
+    "Scale: 28 cells from one distributed groupBy.",
+)
+def dow_daypart_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("ts")
+    cell = ev.groupBy(
+        F.dayofweek("ts").alias("dow"),
+        (F.hour("ts").cast("int") / 6).cast("int").alias("part_"),
+    ).agg(F.count(F.lit(1)).alias("o_cnt"))
+    wr_ = Window.partitionBy("dow")
+    wc = Window.partitionBy("part_")
+    wn = Window.partitionBy()
+    e = (
+        F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    )
+    scored = cell.select(
+        "dow",
+        "part_",
+        "o_cnt",
+        F.sum("o_cnt").over(wr_).alias("row_tot"),
+        F.sum("o_cnt").over(wc).alias("col_tot"),
+        F.sum("o_cnt").over(wn).alias("n"),
+    ).select(
+        "dow",
+        "part_",
+        "o_cnt",
+        ((F.col("o_cnt").cast("double") - e) / F.sqrt(e)).alias(
+            "residual"
+        ),
+    )
+    wrank = Window.orderBy(
+        F.desc(F.abs(F.col("residual"))), F.asc("dow"), F.asc("part_")
+    )
+    return (
+        scored.select(
+            F.row_number().over(wrank).cast("int").alias("rnk"),
+            F.col("dow").cast("int").alias("dow"),
+            "part_",
+            "o_cnt",
+            "residual",
+        )
+        .filter(F.col("rnk") <= 10)
+        .orderBy("rnk")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Region x brand affinity lift
+# ----------------------------------------------------------------------------
+
+_AFFINITY_ORACLE = """
+WITH cell AS (
+  SELECT r.r_name AS region, p.p_brand AS brand,
+         CAST(COUNT(*) AS BIGINT) AS o_cnt
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+margins AS (
+  SELECT region, brand, o_cnt,
+         SUM(o_cnt) OVER (PARTITION BY region) AS reg_tot,
+         SUM(o_cnt) OVER (PARTITION BY brand) AS brand_tot,
+         SUM(o_cnt) OVER () AS n
+  FROM cell
+),
+scored AS (
+  SELECT region, brand, o_cnt,
+         CAST(1000000 * o_cnt * n // (reg_tot * brand_tot) AS BIGINT)
+           AS lift_ppm
+  FROM margins
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY lift_ppm DESC, region, brand) AS rnk
+  FROM scored
+)
+SELECT CAST(rnk AS INT) AS rnk, region, brand, o_cnt, lift_ppm
+FROM ranked WHERE rnk <= 15 ORDER BY rnk
+"""
+
+
+@register(
+    "region_brand_affinity",
+    _AFFINITY_ORACLE,
+    "Top-15 (region, brand) cells by purchase-affinity lift "
+    "P(region,brand)/(P(region)P(brand)) as an EXACT ppm integer "
+    "(o_cnt*n*1e6 DIV reg_tot*brand_tot — no float division at all) — "
+    "the assortment-localization signal.  Scale: one five-join "
+    "contingency groupBy with broadcast dims; 125 cells.",
+)
+def region_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cell = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.count(F.lit(1)).alias("o_cnt"))
+    )
+    wreg = Window.partitionBy("region")
+    wbr = Window.partitionBy("brand")
+    wn = Window.partitionBy()
+    scored = cell.select(
+        "region",
+        "brand",
+        "o_cnt",
+        F.sum("o_cnt").over(wreg).alias("reg_tot"),
+        F.sum("o_cnt").over(wbr).alias("brand_tot"),
+        F.sum("o_cnt").over(wn).alias("n"),
+    ).select(
+        "region",
+        "brand",
+        "o_cnt",
+        F.expr(
+            "CAST(1000000 * o_cnt * n DIV (reg_tot * brand_tot)"
+            " AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+    wrank = Window.orderBy(
+        F.desc("lift_ppm"), F.asc("region"), F.asc("brand")
+    )
+    return (
+        scored.select(
+            F.row_number().over(wrank).cast("int").alias("rnk"),
+            "region",
+            "brand",
+            "o_cnt",
+            "lift_ppm",
+        )
+        .filter(F.col("rnk") <= 15)
+        .orderBy("rnk")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Vocabulary overlap between languages
+# ----------------------------------------------------------------------------
+
+_VOCAB_OVERLAP_ORACLE = """
+WITH vocab AS (
+  SELECT DISTINCT lang,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+sizes AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS v FROM vocab GROUP BY lang
+),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(COUNT(*) AS BIGINT) AS both_
+  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT i.lang_a, i.lang_b, i.both_, sa.v AS vocab_a, sb.v AS vocab_b,
+       CAST(1000000 * i.both_ // (sa.v + sb.v - i.both_) AS BIGINT)
+         AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.lang = i.lang_a
+JOIN sizes sb ON sb.lang = i.lang_b
+ORDER BY i.lang_a, i.lang_b
+"""
+
+
+@register(
+    "vocab_overlap_langs",
+    _VOCAB_OVERLAP_ORACLE,
+    "Exact vocabulary Jaccard (ppm) between every language pair — "
+    "high overlap between supposedly distinct languages flags "
+    "code-switching or langid contamination (the vocabulary-level "
+    "twin of langid_confusion's document-level view).  All integers; "
+    "the intersection join is per-token (each token appears in few "
+    "languages), never all-pairs of tokens.",
+)
+def vocab_overlap_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    sizes = vocab.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    a = vocab.select(F.col("lang").alias("lang_a"), "tok")
+    b = vocab.select(F.col("lang").alias("lang_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("both_"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("lang").alias("lang_a"),
+                    F.col("v").alias("vocab_a"),
+                )
+            ),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("lang").alias("lang_b"),
+                    F.col("v").alias("vocab_b"),
+                )
+            ),
+            "lang_b",
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            "both_",
+            "vocab_a",
+            "vocab_b",
+            F.expr(
+                "CAST(1000000 * both_ DIV (vocab_a + vocab_b - both_)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
