@@ -9,6 +9,8 @@ platform needs to switch over:
     lh.query("q1_pricing_summary")          # any registry operator
     lh.medallion("/data/lake")              # bronze->silver->gold builder
     lh.snapshot("/data/gold/dim_products")  # versioned table handle
+    lh.delta("/data/gold/fact_orders")      # Delta _delta_log interop
+    lh.iceberg("/data/ice/events")          # Iceberg metadata interop
     lh.runner()                             # dependency-ordered job DAG
 
 Everything underneath is plain Spark — the facade only wires the
@@ -70,6 +72,23 @@ class Lakehouse:
         from data_lakehouse_platform_spark.plans.runner import PipelineRunner
 
         return PipelineRunner(self.spark)
+
+    def delta(self, path: str):
+        """Handle on a Delta table (``_delta_log`` interop) — the
+        facade edge for tables a delta-spark user already has."""
+        from data_lakehouse_platform_spark.sources.delta_lite import (
+            DeltaLiteTable,
+        )
+
+        return DeltaLiteTable(path)
+
+    def iceberg(self, path: str):
+        """Handle on an Iceberg table (metadata.json interop)."""
+        from data_lakehouse_platform_spark.sources.iceberg_lite import (
+            IcebergLiteTable,
+        )
+
+        return IcebergLiteTable(path)
 
     def _dir(self) -> str:
         if self.sf_dir is None:
