@@ -826,6 +826,81 @@ def main() -> None:
             f"rows {got10i} — manifest bounds are not pruning"
         )
 
+    # ------------------------------------------------------------------
+    # shape 11: file-scoped ICEBERG MERGE — the manifest-surgery twin
+    # of shape 7.  An upsert confined to one identity partition of a
+    # 64-partition / 2M-row table must rewrite only that partition's
+    # files (plus the insert files), with read amplification bounded
+    # at ~two key scans + the touched files.
+    # ------------------------------------------------------------------
+    N11, P11 = 2_000_000, 64
+    s11 = tempfile.mkdtemp(prefix="stress11-")
+    ti = IcebergLiteTable(os.path.join(s11, "t"))
+    ti.write(
+        spark.range(N11).select(
+            F.col("id").alias("k"),
+            (F.col("id") % P11).cast("int").alias("bucket"),
+            (F.col("id") * 3).alias("val"),
+        ),
+        partition_by=["bucket"],
+    )
+    files11, _dels11 = ti.plan_files()
+    n_files_before = len(files11)
+    bytes_before = sum(os.path.getsize(p) for p, _s, _pt in files11)
+    bucket7_files = sum(
+        1 for _p, _s, part in files11 if part.get("bucket") == 7
+    )
+    src11 = spark.range(2_000).select(
+        (F.col("id") * P11 + 7).alias("k"),
+        F.lit(7).cast("int").alias("bucket"),
+        F.lit(-1).cast("long").alias("val"),
+    ).unionAll(
+        spark.range(500).select(
+            (N11 + F.col("id") * P11 + 7).alias("k"),
+            F.lit(7).cast("int").alias("bucket"),
+            F.lit(-2).cast("long").alias("val"),
+        )
+    )
+    mark11 = last_stage(spark)
+    res11 = ti.merge(spark, src11, keys=["k"])
+    merge_in11 = total_input_records(spark, mark11)
+    files11b, _ = ti.plan_files()
+    new_paths = {p for p, _s, _pt in files11b} - {
+        p for p, _s, _pt in files11
+    }
+    new_bytes11 = sum(os.path.getsize(p) for p in new_paths)
+    print(
+        f"[iceberg_merge_scoped] files {n_files_before:,} -> rewrote "
+        f"{res11['files_rewritten']:,} (bucket7 has {bucket7_files:,}),"
+        f" added {res11['files_added']:,}, bytes {bytes_before:,} -> "
+        f"wrote {new_bytes11:,}, merge input {merge_in11:,} vs table "
+        f"{N11:,}",
+        flush=True,
+    )
+    n_after11 = ti.read(spark).count()
+    if n_after11 != N11 + 500:
+        failures.append(
+            f"shape11 WRONG ANSWER: {n_after11:,} rows != {N11 + 500:,}"
+        )
+    if ti.read(spark, predicate="val = -1").count() != 2_000:
+        failures.append("shape11 WRONG ANSWER: updates not applied")
+    if res11["files_rewritten"] > bucket7_files:
+        failures.append(
+            f"shape11 BOUND: rewrote {res11['files_rewritten']:,} files"
+            f" > the touched partition's {bucket7_files:,}"
+        )
+    if new_bytes11 > 0.10 * bytes_before:
+        failures.append(
+            f"shape11 BOUND: merge wrote {new_bytes11:,} bytes > 10% "
+            f"of the {bytes_before:,}-byte table — not file-scoped"
+        )
+    if merge_in11 > 2.6 * N11 + 1_500_000:
+        failures.append(
+            f"shape11 BOUND: merge read {merge_in11:,} records > ~2 "
+            f"key scans + touched files of a {N11:,}-row table"
+        )
+    shutil.rmtree(s11, ignore_errors=True)
+
     print()
     if failures:
         for f in failures:
