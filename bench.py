@@ -99,6 +99,23 @@ def main() -> None:
     # artifact then announces itself.
     load_before = round(os.getloadavg()[0], 2)
 
+    # Pollution thresholds (round-8: the guard's signal was drowned by
+    # host-window drift twice — r4 and r7 committed artifacts both ran
+    # hot).  Two independent detectors:
+    #   * loadavg_before >= LOAD_CAP  — concurrent external work;
+    #   * the SENTINEL ratio         — a fixed map-only plan whose
+    #     steady time is pinned in BENCH_BASELINE.json; >1.15x its pin
+    #     means the host window itself is slower than the one the
+    #     baselines were pinned in (drift that loadavg misses — this
+    #     box's loadavg counts D-state virtio threads and can read 0.0
+    #     in a slow window).
+    # A run failing either check is stamped {"polluted": true} so it
+    # can never silently become a round artifact; it still completes
+    # (the driver needs SOME artifact) but the guard verdict says to
+    # rerun quiet rather than trust the flags.
+    LOAD_CAP = 0.5
+    SENTINEL_TOL = 1.15
+
     spark = get_spark("dlp-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
@@ -132,6 +149,24 @@ def main() -> None:
     _builder(registry["q1_pricing_summary"])(spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
+
+    # Host-window sentinel: a fixed, shuffle-free, map-only plan
+    # (scan -> projected arithmetic -> noop).  Its steady time is a pure
+    # function of scan + codegen throughput, so a slow reading against
+    # its pin indicts the HOST WINDOW, not any query's plan — exactly
+    # the drift signature that polluted the r7 guard (uniform inflation
+    # across unrelated plans, map-only queries included).
+    def _sentinel_once() -> float:
+        t0 = time.perf_counter()
+        load_table(spark, sf_dir, "lineitem").selectExpr(
+            "l_orderkey * 7 AS a",
+            "l_extendedprice * (1 - l_discount) AS b",
+            "concat(l_returnflag, l_linestatus) AS c",
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    _sentinel_once()  # its own codegen warmup
+    sentinel_sec = round(min(_sentinel_once() for _ in range(3)), 3)
 
     # Two lanes per query:
     #  * single-shot — first execution, codegen + plan compile included.
@@ -178,9 +213,21 @@ def main() -> None:
     )
     guard_verdict = None
     regressions: dict[str, tuple[float, float]] = {}
+    polluted_reasons: list[str] = []
+    if load_before >= LOAD_CAP:
+        polluted_reasons.append(
+            f"loadavg_before {load_before} >= {LOAD_CAP}: external load"
+        )
+    sentinel_pin = None
     if os.path.exists(baseline_path) and abs(sf - 0.1) < 1e-9:
         with open(baseline_path) as fh:
             base_doc = json.load(fh)
+        sentinel_pin = base_doc.get("sentinel_steady")
+        if sentinel_pin and sentinel_sec > SENTINEL_TOL * sentinel_pin:
+            polluted_reasons.append(
+                f"sentinel {sentinel_sec}s > {SENTINEL_TOL}x pin "
+                f"{sentinel_pin}s: host-window drift"
+            )
         # Guard on the steady-state lane against a steady-state baseline
         # when one exists; until the baseline file carries
         # queries_steady, fall back to steady-vs-single-shot (lenient —
@@ -216,6 +263,16 @@ def main() -> None:
                 f"({len(base)} tracked)"
             )
             print(guard_verdict, file=sys.stderr)
+        if polluted_reasons and regressions:
+            # A polluted run's flags are noise by construction — say so
+            # in the verdict itself so nobody adjudicates them as plan
+            # regressions.
+            guard_verdict = (
+                "POLLUTED RUN - flags below are not evidence, rerun on a "
+                "quiet box: " + guard_verdict
+            )
+    for r in polluted_reasons:
+        print(f"POLLUTED: {r}", file=sys.stderr)
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -232,6 +289,11 @@ def main() -> None:
         "loadavg_after": round(os.getloadavg()[0], 2),
         "cpus": os.cpu_count(),
         "guard": guard_verdict,
+        # Map-only host-window sentinel (see _sentinel_once): compare
+        # against BENCH_BASELINE.json's sentinel_steady pin.
+        "sentinel_sec": sentinel_sec,
+        "polluted": bool(polluted_reasons),
+        "polluted_reasons": polluted_reasons,
     }
     if steady:
         out["queries_steady"] = steady

@@ -43,6 +43,32 @@ from pyspark.sql import functions as F
 
 _B = "__rk_bucket"
 
+# Hard ceiling on the grouped-rank stats fetch: the offsets pass pulls
+# |groups| x buckets rows to the driver, which is the whole point (a few
+# hundred rows for priorities/nations/bands) and a silent OOM footgun for
+# a high-cardinality group key.  Enforced with a limit-probe so the
+# driver never materializes more than STATS_CAP + 1 rows even when a
+# caller violates the contract.
+STATS_CAP = 65_536
+
+
+def _capped_stats(grouped, what: str) -> list:
+    """Collect grouped stats with a loud cardinality refusal.
+
+    ``limit(STATS_CAP + 1)`` bounds the fetch itself — the refusal costs
+    at most one extra row, never the full high-cardinality result.
+    """
+    rows = grouped.limit(STATS_CAP + 1).collect()
+    if len(rows) > STATS_CAP:
+        raise ValueError(
+            f"{what}: groups x buckets exceeds the {STATS_CAP}-row driver "
+            "stats cap - the group key is not low-cardinality. Use a plain "
+            "partitioned window (Window.partitionBy(group).orderBy(...)) "
+            "instead: at high group cardinality it has no skew wall and "
+            "needs no driver-side offsets."
+        )
+    return rows
+
 
 @dataclass(frozen=True)
 class RankStats:
@@ -192,9 +218,11 @@ def with_grouped_rank(
     driver-side data) are cumulated into broadcast offsets.
 
     Contract: ``group_cols`` must be LOW cardinality (priority, segment,
-    flag — the stats collect is groups x buckets rows).  For high-
-    cardinality groups the plain partitioned window has no skew wall and
-    should be used directly.  ``order_cols`` need not be unique per row,
+    flag — the stats collect is groups x buckets rows).  ENFORCED, not
+    conventional: the stats fetch is limit-probed and raises loudly past
+    ``STATS_CAP`` rows instead of hauling an unbounded result to the
+    driver.  For high-cardinality groups the plain partitioned window has
+    no skew wall and should be used directly.  ``order_cols`` need not be unique per row,
     but running sums are then only value-deterministic when tied rows
     carry equal weights (order ties by the weight column to guarantee
     this — the weighted-median trick).
@@ -212,7 +240,9 @@ def with_grouped_rank(
     aggs = [F.count(F.lit(1)).alias("__cnt")]
     if need_weight:
         aggs.append(F.sum("__rk_w").alias("__wsum"))
-    stats = bucketed.groupBy(*gcols, _B).agg(*aggs).collect()
+    stats = _capped_stats(
+        bucketed.groupBy(*gcols, _B).agg(*aggs), "with_grouped_rank"
+    )
 
     per_group: dict[tuple, list] = {}
     for r in sorted(stats, key=lambda r: (tuple(str(r[g]) for g in gcols), r[_B])):
@@ -305,9 +335,10 @@ def select_group_ranks(
     """
     gcols = list(group_cols)
     bucketed = _bucketize(df, bucket_key, buckets)
-    stats = bucketed.groupBy(*gcols, _B).agg(
-        F.count(F.lit(1)).alias("__cnt")
-    ).collect()  # bounded: <= |groups| x buckets rows
+    stats = _capped_stats(
+        bucketed.groupBy(*gcols, _B).agg(F.count(F.lit(1)).alias("__cnt")),
+        "select_group_ranks",
+    )  # bounded: <= |groups| x buckets rows, enforced by the cap probe
 
     per_group: dict[tuple, list] = {}
     for r in sorted(stats, key=lambda r: (tuple(str(r[g]) for g in gcols), r[_B])):

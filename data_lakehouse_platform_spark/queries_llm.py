@@ -99,10 +99,11 @@ _BANDS = 4
 _LSH_MAX_BUCKET = 1000
 
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(cap: int = _LSH_MAX_BUCKET) -> str:
     """Shared CTE chain `shingles -> sigs -> banded` (DuckDB side of
     the MinHash+LSH pipeline), composed by the pair and cluster
-    oracles."""
+    oracles.  ``cap`` mirrors ``lsh_candidate_pairs``'s ``max_bucket``
+    hot-bucket gate as ``HAVING COUNT(*) <= cap`` on the band key."""
     mins = ",\n    ".join(
         f"MIN(substr(md5('{k // 4}|' || shingle), {1 + 8 * (k % 4)}, 8)) AS h{k}"
         for k in range(_N_HASHES)
@@ -129,7 +130,7 @@ banded_all AS (
 banded AS (
   SELECT b.doc_id, b.band, b.bkey FROM banded_all b
   JOIN (SELECT band, bkey FROM banded_all
-        GROUP BY band, bkey HAVING COUNT(*) <= {_LSH_MAX_BUCKET}) ok
+        GROUP BY band, bkey HAVING COUNT(*) <= {cap}) ok
   ON b.band = ok.band AND b.bkey = ok.bkey
 )"""
 
