@@ -182,6 +182,16 @@ def _manifest_schema(partition_fields: list[dict] | None = None) -> dict:
                     ),
                     _kv_map_field("lower_bounds", 125, 126, 127, "bytes"),
                     _kv_map_field("upper_bounds", 128, 129, 130, "bytes"),
+                    # spec data_file field 135: the field ids an
+                    # equality delete file (content=2) matches rows on.
+                    # Nullable with a None default so every existing
+                    # data/position-delete writer keeps encoding
+                    # unchanged (avro_lite fills schema defaults for
+                    # keys a record omits).
+                    {"name": "equality_ids", "field-id": 135,
+                     "default": None,
+                     "type": ["null", {"type": "array", "items": "int",
+                                       "element-id": 136}]},
                 ]}},
         ],
     }
@@ -2762,6 +2772,379 @@ class IcebergLiteTable:
             "files_touched": n_files_touched,
         }
 
+    def _stage_equality_delete(
+        self,
+        values: DataFrame,
+        eq_cols: list[str],
+        name_to_id: dict[str, int],
+    ) -> tuple[list[str], int]:
+        """Stage DISTINCT ``eq_cols`` tuples from ``values`` as the
+        parquet payload of an equality delete file.  Returns
+        ``([file paths], n_keys)``.  Files carry the table's field ids
+        in their footers (same as data files) so an external by-id
+        reader resolves the match columns across renames."""
+        import uuid as uuidlib
+
+        keys_df = values.select(*eq_cols).distinct()
+        n_keys = keys_df.count()
+        ddir = os.path.join(self.path, "data")
+        os.makedirs(ddir, exist_ok=True)
+        stage = os.path.join(ddir, f"eqdel-{uuidlib.uuid4().hex[:12]}")
+        n_shards = max(1, -(-n_keys // self.ROWS_PER_DELETE_FILE))
+        staged = (
+            keys_df.orderBy(*eq_cols).coalesce(1)
+            if n_shards == 1
+            else keys_df.repartitionByRange(
+                n_shards, *eq_cols
+            ).sortWithinPartitions(*eq_cols)
+        )
+        stamped = self._stamp_field_ids(staged, name_to_id)
+        self._parquet_with_field_ids(
+            lambda: stamped.write.mode("errorifexists").parquet(stage),
+            values.sparkSession,
+        )
+        files = [
+            os.path.join(root, f)
+            for root, _d, fs in os.walk(stage)
+            for f in sorted(fs)
+            if f.endswith(".parquet")
+        ]
+        return files, n_keys
+
+    def _eq_delete_manifest(
+        self,
+        meta: dict,
+        dfiles: list[str],
+        eq_ids: list[int],
+        snap_id: int,
+        seq: int,
+    ) -> tuple[str, int]:
+        """Write a content=deletes manifest whose entries are equality
+        delete files (content=2, ``equality_ids`` stamped).  Returns
+        ``(manifest path, total key rows)``.  Entries carry an EMPTY
+        partition tuple — planner-pessimistic (no partition pruning of
+        the delete file) but always correct, matching the position-
+        delete writer's choice."""
+        import uuid as uuidlib
+
+        import pyarrow.parquet as pq
+
+        from data_lakehouse_platform_spark.sources.avro_lite import (
+            write_container,
+        )
+
+        entries = [
+            {
+                "status": 1, "snapshot_id": snap_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {
+                    "content": 2, "file_path": dpath,
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": pq.read_metadata(dpath).num_rows,
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "equality_ids": [int(i) for i in eq_ids],
+                },
+            }
+            for dpath in dfiles
+        ]
+        n_rows = sum(e["data_file"]["record_count"] for e in entries)
+        cur_sid = int(meta.get("current-schema-id", 0))
+        cur_fields = next(
+            s["fields"] for s in meta.get("schemas", [])
+            if s.get("schema-id") == cur_sid
+        )
+        extra = {
+            "schema": json.dumps(
+                {"type": "struct", "schema-id": cur_sid,
+                 "fields": cur_fields}
+            ).encode(),
+            "partition-spec": json.dumps([]).encode(),
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"deletes",
+        }
+        mpath = os.path.join(
+            self.metadata_dir, f"m-{uuidlib.uuid4().hex}.avro"
+        )
+        write_container(mpath, _manifest_schema([]), entries,
+                        extra_metadata=extra)
+        return mpath, n_rows
+
+    def delete_equality(
+        self,
+        spark: SparkSession,
+        values: DataFrame,
+        equality_cols: list[str] | None = None,
+    ) -> dict:
+        """Commit an EQUALITY-DELETE snapshot (v2 content=2): every row
+        of the table whose ``equality_cols`` tuple appears in
+        ``values`` is deleted — lazily, by match-on-read, without
+        touching any data file.  This is the write side of the
+        streaming-upsert contract this reader already consumes
+        (``_live_files`` surfaces ``equality_ids``; ``_read_files``
+        applies them with strict ``data seq < delete seq`` gating), so
+        round-tripping is spec-symmetric.  Returns ``{"snapshot_id",
+        "keys", "files"}`` — an equality delete never counts matched
+        rows (that is its point: no data scan at commit time).
+
+        Scale: the only distributed work is ``values``'s distinct
+        (key-set sized); the commit itself is manifest surgery.  A
+        100 TB table absorbs a million-key delete in seconds — the
+        cost moves to subsequent reads, which is why
+        :meth:`rewrite_data_files` folds position deletes eagerly but
+        leaves equality manifests for readers until compaction.
+
+        Reference analog: Flink/Iceberg upsert sinks
+        (iceberg-flink's equality-delta writers); the reference
+        platform expresses row retraction only through full-partition
+        rewrites in its batch scripts (scripts/batch/
+        silver_orders.py), which cannot scale past node memory.
+        """
+        import uuid as uuidlib
+
+        meta = self.metadata()
+        cur_id = self.current_snapshot_id()
+        if cur_id is None:
+            raise FileNotFoundError(
+                f"table at {self.path} has no current snapshot"
+            )
+        cur_fields, _sid = self._current_schema(meta)
+        name_to_id = {f["name"]: int(f["id"]) for f in cur_fields}
+        eq_cols = list(equality_cols or values.columns)
+        bad = [c for c in eq_cols if c not in name_to_id]
+        if bad:
+            raise ValueError(
+                f"equality columns {bad} not in table schema "
+                f"(have {sorted(name_to_id)})"
+            )
+        missing = [c for c in eq_cols if c not in values.columns]
+        if missing:
+            raise ValueError(
+                f"equality columns {missing} not in the values DataFrame"
+            )
+        eq_ids = [name_to_id[c] for c in eq_cols]
+
+        dfiles, n_keys = self._stage_equality_delete(
+            values, eq_cols, name_to_id
+        )
+        snaps = meta.get("snapshots", [])
+        snap_id = max(int(s["snapshot-id"]) for s in snaps) + 1
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        now_ms = int(time.time() * 1000)
+        mpath, n_rows = self._eq_delete_manifest(
+            meta, dfiles, eq_ids, snap_id, seq
+        )
+
+        cur_snap = next(
+            s for s in snaps if int(s["snapshot-id"]) == cur_id
+        )
+        ml_rows = [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0, "content": 1,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(dfiles),
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0, "deleted_rows_count": 0,
+            }
+        ] + self._manifest_list_rows(cur_snap)  # provenance verbatim
+        ml_path = os.path.join(
+            self.metadata_dir,
+            f"snap-{snap_id}-1-{uuidlib.uuid4().hex}.avro",
+        )
+        from data_lakehouse_platform_spark.sources.avro_lite import (
+            write_container,
+        )
+
+        write_container(ml_path, _ML_SCHEMA, ml_rows,
+                        extra_metadata={"format-version": b"2"})
+        snap = {
+            "snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now_ms, "manifest-list": ml_path,
+            "summary": {"operation": "delete"},
+            "schema-id": int(meta.get("current-schema-id", 0)),
+            "parent-snapshot-id": cur_id,
+        }
+        meta["snapshots"] = snaps + [snap]
+        meta["current-snapshot-id"] = snap_id
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta.setdefault("snapshot-log", []).append(
+            {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+        )
+        self._commit_metadata_json(meta)
+        return {"snapshot_id": snap_id, "keys": n_keys,
+                "files": len(dfiles)}
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+    ) -> dict:
+        """Streaming-style UPSERT in ONE snapshot: an equality delete
+        on ``keys`` (retracting any prior row whose key appears in
+        ``source``) plus an append of ``source``'s rows, both at the
+        same data sequence number.  The spec's strict ``data seq <
+        delete seq`` gate is what makes this atomic-by-construction:
+        the delete cannot touch the rows committed beside it.  This is
+        exactly the Flink/Iceberg upsert sink's commit shape
+        (equality-delta writer + data writer, one checkpoint commit).
+
+        Unlike :meth:`merge` (copy-on-write: reads matched files,
+        rewrites them, counts updates), ``upsert`` is merge-on-read:
+        commit cost is key-set sized and independent of table size;
+        readers pay the match until :meth:`rewrite_data_files`
+        compacts.  Use merge for batch reconciliation, upsert for
+        high-frequency key-hose ingestion.  Returns ``{"snapshot_id",
+        "rows", "keys"}``.
+        """
+        import uuid as uuidlib
+
+        from data_lakehouse_platform_spark.sources.avro_lite import (
+            write_container,
+        )
+
+        try:
+            meta = self.metadata()
+            cur_id = self.current_snapshot_id()
+        except FileNotFoundError:
+            cur_id = None
+        if cur_id is None:
+            # empty/fresh table: an upsert is a plain append
+            return {"snapshot_id": self.write(source, mode="append"),
+                    "rows": source.count(), "keys": 0}
+        cur_fields, cur_sid = self._current_schema(meta)
+        tcols = [f["name"] for f in cur_fields]
+        if sorted(source.columns) != sorted(tcols):
+            raise ValueError(
+                "source schema differs from table schema; align the "
+                "DataFrame first (no implicit evolution)"
+            )
+        bad = [k for k in keys if k not in tcols]
+        if bad:
+            raise ValueError(f"upsert keys {bad} not in table columns")
+        name_to_id = {f["name"]: int(f["id"]) for f in cur_fields}
+        id_to_name = {v: k for k, v in name_to_id.items()}
+        id_to_type = {int(f["id"]): f["type"] for f in cur_fields}
+        spec_fields = self._table_spec(meta)
+        eq_ids = [name_to_id[k] for k in keys]
+
+        # Stage both sides BEFORE building the commit: data files
+        # (table spec partitioning, field-id footers, column stats)
+        # and the key-set delete file.
+        data_files = self._stage_data_files(
+            source.select(*tcols), spec_fields, name_to_id, id_to_name,
+            id_to_type,
+        )
+        dfiles, n_keys = self._stage_equality_delete(
+            source, keys, name_to_id
+        )
+
+        snaps = meta.get("snapshots", [])
+        snap_id = max(int(s["snapshot-id"]) for s in snaps) + 1
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        now_ms = int(time.time() * 1000)
+
+        # delete manifest (content=1 list row, content=2 entries)
+        del_mpath, del_rows = self._eq_delete_manifest(
+            meta, dfiles, eq_ids, snap_id, seq
+        )
+        # data manifest — same entry shape as write()
+        entries = [
+            {
+                "status": 1, "snapshot_id": snap_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0, "file_path": path,
+                    "file_format": "PARQUET", "partition": part,
+                    "record_count": nrows, "file_size_in_bytes": size,
+                    **fstats,
+                },
+            }
+            for path, nrows, size, part, fstats in data_files
+        ]
+        part_avro = [
+            {
+                "name": pf["name"],
+                "type": _partition_avro_type(
+                    pf["transform"], id_to_type[pf["source-id"]]
+                ),
+                "field-id": pf["field-id"],
+            }
+            for pf in spec_fields
+        ]
+        default_spec_id = int(meta.get("default-spec-id", 0))
+        extra = {
+            "schema": json.dumps(
+                {"type": "struct", "schema-id": cur_sid,
+                 "fields": cur_fields}
+            ).encode(),
+            "partition-spec": json.dumps(spec_fields).encode(),
+            "partition-spec-id": str(default_spec_id).encode(),
+            "format-version": b"2",
+            "content": b"data",
+        }
+        data_mpath = os.path.join(
+            self.metadata_dir, f"m-{uuidlib.uuid4().hex}.avro"
+        )
+        write_container(data_mpath, _manifest_schema(part_avro), entries,
+                        extra_metadata=extra)
+        n_rows = sum(n for _, n, _s, _p, _st in data_files)
+
+        cur_snap = next(
+            s for s in snaps if int(s["snapshot-id"]) == cur_id
+        )
+        ml_rows = [
+            {
+                "manifest_path": data_mpath,
+                "manifest_length": os.path.getsize(data_mpath),
+                "partition_spec_id": default_spec_id, "content": 0,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(data_files),
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0, "deleted_rows_count": 0,
+            },
+            {
+                "manifest_path": del_mpath,
+                "manifest_length": os.path.getsize(del_mpath),
+                "partition_spec_id": 0, "content": 1,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(dfiles),
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": del_rows,
+                "existing_rows_count": 0, "deleted_rows_count": 0,
+            },
+        ] + self._manifest_list_rows(cur_snap)
+        ml_path = os.path.join(
+            self.metadata_dir,
+            f"snap-{snap_id}-1-{uuidlib.uuid4().hex}.avro",
+        )
+        write_container(ml_path, _ML_SCHEMA, ml_rows,
+                        extra_metadata={"format-version": b"2"})
+        snap = {
+            "snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now_ms, "manifest-list": ml_path,
+            "summary": {"operation": "overwrite"},
+            "schema-id": cur_sid,
+            "parent-snapshot-id": cur_id,
+        }
+        meta["snapshots"] = snaps + [snap]
+        meta["current-snapshot-id"] = snap_id
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        meta.setdefault("snapshot-log", []).append(
+            {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+        )
+        self._commit_metadata_json(meta)
+        return {"snapshot_id": snap_id, "rows": n_rows, "keys": n_keys}
+
     def merge(
         self,
         spark: SparkSession,
@@ -3458,6 +3841,16 @@ class IcebergLiteTable:
                 if int(e.get("status") or 0) != 2
             )
             if not has_eq:
+                continue
+            # dangling-delete removal (Iceberg's remove_dangling_deletes
+            # shape): an equality delete applies only to data files with
+            # seq STRICTLY BELOW its own.  A manifest whose commit
+            # sequence (>= every entry's seq) no longer exceeds any
+            # surviving file's sequence cannot match anything — carrying
+            # it would only keep merge()/upsert-refusal guards tripped
+            # forever after full compaction.
+            del_seq = int(row.get("sequence_number") or 0)
+            if not any(s < del_seq for _p, s, _pt in kept):
                 continue
             ml_rows.append(row)  # provenance verbatim
         ml_path = os.path.join(
