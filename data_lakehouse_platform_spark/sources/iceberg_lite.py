@@ -2010,12 +2010,21 @@ class IcebergLiteTable:
         mode: str = "append",
         partition_by: list | None = None,
         summary_extra: dict | None = None,
+        branch: str = "main",
     ) -> int:
         """Commit ``df`` as a new v2 snapshot (returns its snapshot id).
         ``append`` keeps prior manifests in the new manifest list;
         ``overwrite`` starts the list fresh (full-table replace, the
         prior snapshot stays time-travelable).  Flat primitive columns
         only — refused loudly otherwise.
+
+        ``branch`` targets a named branch ref (Iceberg's
+        write-audit-publish staging): the commit's parent and carried
+        manifests come from the BRANCH head, only the branch pointer
+        advances — ``main`` (current-snapshot-id, snapshot-log, every
+        reader not opting into the ref) is untouched until
+        :meth:`fast_forward` publishes.  The branch must already exist
+        (:meth:`create_branch`); read it back with ``read(ref=...)``.
 
         ``partition_by`` (creation only; appends inherit the table's
         spec) is a list of ``"col"`` (identity) or ``("col",
@@ -2031,6 +2040,18 @@ class IcebergLiteTable:
 
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if branch != "main":
+            # branch writes stage onto an EXISTING ref; silently
+            # creating one on a typo would publish nothing forever
+            r = (self.metadata().get("refs") or {}).get(branch)
+            if r is None:
+                raise FileNotFoundError(
+                    f"branch {branch!r} does not exist — create_branch() "
+                    "first (write-audit-publish stages onto a named ref)"
+                )
+            if r.get("type") != "branch":
+                raise ValueError(f"ref {branch!r} is a tag; tags are "
+                                 "immutable")
         ice_fields = self._iceberg_schema(df)
         id_to_name = {f["id"]: f["name"] for f in ice_fields}
         id_to_type = {f["id"]: f["type"] for f in ice_fields}
@@ -2220,10 +2241,18 @@ class IcebergLiteTable:
                 "existing_rows_count": 0, "deleted_rows_count": 0,
             }
         ]
+        # the commit's BASE is the target branch's head: main reads it
+        # from current-snapshot-id, a staging branch from its ref
+        if branch == "main":
+            base_id = meta.get("current-snapshot-id")
+        else:
+            base_id = int(
+                (meta.get("refs") or {})[branch]["snapshot-id"]
+            )
         if mode == "append" and snaps:
-            cur_id = meta.get("current-snapshot-id")
             cur_snap = next(
-                (s for s in snaps if int(s["snapshot-id"]) == cur_id), None
+                (s for s in snaps if int(s["snapshot-id"]) == base_id),
+                None,
             )
             if cur_snap is not None:
                 # carried manifests keep their ORIGINAL provenance
@@ -2250,15 +2279,30 @@ class IcebergLiteTable:
             },
             "schema-id": cur_sid,
         }
-        if exists and meta.get("current-snapshot-id", -1) != -1:
-            snap["parent-snapshot-id"] = meta["current-snapshot-id"]
+        if exists and base_id is not None and int(base_id) != -1:
+            snap["parent-snapshot-id"] = int(base_id)
         meta["snapshots"] = snaps + [snap]
-        meta["current-snapshot-id"] = snap_id
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
-        meta.setdefault("snapshot-log", []).append(
-            {"timestamp-ms": now_ms, "snapshot-id": snap_id}
-        )
+        if branch == "main":
+            meta["current-snapshot-id"] = snap_id
+            meta.setdefault("snapshot-log", []).append(
+                {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+            )
+            # a materialized main ref (create_branch("main")/fast_forward
+            # leaves one) must track the head or every ref-read of main
+            # goes stale
+            if "main" in (meta.get("refs") or {}):
+                meta["refs"]["main"] = {
+                    "snapshot-id": snap_id, "type": "branch",
+                }
+        else:
+            # staging commit: ONLY the branch pointer advances; main's
+            # lineage (current-snapshot-id, snapshot-log) is untouched
+            # until fast_forward publishes
+            refs = dict(meta.get("refs") or {})
+            refs[branch] = {"snapshot-id": snap_id, "type": "branch"}
+            meta["refs"] = refs
 
         self._commit_metadata_json(meta)
         return snap_id
@@ -3947,10 +3991,69 @@ class IcebergLiteTable:
     def create_branch(
         self, name: str, snapshot_id: int | None = None
     ) -> int:
-        """Named branch POINTER (readable via ``read(ref=...)``;
-        branch WRITES are an Iceberg-runtime feature this module does
-        not provide — the pointer still pins expiry like a tag)."""
+        """Named branch pointer: readable via ``read(ref=...)``,
+        writable via ``write(..., branch=...)`` (the write-audit-
+        publish staging target), publishable via :meth:`fast_forward`.
+        Pins expiry like a tag."""
         return self._set_ref(name, "branch", snapshot_id)
+
+    def fast_forward(self, name: str, from_ref: str) -> int:
+        """Publish a staging branch (the WAP loop's final verb):
+        advance branch ``name`` to ``from_ref``'s head, REFUSING unless
+        ``name``'s current head is an ancestor of that head (the
+        fast-forward condition — anything else would silently drop
+        commits, Iceberg's ``fast_forward`` procedure refuses the same
+        way).  Publishing to ``main`` also flips current-snapshot-id
+        and appends to snapshot-log, so every non-ref reader atomically
+        sees the audited commits.  Returns the published snapshot id.
+        """
+        meta = self.metadata()
+        src = self.resolve_ref(from_ref)
+        refs = dict(meta.get("refs") or {})
+        if name in refs:
+            if refs[name].get("type") != "branch":
+                raise ValueError(f"ref {name!r} is a tag; tags are "
+                                 "immutable")
+            tgt = int(refs[name]["snapshot-id"])
+        elif name == "main":
+            tgt = self.current_snapshot_id()
+            if tgt is None:
+                raise FileNotFoundError(
+                    f"table at {self.path} has no current snapshot"
+                )
+        else:
+            raise FileNotFoundError(
+                f"branch {name!r} not in table (have {sorted(refs)})"
+            )
+        snaps = {
+            int(s["snapshot-id"]): s for s in meta.get("snapshots", [])
+        }
+        cur, is_ancestor = src, False
+        while True:
+            if cur == tgt:
+                is_ancestor = True
+                break
+            parent = snaps.get(cur, {}).get("parent-snapshot-id")
+            if parent is None:
+                break
+            cur = int(parent)
+        if not is_ancestor:
+            raise ValueError(
+                f"cannot fast-forward {name!r} (head {tgt}) to "
+                f"{from_ref!r} (head {src}): {tgt} is not an ancestor "
+                f"of {src} — the branches diverged; rebuild the staging "
+                "branch from the current head instead"
+            )
+        refs[name] = {"snapshot-id": src, "type": "branch"}
+        meta["refs"] = refs
+        if name == "main":
+            meta["current-snapshot-id"] = src
+            meta.setdefault("snapshot-log", []).append(
+                {"timestamp-ms": int(time.time() * 1000),
+                 "snapshot-id": src}
+            )
+        self._commit_metadata_json(meta)
+        return src
 
     def drop_ref(self, name: str) -> None:
         if name == "main":
