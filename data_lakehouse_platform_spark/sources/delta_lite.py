@@ -584,6 +584,15 @@ class DeltaLiteTable:
     _CP_RE = re.compile(
         r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$"
     )
+    # V2-spec checkpoints (reader feature v2Checkpoint): uuid-named
+    # ``{v}.checkpoint.{uuid}.{parquet|json}``, containing a
+    # checkpointMetadata action and optionally sidecar actions whose
+    # files (in _delta_log/_sidecars/) carry the add/remove state.
+    # The uuid group cannot collide with classic multi-part names:
+    # those have TWO dot-separated 10-digit groups, never one.
+    _CP_V2_RE = re.compile(
+        r"^(\d{20})\.checkpoint\.([0-9a-zA-Z-]+)\.(parquet|json)$"
+    )
 
     def _versions(self) -> list[int]:
         """Versions with a JSON commit file present."""
@@ -596,16 +605,27 @@ class DeltaLiteTable:
         return sorted(out)
 
     def _checkpoints(self) -> dict[int, list[str]]:
-        """Checkpointed versions -> their parquet part files (single- or
-        multi-part ``{v}.checkpoint[.{i}.{n}].parquet`` per the spec)."""
+        """Checkpointed versions -> their files: classic single-/multi-
+        part ``{v}.checkpoint[.{i}.{n}].parquet`` or a V2-spec
+        uuid-named checkpoint (at most one file per version is used;
+        when both forms exist for a version the v2 file wins, matching
+        delta-spark's preference for the newer format)."""
         out: dict[int, list[str]] = {}
+        v2: dict[int, list[str]] = {}
         if not os.path.isdir(self.log_dir):
             return out
         for f in os.listdir(self.log_dir):
             m = self._CP_RE.match(f)
             if m:
                 out.setdefault(int(m.group(1)), []).append(f)
-        return {v: sorted(fs) for v, fs in out.items()}
+                continue
+            m2 = self._CP_V2_RE.match(f)
+            if m2:
+                v2.setdefault(int(m2.group(1)), []).append(f)
+        merged = {v: sorted(fs) for v, fs in out.items()}
+        for v, fs in v2.items():
+            merged[v] = sorted(fs)[:1]  # one v2 manifest carries all
+        return merged
 
     def all_versions(self) -> list[int]:
         """Every readable snapshot version: JSON commits plus versions
@@ -622,7 +642,13 @@ class DeltaLiteTable:
 
     # Reader features this implementation actually honors.  Reader v2
     # exists solely for column mapping; v3 tables enumerate features.
-    _SUPPORTED_READER_FEATURES = frozenset({"columnMapping", "deletionVectors"})
+    # v2Checkpoint: READ-side only — _checkpoint_actions understands
+    # uuid-named V2-spec checkpoints (parquet or JSON, with sidecars);
+    # the writer gate still refuses v2Checkpoint tables (writing a
+    # classic checkpoint into one would violate the feature contract).
+    _SUPPORTED_READER_FEATURES = frozenset(
+        {"columnMapping", "deletionVectors", "v2Checkpoint"}
+    )
 
     def _dv_deleted_rows(self, dv: dict) -> list[int]:
         """Resolve a deletionVector descriptor to its sorted deleted row
@@ -684,10 +710,10 @@ class DeltaLiteTable:
             raise DeltaProtocolError(
                 f"table requires reader features {sorted(unsupported)}; "
                 "this reader speaks v1 + columnMapping + deletionVectors "
-                "and refuses rather than misread (e.g. type widening "
-                "would silently narrow values); use the real "
-                "delta-spark package for such tables (see JARS.md for "
-                "why it is absent here)"
+                "+ v2Checkpoint and refuses rather than misread (e.g. "
+                "type widening would silently narrow values); use the "
+                "real delta-spark package for such tables (see JARS.md "
+                "for why it is absent here)"
             )
         raise DeltaProtocolError(
             f"table requires minReaderVersion={mrv}; this reader speaks "
@@ -709,26 +735,86 @@ class DeltaLiteTable:
             return {k: DeltaLiteTable._plain(x) for k, x in v.items()}
         return v
 
+    def _checkpoint_actions(self, version: int, files: list[str]):
+        """Yield every action dict in a checkpoint, shared by state /
+        tombstone / txn replay and format-agnostic: classic parquet
+        parts, V2-spec parquet, and V2-spec JSON all normalize to
+        single-key action dicts, with sidecar files (V2's add/remove
+        spill, ``_delta_log/_sidecars/``) read inline in file order.
+        A V2 checkpoint whose checkpointMetadata.version disagrees
+        with its filename is corrupt and refused."""
+        import pyarrow.parquet as pq
+
+        def _rows(path: str):
+            if path.endswith(".json"):
+                with open(path) as fh:
+                    for line in fh:
+                        if line.strip():
+                            yield json.loads(line)
+            else:
+                for row in pq.read_table(path).to_pylist():
+                    yield {
+                        k: v for k, v in row.items() if v is not None
+                    }
+
+        for f in files:
+            is_v2 = bool(self._CP_V2_RE.match(f))
+            saw_cp_meta = False
+            for row in _rows(os.path.join(self.log_dir, f)):
+                cpm = row.get("checkpointMetadata")
+                if cpm is not None:
+                    cpm = self._plain(cpm)
+                    saw_cp_meta = True
+                    if int(cpm.get("version", -1)) != version:
+                        raise DeltaProtocolError(
+                            f"v2 checkpoint {f} says version "
+                            f"{cpm.get('version')} but is named for "
+                            f"{version} — corrupt checkpoint, refusing"
+                        )
+                    continue
+                sc = row.get("sidecar")
+                if sc is not None:
+                    sc = self._plain(sc)
+                    sc_path = os.path.join(
+                        self.log_dir, "_sidecars", sc["path"]
+                    )
+                    if not os.path.exists(sc_path):
+                        raise DeltaProtocolError(
+                            f"v2 checkpoint {f} references missing "
+                            f"sidecar {sc['path']} — cannot "
+                            "reconstruct table state"
+                        )
+                    for srow in _rows(sc_path):
+                        yield {
+                            k: v
+                            for k, v in srow.items()
+                            if v is not None
+                        }
+                    continue
+                yield row
+            if is_v2 and not saw_cp_meta:
+                raise DeltaProtocolError(
+                    f"uuid-named checkpoint {f} carries no "
+                    "checkpointMetadata action — not a valid V2 "
+                    "checkpoint, refusing"
+                )
+
     def _load_checkpoint(
         self, version: int, files: list[str]
     ) -> tuple[dict, dict[str, dict], dict]:
-        import pyarrow.parquet as pq
-
         meta: dict = {}
         live: dict[str, dict] = {}
         proto: dict = {}
-        for f in files:
-            tbl = pq.read_table(os.path.join(self.log_dir, f))
-            for row in tbl.to_pylist():
-                if row.get("protocol") is not None:
-                    proto = self._plain(row["protocol"])
-                    self._check_protocol(proto)
-                if row.get("metaData") is not None:
-                    meta = self._plain(row["metaData"])
-                if row.get("add") is not None:
-                    add = self._plain(row["add"])
-                    add["path"] = _decode_path(add["path"])
-                    live[add["path"]] = add
+        for row in self._checkpoint_actions(version, files):
+            if row.get("protocol") is not None:
+                proto = self._plain(row["protocol"])
+                self._check_protocol(proto)
+            if row.get("metaData") is not None:
+                meta = self._plain(row["metaData"])
+            if row.get("add") is not None:
+                add = self._plain(row["add"])
+                add["path"] = _decode_path(add["path"])
+                live[add["path"]] = add
         return meta, live, proto
 
     def _replay(
@@ -782,23 +868,18 @@ class DeltaLiteTable:
         after :meth:`clean_log`.  Replayed in commit order: a re-add
         of the same path clears its tombstone; a prior checkpoint's
         remove column seeds the state."""
-        import pyarrow.parquet as pq
-
         tombs: dict[str, dict] = {}
         start_after = -1
         cps = self._checkpoints()
         eligible = [c for c in cps if c <= to_version]
         if eligible:
             cp = max(eligible)
-            for f in cps[cp]:
-                tbl = pq.read_table(os.path.join(self.log_dir, f))
-                if "remove" in tbl.column_names:
-                    for row in tbl.to_pylist():
-                        rm = row.get("remove")
-                        if rm is not None:
-                            rm = self._plain(rm)
-                            rm["path"] = _decode_path(rm["path"])
-                            tombs[rm["path"]] = rm
+            for row in self._checkpoint_actions(cp, cps[cp]):
+                rm = row.get("remove")
+                if rm is not None:
+                    rm = self._plain(rm)
+                    rm["path"] = _decode_path(rm["path"])
+                    tombs[rm["path"]] = rm
             start_after = cp
         for v in self._versions():
             if not (start_after < v <= to_version):
@@ -824,8 +905,6 @@ class DeltaLiteTable:
         (the Delta ``txn`` action), replayed checkpoint-first like the
         file state — checkpoints carry txn rows (see :meth:`checkpoint`)
         so exactly-once survives ``clean_log``."""
-        import pyarrow.parquet as pq
-
         v = self.latest_version() if to_version is None else to_version
         if v is None:
             return {}
@@ -835,14 +914,11 @@ class DeltaLiteTable:
         eligible = [c for c in cps if c <= v]
         if eligible:
             cp = max(eligible)
-            for f in cps[cp]:
-                tbl = pq.read_table(os.path.join(self.log_dir, f))
-                if "txn" not in tbl.column_names:
-                    continue
-                for row in tbl.to_pylist():
-                    t = row.get("txn")
-                    if t is not None:
-                        txns[t["appId"]] = int(t["version"])
+            for row in self._checkpoint_actions(cp, cps[cp]):
+                t = row.get("txn")
+                if t is not None:
+                    t = self._plain(t)
+                    txns[t["appId"]] = int(t["version"])
             start_after = cp
         json_vs = [
             x for x in self._versions() if start_after < x <= v
