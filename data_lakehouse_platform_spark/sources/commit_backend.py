@@ -37,6 +37,8 @@ __all__ = [
     "CommitSlots",
     "PosixCommitSlots",
     "CoordinatedCommitSlots",
+    "LocalObjectStore",
+    "ObjectStoreCommitSlots",
 ]
 
 
@@ -172,3 +174,119 @@ class CoordinatedCommitSlots:
             os.remove(tmp)
         except FileNotFoundError:
             pass
+
+
+class LocalObjectStore:
+    """The local filesystem exposed through OBJECT-STORE verbs only:
+    blind PUT (last-writer-wins, atomic per key — readers see the old
+    object or the new one, never a partial, exactly S3's per-object
+    guarantee), GET, EXISTS, DELETE, LIST-by-prefix.  No
+    create-exclusive, no rename, no append — code written against this
+    interface cannot accidentally lean on a POSIX primitive an object
+    store lacks.  PUT's atomic visibility is emulated with a
+    write-temp-then-replace under the hood; that rename is an
+    EMULATION detail invisible through the interface, not a semantics
+    the caller may rely on.  Listing is read-after-write consistent
+    (as S3 has been since 2020).  Objects ARE real files, so the scan
+    engines (which open paths directly) read exactly what the store
+    holds — this is what lets the full verb model run over
+    object-store commit semantics on a developer box."""
+
+    def put(self, key: str, data: bytes) -> None:
+        import uuid
+
+        os.makedirs(os.path.dirname(key) or ".", exist_ok=True)
+        tmp = f"{key}.__put-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, key)
+
+    def get(self, key: str) -> bytes:
+        with open(key, "rb") as fh:
+            return fh.read()
+
+    def exists(self, key: str) -> bool:
+        return os.path.exists(key)
+
+    def delete(self, key: str) -> None:
+        try:
+            os.remove(key)
+        except FileNotFoundError:
+            pass  # S3 DELETE of a missing key succeeds
+
+    def list(self, prefix: str) -> list[str]:
+        d = os.path.dirname(prefix)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if os.path.join(d, f).startswith(prefix)
+        )
+
+
+class ObjectStoreCommitSlots:
+    """:class:`CoordinatedCommitSlots`' claim-table protocol expressed
+    PURELY in object-store verbs — the configuration a 100 TB S3/GCS
+    deployment actually runs, testable end-to-end on a developer box
+    via :class:`LocalObjectStore`:
+
+    1. STAGE: blind PUT of the payload to a writer-unique key (unique
+       name, so last-writer-wins cannot race);
+    2. CLAIM: atomic ``setdefault`` on the external claim table (the
+       DynamoDB conditional put), recording state ``pending`` and the
+       staged key;
+    3. PROMOTE: PUT(final, GET(staged)) — a COPY, because object
+       stores have no rename — then mark ``complete`` and DELETE the
+       staged key.
+
+    Crash recovery mirrors CoordinatedCommitSlots: a loser finding a
+    ``pending`` claim re-promotes the recorded staged payload before
+    reporting the slot occupied, so a winner crash at any point leaves
+    the slot recoverable or durable, never wedged.  A double PUT of
+    the final key is harmless — both writers promote the SAME claimed
+    payload (idempotent bytes), and per-object PUT atomicity means no
+    reader ever sees a torn object."""
+
+    _PENDING = "pending"
+    _COMPLETE = "complete"
+
+    def __init__(self, claims: MutableMapping[str, str], store=None):
+        self._claims = claims
+        self._store = store if store is not None else LocalObjectStore()
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        import uuid
+
+        key = os.path.abspath(path)
+        token = f"pid:{os.getpid()}:call:{uuid.uuid4().hex}"
+        staged = f"{key}.{token.rsplit(':', 1)[-1]}.staged"
+        self._store.put(staged, payload)  # step 1
+        claim = f"{self._PENDING}|{token}|{staged}"
+        won = self._claims.setdefault(key, claim) == claim  # step 2
+        if not won:
+            self._recover(key)
+            self._store.delete(staged)
+            return False
+        self._store.put(key, self._store.get(staged))  # step 3: copy
+        self._claims[key] = f"{self._COMPLETE}|{token}"
+        self._store.delete(staged)
+        return True
+
+    def _recover(self, key: str) -> None:
+        entry = self._claims.get(key)
+        if entry is None or not entry.startswith(f"{self._PENDING}|"):
+            return
+        _state, token, staged = entry.split("|", 2)
+        if not self._store.exists(key):
+            if self._store.exists(staged):
+                self._store.put(key, self._store.get(staged))
+            else:
+                raise RuntimeError(
+                    f"commit slot {key!r} is wedged: claim is pending "
+                    "but neither the final object nor its staged "
+                    f"payload ({staged!r}) exists — manual repair "
+                    "required"
+                )
+        self._claims[key] = f"{self._COMPLETE}|{token}"
+        self._store.delete(staged)

@@ -26,8 +26,15 @@ from data_lakehouse_platform_spark.sources.table_format import (
 
 @pytest.mark.parametrize(
     "backend_fn",
-    [lambda: PosixCommitSlots(), lambda: CoordinatedCommitSlots({})],
-    ids=["posix", "coordinated"],
+    [
+        lambda: PosixCommitSlots(),
+        lambda: CoordinatedCommitSlots({}),
+        lambda: __import__(
+            "data_lakehouse_platform_spark.sources.commit_backend",
+            fromlist=["ObjectStoreCommitSlots"],
+        ).ObjectStoreCommitSlots({}),
+    ],
+    ids=["posix", "coordinated", "objectstore"],
 )
 def test_exactly_one_winner(tmp_path, backend_fn):
     be = backend_fn()
@@ -213,3 +220,92 @@ def test_delta_log_stays_contiguous_through_a_crashed_writer(
         (r.id, r.v) for r in tb.read(spark).collect()
     )
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+# -- object-store backend (r8): blind-PUT semantics, copy-promote, ----
+# -- recovery — the S3/GCS configuration of the claim-table protocol --
+
+from data_lakehouse_platform_spark.sources.commit_backend import (  # noqa: E402,E501
+    LocalObjectStore,
+    ObjectStoreCommitSlots,
+)
+
+
+def test_local_object_store_semantics(tmp_path):
+    """The store speaks ONLY object-store verbs: blind overwriting PUT,
+    GET, EXISTS, idempotent DELETE, prefix LIST — no O_EXCL, no rename
+    reachable through the interface."""
+    st = LocalObjectStore()
+    k = str(tmp_path / "a" / "obj.bin")
+    st.put(k, b"one")
+    st.put(k, b"two")  # blind PUT: last writer wins, no error
+    assert st.get(k) == b"two"
+    assert st.exists(k)
+    st.delete(str(tmp_path / "a" / "missing"))  # S3 DELETE: no error
+    st.put(str(tmp_path / "a" / "obj2.bin"), b"x")
+    assert [os.path.basename(p) for p in st.list(str(tmp_path / "a" / "obj"))] == [
+        "obj.bin", "obj2.bin",
+    ]
+    st.delete(k)
+    assert not st.exists(k)
+
+
+class _ObjectStoreCrashAfterClaim(ObjectStoreCommitSlots):
+    """Simulate a winner dying between claim (step 2) and promote
+    (step 3) — the window the recovery protocol exists for."""
+
+    def put_if_absent(self, path, payload):
+        import uuid
+
+        key = os.path.abspath(path)
+        token = f"pid:{os.getpid()}:call:{uuid.uuid4().hex}"
+        staged = f"{key}.{token.rsplit(':', 1)[-1]}.staged"
+        self._store.put(staged, payload)
+        claim = f"pending|{token}|{staged}"
+        if self._claims.setdefault(key, claim) == claim:
+            raise RuntimeError("simulated crash after claim")
+        return False
+
+
+def test_objectstore_crashed_winner_recovered(tmp_path):
+    claims: dict = {}
+    slot = str(tmp_path / "00000000000000000001.json")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        _ObjectStoreCrashAfterClaim(claims).put_if_absent(slot, b"W")
+    assert not os.path.exists(slot)
+    be = ObjectStoreCommitSlots(claims)
+    assert be.put_if_absent(slot, b"loser") is False
+    with open(slot, "rb") as fh:
+        assert fh.read() == b"W"  # the crashed winner's claim holds
+    assert claims[os.path.abspath(slot)].startswith("complete|")
+    assert not [p for p in os.listdir(tmp_path) if p.endswith(".staged")]
+
+
+def test_objectstore_wedged_slot_raises(tmp_path):
+    claims: dict = {}
+    slot = str(tmp_path / "00000000000000000001.json")
+    claims[os.path.abspath(slot)] = (
+        f"pending|pid:1:call:dead|{slot}.dead.staged"
+    )
+    with pytest.raises(RuntimeError, match="wedged"):
+        ObjectStoreCommitSlots(claims).put_if_absent(slot, b"x")
+
+
+def test_delta_and_iceberg_commit_through_objectstore(spark, tmp_path):
+    """Both formats run their ordinary verbs with every log/metadata
+    commit riding the object-store protocol (the model suites in
+    test_delta_model.py run the full seeded sequences over this
+    backend; this is the fast smoke twin)."""
+    be = ObjectStoreCommitSlots({})
+    t = DeltaLiteTable(str(tmp_path / "d"), commit_backend=be)
+    df = spark.createDataFrame([(1, "a")], "id int, val string")
+    t.write(df)
+    t.write(spark.createDataFrame([(2, "b")], "id int, val string"),
+            mode="append")
+    assert sorted(r.id for r in t.read(spark).collect()) == [1, 2]
+
+    it = IcebergLiteTable(str(tmp_path / "i"), commit_backend=be)
+    it.write(spark.createDataFrame([(1, 1.0)], "id int, v double"))
+    it.write(spark.createDataFrame([(2, 2.0)], "id int, v double"),
+             mode="append")
+    assert sorted(r.id for r in it.read(spark).collect()) == [1, 2]

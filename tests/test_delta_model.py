@@ -37,10 +37,28 @@ def _df(spark, rows, wide):
     )
 
 
-@pytest.mark.parametrize("seed", [7, 23])
-def test_delta_verbs_against_model(spark, tmp_path, seed):
+def _backend(kind):
+    """posix = default O_EXCL slots; s3 = the object-store claim-table
+    protocol (blind PUT + external claims, no rename/O_EXCL) over
+    LocalObjectStore — the VERDICT r7 gap #5 configuration: the same
+    seeded verb sequences must hold verbatim when every log/metadata
+    commit rides object-store semantics."""
+    if kind == "posix":
+        return None
+    from data_lakehouse_platform_spark.sources.commit_backend import (
+        ObjectStoreCommitSlots,
+    )
+
+    return ObjectStoreCommitSlots({})
+
+
+@pytest.mark.parametrize("seed,backend", [(7, "posix"), (23, "posix"),
+                                          (7, "s3"), (23, "s3")])
+def test_delta_verbs_against_model(spark, tmp_path, seed, backend):
     rng = random.Random(seed)
-    t = DeltaLiteTable(str(tmp_path / f"m{seed}"))
+    t = DeltaLiteTable(
+        str(tmp_path / f"m{seed}"), commit_backend=_backend(backend)
+    )
     wide = False  # becomes True after the mergeSchema step fires
 
     model: dict[int, tuple[str, float | None]] = {}
@@ -217,8 +235,9 @@ def test_delta_verbs_against_model(spark, tmp_path, seed):
         )
 
 
-@pytest.mark.parametrize("seed", [11, 31])
-def test_iceberg_verbs_against_model(spark, tmp_path, seed):
+@pytest.mark.parametrize("seed,backend", [(11, "posix"), (31, "posix"),
+                                          (11, "s3"), (31, "s3")])
+def test_iceberg_verbs_against_model(spark, tmp_path, seed, backend):
     """The Iceberg twin: seeded random append / position-delete (both
     surgical and mass) / compaction / ZORDER rewrite / tag+expire /
     SCHEMA EVOLUTION (add, rename, drop, int->long promotion) sequence
@@ -234,7 +253,9 @@ def test_iceberg_verbs_against_model(spark, tmp_path, seed):
     )
 
     rng = _random.Random(seed)
-    t = IcebergLiteTable(str(tmp_path / f"im{seed}"))
+    t = IcebergLiteTable(
+        str(tmp_path / f"im{seed}"), commit_backend=_backend(backend)
+    )
 
     # model: row id -> {col: value}; cols is the CURRENT value-column
     # list (id is fixed).  v starts int to leave a promotion available.
