@@ -81,6 +81,11 @@ HEADLINE = [
     # their first quiet-box run
     "spearman_qty_price",
     "tv_distance_sources",
+    # round-8 flagships (winnowing selection over per-doc hash windows;
+    # cap-bounded co-purchase pair join), baselined from their first
+    # quiet-box run
+    "winnowing_fingerprint",
+    "graph_neighbor_jaccard",
 ]
 
 

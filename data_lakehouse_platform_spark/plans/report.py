@@ -15,16 +15,37 @@ import sys
 
 
 def plan_report(sf_dir: str) -> str:
+    from pyspark.sql import SparkSession
+
     from data_lakehouse_platform_spark.plans import audit_plan
     from data_lakehouse_platform_spark.queries import all_queries
-    from data_lakehouse_platform_spark.session import get_spark
 
-    spark = get_spark("dlp-plan-report")
+    # PINNED generator config (not the tuned engine factory): vanilla
+    # local[8], shuffle.partitions=32, AQE disabled.  The audit is a
+    # STATIC plan census — a different parallelism legitimately flips
+    # join strategies, so cross-generation diffs are only meaningful
+    # when every generation uses this exact session (the round-7
+    # lesson, recorded in the verify skill).
+    spark = (
+        SparkSession.builder.appName("dlp-plan-report")
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     lines = [
         "# PLANS — physical-plan audit of every registry query",
         "",
-        f"Generated against `{sf_dir}`. Columns: shuffles (hash/range/RR "
+        f"Generated against `{sf_dir}` on a vanilla local[8] session, "
+        "shuffle.partitions=32, AQE disabled for the static audit "
+        "(codegen spans and exchanges visible pre-execution; the engine "
+        "runs with AQE on — generator config matters: a different "
+        "parallelism can legitimately flip join strategies between "
+        "generations). Columns: shuffles (hash/range/RR "
         "exchanges), join strategy counts, Python-eval nodes "
         "(row-at-a-time / Arrow), whole-stage-codegen spans, scans with "
         "pushed filters.",

@@ -62,3 +62,421 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(
         sigs, n_hashes=_N_HASHES, bands=_BANDS, max_bucket=_LSH_DEMO_CAP
     )
+
+
+# ----------------------------------------------------------------------------
+# Event-mix Gini impurity per user
+# ----------------------------------------------------------------------------
+
+_IMPURITY_ORACLE = """
+WITH per_type AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT)     AS n_events,
+         CAST(COUNT(*) AS BIGINT)   AS n_types,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM per_type GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       1.0 - CAST(s2 AS DOUBLE)
+           / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+       AS impurity
+FROM per_user
+"""
+
+
+@register(
+    "event_mix_impurity",
+    _IMPURITY_ORACLE,
+    "Gini impurity (1 - sum p_i^2) of each user's event-type mix — the "
+    "behavioral-diversity score a segmentation pipeline ranks users by. "
+    "Impurity is RATIONAL in the type counts, so it computes from two "
+    "exact integer sums and one final double expression (identical op "
+    "sequence both engines) — no log calls whose last-ulp behavior "
+    "differs across libm implementations, which is why this engine's "
+    "diversity family (Simpson, Gini, TV distance) is impurity-based. "
+    "Two map-combinable shuffles keyed by user: no skew wall at 1e9 "
+    "users.",
+)
+def event_mix_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    per_type = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    return per_user.selectExpr(
+        "user_id",
+        "n_events",
+        "n_types",
+        "1.0D - CAST(s2 AS DOUBLE) / "
+        "(CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)) "
+        "AS impurity",
+    )
+
+
+# ----------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken local selection)
+# ----------------------------------------------------------------------------
+
+_WIN_K = 4  # word-shingle width
+_WIN_W = 5  # selection window (shingle positions)
+
+
+def _winnow_oracle() -> str:
+    from data_lakehouse_platform_spark.operators.text import (
+        sql_normalize_ws,
+    )
+
+    terms = " || ' ' || ".join(f"toks[pos + {j}]" for j in range(_WIN_K))
+    return f"""
+WITH norm_docs AS (
+  SELECT doc_id, string_split({sql_normalize_ws('text')}, ' ') AS toks
+  FROM documents
+),
+pos_sh AS (
+  SELECT doc_id, toks,
+         unnest(CASE WHEN len(toks) >= {_WIN_K}
+                     THEN range(1, len(toks) - {_WIN_K - 2})
+                     ELSE [] END) AS pos
+  FROM norm_docs
+),
+hashed AS (
+  SELECT doc_id, pos, md5({terms}) AS h FROM pos_sh
+),
+winmin AS (
+  SELECT doc_id, pos, h,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {_WIN_W - 1} PRECEDING
+                      AND CURRENT ROW) AS wmin
+  FROM hashed
+),
+sel AS (
+  SELECT doc_id, h FROM winmin
+  WHERE pos >= {_WIN_W} AND h = wmin
+)
+SELECT s.doc_id,
+       CAST(t.n_shingles AS BIGINT)  AS n_shingles,
+       CAST(COUNT(*) AS BIGINT)      AS n_selected,
+       CAST(COUNT(DISTINCT s.h) AS BIGINT) AS n_fp
+FROM sel s
+JOIN (SELECT doc_id, COUNT(*) AS n_shingles FROM hashed GROUP BY 1) t
+  ON s.doc_id = t.doc_id
+GROUP BY s.doc_id, t.n_shingles
+"""
+
+
+@register(
+    "winnowing_fingerprint",
+    _winnow_oracle(),
+    f"Winnowing fingerprint selection (the MOSS algorithm): hash every "
+    f"{_WIN_K}-word shingle, keep a shingle where its hash is the "
+    f"minimum of the trailing {_WIN_W}-position window — guaranteeing "
+    "any match of >= w+k-1 words shares a fingerprint while storing "
+    "only ~2/(w+1) of the hashes, the classic storage/recall point for "
+    "corpus-scale plagiarism and near-dup detection. Per doc: shingle "
+    "count, selected positions, distinct fingerprints. All integers; "
+    "the window min is a per-doc (high-cardinality-partitioned) sort — "
+    "no global sort, no skew wall.",
+)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_platform_spark.operators.text import (
+        shingle_expr,
+        ws_tokens,
+    )
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.posexplode(shingle_expr("toks", _WIN_K)).alias("pos", "sh"),
+    ).select("doc_id", "pos", F.md5(F.col("sh").cast("binary")).alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(_WIN_W - 1), 0
+    )
+    winmin = hashed.withColumn("wmin", F.min("h").over(win))
+    sel = winmin.filter(
+        (F.col("pos") >= _WIN_W - 1) & (F.col("h") == F.col("wmin"))
+    )
+    totals = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.countDistinct("h").alias("n_fp"),
+        )
+        .join(totals, "doc_id")
+        .select("doc_id", "n_shingles", "n_selected", "n_fp")
+    )
+
+
+# ----------------------------------------------------------------------------
+# Co-purchase neighbor Jaccard (bipartite customer-part graph)
+# ----------------------------------------------------------------------------
+
+_NJ_CAP = 40  # max buyers per part admitted to pair generation
+_NJ_TOPK = 20
+
+_NJ_ORACLE = f"""
+WITH edges_all AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+ok_parts AS (
+  SELECT p FROM edges_all GROUP BY p HAVING COUNT(*) <= {_NJ_CAP}
+),
+edges AS (
+  SELECT e.c, e.p FROM edges_all e JOIN ok_parts USING (p)
+),
+deg AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY c
+),
+pairs AS (
+  SELECT a.c AS cust_a, b.c AS cust_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_parts
+  FROM edges a JOIN edges b ON a.p = b.p AND a.c < b.c
+  GROUP BY 1, 2
+)
+SELECT cust_a, cust_b, shared_parts,
+       da.d AS deg_a, db.d AS deg_b,
+       CAST(shared_parts AS DOUBLE)
+         / CAST(da.d + db.d - shared_parts AS DOUBLE) AS jaccard
+FROM pairs
+JOIN deg da ON cust_a = da.c
+JOIN deg db ON cust_b = db.c
+ORDER BY jaccard DESC, cust_a, cust_b
+LIMIT {_NJ_TOPK}
+"""
+
+
+@register(
+    "graph_neighbor_jaccard",
+    _NJ_ORACLE,
+    "Neighbor-set Jaccard similarity between customers on the bipartite "
+    "customer-part co-purchase graph — the item-based collaborative-"
+    f"filtering primitive. Pair generation is bounded by the {_NJ_CAP}-"
+    "buyer hot-part cap (a part everyone buys is a stop-item that "
+    "carries no signal and would emit B^2/2 pairs from one reducer — "
+    "the same cap discipline as LSH banding, expressed as HAVING "
+    "COUNT <= cap in both engines, so capped semantics are value-"
+    "checked). Jaccard is one double division over exact integer "
+    "degrees; top-k with full tiebreakers.",
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges_all = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    ok_parts = (
+        edges_all.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= _NJ_CAP)
+        .select("p")
+    )
+    edges = edges_all.join(ok_parts, "p")
+    deg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    a = edges.select(F.col("c").alias("cust_a"), "p")
+    b = edges.select(F.col("c").alias("cust_b"), "p")
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+    )
+    da = deg.select(F.col("c").alias("cust_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("c").alias("cust_b"), F.col("d").alias("deg_b"))
+    out = (
+        pairs.join(da, "cust_a")
+        .join(db, "cust_b")
+        .select(
+            "cust_a", "cust_b", "shared_parts", "deg_a", "deg_b",
+            (
+                F.col("shared_parts").cast("double")
+                / (
+                    F.col("deg_a") + F.col("deg_b")
+                    - F.col("shared_parts")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy(
+        F.col("jaccard").desc(), "cust_a", "cust_b"
+    ).limit(_NJ_TOPK)
+
+
+# ----------------------------------------------------------------------------
+# Apriori 3-itemset candidates (basket-bounded triple join)
+# ----------------------------------------------------------------------------
+
+_TRI_TOPK = 25
+
+_TRI_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+triples AS (
+  SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM items a
+  JOIN items b ON a.o = b.o AND a.p < b.p
+  JOIN items c ON b.o = c.o AND b.p < c.p
+  GROUP BY 1, 2, 3
+)
+SELECT p1, p2, p3, support FROM triples
+ORDER BY support DESC, p1, p2, p3
+LIMIT {_TRI_TOPK}
+"""
+
+
+@register(
+    "basket_triples",
+    _TRI_ORACLE,
+    "Apriori 3-itemset candidate generation over order baskets — the "
+    "step whose naive form explodes at scale. Both joins are keyed on "
+    "the ORDER, so triple fan-out per basket is C(items,3) (baskets are "
+    "single-digit), never corpus-shaped; candidate counts then shuffle "
+    "with map-side combine. Extends market_basket_pairs to the 3-way "
+    "associations a bundle-recommendation flow mines. Top-k with full "
+    "column tiebreakers.",
+)
+def basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    items = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = items.select("o", F.col("p").alias("p1"))
+    b = items.select("o", F.col("p").alias("p2"))
+    c = items.select("o", F.col("p").alias("p3"))
+    triples = (
+        a.join(b, "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .join(c, "o")
+        .filter(F.col("p2") < F.col("p3"))
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return triples.orderBy(
+        F.col("support").desc(), "p1", "p2", "p3"
+    ).limit(_TRI_TOPK)
+
+
+# ----------------------------------------------------------------------------
+# 30-day rolling correlation of daily revenue vs daily quantity
+# ----------------------------------------------------------------------------
+
+_RC_W = 30
+
+_RC_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS xi,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS yi
+  FROM lineitem GROUP BY 1
+),
+terms AS (
+  SELECT day,
+         CAST(xi AS DECIMAL(38,0)) AS x,
+         CAST(yi AS DECIMAL(38,0)) AS y,
+         CAST(xi AS DECIMAL(38,0)) * xi AS xx,
+         CAST(yi AS DECIMAL(38,0)) * yi AS yy,
+         CAST(xi AS DECIMAL(38,0)) * yi AS xy
+  FROM daily
+),
+win AS (
+  SELECT day,
+         CAST(COUNT(*) OVER w AS DOUBLE)  AS n,
+         CAST(SUM(x) OVER w AS DOUBLE)    AS sx,
+         CAST(SUM(y) OVER w AS DOUBLE)    AS sy,
+         CAST(SUM(xx) OVER w AS DOUBLE)   AS sxx,
+         CAST(SUM(yy) OVER w AS DOUBLE)   AS syy,
+         CAST(SUM(xy) OVER w AS DOUBLE)   AS sxy
+  FROM terms
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN {_RC_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day,
+       (n * sxy - sx * sy)
+         / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+         AS corr_30d
+FROM win WHERE n = {_RC_W}
+"""
+
+
+@register(
+    "rolling_corr_30d",
+    _RC_ORACLE,
+    f"{_RC_W}-day rolling Pearson correlation between daily shipped "
+    "quantity and daily revenue — the co-movement monitor a demand-"
+    "pricing dashboard plots. Daily integer moments accumulate exactly "
+    "(DECIMAL window sums over fixed-point cents), one closed-form "
+    "double expression per emitted day; only FULL windows emit. The "
+    "window runs over the ~2,400-day calendar spine — bounded by the "
+    "calendar, not the data, the documented posture of every daily-"
+    "series query here (ewma, holt, seasonal_decompose).",
+)
+def rolling_corr_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor("l_quantity").cast("long"))
+            .cast("long")
+            .alias("xi"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("yi"),
+        )
+    )
+    dec = "decimal(38,0)"
+    terms = daily.select(
+        "day",
+        F.col("xi").cast(dec).alias("x"),
+        F.col("yi").cast(dec).alias("y"),
+        (F.col("xi").cast(dec) * F.col("xi")).alias("xx"),
+        (F.col("yi").cast(dec) * F.col("yi")).alias("yy"),
+        (F.col("xi").cast(dec) * F.col("yi")).alias("xy"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(_RC_W - 1), 0)
+    win = terms.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum("x").over(w).cast("double").alias("sx"),
+        F.sum("y").over(w).cast("double").alias("sy"),
+        F.sum("xx").over(w).cast("double").alias("sxx"),
+        F.sum("yy").over(w).cast("double").alias("syy"),
+        F.sum("xy").over(w).cast("double").alias("sxy"),
+    )
+    return win.filter(F.col("n") == _RC_W).selectExpr(
+        "day",
+        "(n * sxy - sx * sy) / "
+        "(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_30d",
+    )
