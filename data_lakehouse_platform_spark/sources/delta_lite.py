@@ -954,6 +954,10 @@ class DeltaLiteTable:
             "identityColumns",
             "columnMapping",
             "deletionVectors",
+            # write-safe because checkpoint() emits the V2-SPEC layout
+            # (uuid-named manifest + sidecar) on tables carrying the
+            # feature — JSON commits themselves are format-agnostic
+            "v2Checkpoint",
         }
     )
 
@@ -3881,6 +3885,92 @@ class DeltaLiteTable:
             {"appId": app, "version": ver, "lastUpdated": None}
             for app, ver in sorted(self.txn_versions(v).items())
         ]
+        # A table carrying the v2Checkpoint feature must get a V2-SPEC
+        # checkpoint (uuid-named manifest + file actions in a sidecar):
+        # writing a classic one would violate the feature contract the
+        # table advertises to every other engine.  This is what makes
+        # WRITES into v2Checkpoint tables safe (_WRITE_SAFE_FEATURES).
+        if "v2Checkpoint" in (proto.get("readerFeatures") or ()):
+            sdir = os.path.join(self.log_dir, "_sidecars")
+            os.makedirs(sdir, exist_ok=True)
+            ns = len(add_col) + len(rm_col)
+            sidecar_tbl = pa.table(
+                {
+                    "add": pa.array(
+                        add_col + [None] * len(rm_col), type=add_t
+                    ),
+                    "remove": pa.array(
+                        [None] * len(add_col) + rm_col, type=rm_t
+                    ),
+                }
+            ) if ns else pa.table(
+                {
+                    "add": pa.array([], type=add_t),
+                    "remove": pa.array([], type=rm_t),
+                }
+            )
+            sc_name = f"{uuid.uuid4()}.parquet"
+            sc_tmp = os.path.join(sdir, sc_name + ".tmp")
+            pq.write_table(sidecar_tbl, sc_tmp)
+            os.replace(sc_tmp, os.path.join(sdir, sc_name))
+
+            cpm_t = pa.struct([("version", pa.int64()), ("tags", smap)])
+            sc_t = pa.struct(
+                [
+                    ("path", pa.string()),
+                    ("sizeInBytes", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                    ("tags", smap),
+                ]
+            )
+            nm = 3 + len(txn_col)  # cpm + protocol + metaData + txns + sidecar
+            manifest = pa.table(
+                {
+                    "checkpointMetadata": pa.array(
+                        [{"version": v, "tags": []}] + [None] * nm,
+                        type=cpm_t,
+                    ),
+                    "protocol": pa.array(
+                        [None] + proto_col + [None] * (nm - 1),
+                        type=proto_t,
+                    ),
+                    "metaData": pa.array(
+                        [None, None] + meta_col + [None] * (nm - 2),
+                        type=meta_t,
+                    ),
+                    "txn": pa.array(
+                        [None] * 3 + txn_col + [None], type=txn_t
+                    ),
+                    "sidecar": pa.array(
+                        [None] * (3 + len(txn_col))
+                        + [
+                            {
+                                "path": sc_name,
+                                "sizeInBytes": os.path.getsize(
+                                    os.path.join(sdir, sc_name)
+                                ),
+                                "modificationTime": int(
+                                    time.time() * 1000
+                                ),
+                                "tags": [],
+                            }
+                        ],
+                        type=sc_t,
+                    ),
+                }
+            )
+            target = os.path.join(
+                self.log_dir, f"{v:020d}.checkpoint.{uuid.uuid4()}.parquet"
+            )
+            tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+            pq.write_table(manifest, tmp)
+            os.replace(tmp, target)
+            with open(
+                os.path.join(self.log_dir, "_last_checkpoint"), "w"
+            ) as fh:
+                json.dump({"version": v, "size": nm + 1 + ns}, fh)
+            return v
+
         n = 2 + len(add_col) + len(txn_col) + len(rm_col)
         tbl = pa.table(
             {

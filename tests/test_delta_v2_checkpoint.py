@@ -229,17 +229,57 @@ def test_missing_sidecar_refused(spark, tmp_path):
         t2.read(spark)
 
 
-def test_writes_into_v2checkpoint_table_refuse(spark, tmp_path):
-    """The writer gate names v2Checkpoint: committing a classic
-    checkpoint into such a table would violate the feature contract,
-    so every write verb refuses."""
+def test_write_and_v2_checkpoint_roundtrip(spark, tmp_path):
+    """Writes into a v2Checkpoint table are SAFE because checkpoint()
+    honors the feature: it emits the V2-spec layout (uuid-named
+    manifest + sidecar under _delta_log/_sidecars/), never a classic
+    checkpoint.  Full loop: adopt the table -> append -> checkpoint ->
+    clean_log -> read back through OUR OWN v2 checkpoint."""
     t = _build_table(spark, tmp_path)
     v = t.latest_version()
     _write_v2_json_checkpoint(t, v)
     _drop_json_log(t)
     t2 = DeltaLiteTable(str(tmp_path / "t"))
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
-        t2.write(_df(spark, [(9, "z")]), mode="append")
+    t2.write(_df(spark, [(9, "z")]), mode="append")
+    cv = t2.checkpoint()
+    # the new checkpoint is V2: uuid-named, with a sidecar file
+    new_cp = [
+        f for f in os.listdir(t2.log_dir)
+        if t2._CP_V2_RE.match(f) and int(f[:20]) == cv
+    ]
+    assert len(new_cp) == 1
+    assert os.listdir(os.path.join(t2.log_dir, "_sidecars"))
+    # and NO classic checkpoint was written for that version
+    assert not os.path.exists(
+        os.path.join(t2.log_dir, f"{cv:020d}.checkpoint.parquet")
+    )
+    t2.clean_log()
+    t3 = DeltaLiteTable(str(tmp_path / "t"))
+    got = sorted((r.id, r.val) for r in t3.read(spark).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (9, "z")]
+
+
+def test_v2_checkpoint_write_preserves_txn_and_tombstones(spark, tmp_path):
+    """The V2 writer's manifest carries txn markers and its sidecar
+    carries remove tombstones — the same clean_log survival contract
+    as classic checkpoints."""
+    t = DeltaLiteTable(str(tmp_path / "w"))
+    t.write(_df(spark, [(1, "a"), (2, "b")]))
+    t.write(_df(spark, [(3, "c")]), mode="append", txn=("app-1", 7))
+    t.write(_df(spark, [(9, "z")]), mode="overwrite")  # tombstones
+    # flip the table to v2Checkpoint by hand (the adopted-table shape)
+    v = t.latest_version()
+    _write_v2_json_checkpoint(t, v)  # carries the v2 protocol
+    _drop_json_log(t)
+    t2 = DeltaLiteTable(str(tmp_path / "w"))
+    t2.write(_df(spark, [(10, "y")]), mode="append", txn=("app-1", 8))
+    cv = t2.checkpoint()
+    t2.clean_log()
+    t3 = DeltaLiteTable(str(tmp_path / "w"))
+    assert t3.txn_versions() == {"app-1": 8}
+    got = sorted((r.id, r.val) for r in t3.read(spark).collect())
+    assert got == [(9, "z"), (10, "y")]
+    assert cv == t3.latest_version()
 
 
 def test_other_unknown_reader_features_still_refused(spark, tmp_path):
