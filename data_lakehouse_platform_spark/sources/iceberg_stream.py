@@ -85,10 +85,15 @@ class _IceFilePartition(InputPartition):
         path: str,
         triples: list[tuple[int, str, str]],
         deleted_rows: list[int],
+        eq_filters: list[tuple[tuple[int, ...], frozenset]] | None = None,
     ):
         self.path = path
         self.triples = triples
         self.deleted_rows = deleted_rows
+        # (equality field-id tuple, key-tuple set) per applicable
+        # equality delete — already sequence-gated driver-side, so the
+        # executor only does set-membership drops
+        self.eq_filters = eq_filters or []
 
 
 class _IcebergStreamReader(DataSourceStreamReader):
@@ -139,14 +144,53 @@ class _IcebergStreamReader(DataSourceStreamReader):
         self, snapshot_id: int
     ) -> list[_IceFilePartition]:
         data_files, deletes = self._table.plan_files(snapshot_id)
+        # EQUALITY deletes (r8 — the bootstrap table may be a Flink-
+        # style upsert table this engine itself now writes): resolve
+        # each delete file driver-side into (field-id tuple, key-tuple
+        # set) — bounded by deleted-KEY cardinality, the same
+        # boundedness argument as the position-delete lists below —
+        # then gate per data file by the spec's strict
+        # ``data seq < delete seq`` rule so each partition ships only
+        # the filters that apply to IT.
         eq = [d for d in deletes if d["kind"] == "eq"]
+        eq_resolved: list[tuple[tuple[int, ...], int, frozenset]] = []
         if eq:
-            raise IcebergProtocolError(
-                "bootstrap snapshot carries equality-delete files — "
-                "the streaming source applies only position deletes; "
-                "read in batch mode or start from "
-                "startingSnapshotId=latest"
-            )
+            import pyarrow.parquet as pq
+
+            id_to_name = {fid: name for fid, name, _d in self._triples}
+            for d in sorted(eq, key=lambda d: (d["seq"], d["path"])):
+                t = pq.read_table(d["path"])
+                id_to_col: dict[int, str] = {}
+                for f in t.schema:
+                    fid = (f.metadata or {}).get(b"PARQUET:field_id")
+                    if fid is not None:
+                        id_to_col[int(fid)] = f.name
+                col_vals = []
+                for fid in d["equality_ids"]:
+                    phys = id_to_col.get(int(fid))
+                    if phys is None:
+                        name = id_to_name.get(int(fid))
+                        phys = (
+                            name if name in t.column_names else None
+                        )
+                    # the id must ALSO be in the emitted schema — the
+                    # executor matches key tuples against emitted rows
+                    if phys is None or int(fid) not in id_to_name:
+                        raise IcebergProtocolError(
+                            f"equality delete {d['path']} references "
+                            f"field id {fid} this schema cannot "
+                            "resolve — refusing rather than resurrect "
+                            "deleted rows"
+                        )
+                    col_vals.append(t.column(phys).to_pylist())
+                keys = frozenset(zip(*col_vals)) if col_vals else frozenset()
+                eq_resolved.append(
+                    (
+                        tuple(int(i) for i in d["equality_ids"]),
+                        int(d["seq"]),
+                        keys,
+                    )
+                )
         # position deletes: (file_path, pos) rows, resolved driver-side
         # — bounded by deleted-row cardinality, like the metadata.
         # file_path values come from _metadata.file_path, a URI whose
@@ -154,12 +198,13 @@ class _IcebergStreamReader(DataSourceStreamReader):
         # local path (the batch reader's strip rule) and match each
         # data file under BOTH its raw and URI-encoded spelling.
         by_file: dict[str, list[int]] = {}
-        if deletes:
+        pos_dels = [d for d in deletes if d["kind"] == "pos"]
+        if pos_dels:
             import re
 
             import pyarrow.parquet as pq
 
-            for d in deletes:
+            for d in pos_dels:
                 t = pq.read_table(
                     d["path"], columns=["file_path", "pos"]
                 )
@@ -180,8 +225,17 @@ class _IcebergStreamReader(DataSourceStreamReader):
             return sorted(rows) if rows else []
 
         return [
-            _IceFilePartition(p, self._triples, _deleted(p))
-            for p, _seq, _part in sorted(data_files)
+            _IceFilePartition(
+                p,
+                self._triples,
+                _deleted(p),
+                [
+                    (ids, keys)
+                    for ids, dseq, keys in eq_resolved
+                    if seq < dseq
+                ],
+            )
+            for p, seq, _part in sorted(data_files)
         ]
 
     def partitions(self, start: dict, end: dict) -> list[_IceFilePartition]:
@@ -239,11 +293,30 @@ class _IcebergStreamReader(DataSourceStreamReader):
                 cols.append(vals)
         n = tbl.num_rows
         deleted = set(partition.deleted_rows)
-        return iter(
+        # equality filters: map each filter's field ids to positions in
+        # the emitted row (triples order), then drop rows whose key
+        # tuple is in the filter's set — null-safe by construction
+        # (None == None in python tuples, matching eqNullSafe)
+        fid_pos = {
+            fid: i for i, (fid, _n, _d) in enumerate(partition.triples)
+        }
+        eq_idx = [
+            ([fid_pos[f] for f in ids], keys)
+            for ids, keys in partition.eq_filters
+        ]
+
+        def _alive(row: tuple) -> bool:
+            for idxs, keys in eq_idx:
+                if tuple(row[j] for j in idxs) in keys:
+                    return False
+            return True
+
+        rows = (
             tuple(c[i] if c is not None else None for c in cols)
             for i in range(n)
             if i not in deleted
         )
+        return iter(r for r in rows if _alive(r)) if eq_idx else rows
 
 
 class IcebergLiteStreamDataSource(DataSource):

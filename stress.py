@@ -37,7 +37,15 @@ attribution rewrite; 5 proves the STREAMING bounded-state claims):
      re-serving the million-row bootstrap), and an OPTIMIZE between
      waves must contribute ZERO rows (dataChange=false invisibility)
      — the per-batch work ∝ new data claim, executed at a size where
-     re-serving the snapshot would be a 50x blowup.
+     re-serving the snapshot would be a 50x blowup;
+ 10. data-skipping scan bounds (delta point predicate on a 256-file
+     table + iceberg manifest point prune);
+ 11. file-scoped ICEBERG MERGE on one partition of a 64-partition
+     2M-row table (read/write amplification bounds);
+ 12. MERGE-ON-READ UPSERT (r8 equality-delete writer): same key-hose,
+     but the commit may only touch SOURCE-sized data — zero table
+     files read or rewritten, bytes written ~ source-sized — the
+     claim that a 100 TB table absorbs a streaming upsert in seconds.
 
 Run: python stress.py   (~3-5 min on local[32]; exit 0 = all bounds hold)
 """
@@ -900,6 +908,85 @@ def main() -> None:
             f"key scans + touched files of a {N11:,}-row table"
         )
     shutil.rmtree(s11, ignore_errors=True)
+
+    # ------------------------------------------------------------------
+    # shape 12: MERGE-ON-READ UPSERT commit cost — the r8 equality-
+    # delete writer.  The same key-hose against a 2M-row table, but
+    # through upsert(): the commit may touch ONLY source-sized data
+    # (stage the rows + distinct the key set) — zero table files read,
+    # zero rewritten, bytes written ~ source-sized.  This is the claim
+    # that a 100 TB table absorbs a streaming upsert in seconds; the
+    # read-side cost it defers is shape-checked by the read-back
+    # assertions (updates visible, inserts present, nothing
+    # resurrected).
+    # ------------------------------------------------------------------
+    N12, P12 = 2_000_000, 64
+    s12 = tempfile.mkdtemp(prefix="stress12-")
+    tu = IcebergLiteTable(os.path.join(s12, "t"))
+    tu.write(
+        spark.range(N12).select(
+            F.col("id").alias("k"),
+            (F.col("id") % P12).cast("int").alias("bucket"),
+            (F.col("id") * 3).alias("val"),
+        ),
+        partition_by=["bucket"],
+    )
+    files12, _ = tu.plan_files()
+    bytes_before12 = sum(os.path.getsize(p) for p, _s, _pt in files12)
+    SRC12 = 5_000
+    src12 = spark.range(SRC12 - 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % P12).cast("int").alias("bucket"),
+        F.lit(-1).cast("long").alias("val"),
+    ).unionAll(
+        spark.range(500).select(
+            (N12 + F.col("id")).alias("k"),
+            ((N12 + F.col("id")) % P12).cast("int").alias("bucket"),
+            F.lit(-2).cast("long").alias("val"),
+        )
+    )
+    mark12 = last_stage(spark)
+    res12 = tu.upsert(spark, src12, keys=["k"])
+    upsert_in12 = total_input_records(spark, mark12)
+    files12b, dels12b = tu.plan_files()
+    new_paths12 = {p for p, _s, _pt in files12b} - {
+        p for p, _s, _pt in files12
+    }
+    new_bytes12 = sum(os.path.getsize(p) for p in new_paths12) + sum(
+        os.path.getsize(d["path"]) for d in dels12b
+    )
+    print(
+        f"[iceberg_upsert_mor] commit input {upsert_in12:,} records vs "
+        f"table {N12:,}; wrote {new_bytes12:,} bytes vs table "
+        f"{bytes_before12:,}; keys={res12['keys']:,} rows={res12['rows']:,}",
+        flush=True,
+    )
+    if {p for p, _s, _pt in files12} - {p for p, _s, _pt in files12b}:
+        failures.append("shape12 BOUND: upsert removed/rewrote data files")
+    # commit-side reads: staging passes over the SOURCE only (a few
+    # materializations of 5k rows), never the 2M-row table
+    if upsert_in12 > 20 * SRC12:
+        failures.append(
+            f"shape12 BOUND: upsert read {upsert_in12:,} records > "
+            f"20x the {SRC12:,}-row source — commit cost is not "
+            "table-independent"
+        )
+    if new_bytes12 > 0.02 * bytes_before12:
+        failures.append(
+            f"shape12 BOUND: upsert wrote {new_bytes12:,} bytes > 2% "
+            f"of the {bytes_before12:,}-byte table"
+        )
+    # read-back: deferred cost, correct answer
+    n_after12 = tu.read(spark).count()
+    if n_after12 != N12 + 500:
+        failures.append(
+            f"shape12 WRONG ANSWER: {n_after12:,} rows != {N12 + 500:,}"
+        )
+    if tu.read(spark, predicate="val = -1").count() != SRC12 - 500:
+        failures.append("shape12 WRONG ANSWER: updates not applied")
+    if tu.read(spark, predicate="val = -2").count() != 500:
+        failures.append("shape12 WRONG ANSWER: inserts missing")
+    shutil.rmtree(s12, ignore_errors=True)
 
     print()
     if failures:

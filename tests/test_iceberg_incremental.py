@@ -230,3 +230,39 @@ def test_stream_schema_and_nested_refusal(registered, tmp_path):
         spark.readStream.format("iceberg_lite").option(
             "path", n.path
         ).load().writeStream.format("noop").start()
+
+
+def test_stream_bootstrap_applies_equality_deletes(registered, tmp_path):
+    """r8: the bootstrap snapshot may be a Flink-style upsert table
+    (equality deletes this engine itself now writes) — the stream's
+    first batch must serve the post-delete state with strict
+    sequence gating (rows re-inserted AFTER the delete survive)."""
+    spark = registered
+    t = _mk(spark, tmp_path)  # (1, "a"), (2, "b")
+    t.upsert(
+        spark,
+        spark.createDataFrame([(2, "B"), (5, "e")], "id long, val string"),
+        keys=["id"],
+    )
+    # re-insert a key the upsert's delete targeted — newer sequence,
+    # must NOT be re-deleted
+    _append(spark, t, [(9, "z")])
+    got = _drain(
+        spark, t.path, str(tmp_path / "o"), str(tmp_path / "c")
+    )
+    assert got == [(1, "a"), (2, "B"), (5, "e"), (9, "z")]
+    # and the stream agrees with the batch reader exactly
+    batch = sorted(tuple(r) for r in t.read(spark).collect())
+    assert got == batch
+
+
+def test_stream_bootstrap_equality_delete_only_table(registered, tmp_path):
+    spark = registered
+    t = _mk(spark, tmp_path)
+    t.delete_equality(
+        spark, spark.createDataFrame([(1,)], "id long"), ["id"]
+    )
+    got = _drain(
+        spark, t.path, str(tmp_path / "o2"), str(tmp_path / "c2")
+    )
+    assert got == [(2, "b")]

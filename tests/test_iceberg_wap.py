@@ -148,3 +148,43 @@ def test_verb_model_with_branches(spark, tmp_path):
             t.fast_forward("main", "stage")
             main = dict(branch)
         check()
+
+
+def test_wap_with_upsert_and_equality_delete_on_branch(spark, tmp_path):
+    """The Flink WAP pattern: upserts and equality deletes stage onto
+    the audit branch too — main is untouched until fast_forward, and
+    the published state equals the branch state exactly."""
+    t = IcebergLiteTable(str(tmp_path / "t"))
+    t.write(_mk(spark, [(i, float(i)) for i in range(6)]))
+    main_pre = _rows(t, spark)
+    t.create_branch("audit")
+    t.upsert(
+        spark, _mk(spark, [(0, 100.0), (50, 150.0)]), keys=["id"],
+        branch="audit",
+    )
+    t.delete_equality(
+        spark, spark.createDataFrame([(1,)], "id int"), ["id"],
+        branch="audit",
+    )
+    # main untouched through BOTH staged commits
+    assert _rows(t, spark) == main_pre
+    staged = {r.id: r.v for r in t.read(spark, ref="audit").collect()}
+    assert staged == {0: 100.0, 2: 2.0, 3: 3.0, 4: 4.0, 5: 5.0, 50: 150.0}
+    t.fast_forward("main", "audit")
+    assert {r.id: r.v for r in t.read(spark).collect()} == staged
+
+
+def test_branch_upsert_refusals(spark, tmp_path):
+    t = IcebergLiteTable(str(tmp_path / "t"))
+    t.write(_mk(spark, [(1, 1.0)]))
+    t.create_tag("pin")
+    src = _mk(spark, [(2, 2.0)])
+    with pytest.raises(FileNotFoundError, match="create_branch"):
+        t.upsert(spark, src, keys=["id"], branch="nope")
+    with pytest.raises(ValueError, match="tag"):
+        t.upsert(spark, src, keys=["id"], branch="pin")
+    with pytest.raises(FileNotFoundError, match="create_branch"):
+        t.delete_equality(
+            spark, spark.createDataFrame([(1,)], "id int"), ["id"],
+            branch="nope",
+        )
