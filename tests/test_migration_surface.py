@@ -49,6 +49,24 @@ _NAMED_APIS = [
     ("data_lakehouse_platform_spark.engine", "Lakehouse"),
 ]
 
+# Table-format VERBS the doc names (methods, so the module-attr pin
+# above can't see them): each must exist on its class AND stay in the
+# doc.  r8 additions: equality-delete writes + WAP.
+_NAMED_METHODS = [
+    ("data_lakehouse_platform_spark.sources.iceberg_lite",
+     "IcebergLiteTable", "delete_equality"),
+    ("data_lakehouse_platform_spark.sources.iceberg_lite",
+     "IcebergLiteTable", "upsert"),
+    ("data_lakehouse_platform_spark.sources.iceberg_lite",
+     "IcebergLiteTable", "fast_forward"),
+    ("data_lakehouse_platform_spark.sources.iceberg_lite",
+     "IcebergLiteTable", "create_branch"),
+    ("data_lakehouse_platform_spark.sources.iceberg_lite",
+     "IcebergLiteTable", "rewrite_data_files"),
+    ("data_lakehouse_platform_spark.sources.delta_lite",
+     "DeltaLiteTable", "clone_to"),
+]
+
 # Registry keys the doc cites as script replacements.
 _NAMED_QUERIES = [
     "bronze_incremental_orders",
@@ -166,3 +184,15 @@ def test_runner_task_surface():
     t = Task(name="a", fn=lambda: None)
     assert t.name == "a"
     assert hasattr(PipelineRunner, "run")
+
+
+@pytest.mark.parametrize("module,cls,method", _NAMED_METHODS)
+def test_named_method_exists_and_in_doc(module, cls, method):
+    mod = importlib.import_module(module)
+    klass = getattr(mod, cls)
+    assert callable(getattr(klass, method)), (
+        f"{cls}.{method} named in MIGRATION.md"
+    )
+    assert f"`{method}" in _doc_text(), (
+        f"MIGRATION.md no longer names {cls}.{method}"
+    )
