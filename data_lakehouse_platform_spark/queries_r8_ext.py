@@ -480,3 +480,182 @@ def rolling_corr_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(n * sxy - sx * sy) / "
         "(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr_30d",
     )
+
+
+# ----------------------------------------------------------------------------
+# Winnowing near-dup pairs (fingerprint-bucket join)
+# ----------------------------------------------------------------------------
+
+_WP_CAP = 20  # max docs sharing one fingerprint admitted to pairing
+_WP_MIN_SHARED = 2
+
+
+def _winnow_pairs_oracle() -> str:
+    from data_lakehouse_platform_spark.operators.text import (
+        sql_normalize_ws,
+    )
+
+    terms = " || ' ' || ".join(f"toks[pos + {j}]" for j in range(_WIN_K))
+    return f"""
+WITH norm_docs AS (
+  SELECT doc_id, string_split({sql_normalize_ws('text')}, ' ') AS toks
+  FROM documents
+),
+pos_sh AS (
+  SELECT doc_id, toks,
+         unnest(CASE WHEN len(toks) >= {_WIN_K}
+                     THEN range(1, len(toks) - {_WIN_K - 2})
+                     ELSE [] END) AS pos
+  FROM norm_docs
+),
+hashed AS (
+  SELECT doc_id, pos, md5({terms}) AS h FROM pos_sh
+),
+winmin AS (
+  SELECT doc_id, pos, h,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {_WIN_W - 1} PRECEDING
+                      AND CURRENT ROW) AS wmin
+  FROM hashed
+),
+fp AS (
+  SELECT DISTINCT doc_id, h FROM winmin
+  WHERE pos >= {_WIN_W} AND h = wmin
+),
+ok_fp AS (
+  SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= {_WP_CAP}
+),
+fpc AS (
+  SELECT f.doc_id, f.h FROM fp f JOIN ok_fp USING (h)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_fp
+FROM fpc a JOIN fpc b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_WP_MIN_SHARED}
+"""
+
+
+@register(
+    "winnowing_pairs",
+    _winnow_pairs_oracle(),
+    f"Near-dup candidate pairs from shared winnowing fingerprints — "
+    f"the MOSS matching step: docs sharing >= {_WP_MIN_SHARED} "
+    "selected fingerprints (winnowing guarantees any w+k-1-word match "
+    "shares one, so requiring 2 suppresses single-collision noise). "
+    f"Pair generation bucket-bounded by the {_WP_CAP}-doc hot-"
+    "fingerprint cap (boilerplate shared by everyone is a stop-"
+    "fingerprint — same discipline as LSH banding, gate mirrored in "
+    "the oracle's HAVING). An independent recall channel beside "
+    "MinHash-LSH: winnowing catches short verbatim spans LSH's "
+    "whole-doc signatures dilute.",
+)
+def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_platform_spark.operators.text import (
+        shingle_expr,
+        ws_tokens,
+    )
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.posexplode(shingle_expr("toks", _WIN_K)).alias("pos", "sh"),
+    ).select("doc_id", "pos", F.md5(F.col("sh").cast("binary")).alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(_WIN_W - 1), 0
+    )
+    fp = (
+        hashed.withColumn("wmin", F.min("h").over(win))
+        .filter(
+            (F.col("pos") >= _WIN_W - 1) & (F.col("h") == F.col("wmin"))
+        )
+        .select("doc_id", "h")
+        .distinct()
+    )
+    # both the cap aggregate and both join sides consume fp: keep the
+    # fingerprint index (n_docs x selected-density narrow rows), don't
+    # re-run the shingle+window pipeline per consumer
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    ok = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= _WP_CAP)
+        .select("h")
+    )
+    fpc = fp.join(ok, "h")
+    a = fpc.select(F.col("doc_id").alias("doc_a"), "h")
+    b = fpc.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= _WP_MIN_SHARED)
+    )
+
+
+# ----------------------------------------------------------------------------
+# Odds ratio: deep discount vs returns (Haldane-Anscombe corrected)
+# ----------------------------------------------------------------------------
+
+_OR_ORACLE = """
+WITH cells AS (
+  SELECT l_linestatus,
+         CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT l_linestatus, a, b, c, d,
+       ((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5))
+         / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5))
+         AS odds_ratio
+FROM cells
+"""
+
+
+@register(
+    "odds_ratio_discount_return",
+    _OR_ORACLE,
+    "Odds ratio of RETURN given deep discount (>= 5%), per line "
+    "status, with the Haldane-Anscombe +0.5 correction so empty cells "
+    "never divide by zero — the 2x2 effect-size companion to the "
+    "chi-square/Cramer's-V family. One map-side-combinable aggregate "
+    "over four conditional counts; the ratio is one shared double "
+    "expression (identical op sequence both engines, no logs).",
+)
+def odds_ratio_discount_return(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    deep = F.col("l_discount") >= 0.05
+    ret = F.col("l_returnflag") == "R"
+
+    def _n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    cells = li.groupBy("l_linestatus").agg(
+        _n(deep & ret).alias("a"),
+        _n(deep & ~ret).alias("b"),
+        _n(~deep & ret).alias("c"),
+        _n(~deep & ~ret).alias("d"),
+    )
+    return cells.selectExpr(
+        "l_linestatus", "a", "b", "c", "d",
+        "((CAST(a AS DOUBLE) + 0.5D) * (CAST(d AS DOUBLE) + 0.5D)) / "
+        "((CAST(b AS DOUBLE) + 0.5D) * (CAST(c AS DOUBLE) + 0.5D)) "
+        "AS odds_ratio",
+    )
