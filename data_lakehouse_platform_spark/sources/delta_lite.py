@@ -1987,6 +1987,113 @@ class DeltaLiteTable:
             op_desc=f"{mode or 'initial'} commit",
         )
 
+    @classmethod
+    def convert_from_parquet(cls, spark: SparkSession, path: str):
+        """``CONVERT TO DELTA`` — adopt an EXISTING directory of plain
+        parquet as a Delta table IN PLACE, zero copy: version 0 is one
+        commit whose ``add`` actions reference the files where they
+        already sit (relative paths, per the protocol), with schema
+        from the parquet footers and numRecords stats so COUNT-style
+        skipping works immediately.  The migration on-ramp delta-spark
+        ships as ``CONVERT TO DELTA parquet.`path```; after it, the
+        full verb set (append/DELETE/MERGE/OPTIMIZE/time travel)
+        applies to data that was never rewritten.
+
+        Refusals: an existing ``_delta_log`` (already a table — a
+        second convert would fork history), hive-partition
+        subdirectories (their partition values live in directory names
+        a flat convert would silently drop — delta-spark requires an
+        explicit partition schema for those, which this lite
+        implementation does not take), and a directory with no parquet
+        at all.  Returns the new :class:`DeltaLiteTable`.
+        """
+        import pyarrow.parquet as pq
+
+        root = os.path.abspath(path)
+        t = cls(root)
+        if os.path.isdir(t.log_dir) and os.listdir(t.log_dir):
+            raise DeltaProtocolError(
+                f"{root} already has a _delta_log — it IS a Delta "
+                "table; converting again would fork its history"
+            )
+        rels = []
+        for dirpath, dirs, files in os.walk(root):
+            if os.path.abspath(dirpath).startswith(
+                os.path.abspath(t.log_dir)
+            ):
+                continue
+            rel_dir = os.path.relpath(dirpath, root)
+            if rel_dir != "." and any(
+                "=" in part for part in rel_dir.split(os.sep)
+            ):
+                raise DeltaProtocolError(
+                    f"hive-partition directory {rel_dir!r} found — its "
+                    "partition values live in the directory name; "
+                    "convert requires a partition schema this "
+                    "implementation does not take (rewrite through "
+                    "write(partition_by=...) instead)"
+                )
+            rels.extend(
+                os.path.join("" if rel_dir == "." else rel_dir, f)
+                for f in sorted(files)
+                if f.endswith(".parquet")
+            )
+        if not rels:
+            raise FileNotFoundError(f"no parquet files under {root}")
+        df = spark.read.parquet(root)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CONVERT",
+                    "operationParameters": {"numFiles": len(rels)},
+                    "engineInfo": "delta-lite/0.1 (protocol v1)",
+                }
+            },
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            },
+        ]
+        for rel in sorted(rels):
+            full = os.path.join(root, rel)
+            actions.append(
+                {
+                    "add": {
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": {},
+                        "size": os.path.getsize(full),
+                        "modificationTime": int(
+                            os.path.getmtime(full) * 1000
+                        ),
+                        "dataChange": True,
+                        "stats": json.dumps(
+                            {
+                                "numRecords": pq.read_metadata(
+                                    full
+                                ).num_rows
+                            }
+                        ),
+                    }
+                }
+            )
+        t._commit(
+            actions,
+            0,
+            stale_sensitive=True,
+            computed_against=None,
+            op_desc="CONVERT TO DELTA",
+        )
+        return t
+
     @staticmethod
     def _proto_with_dv(proto: dict) -> dict:
         """Upgrade a protocol action to carry deletionVectors WITHOUT

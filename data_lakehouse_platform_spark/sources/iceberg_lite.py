@@ -4354,3 +4354,206 @@ class IcebergLiteTable:
         ]
         self._commit_metadata_json(meta)
         return sorted(removed)
+
+    def remove_orphan_files(
+        self, older_than_ms: int | None = None
+    ) -> list[str]:
+        """Delete files under ``data/`` that NO snapshot references —
+        Iceberg's remove_orphan_files maintenance procedure, the
+        cleaner for crashed-writer staging debris and files from
+        aborted commits that :meth:`expire_snapshots` (which only
+        deletes what dropped snapshots referenced) can never touch.
+
+        ``older_than_ms`` (default: 3 days ago, the procedure's
+        documented default) is the safety horizon: files younger than
+        it are kept even when unreferenced, because an IN-FLIGHT
+        writer's staged files are unreferenced BY DESIGN until its
+        commit lands — deleting them would corrupt the race it is
+        about to win.  Only the data directory is swept; metadata
+        files (manifests, manifest lists, metadata.json) belong to
+        :meth:`expire_snapshots`'s lifecycle.  Returns deleted paths.
+        """
+        meta = self.metadata()
+        horizon = (
+            int(time.time() * 1000) - 3 * 24 * 3600 * 1000
+            if older_than_ms is None
+            else int(older_than_ms)
+        )
+        referenced: set[str] = set()
+        for s in meta.get("snapshots", []):
+            for mp, _c, _s in self._manifest_paths(s):
+                from data_lakehouse_platform_spark.sources.avro_lite import (
+                    read_container,
+                )
+
+                _, entries = read_container(mp)
+                for e in entries:
+                    # status-2 (DELETED) entries included: an OLDER
+                    # snapshot may still read that file
+                    referenced.add(
+                        os.path.abspath(
+                            _local_path(e["data_file"]["file_path"])
+                        )
+                    )
+        ddir = os.path.join(os.path.abspath(self.path), "data")
+        removed = []
+        for root, _dirs, files in os.walk(ddir):
+            for f in files:
+                p = os.path.abspath(os.path.join(root, f))
+                if p in referenced:
+                    continue
+                if os.path.getmtime(p) * 1000 >= horizon:
+                    continue  # inside the in-flight-writer horizon
+                os.remove(p)
+                removed.append(p)
+        # sweep now-empty staging directories (cosmetic, best-effort)
+        for root, dirs, files in os.walk(ddir, topdown=False):
+            if root != ddir and not dirs and not files:
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+        return sorted(removed)
+
+    def add_files(self, spark: SparkSession, paths: list[str]) -> int:
+        """Register EXISTING parquet files as a new append snapshot
+        WITHOUT rewriting them — Iceberg's ``add_files`` migration
+        procedure, the zero-copy adoption path for a directory of
+        plain parquet a user wants under snapshot/time-travel
+        management.  The files stay where they are (absolute paths in
+        the manifest; the spec allows locations outside the table
+        dir).  Schemas must match the table's by name+type (files are
+        id-less, so reads resolve them by NAME — exactly the
+        fallback _resolved_scan implements); on a fresh table the
+        first file's Spark-read schema becomes the table schema.
+        Unpartitioned only: a hive-layout directory carries partition
+        values in DIRECTORY NAMES that this registration would
+        silently drop — refused loudly.  Returns the snapshot id.
+        """
+        import pyarrow.parquet as pq
+
+        if not paths:
+            raise ValueError("add_files needs at least one parquet path")
+        for p in paths:
+            if not os.path.exists(p):
+                raise FileNotFoundError(p)
+            if "=" in os.path.basename(os.path.dirname(p)):
+                raise IcebergProtocolError(
+                    f"{p} sits in a hive-partition directory — its "
+                    "partition values live in the directory name and "
+                    "would be silently dropped; rewrite through "
+                    "write(partition_by=...) instead"
+                )
+        df = spark.read.parquet(paths[0])
+        try:
+            meta = self.metadata()
+            cur_fields, _sid = self._current_schema(meta)
+            tcols = [(f["name"], f["type"]) for f in cur_fields]
+            ice = [
+                (f["name"], f["type"]) for f in self._iceberg_schema(df)
+            ]
+            if ice != tcols:
+                raise ValueError(
+                    f"file schema {ice} differs from table schema "
+                    f"{tcols}; align or rewrite through write()"
+                )
+            if self._table_spec(meta):
+                raise IcebergProtocolError(
+                    "add_files targets unpartitioned tables only — "
+                    "registered files carry no partition tuple, so "
+                    "manifest pruning on a partitioned table would be "
+                    "unsound"
+                )
+        except FileNotFoundError:
+            # fresh table: create it with the file schema via an empty
+            # write, then register the files as the first real snapshot
+            self.write(df.limit(0))
+        # one manifest of existing files, committed as a plain append:
+        # reuse write()'s commit shape by constructing entries directly
+        meta = self.metadata()
+        snaps = meta.get("snapshots", [])
+        snap_id = max(
+            (int(s["snapshot-id"]) for s in snaps), default=0
+        ) + 1
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        now_ms = int(time.time() * 1000)
+        entries = [
+            {
+                "status": 1, "snapshot_id": snap_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.abspath(p),
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": pq.read_metadata(p).num_rows,
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+            for p in paths
+        ]
+        cur_sid = int(meta.get("current-schema-id", 0))
+        cur_fields = next(
+            s["fields"] for s in meta.get("schemas", [])
+            if s.get("schema-id") == cur_sid
+        )
+        import uuid as uuidlib
+
+        from data_lakehouse_platform_spark.sources.avro_lite import (
+            write_container,
+        )
+
+        extra = {
+            "schema": json.dumps(
+                {"type": "struct", "schema-id": cur_sid,
+                 "fields": cur_fields}
+            ).encode(),
+            "partition-spec": json.dumps([]).encode(),
+            "partition-spec-id": b"0",
+            "format-version": b"2",
+            "content": b"data",
+        }
+        mpath = os.path.join(
+            self.metadata_dir, f"m-{uuidlib.uuid4().hex}.avro"
+        )
+        write_container(mpath, _manifest_schema([]), entries,
+                        extra_metadata=extra)
+        n_rows = sum(e["data_file"]["record_count"] for e in entries)
+        ml_rows = [
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(paths),
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": n_rows,
+                "existing_rows_count": 0, "deleted_rows_count": 0,
+            }
+        ]
+        cur_id = meta.get("current-snapshot-id")
+        cur_snap = next(
+            (s for s in snaps if int(s["snapshot-id"]) == cur_id), None
+        )
+        if cur_snap is not None:
+            ml_rows.extend(self._manifest_list_rows(cur_snap))
+        ml_path = os.path.join(
+            self.metadata_dir,
+            f"snap-{snap_id}-1-{uuidlib.uuid4().hex}.avro",
+        )
+        write_container(ml_path, _ML_SCHEMA, ml_rows,
+                        extra_metadata={"format-version": b"2"})
+        snap = {
+            "snapshot-id": snap_id, "sequence-number": seq,
+            "timestamp-ms": now_ms, "manifest-list": ml_path,
+            "summary": {"operation": "append"},
+            "schema-id": cur_sid,
+        }
+        if cur_id is not None and int(cur_id) != -1:
+            snap["parent-snapshot-id"] = int(cur_id)
+        meta["snapshots"] = snaps + [snap]
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        self._advance_head(meta, snap_id, now_ms, "main")
+        self._commit_metadata_json(meta)
+        return snap_id

@@ -95,6 +95,14 @@ QUERIES = [
     # should ratio well under the standard linear bound.
     ("spearman_qty_price", 13.0),
     ("tv_distance_sources", 13.0),
+    # r8: the two new heaviest headline queries.  winnowing_pairs
+    # rides the near-dup bound: 10 verbatim replicas of every doc make
+    # every fingerprint bucket 10x denser, so pair counts grow ~100x
+    # harder than linear UNLESS the hot-fingerprint cap holds — this
+    # is exactly the instance the cap exists for.  neighbor_jaccard's
+    # pair growth is likewise cap-bounded per part.
+    ("winnowing_pairs", 20.0),
+    ("graph_neighbor_jaccard", 20.0),
 ]
 
 

@@ -65,6 +65,12 @@ _NAMED_METHODS = [
      "IcebergLiteTable", "rewrite_data_files"),
     ("data_lakehouse_platform_spark.sources.delta_lite",
      "DeltaLiteTable", "clone_to"),
+    ("data_lakehouse_platform_spark.sources.delta_lite",
+     "DeltaLiteTable", "convert_from_parquet"),
+    ("data_lakehouse_platform_spark.sources.iceberg_lite",
+     "IcebergLiteTable", "remove_orphan_files"),
+    ("data_lakehouse_platform_spark.sources.iceberg_lite",
+     "IcebergLiteTable", "add_files"),
 ]
 
 # Registry keys the doc cites as script replacements.
