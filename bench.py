@@ -21,6 +21,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from data_lakehouse_platform_spark.queries import all_queries
 from data_lakehouse_platform_spark.session import get_spark
 
+# Absolute-delta floor for per-query regression flags (r9): ratio alone
+# false-flags sub-second noise-dominated queries (a 92 ms jitter on
+# changelog_compaction reads 1.31x), so a flag requires ratio > 1.3 AND
+# (now - pin) > this many seconds.  A genuine 2x slowdown on any >=2 s
+# query exceeds the floor by an order of magnitude
+# (tests/test_bench_guard.py pins both directions).
+FLAG_FLOOR_SEC = 0.2
+FLAG_RATIO = 1.3
+
+
+def flag_regressions(
+    base: dict[str, float], lane: dict[str, float]
+) -> dict[str, tuple[float, float]]:
+    """The guard's per-query flagging decision, extracted pure so the
+    two-condition contract (ratio AND absolute floor) is unit-testable
+    without a bench run."""
+    return {
+        n: (base[n], lane[n])
+        for n in lane
+        if n in base
+        and base[n] > 0
+        and lane[n] > FLAG_RATIO * base[n]
+        and lane[n] - base[n] > FLAG_FLOOR_SEC
+    }
+
 # Headline set: one per operator family, weighted toward shuffle/join
 # heavy plans where Spark's execution strategy actually matters.
 HEADLINE = [
@@ -209,6 +234,26 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     steady_total = round(sum(steady.values()), 3) if steady else None
 
+    # Plan-shape fingerprints (r9): wall time at sf0.1 cannot see a
+    # plan flip that stays fast locally but kills at 100x (a broadcast
+    # silently becoming a shuffle under a stats change).  Hash each
+    # headline query's canonicalized operator tree with AQE disabled
+    # (the static plan is deterministic; AQE finals depend on runtime
+    # sizes) and diff against BENCH_BASELINE.json's plan_hashes pin.
+    # Pure plan compilation — nothing executes, costs ~seconds.
+    from data_lakehouse_platform_spark.plans import plan_fingerprint
+
+    plan_hashes: dict[str, str] = {}
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in names:
+            plan_hashes[name] = plan_fingerprint(
+                _builder(registry[name])(spark, sf_dir)
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
     # Round-over-round regression guard: compare per-query wall time
     # against the checked-in driver-box baseline (BENCH_BASELINE.json,
     # refreshed each round from the driver's BENCH_r{N}.json). Report
@@ -246,11 +291,12 @@ def main() -> None:
                 f"{lane_name} timings against its single-shot numbers",
                 file=sys.stderr,
             )
-        regressions = {
-            n: (base[n], lane[n])
-            for n in lane
-            if n in base and base[n] > 0 and lane[n] > 1.3 * base[n]
-        }
+        # Flag needs BOTH ratio > 1.3 AND delta > FLAG_FLOOR_SEC: a
+        # sub-second noise-dominated query (changelog_compaction's 92 ms
+        # jitter flagged an otherwise-clean r8 judge run) cannot move
+        # the needle by ratio alone, while a real 2x slowdown on any
+        # multi-second query clears the floor trivially.
+        regressions = flag_regressions(base, lane)
         if regressions:
             for n, (b, now) in sorted(regressions.items()):
                 print(
@@ -259,13 +305,15 @@ def main() -> None:
                     file=sys.stderr,
                 )
             guard_verdict = (
-                f"{len(regressions)} {lane_name} queries >1.3x baseline: "
+                f"{len(regressions)} {lane_name} queries >{FLAG_RATIO}x "
+                f"baseline and >{FLAG_FLOOR_SEC}s over it: "
                 + ", ".join(sorted(regressions))
             )
         else:
             guard_verdict = (
-                f"no >1.3x per-query {lane_name} regressions vs baseline "
-                f"({len(base)} tracked)"
+                f"no per-query {lane_name} regressions (>{FLAG_RATIO}x "
+                f"AND >{FLAG_FLOOR_SEC}s over baseline; "
+                f"{len(base)} tracked)"
             )
             print(guard_verdict, file=sys.stderr)
         if polluted_reasons and regressions:
@@ -275,6 +323,26 @@ def main() -> None:
             guard_verdict = (
                 "POLLUTED RUN - flags below are not evidence, rerun on a "
                 "quiet box: " + guard_verdict
+            )
+    # Plan-hash drift is load-independent evidence (no timing in it) —
+    # report regardless of pollution.  Drift is not automatically a
+    # regression (an intentional plan improvement also flips the hash):
+    # adjudicate via PLANS.md/.explain, then re-pin plan_hashes in
+    # BENCH_BASELINE.json from this run's plan_hashes output.
+    plan_drift: list[str] = []
+    if os.path.exists(baseline_path) and abs(sf - 0.1) < 1e-9:
+        pinned_hashes = base_doc.get("plan_hashes", {})
+        plan_drift = sorted(
+            n for n, h in plan_hashes.items()
+            if n in pinned_hashes and pinned_hashes[n] != h
+        )
+        for n in plan_drift:
+            print(
+                f"PLAN DRIFT {n}: fingerprint {plan_hashes[n]} != pinned "
+                f"{pinned_hashes[n]} — operator tree changed; inspect "
+                "with .explain('formatted'), then re-pin plan_hashes in "
+                "BENCH_BASELINE.json if intentional",
+                file=sys.stderr,
             )
     for r in polluted_reasons:
         print(f"POLLUTED: {r}", file=sys.stderr)
@@ -299,6 +367,11 @@ def main() -> None:
         "sentinel_sec": sentinel_sec,
         "polluted": bool(polluted_reasons),
         "polluted_reasons": polluted_reasons,
+        # Canonicalized operator-tree hashes (AQE-off static plans) —
+        # diffed against BENCH_BASELINE.json plan_hashes; drift means
+        # the plan SHAPE changed even if wall time didn't.
+        "plan_hashes": plan_hashes,
+        "plan_drift": plan_drift,
     }
     if steady:
         out["queries_steady"] = steady

@@ -41,10 +41,11 @@ stream arrives as Arrow batches, per-batch counting is vectorized
 (``value_counts``), and only the ≤ c-entry summary dict is touched per
 batch.
 
-Reference analog: the reference's "top products" dashboards
-(scripts/batch/gold_product_agg.py) compute full groupBy counts; this
-is the shape that survives when the group domain no longer fits the
-shuffle.
+Reference analog: the reference's gold fact rebuild
+(scripts/batch/gold_fact_orders.py) and its duplicate-count gates
+(scripts/batch/data_quality/bronze_validation.py) compute full groupBy
+counts; this is the shape that survives when the group domain no
+longer fits the shuffle.
 """
 
 from __future__ import annotations

@@ -21,8 +21,8 @@ plus the view (group-cardinality, orders of magnitude smaller), and
 every step is a partial-aggregatable groupBy or a co-partitioned
 full-outer merge — no step touches unchanged fact rows.
 
-Reference analog: the reference rebuilds its gold aggregates from
-scratch per run (scripts/batch/gold_product_agg.py); this is the shape
+Reference analog: the reference rebuilds its gold fact table from
+scratch per run (scripts/batch/gold_fact_orders.py); this is the shape
 that replaces the nightly full scan once the fact table stops fitting
 a night.
 """

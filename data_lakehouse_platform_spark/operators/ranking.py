@@ -25,10 +25,11 @@ Wall-clock is two parallel passes plus a B-row broadcast, independent of
 row count.  The input is persisted so the cuts/stats/main passes reuse one
 materialization instead of re-running the upstream aggregation three times.
 
-Reference analog: the reference computes customer tiers with single-node
-pandas-style ranking (loyalty tiers in scripts/batch/silver_customers.py);
-this is the shape that survives when the customer table no longer fits a
-node.
+Reference analog: the reference's customer tiers are a static enum
+column (scripts/database/create_table.py) cached node-locally for
+eligibility checks (scripts/database/lookup_data_cache.py); this is
+the shape that survives when tiers must be COMPUTED by rank over a
+customer table that no longer fits a node.
 """
 
 from __future__ import annotations

@@ -47,6 +47,48 @@ class PlanAudit:
         }
 
 
+def canonical_plan(df: DataFrame) -> str:
+    """Canonicalize ``df``'s physical plan to its operator-node
+    sequence — expression ids, codegen ids, file paths, and all other
+    run-varying detail stripped — so a hash of it pins the plan SHAPE.
+
+    Wall-time at sf0.1 cannot see a plan flip that stays fast locally
+    but kills at 100x (a broadcast silently becoming a shuffle under a
+    stats change); this canonical form changes exactly when the
+    operator tree changes.  Generate with AQE DISABLED on a fixed
+    session config: the static plan is deterministic for a given
+    (code, schema, stats) triple, while AQE finals depend on runtime
+    partition sizes.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
+    nodes = []
+    for line in plan.splitlines():
+        # strip tree art (":  +- ", "*(3) ", ...) then take the node name
+        stripped = re.sub(r"^[\s:+\-*()\d]*", "", line)
+        m = re.match(r"[A-Za-z][A-Za-z0-9]*", stripped)
+        if not m:
+            continue
+        name = m.group(0)
+        if name in ("Arguments", "Input", "Output", "Results", "Keys",
+                    "Functions", "Condition", "ReadSchema", "Location",
+                    "PushedFilters", "Batched", "DataFilters",
+                    "PartitionFilters", "Format", "Statistics"):
+            continue  # formatted-mode detail lines, not operator nodes
+        nodes.append(name)
+    return "\n".join(nodes)
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """sha256 (12 hex chars) of :func:`canonical_plan`."""
+    import hashlib
+
+    return hashlib.sha256(
+        canonical_plan(df).encode()
+    ).hexdigest()[:12]
+
+
 def audit_plan(df: DataFrame) -> PlanAudit:
     """Audit the executed (post-AQE-planning) physical plan of ``df``."""
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -278,6 +278,7 @@ LIMIT {_NJ_TOPK}
     "degrees; top-k with full tiebreakers.",
 )
 def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -289,13 +290,22 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # the fact-sized lineitem⋈orders + distinct feeds BOTH the stop-item
+    # cap aggregate and the capped edge build: keep the edge index (two
+    # longs per distinct (customer, part)), don't rebuild it per consumer
+    # — the winnowing_pairs discipline
+    edges_all = edges_all.persist(StorageLevel.MEMORY_AND_DISK)
     ok_parts = (
         edges_all.groupBy("p")
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") <= _NJ_CAP)
         .select("p")
     )
-    edges = edges_all.join(ok_parts, "p")
+    # capped edges feed the degree pass AND both pair-join sides (3
+    # consumers): persist, so the cap join runs once
+    edges = edges_all.join(ok_parts, "p").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     deg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
     a = edges.select(F.col("c").alias("cust_a"), "p")
     b = edges.select(F.col("c").alias("cust_b"), "p")
@@ -392,12 +402,23 @@ def basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RC_W = 30
 
 _RC_ORACLE = f"""
-WITH daily AS (
+WITH observed AS (
   SELECT CAST(l_shipdate AS DATE) AS day,
          CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS xi,
          CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
            AS yi
   FROM lineitem GROUP BY 1
+),
+grid AS (
+  SELECT CAST(unnest(generate_series(MIN(day), MAX(day),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM observed
+),
+daily AS (
+  SELECT g.day,
+         COALESCE(o.xi, 0) AS xi,
+         COALESCE(o.yi, 0) AS yi
+  FROM grid g LEFT JOIN observed o ON g.day = o.day
 ),
 terms AS (
   SELECT day,
@@ -436,15 +457,16 @@ FROM win WHERE n = {_RC_W}
     "pricing dashboard plots. Daily integer moments accumulate exactly "
     "(DECIMAL window sums over fixed-point cents), one closed-form "
     "double expression per emitted day; only FULL windows emit. The "
-    "window runs over the ~2,400-day calendar spine — bounded by the "
-    "calendar, not the data, the documented posture of every daily-"
-    "series query here (ewma, holt, seasonal_decompose).",
+    "window runs over the DENSIFIED ~2,400-day calendar spine "
+    "(sequence + left join, zero-activity days contribute (0,0) — the "
+    "resample_ffill grid pattern), so '30-day' means 30 CALENDAR days "
+    "even on a sparse series, never 30 observations.",
 )
 def rolling_corr_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    daily = (
+    observed = (
         _t(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_shipdate").cast("date").alias("day"))
         .agg(
@@ -455,6 +477,22 @@ def rolling_corr_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("yi"),
         )
+    )
+    # densify: the window must slide over CALENDAR days, not observed
+    # rows — a sparse series would otherwise silently turn "30-day"
+    # into "30-observation".  Grid rows ~ span (thousands), missing
+    # days are genuine (0, 0) observations.
+    grid = observed.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = grid.join(observed, "day", "left").select(
+        "day",
+        F.coalesce("xi", F.lit(0)).alias("xi"),
+        F.coalesce("yi", F.lit(0)).alias("yi"),
     )
     dec = "decimal(38,0)"
     terms = daily.select(

@@ -12,9 +12,9 @@ precomputed once in Python and injected into BOTH engines as identical
 decimal literals, so no engine ever evaluates a ``log`` whose low bits
 could differ.
 
-Reference analog: the reference's DQ checks are row-count/null gates
-(scripts/batch/dq_checks.py); these are the statistical upgrades of
-that family.
+Reference analog: the reference's DQ checks are row-count/null/dup
+gates (scripts/batch/data_quality/bronze_validation.py); these are the
+statistical upgrades of that family.
 """
 
 from __future__ import annotations

@@ -265,10 +265,28 @@ class ObjectStoreCommitSlots:
         claim = f"{self._PENDING}|{token}|{staged}"
         won = self._claims.setdefault(key, claim) == claim  # step 2
         if not won:
-            self._recover(key)
-            self._store.delete(staged)
+            # try/finally: even if _recover raises (wedged slot) the
+            # loser's own staged object must not leak — one orphaned
+            # .staged per retry against a wedged slot adds up.
+            try:
+                self._recover(key)
+            finally:
+                self._store.delete(staged)
             return False
-        self._store.put(key, self._store.get(staged))  # step 3: copy
+        try:
+            payload_bytes = self._store.get(staged)
+        except FileNotFoundError:
+            # Race: a concurrent loser saw our 'pending' claim, ran
+            # _recover, promoted OUR staged payload and deleted it
+            # (after flipping the claim to complete) while we were
+            # between claim (step 2) and promote (step 3).  Our bytes
+            # ARE committed — re-check the claim and report success
+            # instead of surfacing a spurious failure that would
+            # tempt the caller into a retry (= double append).
+            if self._claims.get(key) == f"{self._COMPLETE}|{token}":
+                return True
+            raise
+        self._store.put(key, payload_bytes)  # step 3: copy
         self._claims[key] = f"{self._COMPLETE}|{token}"
         self._store.delete(staged)
         return True

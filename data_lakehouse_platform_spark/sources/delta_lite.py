@@ -2040,7 +2040,10 @@ class DeltaLiteTable:
             )
         if not rels:
             raise FileNotFoundError(f"no parquet files under {root}")
-        df = spark.read.parquet(root)
+        # recursiveFileLookup: registration walks nested (non-hive)
+        # subdirectories, so the committed schemaString must be
+        # inferred over the SAME file set — a plain read may skip them
+        df = spark.read.option("recursiveFileLookup", "true").parquet(root)
         now_ms = int(time.time() * 1000)
         actions: list[dict] = [
             {

@@ -2952,7 +2952,7 @@ class IcebergLiteTable:
         (iceberg-flink's equality-delta writers); the reference
         platform expresses row retraction only through full-partition
         rewrites in its batch scripts (scripts/batch/
-        silver_orders.py), which cannot scale past node memory.
+        silver_facts.py), which cannot scale past node memory.
         """
         import uuid as uuidlib
 
@@ -4437,26 +4437,41 @@ class IcebergLiteTable:
         for p in paths:
             if not os.path.exists(p):
                 raise FileNotFoundError(p)
-            if "=" in os.path.basename(os.path.dirname(p)):
+            # check EVERY directory component, not just the immediate
+            # parent: a file nested under date=2020/sub/f.parquet also
+            # carries partition values its registration would drop
+            # (same discipline as delta convert_from_parquet)
+            if any(
+                "=" in comp
+                for comp in os.path.dirname(
+                    os.path.abspath(p)
+                ).split(os.sep)
+            ):
                 raise IcebergProtocolError(
-                    f"{p} sits in a hive-partition directory — its "
+                    f"{p} sits under a hive-partition directory — its "
                     "partition values live in the directory name and "
                     "would be silently dropped; rewrite through "
                     "write(partition_by=...) instead"
                 )
+        # validate the footer schema of EVERY file (files are id-less,
+        # so a divergent later file would be silently NULL-filled by
+        # the by-name read fallback — silent corruption, not an error)
+        per_file = [
+            (
+                p,
+                [
+                    (f["name"], f["type"])
+                    for f in self._iceberg_schema(spark.read.parquet(p))
+                ],
+            )
+            for p in paths
+        ]
         df = spark.read.parquet(paths[0])
+        fresh = False
         try:
             meta = self.metadata()
             cur_fields, _sid = self._current_schema(meta)
             tcols = [(f["name"], f["type"]) for f in cur_fields]
-            ice = [
-                (f["name"], f["type"]) for f in self._iceberg_schema(df)
-            ]
-            if ice != tcols:
-                raise ValueError(
-                    f"file schema {ice} differs from table schema "
-                    f"{tcols}; align or rewrite through write()"
-                )
             if self._table_spec(meta):
                 raise IcebergProtocolError(
                     "add_files targets unpartitioned tables only — "
@@ -4465,6 +4480,17 @@ class IcebergLiteTable:
                     "unsound"
                 )
         except FileNotFoundError:
+            fresh = True
+            tcols = per_file[0][1]
+        # validate BEFORE any commit (incl. fresh-table creation) so a
+        # refused add_files leaves no trace
+        for p, ice in per_file:
+            if ice != tcols:
+                raise ValueError(
+                    f"{p}: file schema {ice} differs from table "
+                    f"schema {tcols}; align or rewrite through write()"
+                )
+        if fresh:
             # fresh table: create it with the file schema via an empty
             # write, then register the files as the first real snapshot
             self.write(df.limit(0))

@@ -247,3 +247,89 @@ def test_remove_orphans_keeps_time_travel_files(spark, tmp_path):
     assert not any(p.endswith(".parquet") for p in removed)
     # the overwritten snapshot still time-travels
     assert t.read(spark, snapshot_id=v0).count() == 5
+
+
+# -- ADVICE r8 regressions -----------------------------------------------
+
+
+def test_add_files_validates_every_file_schema(spark, tmp_path):
+    """ADVICE r8 (medium): only paths[0] used to be schema-checked; a
+    divergent LATER file would register unchecked and the id-less
+    by-name read fallback would silently NULL-fill its missing
+    columns.  Every footer must now be validated before commit."""
+    good1 = str(tmp_path / "g1.parquet")
+    good2 = str(tmp_path / "g2.parquet")
+    bad = str(tmp_path / "bad.parquet")
+    spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS v") \
+        .coalesce(1).write.parquet(str(tmp_path / "d1"))
+    spark.range(5, 10).selectExpr("id", "CAST(id AS DOUBLE) AS v") \
+        .coalesce(1).write.parquet(str(tmp_path / "d2"))
+    spark.range(3).selectExpr(
+        "id", "CAST(id AS STRING) AS other"
+    ).coalesce(1).write.parquet(str(tmp_path / "d3"))
+    for src, dst in [("d1", good1), ("d2", good2), ("d3", bad)]:
+        f = next(
+            f for f in os.listdir(str(tmp_path / src))
+            if f.endswith(".parquet")
+        )
+        os.rename(str(tmp_path / src / f), dst)
+
+    t = IcebergLiteTable(str(tmp_path / "tbl"))
+    with pytest.raises(ValueError, match="bad.parquet.*differs"):
+        t.add_files(spark, [good1, bad])
+    # refusal happened BEFORE any commit: table still absent
+    with pytest.raises(FileNotFoundError):
+        t.metadata()
+    # divergent later file on a FRESH table is refused too (first
+    # file's schema becomes the table schema; others must match it)
+    with pytest.raises(ValueError, match="differs"):
+        IcebergLiteTable(str(tmp_path / "tbl2")).add_files(
+            spark, [good1, good2, bad]
+        )
+    # and the all-consistent set commits fine
+    t3 = IcebergLiteTable(str(tmp_path / "tbl3"))
+    t3.add_files(spark, [good1, good2])
+    assert t3.read(spark).count() == 10
+
+
+def test_add_files_refuses_deeply_nested_hive_dirs(spark, tmp_path):
+    """ADVICE r8 (low): the hive-layout refusal used to check only the
+    immediate parent; date=2020/sub/f.parquet slipped through and its
+    partition values were silently dropped."""
+    nested = tmp_path / "date=2020" / "sub"
+    os.makedirs(str(nested))
+    spark.range(4).selectExpr("id").coalesce(1).write.parquet(
+        str(nested / "w")
+    )
+    f = next(
+        f for f in os.listdir(str(nested / "w")) if f.endswith(".parquet")
+    )
+    target = str(nested / "f.parquet")
+    os.rename(str(nested / "w" / f), target)
+    with pytest.raises(IcebergProtocolError, match="hive-partition"):
+        IcebergLiteTable(str(tmp_path / "t")).add_files(spark, [target])
+
+
+def test_convert_schema_covers_nested_subdirs(spark, tmp_path):
+    """ADVICE r8 (low): convert registers files found recursively, so
+    the committed schemaString must be inferred with
+    recursiveFileLookup — a nested non-hive subdirectory whose files
+    carry the data must not disagree with the committed schema."""
+    root = tmp_path / "conv"
+    nested = root / "batch-2020" / "part-a"
+    os.makedirs(str(nested))
+    spark.range(7).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.parquet(str(root / "w"))
+    f = next(
+        f for f in os.listdir(str(root / "w")) if f.endswith(".parquet")
+    )
+    # ALL data sits nested; root has no direct parquet children
+    os.rename(str(root / "w" / f), str(nested / "f.parquet"))
+    import shutil
+
+    shutil.rmtree(str(root / "w"))
+    t = DeltaLiteTable.convert_from_parquet(spark, str(root))
+    got = t.read(spark)
+    assert [fl.name for fl in got.schema.fields] == ["id", "v"]
+    assert got.count() == 7

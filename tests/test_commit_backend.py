@@ -309,3 +309,49 @@ def test_delta_and_iceberg_commit_through_objectstore(spark, tmp_path):
     it.write(spark.createDataFrame([(2, 2.0)], "id int, v double"),
              mode="append")
     assert sorted(r.id for r in it.read(spark).collect()) == [1, 2]
+
+
+def test_objectstore_winner_survives_concurrent_recovery(tmp_path):
+    """ADVICE r8 (medium): a loser that finds the winner's claim
+    'pending' may _recover — promoting and DELETING the winner's
+    staged object — while the live winner is between claim (step 2)
+    and promote (step 3).  The winner's payload IS committed; its
+    put_if_absent must return True, not raise FileNotFoundError (a
+    spurious failure invites a retry = double append)."""
+    claims: dict = {}
+    slot = str(tmp_path / "00000000000000000001.json")
+    be = ObjectStoreCommitSlots(claims)
+
+    real_get = be._store.get
+    fired = {"n": 0}
+
+    def racing_get(key):
+        # First GET is the winner's step-3 read of its own staged
+        # object: before it lands, a concurrent loser recovers the
+        # pending claim (promote + complete + delete staged).
+        if fired["n"] == 0 and key.endswith(".staged"):
+            fired["n"] += 1
+            ObjectStoreCommitSlots(claims)._recover(os.path.abspath(slot))
+        return real_get(key)
+
+    be._store.get = racing_get
+    assert be.put_if_absent(slot, b"WINNER") is True
+    with open(slot, "rb") as fh:
+        assert fh.read() == b"WINNER"
+    assert claims[os.path.abspath(slot)].startswith("complete|")
+    assert not [p for p in os.listdir(tmp_path) if p.endswith(".staged")]
+
+
+def test_objectstore_wedged_slot_does_not_leak_staged(tmp_path):
+    """ADVICE r8 (low): when _recover raises the wedged-slot error the
+    loser must still clean up its own freshly staged object."""
+    claims: dict = {}
+    slot = str(tmp_path / "00000000000000000001.json")
+    claims[os.path.abspath(slot)] = (
+        f"pending|pid:1:call:dead|{slot}.dead.staged"
+    )
+    for _ in range(3):
+        with pytest.raises(RuntimeError, match="wedged"):
+            ObjectStoreCommitSlots(claims).put_if_absent(slot, b"x")
+    leaked = [p for p in os.listdir(tmp_path) if p.endswith(".staged")]
+    assert leaked == []
