@@ -170,6 +170,7 @@ def all_queries() -> dict[str, Query]:
     from data_lakehouse_platform_spark import queries_lakeops_ext  # noqa: F401,E501
     from data_lakehouse_platform_spark import queries_stattests_ext  # noqa: F401,E501
     from data_lakehouse_platform_spark import queries_r8_ext  # noqa: F401
+    from data_lakehouse_platform_spark import queries_r9_ext  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -341,10 +341,28 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------------
 
 _TRI_TOPK = 25
+# Whale-basket cap: a basket with more items than this is dropped from
+# triple generation (C(items,3) per basket goes cubic on a bot order
+# with thousands of lines; a whale basket carries no bundle signal).
+# 64 never fires at board SFs (max basket 13 at sf0.01) so the board
+# row stays value-exact; the scale lane plants a 2,000-item whale that
+# this cap excludes (see scale_bench.py).  basket_triples_capped in
+# queries_r9_ext sets a low cap that FIRES at board scale so the
+# dropped-basket semantics are value-checked, the
+# dedup_minhash_lsh_capped discipline.
+_TRI_CAP = 64
 
-_TRI_ORACLE = f"""
-WITH items AS (
+
+def _tri_oracle(cap: int) -> str:
+    return f"""
+WITH items_all AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+ok AS (
+  SELECT o FROM items_all GROUP BY o HAVING COUNT(*) <= {cap}
+),
+items AS (
+  SELECT items_all.* FROM items_all JOIN ok USING (o)
 ),
 triples AS (
   SELECT a.p AS p1, b.p AS p2, c.p AS p3,
@@ -360,25 +378,39 @@ LIMIT {_TRI_TOPK}
 """
 
 
+_TRI_ORACLE = _tri_oracle(_TRI_CAP)
+
+
 @register(
     "basket_triples",
     _TRI_ORACLE,
     "Apriori 3-itemset candidate generation over order baskets — the "
     "step whose naive form explodes at scale. Both joins are keyed on "
     "the ORDER, so triple fan-out per basket is C(items,3) (baskets are "
-    "single-digit), never corpus-shaped; candidate counts then shuffle "
-    "with map-side combine. Extends market_basket_pairs to the 3-way "
-    "associations a bundle-recommendation flow mines. Top-k with full "
-    "column tiebreakers.",
+    "single-digit), never corpus-shaped — and a whale-basket cap "
+    f"(HAVING COUNT <= {_TRI_CAP} in both engines) excludes bot orders "
+    "whose cubic fan-out would otherwise funnel one reducer; candidate "
+    "counts then shuffle with map-side combine. Extends "
+    "market_basket_pairs to the 3-way associations a bundle-"
+    "recommendation flow mines. Top-k with full column tiebreakers.",
 )
-def basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def basket_triples(
+    spark: SparkSession, sf_dir: str, cap: int = _TRI_CAP
+) -> DataFrame:
     from pyspark.sql import functions as F
 
-    items = (
+    items_all = (
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
+    ok = (
+        items_all.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= cap)
+        .select("o")
+    )
+    items = items_all.join(ok, "o")
     a = items.select("o", F.col("p").alias("p1"))
     b = items.select("o", F.col("p").alias("p2"))
     c = items.select("o", F.col("p").alias("p3"))

@@ -1,0 +1,254 @@
+"""Round-9 registry additions.
+
+Registered AFTER every pre-existing module (see the import order note
+in :func:`queries.all_queries`): the external driver grades the first
+50 registry keys by registration order, so new entries only ever
+append.
+
+First batch: the value-checked twin of basket_triples with the
+whale-basket cap actually FIRING (VERDICT r8 "Next round" #5) — the
+capped form the scale lane rides gets its own hash-checked correctness
+row, the dedup_minhash_lsh_capped discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_lakehouse_platform_spark.catalog import load_table
+from data_lakehouse_platform_spark.queries import register
+from data_lakehouse_platform_spark.queries_r8_ext import (
+    _tri_oracle,
+    basket_triples,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# Cap chosen to BIND at board scale: sf0.01's distinct-parts-per-order
+# histogram tops out at 13 (729 baskets hold 8-13 parts), so cap=7
+# demonstrably drops them and the board hash-checks the dropped-basket
+# semantics — which triples lose support and which survive via OTHER
+# (small) baskets — against DuckDB.  The production cap (64,
+# queries_r8_ext._TRI_CAP) never fires at driver SFs.
+_TRI_DEMO_CAP = 7
+
+
+@register(
+    "basket_triples_capped",
+    _tri_oracle(_TRI_DEMO_CAP),
+    "The 100-TB form of Apriori 3-itemset candidates with the whale-"
+    "basket cap actually FIRING: baskets holding more than cap distinct "
+    "parts are dropped from triple generation (a bot order's C(items,3) "
+    "fan-out is cubic and carries no bundle signal), bounding any "
+    "single basket's contribution at C(cap,3). The cap here (7) is set "
+    "to bind at board scale so the gate's semantics — not just its "
+    "plan shape — carry a green correctness row; production uses 64.",
+)
+def basket_triples_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return basket_triples(spark, sf_dir, cap=_TRI_DEMO_CAP)
+
+
+# ----------------------------------------------------------------------------
+# Welch's t-test: deep-discount vs shallow-discount line price
+# ----------------------------------------------------------------------------
+
+_DEC = "decimal(38,0)"
+
+# One shared +,-,*,/,sqrt expression sequence over exact integer group
+# moments (n, sum, sum-of-squares in DECIMAL/HUGEINT) — the stattests
+# family discipline: IEEE-correctly-rounded ops on identical bits give
+# identical bits on both engines; no ln/exp anywhere.
+_WELCH_EXPRS = {
+    "mean_deep": "s1 / n1",
+    "mean_shallow": "s2 / n2",
+    "var_deep": "(n1 * ss1 - s1 * s1) / (n1 * (n1 - 1))",
+    "var_shallow": "(n2 * ss2 - s2 * s2) / (n2 * (n2 - 1))",
+}
+_WELCH_T = (
+    "(s1 / n1 - s2 / n2) / SQRT("
+    "(n1 * ss1 - s1 * s1) / (n1 * (n1 - 1)) / n1 + "
+    "(n2 * ss2 - s2 * s2) / (n2 * (n2 - 1)) / n2)"
+)
+_WELCH_DF = (
+    "((n1 * ss1 - s1 * s1) / (n1 * (n1 - 1)) / n1 + "
+    "(n2 * ss2 - s2 * s2) / (n2 * (n2 - 1)) / n2) * "
+    "((n1 * ss1 - s1 * s1) / (n1 * (n1 - 1)) / n1 + "
+    "(n2 * ss2 - s2 * s2) / (n2 * (n2 - 1)) / n2) / ("
+    "((n1 * ss1 - s1 * s1) / (n1 * (n1 - 1)) / n1) * "
+    "((n1 * ss1 - s1 * s1) / (n1 * (n1 - 1)) / n1) / (n1 - 1) + "
+    "((n2 * ss2 - s2 * s2) / (n2 * (n2 - 1)) / n2) * "
+    "((n2 * ss2 - s2 * s2) / (n2 * (n2 - 1)) / n2) / (n2 - 1))"
+)
+
+_WELCH_ORACLE = f"""
+WITH rows_ AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS deep
+  FROM lineitem
+),
+m AS (
+  SELECT
+    CAST(CAST(SUM(deep) AS HUGEINT) AS DOUBLE) AS n1,
+    CAST(CAST(SUM(deep * price_c) AS HUGEINT) AS DOUBLE) AS s1,
+    CAST(CAST(SUM(deep * price_c * price_c) AS HUGEINT) AS DOUBLE) AS ss1,
+    CAST(CAST(SUM(1 - deep) AS HUGEINT) AS DOUBLE) AS n2,
+    CAST(CAST(SUM((1 - deep) * price_c) AS HUGEINT) AS DOUBLE) AS s2,
+    CAST(CAST(SUM((1 - deep) * price_c * price_c) AS HUGEINT) AS DOUBLE)
+      AS ss2
+  FROM rows_
+)
+SELECT CAST(n1 AS BIGINT) AS n_deep,
+       CAST(n2 AS BIGINT) AS n_shallow,
+       {_WELCH_EXPRS['mean_deep']} AS mean_deep_cents,
+       {_WELCH_EXPRS['mean_shallow']} AS mean_shallow_cents,
+       {_WELCH_T} AS t_welch,
+       {_WELCH_DF} AS df_welch
+FROM m
+"""
+
+
+@register(
+    "welch_t_discount_price",
+    _WELCH_ORACLE,
+    "Welch's unequal-variance t-test: do deep-discounted (>= 5%) line "
+    "items carry a different extended price than shallow ones?  Group "
+    "moments (n, sum, sum of squares of fixed-point cents) accumulate "
+    "exactly in DECIMAL/HUGEINT through ONE map-side-combinable "
+    "aggregate; t and the Welch-Satterthwaite df are one shared "
+    "+,-,*,/,sqrt expression over the six doubles — the parametric "
+    "companion to mannwhitney_value_shift. Scale: a single full scan, "
+    "six running sums, a 1-row result.",
+)
+def welch_t_discount_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    rows = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_c"),
+        F.when(F.col("l_discount") >= 0.05, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("deep"),
+    )
+    d = F.col("deep")
+    p = F.col("price_c")
+    m = rows.agg(
+        F.sum(d.cast(_DEC)).cast("double").alias("n1"),
+        F.sum((d * p).cast(_DEC)).cast("double").alias("s1"),
+        F.sum((d * p * p).cast(_DEC)).cast("double").alias("ss1"),
+        F.sum((1 - d).cast(_DEC)).cast("double").alias("n2"),
+        F.sum(((1 - d) * p).cast(_DEC)).cast("double").alias("s2"),
+        F.sum(((1 - d) * p * p).cast(_DEC)).cast("double").alias("ss2"),
+    )
+    return m.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_deep",
+        "CAST(n2 AS BIGINT) AS n_shallow",
+        f"{_WELCH_EXPRS['mean_deep']} AS mean_deep_cents",
+        f"{_WELCH_EXPRS['mean_shallow']} AS mean_shallow_cents",
+        f"{_WELCH_T} AS t_welch",
+        f"{_WELCH_DF} AS df_welch",
+    )
+
+
+# ----------------------------------------------------------------------------
+# One-way ANOVA F: order value across the five order priorities
+# ----------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH g AS (
+  SELECT o_orderpriority AS priority,
+         CAST(COUNT(*) AS HUGEINT) AS n_g,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+              AS HUGEINT) AS s_g,
+         SUM(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+             * CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS ss_g
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_g) AS DOUBLE) AS nd,
+         CAST(SUM(s_g) AS DOUBLE) AS sd,
+         CAST(SUM(ss_g) AS DOUBLE) AS ssd,
+         CAST(COUNT(*) AS DOUBLE) AS k,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             (SELECT list((CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                          * CAST(s_g AS DOUBLE) ORDER BY priority)
+              FROM g)),
+           (a, b) -> a + b) AS sum_sq_over_n
+  FROM g
+),
+f AS (
+  SELECT ((sum_sq_over_n - sd * sd / nd) / (k - 1))
+         / ((ssd - sum_sq_over_n) / (nd - k)) AS f_statistic
+  FROM tot
+)
+SELECT g.priority, CAST(g.n_g AS BIGINT) AS n_g,
+       CAST(g.s_g AS DOUBLE) / CAST(g.n_g AS DOUBLE) AS mean_cents,
+       f.f_statistic
+FROM g CROSS JOIN f
+ORDER BY g.priority
+"""
+
+
+@register(
+    "anova_f_priority",
+    _ANOVA_ORACLE,
+    "One-way ANOVA F: does mean order value differ across the five "
+    "order priorities?  Per-group moments accumulate exactly in "
+    "DECIMAL/HUGEINT (one map-side-combinable aggregate, 5 groups); "
+    "the cross-group sum of s_g^2/n_g runs as an ordered left-fold "
+    "over priorities on BOTH engines (the kruskal_wallis discipline), "
+    "and F is one shared double expression — the parametric companion "
+    "to kruskal_wallis_regions. One row per group with F attached.",
+)
+def anova_f_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    g = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("priority"),
+                cents.alias("c"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast(_DEC).alias("n_g"),
+            F.sum(F.col("c").cast(_DEC)).alias("s_g"),
+            F.sum((F.col("c").cast(_DEC) * F.col("c"))).alias("ss_g"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("double").alias("nd"),
+        F.sum("s_g").cast("double").alias("sd"),
+        F.sum("ss_g").cast("double").alias("ssd"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "priority",
+                    F.col("s_g").cast("double").alias("sgd"),
+                    F.col("n_g").cast("double").alias("ngd"),
+                )
+            )
+        ).alias("xs"),
+    ).selectExpr(
+        "nd", "sd", "ssd", "k",
+        "aggregate(xs, CAST(0.0 AS DOUBLE),"
+        " (a, x) -> a + (x.sgd / x.ngd) * x.sgd) AS sum_sq_over_n",
+    )
+    f = tot.selectExpr(
+        "((sum_sq_over_n - sd * sd / nd) / (k - 1))"
+        " / ((ssd - sum_sq_over_n) / (nd - k)) AS f_statistic"
+    )
+    return (
+        g.crossJoin(F.broadcast(f))
+        .selectExpr(
+            "priority",
+            "CAST(n_g AS BIGINT) AS n_g",
+            "CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS mean_cents",
+            "f_statistic",
+        )
+        .orderBy("priority")
+    )

@@ -593,6 +593,12 @@ class DeltaLiteTable:
     _CP_V2_RE = re.compile(
         r"^(\d{20})\.checkpoint\.([0-9a-zA-Z-]+)\.(parquet|json)$"
     )
+    # Minor log compactions (``{start}.{end}.compacted.json``): the
+    # reconciled actions of a commit range, what a live delta-spark
+    # writer periodically leaves in _delta_log.  Redundant with the
+    # per-version JSONs while those exist, and a replay shortcut /
+    # only copy when they don't.
+    _COMPACT_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
 
     def _versions(self) -> list[int]:
         """Versions with a JSON commit file present."""
@@ -603,6 +609,65 @@ class DeltaLiteTable:
             if f.endswith(".json") and f[: -len(".json")].isdigit():
                 out.append(int(f[: -len(".json")]))
         return sorted(out)
+
+    def _compactions(self) -> dict[tuple[int, int], str]:
+        """Minor log compactions present: (start, end) -> filename."""
+        out: dict[tuple[int, int], str] = {}
+        if not os.path.isdir(self.log_dir):
+            return out
+        for f in os.listdir(self.log_dir):
+            m = self._COMPACT_RE.match(f)
+            if m:
+                out[(int(m.group(1)), int(m.group(2)))] = f
+        return out
+
+    def _commit_segments(
+        self, start_after: int, to_version: int
+    ) -> list[tuple[str, int]]:
+        """The commit files whose actions replay versions
+        ``(start_after, to_version]``, in order, as (filename,
+        last-version-covered) pairs.  A minor log compaction whose
+        whole range fits is PREFERRED over its per-version JSONs: one
+        reconciled file replaces ``end - start + 1`` reads (the
+        delta-spark replay shortcut), and after log cleanup it may be
+        the only copy.  A version covered by neither raises — a gap
+        must never silently drop history.  ``to_version`` strictly
+        inside a compacted range cannot use that compaction (only the
+        range's END state is reconstructible from reconciled actions).
+        """
+        jsons = set(self._versions())
+        by_start: dict[int, int] = {}
+        for (s, e), _f in self._compactions().items():
+            if e <= to_version and e >= s and (
+                s not in by_start or e > by_start[s]
+            ):
+                by_start[s] = e
+        segments: list[tuple[str, int]] = []
+        missing: list[int] = []
+        v = start_after + 1
+        while v <= to_version:
+            if v in by_start:
+                e = by_start[v]
+                segments.append(
+                    (f"{v:020d}.{e:020d}.compacted.json", e)
+                )
+                v = e + 1
+            elif v in jsons:
+                segments.append((f"{v:020d}.json", v))
+                v += 1
+            else:
+                missing.append(v)
+                v += 1
+        if missing:
+            raise FileNotFoundError(
+                f"log versions {missing} are missing and no checkpoint "
+                f"covers them — cannot reconstruct version {to_version}"
+            )
+        return segments
+
+    def _segment_actions(self, filename: str) -> list[dict]:
+        with open(os.path.join(self.log_dir, filename)) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
 
     def _checkpoints(self) -> dict[int, list[str]]:
         """Checkpointed versions -> their files: classic single-/multi-
@@ -628,9 +693,16 @@ class DeltaLiteTable:
         return merged
 
     def all_versions(self) -> list[int]:
-        """Every readable snapshot version: JSON commits plus versions
-        reachable only through a checkpoint (after log cleanup)."""
-        return sorted(set(self._versions()) | set(self._checkpoints()))
+        """Every readable snapshot version: JSON commits, versions
+        reachable only through a checkpoint (after log cleanup), and
+        the END versions of minor log compactions (a compaction's
+        reconciled actions reconstruct exactly its end state — interior
+        versions stay unreadable once their JSONs are gone)."""
+        return sorted(
+            set(self._versions())
+            | set(self._checkpoints())
+            | {e for (_s, e) in self._compactions()}
+        )
 
     def latest_version(self) -> int | None:
         vs = self.all_versions()
@@ -837,16 +909,8 @@ class DeltaLiteTable:
             meta, live, cp_proto = self._load_checkpoint(cp, cps[cp])
             proto = cp_proto or proto
             start_after = cp
-        json_vs = [v for v in self._versions() if start_after < v <= to_version]
-        expected = list(range(start_after + 1, to_version + 1))
-        if json_vs != expected:
-            missing = sorted(set(expected) - set(json_vs))
-            raise FileNotFoundError(
-                f"log versions {missing} are missing and no checkpoint "
-                f"covers them — cannot reconstruct version {to_version}"
-            )
-        for v in json_vs:
-            for a in self._actions(v):
+        for fname, _last in self._commit_segments(start_after, to_version):
+            for a in self._segment_actions(fname):
                 if "protocol" in a:
                     self._check_protocol(a["protocol"])
                     proto = a["protocol"]
@@ -881,10 +945,8 @@ class DeltaLiteTable:
                     rm["path"] = _decode_path(rm["path"])
                     tombs[rm["path"]] = rm
             start_after = cp
-        for v in self._versions():
-            if not (start_after < v <= to_version):
-                continue
-            for a in self._actions(v):
+        for fname, _last in self._commit_segments(start_after, to_version):
+            for a in self._segment_actions(fname):
                 if "remove" in a:
                     rm = dict(a["remove"])
                     rm["path"] = _decode_path(rm["path"])
@@ -920,18 +982,8 @@ class DeltaLiteTable:
                     t = self._plain(t)
                     txns[t["appId"]] = int(t["version"])
             start_after = cp
-        json_vs = [
-            x for x in self._versions() if start_after < x <= v
-        ]
-        expected = list(range(start_after + 1, v + 1))
-        if json_vs != expected:
-            missing = sorted(set(expected) - set(json_vs))
-            raise FileNotFoundError(
-                f"log versions {missing} are missing and no checkpoint "
-                f"covers them — cannot reconstruct txn state at {v}"
-            )
-        for jv in json_vs:
-            for a in self._actions(jv):
+        for fname, _last in self._commit_segments(start_after, v):
+            for a in self._segment_actions(fname):
                 if "txn" in a:
                     txns[a["txn"]["appId"]] = int(a["txn"]["version"])
         return txns
@@ -4118,6 +4170,62 @@ class DeltaLiteTable:
         with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as fh:
             json.dump({"version": v, "size": n}, fh)
         return v
+
+    def compact_log(self, start: int, end: int) -> str:
+        """Write a minor log compaction ``{start}.{end}.compacted.json``
+        — the reconciled actions of the commit range, exactly what a
+        live delta-spark writer periodically leaves behind (and what
+        :meth:`_commit_segments` prefers on replay: one file instead of
+        ``end - start + 1``).  Reconciliation keeps, per path, only the
+        LAST add-or-remove action of the range (a remove stays as a
+        tombstone), plus the last metaData/protocol and the latest txn
+        per appId, so applying the file onto any state equals applying
+        the individual commits.  The range's JSON commits must all be
+        present (a compaction is derived data, never a substitute for
+        reading them).  Returns the filename.
+        """
+        if not 0 <= start <= end:
+            raise ValueError(f"bad compaction range [{start}, {end}]")
+        have = set(self._versions())
+        missing = [v for v in range(start, end + 1) if v not in have]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot compact [{start}, {end}]: versions {missing} "
+                "have no JSON commit"
+            )
+        meta = proto = None
+        last: dict[str, dict] = {}  # path -> its last add/remove action
+        txns: dict[str, int] = {}
+        for v in range(start, end + 1):
+            for a in self._actions(v):
+                if "protocol" in a:
+                    proto = a
+                elif "metaData" in a:
+                    meta = a
+                elif "txn" in a:
+                    txns[a["txn"]["appId"]] = int(a["txn"]["version"])
+                elif "add" in a:
+                    last[_decode_path(a["add"]["path"])] = a
+                elif "remove" in a:
+                    last[_decode_path(a["remove"]["path"])] = a
+        lines: list[dict] = []
+        if proto:
+            lines.append(proto)
+        if meta:
+            lines.append(meta)
+        lines.extend(
+            {"txn": {"appId": app, "version": ver}}
+            for app, ver in sorted(txns.items())
+        )
+        lines.extend(last[p] for p in sorted(last))
+        fname = f"{start:020d}.{end:020d}.compacted.json"
+        target = os.path.join(self.log_dir, fname)
+        tmp = target + ".tmp"
+        with open(tmp, "w") as fh:
+            for a in lines:
+                fh.write(json.dumps(a) + "\n")
+        os.replace(tmp, target)
+        return fname
 
     def clean_log(self) -> list[int]:
         """Drop JSON commits at or before the newest checkpoint (Delta's

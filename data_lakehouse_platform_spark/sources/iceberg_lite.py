@@ -745,15 +745,77 @@ class IcebergLiteTable:
             )
         return os.path.join(self.metadata_dir, best[1])
 
+    @staticmethod
+    def _v3_features(meta: dict) -> list[str]:
+        """Enumerate which v3 constructs a refused table actually uses,
+        parsed from metadata.json alone — so a migrating user gets a
+        feature list ("this table uses row lineage and variant
+        columns"), not a bare "v3 unsupported"."""
+        feats: list[str] = []
+        if meta.get("row-lineage") or "next-row-id" in meta or any(
+            "first-row-id" in s for s in meta.get("snapshots", [])
+        ):
+            feats.append("row lineage (next-row-id / first-row-id)")
+        v3_scalar = {"variant", "timestamp_ns", "timestamptz_ns",
+                     "unknown"}
+        found_types: set[str] = set()
+        has_defaults = False
+
+        def walk(fields):
+            nonlocal has_defaults
+            for f in fields or []:
+                if "initial-default" in f or "write-default" in f:
+                    has_defaults = True
+                t = f.get("type")
+                if isinstance(t, str):
+                    if t in v3_scalar or t.startswith(
+                        ("geometry", "geography")
+                    ):
+                        found_types.add(t)
+                elif isinstance(t, dict):
+                    walk(t.get("fields"))
+                    for k in ("element", "key", "value"):
+                        v = t.get(k)
+                        if isinstance(v, str) and (
+                            v in v3_scalar
+                            or v.startswith(("geometry", "geography"))
+                        ):
+                            found_types.add(v)
+
+        for s in meta.get("schemas", []):
+            walk(s.get("fields"))
+        if found_types:
+            feats.append(
+                "v3 column types: " + ", ".join(sorted(found_types))
+            )
+        if has_defaults:
+            feats.append("column default values (initial/write-default)")
+        dv_keys = ("added-dvs", "removed-dvs", "total-dvs")
+        if any(
+            any(k in (s.get("summary") or {}) for k in dv_keys)
+            for s in meta.get("snapshots", [])
+        ):
+            feats.append("deletion vectors (Puffin DVs in summaries)")
+        if meta.get("encryption-keys"):
+            feats.append("table encryption keys")
+        return feats
+
     def metadata(self) -> dict:
         with open(self._resolve_metadata_file()) as fh:
             meta = json.load(fh)
         fv = meta.get("format-version", 1)
         if fv not in (1, 2):
+            feats = self._v3_features(meta)
+            used = (
+                "; the table uses: " + "; ".join(feats)
+                if feats
+                else "; no v3-specific constructs detected in its "
+                "metadata.json (downgrading format-version may suffice)"
+            )
             raise IcebergProtocolError(
                 f"format-version={fv}; this reader speaks v1/v2 and "
-                "refuses rather than misread (v3 adds deletion vectors "
-                "and row lineage with different semantics)"
+                "refuses rather than misread (v3 changes deletion and "
+                f"lineage semantics){used}"
             )
         return meta
 

@@ -42,6 +42,7 @@ import time
 import urllib.error
 import urllib.request
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -103,12 +104,25 @@ QUERIES = [
     # pair growth is likewise cap-bounded per part.
     ("winnowing_pairs", 20.0),
     ("graph_neighbor_jaccard", 20.0),
+    # r9: Apriori triples under an ADVERSARIAL instance — generate()
+    # plants a 2,000-distinct-part whale basket in the 10x lineitem
+    # (C(2000,3) = 1.3e9 candidate triples if uncapped).  The whale-
+    # basket cap (queries_r8_ext._TRI_CAP) must exclude it entirely,
+    # so the capped query scales with the honest baskets: standard
+    # linear bound, NOT a cap-inflated one.
+    ("basket_triples", 13.0),
 ]
+
+# The whale basket planted into the 10x lineitem: one order far outside
+# every shifted key range holding this many distinct parts.
+WHALE_ORDERKEY = STEP * (REPLICAS + 5)
+WHALE_PARTS = 2_000
 
 
 def generate(spark) -> None:
     marker = os.path.join(DST, "_GENERATED.json")
-    want = {"src": SRC, "replicas": REPLICAS, "step": STEP, "v": 1}
+    want = {"src": SRC, "replicas": REPLICAS, "step": STEP, "v": 2,
+            "whale_parts": WHALE_PARTS}
     if os.path.exists(marker):
         with open(marker) as fh:
             if json.load(fh) == want:
@@ -135,12 +149,33 @@ def generate(spark) -> None:
                 c,
                 (F.col(c) + F.col("__r") * F.lit(STEP)).cast(dtypes[c]),
             )
-        (
-            scaled.drop("__r")
-            .repartition(32)
-            .write.mode("overwrite")
-            .parquet(out)
-        )
+        scaled = scaled.drop("__r").repartition(32)
+        if t == "lineitem":
+            # plant the whale basket: one bot order with WHALE_PARTS
+            # distinct parts, built by cloning the first WHALE_PARTS
+            # lineitem rows and overriding the basket keys.  Every
+            # other column keeps realistic values so non-basket
+            # queries see it as ordinary (tiny) noise.
+            template = df.limit(WHALE_PARTS)
+            widx = F.row_number().over(
+                Window.orderBy(F.monotonically_increasing_id())
+            )
+            whale = (
+                template.withColumn("__i", widx)
+                .withColumn(
+                    "l_orderkey",
+                    F.lit(WHALE_ORDERKEY).cast(dtypes["l_orderkey"]),
+                )
+                .withColumn(
+                    "l_partkey",
+                    (F.lit(WHALE_ORDERKEY) + F.col("__i")).cast(
+                        dtypes["l_partkey"]
+                    ),
+                )
+                .drop("__i")
+            )
+            scaled = scaled.unionByName(whale)
+        scaled.write.mode("overwrite").parquet(out)
     with open(marker, "w") as fh:
         json.dump(want, fh)
 

@@ -1,0 +1,149 @@
+"""Golden format fixtures (r9): a Delta and an Iceberg table written by
+THIS engine in an earlier round are committed under
+tests/fixtures/golden/.  Every later round must still (a) READ them
+bit-exactly and (b) write logs of the same ACTION SHAPE — so format
+drift across rounds is caught even without the JVM runtimes to
+cross-validate against (VERDICT r8, What's missing #1).
+
+Regenerate (only on an intentional format change) with
+tests/fixtures/golden/generate.py and review the diff by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from data_lakehouse_platform_spark.sources.delta_lite import DeltaLiteTable
+from data_lakehouse_platform_spark.sources.iceberg_lite import (
+    IcebergLiteTable,
+)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "fixtures", "golden")
+
+
+def _seed_rows():
+    return [
+        (i, i % 3, f"row-{i}", i * 2.5) for i in range(20)
+    ]
+
+
+def test_golden_delta_reads_bit_exact(spark):
+    t = DeltaLiteTable(os.path.join(GOLDEN, "delta_table"))
+    assert t.all_versions() == [0, 1, 2, 3]
+    # v0 = the seed
+    v0 = sorted(tuple(r) for r in t.read(spark, version=0).collect())
+    assert v0 == sorted(_seed_rows())
+    # latest = seed + bumped-score dups of ids 0-4, minus every id=1
+    expect = [r for r in _seed_rows() if r[0] != 1]
+    expect += [
+        (i, i % 3, f"row-{i}", i * 2.5 + 1.0) for i in range(5) if i != 1
+    ]
+    latest = sorted(tuple(r) for r in t.read(spark).collect())
+    assert latest == sorted(expect)
+
+
+def test_golden_iceberg_reads_bit_exact(spark):
+    t = IcebergLiteTable(os.path.join(GOLDEN, "iceberg_table"))
+    snaps = [int(s["snapshot-id"]) for s in t.metadata()["snapshots"]]
+    assert snaps == [1, 2, 3]
+    s1 = sorted(
+        tuple(r) for r in t.read(spark, snapshot_id=1).collect()
+    )
+    assert s1 == sorted(_seed_rows())
+    expect = [r for r in _seed_rows() if r[0] != 2]
+    expect += [
+        (i, i % 3, f"row-{i}", i * 2.5) for i in range(5) if i != 2
+    ]
+    latest = sorted(tuple(r) for r in t.read(spark).collect())
+    assert latest == sorted(expect)
+
+
+def _delta_log_shape(log_dir: str) -> list[list[str]]:
+    """Per version: sorted list of 'actionType:key1,key2,...' strings —
+    the log's structural shape with every value stripped."""
+    shape = []
+    for f in sorted(os.listdir(log_dir)):
+        if not re.fullmatch(r"\d{20}\.json", f):
+            continue
+        acts = []
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                (k, body), = a.items()
+                keys = ",".join(sorted(body)) if isinstance(body, dict) else ""
+                acts.append(f"{k}:{keys}")
+        shape.append(sorted(acts))
+    return shape
+
+
+def test_fresh_delta_write_matches_golden_log_shape(spark, tmp_path):
+    """A fresh run of the generator sequence must produce commits with
+    the same action types and the same per-action key sets as the
+    committed fixture — a writer-side format drift (dropped stats,
+    renamed field, lost commitInfo) flips this before it ships."""
+    import sys
+
+    sys.path.insert(0, GOLDEN)
+    from generate import seed_df  # noqa: E402
+    from pyspark.sql import functions as F
+
+    t = DeltaLiteTable(str(tmp_path / "fresh"))
+    df = seed_df(spark)
+    t.write(df)
+    t.write(df.filter("id >= 20"), mode="append")
+    t.write(
+        seed_df(spark).withColumn("score", F.col("score") + 1)
+        .filter("id < 5"),
+        mode="append",
+    )
+    t.delete(spark, "id = 1")
+    t.checkpoint()
+    fresh = _delta_log_shape(t.log_dir)
+    golden = _delta_log_shape(
+        os.path.join(GOLDEN, "delta_table", "_delta_log")
+    )
+    assert fresh == golden
+    # checkpoint sidecar naming stays stable too
+    cp_names = [
+        re.sub(r"\d{20}", "V", f)
+        for f in sorted(os.listdir(t.log_dir))
+        if "checkpoint" in f or f == "_last_checkpoint"
+    ]
+    golden_cp = [
+        re.sub(r"\d{20}", "V", f)
+        for f in sorted(
+            os.listdir(os.path.join(GOLDEN, "delta_table", "_delta_log"))
+        )
+        if "checkpoint" in f or f == "_last_checkpoint"
+    ]
+    assert cp_names == golden_cp
+
+
+def test_fresh_iceberg_write_matches_golden_metadata_shape(
+    spark, tmp_path
+):
+    import sys
+
+    sys.path.insert(0, GOLDEN)
+    from generate import seed_df  # noqa: E402
+
+    t = IcebergLiteTable(str(tmp_path / "fresh_i"))
+    df = seed_df(spark)
+    t.write(df)
+    t.write(seed_df(spark).filter("id < 5"), mode="append")
+    t.delete(spark, "id = 2")
+
+    def meta_shape(tbl):
+        m = tbl.metadata()
+        return (
+            sorted(m),
+            sorted(m["snapshots"][-1]),
+            sorted(m["snapshots"][-1].get("summary", {})),
+        )
+
+    golden = IcebergLiteTable(os.path.join(GOLDEN, "iceberg_table"))
+    assert meta_shape(t) == meta_shape(golden)
