@@ -45,6 +45,46 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+# Canonical module order for the registry (the external driver grades
+# the FIRST 50 keys by registration order, pinned by
+# tests/test_oracle_parity.py::test_driver_first_50_stable).  Plain
+# dict-insertion order is import-order-SENSITIVE — a test importing
+# queries_r8_ext directly would register its entries before
+# queries_llm's and silently shift the first 50 — so all_queries()
+# sorts by (this rank, in-module registration sequence) instead.  New
+# modules append HERE and in all_queries()'s import list.
+_MODULE_RANK = {
+    f"{__package__}.{m}": i
+    for i, m in enumerate(
+        [
+            "queries",
+            "queries_llm",
+            "queries_pipeline",
+            "queries_relational_ext",
+            "queries_tpch_deep",
+            "queries_analytics_ext",
+            "queries_curation_ext",
+            "queries_events_ext",
+            "queries_stats_ext",
+            "queries_seq_ext",
+            "queries_mixture_ext",
+            "queries_robust_ext",
+            "queries_sketch_ext",
+            "queries_trend_ext",
+            "queries_survival_ext",
+            "queries_econ_ext",
+            "queries_ops_ext",
+            "queries_resolution_ext",
+            "queries_lakeops_ext",
+            "queries_stattests_ext",
+            "queries_r8_ext",
+            "queries_r9_ext",
+        ]
+    )
+}
+_REGISTRY_SEQ: dict[str, tuple[int, int]] = {}
+_MODULE_COUNTERS: dict[str, int] = {}
+
 
 def _ordered_build(fn: QueryFn) -> QueryFn:
     """Append a total-order final sort (all columns, left-to-right, NULLS
@@ -139,6 +179,17 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
             oracle=_ordered_oracle(oracle, name) if oracle is not None else None,
             doc=doc,
         )
+        mod = getattr(fn, "__module__", "") or ""
+        rank = _MODULE_RANK.get(mod)
+        if rank is None:
+            raise ValueError(
+                f"{mod!r} is not in queries._MODULE_RANK — append the "
+                "new module there (and in all_queries) so registry "
+                "order stays import-order-independent"
+            )
+        seq = _MODULE_COUNTERS.get(mod, 0)
+        _MODULE_COUNTERS[mod] = seq + 1
+        _REGISTRY_SEQ[name] = (rank, seq)
         return fn
 
     return wrap
@@ -172,7 +223,12 @@ def all_queries() -> dict[str, Query]:
     from data_lakehouse_platform_spark import queries_r8_ext  # noqa: F401
     from data_lakehouse_platform_spark import queries_r9_ext  # noqa: F401
 
-    return dict(_REGISTRY)
+    # canonical order regardless of which module a caller imported
+    # first (see _MODULE_RANK)
+    return {
+        name: _REGISTRY[name]
+        for name in sorted(_REGISTRY, key=_REGISTRY_SEQ.__getitem__)
+    }
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

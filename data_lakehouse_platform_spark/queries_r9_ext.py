@@ -252,3 +252,176 @@ def anova_f_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ----------------------------------------------------------------------------
+# Two-proportion z-test: return rate, deep vs shallow discount
+# ----------------------------------------------------------------------------
+
+_TPZ_Z = (
+    "(r1 / n1 - r2 / n2) / SQRT("
+    "((r1 + r2) / (n1 + n2)) * (1 - (r1 + r2) / (n1 + n2))"
+    " * (1 / n1 + 1 / n2))"
+)
+
+_TPZ_ORACLE = f"""
+WITH rows_ AS (
+  SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS deep,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem
+),
+m AS (
+  SELECT
+    CAST(CAST(SUM(deep) AS HUGEINT) AS DOUBLE) AS n1,
+    CAST(CAST(SUM(deep * ret) AS HUGEINT) AS DOUBLE) AS r1,
+    CAST(CAST(SUM(1 - deep) AS HUGEINT) AS DOUBLE) AS n2,
+    CAST(CAST(SUM((1 - deep) * ret) AS HUGEINT) AS DOUBLE) AS r2
+  FROM rows_
+)
+SELECT CAST(n1 AS BIGINT) AS n_deep, CAST(r1 AS BIGINT) AS ret_deep,
+       CAST(n2 AS BIGINT) AS n_shallow, CAST(r2 AS BIGINT) AS ret_shallow,
+       r1 / n1 AS rate_deep, r2 / n2 AS rate_shallow,
+       {_TPZ_Z} AS z_pooled
+FROM m
+"""
+
+
+@register(
+    "two_proportion_z_return",
+    _TPZ_ORACLE,
+    "Two-proportion pooled z-test: is the return RATE different for "
+    "deep-discounted (>= 5%) line items?  Four exact integer counts "
+    "from one map-side-combinable conditional aggregate; the pooled z "
+    "is one shared +,-,*,/,sqrt expression — the rate companion to "
+    "odds_ratio_discount_return (effect size) and wilson_ci_return_"
+    "rate (per-group intervals). One full scan, a 1-row result.",
+)
+def two_proportion_z_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    rows = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_discount") >= 0.05, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("deep"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ret"),
+    )
+    d, r = F.col("deep"), F.col("ret")
+    m = rows.agg(
+        F.sum(d.cast(_DEC)).cast("double").alias("n1"),
+        F.sum((d * r).cast(_DEC)).cast("double").alias("r1"),
+        F.sum((1 - d).cast(_DEC)).cast("double").alias("n2"),
+        F.sum(((1 - d) * r).cast(_DEC)).cast("double").alias("r2"),
+    )
+    return m.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_deep",
+        "CAST(r1 AS BIGINT) AS ret_deep",
+        "CAST(n2 AS BIGINT) AS n_shallow",
+        "CAST(r2 AS BIGINT) AS ret_shallow",
+        "r1 / n1 AS rate_deep",
+        "r2 / n2 AS rate_shallow",
+        f"{_TPZ_Z} AS z_pooled",
+    )
+
+
+# ----------------------------------------------------------------------------
+# Cochran-Armitage trend test: return rate vs discount level
+# ----------------------------------------------------------------------------
+
+_CA_ORACLE = """
+WITH g AS (
+  SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS score,
+         CAST(COUNT(*) AS HUGEINT) AS n_i,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS HUGEINT) AS r_i
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_i) AS HUGEINT) AS n,
+         CAST(SUM(r_i) AS HUGEINT) AS r,
+         CAST(SUM(score * n_i) AS HUGEINT) AS wn,
+         CAST(SUM(score * score * n_i) AS HUGEINT) AS wwn,
+         CAST(SUM(score * r_i) AS HUGEINT) AS wr
+  FROM g
+),
+z AS (
+  SELECT
+    (CAST(n AS DOUBLE) * CAST(wr AS DOUBLE)
+     - CAST(r AS DOUBLE) * CAST(wn AS DOUBLE))
+    / SQRT(
+        (CAST(r AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE)))
+        * (CAST(n AS DOUBLE) * CAST(wwn AS DOUBLE)
+           - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE))
+        / CAST(n AS DOUBLE)
+      ) AS z_trend
+  FROM tot
+)
+SELECT g.score AS discount_pct,
+       CAST(g.n_i AS BIGINT) AS n_i,
+       CAST(g.r_i AS BIGINT) AS returns_i,
+       CAST(g.r_i AS DOUBLE) / CAST(g.n_i AS DOUBLE) AS return_rate,
+       z.z_trend
+FROM g CROSS JOIN z
+ORDER BY g.score
+"""
+
+
+@register(
+    "cochran_armitage_trend",
+    _CA_ORACLE,
+    "Cochran-Armitage trend test: does return probability rise "
+    "MONOTONICALLY with discount level?  Discount percent is the "
+    "ordinal score; the five integer moments (n, r, sum wn, ww n, wr) "
+    "accumulate exactly in DECIMAL/HUGEINT through one group-by plus "
+    "one 11-row total; z is one shared +,-,*,/,sqrt expression — the "
+    "dose-response upgrade of two_proportion_z's binary split. One row "
+    "per discount level with the trend z attached.",
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    g = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.round(F.col("l_discount") * 100)
+            .cast("long")
+            .alias("score"),
+            F.when(F.col("l_returnflag") == "R", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ret"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast(_DEC).alias("n_i"),
+            F.sum("ret").cast(_DEC).alias("r_i"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_i").alias("n"),
+        F.sum("r_i").alias("r"),
+        F.sum(F.col("score") * F.col("n_i")).alias("wn"),
+        F.sum(F.col("score") * F.col("score") * F.col("n_i")).alias("wwn"),
+        F.sum(F.col("score") * F.col("r_i")).alias("wr"),
+    )
+    z = tot.selectExpr(
+        "(CAST(n AS DOUBLE) * CAST(wr AS DOUBLE)"
+        " - CAST(r AS DOUBLE) * CAST(wn AS DOUBLE))"
+        " / SQRT("
+        "(CAST(r AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE)))"
+        " * (CAST(n AS DOUBLE) * CAST(wwn AS DOUBLE)"
+        " - CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE))"
+        " / CAST(n AS DOUBLE)"
+        ") AS z_trend"
+    )
+    return (
+        g.crossJoin(F.broadcast(z))
+        .selectExpr(
+            "score AS discount_pct",
+            "CAST(n_i AS BIGINT) AS n_i",
+            "CAST(r_i AS BIGINT) AS returns_i",
+            "CAST(r_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS return_rate",
+            "z_trend",
+        )
+        .orderBy("discount_pct")
+    )

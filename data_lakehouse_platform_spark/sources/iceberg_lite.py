@@ -3098,6 +3098,7 @@ class IcebergLiteTable:
         source: DataFrame,
         keys: list[str],
         branch: str = "main",
+        summary_extra: dict | None = None,
     ) -> dict:
         """Streaming-style UPSERT in ONE snapshot: an equality delete
         on ``keys`` (retracting any prior row whose key appears in
@@ -3135,7 +3136,8 @@ class IcebergLiteTable:
             # empty/fresh table: an upsert is a plain append
             return {
                 "snapshot_id": self.write(
-                    source, mode="append", branch=branch
+                    source, mode="append", branch=branch,
+                    summary_extra=summary_extra,
                 ),
                 "rows": source.count(),
                 "keys": 0,
@@ -3266,7 +3268,16 @@ class IcebergLiteTable:
         snap = {
             "snapshot-id": snap_id, "sequence-number": seq,
             "timestamp-ms": now_ms, "manifest-list": ml_path,
-            "summary": {"operation": "overwrite"},
+            "summary": {
+                "operation": "overwrite",
+                # extra summary properties (spec: string map) — the
+                # streaming upsert sink's exactly-once ledger rides
+                # here (see streaming/pipelines.upsert_stream_to_iceberg)
+                **{
+                    str(k): str(v)
+                    for k, v in (summary_extra or {}).items()
+                },
+            },
             "schema-id": cur_sid,
             "parent-snapshot-id": cur_id,
         }

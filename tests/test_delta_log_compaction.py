@@ -97,3 +97,30 @@ def test_compact_log_refuses_missing_versions(spark, tmp_path):
     t = _table(spark, tmp_path, n_commits=3)
     with pytest.raises(FileNotFoundError, match="no JSON commit"):
         t.compact_log(1, 9)
+
+
+def test_replay_reads_one_segment_for_compacted_range(spark, tmp_path):
+    """The replay-cost contract: after compaction, reconstructing the
+    latest state opens segment files proportional to SEGMENTS, not
+    VERSIONS — a 100-commit adopted table with one compaction replays
+    from 2 files, not 101."""
+    t = DeltaLiteTable(str(tmp_path / "t"))
+    for i in range(12):
+        t.write(
+            spark.createDataFrame([(i, "x")], "id int, val string"),
+            mode="append" if i else "overwrite",
+        )
+    t.compact_log(0, 10)
+    segs = t._commit_segments(-1, t.latest_version())
+    assert len(segs) == 2  # the compaction + the one trailing JSON
+    calls = []
+    orig = t._segment_actions
+
+    def counting(fname):
+        calls.append(fname)
+        return orig(fname)
+
+    t._segment_actions = counting
+    assert t.read(spark).count() == 12
+    assert len(calls) == 2
+    assert any(c.endswith(".compacted.json") for c in calls)

@@ -1,0 +1,102 @@
+"""Streaming merge-on-read upsert into Iceberg (r9): each micro-batch
+is ONE equality-delete + append snapshot (the Flink CDC-upsert
+pattern), exactly-once via the snapshot-summary batch ledger, commit
+cost batch-sized."""
+
+from __future__ import annotations
+
+import shutil
+
+from data_lakehouse_platform_spark.sources.iceberg_lite import (
+    IcebergLiteTable,
+)
+from data_lakehouse_platform_spark.streaming.pipelines import (
+    upsert_stream_to_iceberg,
+)
+
+SCHEMA = "id long, v string"
+
+
+def _feed(spark, src, name, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(
+        str(src / name)
+    )
+
+
+def _stream(spark, src):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+
+
+def _state(spark, t):
+    return sorted((r.id, r.v) for r in t.read(spark).collect())
+
+
+def test_upsert_stream_merge_on_read_exactly_once(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    tbl = str(tmp_path / "ice")
+
+    # batch 0 creates; batch 1 updates id=1 and inserts id=3, with an
+    # in-batch duplicate for id=3 (last write wins)
+    _feed(spark, src, "b0", [(1, "a"), (2, "b")])
+    _feed(spark, src, "b1", [(1, "a2"), (3, "x"), (3, "c")])
+    q = upsert_stream_to_iceberg(
+        _stream(spark, src), tbl, keys=["id"], checkpoint_path=ckpt
+    )
+    q.awaitTermination(180)
+    t = IcebergLiteTable(tbl)
+    state = _state(spark, t)
+    assert state[0] == (1, "a2") and state[1] == (2, "b")
+    assert state[2][0] == 3 and state[2][1] in ("x", "c")
+    # merge-on-read: batch 1 is an equality-delete snapshot, summary
+    # stamped for the ledger
+    snaps = t.snapshots()
+    assert len(snaps) == 2
+    assert snaps[-1]["summary"]["operation"] == "overwrite"
+    assert snaps[-1]["summary"]["dlp.app-id"] == f"stream:{ckpt}"
+    assert snaps[-1]["summary"]["dlp.batch-id"] == "1"
+
+    # restart over the SAME checkpoint: only the new batch lands
+    _feed(spark, src, "b2", [(2, "b2")])
+    q = upsert_stream_to_iceberg(
+        _stream(spark, src), tbl, keys=["id"], checkpoint_path=ckpt
+    )
+    q.awaitTermination(180)
+    assert (2, "b2") in _state(spark, t)
+    n_snaps = len(t.snapshots())
+
+    # checkpoint LOSS: full replay from batch 0 must be skipped by the
+    # summary ledger — state and snapshot count unchanged
+    before = _state(spark, t)
+    shutil.rmtree(ckpt)
+    q = upsert_stream_to_iceberg(
+        _stream(spark, src), tbl, keys=["id"], checkpoint_path=ckpt
+    )
+    q.awaitTermination(180)
+    assert _state(spark, t) == before
+    assert len(t.snapshots()) == n_snaps
+
+
+def test_upsert_stream_compacts_away(spark, tmp_path):
+    """After rewrite_data_files the upserted table is a plain data
+    table again (dangling equality manifests dropped) and reads
+    identically."""
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    tbl = str(tmp_path / "ice")
+    _feed(spark, src, "b0", [(1, "a"), (2, "b")])
+    _feed(spark, src, "b1", [(1, "a2")])
+    q = upsert_stream_to_iceberg(
+        _stream(spark, src), tbl, keys=["id"], checkpoint_path=ckpt
+    )
+    q.awaitTermination(180)
+    t = IcebergLiteTable(tbl)
+    before = _state(spark, t)
+    t.rewrite_data_files(spark)
+    assert _state(spark, t) == before
