@@ -1,12 +1,22 @@
 #!/usr/bin/env python
-"""Generate the golden format fixtures: one Delta and one Iceberg table
+"""Generate the golden format fixtures: Delta and Iceberg tables
 written by THIS engine from a fixed seed dataset.  Committed to git so
 every later round proves it can still READ its own earlier output
 (format drift across rounds is otherwise invisible without the JVM
 runtimes — VERDICT r8, What's missing #1).
 
-Regenerate ONLY on an intentional format change:
-    python tests/fixtures/golden/generate.py
+Families:
+  delta_table / iceberg_table             flat layout, DV delete,
+                                          classic checkpoint (r9)
+  delta_partitioned / iceberg_partitioned hive-partitioned + column-
+                                          mapped Delta (rename + DV
+                                          delete + checkpoint); hidden
+                                          bucket[4]-partitioned
+                                          Iceberg with an equality-
+                                          delete upsert (r9)
+
+A plain run only builds families whose directory is MISSING (additive
+— committed bytes never churn); set GOLDEN_FORCE=1 to rebuild all,
 then review the git diff of the log/metadata files by hand.
 """
 
@@ -33,8 +43,9 @@ def seed_df(spark):
     )
 
 
-def main():
-    from data_lakehouse_platform_spark.session import get_spark
+def _build_flat(spark, dpath, ipath):
+    from pyspark.sql import functions as F
+
     from data_lakehouse_platform_spark.sources.delta_lite import (
         DeltaLiteTable,
     )
@@ -42,21 +53,10 @@ def main():
         IcebergLiteTable,
     )
 
-    spark = get_spark("golden-fixtures", shuffle_partitions=4)
-    spark.sparkContext.setLogLevel("ERROR")
-
-    dpath = os.path.join(HERE, "delta_table")
-    ipath = os.path.join(HERE, "iceberg_table")
-    for p in (dpath, ipath):
-        if os.path.isdir(p):
-            shutil.rmtree(p)
-
     df = seed_df(spark)
     dt = DeltaLiteTable(dpath)
     dt.write(df)                       # v0: create
     dt.write(df.filter("id >= 20"), mode="append")  # v1: empty append
-    from pyspark.sql import functions as F
-
     dt.write(
         seed_df(spark)
         .withColumn("score", F.col("score") + 1)
@@ -73,6 +73,59 @@ def main():
     print("delta versions:", dt.all_versions())
     print("iceberg snapshots:",
           [s["snapshot-id"] for s in it.metadata().get("snapshots", [])])
+
+
+def _build_partitioned(spark, dpp, ipp):
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        DeltaLiteTable,
+    )
+    from data_lakehouse_platform_spark.sources.iceberg_lite import (
+        IcebergLiteTable,
+    )
+
+    dp = DeltaLiteTable(dpp)
+    dp.write(seed_df(spark), partition_by=["bucket"])
+    dp.upgrade_column_mapping()
+    dp.rename_column("name", "label")
+    dp.delete(spark, "id = 4")
+    dp.checkpoint()
+
+    ip = IcebergLiteTable(ipp)
+    ip.write(seed_df(spark), partition_by=[("id", "bucket[4]")])
+    ip.upsert(
+        spark,
+        seed_df(spark).filter("id < 3").withColumn(
+            "score", F.col("score") + 10
+        ),
+        keys=["id"],
+    )
+    print("delta_part versions:", dp.all_versions())
+    print("iceberg_part snapshots:",
+          [s["snapshot-id"] for s in ip.metadata().get("snapshots", [])])
+
+
+def main():
+    from data_lakehouse_platform_spark.session import get_spark
+
+    spark = get_spark("golden-fixtures", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    force = os.environ.get("GOLDEN_FORCE") == "1"
+
+    flat = [os.path.join(HERE, "delta_table"),
+            os.path.join(HERE, "iceberg_table")]
+    part = [os.path.join(HERE, "delta_partitioned"),
+            os.path.join(HERE, "iceberg_partitioned")]
+    for group, build in ((flat, _build_flat), (part, _build_partitioned)):
+        if not force and all(os.path.isdir(p) for p in group):
+            print(f"{[os.path.basename(p) for p in group]} present; "
+                  "skipping (GOLDEN_FORCE=1 rebuilds)")
+            continue
+        for p in group:
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        build(spark, *group)
 
 
 if __name__ == "__main__":

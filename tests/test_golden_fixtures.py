@@ -147,3 +147,68 @@ def test_fresh_iceberg_write_matches_golden_metadata_shape(
 
     golden = IcebergLiteTable(os.path.join(GOLDEN, "iceberg_table"))
     assert meta_shape(t) == meta_shape(golden)
+
+
+def test_golden_partitioned_delta_reads_bit_exact(spark):
+    """r9 second family: hive-partitioned + column-mapped (renamed) +
+    DV-deleted + checkpointed — the layout an adopted production table
+    actually has."""
+    t = DeltaLiteTable(os.path.join(GOLDEN, "delta_partitioned"))
+    got = t.read(spark)
+    assert sorted(got.columns) == ["bucket", "id", "label", "score"]
+    rows = sorted(
+        (r.id, r.bucket, r.label, r.score) for r in got.collect()
+    )
+    assert rows == sorted(
+        (i, i % 3, f"row-{i}", i * 2.5) for i in range(20) if i != 4
+    )
+
+
+def test_golden_partitioned_iceberg_reads_bit_exact(spark):
+    """r9 second family: hidden bucket[4] partitioning + a one-snapshot
+    equality-delete upsert (merge-on-read) — ids 0-2 carry the
+    upserted +10 scores, the equality delete retracts their originals."""
+    t = IcebergLiteTable(os.path.join(GOLDEN, "iceberg_partitioned"))
+    rows = sorted(
+        (r.id, r.bucket, r.name, r.score) for r in t.read(spark).collect()
+    )
+    expect = sorted(
+        (i, i % 3, f"row-{i}", i * 2.5 + (10.0 if i < 3 else 0.0))
+        for i in range(20)
+    )
+    assert rows == expect
+    # time travel before the upsert sees the original scores
+    first = sorted(
+        (r.id, r.score)
+        for r in t.read(spark, snapshot_id=1).collect()
+    )
+    assert first == sorted((i, i * 2.5) for i in range(20))
+
+
+def test_fresh_partitioned_writes_match_golden_shapes(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, GOLDEN)
+    from generate import _build_partitioned
+
+    _build_partitioned(
+        spark, str(tmp_path / "dp"), str(tmp_path / "ip")
+    )
+    fresh = _delta_log_shape(str(tmp_path / "dp" / "_delta_log"))
+    golden = _delta_log_shape(
+        os.path.join(GOLDEN, "delta_partitioned", "_delta_log")
+    )
+    assert fresh == golden
+
+    def meta_shape(p):
+        t = IcebergLiteTable(p)
+        m = t.metadata()
+        return (
+            sorted(m),
+            [sorted(s) for s in m["snapshots"]],
+            sorted(m["partition-specs"][0]["fields"][0]),
+        )
+
+    assert meta_shape(str(tmp_path / "ip")) == meta_shape(
+        os.path.join(GOLDEN, "iceberg_partitioned")
+    )
