@@ -425,3 +425,98 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("discount_pct")
     )
+
+
+# ----------------------------------------------------------------------------
+# Jarque-Bera normality diagnostic on order values
+# ----------------------------------------------------------------------------
+
+# Central moments from raw integer moments, all in doubles cast from
+# exact DECIMAL/HUGEINT sums, one shared expression sequence:
+#   m  = s1/n
+#   m2 = s2/n - m*m
+#   m3 = s3/n - 3*m*(s2/n) + 2*m*m*m
+#   m4 = s4/n - 4*m*(s3/n) + 6*m*m*(s2/n) - 3*m*m*m*m
+#   skew = m3 / (SQRT(m2)*SQRT(m2)*SQRT(m2))   [m2^1.5 without POW]
+#   exk  = m4 / (m2*m2) - 3
+#   jb   = n/6 * (skew*skew + exk*exk/4)
+_JB_EXPR = {
+    "m": "s1 / n",
+    "m2": "s2 / n - (s1 / n) * (s1 / n)",
+    "m3": ("s3 / n - 3 * (s1 / n) * (s2 / n)"
+           " + 2 * (s1 / n) * (s1 / n) * (s1 / n)"),
+    "m4": ("s4 / n - 4 * (s1 / n) * (s3 / n)"
+           " + 6 * (s1 / n) * (s1 / n) * (s2 / n)"
+           " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)"),
+}
+_JB_SKEW = (
+    f"({_JB_EXPR['m3']}) / (SQRT({_JB_EXPR['m2']})"
+    f" * SQRT({_JB_EXPR['m2']}) * SQRT({_JB_EXPR['m2']}))"
+)
+_JB_EXK = f"({_JB_EXPR['m4']}) / (({_JB_EXPR['m2']}) * ({_JB_EXPR['m2']})) - 3"
+_JB_STAT = (
+    f"n / 6 * (({_JB_SKEW}) * ({_JB_SKEW})"
+    f" + ({_JB_EXK}) * ({_JB_EXK}) / 4)"
+)
+
+# o_totalprice cents <= ~5.5e7 at any SF; cents^4 <= ~9e30 — inside
+# DECIMAL(38,0)/HUGEINT exactly, then ONE cast to double per moment.
+_JB_ORACLE = f"""
+WITH m AS (
+  SELECT
+    CAST(CAST(COUNT(*) AS HUGEINT) AS DOUBLE) AS n,
+    CAST(SUM(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                  AS HUGEINT)) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+             * CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      AS s2,
+    CAST(SUM(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+             * CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+             * CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      AS s3,
+    CAST(SUM(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+             * CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+             * CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+             * CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      AS s4
+  FROM orders
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       {_JB_EXPR['m']} AS mean_cents,
+       {_JB_SKEW} AS skewness,
+       {_JB_EXK} AS excess_kurtosis,
+       {_JB_STAT} AS jarque_bera
+FROM m
+"""
+
+
+@register(
+    "jarque_bera_totalprice",
+    _JB_ORACLE,
+    "Jarque-Bera normality diagnostic on order values: the four raw "
+    "integer-cents moments accumulate exactly in DECIMAL/HUGEINT "
+    "(cents^4 stays inside 38 digits) through one map-side-combinable "
+    "aggregate; skewness, excess kurtosis and JB are one shared "
+    "+,-,*,/,sqrt expression (m2^1.5 via three SQRT factors — no POW, "
+    "no logs). The distribution-shape companion to "
+    "histogram_totalprice and winsorized_stats.",
+)
+def jarque_bera_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    c = F.floor(F.col("o_totalprice") * 100).cast("long")
+    cd = c.cast(_DEC)
+    m = _t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).cast(_DEC).cast("double").alias("n"),
+        F.sum(cd).cast("double").alias("s1"),
+        F.sum(cd * c).cast("double").alias("s2"),
+        F.sum(cd * c * c).cast("double").alias("s3"),
+        F.sum(cd * c * c * c).cast("double").alias("s4"),
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_orders",
+        f"{_JB_EXPR['m']} AS mean_cents",
+        f"{_JB_SKEW} AS skewness",
+        f"{_JB_EXK} AS excess_kurtosis",
+        f"{_JB_STAT} AS jarque_bera",
+    )

@@ -4154,6 +4154,178 @@ class IcebergLiteTable:
         self._commit_metadata_json(meta)
         return src
 
+    def cherrypick_snapshot(
+        self, snapshot_id: int, branch: str = "main"
+    ) -> int:
+        """Re-apply an APPEND snapshot's added files onto ``branch``'s
+        current head as a NEW snapshot — Iceberg's
+        ``cherrypick_snapshot`` procedure, the WAP loop's recovery verb
+        when :meth:`fast_forward` refuses because main advanced past
+        the audit branch point (diverged heads).  Only pure appends are
+        cherry-pickable: a delete/overwrite/replace re-applied onto a
+        different base could retract rows it never audited against
+        (real Iceberg refuses the same way).
+
+        The added manifests are REWRITTEN at the new sequence number
+        (entries re-stamped status=1/new snapshot/new seq): the files
+        logically arrive NOW, so equality deletes committed on the
+        target branch after the audit branch point still apply to them
+        under the spec's strict ``data seq < delete seq`` gate —
+        carrying the old sequence number verbatim would backdate them
+        past those deletes.  The head's own manifests carry verbatim
+        with their provenance.  Refuses when the picked snapshot is
+        already an ancestor of the head (nothing to apply) or when any
+        of its files is already live at the head (double-apply).  The
+        new snapshot's summary carries ``source-snapshot-id`` exactly
+        like the real procedure.  Returns the new snapshot id.
+        """
+        import uuid as uuidlib
+
+        from data_lakehouse_platform_spark.sources.avro_lite import (
+            read_container, write_container,
+        )
+
+        meta = self.metadata()
+        snaps = meta.get("snapshots", [])
+        by_id = {int(s["snapshot-id"]): s for s in snaps}
+        snapshot_id = int(snapshot_id)
+        if snapshot_id not in by_id:
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} not in table "
+                f"(have {sorted(by_id)})"
+            )
+        picked = by_id[snapshot_id]
+        op = (picked.get("summary") or {}).get("operation")
+        if op != "append":
+            raise IcebergProtocolError(
+                f"cherrypick_snapshot supports pure APPEND snapshots; "
+                f"snapshot {snapshot_id} is {op!r} — re-applying a "
+                "delete/overwrite onto a different base could retract "
+                "rows it never audited against"
+            )
+        cur_id = self._resolve_branch_base(meta, branch)
+        if cur_id is None:
+            raise FileNotFoundError(
+                f"branch {branch!r} has no head to apply onto"
+            )
+        walk = cur_id
+        while walk is not None:
+            if walk == snapshot_id:
+                raise ValueError(
+                    f"snapshot {snapshot_id} is already an ancestor of "
+                    f"{branch!r}'s head — nothing to re-apply (use "
+                    "fast_forward to publish an ancestor chain)"
+                )
+            p = by_id.get(walk, {}).get("parent-snapshot-id")
+            walk = int(p) if p is not None else None
+        added = [
+            r for r in self._manifest_list_rows(picked)
+            if int(r.get("added_snapshot_id") or -1) == snapshot_id
+        ]
+        if not added:
+            raise IcebergProtocolError(
+                f"snapshot {snapshot_id} added no manifests — nothing "
+                "to cherry-pick"
+            )
+        if any(int(r.get("content") or 0) != 0 for r in added):
+            raise IcebergProtocolError(
+                f"snapshot {snapshot_id} carries delete manifests — "
+                "not a pure append"
+            )
+        head = by_id[cur_id]
+        head_files = set()
+        for mp, content, _s in self._manifest_paths(head):
+            if content != 0:
+                continue
+            _, entries = read_container(mp)
+            for e in entries:
+                if int(e.get("status") or 0) != 2:
+                    head_files.add(e["data_file"]["file_path"])
+
+        new_snap_id = max(by_id) + 1
+        seq = int(meta.get("last-sequence-number", 0)) + 1
+        now_ms = int(time.time() * 1000)
+        specs = {
+            int(s0.get("spec-id", 0)): s0.get("fields", [])
+            for s0 in meta.get("partition-specs", [])
+        }
+        cur_fields, cur_sid = self._current_schema(meta)
+        new_rows, n_rows_total = [], 0
+        for r in added:
+            schema_w, entries = read_container(r["manifest_path"])
+            new_entries = []
+            for e in entries:
+                if int(e.get("status") or 0) == 2:
+                    continue
+                fp = e["data_file"]["file_path"]
+                if fp in head_files:
+                    raise IcebergProtocolError(
+                        f"data file {fp} from snapshot {snapshot_id} "
+                        f"is already live at {branch!r}'s head — "
+                        "cherry-pick would double-apply it"
+                    )
+                new_entries.append({
+                    **e, "status": 1, "snapshot_id": new_snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                })
+            spec_id = int(r.get("partition_spec_id") or 0)
+            extra = {
+                "schema": json.dumps(
+                    {"type": "struct", "schema-id": cur_sid,
+                     "fields": cur_fields}
+                ).encode(),
+                "partition-spec": json.dumps(
+                    specs.get(spec_id, [])
+                ).encode(),
+                "partition-spec-id": str(spec_id).encode(),
+                "format-version": b"2",
+                "content": b"data",
+            }
+            mpath = os.path.join(
+                self.metadata_dir, f"m-{uuidlib.uuid4().hex}.avro"
+            )
+            write_container(mpath, schema_w, new_entries,
+                            extra_metadata=extra)
+            n_added = sum(
+                int(e["data_file"]["record_count"]) for e in new_entries
+            )
+            n_rows_total += n_added
+            new_rows.append({
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": spec_id, "content": 0,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": new_snap_id,
+                "added_files_count": len(new_entries),
+                "existing_files_count": 0, "deleted_files_count": 0,
+                "added_rows_count": n_added,
+                "existing_rows_count": 0, "deleted_rows_count": 0,
+            })
+        ml_rows = new_rows + self._manifest_list_rows(head)
+        ml_path = os.path.join(
+            self.metadata_dir,
+            f"snap-{new_snap_id}-1-{uuidlib.uuid4().hex}.avro",
+        )
+        write_container(ml_path, _ML_SCHEMA, ml_rows,
+                        extra_metadata={"format-version": b"2"})
+        snap = {
+            "snapshot-id": new_snap_id, "sequence-number": seq,
+            "timestamp-ms": now_ms, "manifest-list": ml_path,
+            "summary": {
+                "operation": "append",
+                "source-snapshot-id": str(snapshot_id),
+            },
+            "schema-id": cur_sid,
+            "parent-snapshot-id": cur_id,
+        }
+        meta["snapshots"] = snaps + [snap]
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now_ms
+        self._advance_head(meta, new_snap_id, now_ms, branch)
+        self._commit_metadata_json(meta)
+        return new_snap_id
+
     def drop_ref(self, name: str) -> None:
         if name == "main":
             raise ValueError("cannot drop the main branch")
