@@ -520,3 +520,87 @@ def jarque_bera_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_JB_EXK} AS excess_kurtosis",
         f"{_JB_STAT} AS jarque_bera",
     )
+
+
+# ----------------------------------------------------------------------------
+# Sign test on day-over-day revenue direction
+# ----------------------------------------------------------------------------
+
+_SIGN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+              AS HUGEINT) AS cents
+  FROM orders GROUP BY 1
+),
+diffs AS (
+  SELECT day, cents,
+         cents - LAG(cents) OVER (ORDER BY day) AS d
+  FROM daily
+),
+m AS (
+  SELECT
+    CAST(CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS HUGEINT)
+         AS DOUBLE) AS n_up,
+    CAST(CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS HUGEINT)
+         AS DOUBLE) AS n_down,
+    CAST(CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS HUGEINT)
+         AS DOUBLE) AS n_tie
+  FROM diffs WHERE d IS NOT NULL
+)
+SELECT CAST(n_up AS BIGINT) AS n_up,
+       CAST(n_down AS BIGINT) AS n_down,
+       CAST(n_tie AS BIGINT) AS n_tie,
+       (n_up - n_down) / SQRT(n_up + n_down) AS z_sign
+FROM m
+"""
+
+
+@register(
+    "sign_test_dod_revenue",
+    _SIGN_ORACLE,
+    "Sign test on day-over-day revenue direction: is daily revenue as "
+    "likely to rise as to fall?  Exact integer day cents, a LAG diff, "
+    "three conditional counts (ties reported, excluded from z per the "
+    "classical test), z = (n_up - n_down)/sqrt(n) — one shared sqrt "
+    "expression. The direction-only companion to "
+    "runs_test_daily_revenue (independence) and mann_kendall_trend "
+    "(monotone trend); bounded by the ~2,400-day calendar.",
+)
+def sign_test_dod_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast(_DEC)
+            ).alias("cents")
+        )
+    )
+    d = (
+        daily.withColumn(
+            "d",
+            F.col("cents") - F.lag("cents").over(Window.orderBy("day")),
+        )
+        .filter(F.col("d").isNotNull())
+    )
+    m = d.agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0).cast(_DEC))
+        .cast("double")
+        .alias("n_up"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0).cast(_DEC))
+        .cast("double")
+        .alias("n_down"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0).cast(_DEC))
+        .cast("double")
+        .alias("n_tie"),
+    )
+    return m.selectExpr(
+        "CAST(n_up AS BIGINT) AS n_up",
+        "CAST(n_down AS BIGINT) AS n_down",
+        "CAST(n_tie AS BIGINT) AS n_tie",
+        "(n_up - n_down) / SQRT(n_up + n_down) AS z_sign",
+    )

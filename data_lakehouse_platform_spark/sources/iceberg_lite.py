@@ -4508,9 +4508,32 @@ class IcebergLiteTable:
                 "partition map<string,string>, file_count long, "
                 "record_count long",
             )
+        if kind == "refs":
+            # the `tbl.refs` metadata table: every named ref plus the
+            # implicit main head — the WAP loop's audit surface
+            rows = [
+                (
+                    str(name),
+                    str(r.get("type", "branch")),
+                    int(r["snapshot-id"]),
+                )
+                for name, r in sorted(
+                    (meta.get("refs") or {}).items()
+                )
+            ]
+            cur = meta.get("current-snapshot-id")
+            if (
+                cur is not None
+                and int(cur) != -1
+                and "main" not in (meta.get("refs") or {})
+            ):
+                rows.insert(0, ("main", "branch", int(cur)))
+            return spark.createDataFrame(
+                rows, "name string, type string, snapshot_id long"
+            )
         raise ValueError(
             f"unknown metadata table {kind!r} "
-            "(files|snapshots|history|manifests|partitions)"
+            "(files|snapshots|history|manifests|partitions|refs)"
         )
 
     def expire_snapshots(self, retain_last: int = 1) -> list[str]:

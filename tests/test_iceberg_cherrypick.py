@@ -84,3 +84,22 @@ def test_cherrypick_refusals(spark, tmp_path):
     # unknown snapshot
     with pytest.raises(FileNotFoundError):
         t.cherrypick_snapshot(99999)
+
+
+def test_refs_metadata_table(spark, tmp_path):
+    """`tbl.refs` metadata table (r9): every named ref + the implicit
+    main head — the audit surface of the WAP loop."""
+    t = IcebergLiteTable(str(tmp_path / "t"))
+    t.write(_df(spark, [(1, "a")]))
+    t.create_branch("audit")
+    t.create_tag("v1")
+    t.write(_df(spark, [(2, "b")]), mode="append", branch="audit")
+    rows = {
+        r.name: (r.type, r.snapshot_id)
+        for r in t.metadata_table(spark, "refs").collect()
+    }
+    assert rows["main"] == ("branch", t.current_snapshot_id())
+    assert rows["audit"][0] == "branch"
+    assert rows["audit"][1] == t.resolve_ref("audit")
+    assert rows["audit"][1] != t.current_snapshot_id()
+    assert rows["v1"] == ("tag", 1)
