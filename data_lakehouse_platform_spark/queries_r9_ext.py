@@ -604,3 +604,74 @@ def sign_test_dod_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_tie AS BIGINT) AS n_tie",
         "(n_up - n_down) / SQRT(n_up + n_down) AS z_sign",
     )
+
+
+# ----------------------------------------------------------------------------
+# McNemar paired test: discounted vs returned, paired WITHIN each order
+# ----------------------------------------------------------------------------
+
+_MCN_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         MAX(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS disc,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM lineitem GROUP BY 1
+),
+cells AS (
+  SELECT
+    CAST(SUM(disc * ret) AS BIGINT) AS both_,
+    CAST(SUM(disc * (1 - ret)) AS BIGINT) AS disc_only,
+    CAST(SUM((1 - disc) * ret) AS BIGINT) AS ret_only,
+    CAST(SUM((1 - disc) * (1 - ret)) AS BIGINT) AS neither
+  FROM per_order
+)
+SELECT both_, disc_only, ret_only, neither,
+       (CAST(disc_only AS DOUBLE) - CAST(ret_only AS DOUBLE))
+       * (CAST(disc_only AS DOUBLE) - CAST(ret_only AS DOUBLE))
+       / (CAST(disc_only AS DOUBLE) + CAST(ret_only AS DOUBLE))
+         AS mcnemar_chi2
+FROM cells
+"""
+
+
+@register(
+    "mcnemar_discount_return",
+    _MCN_ORACLE,
+    "McNemar's test for PAIRED binary outcomes: within each order, "
+    "does 'contains a deep-discount line' flip together with "
+    "'contains a returned line'?  The chi2 uses only the DISCORDANT "
+    "cells ((b-c)^2/(b+c)) — the paired-categorical family the "
+    "independence tests (chi_square, odds_ratio on unpaired lines) "
+    "cannot answer.  One per-order MAX aggregate + four exact "
+    "conditional counts; the statistic is one shared double "
+    "expression, no sqrt, no logs.",
+)
+def mcnemar_discount_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    per_order = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)
+            ).alias("disc"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("ret"),
+        )
+    )
+    d, r = F.col("disc"), F.col("ret")
+    cells = per_order.agg(
+        F.sum(d * r).cast("long").alias("both_"),
+        F.sum(d * (1 - r)).cast("long").alias("disc_only"),
+        F.sum((1 - d) * r).cast("long").alias("ret_only"),
+        F.sum((1 - d) * (1 - r)).cast("long").alias("neither"),
+    )
+    return cells.selectExpr(
+        "both_", "disc_only", "ret_only", "neither",
+        "(CAST(disc_only AS DOUBLE) - CAST(ret_only AS DOUBLE))"
+        " * (CAST(disc_only AS DOUBLE) - CAST(ret_only AS DOUBLE))"
+        " / (CAST(disc_only AS DOUBLE) + CAST(ret_only AS DOUBLE))"
+        " AS mcnemar_chi2",
+    )
