@@ -804,18 +804,30 @@ class IcebergLiteTable:
         with open(self._resolve_metadata_file()) as fh:
             meta = json.load(fh)
         fv = meta.get("format-version", 1)
-        if fv not in (1, 2):
+        if fv == 3:
+            # r10: a v3 table whose feature scan comes back EMPTY is
+            # structurally v2 — schema, snapshots, and manifest lists
+            # are the v2 shapes, no row lineage / DVs / v3 types /
+            # defaults / encryption in play — so READ it instead of
+            # refusing on the version number alone.  Any named v3
+            # construct still refuses loudly (misreading deletion or
+            # lineage semantics is corruption, not degradation), and
+            # MUTATIONS refuse at the commit choke point regardless:
+            # this writer emits v2 manifests without the row-id
+            # assignment v3 readers require (_commit_metadata_json).
             feats = self._v3_features(meta)
-            used = (
-                "; the table uses: " + "; ".join(feats)
-                if feats
-                else "; no v3-specific constructs detected in its "
-                "metadata.json (downgrading format-version may suffice)"
-            )
+            if feats:
+                raise IcebergProtocolError(
+                    "format-version=3; this reader speaks v1/v2 and "
+                    "refuses rather than misread (v3 changes deletion "
+                    "and lineage semantics); the table uses: "
+                    + "; ".join(feats)
+                )
+        elif fv not in (1, 2):
             raise IcebergProtocolError(
-                f"format-version={fv}; this reader speaks v1/v2 and "
-                "refuses rather than misread (v3 changes deletion and "
-                f"lineage semantics){used}"
+                f"format-version={fv}; this reader speaks v1/v2 (and "
+                "v3 only when the table uses no v3-specific "
+                "construct) and refuses rather than misread"
             )
         return meta
 
@@ -1707,6 +1719,17 @@ class IcebergLiteTable:
             ConcurrentModificationError,
         )
 
+        if int(meta.get("format-version", 1)) == 3:
+            # v3 tables are READ-only here (r10): this writer emits v2
+            # manifests with no first-row-id assignment, so a commit
+            # would hand a v3 reader a table violating its row-lineage
+            # invariants.  One choke point covers every mutation verb.
+            raise IcebergProtocolError(
+                "this engine reads v3 tables that use no v3-specific "
+                "construct, but refuses to COMMIT to one: its v2 "
+                "manifests lack the row-id assignment v3 readers "
+                "require — copy into a fresh v2 table to mutate"
+            )
         mdir = self.metadata_dir
         version = 1
         for f in os.listdir(mdir):
@@ -1727,7 +1750,7 @@ class IcebergLiteTable:
 
     # -- write (migrate-out edge) ---------------------------------------
 
-    def _iceberg_schema(self, df: DataFrame) -> list[dict]:
+    def _iceberg_schema(self, df) -> list[dict]:
         """Spark schema -> Iceberg schema JSON fields, NESTED types
         included: struct fields, list elements, and map keys/values
         each get a unique field-id per the spec's schema JSON.
@@ -1735,8 +1758,13 @@ class IcebergLiteTable:
         assignment, so appends to existing tables compare equal);
         nested ids continue after n in traversal order — deterministic,
         so re-deriving the schema from a same-shaped DataFrame
-        reproduces identical ids."""
-        n_top = len(df.schema.fields)
+        reproduces identical ids.  Accepts a DataFrame or a bare
+        StructType (add_files derives the latter from parquet footers
+        via pyarrow without a Spark job)."""
+        from pyspark.sql.types import StructType
+
+        schema = df if isinstance(df, StructType) else df.schema
+        n_top = len(schema.fields)
         counter = [n_top]
 
         def conv(dt, where: str):
@@ -1796,7 +1824,7 @@ class IcebergLiteTable:
                 "required": False,
                 "type": conv(f.dataType, f.name),
             }
-            for i, f in enumerate(df.schema.fields, start=1)
+            for i, f in enumerate(schema.fields, start=1)
         ]
 
     @staticmethod
@@ -4168,11 +4196,13 @@ class IcebergLiteTable:
 
         The added manifests are REWRITTEN at the new sequence number
         (entries re-stamped status=1/new snapshot/new seq): the files
-        logically arrive NOW, so equality deletes committed on the
-        target branch after the audit branch point still apply to them
-        under the spec's strict ``data seq < delete seq`` gate —
-        carrying the old sequence number verbatim would backdate them
-        past those deletes.  The head's own manifests carry verbatim
+        logically arrive NOW — after every delete already on the
+        target branch — so under the spec's strict ``data seq <
+        delete seq`` gate those earlier deletes do NOT retract them.
+        Carrying the old sequence number verbatim would backdate the
+        files to before deletes they were never audited against,
+        wrongly exposing them to retraction — exactly the hazard the
+        re-stamp exists to prevent.  The head's own manifests carry verbatim
         with their provenance.  Refuses when the picked snapshot is
         already an ancestor of the head (nothing to apply) or when any
         of its files is already live at the head (double-apply).  The
@@ -4696,25 +4726,43 @@ class IcebergLiteTable:
         first file's Spark-read schema becomes the table schema.
         Unpartitioned only: a hive-layout directory carries partition
         values in DIRECTORY NAMES that this registration would
-        silently drop — refused loudly.  Returns the snapshot id.
+        silently drop — refused loudly.  The guard scans components
+        BELOW the table root / common registration root: a constant
+        ``=`` ancestor shared by every registered file (a workspace
+        like ``/data/run=5/out/``) is not a varying partition value
+        and passes; any ``key=value`` component that differs across
+        the registration sits below the common root and refuses.
+        Returns the snapshot id.
         """
         import pyarrow.parquet as pq
 
         if not paths:
             raise ValueError("add_files needs at least one parquet path")
-        for p in paths:
+        # Hive-layout guard: scan directory components RELATIVE to the
+        # table root (for files inside it) or to the common registration
+        # root (for external files) — an ancestor workspace directory
+        # that happens to contain '=' (e.g. /data/run=5/ws/) is not a
+        # partition value of THIS registration and must not trip it.
+        # Components below the root (date=2020/sub/f.parquet) still do:
+        # those partition values would be silently dropped (same
+        # discipline as delta convert_from_parquet).
+        abs_paths = [os.path.abspath(p) for p in paths]
+        for p in abs_paths:
             if not os.path.exists(p):
                 raise FileNotFoundError(p)
-            # check EVERY directory component, not just the immediate
-            # parent: a file nested under date=2020/sub/f.parquet also
-            # carries partition values its registration would drop
-            # (same discipline as delta convert_from_parquet)
-            if any(
-                "=" in comp
-                for comp in os.path.dirname(
-                    os.path.abspath(p)
-                ).split(os.sep)
-            ):
+        reg_root = os.path.commonpath(
+            [os.path.dirname(p) for p in abs_paths]
+        )
+        tbl_root = os.path.abspath(self.path)
+        for p, ap in zip(paths, abs_paths):
+            root = (
+                tbl_root
+                if ap.startswith(tbl_root + os.sep)
+                else reg_root
+            )
+            rel = os.path.relpath(os.path.dirname(ap), root)
+            comps = [] if rel == "." else rel.split(os.sep)
+            if any("=" in comp for comp in comps):
                 raise IcebergProtocolError(
                     f"{p} sits under a hive-partition directory — its "
                     "partition values live in the directory name and "
@@ -4723,18 +4771,24 @@ class IcebergLiteTable:
                 )
         # validate the footer schema of EVERY file (files are id-less,
         # so a divergent later file would be silently NULL-filled by
-        # the by-name read fallback — silent corruption, not an error)
+        # the by-name read fallback — silent corruption, not an error).
+        # Footer reads go through pyarrow — zero per-file Spark jobs on
+        # a 10k-file adoption; the arrow schema converts to the same
+        # Iceberg (name, type) tuples the Spark reader would derive.
+        from pyspark.sql.pandas.types import from_arrow_schema
+
         per_file = [
             (
                 p,
                 [
                     (f["name"], f["type"])
-                    for f in self._iceberg_schema(spark.read.parquet(p))
+                    for f in self._iceberg_schema(
+                        from_arrow_schema(pq.read_schema(p))
+                    )
                 ],
             )
             for p in paths
         ]
-        df = spark.read.parquet(paths[0])
         fresh = False
         try:
             meta = self.metadata()
@@ -4761,7 +4815,9 @@ class IcebergLiteTable:
         if fresh:
             # fresh table: create it with the file schema via an empty
             # write, then register the files as the first real snapshot
-            self.write(df.limit(0))
+            # (the round's ONLY Spark read — adoption into an existing
+            # table is footer-validated entirely via pyarrow)
+            self.write(spark.read.parquet(paths[0]).limit(0))
         # one manifest of existing files, committed as a plain append:
         # reuse write()'s commit shape by constructing entries directly
         meta = self.metadata()

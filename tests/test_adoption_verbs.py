@@ -183,6 +183,71 @@ def test_add_files_refusals(spark, tmp_path):
         tp.add_files(spark, sfiles)
 
 
+def test_add_files_no_per_file_spark_jobs(spark, tmp_path):
+    """Adoption into an EXISTING table footer-validates every file via
+    pyarrow, not one spark.read.parquet job per file (r10, VERDICT r9
+    wrong#4): a 10k-file adoption must not run 10k driver-side Spark
+    jobs.  Asserted via the job-group status tracker: zero jobs in the
+    group wrapping the add_files call."""
+    p = _plain_parquet_dir(spark, tmp_path, "many", n=200)
+    files = sorted(
+        os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+    )
+    assert len(files) >= 2
+    t = IcebergLiteTable(str(tmp_path / "ice-jobs"))
+    t.write(spark.read.parquet(files[0]).limit(1))
+    sc = spark.sparkContext
+    sc.setJobGroup("addfiles-probe", "add_files must run no jobs")
+    try:
+        t.add_files(spark, files)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("addfiles-probe")
+    assert list(jobs) == [], (
+        f"add_files ran {len(jobs)} Spark jobs during adoption; "
+        "footer validation must stay pyarrow-only"
+    )
+    # and the adoption itself is sound
+    assert t.read(spark).count() == 1 + sum(
+        spark.read.parquet(f).count() for f in files
+    )
+
+
+def test_add_files_ignores_eq_in_unrelated_ancestors(spark, tmp_path):
+    """The hive-layout guard scans directory components RELATIVE to
+    the registration root, not the absolute path (ADVICE r9): a
+    workspace ancestor like .../run=5/out/ must not trip the refusal,
+    while true hive components BELOW the root still do."""
+    ws = tmp_path / "run=5" / "out"
+    os.makedirs(str(ws))
+    src = str(ws / "flat")
+    spark.range(10).selectExpr("id", "id * 2 AS v").repartition(
+        2
+    ).write.parquet(src)
+    files = sorted(
+        os.path.join(src, f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    t = IcebergLiteTable(str(tmp_path / "ice-anc"))
+    t.add_files(spark, files)  # must NOT raise despite run=5 ancestor
+    assert t.read(spark).count() == 10
+
+    # hive components below the registration root still refuse
+    hp = str(ws / "hive")
+    spark.range(10).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS part"
+    ).write.partitionBy("part").parquet(hp)
+    hfiles = [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(hp)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    with pytest.raises(IcebergProtocolError, match="hive-partition"):
+        t.add_files(spark, hfiles)
+
+
 # -- Iceberg remove_orphan_files ----------------------------------------
 
 
@@ -293,21 +358,32 @@ def test_add_files_validates_every_file_schema(spark, tmp_path):
 
 
 def test_add_files_refuses_deeply_nested_hive_dirs(spark, tmp_path):
-    """ADVICE r8 (low): the hive-layout refusal used to check only the
-    immediate parent; date=2020/sub/f.parquet slipped through and its
-    partition values were silently dropped."""
-    nested = tmp_path / "date=2020" / "sub"
-    os.makedirs(str(nested))
-    spark.range(4).selectExpr("id").coalesce(1).write.parquet(
-        str(nested / "w")
-    )
-    f = next(
-        f for f in os.listdir(str(nested / "w")) if f.endswith(".parquet")
-    )
-    target = str(nested / "f.parquet")
-    os.rename(str(nested / "w" / f), target)
+    """ADVICE r8 (low), reconciled with ADVICE r9 in r10: the refusal
+    scans directory components BELOW the common registration root —
+    date=2020/sub/f.parquet nested deeper than the immediate parent
+    still refuses whenever the registration spans the layout (the
+    silent-drop hazard is a VARYING partition value across registered
+    files; a single constant `=` ancestor shared by every file is a
+    workspace path, covered by
+    test_add_files_ignores_eq_in_unrelated_ancestors)."""
+    for d in ("2020", "2021"):
+        nested = tmp_path / f"date={d}" / "sub"
+        os.makedirs(str(nested))
+        spark.range(4).selectExpr("id").coalesce(1).write.parquet(
+            str(nested / "w")
+        )
+        f = next(
+            f
+            for f in os.listdir(str(nested / "w"))
+            if f.endswith(".parquet")
+        )
+        os.rename(str(nested / "w" / f), str(nested / "f.parquet"))
+    targets = [
+        str(tmp_path / f"date={d}" / "sub" / "f.parquet")
+        for d in ("2020", "2021")
+    ]
     with pytest.raises(IcebergProtocolError, match="hive-partition"):
-        IcebergLiteTable(str(tmp_path / "t")).add_files(spark, [target])
+        IcebergLiteTable(str(tmp_path / "t")).add_files(spark, targets)
 
 
 def test_convert_schema_covers_nested_subdirs(spark, tmp_path):

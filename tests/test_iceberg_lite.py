@@ -1138,10 +1138,17 @@ def test_iceberg_metadata_tables(spark, tmp_path):
     assert parts[(("k", "a"),)][1] == 2
     assert parts[(("k", "b"),)][1] == 2
 
+    refs = {
+        r.name: (r.type, r.snapshot_id)
+        for r in t.metadata_table(spark, "refs").collect()
+    }
+    cur = [r.snapshot_id for r in hist if r.is_current][0]
+    assert refs["main"] == ("branch", cur)
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unknown metadata table"):
-        t.metadata_table(spark, "refs")
+        t.metadata_table(spark, "entries")
 
 
 def test_iceberg_rewrite_zorder(spark, tmp_path):

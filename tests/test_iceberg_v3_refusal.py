@@ -1,6 +1,7 @@
-"""Iceberg v3 refusal (r9): the reader still refuses format-version 3,
-but the refusal now NAMES the v3 constructs the table actually uses —
-a migrating user gets a feature list, not a bare "v3 unsupported"."""
+"""Iceberg v3 handling: a table using any v3-specific construct is
+refused with the construct list NAMED (r9); a v3 table whose feature
+scan comes back empty is structurally v2 and READS (r10) — while every
+mutation still refuses at the commit choke point."""
 
 from __future__ import annotations
 
@@ -77,12 +78,54 @@ def test_v3_refusal_names_row_lineage_types_defaults_dvs(spark, tmp_path):
     assert "deletion vectors" in msg
 
 
-def test_v3_refusal_plain_table_suggests_downgrade(spark, tmp_path):
+def test_v3_no_constructs_reads(spark, tmp_path):
+    """r10 (VERDICT r9 next#3): a v3 table whose feature scan comes
+    back EMPTY is structurally v2 — read it instead of refusing on
+    the version number alone."""
     t = _v3_table(tmp_path, "plain")
-    with pytest.raises(
-        IcebergProtocolError, match="no v3-specific constructs"
-    ):
-        t.metadata()
+    meta = t.metadata()  # no refusal
+    assert meta["format-version"] == 3
+    # snapshot-less table: reads raise the normal "no current
+    # snapshot", NOT a v3 refusal
+    with pytest.raises(FileNotFoundError, match="no current snapshot"):
+        t.read(spark)
+
+
+def test_v3_no_constructs_reads_data_and_time_travels(spark, tmp_path):
+    """A data-carrying v3-no-features table (this engine's own v2
+    output with format-version re-stamped 3) reads bit-identically,
+    snapshot pinning included — and every MUTATION refuses at the
+    commit choke point (this writer's v2 manifests lack the row-id
+    assignment v3 readers require)."""
+    t = IcebergLiteTable(str(tmp_path / "v3d"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")],
+                                  "id int, v string"))
+    s1 = t.current_snapshot_id()
+    t.write(spark.createDataFrame([(3, "c")], "id int, v string"),
+            mode="append")
+    mfile = t._resolve_metadata_file()
+    with open(mfile) as fh:
+        meta = json.load(fh)
+    meta["format-version"] = 3
+    with open(mfile, "w") as fh:
+        json.dump(meta, fh)
+
+    got = sorted(tuple(r) for r in t.read(spark).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    pinned = sorted(
+        tuple(r) for r in t.read(spark, snapshot_id=s1).collect()
+    )
+    assert pinned == [(1, "a"), (2, "b")]
+    # metadata tables work too (pure reads)
+    assert t.metadata_table(spark, "snapshots").count() == 2
+    # mutations refuse — append, delete, maintenance alike
+    with pytest.raises(IcebergProtocolError, match="refuses to COMMIT"):
+        t.write(spark.createDataFrame([(4, "d")], "id int, v string"),
+                mode="append")
+    with pytest.raises(IcebergProtocolError, match="refuses to COMMIT"):
+        t.delete(spark, "id = 1")
+    # and nothing was half-committed by the refusals
+    assert t.read(spark).count() == 3
 
 
 def test_v2_tables_unaffected(spark, tmp_path):
