@@ -50,3 +50,43 @@ def test_unknown_and_zero_baselines_ignored():
     base = {"known": 0.0}
     lane = {"known": 9.9, "new_query": 9.9}
     assert bench.flag_regressions(base, lane) == {}
+
+
+# -- pollution stamp (r10): two independent sentinels + loadavg ---------
+
+
+_BASE = {"sentinel_steady": 0.3, "sentinel_shuffle_steady": 1.0}
+
+
+def test_quiet_run_not_polluted():
+    assert bench.pollution_reasons(0.1, 0.31, 1.02, _BASE) == []
+
+
+def test_loadavg_stamps():
+    reasons = bench.pollution_reasons(0.6, 0.3, 1.0, _BASE)
+    assert len(reasons) == 1 and "external load" in reasons[0]
+
+
+def test_map_sentinel_stamps():
+    reasons = bench.pollution_reasons(0.1, 0.36, 1.0, _BASE)
+    assert len(reasons) == 1 and "host-window drift" in reasons[0]
+
+
+def test_shuffle_sentinel_stamps_when_map_green():
+    # the r9 judge's exact blind spot: loadavg 0.00, map sentinel
+    # green, shuffle-heavy plans 1.5-2x slow — the shuffle sentinel
+    # alone must stamp the window
+    reasons = bench.pollution_reasons(0.0, 0.29, 1.8, _BASE)
+    assert len(reasons) == 1 and "exchange-side" in reasons[0]
+
+
+def test_tolerance_boundary_not_polluted():
+    # exactly at 1.15x is NOT over tolerance (strict >)
+    assert bench.pollution_reasons(0.0, 0.345, 1.15, _BASE) == []
+
+
+def test_missing_pins_skip_sentinel_checks():
+    # no baseline yet (fresh repo / non-sf0.1 lane): loadavg still
+    # guards, sentinels silently skip
+    assert bench.pollution_reasons(0.0, 99.0, 99.0, None) == []
+    assert bench.pollution_reasons(0.0, 99.0, 99.0, {}) == []
