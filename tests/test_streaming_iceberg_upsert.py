@@ -100,3 +100,43 @@ def test_upsert_stream_compacts_away(spark, tmp_path):
     before = _state(spark, t)
     t.rewrite_data_files(spark)
     assert _state(spark, t) == before
+
+
+def test_upsert_stream_order_by_beats_partition_order(spark, tmp_path):
+    """r10 (VERDICT r9 wrong#3): in-batch last-write-wins must follow
+    the stream's own event-order column when ``order_by`` is given —
+    not (partition-id, row-position).  Duplicate keys are spread
+    across TWO files read in ONE micro-batch (two input partitions),
+    with each key's seq-winner alternating between the files: any
+    partition-determined choice gets half the keys wrong, the
+    seq-determined one gets all of them right."""
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    tbl = str(tmp_path / "ice")
+    schema = "id long, v string, seq long"
+    f1, f2 = [], []
+    for k in range(10):
+        win = (k, "win", 100 + k)
+        lose = (k, "lose", 1 + k)
+        if k % 2 == 0:
+            f1.append(win), f2.append(lose)
+        else:
+            f1.append(lose), f2.append(win)
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    spark.createDataFrame(f2, schema).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    # no maxFilesPerTrigger: both files land in ONE micro-batch
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    q = upsert_stream_to_iceberg(
+        stream, tbl, keys=["id"], checkpoint_path=ckpt, order_by="seq"
+    )
+    q.awaitTermination(180)
+    t = IcebergLiteTable(tbl)
+    rows = {r.id: (r.v, r.seq) for r in t.read(spark).collect()}
+    assert len(rows) == 10
+    for k in range(10):
+        assert rows[k] == ("win", 100 + k), (k, rows[k])
