@@ -3247,6 +3247,52 @@ class DeltaLiteTable:
             new_proto if new_proto != proto else None,
         )
 
+    def upgrade_v2_checkpoints(self) -> int:
+        """Flip the table to the V2 checkpoint policy — delta-spark's
+        ``ALTER TABLE ... SET TBLPROPERTIES('delta.checkpointPolicy' =
+        'v2')`` shape: ONE commit raising the protocol to the feature
+        form (reader 3 / writer 7) with ``v2Checkpoint`` in BOTH
+        feature lists and stamping the policy in the table
+        configuration.  From then on :meth:`checkpoint` writes the
+        uuid-named manifest + sidecar layout instead of a classic
+        single parquet (the feature contract the table now advertises
+        to every engine)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"no Delta log at {self.log_dir}")
+        meta, _live, proto = self._replay(latest)
+        self._check_write_protocol(meta, proto, "append")
+        conf = dict(meta.get("configuration") or {})
+        if conf.get("delta.checkpointPolicy", "classic") == "v2":
+            raise ValueError("table already uses the v2 policy")
+        conf["delta.checkpointPolicy"] = "v2"
+        new_meta = {**meta, "configuration": conf}
+        mrv = proto.get("minReaderVersion", 1)
+        mwv = proto.get("minWriterVersion", 2)
+        new_proto = dict(proto)
+        new_proto["minReaderVersion"] = max(mrv, 3)
+        new_proto["minWriterVersion"] = max(mwv, 7)
+        # legacy numeric versions imply their whole feature set when
+        # upgraded to v7 — spell the implied features out so no
+        # capability is silently dropped by the upgrade
+        implied_w = set(proto.get("writerFeatures") or ())
+        implied_r = set(proto.get("readerFeatures") or ())
+        if mwv < 7:
+            if self._cdf_enabled(meta):
+                implied_w.add("changeDataFeed")
+            if (conf.get("delta.columnMapping.mode", "none")) != "none":
+                implied_w.add("columnMapping")
+                implied_r.add("columnMapping")
+        new_proto["writerFeatures"] = sorted(implied_w | {"v2Checkpoint"})
+        new_proto["readerFeatures"] = sorted(implied_r | {"v2Checkpoint"})
+        return self._evolve_commit(
+            latest, new_meta, "SET TBLPROPERTIES",
+            {"properties": json.dumps(
+                {"delta.checkpointPolicy": "v2"}
+            )},
+            new_proto,
+        )
+
     def rename_column(self, old: str, new: str) -> int:
         """Rename a top-level column — metadata-only (the physicalName
         and id are untouched, so every existing data file keeps

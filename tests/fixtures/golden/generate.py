@@ -14,6 +14,9 @@ Families:
                                           bucket[4]-partitioned
                                           Iceberg with an equality-
                                           delete upsert (r9)
+  delta_v2ckpt                            v2-checkpoint policy (uuid
+                                          manifest + sidecar) plus a
+                                          minor log compaction (r10)
 
 A plain run only builds families whose directory is MISSING (additive
 — committed bytes never churn); set GOLDEN_FORCE=1 to rebuild all,
@@ -106,6 +109,32 @@ def _build_partitioned(spark, dpp, ipp):
           [s["snapshot-id"] for s in ip.metadata().get("snapshots", [])])
 
 
+def _build_v2ckpt(spark, dvp):
+    """Third family (r10): the v2-checkpoint-policy + minor-log-
+    compaction housekeeping layout — uuid-named checkpoint manifest,
+    file-action sidecar, and a {start}.{end}.compacted.json range —
+    drift-pinned like the other two families."""
+    from pyspark.sql import functions as F
+
+    from data_lakehouse_platform_spark.sources.delta_lite import (
+        DeltaLiteTable,
+    )
+
+    dv = DeltaLiteTable(dvp)
+    dv.write(seed_df(spark))                          # v0: create
+    dv.write(seed_df(spark).filter("id < 5")
+             .withColumn("score", F.col("score") + 1),
+             mode="append")                           # v1: append
+    dv.upgrade_v2_checkpoints()                       # v2: policy flip
+    dv.delete(spark, "id = 7")                        # v3: delete
+    dv.write(seed_df(spark).filter("id = 7")
+             .withColumn("score", F.lit(99.0)),
+             mode="append")                           # v4: append
+    dv.compact_log(0, 2)                              # 0.2.compacted
+    dv.checkpoint()                                   # V2 layout @ v4
+    print("delta_v2ckpt versions:", dv.all_versions())
+
+
 def main():
     from data_lakehouse_platform_spark.session import get_spark
 
@@ -117,7 +146,9 @@ def main():
             os.path.join(HERE, "iceberg_table")]
     part = [os.path.join(HERE, "delta_partitioned"),
             os.path.join(HERE, "iceberg_partitioned")]
-    for group, build in ((flat, _build_flat), (part, _build_partitioned)):
+    v2c = [os.path.join(HERE, "delta_v2ckpt")]
+    for group, build in ((flat, _build_flat), (part, _build_partitioned),
+                         (v2c, _build_v2ckpt)):
         if not force and all(os.path.isdir(p) for p in group):
             print(f"{[os.path.basename(p) for p in group]} present; "
                   "skipping (GOLDEN_FORCE=1 rebuilds)")

@@ -212,3 +212,82 @@ def test_fresh_partitioned_writes_match_golden_shapes(spark, tmp_path):
     assert meta_shape(str(tmp_path / "ip")) == meta_shape(
         os.path.join(GOLDEN, "iceberg_partitioned")
     )
+
+
+def test_golden_v2ckpt_delta_reads_bit_exact(spark):
+    """r10 third family: v2-checkpoint policy (uuid manifest +
+    sidecar) plus a minor log compaction — the two housekeeping
+    surfaces r8/r9 added, now drift-pinned like the other families."""
+    t = DeltaLiteTable(os.path.join(GOLDEN, "delta_v2ckpt"))
+    assert t.all_versions() == [0, 1, 2, 3, 4]
+    seed = _seed_rows()
+    v0 = sorted(tuple(r) for r in t.read(spark, version=0).collect())
+    assert v0 == sorted(seed)
+    # v3 = seed + bumped dups of ids 0-4, minus id=7
+    v3_expect = [r for r in seed if r[0] != 7]
+    v3_expect += [(i, i % 3, f"row-{i}", i * 2.5 + 1.0) for i in range(5)]
+    v3 = sorted(tuple(r) for r in t.read(spark, version=3).collect())
+    assert v3 == sorted(v3_expect)
+    # latest adds id=7 back at score 99
+    latest_expect = v3_expect + [(7, 1, "row-7", 99.0)]
+    latest = sorted(tuple(r) for r in t.read(spark).collect())
+    assert latest == sorted(latest_expect)
+    # layout: uuid-named V2 manifest, sidecar dir, compacted range
+    log = os.listdir(os.path.join(GOLDEN, "delta_v2ckpt", "_delta_log"))
+    assert any(
+        re.fullmatch(
+            r"\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet", f
+        )
+        for f in log
+    )
+    assert "_sidecars" in log
+    assert (
+        "00000000000000000000.00000000000000000002.compacted.json" in log
+    )
+
+
+def test_fresh_v2ckpt_build_matches_golden_shapes(spark, tmp_path):
+    """A fresh generator run reproduces the same commit action shapes,
+    the same compacted-file action shape, and the same (normalized)
+    checkpoint file naming as the committed fixture."""
+    import sys
+
+    sys.path.insert(0, GOLDEN)
+    from generate import _build_v2ckpt
+
+    _build_v2ckpt(spark, str(tmp_path / "dv"))
+    fresh_log = str(tmp_path / "dv" / "_delta_log")
+    golden_log = os.path.join(GOLDEN, "delta_v2ckpt", "_delta_log")
+    assert _delta_log_shape(fresh_log) == _delta_log_shape(golden_log)
+
+    def compacted_shape(log_dir):
+        (name,) = [f for f in os.listdir(log_dir) if "compacted" in f]
+        acts = []
+        with open(os.path.join(log_dir, name)) as fh:
+            for line in fh:
+                if line.strip():
+                    a = json.loads(line)
+                    (k, body), = a.items()
+                    acts.append(
+                        f"{k}:"
+                        + ",".join(sorted(body))
+                        if isinstance(body, dict)
+                        else k
+                    )
+        return (name, sorted(acts))
+
+    assert compacted_shape(fresh_log) == compacted_shape(golden_log)
+
+    def norm_names(log_dir):
+        out = []
+        for f in sorted(os.listdir(log_dir)):
+            n = re.sub(r"\d{20}", "V", f)
+            n = re.sub(r"[0-9a-f-]{36}", "U", n)
+            out.append(n)
+        return sorted(out)
+
+    assert norm_names(fresh_log) == norm_names(golden_log)
+    # sidecar dir holds the same count of parquet sidecars
+    fs = os.listdir(os.path.join(fresh_log, "_sidecars"))
+    gs = os.listdir(os.path.join(golden_log, "_sidecars"))
+    assert len(fs) == len(gs) and all(f.endswith(".parquet") for f in fs)
