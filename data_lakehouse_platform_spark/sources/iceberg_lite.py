@@ -790,12 +790,9 @@ class IcebergLiteTable:
             )
         if has_defaults:
             feats.append("column default values (initial/write-default)")
-        dv_keys = ("added-dvs", "removed-dvs", "total-dvs")
-        if any(
-            any(k in (s.get("summary") or {}) for k in dv_keys)
-            for s in meta.get("snapshots", [])
-        ):
-            feats.append("deletion vectors (Puffin DVs in summaries)")
+        # Puffin deletion vectors are NOT listed here since r10: the
+        # read path applies them (sources/puffin.py + _read_files'
+        # dv lane), so their presence no longer forces a refusal.
         if meta.get("encryption-keys"):
             feats.append("table encryption keys")
         return feats
@@ -911,14 +908,42 @@ class IcebergLiteTable:
                 df = e["data_file"]
                 content = int(df.get("content") or 0)
                 fmt = str(df.get("file_format", "")).upper()
+                seq = e.get("sequence_number")
+                seq = mseq if seq is None else int(seq)
+                path = _local_path(df["file_path"])
+                if fmt == "PUFFIN":
+                    # v3 deletion vector: a position-delete entry whose
+                    # bitmap lives at a byte range of a Puffin file,
+                    # scoped to exactly one referenced data file
+                    rdf = df.get("referenced_data_file")
+                    off = df.get("content_offset")
+                    sz = df.get("content_size_in_bytes")
+                    if (
+                        content != 1
+                        or rdf is None
+                        or off is None
+                        or sz is None
+                    ):
+                        raise IcebergProtocolError(
+                            f"puffin entry {path} is not a well-formed "
+                            "deletion vector (needs content=1 + "
+                            "referenced_data_file + content_offset + "
+                            "content_size_in_bytes) — refusing rather "
+                            "than misread deletes"
+                        )
+                    deletes.append(
+                        {
+                            "path": path, "seq": seq, "kind": "dv",
+                            "referenced": _local_path(str(rdf)),
+                            "offset": int(off), "size": int(sz),
+                        }
+                    )
+                    continue
                 if fmt != "PARQUET":
                     raise IcebergProtocolError(
                         f"data file format {fmt or '?'} not supported; "
                         "parquet only"
                     )
-                seq = e.get("sequence_number")
-                seq = mseq if seq is None else int(seq)
-                path = _local_path(df["file_path"])
                 if content == 2:
                     eq_ids = df.get("equality_ids")
                     if not eq_ids:
@@ -1269,6 +1294,7 @@ class IcebergLiteTable:
         """
         pos = [d for d in deletes if d["kind"] == "pos"]
         eq = [d for d in deletes if d["kind"] == "eq"]
+        dv = [d for d in deletes if d["kind"] == "dv"]
         strip = lambda c: F.regexp_replace(  # noqa: E731
             c, "^[a-zA-Z0-9+.-]+:/+", "/"
         )
@@ -1276,8 +1302,54 @@ class IcebergLiteTable:
         # need them (metadata columns must be referenced pre-projection)
         df = self._resolved_scan(
             spark, meta, [p for p, _s, _pt in data_files],
-            with_meta=bool(pos or eq),
+            with_meta=bool(pos or eq or dv),
         )
+        if dv:
+            # Puffin deletion vectors (v3): each descriptor names a
+            # byte range holding one referenced file's bitmap.  Decode
+            # in EXECUTOR tasks (one task per blob, mapInPandas over
+            # the descriptor list — a DV is bounded by its one file's
+            # deleted-row count, and blobs are range-addressed so a
+            # task never reads the whole Puffin file), then anti-join
+            # on (path, pos) exactly like parquet position deletes.
+            import pandas as _pd
+
+            desc = spark.createDataFrame(
+                [
+                    (
+                        d["path"], d["offset"], d["size"],
+                        os.path.abspath(d["referenced"]),
+                    )
+                    for d in dv
+                ],
+                "puffin string, off long, size long, target string",
+            ).repartition(min(len(dv), 32))
+
+            def _decode_dvs(batches):
+                from data_lakehouse_platform_spark.sources.puffin import (
+                    read_dv_positions,
+                )
+
+                for pdf in batches:
+                    for row in pdf.itertuples(index=False):
+                        positions = read_dv_positions(
+                            row.puffin, row.off, row.size
+                        )
+                        yield _pd.DataFrame(
+                            {
+                                "__ib_path": row.target,
+                                "__ib_pos": _pd.Series(
+                                    positions, dtype="int64"
+                                ),
+                            }
+                        )
+
+            dv_rows = desc.mapInPandas(
+                _decode_dvs, "__ib_path string, __ib_pos long"
+            )
+            df = df.join(
+                dv_rows, on=["__ib_path", "__ib_pos"], how="left_anti"
+            )
         if pos:
             # Position-delete parquet: (file_path, pos[, row]).  Both
             # sides normalize to a scheme-less local path so the join

@@ -322,14 +322,30 @@ def test_iceberg_non_parquet_refused(spark, tmp_path):
         t.read(spark)
 
 
-def test_iceberg_format_v3_refused(tmp_path):
+def test_iceberg_format_v3_and_beyond_gates(tmp_path):
+    """r10 gate shape: a v3 table with NO v3-specific construct reads
+    (metadata() returns); a v3 table using one refuses naming it; an
+    unknown future version refuses outright."""
     root = tmp_path / "v3"
     mdir = root / "metadata"
     mdir.mkdir(parents=True)
     with open(mdir / "v1.metadata.json", "w") as fh:
         json.dump({"format-version": 3}, fh)
-    with pytest.raises(IcebergProtocolError, match="format-version=3"):
-        IcebergLiteTable(str(root)).metadata()
+    assert IcebergLiteTable(str(root)).metadata()["format-version"] == 3
+
+    rootf = tmp_path / "v3feat"
+    (rootf / "metadata").mkdir(parents=True)
+    with open(rootf / "metadata" / "v1.metadata.json", "w") as fh:
+        json.dump({"format-version": 3, "next-row-id": 5}, fh)
+    with pytest.raises(IcebergProtocolError, match="row lineage"):
+        IcebergLiteTable(str(rootf)).metadata()
+
+    root4 = tmp_path / "v4"
+    (root4 / "metadata").mkdir(parents=True)
+    with open(root4 / "metadata" / "v1.metadata.json", "w") as fh:
+        json.dump({"format-version": 4}, fh)
+    with pytest.raises(IcebergProtocolError, match="format-version=4"):
+        IcebergLiteTable(str(root4)).metadata()
 
 
 # -- write path (migrate-out edge) ----------------------------------------
@@ -1239,9 +1255,9 @@ def test_iceberg_snapshot_refs(spark, tmp_path):
 
 
 def test_iceberg_v3_write_refused(spark, tmp_path):
-    """A format-version 3 table refuses WRITES too (reads already
-    refuse) — committing v2-shaped snapshots into a v3 table would
-    silently violate row lineage."""
+    """A format-version 3 table refuses WRITES (r10: reads work when
+    no v3 construct is in play) — committing v2-shaped snapshots into
+    a v3 table would silently violate row lineage."""
     import json as _json
 
     t = IcebergLiteTable(str(tmp_path / "v3w"))
@@ -1251,5 +1267,7 @@ def test_iceberg_v3_write_refused(spark, tmp_path):
     meta["format-version"] = 3
     with open(mf, "w") as fh:
         _json.dump(meta, fh)
-    with pytest.raises(IcebergProtocolError, match="format-version=3"):
+    with pytest.raises(IcebergProtocolError, match="refuses to COMMIT"):
         t.write(spark.createDataFrame([(2,)], "id long"), mode="append")
+    # reads keep working (no v3 construct in play)
+    assert t.read(spark).count() == 1
