@@ -355,3 +355,141 @@ def test_objectstore_wedged_slot_does_not_leak_staged(tmp_path):
             ObjectStoreCommitSlots(claims).put_if_absent(slot, b"x")
     leaked = [p for p in os.listdir(tmp_path) if p.endswith(".staged")]
     assert leaked == []
+
+
+# -- S3ObjectStore adapter (r10) ----------------------------------------
+
+
+class _StubS3Client:
+    """Dict-backed boto3-shape client: just enough surface for the
+    adapter's five verbs, with S3's error shapes (NoSuchKey ClientError
+    lookalikes) so the missing-key mapping is exercised."""
+
+    class _Err(Exception):
+        def __init__(self, code):
+            super().__init__(code)
+            self.response = {"Error": {"Code": code}}
+
+    def __init__(self):
+        self.objects: dict[tuple[str, str], bytes] = {}
+
+    def put_object(self, Bucket, Key, Body):
+        self.objects[(Bucket, Key)] = bytes(Body)
+
+    def get_object(self, Bucket, Key):
+        if (Bucket, Key) not in self.objects:
+            raise self._Err("NoSuchKey")
+        import io
+
+        return {"Body": io.BytesIO(self.objects[(Bucket, Key)])}
+
+    def head_object(self, Bucket, Key):
+        if (Bucket, Key) not in self.objects:
+            raise self._Err("404")
+        return {}
+
+    def delete_object(self, Bucket, Key):
+        self.objects.pop((Bucket, Key), None)
+        return {}
+
+    def get_paginator(self, name):
+        assert name == "list_objects_v2"
+        objects = self.objects
+
+        class _Pag:
+            def paginate(self, Bucket, Prefix):
+                keys = sorted(
+                    k for (b, k) in objects if b == Bucket
+                    and k.startswith(Prefix)
+                )
+                # two pages to prove pagination is walked
+                mid = (len(keys) + 1) // 2
+                for chunk in (keys[:mid], keys[mid:]):
+                    yield {"Contents": [{"Key": k} for k in chunk]}
+
+        return _Pag()
+
+
+def _s3_store():
+    from data_lakehouse_platform_spark.sources.commit_backend import (
+        S3ObjectStore,
+    )
+
+    return S3ObjectStore("bkt", prefix="warehouse",
+                         client=_StubS3Client())
+
+
+@pytest.mark.parametrize("mk", [LocalObjectStore, _s3_store])
+def test_object_store_verb_conformance(tmp_path, mk):
+    """Both stores satisfy the same verb contract: blind PUT, GET,
+    EXISTS, idempotent DELETE, prefix LIST, FileNotFoundError on a
+    missing GET — so ObjectStoreCommitSlots runs unchanged over
+    either."""
+    st = mk()
+    base = str(tmp_path / "c")
+    k = f"{base}/obj.bin"
+    st.put(k, b"one")
+    st.put(k, b"two")
+    assert st.get(k) == b"two"
+    assert st.exists(k)
+    assert not st.exists(f"{base}/missing")
+    with pytest.raises(FileNotFoundError):
+        st.get(f"{base}/missing")
+    st.delete(f"{base}/missing")  # idempotent
+    st.put(f"{base}/obj2.bin", b"x")
+    names = [p.rsplit("/", 1)[-1] for p in st.list(f"{base}/obj")]
+    assert names == ["obj.bin", "obj2.bin"]
+    st.delete(k)
+    assert not st.exists(k)
+
+
+def test_commit_slots_over_s3_adapter(tmp_path):
+    """The full staged-claim-promote protocol over the S3 adapter:
+    exactly one winner, loser's bytes never land, recovery works."""
+    st = _s3_store()
+    claims: dict[str, str] = {}
+    a = ObjectStoreCommitSlots(claims, store=st)
+    b = ObjectStoreCommitSlots(claims, store=st)
+    path = str(tmp_path / "log" / "00000000000000000001.json")
+    assert a.put_if_absent(path, b"winner")
+    assert not b.put_if_absent(path, b"loser")
+    assert st.get(os.path.abspath(path)) == b"winner"
+    # no staged debris
+    assert [
+        p for p in st.list(os.path.abspath(path)) if ".staged" in p
+    ] == []
+
+
+def test_s3_adapter_key_mapping():
+    """Filesystem-shaped keys map deterministically under the prefix
+    with the leading slash stripped."""
+    st = _s3_store()
+    st.put("/tmp/t/a.json", b"x")
+    assert ("bkt", "warehouse/tmp/t/a.json") in st._c.objects
+    assert st.list("/tmp/t/") == ["/tmp/t/a.json"]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_S3_ENDPOINT"),
+    reason="SPARK_GRAFT_S3_ENDPOINT not set (no live S3/MinIO here)",
+)
+def test_s3_adapter_live_endpoint(tmp_path):
+    """Same conformance against a real endpoint the moment one exists
+    (MinIO: SPARK_GRAFT_S3_ENDPOINT=http://host:9000 plus the usual
+    AWS_* env credentials and SPARK_GRAFT_S3_BUCKET)."""
+    from data_lakehouse_platform_spark.sources.commit_backend import (
+        S3ObjectStore,
+    )
+
+    st = S3ObjectStore(
+        os.environ.get("SPARK_GRAFT_S3_BUCKET", "dlp-test"),
+        prefix="conformance",
+        endpoint_url=os.environ["SPARK_GRAFT_S3_ENDPOINT"],
+    )
+    k = f"/probe/{os.getpid()}/obj.bin"
+    st.put(k, b"one")
+    st.put(k, b"two")
+    assert st.get(k) == b"two"
+    assert st.exists(k)
+    st.delete(k)
+    assert not st.exists(k)
