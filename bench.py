@@ -149,6 +149,11 @@ HEADLINE = [
     # quiet-box run
     "winnowing_fingerprint",
     "graph_neighbor_jaccard",
+    # round-10 flagships (exact roaring-bitmap rolling distinct;
+    # mergeable log-linear quantile sketch), baselined from their
+    # first quiet-box run
+    "bitmap_rolling_distinct",
+    "ddsketch_quantiles",
 ]
 
 

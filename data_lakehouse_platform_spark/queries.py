@@ -79,6 +79,7 @@ _MODULE_RANK = {
             "queries_stattests_ext",
             "queries_r8_ext",
             "queries_r9_ext",
+            "queries_r10_ext",
         ]
     )
 }
@@ -222,6 +223,7 @@ def all_queries() -> dict[str, Query]:
     from data_lakehouse_platform_spark import queries_stattests_ext  # noqa: F401,E501
     from data_lakehouse_platform_spark import queries_r8_ext  # noqa: F401
     from data_lakehouse_platform_spark import queries_r9_ext  # noqa: F401
+    from data_lakehouse_platform_spark import queries_r10_ext  # noqa: F401
 
     # canonical order regardless of which module a caller imported
     # first (see _MODULE_RANK)

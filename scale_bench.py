@@ -111,6 +111,17 @@ QUERIES = [
     # so the capped query scales with the honest baskets: standard
     # linear bound, NOT a cap-inflated one.
     ("basket_triples", 13.0),
+    # r10: the two new operator families with scale-sensitive shapes.
+    # bitmap_rolling_distinct: replicas shift user ids, so every day's
+    # roaring bitmap holds 10x the users — bitmap build AND the 7-way
+    # window unions scale linearly in set size (the point of the
+    # sketch: the second stage stays bitmap-sized, never event-sized).
+    # ddsketch_quantiles: bucket state is O(1) per priority by
+    # construction, so only the scan scales — expect well under the
+    # linear bound; a ratio near it would mean the sketch state leaked
+    # row-count dependence.
+    ("bitmap_rolling_distinct", 13.0),
+    ("ddsketch_quantiles", 13.0),
 ]
 
 # The whale basket planted into the 10x lineitem: one order far outside

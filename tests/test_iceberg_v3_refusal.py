@@ -15,6 +15,17 @@ from data_lakehouse_platform_spark.sources.iceberg_lite import (
     IcebergProtocolError,
 )
 
+# the v3 DV snapshot builder lives with the golden-fixture generator
+# (it is fixture-building code: it models ANOTHER engine's v3 output)
+sys_path_golden = os.path.join(
+    os.path.dirname(__file__), "fixtures", "golden"
+)
+import sys  # noqa: E402
+
+if sys_path_golden not in sys.path:
+    sys.path.insert(0, sys_path_golden)
+from generate import add_dv_snapshot as _add_dv_snapshot  # noqa: E402
+
 
 def _v3_table(tmp_path, name, extra_meta=None, fields=None, snapshots=None):
     root = tmp_path / name
@@ -135,131 +146,6 @@ def test_v2_tables_unaffected(spark, tmp_path):
     t.write(spark.createDataFrame([(1, "a")], "id int, v string"))
     assert t.metadata()["format-version"] == 2
 
-
-def _add_dv_snapshot(t, dv_positions_by_file):
-    """Hand-commit a v3 deletion-vector snapshot onto a table this
-    engine wrote: one Puffin file holding a DV per referenced data
-    file, one delete manifest whose entries carry the v3 DV fields
-    (referenced_data_file 143 / content_offset 144 /
-    content_size_in_bytes 145), a new manifest list carrying the
-    current snapshot's manifests forward, and a new metadata.json at
-    format-version 3.  Bypasses _commit_metadata_json on purpose —
-    that choke point refuses v3 commits; this models ANOTHER engine's
-    v3 output for the read path to consume."""
-    import copy
-    import uuid as uuidlib
-
-    from data_lakehouse_platform_spark.sources.avro_lite import (
-        write_container,
-    )
-    from data_lakehouse_platform_spark.sources.iceberg_lite import (
-        _ML_SCHEMA,
-        _manifest_schema,
-    )
-    from data_lakehouse_platform_spark.sources.puffin import write_dv_file
-
-    meta = t.metadata()
-    snaps = meta["snapshots"]
-    cur = next(
-        s for s in snaps
-        if int(s["snapshot-id"]) == meta["current-snapshot-id"]
-    )
-    snap_id = max(int(s["snapshot-id"]) for s in snaps) + 1
-    seq = int(meta.get("last-sequence-number", 0)) + 1
-
-    ppath = os.path.join(t.metadata_dir, f"dv-{uuidlib.uuid4().hex}.puffin")
-    blob_metas = write_dv_file(
-        ppath, dv_positions_by_file, snapshot_id=snap_id,
-        sequence_number=seq,
-    )
-
-    msch = copy.deepcopy(_manifest_schema([]))
-    (df_field,) = [
-        f for f in msch["fields"] if f["name"] == "data_file"
-    ]
-    df_field["type"]["fields"] += [
-        {"name": "referenced_data_file", "type": ["null", "string"],
-         "default": None, "field-id": 143},
-        {"name": "content_offset", "type": ["null", "long"],
-         "default": None, "field-id": 144},
-        {"name": "content_size_in_bytes", "type": ["null", "long"],
-         "default": None, "field-id": 145},
-    ]
-    entries = [
-        {
-            "status": 1, "snapshot_id": snap_id,
-            "sequence_number": seq, "file_sequence_number": seq,
-            "data_file": {
-                "content": 1,
-                "file_path": ppath,
-                "file_format": "PUFFIN",
-                "partition": {},
-                "record_count": int(m["properties"]["cardinality"]),
-                "file_size_in_bytes": os.path.getsize(ppath),
-                "referenced_data_file":
-                    m["properties"]["referenced-data-file"],
-                "content_offset": m["offset"],
-                "content_size_in_bytes": m["length"],
-            },
-        }
-        for m in blob_metas
-    ]
-    mpath = os.path.join(
-        t.metadata_dir, f"m-dv-{uuidlib.uuid4().hex}.avro"
-    )
-    write_container(
-        mpath, msch, entries,
-        extra_metadata={
-            "schema": json.dumps({"type": "struct", "fields": []}).encode(),
-            "partition-spec": json.dumps([]).encode(),
-            "partition-spec-id": b"0",
-            "format-version": b"3",
-            "content": b"deletes",
-        },
-    )
-    ml_rows = [
-        {
-            "manifest_path": mpath,
-            "manifest_length": os.path.getsize(mpath),
-            "partition_spec_id": 0, "content": 1,
-            "sequence_number": seq, "min_sequence_number": seq,
-            "added_snapshot_id": snap_id,
-            "added_files_count": len(entries),
-            "existing_files_count": 0, "deleted_files_count": 0,
-            "added_rows_count": sum(
-                e["data_file"]["record_count"] for e in entries
-            ),
-            "existing_rows_count": 0, "deleted_rows_count": 0,
-        }
-    ] + t._manifest_list_rows(cur)
-    ml_path = os.path.join(
-        t.metadata_dir, f"snap-{snap_id}-1-{uuidlib.uuid4().hex}.avro"
-    )
-    write_container(ml_path, _ML_SCHEMA, ml_rows,
-                    extra_metadata={"format-version": b"3"})
-    new_meta = copy.deepcopy(meta)
-    new_meta["format-version"] = 3
-    new_meta["snapshots"] = snaps + [{
-        "snapshot-id": snap_id, "sequence-number": seq,
-        "parent-snapshot-id": int(cur["snapshot-id"]),
-        "timestamp-ms": int(cur.get("timestamp-ms", 0)) + 1,
-        "manifest-list": ml_path,
-        "summary": {"operation": "overwrite", "added-dvs": "1"},
-    }]
-    new_meta["current-snapshot-id"] = snap_id
-    new_meta["last-sequence-number"] = seq
-    v = 1 + max(
-        int(f.split(".")[0][1:])
-        for f in os.listdir(t.metadata_dir)
-        if f.endswith(".metadata.json") and f.startswith("v")
-    )
-    with open(os.path.join(t.metadata_dir,
-                           f"v{v}.metadata.json"), "w") as fh:
-        json.dump(new_meta, fh)
-    with open(os.path.join(t.metadata_dir, "version-hint.text"),
-              "w") as fh:
-        fh.write(str(v))
-    return snap_id
 
 
 def test_v3_puffin_dv_read_end_to_end(spark, tmp_path):
