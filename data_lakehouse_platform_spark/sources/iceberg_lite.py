@@ -752,10 +752,12 @@ class IcebergLiteTable:
         feature list ("this table uses row lineage and variant
         columns"), not a bare "v3 unsupported"."""
         feats: list[str] = []
-        if meta.get("row-lineage") or "next-row-id" in meta or any(
-            "first-row-id" in s for s in meta.get("snapshots", [])
-        ):
-            feats.append("row lineage (next-row-id / first-row-id)")
+        # Row lineage (next-row-id / first-row-id) is NOT listed since
+        # r10: plain reads are lineage-agnostic (the ids are hidden
+        # metadata), and read_with_lineage() surfaces _row_id /
+        # _last_updated_sequence_number per the spec's derivation —
+        # every spec-compliant v3 table carries next-row-id, so
+        # refusing on it would make the v3 read path vacuous.
         v3_scalar = {"variant", "timestamp_ns", "timestamptz_ns",
                      "unknown"}
         found_types: set[str] = set()
@@ -1270,12 +1272,126 @@ class IcebergLiteTable:
             out = out.filter(predicate)
         return out
 
+    def _lineage_assignments(
+        self, snap: dict
+    ) -> dict[str, tuple[int, int]]:
+        """{abs data-file path: (first_row_id, data sequence number)}
+        per the v3 row-lineage inheritance rules: an entry's explicit
+        ``first_row_id`` wins; a null one inherits the manifest-list
+        row's ``first_row_id`` plus the record counts of the PRIOR
+        null-assigned data files in that manifest (spec, "Row
+        Lineage" assignment).  Refuses loudly when neither level
+        carries an assignment — guessing row ids would fabricate
+        lineage."""
+        if "manifest-list" not in snap:
+            raise IcebergProtocolError(
+                "row lineage needs a manifest list carrying "
+                "first_row_id assignments (v1 inline manifests "
+                "predate lineage)"
+            )
+        out: dict[str, tuple[int, int]] = {}
+        _, ml_rows = read_container(_local_path(snap["manifest-list"]))
+        for row in ml_rows:
+            if int(row.get("content") or 0) != 0:
+                continue  # delete manifests carry no row ids
+            mpath = _local_path(row["manifest_path"])
+            mseq = int(row.get("sequence_number") or 0)
+            mfr = row.get("first_row_id")
+            _, entries = read_container(mpath)
+            acc = 0
+            for e in entries:
+                if int(e.get("status") or 0) == 2:
+                    continue
+                d = e["data_file"]
+                if int(d.get("content") or 0) != 0:
+                    continue
+                seq = e.get("sequence_number")
+                seq = mseq if seq is None else int(seq)
+                fr = e.get("first_row_id")
+                if fr is None:
+                    fr = d.get("first_row_id")
+                if fr is None:
+                    if mfr is None:
+                        raise IcebergProtocolError(
+                            f"data file {d['file_path']} has no "
+                            "first_row_id and its manifest carries "
+                            "none to inherit — cannot synthesize row "
+                            "lineage; use an Iceberg runtime"
+                        )
+                    fr = int(mfr) + acc
+                    acc += int(d.get("record_count") or 0)
+                out[
+                    os.path.abspath(_local_path(d["file_path"]))
+                ] = (int(fr), seq)
+        return out
+
+    def read_with_lineage(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """v3 ROW-LINEAGE read (r10): every row carries ``_row_id``
+        and ``_last_updated_sequence_number``.  For data files without
+        materialized lineage columns the spec's derivation applies —
+        ``_row_id = file first_row_id + row position`` and the update
+        sequence is the file's data sequence number.  Files that DO
+        carry materialized lineage columns (a lineage-aware
+        compactor's carry-over output) are refused loudly: projecting
+        the derived values over them would misattribute rows.
+        Deletes (position, equality, Puffin DVs) apply exactly as in
+        :meth:`read` — a deleted row simply has no surviving lineage
+        row."""
+        import pyarrow.parquet as pq
+
+        meta = self.metadata()
+        snaps = {
+            int(s["snapshot-id"]): s for s in meta.get("snapshots", [])
+        }
+        sid = (
+            self.current_snapshot_id()
+            if snapshot_id is None
+            else int(snapshot_id)
+        )
+        if sid is None or sid not in snaps:
+            raise FileNotFoundError(
+                f"snapshot {sid} not in table (have {sorted(snaps)})"
+            )
+        if int(meta.get("format-version", 1)) != 3:
+            raise IcebergProtocolError(
+                "row lineage is a v3 construct; this table is "
+                f"format-version {meta.get('format-version', 1)}"
+            )
+        data_files, deletes = self.plan_files(sid)
+        for p, _s, _pt in data_files:
+            names = set(pq.read_schema(p).names)
+            if names & {"_row_id", "_last_updated_sequence_number"}:
+                raise IcebergProtocolError(
+                    f"{p} carries materialized lineage columns — "
+                    "deriving positional row ids over it would "
+                    "misattribute rows; use an Iceberg runtime"
+                )
+        lineage = self._lineage_assignments(snaps[sid])
+        missing = [
+            p
+            for p, _s, _pt in data_files
+            if os.path.abspath(p) not in lineage
+        ]
+        if missing:
+            raise IcebergProtocolError(
+                f"no row-lineage assignment for {missing[:3]} — "
+                "cannot synthesize _row_id"
+            )
+        return self._read_files(
+            spark, meta, data_files, deletes, lineage=lineage
+        )
+
     def _read_files(
         self,
         spark: SparkSession,
         meta: dict,
         data_files: list[tuple[str, int, dict]],
         deletes: list[dict],
+        lineage: dict[str, tuple[int, int]] | None = None,
     ) -> DataFrame:
         """Read the given data files with all applicable position and
         equality deletes applied (the shared core of :meth:`read` and
@@ -1302,7 +1418,7 @@ class IcebergLiteTable:
         # need them (metadata columns must be referenced pre-projection)
         df = self._resolved_scan(
             spark, meta, [p for p, _s, _pt in data_files],
-            with_meta=bool(pos or eq or dv),
+            with_meta=bool(pos or eq or dv or lineage),
         )
         if dv:
             # Puffin deletion vectors (v3): each descriptor names a
@@ -1412,7 +1528,32 @@ class IcebergLiteTable:
                     cond = cond & F.col(c).eqNullSafe(F.col(f"__ed_{c}"))
                 df = df.join(edel, on=cond, how="left_anti")
             df = df.drop("__ib_seq")
-        if pos or eq:
+        if lineage:
+            # v3 row lineage: file-level (first_row_id, data seq)
+            # attached by the same O(1)-per-file broadcast pattern as
+            # the equality-delete sequence map, derived per row from
+            # the in-file position — no extra scan, no shuffle
+            lin_rows = []
+            for p, (fr, lseq) in lineage.items():
+                for k in {p, urllib.parse.quote(p, safe="/=")}:
+                    lin_rows.append((k, int(fr), int(lseq)))
+            ldf = F.broadcast(
+                spark.createDataFrame(
+                    lin_rows,
+                    "__ib_path string, __ib_first long, __ib_lseq long",
+                )
+            )
+            df = (
+                df.join(ldf, on="__ib_path", how="left")
+                .withColumn(
+                    "_row_id", F.col("__ib_first") + F.col("__ib_pos")
+                )
+                .withColumn(
+                    "_last_updated_sequence_number", F.col("__ib_lseq")
+                )
+                .drop("__ib_first", "__ib_lseq")
+            )
+        if pos or eq or dv or lineage:
             df = df.drop("__ib_path", "__ib_pos")
         return df
 
@@ -4456,7 +4597,12 @@ class IcebergLiteTable:
         stringified partition values), ``snapshots``, ``history``
         (snapshot-log), ``manifests`` (manifest-list rows of the
         current/pinned snapshot), ``partitions`` (per-partition-tuple
-        file/record totals).
+        file/record totals), ``refs`` (named refs + implicit main),
+        ``entries`` (raw manifest entries incl. DELETED rows — the
+        sequence/delete-gating debug view), ``all_manifests`` /
+        ``all_files`` (every snapshot's manifests / every referenced
+        file with its first referencing snapshot — the expire/orphan
+        analysis views) (r10).
         """
         meta = self.metadata()
         snaps = {int(s["snapshot-id"]): s for s in meta.get("snapshots", [])}
@@ -4633,9 +4779,105 @@ class IcebergLiteTable:
             return spark.createDataFrame(
                 rows, "name string, type string, snapshot_id long"
             )
+        if kind == "entries":
+            # `tbl.entries`: the raw manifest-entry surface of the
+            # pinned snapshot — INCLUDING status=2 (DELETED) rows,
+            # which `files` filters out; the debugging view for
+            # sequence-number / delete-gating questions
+            rows = []
+            snap = _pinned()
+            for mpath, _mcontent, mseq in self._manifest_paths(snap):
+                _, entries = read_container(mpath)
+                for e in entries:
+                    d = e["data_file"]
+                    seq = e.get("sequence_number")
+                    fseq = e.get("file_sequence_number")
+                    rows.append(
+                        (
+                            int(e.get("status") or 0),
+                            (
+                                None
+                                if e.get("snapshot_id") is None
+                                else int(e["snapshot_id"])
+                            ),
+                            mseq if seq is None else int(seq),
+                            None if fseq is None else int(fseq),
+                            int(d.get("content") or 0),
+                            _local_path(d["file_path"]),
+                            str(d.get("file_format", "")),
+                            int(d.get("record_count") or 0),
+                            int(d.get("file_size_in_bytes") or 0),
+                        )
+                    )
+            return spark.createDataFrame(
+                rows,
+                "status int, snapshot_id long, sequence_number long, "
+                "file_sequence_number long, content int, "
+                "file_path string, file_format string, "
+                "record_count long, file_size_in_bytes long",
+            )
+        if kind == "all_manifests":
+            # `tbl.all_manifests`: manifest-list rows of EVERY valid
+            # snapshot, stamped with the snapshot that references them
+            rows = []
+            for sid in sorted(snaps):
+                for r in self._manifest_list_rows(snaps[sid]):
+                    rows.append(
+                        (
+                            _local_path(r["manifest_path"]),
+                            int(r.get("manifest_length") or 0),
+                            int(r.get("content") or 0),
+                            int(r.get("sequence_number") or 0),
+                            int(r.get("min_sequence_number") or 0),
+                            int(r.get("added_snapshot_id") or 0),
+                            sid,
+                        )
+                    )
+            return spark.createDataFrame(
+                rows,
+                "path string, length long, content int, "
+                "sequence_number long, min_sequence_number long, "
+                "added_snapshot_id long, reference_snapshot_id long",
+            )
+        if kind == "all_files":
+            # `tbl.all_files`: every data/delete file referenced by
+            # ANY valid snapshot (the expire/orphan-analysis view) —
+            # one row per distinct path, stamped with the earliest
+            # referencing snapshot
+            seen: dict[str, tuple] = {}
+            for sid in sorted(snaps):
+                for mpath, _mc, mseq in self._manifest_paths(
+                    snaps[sid]
+                ):
+                    _, entries = read_container(mpath)
+                    for e in entries:
+                        if int(e.get("status") or 0) == 2:
+                            continue
+                        d = e["data_file"]
+                        p = _local_path(d["file_path"])
+                        if p in seen:
+                            continue
+                        seq = e.get("sequence_number")
+                        seen[p] = (
+                            int(d.get("content") or 0),
+                            p,
+                            str(d.get("file_format", "")),
+                            int(d.get("record_count") or 0),
+                            int(d.get("file_size_in_bytes") or 0),
+                            mseq if seq is None else int(seq),
+                            sid,
+                        )
+            return spark.createDataFrame(
+                sorted(seen.values(), key=lambda r: r[1]),
+                "content int, file_path string, file_format string, "
+                "record_count long, file_size_in_bytes long, "
+                "sequence_number long, first_referenced_snapshot_id "
+                "long",
+            )
         raise ValueError(
             f"unknown metadata table {kind!r} "
-            "(files|snapshots|history|manifests|partitions|refs)"
+            "(files|snapshots|history|manifests|partitions|refs|"
+            "entries|all_files|all_manifests)"
         )
 
     def expire_snapshots(self, retain_last: int = 1) -> list[str]:

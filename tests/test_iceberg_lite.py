@@ -333,12 +333,24 @@ def test_iceberg_format_v3_and_beyond_gates(tmp_path):
         json.dump({"format-version": 3}, fh)
     assert IcebergLiteTable(str(root)).metadata()["format-version"] == 3
 
+    # next-row-id (row lineage) no longer refuses — every compliant
+    # v3 table carries it, and read_with_lineage serves the surface;
+    # a genuinely-unsupported construct (encryption keys) still does
     rootf = tmp_path / "v3feat"
     (rootf / "metadata").mkdir(parents=True)
     with open(rootf / "metadata" / "v1.metadata.json", "w") as fh:
         json.dump({"format-version": 3, "next-row-id": 5}, fh)
-    with pytest.raises(IcebergProtocolError, match="row lineage"):
-        IcebergLiteTable(str(rootf)).metadata()
+    assert IcebergLiteTable(str(rootf)).metadata()["next-row-id"] == 5
+
+    roote = tmp_path / "v3enc"
+    (roote / "metadata").mkdir(parents=True)
+    with open(roote / "metadata" / "v1.metadata.json", "w") as fh:
+        json.dump(
+            {"format-version": 3, "encryption-keys": [{"key-id": "k"}]},
+            fh,
+        )
+    with pytest.raises(IcebergProtocolError, match="encryption"):
+        IcebergLiteTable(str(roote)).metadata()
 
     root4 = tmp_path / "v4"
     (root4 / "metadata").mkdir(parents=True)
@@ -1161,10 +1173,25 @@ def test_iceberg_metadata_tables(spark, tmp_path):
     cur = [r.snapshot_id for r in hist if r.is_current][0]
     assert refs["main"] == ("branch", cur)
 
+    # entries (r10): the raw manifest-entry view keeps DELETED rows
+    ent = t.metadata_table(spark, "entries").collect()
+    assert {r.status for r in ent} >= {1}
+    assert sum(
+        r.record_count for r in ent if r.status != 2 and r.content == 0
+    ) == sum(r.record_count for r in data)
+    # all_manifests: every snapshot's list rows, reference-stamped
+    am = t.metadata_table(spark, "all_manifests").collect()
+    assert {r.reference_snapshot_id for r in am} == set(got)
+    # all_files: distinct union across snapshots >= the live set
+    af = t.metadata_table(spark, "all_files").collect()
+    live_paths = {r.file_path for r in files.collect()}
+    assert live_paths <= {r.file_path for r in af}
+    assert len({r.file_path for r in af}) == len(af)  # deduped
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unknown metadata table"):
-        t.metadata_table(spark, "entries")
+        t.metadata_table(spark, "no_such_table")
 
 
 def test_iceberg_rewrite_zorder(spark, tmp_path):

@@ -83,12 +83,12 @@ def test_v3_refusal_names_row_lineage_types_defaults_dvs(spark, tmp_path):
         t.metadata()
     msg = str(ei.value)
     assert "format-version=3" in msg
-    assert "row lineage" in msg
     assert "variant" in msg and "timestamp_ns" in msg
     assert "default values" in msg
-    # Puffin DVs are READABLE since r10 (sources/puffin.py), so their
-    # presence is no longer a named refusal reason
+    # Puffin DVs and row lineage are READABLE since r10 (sources/
+    # puffin.py; read_with_lineage), so neither is a refusal reason
     assert "deletion vectors" not in msg
+    assert "row lineage" not in msg
 
 
 def test_v3_no_constructs_reads(spark, tmp_path):
@@ -173,7 +173,10 @@ def test_v3_puffin_dv_read_end_to_end(spark, tmp_path):
     # DV kills positions 0, 2, 5 of file A => ids 0, 2, 5 gone
     _add_dv_snapshot(t, {file_a: [0, 2, 5]})
 
-    got = sorted(r.id for r in t.read(spark).collect())
+    df = t.read(spark)
+    # helper delete-join columns must not leak into the result schema
+    assert [f.name for f in df.schema.fields] == ["id", "v"]
+    got = sorted(r.id for r in df.collect())
     assert got == [1, 3, 4, 100, 101, 102, 103]
     # pre-DV snapshot unaffected (and it predates the v3 stamp's
     # snapshot, so time travel crosses the upgrade boundary)
@@ -209,3 +212,125 @@ def test_v3_corrupt_dv_refuses_not_misreads(spark, tmp_path):
     # captured-exception wrapper; match the refusal text itself
     with pytest.raises(Exception, match="DV CRC mismatch"):
         t.read(spark).collect()
+
+
+def _stamp_v3(t):
+    mfile = t._resolve_metadata_file()
+    with open(mfile) as fh:
+        meta = json.load(fh)
+    meta["format-version"] = 3
+    meta["next-row-id"] = 10_000
+    with open(mfile, "w") as fh:
+        json.dump(meta, fh)
+
+
+def _stamp_ml_first_row_ids(t, first_by_path):
+    """Rewrite the current snapshot's manifest list with a
+    ``first_row_id`` per content-0 row (keyed by a data-file path the
+    manifest holds) — models a v3 writer's lineage assignment."""
+    import copy
+
+    from data_lakehouse_platform_spark.sources.avro_lite import (
+        read_container,
+        write_container,
+    )
+
+    meta = t.metadata()
+    snap = next(
+        s for s in meta["snapshots"]
+        if int(s["snapshot-id"]) == meta["current-snapshot-id"]
+    )
+    ml = snap["manifest-list"]
+    sch, rows = read_container(ml)
+    sch2 = copy.deepcopy(sch)
+    sch2["fields"].append(
+        {"name": "first_row_id", "type": ["null", "long"],
+         "default": None, "field-id": 520}
+    )
+    for r in rows:
+        r["first_row_id"] = None
+        if int(r.get("content") or 0) != 0:
+            continue
+        _, entries = read_container(r["manifest_path"])
+        for e in entries:
+            p = e["data_file"]["file_path"]
+            for key, fr in first_by_path.items():
+                if os.path.abspath(p) == os.path.abspath(key):
+                    r["first_row_id"] = fr
+    write_container(ml, sch2, rows,
+                    extra_metadata={"format-version": b"3"})
+
+
+def test_v3_row_lineage_read(spark, tmp_path):
+    """r10: read_with_lineage derives _row_id = file first_row_id +
+    row position and _last_updated_sequence_number = the file's data
+    sequence number, per the v3 spec; without assignments it refuses
+    rather than fabricate lineage."""
+    t = IcebergLiteTable(str(tmp_path / "v3lin"))
+    t.write(spark.createDataFrame(
+        [(i, f"a{i}") for i in range(6)], "id int, v string"
+    ).coalesce(1))
+    t.write(spark.createDataFrame(
+        [(100 + i, f"b{i}") for i in range(4)], "id int, v string"
+    ).coalesce(1), mode="append")
+    _stamp_v3(t)
+
+    # plain reads are lineage-agnostic and just work
+    assert t.read(spark).count() == 10
+
+    # no assignments anywhere -> loud refusal, never fabricated ids
+    with pytest.raises(IcebergProtocolError, match="first_row_id"):
+        t.read_with_lineage(spark)
+
+    import pyarrow.parquet as pq
+
+    files, _ = t.plan_files()
+    file_a = next(
+        p for p, _s, _pt in files if pq.read_metadata(p).num_rows == 6
+    )
+    file_b = next(
+        p for p, _s, _pt in files if pq.read_metadata(p).num_rows == 4
+    )
+    _stamp_ml_first_row_ids(t, {file_a: 0, file_b: 6})
+
+    df = t.read_with_lineage(spark)
+    assert [f.name for f in df.schema.fields] == [
+        "id", "v", "_row_id", "_last_updated_sequence_number",
+    ]
+    rows = {r.id: (r._row_id, r._last_updated_sequence_number)
+            for r in df.collect()}
+    # file A: ids 0-5 in write order -> row ids 0-5, seq 1
+    for i in range(6):
+        assert rows[i] == (i, 1), (i, rows[i])
+    # file B: ids 100-103 -> row ids 6-9, seq 2
+    for i in range(4):
+        assert rows[100 + i] == (6 + i, 2), (i, rows[100 + i])
+
+
+def test_v3_row_lineage_with_dv(spark, tmp_path):
+    """Lineage composes with Puffin DVs: retracted rows disappear,
+    surviving rows keep their original _row_id (position-derived ids
+    are stable under merge-on-read deletes)."""
+    t = IcebergLiteTable(str(tmp_path / "v3lindv"))
+    t.write(spark.createDataFrame(
+        [(i, f"a{i}") for i in range(6)], "id int, v string"
+    ).coalesce(1))
+    files, _ = t.plan_files()
+    (file_a,) = [p for p, _s, _pt in files]
+    _add_dv_snapshot(t, {file_a: [1, 4]})  # also stamps v3
+    _stamp_ml_first_row_ids(t, {file_a: 50})
+    rows = {r.id: r._row_id for r in t.read_with_lineage(spark).collect()}
+    assert rows == {0: 50, 2: 52, 3: 53, 5: 55}
+
+
+def test_v3_lineage_refuses_materialized_columns(spark, tmp_path):
+    """A data file CARRYING a materialized _row_id column must refuse
+    the positional derivation (carried-over rows keep their original
+    ids; deriving would misattribute)."""
+    t = IcebergLiteTable(str(tmp_path / "v3mat"))
+    t.write(spark.createDataFrame(
+        [(1, "a", 7)], "id int, v string, _row_id long"
+    ).coalesce(1))
+    _stamp_v3(t)
+    with pytest.raises(IcebergProtocolError, match="materialized"):
+        t.read_with_lineage(spark)
