@@ -7,6 +7,8 @@ keeps scans declarative so Catalyst gets pushdown + pruning for free.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES: tuple[str, ...] = (
@@ -50,6 +52,39 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def input_scaled_partitions(
+    sf_dir: str,
+    *tables: str,
+    bytes_per_partition: int = 64 * 1024 * 1024,
+    floor: int = 1,
+) -> int:
+    """Partition count derived from INPUT size — the scale-adaptive
+    replacement for a constant (r10 optimization round, guide §2).
+
+    Persisted intermediates inherit the static shuffle-partition count
+    (AQE does not re-plan cached output partitioning), so a small
+    aggregate cached at local[32]'s 32 partitions pays 32 tasks per
+    consumer stage on kilobytes of data, while a hard-coded small
+    number would wall a 100 TB run.  Sizing by input bytes gives 1
+    partition on the local bench and thousands on a real lake: the
+    intermediate an operator persists is never LARGER than its input,
+    so input bytes / 64 MB is a safe upper-bound shape for it.
+    """
+    import math
+
+    total = 0
+    for t in tables:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return max(floor, math.ceil(total / bytes_per_partition))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

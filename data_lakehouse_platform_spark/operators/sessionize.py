@@ -61,6 +61,7 @@ def sessionize_salted(
     gap_minutes: int = 30,
     value_col: str = "value",
     chunk_minutes: int = 24 * 60,
+    cache_partitions: int | None = None,
 ) -> DataFrame:
     """Exact sessionization with BOUNDED window partitions — the
     hot-key-safe twin of :func:`sessionize`.
@@ -138,8 +139,18 @@ def sessionize_salted(
     # Both the metadata branch and the join-back branch consume `part`;
     # without this persist the scan + chunk window would evaluate twice
     # (Spark does not share subtrees across lineage branches).
+    # ``cache_partitions`` (r10): width for the persisted partials —
+    # cached plans keep their static shuffle width (AQE cannot coalesce
+    # them), so a session-cardinality cache pinned at the full shuffle
+    # width pays width-tasks per consumer stage on small data.  Callers
+    # that know their input size pass an input-scaled count; the
+    # re-shuffle keys on (user, chunk), which BOTH consumers cluster
+    # on, so the exchange is reused by the meta groupBy and the
+    # join-back instead of adding one.
     from pyspark import StorageLevel
 
+    if cache_partitions is not None:
+        part = part.repartition(cache_partitions, user_col, "__chunk")
     part = part.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Chunk metadata derived from the partials: the chunk's first/last

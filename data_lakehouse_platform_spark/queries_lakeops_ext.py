@@ -1213,10 +1213,27 @@ ORDER BY 1, 2
 def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    per_part = li.groupBy(F.col("l_partkey").alias("part")).agg(
-        F.sum(F.floor(F.col("l_extendedprice") * 100))
-        .cast("long")
-        .alias("rev_c")
+    from pyspark import StorageLevel
+
+    from data_lakehouse_platform_spark.catalog import input_scaled_partitions
+
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("part"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100))
+            .cast("long")
+            .alias("rev_c")
+        )
+        # r10 optimization: per_part feeds three consumers (the revenue
+        # level histogram, the total scalar, and the ABC join) — without
+        # the persist each re-ran the lineitem scan + groupBy (plan
+        # audit: lineitem scanned 4x in this query).  Part-cardinality,
+        # persisted once at input-scaled width (1 partition locally,
+        # thousands at lake scale — cached plans keep their static
+        # partitioning); the monthly XYZ branch still scans the fact
+        # separately (it needs the orders join for calendar months).
+        .repartition(input_scaled_partitions(sf_dir, "lineitem"), "part")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # ABC via the level histogram: running revenue BEFORE each level,
     # plus each part's rank inside its own tie level (tiny windows)

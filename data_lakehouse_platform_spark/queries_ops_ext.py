@@ -296,8 +296,14 @@ ORDER BY size DESC, component
     "the equivalence proof.",
 )
 def graph_components_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10 optimization: star-contraction twin instead of min-label
+    # propagation — same (node, component) contract (equality is
+    # property-tested in tests/test_components_starred.py), O(log n)
+    # rounds instead of O(diameter), measured 2.38s vs 2.78s steady and
+    # 3.6s vs 11.5s first-run at sf0.1 (fewer iteration rounds = fewer
+    # checkpoint + convergence jobs and less per-round codegen).
     from data_lakehouse_platform_spark.operators.components import (
-        connected_components,
+        connected_components_starred as connected_components,
     )
 
     li = _t(spark, sf_dir, "lineitem")

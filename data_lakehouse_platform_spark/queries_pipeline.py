@@ -389,11 +389,20 @@ GROUP BY user_id, session_idx
     "streaming/order_tracker.py (applyInPandasWithState).",
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_lakehouse_platform_spark.catalog import input_scaled_partitions
     from data_lakehouse_platform_spark.operators.sessionize import sessionize_salted
 
     ev = _t(spark, sf_dir, "events")
     return sessionize_salted(
-        ev, user_col="user_id", ts_col="ts", order_col="event_id", gap_minutes=30
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        order_col="event_id",
+        gap_minutes=30,
+        # r10 optimization: session-cardinality cache at input-scaled
+        # width (1 partition locally, thousands at lake scale) instead
+        # of the pinned static shuffle width.
+        cache_partitions=input_scaled_partitions(sf_dir, "events"),
     )
 
 

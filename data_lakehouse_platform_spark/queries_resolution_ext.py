@@ -418,6 +418,13 @@ def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # r10 optimization note: persisting pm (it feeds three lineage
+    # branches, so the fact join + groupBy runs three times) was built
+    # and value-verified, but MEASURED SLOWER at sf0.1 (1.56s ->
+    # 1.9-2.0s at both static and input-scaled cache widths): (month,
+    # part) is near-fact-cardinality here, so the cache saves two
+    # cheap columnar scans and pays materialization + cache-read
+    # stages on ~half-fact-sized data.  Kept the recompute form.
     pm = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(

@@ -692,13 +692,31 @@ ORDER BY f.priority
     "— the second scan streams, nothing is materialized per group.",
 )
 def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_lakehouse_platform_spark.operators.ranking import with_grouped_rank
+    import math
+
+    from data_lakehouse_platform_spark.operators.ranking import (
+        select_group_ranks,
+    )
 
     od = _t(spark, sf_dir, "orders")
-    # Bucketed grouped rank (operators/ranking.py): per-(priority,
-    # value-bucket) windows bound task input by bucket width instead of
-    # pushing ~20% of orders through one sort task per priority.
-    ranked = with_grouped_rank(
+    # r10 optimization: the SELECTION twin (select_group_ranks) instead
+    # of the full grouped rank — only the buckets containing a Q1/Q3
+    # bracketing rank flow through a window (~4 ranks of 64 buckets per
+    # group), where the previous form persisted the whole projected
+    # table, ranked EVERY row, aggregated a separate `counts` scan of
+    # orders and broadcast-joined a roles grid against the full ranked
+    # stream (plan audit: orders scanned 3x, 18 jobs).  Group sizes
+    # ride out of the operator's driver-side stats pass (n_col), so
+    # the counts subtree disappears entirely.
+    def _ranks(n: int):
+        want = set()
+        for p in (0.25, 0.75):
+            pos = p * (n - 1)
+            want.add(int(math.floor(pos)) + 1)
+            want.add(int(math.ceil(pos)) + 1)
+        return want
+
+    sel = select_group_ranks(
         od.select(
             F.col("o_orderpriority").alias("priority"),
             F.col("o_totalprice").alias("v"),
@@ -707,58 +725,42 @@ def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["priority"],
         [F.col("v"), F.col("o_orderkey")],
         bucket_key=F.col("v"),
+        ranks_fn=_ranks,
         rn_col="rn",
-    ).select("priority", "v", "rn")
-    # Group sizes from a cheap base-table agg (NOT from `ranked`), and
-    # both quantile endpoints picked in ONE broadcast join against the
-    # ranked rows — the window stage evaluates once, where the previous
-    # grid-distinct + separate lo/hi joins evaluated it three times
-    # (measured 5.3s -> ~2s at sf0.1).
-    counts = od.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    ps = spark.range(1).select(
-        F.explode(F.array(F.lit(0.25), F.lit(0.75))).alias("p")
-    )
-    roles = (
-        counts.crossJoin(F.broadcast(ps))
-        .selectExpr("priority", "p", "CAST(p AS DOUBLE) * (n - 1) AS pos")
-        .select(
-            "priority",
-            "p",
-            "pos",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("lo").alias("which"),
-                        (F.floor("pos").cast("bigint") + 1).alias("rn_need"),
-                    ),
-                    F.struct(
-                        F.lit("hi").alias("which"),
-                        (F.ceil("pos").cast("bigint") + 1).alias("rn_need"),
-                    ),
-                )
-            ).alias("r"),
+        n_col="n",
+    ).select("priority", "v", "rn", "n")
+
+    # Interpolated endpoints exactly as the oracle's _IQR_VALUE_EXPR:
+    # pos = CAST(p AS DOUBLE) * (n - 1); v_lo at rank floor(pos)+1,
+    # v_hi at rank ceil(pos)+1 — identical double arithmetic, so the
+    # quantiles (and the fences derived from them) match bit for bit.
+    def _pos(p: float):
+        return F.lit(p) * (F.col("n") - 1)
+
+    def _pick(p: float, which: str):
+        rk = (
+            (F.floor(_pos(p)) + 1)
+            if which == "lo"
+            else (F.ceil(_pos(p)) + 1)
         )
-        .select(
-            F.col("priority").alias("rp"),
-            "p",
-            "pos",
-            F.col("r.which").alias("which"),
-            F.col("r.rn_need").alias("rn_need"),
-        )
+        return F.max(F.when(F.col("rn") == rk.cast("bigint"), F.col("v")))
+
+    lohi = sel.groupBy("priority").agg(
+        F.max("n").alias("n"),
+        _pick(0.25, "lo").alias("v_lo_25"),
+        _pick(0.25, "hi").alias("v_hi_25"),
+        _pick(0.75, "lo").alias("v_lo_75"),
+        _pick(0.75, "hi").alias("v_hi_75"),
     )
-    sel = ranked.join(
-        F.broadcast(roles),
-        (F.col("priority") == F.col("rp")) & (F.col("rn") == F.col("rn_need")),
-    )
-    lohi = sel.groupBy("priority", "p", "pos").agg(
-        F.max(F.when(F.col("which") == "lo", F.col("v"))).alias("v_lo"),
-        F.max(F.when(F.col("which") == "hi", F.col("v"))).alias("v_hi"),
-    )
-    q = lohi.groupBy("priority").agg(
-        F.max(F.expr(f"CASE WHEN p = 0.25 THEN {_IQR_VALUE_EXPR} END")).alias("q1"),
-        F.max(F.expr(f"CASE WHEN p = 0.75 THEN {_IQR_VALUE_EXPR} END")).alias("q3"),
+
+    def _interp(p: float, lo: str, hi: str):
+        pos = _pos(p)
+        return F.col(lo) + (pos - F.floor(pos)) * (F.col(hi) - F.col(lo))
+
+    q = lohi.select(
+        "priority",
+        _interp(0.25, "v_lo_25", "v_hi_25").alias("q1"),
+        _interp(0.75, "v_lo_75", "v_hi_75").alias("q3"),
     )
     fences = q.selectExpr(
         "priority",

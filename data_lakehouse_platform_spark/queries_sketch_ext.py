@@ -348,7 +348,29 @@ def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE array() END"
         ).alias("whs"),
     )
-    wins = arrs.select("doc_id", F.explode("whs").alias("wh"))
+    # r10 optimization: the normalize + md5-window subtree (`arrs`) fed
+    # three lineage branches (wins -> shared, wins -> per_doc, and the
+    # n_windows projection), so the whole window-hash pass executed
+    # three times (plan audit: documents scanned 3x).  Persist the
+    # exploded (doc_id, wh) stream once — hash-cardinality, ~len/stride
+    # rows per doc — and derive n_windows by counting it (identical to
+    # size(whs): md5 never yields null, so explode emits exactly
+    # size(whs) rows); docs with zero windows are restored by the
+    # left join from a doc_id-only scan that prunes the text column.
+    from pyspark import StorageLevel
+
+    from data_lakehouse_platform_spark.catalog import input_scaled_partitions
+
+    wins = (
+        arrs.select("doc_id", F.explode("whs").alias("wh"))
+        # input-scaled width for the cache: the md5 window pass itself
+        # runs at the fanned-out scan width (map-side, before this
+        # exchange); only the exploded (doc_id, hash) stream — a
+        # constant fraction of input bytes — moves, landing in 1 cached
+        # partition locally and thousands at lake scale.
+        .repartition(input_scaled_partitions(sf_dir, "documents"), "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # "seen in >= 2 distinct docs" as min != max — fully map-side
     # combinable where COUNT(DISTINCT doc_id) would carry every
     # (hash, doc) pair through the shuffle.
@@ -361,12 +383,18 @@ def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = (
         wins.join(shared, "wh").groupBy("doc_id").agg(F.count("*").alias("n_shared"))
     )
+    n_win = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows")
+    )
     return (
-        arrs.select("doc_id", F.size("whs").cast("bigint").alias("n_windows"))
+        docs.select("doc_id")
+        .join(n_win, "doc_id", "left")
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            "n_windows",
+            F.coalesce("n_windows", F.lit(0).cast("bigint")).alias(
+                "n_windows"
+            ),
             F.coalesce("n_shared", F.lit(0).cast("bigint")).alias("n_shared"),
         )
     )

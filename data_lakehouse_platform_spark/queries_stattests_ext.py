@@ -387,6 +387,15 @@ FROM m
     "order-count-bounded, counts not rows) + one distributed join.",
 )
 def spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10 optimization note: a joint (q, p) histogram form (one fact
+    # scan feeding both rank spines and the moments, persisted) was
+    # built and value-verified, but MEASURED SLOWER at sf0.1 (1.8s ->
+    # 2.4-3.4s): distinct (quantity, price-cents) pairs are near-fact-
+    # cardinality, so the "histogram" is no reduction — caching it
+    # costs more than the two extra columnar scans it saves, and a
+    # width-1 cache serializes the moments join.  Kept the original
+    # three-branch form; the oracle-equivalent rewrite is in git
+    # history if a future engine gains cross-branch subtree reuse.
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("long").alias("q"),
         _price_cents("l_extendedprice").alias("p"),
@@ -976,8 +985,23 @@ def tv_distance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("tok"),
     )
-    tc = toks.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # r10 optimization: tc feeds FOUR lineage branches (tot, vocab, and
+    # both sides of the densified grid join) — unpersisted, the regex
+    # tokenize + explode + groupBy ran four times (plan audit:
+    # documents scanned 5x).  tc is vocab x sources, persisted once at
+    # input-scaled width (1 partition locally, thousands at lake scale
+    # — cached plans keep their static partitioning).
+    from pyspark import StorageLevel
+
+    from data_lakehouse_platform_spark.catalog import input_scaled_partitions
+
+    tc = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .repartition(
+            input_scaled_partitions(sf_dir, "documents"), "source", "tok"
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = tc.groupBy("source").agg(
         F.sum("cnt").cast("long").alias("tot")

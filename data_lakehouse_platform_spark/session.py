@@ -36,6 +36,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOT set: spark.sql.optimizer.canChangeCachedPlanOutputPartitioning.
+        # Measured in the r10 optimization round: letting AQE coalesce
+        # the plans being persisted shrinks task counts (fuzzy_match
+        # 539->134) but SERIALIZES the CPU-dense downstream stages the
+        # pair-generation operators persist for (deletion-variant
+        # explosion, Levenshtein verify are heavy per row yet tiny in
+        # bytes, so byte-sized coalescing collapses them to 1-2 tasks:
+        # fuzzy_match 3.2s -> 7.4s, graph_neighbor_jaccard 2.8s ->
+        # 5.6s).  AQE coalescing optimizes shuffle bytes and is blind
+        # to CPU density — keep cached-plan partitioning pinned.
         # Arrow batches for the Pandas-UDF operators (asof fallback,
         # multimodal); irrelevant to the pure-JVM hot paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
