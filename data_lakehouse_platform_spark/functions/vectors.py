@@ -39,6 +39,36 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_with_norms(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """Cosine with PRE-COMPUTED norms — bit-identical to
+    :func:`cosine_similarity` (same dot, same ``na * nb`` product and
+    division; the norm just evaluates once per VECTOR instead of once
+    per PAIR).  The r10 plan audit found pair joins evaluating the
+    full 3-HOF cosine up to 6x per candidate (the threshold filter is
+    pushed into the join condition AND re-computed in the project);
+    hoisting the norms onto the join sides cuts the per-pair work to
+    one dot product."""
+    return dot(a, b) / (_c(na) * _c(nb))
+
+
+def py_l2_norm(vec) -> float:
+    """Driver-side L2 norm with EXACTLY Spark's fold semantics: square
+    and add left-to-right in IEEE double (same op sequence as
+    :func:`l2_norm`'s aggregate over cast-to-double elements, and as
+    DuckDB's sqrt(list_dot_product(v, v))), so baking the result in as
+    a literal changes no emitted value.  For literal centroid vectors
+    this removes one whole HOF evaluation per row per centroid."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        xx = float(x)
+        acc += xx * xx
+    return math.sqrt(acc)
+
+
 def l2_normalize_arrow(df, vec_col: str = "embedding"):
     """L2-normalize embedding arrays via ``mapInArrow`` — the Arrow
     list's flat values buffer views into numpy (one vectorized

@@ -26,6 +26,7 @@ near-dup family generalizes that to content similarity.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,17 +50,24 @@ def _shared_shingle_candidates(
     filter cap that keeps boilerplate from exploding the join); set
     sizes use the FULL shingle sets of both documents.
 
-    `shingles` feeds three aggregations and `filtered` both pair-join
-    sides, but NO persist here: the duplicated subtrees are identical,
-    so Spark's ReuseExchange already evaluates each exchange once —
-    persisting was measured SLOWER (materialization cost, no reuse
-    gain) at sf0.1. Contrast lsh_candidate_pairs, whose consumers are
-    NON-identical subtrees that reuse cannot fuse."""
+    ``filtered`` is persisted for its two pair-join sides (r10): the
+    r10 plan audit disproved the earlier assumption that ReuseExchange
+    fuses the duplicated subtrees — column pruning makes each branch's
+    exchange canonically DIFFERENT, so the executed adaptive plan
+    showed documents scanned six times and zero ReusedExchange nodes.
+    Measured at sf0.1: persist-filtered 1.8s steady / 2.6s first-run
+    vs 2.1s / 10.3s unpersisted (the first-run gap is six duplicate
+    tokenize+explode subtrees compiling and executing).  At corpus
+    scale the cache is the capped shingle stream (MEMORY_AND_DISK, so
+    it spills rather than OOMs) traded against two full corpus
+    re-tokenizations.  `shingles` itself stays unpersisted: its three
+    consumers measured a wash, and two of them are the aggregations
+    that produce `filtered` anyway."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     filtered = shingles.join(
         dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = filtered.select(F.col(id_col).alias("doc_a"), "shingle")
     b = filtered.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (

@@ -37,20 +37,31 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_lakehouse_platform_spark.operators.similarity import ivf_assign
-from data_lakehouse_platform_spark.functions.vectors import cosine_similarity
+from data_lakehouse_platform_spark.functions.vectors import (
+    dot,
+    l2_norm,
+    py_l2_norm,
+)
 
 _SCALE = 1_000_000
 
 
-def _best_cell(vec_col, centroids):
+def _best_cell(vec_col, centroids, vec_norm):
     """Struct of (cosine, -cid) for the argmax-cosine centroid —
-    lexicographic array_max == ORDER BY cosine DESC, cid ASC."""
+    lexicographic array_max == ORDER BY cosine DESC, cid ASC.
+
+    ``vec_norm`` is the pre-computed row norm column and centroid norms
+    fold on the driver (py_l2_norm, exact same IEEE sequence as the
+    previous per-row l2_norm of the literal array), so each centroid
+    costs one dot product instead of three HOF evaluations — same
+    cosine values, same tie-breaks (r10)."""
     return F.array_max(
         F.array(
             *[
                 F.struct(
-                    cosine_similarity(
-                        vec_col, F.array(*[F.lit(float(x)) for x in vec])
+                    (
+                        dot(vec_col, F.array(*[F.lit(float(x)) for x in vec]))
+                        / (vec_norm * F.lit(py_l2_norm(vec)))
                     ).alias("cos"),
                     F.lit(-int(cid)).alias("negid"),
                 )
@@ -77,13 +88,29 @@ def lloyd_kmeans(
     pts = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        # row norm computed ONCE per vector and cached with the points:
+        # every round's assignment and the final argmax reuse it (r10)
+        "__nv",
+        l2_norm("v"),
     )
+    # r10 optimization: pts feeds the seed collect, every round's mean
+    # update, and the final assignment — unpersisted, each consumer
+    # re-ran the scan + fan-out repartition + double-cast (plan audit:
+    # embeddings scanned 4x per 2-round training).  Kept at the fanned
+    # scan width: every consumer stage is CPU-dense (argmax-cosine over
+    # k centroids x d dims per row).
+    from pyspark import StorageLevel
+
+    pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
     centroids = [
         (int(r["vec_id"]), [float(x) for x in r["v"]])
         for r in pts.filter(F.col("vec_id") < k).collect()
     ]
     for _ in range(rounds):
-        assigned = pts.select("vec_id", "v", ivf_assign("v", centroids).alias("cid"))
+        assigned = pts.select(
+            "vec_id", "v", ivf_assign("v", centroids, vec_norm="__nv").alias("cid")
+        )
         mean_rows = (
             assigned.select("cid", F.posexplode("v").alias("d", "x"))
             .groupBy("cid", "d")
@@ -101,7 +128,7 @@ def lloyd_kmeans(
         centroids = [
             (cid, [dims[d] for d in sorted(dims)]) for cid, dims in sorted(by_cell.items())
         ]
-    best = _best_cell(F.col("v"), centroids)
+    best = _best_cell(F.col("v"), centroids, F.col("__nv"))
     w = Window.partitionBy("cell_id")
     return (
         pts.select(

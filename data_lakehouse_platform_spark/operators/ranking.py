@@ -405,6 +405,94 @@ def select_group_ranks(
     return picked.select(*cols)
 
 
+def select_group_weight_crossing(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    bucket_key: Column,
+    weight: Column,
+    *,
+    buckets: int = 64,
+    cum_col: str = "cum",
+    tot_col: str = "tot",
+    weight_type: str = "bigint",
+) -> DataFrame:
+    """Rows of each group's WEIGHT-CROSSING bucket only — the selection
+    twin of the ``cum_col``/``tot_col`` form of :func:`with_grouped_rank`
+    for weighted-median-style queries (r10).
+
+    The full form persists the table and computes a running weight sum
+    for EVERY row, when a weighted median only reads rows around the
+    single position where ``2 * cum >= tot`` first holds.  The per-
+    (group, bucket) weight sums are already collected driver-side by
+    the stats pass, so the crossing bucket is known before any window
+    runs: only its rows get a running sum (offset by the preceding
+    buckets' driver-side total), bounded by bucket width.
+
+    Returns ``df``'s columns plus ``cum_col`` (running weight sum in
+    ``order_cols`` order, identical to the full form's value on these
+    rows) and ``tot_col`` (group total).  Weights must be non-negative
+    (a weighted median is undefined otherwise); equal bucket keys share
+    a bucket (``_bucketize``), so every row tied with the crossing row
+    is present.  Same STATS_CAP contract as the other selection twins.
+    """
+    gcols = list(group_cols)
+    bucketed = _bucketize(df, bucket_key, buckets).withColumn(
+        "__rk_w", weight.cast(weight_type)
+    )
+    stats = _capped_stats(
+        bucketed.groupBy(*gcols, _B).agg(F.sum("__rk_w").alias("__wsum")),
+        "select_group_weight_crossing",
+    )
+
+    per_group: dict[tuple, list] = {}
+    for r in sorted(
+        stats, key=lambda r: (tuple(str(r[g]) for g in gcols), r[_B])
+    ):
+        per_group.setdefault(tuple(r[g] for g in gcols), []).append(
+            (r[_B], r["__wsum"])
+        )
+
+    from decimal import Decimal
+
+    zero = Decimal(0) if weight_type.startswith("decimal") else 0
+    need_rows = []
+    for key, rows in per_group.items():
+        tot = sum((w for _, w in rows), zero)
+        cum_before = zero
+        for b, w in rows:
+            if 2 * (cum_before + w) >= tot:
+                need_rows.append(tuple(key) + (b, cum_before, tot))
+                break
+            cum_before += w
+
+    gschema = ", ".join(f"__sel_{g}: {dict(df.dtypes)[g]}" for g in gcols)
+    need_df = df.sparkSession.createDataFrame(
+        need_rows,
+        f"{gschema}, {_B}_sel: int, __cum_off: {weight_type}, "
+        f"__grp_tot: {weight_type}",
+    )
+    cond = F.col(_B) == need_df[f"{_B}_sel"]
+    for g in gcols:
+        cond = cond & F.col(g).eqNullSafe(need_df[f"__sel_{g}"])
+    filtered = bucketed.join(F.broadcast(need_df), cond)
+
+    w = Window.partitionBy(*gcols, _B).orderBy(*order_cols)
+    run = F.sum("__rk_w").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    out = filtered.withColumn(cum_col, F.col("__cum_off") + run).withColumn(
+        tot_col, F.col("__grp_tot")
+    )
+    return out.drop(
+        "__rk_key",
+        _B,
+        "__rk_w",
+        "__cum_off",
+        "__grp_tot",
+        f"{_B}_sel",
+        *[f"__sel_{g}" for g in gcols],
+    )
+
+
 def ntile_expr(rn: Column, n: int, k: int) -> Column:
     """SQL-standard NTILE(k) from an exact global row_number and total n.
 

@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_lakehouse_platform_spark.functions.vectors import cosine_similarity, dot
+from data_lakehouse_platform_spark.functions.vectors import (
+    cosine_similarity,
+    cosine_with_norms,
+    dot,
+    l2_norm,
+    py_l2_norm,
+)
 
 #: Hard cap on ANN query sets that are materialized on the driver
 #: (per-query lookup tables / broadcast literals). The registry queries
@@ -59,26 +65,35 @@ def cosine_pairs(
     """All pairs with cosine >= threshold (brute force; for the
     bounded near-dup audit path — at full scale use LSH buckets)."""
     extra = extra_cols or []
+    # r10 optimization: norms hoisted onto the join SIDES (computed once
+    # per vector) and the cheap id inequality placed FIRST in an
+    # explicit join condition.  The previous form let Catalyst push the
+    # threshold filter into the BroadcastNestedLoopJoin condition, where
+    # the full 3-HOF cosine ran per candidate pair — ordered BEFORE the
+    # cheap a<b conjunct — and then re-ran in the project (measured
+    # 3.7s -> see OPTIMIZATION_r10.md; emitted cosine is bit-identical:
+    # same dot, same norm product, same division).
     a = emb.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("__va"),
+        l2_norm(vec_col).alias("__na"),
         *[F.col(c).alias(f"{c}_a") for c in extra],
     )
     b = emb.select(
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("__vb"),
+        l2_norm(vec_col).alias("__nb"),
         *[F.col(c).alias(f"{c}_b") for c in extra],
     )
-    return (
-        a.join(b, a.vec_a < b.vec_b)
-        .select(
-            "vec_a",
-            "vec_b",
-            cosine_similarity("__va", "__vb").alias("cosine"),
-            *[F.col(f"{c}_a") for c in extra],
-            *[F.col(f"{c}_b") for c in extra],
-        )
-        .filter(F.col("cosine") >= threshold)
+    cos = cosine_with_norms("__va", "__vb", "__na", "__nb")
+    return a.join(
+        b, (a.vec_a < b.vec_b) & (cos >= threshold)
+    ).select(
+        "vec_a",
+        "vec_b",
+        cos.alias("cosine"),
+        *[F.col(f"{c}_a") for c in extra],
+        *[F.col(f"{c}_b") for c in extra],
     )
 
 
@@ -120,11 +135,13 @@ def ann_topk_lsh(
     c = emb.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__nc"),
         bucket.alias("__cb"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__nq"),
         bucket.alias("__qb"),
     )
     scored = c.join(
@@ -134,13 +151,18 @@ def ann_topk_lsh(
         "query_id",
         "cand_id",
         F.col("__cb").alias("bucket"),
-        cosine_similarity("__qv", "__cv").alias("cosine"),
+        # norms hoisted per vector (r10): same emitted cosine
+        cosine_with_norms("__qv", "__cv", "__nq", "__nc").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ivf_assign(vec_col: Column | str, centroids: list[tuple[int, list[float]]]) -> Column:
+def ivf_assign(
+    vec_col: Column | str,
+    centroids: list[tuple[int, list[float]]],
+    vec_norm: Column | str | None = None,
+) -> Column:
     """Nearest-centroid cell id for a vector column (IVF coarse quantizer).
 
     Centroids enter as literal arrays, so assignment is a single
@@ -151,13 +173,25 @@ def ivf_assign(vec_col: Column | str, centroids: list[tuple[int, list[float]]]) 
     output of an offline k-means (bounded, e.g. 4-65k entries); here it
     is a deterministic sample so the oracle can recompute it.
     """
+    # r10 optimization: centroid norms are constants — folded on the
+    # driver with Spark's exact fold semantics (py_l2_norm) — and the
+    # row norm is evaluated once instead of once PER CENTROID when the
+    # caller passes a precomputed ``vec_norm`` column.  Same cosine
+    # values (same dot, same norm product, same division), so ties
+    # break identically.
+    vn = (
+        l2_norm(vec_col)
+        if vec_norm is None
+        else (F.col(vec_norm) if isinstance(vec_norm, str) else vec_norm)
+    )
     best = F.array_max(
         F.array(
             *[
                 F.struct(
-                    cosine_similarity(vec_col, F.array(*[F.lit(float(x)) for x in vec])).alias(
-                        "cos"
-                    ),
+                    (
+                        dot(vec_col, F.array(*[F.lit(float(x)) for x in vec]))
+                        / (vn * F.lit(py_l2_norm(vec)))
+                    ).alias("cos"),
                     F.lit(-int(cid)).alias("negid"),
                 )
                 for cid, vec in centroids
@@ -203,12 +237,26 @@ def ann_topk_ivf(
     c = emb.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
-        ivf_assign(vec_col, centroids).alias("cid"),
+        l2_norm(vec_col).alias("__nc"),
+    ).select(
+        "cand_id",
+        "__cv",
+        "__nc",
+        # __nc is multi-referenced and non-cheap, so CollapseProject
+        # keeps it materialized below — one row-norm evaluation feeds
+        # all k centroid cosines
+        ivf_assign("__cv", centroids, vec_norm="__nc").alias("cid"),
     )
+    qn = probe.withColumn("__nq", l2_norm("__qv"))
     scored = c.join(
-        F.broadcast(probe),
-        (c.cid == probe.cid) & (F.col("cand_id") != F.col("query_id")),
-    ).select("query_id", "cand_id", cosine_similarity("__qv", "__cv").alias("cosine"))
+        F.broadcast(qn),
+        (c.cid == qn.cid) & (F.col("cand_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "cand_id",
+        # norms hoisted per vector (r10): same emitted cosine
+        cosine_with_norms("__qv", "__cv", "__nq", "__nc").alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -226,12 +274,24 @@ def ann_topk_bruteforce(
     pass over the corpus, then a per-query top-k window.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__nq"),
     )
-    c = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("__cv"))
+    c = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__nc"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine_similarity("__qv", "__cv").alias("cosine"))
+        # norms hoisted per vector (r10): same emitted cosine, one dot
+        # per scored pair instead of three HOF evaluations
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_with_norms("__qv", "__cv", "__nq", "__nc").alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

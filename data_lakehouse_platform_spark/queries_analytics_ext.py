@@ -607,29 +607,40 @@ SELECT doc_a, doc_b, cell_id, cosine FROM pairs WHERE cosine >= {_SEM_TAU}
     "engines search identical candidate sets.",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_lakehouse_platform_spark.functions.vectors import cosine_similarity
+    from data_lakehouse_platform_spark.functions.vectors import (
+        cosine_with_norms,
+        l2_norm,
+    )
     from data_lakehouse_platform_spark.operators.kmeans import lloyd_kmeans
 
     emb = _t(spark, sf_dir, "embeddings")
     assignments, _ = lloyd_kmeans(emb, k=_KM_K, rounds=_KM_ROUNDS)
+    # r10 optimization: per-vector norm hoisted onto the join sides and
+    # the threshold applied through the hoisted form — the previous
+    # shape evaluated the full 3-HOF cosine in BOTH the pushed-down
+    # join-side filter and the project, per candidate pair.  Emitted
+    # cosine is bit-identical (same dot, same norm product/division).
     pts = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).select(
+        "vec_id", "v", l2_norm("v").alias("nv")
     ).join(assignments.select("vec_id", "cell_id"), "vec_id")
     a = pts.alias("a")
     b = pts.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.cell_id") == F.col("b.cell_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("doc_a"),
-            F.col("b.vec_id").alias("doc_b"),
-            F.col("a.cell_id").alias("cell_id"),
-            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= _SEM_TAU)
+    cos = cosine_with_norms(
+        F.col("a.v"), F.col("b.v"), F.col("a.nv"), F.col("b.nv")
+    )
+    return a.join(
+        b,
+        (F.col("a.cell_id") == F.col("b.cell_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+        & (cos >= _SEM_TAU),
+    ).select(
+        F.col("a.vec_id").alias("doc_a"),
+        F.col("b.vec_id").alias("doc_b"),
+        F.col("a.cell_id").alias("cell_id"),
+        cos.alias("cosine"),
     )
 
 
@@ -792,19 +803,28 @@ def mad_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("c_mktsegment").alias("segment"), "o_totalprice", "o_orderkey")
 
     def discrete_median(df, val_col, out_name):
-        from data_lakehouse_platform_spark.operators.ranking import with_grouped_rank
+        import math
 
-        # Bucketed grouped rank: per-(segment, value-bucket) windows, so
-        # the median selection never sorts a whole segment in one task.
-        r = with_grouped_rank(
+        from data_lakehouse_platform_spark.operators.ranking import (
+            select_group_ranks,
+        )
+
+        # r10 optimization: the SELECTION twin — only the bucket that
+        # contains the median rank is windowed, where the previous form
+        # persisted the whole frame and ranked every row (this query
+        # ran TWO of those passes; measured 4.4s -> ~2.8s at sf0.1).
+        # Median rank ceil(n/2) matches the previous
+        # ceil(0.5*n)-selection exactly.
+        sel = select_group_ranks(
             df,
             ["segment"],
             [F.col(val_col), F.col("o_orderkey")],
             bucket_key=F.col(val_col),
+            ranks_fn=lambda n: [int(math.ceil(0.5 * n))],
             rn_col="__rn",
             n_col="__n",
         )
-        return r.groupBy("segment").agg(
+        return sel.groupBy("segment").agg(
             F.max(
                 F.when(
                     F.col("__rn") == F.ceil(0.5 * F.col("__n")).cast("bigint"),
@@ -814,8 +834,14 @@ def mad_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("__n").alias(f"__n_{out_name}"),
         )
 
-    med = discrete_median(j, "o_totalprice", "median_price").withColumnRenamed(
-        "__n_median_price", "n_orders"
+    med = (
+        discrete_median(j, "o_totalprice", "median_price")
+        .withColumnRenamed("__n_median_price", "n_orders")
+        # r10: truncate the first median's lineage (5 rows) — the
+        # deviation pass consumes it in BOTH of its own eager passes
+        # (approxQuantile + stats) and would otherwise re-run the whole
+        # first selection pipeline each time.
+        .localCheckpoint(eager=True)
     )
     dev = j.join(med.select("segment", "median_price"), "segment").select(
         "segment",

@@ -495,15 +495,40 @@ def recommend_eligible(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") >= 9000) & (F.col("c_mktsegment") == "BUILDING")
     ).select("c_custkey")
 
+    from pyspark import StorageLevel
+
     ordered_parts = (
         orders.join(F.broadcast(eligible), orders.o_custkey == eligible.c_custkey, "left_semi")
         .join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey"))
         .distinct()
+        # consumed twice (the candidate-bound scalar and the anti-join);
+        # (eligible customer, part) pairs — a strong reduction of the fact
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    # r10 optimization: the previous form cross-joined eligible
+    # customers with EVERY part (|eligible| x |parts| rows through the
+    # anti-join and the per-customer window).  A customer's best
+    # non-ordered part sits at position <= (their ordered-part count)+1
+    # of the global (retailprice DESC, partkey) order, so candidates
+    # only need the global top (M+1) parts, M = max ordered-part count
+    # over eligible customers — one bounded scalar (same driver posture
+    # as the operator stats fetches).  Identical winners per customer.
+    m_row = (
+        ordered_parts.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n"))
+        .collect()
+    )
+    m = int(m_row[0][0] or 0) if m_row else 0
+    top_parts = (
+        part.select("p_partkey", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), "p_partkey")
+        .limit(m + 1)
+    )
     candidates = (
-        eligible.crossJoin(F.broadcast(part.select("p_partkey", "p_retailprice")))
+        eligible.crossJoin(F.broadcast(top_parts))
         .join(
             ordered_parts.withColumnRenamed("l_partkey", "p_partkey"),
             ["c_custkey", "p_partkey"],

@@ -2606,6 +2606,16 @@ def graph_bfs_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), F.lit(depth).alias("dist"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            # r10 optimization: each hop referenced the previous hops'
+            # UNCHECKPOINTED frames through both the frontier join and
+            # the visited anti-join, so the plan tree grew ~3x per
+            # depth (the depth-3 final plan held 1,158 Exchange nodes
+            # and re-executed every earlier hop several times — 61
+            # jobs / 3,438 tasks measured at sf0.1).  Checkpointing the
+            # frontier keeps the plan linear in depth: visited is a
+            # union of <= depth checkpointed scans.  Same rows, same
+            # final aggregate.
+            .localCheckpoint(eager=True)
         )
         visited = visited.unionAll(nxt)
         frontier = nxt
@@ -2822,7 +2832,9 @@ FROM hit WHERE rn = 1 ORDER BY l_returnflag
     "vary; same per-group-sort cost as any ranked window at scale.",
 )
 def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_lakehouse_platform_spark.operators.ranking import with_grouped_rank
+    from data_lakehouse_platform_spark.operators.ranking import (
+        select_group_weight_crossing,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
     w = li.select(
@@ -2830,20 +2842,24 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("price"),
         F.floor("l_quantity").cast("bigint").alias("wt"),
     )
-    # Cumulative weight via the bucketed grouped rank: per-(flag,
-    # price-bucket) windows + broadcast bucket offsets, so no task sorts
-    # a whole return-flag slice (~1/3 of lineitem). Ties order by wt too,
-    # which makes every cum value order-independent (tied rows carry
-    # equal weights). The first threshold crossing is then min(struct) —
-    # an ordinary aggregation, not a second window.
-    c = with_grouped_rank(
+    # r10 optimization: the weight-crossing SELECTION twin — the
+    # per-(flag, bucket) weight sums the stats pass already collects
+    # locate the single bucket containing the 2*cum >= tot crossing,
+    # so only that bucket's rows (bounded by bucket width) get a
+    # running sum, where the previous form persisted the projection
+    # and cumulated EVERY row.  Ties order by wt too, which makes
+    # every cum value order-independent (tied rows carry equal
+    # weights); equal prices share a bucket, and rows in later
+    # buckets have strictly larger price, so min(struct) over the
+    # crossing bucket's hit rows is the same first-crossing row.
+    c = select_group_weight_crossing(
         w,
         ["l_returnflag"],
         [F.col("price"), F.col("wt")],
         bucket_key=F.col("price"),
+        weight=F.col("wt"),
         cum_col="cum",
         tot_col="tot",
-        weight=F.col("wt"),
         weight_type="bigint",
     )
     hit = c.where(2 * F.col("cum") >= F.col("tot"))

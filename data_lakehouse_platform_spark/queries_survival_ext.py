@@ -104,10 +104,25 @@ ORDER BY horizon_days
     "dozens of rows at any corpus size.",
 )
 def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from data_lakehouse_platform_spark.catalog import input_scaled_partitions
+
     orders = _t(spark, sf_dir, "orders")
-    per_user = orders.groupBy("o_custkey").agg(
-        F.min(F.to_date("o_orderdate")).alias("f"),
-        F.max(F.to_date("o_orderdate")).alias("l"),
+    # r10 optimization: per_user feeds both the corpus-end scalar and
+    # the duration stream, and the corpus-end scalar is itself consumed
+    # inside that stream — unpersisted, the orders groupBy executed
+    # four times (plan audit: orders scanned 4x).  per_user is
+    # user-cardinality (a true reduction of orders), persisted once at
+    # input-scaled width.
+    per_user = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min(F.to_date("o_orderdate")).alias("f"),
+            F.max(F.to_date("o_orderdate")).alias("l"),
+        )
+        .repartition(input_scaled_partitions(sf_dir, "orders"), "o_custkey")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tend = per_user.agg(F.max("l").alias("tend"))
     u = per_user.crossJoin(F.broadcast(tend)).select(
@@ -122,19 +137,20 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("d"),
     )
-    tot = u.agg(F.count(F.lit(1)).alias("n_users"))
+    # r10 optimization: at-risk count as a SUFFIX sum over the duration
+    # histogram — n_users - sum(n_all for dur' < dur) is exactly
+    # sum(n_all for dur' >= dur), so the separate `tot` aggregation
+    # branch (one more full pass over u) and its broadcast cross join
+    # disappear.  Exact integer identity, same emitted doubles.
     # unpartitioned window: hist is the DURATION histogram — bounded by
     # the observation span in days, never by user or event count
-    w = Window.orderBy("dur").rowsBetween(
-        Window.unboundedPreceding, -1
+    w_suffix = Window.orderBy("dur").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
     )
-    risk = hist.crossJoin(F.broadcast(tot)).select(
+    risk = hist.select(
         "dur",
         "d",
-        (
-            F.col("n_users")
-            - F.coalesce(F.sum("n_all").over(w), F.lit(0))
-        ).alias("n_at"),
+        F.sum("n_all").over(w_suffix).alias("n_at"),
     )
     factors = risk.filter(F.col("d") > 0).select(
         "dur",
