@@ -71,12 +71,33 @@ def input_scaled_partitions(
     partition on the local bench and thousands on a real lake: the
     intermediate an operator persists is never LARGER than its input,
     so input bytes / 64 MB is a safe upper-bound shape for it.
+
+    Non-local inputs (r10 advice): the os.path sizing below only works
+    for local paths.  For any URI store (s3://, hdfs://, abfs://...) —
+    or a local path whose tables can't be found at all — silently
+    returning the floor would repartition every persisted intermediate
+    to ONE partition at exactly the scale this helper exists for, so
+    fall back to the session's configured shuffle width instead (the
+    same default the static form used, never worse than it).
     """
     import math
+    import re
 
+    def _fallback() -> int:
+        return int(
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE", os.environ.get("SPARK_GRAFT_CPUS", "32")
+            )
+        )
+
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", sf_dir) and not sf_dir.startswith(
+        "file://"
+    ):
+        return max(floor, _fallback())
+    local_dir = sf_dir[len("file://"):] if sf_dir.startswith("file://") else sf_dir
     total = 0
     for t in tables:
-        p = f"{sf_dir}/{t}.parquet"
+        p = f"{local_dir}/{t}.parquet"
         if os.path.isdir(p):
             for root, _dirs, files in os.walk(p):
                 total += sum(
@@ -84,6 +105,10 @@ def input_scaled_partitions(
                 )
         elif os.path.exists(p):
             total += os.path.getsize(p)
+    if total == 0 and tables:
+        # nothing measurable (wrong dir, permissions, empty): same
+        # single-partition hazard as the URI case — use the static width
+        return max(floor, _fallback())
     return max(floor, math.ceil(total / bytes_per_partition))
 
 

@@ -445,17 +445,20 @@ def select_group_weight_crossing(
         "select_group_weight_crossing",
     )
 
+    from decimal import Decimal
+
+    zero = Decimal(0) if weight_type.startswith("decimal") else 0
     per_group: dict[tuple, list] = {}
     for r in sorted(
         stats, key=lambda r: (tuple(str(r[g]) for g in gcols), r[_B])
     ):
+        # SUM over an all-NULL (group, bucket) collects None; treat it
+        # as zero weight exactly like the full with_grouped_rank form's
+        # NULL-tolerant running sum (r10 advice — latent TypeError for
+        # callers with nullable weights).
         per_group.setdefault(tuple(r[g] for g in gcols), []).append(
-            (r[_B], r["__wsum"])
+            (r[_B], r["__wsum"] if r["__wsum"] is not None else zero)
         )
-
-    from decimal import Decimal
-
-    zero = Decimal(0) if weight_type.startswith("decimal") else 0
     need_rows = []
     for key, rows in per_group.items():
         tot = sum((w for _, w in rows), zero)
@@ -491,6 +494,137 @@ def select_group_weight_crossing(
         f"{_B}_sel",
         *[f"__sel_{g}" for g in gcols],
     )
+
+
+def select_global_ranks(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    bucket_key: Column,
+    ranks_fn,
+    *,
+    buckets: int = 64,
+    rn_col: str = "rn",
+    n_col: str | None = None,
+) -> DataFrame:
+    """Rows at specific GLOBAL ranks — the global twin of
+    :func:`select_group_ranks` (one group spanning the whole frame).
+
+    With no group key the machinery collapses: the per-bucket counts
+    are <= ``buckets`` driver rows, the bucket semi-join becomes a
+    literal ``isin`` filter, and the rank pick becomes a literal
+    predicate + CASE — no join at all in the plan.  Intended for small
+    rank sets (quantile endpoints, NTILE cuts); the requested ranks are
+    baked in as literals.
+    """
+    bucketed = _bucketize(df, bucket_key, buckets)
+    stats = sorted(
+        bucketed.groupBy(_B).agg(F.count(F.lit(1)).alias("__cnt")).collect(),
+        key=lambda r: r[_B],
+    )  # bounded: <= buckets rows
+    n = sum(r["__cnt"] for r in stats)
+    want = sorted(set(int(x) for x in ranks_fn(n)))
+    if want and (want[0] < 1 or want[-1] > n):
+        raise ValueError(
+            f"ranks_fn asked for ranks {want} outside 1..{n}"
+        )
+    need: list[tuple[int, int, int]] = []  # (bucket, rn_in_bucket, rn)
+    cum, i = 0, 0
+    for r in stats:
+        b, c = r[_B], r["__cnt"]
+        while i < len(want) and want[i] <= cum + c:
+            need.append((b, want[i] - cum, want[i]))
+            i += 1
+        cum += c
+    target_buckets = sorted({b for b, _, _ in need})
+    filtered = bucketed.where(F.col(_B).isin(target_buckets))
+    w = Window.partitionBy(_B).orderBy(*order_cols)
+    local = filtered.withColumn(
+        "__rn_in_b", F.row_number().over(w).cast("long")
+    )
+    pick = F.lit(False)
+    rn_expr = F.lit(None).cast("bigint")
+    for b, rib, rn in need:
+        hit = (F.col(_B) == b) & (F.col("__rn_in_b") == rib)
+        pick = pick | hit
+        rn_expr = F.when(hit, F.lit(rn).cast("bigint")).otherwise(rn_expr)
+    out = local.where(pick).withColumn(rn_col, rn_expr)
+    if n_col is not None:
+        out = out.withColumn(n_col, F.lit(n).cast("bigint"))
+    return out.drop("__rk_key", _B, "__rn_in_b")
+
+
+def ntile_cut_ranks(n: int, k: int) -> list[int]:
+    """1-based global ranks of the LAST row of tiles 1..k-1 under SQL
+    NTILE(k) over ``n`` rows (q = n // k, r = n % k: the first r tiles
+    hold q+1 rows).  Deduplicated: when n < k several cuts coincide at
+    rank n; strict-less boundary counting is unaffected because no row
+    ranks beyond the last cut in that regime (see with_global_ntile).
+    """
+    q, r = divmod(n, k)
+    return sorted({i * q + min(i, r) for i in range(1, k)} - {0})
+
+
+def with_global_ntile(
+    df: DataFrame,
+    keys: Sequence[tuple[str, bool]],
+    k: int,
+    out_col: str,
+    *,
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact global ``NTILE(k)`` WITHOUT ranking every row (r11,
+    guide §1.2 — algorithm first).
+
+    The full form (``with_global_rank`` + :func:`ntile_expr`) persists
+    the frame, windows EVERY row and broadcast-joins offsets, when the
+    tile id only depends on which of k-1 CUT rows a row sorts after.
+    Those cut rows are rank-selections at known positions
+    (:func:`ntile_cut_ranks`), so :func:`select_global_ranks` locates
+    them touching only the buckets that contain a cut; their key
+    tuples are collected (k-1 rows) and every row's tile becomes
+    ``1 + |{cuts strictly below it}|`` — a pure projection, no window,
+    no join, no persist.
+
+    ``keys``: (column_name, is_desc) pairs forming a TOTAL order over
+    ``df`` (the last key must be unique, all keys non-null).  The first
+    key must be numeric — it doubles as the bucket key.
+
+    Equivalence to SQL NTILE: ranks are a total order, so
+    ``rank(row) <= cut_rank_i  <=>  tuple(row) <= tuple(cut_row_i)``;
+    counting strictly-smaller cut tuples therefore reproduces
+    ``ntile_expr(row_number(), n, k)`` exactly.  When n < k the cuts
+    coincide at rank n, but no row ranks beyond rank n, so the
+    deduplicated cut list counts identically (row at rank j sorts
+    strictly after exactly the j-1 cuts at ranks < j).
+    """
+    first, first_desc = keys[0]
+    bucket_key = (-F.col(first)) if first_desc else F.col(first)
+    order_cols = [
+        F.col(n).desc() if d else F.col(n).asc() for n, d in keys
+    ]
+    cuts = select_global_ranks(
+        df,
+        order_cols,
+        bucket_key,
+        lambda n: ntile_cut_ranks(n, k),
+        buckets=buckets,
+        rn_col="__ntile_rn",
+    )
+    bounds = sorted(
+        cuts.select(*[n for n, _ in keys], "__ntile_rn").collect(),
+        key=lambda r: r["__ntile_rn"],
+    )  # bounded: k-1 rows
+    tile: Column = F.lit(1)
+    for brow in bounds:
+        gt = F.lit(False)
+        eqs = F.lit(True)
+        for name, desc in keys:
+            bval = F.lit(brow[name])
+            after = (F.col(name) < bval) if desc else (F.col(name) > bval)
+            gt = gt | (eqs & after)
+            eqs = eqs & (F.col(name) == bval)
+        tile = tile + F.when(gt, 1).otherwise(0)
+    return df.withColumn(out_col, tile.cast("int"))
 
 
 def ntile_expr(rn: Column, n: int, k: int) -> Column:

@@ -673,10 +673,14 @@ FROM spend
     "sees the whole customer table (10^9 rows at 100 TB).",
 )
 def ntile_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from data_lakehouse_platform_spark.catalog import (
+        input_scaled_partitions,
+    )
     from data_lakehouse_platform_spark.functions.money import dec, undec
     from data_lakehouse_platform_spark.operators.ranking import (
-        ntile_expr,
-        with_global_rank,
+        with_global_ntile,
     )
 
     spend = (
@@ -686,16 +690,22 @@ def ntile_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             undec(F.sum(dec("o_totalprice"))).alias("total_spend"),
         )
+        # the decile cut passes re-read this aggregate 3x (quantile
+        # sketch, bucket stats, cut window) — persist the reduction at
+        # input-scaled width (r11, guide §5)
+        .repartition(input_scaled_partitions(sf_dir, "orders"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ranked, st = with_global_rank(
+    # r11 (guide §1.2): NTILE-only consumer — locate the 9 decile cut
+    # rows by rank selection and score by comparison, instead of
+    # ranking every customer (full-width persist + window + offsets
+    # join).  Equivalence proof in with_global_ntile's docstring.
+    return with_global_ntile(
         spend,
-        [F.col("total_spend").desc(), F.col("o_custkey")],
-        bucket_key=-F.col("total_spend"),
-        rn_col="__rn",
+        [("total_spend", True), ("o_custkey", False)],
+        10,
+        "spend_decile",
     )
-    return ranked.withColumn(
-        "spend_decile", ntile_expr(F.col("__rn"), st.rows, 10)
-    ).drop("__rn")
 
 
 # ----------------------------------------------------------------------------

@@ -283,27 +283,39 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges_all = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
         )
-        .distinct()
+        # r11 (guide §2.4): ONE exchange keyed on p serves everything
+        # downstream — hash(p) clusters equal (c, p) rows, so the
+        # dedup, the per-part stop-item counts, and both pair-join
+        # sides all reuse this partitioning instead of re-shuffling
+        # the fact-sized edge list (23 -> 19 exchanges, 7 -> 3 SMJ).
+        .repartition(n_shuffle, "p")
+        .dropDuplicates(["c", "p"])
     )
-    # the fact-sized lineitem⋈orders + distinct feeds BOTH the stop-item
+    # the fact-sized lineitem⋈orders + dedup feeds BOTH the stop-item
     # cap aggregate and the capped edge build: keep the edge index (two
     # longs per distinct (customer, part)), don't rebuild it per consumer
     # — the winnowing_pairs discipline
     edges_all = edges_all.persist(StorageLevel.MEMORY_AND_DISK)
-    ok_parts = (
+    # r11: filter with the INVERSE list — parts OVER the cap.  The
+    # stop-item list is tiny and stays tiny at any SF (hot parts, the
+    # thing the cap exists to drop), so it broadcasts safely at 100 TB,
+    # while the old ok_parts side grew with |parts|; the broadcast anti
+    # join also keeps edges map-side on the cached p-partitioned index.
+    hot_parts = (
         edges_all.groupBy("p")
         .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") <= _NJ_CAP)
+        .filter(F.col("__n") > _NJ_CAP)
         .select("p")
     )
     # capped edges feed the degree pass AND both pair-join sides (3
-    # consumers): persist, so the cap join runs once
-    edges = edges_all.join(ok_parts, "p").persist(
+    # consumers): persist, so the anti join runs once
+    edges = edges_all.join(F.broadcast(hot_parts), "p", "left_anti").persist(
         StorageLevel.MEMORY_AND_DISK
     )
     deg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("d"))

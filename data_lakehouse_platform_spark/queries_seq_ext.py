@@ -3035,9 +3035,10 @@ ORDER BY basket_size, value_decile
     "an unpartitioned NTILE window over the orders fact.",
 )
 def basket_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from data_lakehouse_platform_spark.operators.ranking import (
-        ntile_expr,
-        with_global_rank,
+        with_global_ntile,
     )
 
     li = _t(spark, sf_dir, "lineitem")
@@ -3046,21 +3047,23 @@ def basket_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = od.join(sizes, od.o_orderkey == sizes.l_orderkey).select(
         "basket_size", "o_totalprice", "o_orderkey"
     )
-    # Distributed exact NTILE: the window input here is the full orders
-    # fact, so a plain unpartitioned ntile() would funnel every order
-    # through ONE sort task — use the two-pass bucketed global rank +
-    # SQL-standard tile arithmetic instead (same value contract as
-    # NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)).
-    ranked_df, stats = with_global_rank(
+    # Distributed exact NTILE, r11 selection form (guide §1.2): the
+    # decile only needs 9 CUT rows of the (o_totalprice, o_orderkey)
+    # order — locate them by rank selection and assign tiles with a
+    # pure comparison projection, instead of ranking every joined row
+    # (full window + broadcast-offsets join).  The joined base feeds
+    # the cut passes + the final projection, so it is persisted at its
+    # natural join width (CPU-light consumers would not mind a narrow
+    # cache, but the width costs nothing here — same footprint the old
+    # form's internal persist paid).  Value contract unchanged:
+    # NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey).
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    ranked = with_global_ntile(
         base,
-        [F.col("o_totalprice"), F.col("o_orderkey")],
-        bucket_key=F.col("o_totalprice"),
-        rn_col="__rn",
-    )
-    ranked = ranked_df.select(
-        "basket_size",
-        ntile_expr(F.col("__rn"), stats.rows, 10).alias("value_decile"),
-    )
+        [("o_totalprice", False), ("o_orderkey", False)],
+        10,
+        "value_decile",
+    ).select("basket_size", "value_decile")
     return (
         ranked.groupBy("basket_size", "value_decile")
         .agg(F.count("*").alias("n_orders"))

@@ -1277,10 +1277,14 @@ FROM scored
     "segmentation behind the reference's tier-based eligibility rules.",
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from data_lakehouse_platform_spark.catalog import (
+        input_scaled_partitions,
+    )
     from data_lakehouse_platform_spark.functions.money import dec, undec
     from data_lakehouse_platform_spark.operators.ranking import (
-        ntile_expr,
-        with_global_rank,
+        with_global_ntile,
     )
 
     cust = (
@@ -1293,16 +1297,28 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("frequency"),
             undec(F.sum(dec("o_totalprice"))).alias("monetary"),
         )
+        # r11 (guide §1.2, §5): the three NTILE axes each run a cut
+        # pass + stats pass + boundary window over this aggregate —
+        # persist it once (strong reduction of orders, input-scaled
+        # width) instead of re-aggregating orders ~9x.
+        .repartition(input_scaled_partitions(sf_dir, "orders"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # r11 rewrite (r10 verdict Next-round #5): the NTILE(5) cut rows
+    # are rank-selections at known positions, so each axis locates its
+    # 4 boundary rows via the selection twin and scores every customer
+    # with a pure projection — the three full global-rank passes
+    # (persist + window every row + broadcast offsets, per axis) are
+    # gone.  with_global_ntile's docstring carries the equivalence
+    # proof; the DuckDB oracle above stays the NTILE ground truth.
     axes = [
-        ("r_score", [F.col("recency_days").asc(), F.col("o_custkey")], F.col("recency_days")),
-        ("f_score", [F.col("frequency").desc(), F.col("o_custkey")], -F.col("frequency")),
-        ("m_score", [F.col("monetary").desc(), F.col("o_custkey")], -F.col("monetary")),
+        ("r_score", [("recency_days", False), ("o_custkey", False)]),
+        ("f_score", [("frequency", True), ("o_custkey", False)]),
+        ("m_score", [("monetary", True), ("o_custkey", False)]),
     ]
     scored = cust
-    for out, order_cols, key in axes:
-        scored, st = with_global_rank(scored, order_cols, bucket_key=key, rn_col="__rn")
-        scored = scored.withColumn(out, ntile_expr(F.col("__rn"), st.rows, 5)).drop("__rn")
+    for out, keys in axes:
+        scored = with_global_ntile(scored, keys, 5, out)
     return scored.select(
         "o_custkey",
         "recency_days",
@@ -2525,23 +2541,29 @@ FROM curve
 def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lakehouse_platform_spark.functions.money import dec
     from data_lakehouse_platform_spark.operators.ranking import (
-        ntile_expr,
-        with_global_rank,
+        with_global_ntile,
+    )
+
+    from pyspark import StorageLevel
+
+    from data_lakehouse_platform_spark.catalog import (
+        input_scaled_partitions,
     )
 
     cust = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(dec("o_totalprice")).cast("bigint").alias("spend6"))
+        # the decile cut passes re-read this aggregate 3x — persist the
+        # reduction at input-scaled width (r11, guide §5)
+        .repartition(input_scaled_partitions(sf_dir, "orders"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ranked, st = with_global_rank(
-        cust,
-        [F.col("spend6").asc(), F.col("o_custkey")],
-        bucket_key=F.col("spend6"),
-        rn_col="__rn",
-    )
-    tiered = ranked.withColumn("decile", ntile_expr(F.col("__rn"), st.rows, 10)).drop(
-        "__rn"
+    # r11 (guide §1.2): NTILE-only consumer — 9 cut rows by rank
+    # selection + comparison projection instead of ranking every
+    # customer (see with_global_ntile's equivalence proof).
+    tiered = with_global_ntile(
+        cust, [("spend6", False), ("o_custkey", False)], 10, "decile"
     )
     per_decile = tiered.groupBy("decile").agg(
         F.count("*").alias("n_customers"), F.sum("spend6").alias("dec6")

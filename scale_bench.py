@@ -122,6 +122,15 @@ QUERIES = [
     # row-count dependence.
     ("bitmap_rolling_distinct", 13.0),
     ("ddsketch_quantiles", 13.0),
+    # r11 (r10 verdict Next-round #8): the wave-2 rewrites added
+    # input-scaled persists / checkpointed loops whose cache widths
+    # must be proven at 10x.  graph_bfs's frontier is replica-disjoint
+    # (components don't cross replicas), kmeans' training passes scale
+    # with the fanned corpus, recommend_eligible's top-(M+1) candidate
+    # bound must stay bounded when eligible customers are 10x.
+    ("graph_bfs_depth3", 13.0),
+    ("kmeans_cells", 13.0),
+    ("recommend_eligible", 13.0),
 ]
 
 # The whale basket planted into the 10x lineitem: one order far outside

@@ -54,6 +54,7 @@ def _backend(kind):
 
 @pytest.mark.parametrize("seed,backend", [(7, "posix"), (23, "posix"),
                                           (7, "s3"), (23, "s3")])
+@pytest.mark.slow
 def test_delta_verbs_against_model(spark, tmp_path, seed, backend):
     rng = random.Random(seed)
     t = DeltaLiteTable(
@@ -237,6 +238,7 @@ def test_delta_verbs_against_model(spark, tmp_path, seed, backend):
 
 @pytest.mark.parametrize("seed,backend", [(11, "posix"), (31, "posix"),
                                           (11, "s3"), (31, "s3")])
+@pytest.mark.slow
 def test_iceberg_verbs_against_model(spark, tmp_path, seed, backend):
     """The Iceberg twin: seeded random append / position-delete (both
     surgical and mass) / compaction / ZORDER rewrite / tag+expire /

@@ -3,6 +3,8 @@ equality with the unrestricted plan, and the exactness certificate."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_lakehouse_platform_spark.operators.heavy_hitters import (
@@ -88,6 +90,7 @@ _stream = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(_stream)
 @settings(**_SETTINGS)
 def test_mg_invariants_property(spark, ids):

@@ -208,6 +208,7 @@ def test_validation_refusals(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_verb_model_equality_sequences(spark, tmp_path):
     """Seeded random verb sequences (append / delete_equality / upsert /
     rewrite) checked after EVERY verb against a driver-side dict model —

@@ -5,6 +5,8 @@ updates, inserts, deletes, group births, and group deaths."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_lakehouse_platform_spark.operators.ivm import (
@@ -139,6 +141,7 @@ _chain = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(_chain)
 @settings(**_SETTINGS)
 def test_ivm_property_random_chains(spark, tmp_path_factory, chain):

@@ -69,6 +69,7 @@ def test_driver_first_50_stable():
     assert list(e.queries())[:50] == _DRIVER_FIRST_50
 
 
+@pytest.mark.slow
 def test_oracle_arrow_dtype_parity(spark, duck):
     """The driver's value hash is Arrow-dtype-sensitive: a DuckDB HUGEINT
     (decimal128) column where Spark emits int64 fails hash_match even with

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_lakehouse_platform_spark.catalog import load_table
@@ -110,8 +111,16 @@ def test_plan_audit_contract(spark):
         "cartesian": 0,
     }
 
-    # No query in the registry uses a row-at-a-time Python UDF, and
-    # none plans a CartesianProduct (PLANS.md contract, executable).
+
+@pytest.mark.slow
+def test_plan_audit_contract_full_registry(spark):
+    """No query in the registry uses a row-at-a-time Python UDF, and
+    none plans a CartesianProduct (PLANS.md contract, executable).
+
+    ~100 s: building all 299 plans executes every builder's driver-side
+    stats collects — slow lane (the named showcases above stay in the
+    default lane, and PLANS.md regeneration pins the same columns)."""
+    registry = all_queries()
     for name, q in registry.items():
         a = audit_plan(q.build(spark, SF_DIR))
         assert a.python_free_hot_path, name

@@ -4,6 +4,8 @@ baseline — the acceptance contract for an approximate index."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_lakehouse_platform_spark.operators.pq import (
@@ -19,6 +21,7 @@ def _emb(spark):
     return spark.read.parquet(f"{SF_DIR_MED}/embeddings.parquet")
 
 
+@pytest.mark.slow
 def test_pq_training_deterministic(spark):
     emb = _emb(spark)
     cb1 = train_pq(emb, m=8, k=16, rounds=2)
@@ -41,6 +44,7 @@ def test_pq_encode_codes_bounded_and_complete(spark):
     assert bad.count() == 0
 
 
+@pytest.mark.slow
 def test_pq_recall_vs_bruteforce(spark):
     """Recall@10 of the 32x-compressed ADC scan against exact cosine.
     The bar (0.35) is the audited floor for 8x16 codebooks on this

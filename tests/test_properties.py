@@ -5,6 +5,8 @@ the distributed as-of join vs pandas.merge_asof."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import pandas as pd
@@ -329,6 +331,7 @@ _lrow = st.tuples(
     st.sampled_from(["backward", "forward"]),
     st.sampled_from([None, 700, 2_500]),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_asof_salted_equals_plain_property(spark, lrows, rrows, direction, tol):
     from data_lakehouse_platform_spark.operators.asof import (

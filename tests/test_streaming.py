@@ -86,7 +86,26 @@ def test_order_tracker_completes_orders(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # The tracker keeps the availableNow query ALIVE to serve order B's
+    # 120 s processing-time timeout, so awaitTermination(120) would
+    # block the full two minutes (r11: this was the suite's single
+    # slowest test).  The assertions only need the first micro-batch's
+    # emissions: poll the sink for them, then stop the query — order
+    # B's timeout (120 s away) cannot have fired in that window, so the
+    # 'no emit yet' assertion below is unchanged.
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        got = {
+            r.order_id
+            for r in spark.sql("SELECT * FROM completed_orders").collect()
+        }
+        if {"A", "C"} <= got:
+            break
+        _time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
 
     rows = {r.order_id: r for r in spark.sql("SELECT * FROM completed_orders").collect()}
     assert set(rows) == {"A", "C"}  # B incomplete -> no emit yet
